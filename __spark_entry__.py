@@ -3,36 +3,226 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Query keys map 1:1 to SURVEY.md §2's operator inventory; see the
+``queries()`` docstring of each operator module for reference
+file:line parity notes.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from safedata_pipeline_spark.sources.tables import load_table
+from safedata_pipeline_spark.operators import profile as P
+from safedata_pipeline_spark.operators import compliance as C
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# static schema knowledge for oracle-SQL generation (TESTDATA.md fixtures)
+# ---------------------------------------------------------------------------
+LINEITEM_SCHEMA = [
+    ("l_orderkey", "bigint"),
+    ("l_partkey", "bigint"),
+    ("l_suppkey", "bigint"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "double"),
+    ("l_extendedprice", "double"),
+    ("l_discount", "double"),
+    ("l_tax", "double"),
+    ("l_returnflag", "string"),
+    ("l_linestatus", "string"),
+    ("l_shipdate", "timestamp"),
+]
+CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+NUMERIC_DTYPES = {"bigint", "int", "double", "float"}
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full profiling table (SURVEY A12 basic_stats)
+    of lineitem at sf0.001 — scan → wide agg → melt, end to end."""
+    return P.basic_stats(load_table(spark, SF_SMOKE, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_limit_preview(spark, sf):
+    return P.limit_preview(load_table(spark, sf, "lineitem"), ["l_orderkey", "l_linenumber"], 5)
+
+
+def _q_project_quasi_ids(spark, sf):
+    return P.project(load_table(spark, sf, "customer"), ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"])
+
+
+def _q_row_count(spark, sf):
+    return P.row_count(load_table(spark, sf, "lineitem"))
+
+
+def _q_group_count(spark, sf):
+    return P.group_count(load_table(spark, sf, "orders"), "o_orderpriority")
+
+
+def _q_group_freq_norm(spark, sf):
+    return P.group_freq_norm(load_table(spark, sf, "orders"), "o_orderpriority")
+
+
+def _q_null_profile(spark, sf):
+    return P.null_profile(load_table(spark, sf, "customer"))
+
+
+def _q_distinct_count(spark, sf):
+    return P.distinct_counts(load_table(spark, sf, "customer"), ["c_mktsegment", "c_nationkey"])
+
+
+def _q_numeric_profile(spark, sf):
+    return P.numeric_profile(load_table(spark, sf, "lineitem"), ["l_extendedprice", "l_discount", "l_quantity"])
+
+
+def _q_top_freq(spark, sf):
+    return P.top_freq(load_table(spark, sf, "orders"), ["o_orderpriority", "o_orderstatus"])
+
+
+def _q_basic_stats(spark, sf):
+    return P.basic_stats(load_table(spark, sf, "lineitem"))
+
+
+def _q_checklist_score(spark, sf):
+    return C.checklist_score(C.default_checklist(spark))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "limit_preview": _q_limit_preview,
+        "project_quasi_ids": _q_project_quasi_ids,
+        "row_count": _q_row_count,
+        "group_count": _q_group_count,
+        "group_freq_norm": _q_group_freq_norm,
+        "null_profile": _q_null_profile,
+        "distinct_count": _q_distinct_count,
+        "numeric_profile": _q_numeric_profile,
+        "top_freq": _q_top_freq,
+        "basic_stats": _q_basic_stats,
+        "checklist_score": _q_checklist_score,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; aggregates CAST so types match Spark output)
+# ---------------------------------------------------------------------------
+
+def _sql_null_profile(table: str, cols: list[str]) -> str:
+    parts = [
+        f"SELECT '{c}' AS \"column\", CAST(sum(CAST({c} IS NULL AS INT)) AS BIGINT) AS n_missing, "
+        f"round(sum(CAST({c} IS NULL AS INT)) * 100.0 / count(*), 2) AS missing_pct FROM {table}"
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _sql_distinct_count(table: str, cols: list[str]) -> str:
+    parts = [
+        f"SELECT '{c}' AS \"column\", CAST(count(DISTINCT {c}) AS BIGINT) AS n_unique FROM {table}"
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _sql_numeric_profile(table: str, cols: list[str]) -> str:
+    parts = [
+        f"SELECT '{c}' AS \"column\", round(avg({c}), 6) AS mean, round(stddev_samp({c}), 6) AS std, "
+        f"round(CAST(min({c}) AS DOUBLE), 6) AS min_num, "
+        f"round(quantile_cont({c}, 0.25), 6) AS p25, round(quantile_cont({c}, 0.5), 6) AS median, "
+        f"round(quantile_cont({c}, 0.75), 6) AS p75, round(CAST(max({c}) AS DOUBLE), 6) AS max_num "
+        f"FROM {table}"
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _sql_top_freq(table: str, cols: list[str]) -> str:
+    parts = [
+        f"SELECT '{c}' AS \"column\", CAST({c} AS VARCHAR) AS top, CAST(count(*) AS BIGINT) AS freq "
+        f"FROM {table} WHERE {c} IS NOT NULL GROUP BY {c} ORDER BY count(*) DESC, CAST({c} AS VARCHAR) ASC LIMIT 1"
+        for c in cols
+    ]
+    return " UNION ALL ".join(f"({p})" for p in parts)
+
+
+def _sql_basic_stats(table: str, schema: list[tuple[str, str]]) -> str:
+    parts = []
+    for c, dt in schema:
+        num = dt in NUMERIC_DTYPES
+        ts = dt == "timestamp"
+        s = dt == "string"
+        mean = f"round(avg({c}), 6)" if num else "CAST(NULL AS DOUBLE)"
+        std = f"round(stddev_samp({c}), 6)" if num else "CAST(NULL AS DOUBLE)"
+        mn = f"round(CAST(min({c}) AS DOUBLE), 6)" if num else "CAST(NULL AS DOUBLE)"
+        p25 = f"round(quantile_cont({c}, 0.25), 6)" if num else "CAST(NULL AS DOUBLE)"
+        med = f"round(quantile_cont({c}, 0.5), 6)" if num else "CAST(NULL AS DOUBLE)"
+        p75 = f"round(quantile_cont({c}, 0.75), 6)" if num else "CAST(NULL AS DOUBLE)"
+        mx = f"round(CAST(max({c}) AS DOUBLE), 6)" if num else "CAST(NULL AS DOUBLE)"
+        mints = f"min({c})" if ts else "CAST(NULL AS TIMESTAMP)"
+        maxts = f"max({c})" if ts else "CAST(NULL AS TIMESTAMP)"
+        top = (
+            f"(SELECT CAST({c} AS VARCHAR) FROM {table} WHERE {c} IS NOT NULL GROUP BY {c} "
+            f"ORDER BY count(*) DESC, CAST({c} AS VARCHAR) ASC LIMIT 1)"
+            if s
+            else "CAST(NULL AS VARCHAR)"
+        )
+        freq = (
+            f"(SELECT CAST(count(*) AS BIGINT) FROM {table} WHERE {c} IS NOT NULL GROUP BY {c} "
+            f"ORDER BY count(*) DESC, CAST({c} AS VARCHAR) ASC LIMIT 1)"
+            if s
+            else "CAST(NULL AS BIGINT)"
+        )
+        parts.append(
+            f"SELECT '{c}' AS \"column\", '{dt}' AS dtype, count(*) AS count, "
+            f"CAST(sum(CAST({c} IS NULL AS INT)) AS BIGINT) AS missing, "
+            f"round(sum(CAST({c} IS NULL AS INT)) * 100.0 / count(*), 2) AS missing_pct, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS nunique, "
+            f"{mean} AS mean, {std} AS std, {mn} AS min_num, {p25} AS p25, {med} AS median, "
+            f"{p75} AS p75, {mx} AS max_num, {mints} AS min_ts, {maxts} AS max_ts, "
+            f"{top} AS top, {freq} AS freq FROM {table}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _sql_checklist_score() -> str:
+    rows = ", ".join(f"('{k}', false)" for k, _, _ in C.CHECKLIST_ITEMS)
+    return (
+        f"SELECT round(coalesce(avg(CAST(status AS DOUBLE)), 0.0), 6) AS score, "
+        f"count(*) AS n_items, CAST(sum(CAST(status AS INT)) AS BIGINT) AS n_done "
+        f"FROM (VALUES {rows}) AS t(key, status)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "limit_preview": "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5",
+        "project_quasi_ids": "SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal FROM customer",
+        "row_count": "SELECT count(*) AS n_rows FROM lineitem",
+        "group_count": "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority",
+        "group_freq_norm": (
+            "SELECT o_orderpriority, round(cnt / sum(cnt) OVER (), 6) AS freq "
+            "FROM (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY o_orderpriority)"
+        ),
+        "null_profile": _sql_null_profile("customer", CUSTOMER_COLS),
+        "distinct_count": _sql_distinct_count("customer", ["c_mktsegment", "c_nationkey"]),
+        "numeric_profile": _sql_numeric_profile("lineitem", ["l_extendedprice", "l_discount", "l_quantity"]),
+        "top_freq": _sql_top_freq("orders", ["o_orderpriority", "o_orderstatus"]),
+        "basic_stats": _sql_basic_stats("lineitem", LINEITEM_SCHEMA),
+        "checklist_score": _sql_checklist_score(),
+    }

@@ -1,0 +1,274 @@
+"""Profiling / aggregation operators (SURVEY §2.3 A1–A12, §2.2 P1–P8).
+
+Behavior parity targets (reference: /root/reference/modules/utility.py):
+  * ``basic_stats``   — utility.py:17-86  (one profile row per column)
+  * ``group_count``   — privacy.py:8, utility.py:71 (value_counts incl. null group)
+  * ``null_profile``  — utility.py:31-32
+  * ``numeric_profile``— utility.py:48-54 (mean/std/min/p25/median/p75/max,
+                         std is sample std ddof=1 ⇒ stddev_samp)
+  * ``top_freq``      — utility.py:70-71 (mode with ascending-value tiebreak)
+
+Scale design: the reference loops ``for col in df.columns`` — one pass
+per column. Here every per-column statistic is fused into ONE wide
+aggregation (single scan, map-side partial agg), and the categorical
+top/freq block is ONE grouping-sets pass (single shuffle) instead of a
+groupBy per column. Exact distincts/percentiles are used for oracle
+parity; ``exact=False`` switches to approx_count_distinct /
+percentile_approx — the 100 TB variants (no O(cols×rows) Expand, no
+full sort).
+
+Float outputs are rounded (ROUND_N decimals) so results are stable
+across engines/summation orders — aggregate floats differ in final
+ulps between any two executions, so an unrounded float column is not
+hash-comparable by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    NumericType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+ROUND_N = 6
+
+
+def _is_numeric(dt) -> bool:
+    return isinstance(dt, NumericType)
+
+
+def _is_timestamp(dt) -> bool:
+    return isinstance(dt, (TimestampType, TimestampNTZType, DateType))
+
+
+def _dtype_name(dt) -> str:
+    # normalize tz-naive parquet timestamps to plain "timestamp"
+    return "timestamp" if _is_timestamp(dt) and not isinstance(dt, DateType) else dt.simpleString()
+
+
+def limit_preview(df: DataFrame, order_cols: list[str], n: int = 5) -> DataFrame:
+    """P1 head/limit — deterministic preview (reference app.py:142)."""
+    return df.orderBy(*order_cols).limit(n)
+
+
+def project(df: DataFrame, cols: list[str]) -> DataFrame:
+    """P2 column projection (reference risk.py:28) — column pruning
+    reaches the parquet scan via Catalyst."""
+    return df.select(*cols)
+
+
+def row_count(df: DataFrame) -> DataFrame:
+    """A3 row count."""
+    return df.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def group_count(df: DataFrame, col: str) -> DataFrame:
+    """A1 value_counts(dropna=False): null is its own group, so count
+    via count(*) per group (count(col) would skip nulls)."""
+    return df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def group_freq_norm(df: DataFrame, col: str) -> DataFrame:
+    """A2 value_counts(normalize=True) (reference privacy.py:50).
+
+    The post-aggregation table is |distinct| rows, so the global-total
+    window runs on a tiny intermediate, not the base data.
+    """
+    counts = group_count(df, col)
+    total = Window.partitionBy()
+    return counts.select(
+        col,
+        F.round(F.col("cnt") / F.sum("cnt").over(total), ROUND_N).alias("freq"),
+    )
+
+
+def null_profile(df: DataFrame) -> DataFrame:
+    """A4 per-column null count + % — one wide agg, melted via inline."""
+    n = F.count(F.lit(1))
+    aggs = [n.alias("__n")] + [
+        F.sum(F.col(f.name).isNull().cast("long")).alias(f"miss__{f.name}")
+        for f in df.schema.fields
+    ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(f.name).alias("column"),
+            F.col(f"miss__{f.name}").alias("n_missing"),
+            F.round(F.col(f"miss__{f.name}") * 100.0 / F.col("__n"), 2).alias("missing_pct"),
+        )
+        for f in df.schema.fields
+    ]
+    return row.select(F.inline(F.array(*structs)))
+
+
+def distinct_counts(df: DataFrame, cols: list[str], exact: bool = True) -> DataFrame:
+    """A5 nunique(dropna=True) per column. exact=False uses HLL
+    (approx_count_distinct) — the 100 TB path (single pass, no Expand)."""
+    fn = F.count_distinct if exact else F.approx_count_distinct
+    row = df.agg(*[fn(F.col(c)).alias(f"u__{c}") for c in cols])
+    structs = [
+        F.struct(F.lit(c).alias("column"), F.col(f"u__{c}").alias("n_unique"))
+        for c in cols
+    ]
+    return row.select(F.inline(F.array(*structs)))
+
+
+def numeric_profile(df: DataFrame, cols: list[str], exact: bool = True) -> DataFrame:
+    """A6/A7 moments + percentiles for numeric columns, one wide agg.
+
+    ``F.percentile`` (exact linear interpolation, matches pandas
+    ``quantile``/DuckDB ``quantile_cont``) for parity; the scale path
+    is ``percentile_approx`` (Greenwald-Khanna sketch, one pass).
+    """
+    pct = [0.25, 0.5, 0.75]
+    aggs: list[Column] = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.avg(col).alias(f"mean__{c}"),
+            F.stddev_samp(col).alias(f"std__{c}"),
+            F.min(col).cast("double").alias(f"min__{c}"),
+            F.max(col).cast("double").alias(f"max__{c}"),
+        ]
+        if exact:
+            aggs.append(F.percentile(col, F.array(*[F.lit(p) for p in pct])).alias(f"pct__{c}"))
+        else:
+            aggs.append(F.percentile_approx(col, F.array(*[F.lit(p) for p in pct])).alias(f"pct__{c}"))
+    row = df.agg(*aggs)
+    structs = []
+    for c in cols:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.round(F.col(f"mean__{c}"), ROUND_N).alias("mean"),
+                F.round(F.col(f"std__{c}"), ROUND_N).alias("std"),
+                F.round(F.col(f"min__{c}"), ROUND_N).alias("min_num"),
+                F.round(F.element_at(F.col(f"pct__{c}"), 1), ROUND_N).alias("p25"),
+                F.round(F.element_at(F.col(f"pct__{c}"), 2), ROUND_N).alias("median"),
+                F.round(F.element_at(F.col(f"pct__{c}"), 3), ROUND_N).alias("p75"),
+                F.round(F.col(f"max__{c}"), ROUND_N).alias("max_num"),
+            )
+        )
+    return row.select(F.inline(F.array(*structs)))
+
+
+def top_freq(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A8 mode + top frequency per column (reference utility.py:70-71).
+
+    pandas ``mode().iloc[0]`` returns the smallest value on frequency
+    ties, so the tiebreak is (freq DESC, value ASC). Nulls are excluded
+    (value_counts dropna=True on the astype(str) branch).
+
+    All requested columns share ONE grouping-sets aggregation — a
+    single scan + shuffle regardless of column count, vs. the
+    reference's pass-per-column loop.
+    """
+    gs = (
+        df.groupingSets([[c] for c in cols], *[F.col(c) for c in cols])
+        .agg(F.count(F.lit(1)).alias("freq"), F.grouping_id().alias("gid"))
+    )
+    # grouping_id bit i set <=> cols[i] aggregated away; the active
+    # column of a row is the single unset bit.
+    all_mask = (1 << len(cols)) - 1
+    col_expr = None
+    val_expr = None
+    for i, c in enumerate(cols):
+        active = F.col("gid") == (all_mask & ~(1 << (len(cols) - 1 - i)))
+        col_expr = F.when(active, F.lit(c)) if col_expr is None else col_expr.when(active, F.lit(c))
+        val_expr = (
+            F.when(active, F.col(c).cast("string"))
+            if val_expr is None
+            else val_expr.when(active, F.col(c).cast("string"))
+        )
+    tagged = gs.select(col_expr.alias("column"), val_expr.alias("top"), "freq").where(
+        F.col("top").isNotNull()
+    )
+    w = Window.partitionBy("column").orderBy(F.desc("freq"), F.asc("top"))
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("column", "top", "freq")
+    )
+
+
+def basic_stats(df: DataFrame, exact: bool = True) -> DataFrame:
+    """A12 full profiling table — reference ``basic_stats``
+    (utility.py:17-86): one row per column with count/missing/nunique,
+    numeric moments+percentiles, datetime min/max, categorical top/freq.
+
+    Two total passes over the data (one wide agg + one grouping-sets
+    agg for string modes), vs. the reference's one-pass-per-column.
+    Output schema is fixed and typed; branch-inapplicable stats are
+    NULL (the reference leaves them absent/NaN in a ragged frame).
+    """
+    fields = df.schema.fields
+    pct = [0.25, 0.5, 0.75]
+    cd = F.count_distinct if exact else F.approx_count_distinct
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        c, col = f.name, F.col(f.name)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"miss__{c}"))
+        aggs.append(cd(col).alias(f"uniq__{c}"))
+        if _is_numeric(f.dataType):
+            aggs += [
+                F.avg(col).alias(f"mean__{c}"),
+                F.stddev_samp(col).alias(f"std__{c}"),
+                F.min(col).cast("double").alias(f"min__{c}"),
+                F.max(col).cast("double").alias(f"max__{c}"),
+            ]
+            p = F.percentile(col, F.array(*[F.lit(x) for x in pct])) if exact else F.percentile_approx(col, F.array(*[F.lit(x) for x in pct]))
+            aggs.append(p.alias(f"pct__{c}"))
+        elif _is_timestamp(f.dataType):
+            aggs += [
+                F.min(col).cast("timestamp_ntz").alias(f"mints__{c}"),
+                F.max(col).cast("timestamp_ntz").alias(f"maxts__{c}"),
+            ]
+    row = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_ts = F.lit(None).cast("timestamp_ntz")
+    structs = []
+    for f in fields:
+        c = f.name
+        num = _is_numeric(f.dataType)
+        ts = _is_timestamp(f.dataType)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(_dtype_name(f.dataType)).alias("dtype"),
+                F.col("__n").alias("count"),
+                F.col(f"miss__{c}").alias("missing"),
+                F.round(F.col(f"miss__{c}") * 100.0 / F.col("__n"), 2).alias("missing_pct"),
+                F.col(f"uniq__{c}").alias("nunique"),
+                (F.round(F.col(f"mean__{c}"), ROUND_N) if num else null_d).alias("mean"),
+                (F.round(F.col(f"std__{c}"), ROUND_N) if num else null_d).alias("std"),
+                (F.round(F.col(f"min__{c}"), ROUND_N) if num else null_d).alias("min_num"),
+                (F.round(F.element_at(F.col(f"pct__{c}"), 1), ROUND_N) if num else null_d).alias("p25"),
+                (F.round(F.element_at(F.col(f"pct__{c}"), 2), ROUND_N) if num else null_d).alias("median"),
+                (F.round(F.element_at(F.col(f"pct__{c}"), 3), ROUND_N) if num else null_d).alias("p75"),
+                (F.round(F.col(f"max__{c}"), ROUND_N) if num else null_d).alias("max_num"),
+                (F.col(f"mints__{c}") if ts else null_ts).alias("min_ts"),
+                (F.col(f"maxts__{c}") if ts else null_ts).alias("max_ts"),
+            )
+        )
+    profile = row.select(F.inline(F.array(*structs)))
+
+    str_cols = [f.name for f in fields if isinstance(f.dataType, StringType)]
+    if str_cols:
+        tops = top_freq(df, str_cols)
+        profile = profile.join(F.broadcast(tops), on="column", how="left")
+    else:
+        profile = profile.withColumn("top", F.lit(None).cast("string")).withColumn(
+            "freq", F.lit(None).cast("long")
+        )
+    order = [
+        "column", "dtype", "count", "missing", "missing_pct", "nunique",
+        "mean", "std", "min_num", "p25", "median", "p75", "max_num",
+        "min_ts", "max_ts", "top", "freq",
+    ]
+    return profile.select(*order)

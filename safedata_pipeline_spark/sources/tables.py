@@ -1,0 +1,45 @@
+"""Parquet fixture tables (TESTDATA.md star schema).
+
+Parquet is the engine's canonical columnar source: Catalyst pushes
+filters and prunes columns into the scan for free, which is the entire
+100 TB story for the profiling operators (a 2-column projection must
+read 2 columns, verified in tests via ``explain``/``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy parquet scan)."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register fixture tables as temp views for spark.sql access."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)

@@ -1,0 +1,95 @@
+import datetime
+
+from pyspark.sql import functions as F
+
+from safedata_pipeline_spark.operators import profile as P
+
+
+def _df(spark):
+    rows = [
+        (1, 10.0, "a", datetime.datetime(2020, 1, 1)),
+        (2, 20.0, "b", datetime.datetime(2020, 6, 1)),
+        (3, None, "a", None),
+        (4, 40.0, None, datetime.datetime(2021, 1, 1)),
+        (5, 50.0, "c", datetime.datetime(2019, 1, 1)),
+    ]
+    return spark.createDataFrame(rows, "id bigint, x double, s string, ts timestamp")
+
+
+def test_row_count(spark):
+    assert P.row_count(_df(spark)).collect()[0].n_rows == 5
+
+
+def test_group_count_includes_null_group(spark):
+    got = {r[0]: r[1] for r in P.group_count(_df(spark), "s").collect()}
+    assert got == {"a": 2, "b": 1, "c": 1, None: 1}
+
+
+def test_group_freq_norm_sums_to_one(spark):
+    rows = P.group_freq_norm(_df(spark), "s").collect()
+    assert abs(sum(r.freq for r in rows) - 1.0) < 1e-9
+
+
+def test_null_profile(spark):
+    got = {r.column: (r.n_missing, r.missing_pct) for r in P.null_profile(_df(spark)).collect()}
+    assert got["x"] == (1, 20.0)
+    assert got["s"] == (1, 20.0)
+    assert got["id"] == (0, 0.0)
+
+
+def test_distinct_counts_drops_null(spark):
+    got = {r.column: r.n_unique for r in P.distinct_counts(_df(spark), ["s", "x"]).collect()}
+    assert got == {"s": 3, "x": 4}
+
+
+def test_numeric_profile_matches_pandas_semantics(spark):
+    # pandas: mean 30, std ddof=1, exact interpolated quantiles of [10,20,40,50]
+    row = P.numeric_profile(_df(spark), ["x"]).collect()[0]
+    assert row.mean == 30.0
+    assert abs(row.std - 18.257419) < 1e-6
+    assert (row.min_num, row.max_num) == (10.0, 50.0)
+    assert row.p25 == 17.5 and row.median == 30.0 and row.p75 == 42.5
+
+
+def test_top_freq_tiebreak_ascending(spark):
+    df = spark.createDataFrame([("b",), ("b",), ("a",), ("a",), ("c",), (None,)], "s string")
+    row = P.top_freq(df, ["s"]).collect()[0]
+    assert (row.column, row.top, row.freq) == ("s", "a", 2)
+
+
+def test_top_freq_multi_column_single_pass(spark):
+    df = spark.createDataFrame([("a", "x"), ("a", "y"), ("b", "y")], "s string, t string")
+    got = {r.column: (r.top, r.freq) for r in P.top_freq(df, ["s", "t"]).collect()}
+    assert got == {"s": ("a", 2), "t": ("y", 2)}
+
+
+def test_basic_stats_shape_and_branches(spark):
+    rows = {r.column: r for r in P.basic_stats(_df(spark)).collect()}
+    assert set(rows) == {"id", "x", "s", "ts"}
+    assert rows["x"].dtype == "double" and rows["x"].missing == 1
+    assert rows["s"].top == "a" and rows["s"].freq == 2
+    assert rows["s"].mean is None
+    assert rows["ts"].dtype == "timestamp"
+    assert rows["ts"].min_ts == datetime.datetime(2019, 1, 1)
+    assert rows["id"].nunique == 5
+
+
+def test_basic_stats_all_null_column(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    row = P.basic_stats(df).collect()[0]
+    assert row.missing == 2 and row.missing_pct == 100.0
+    assert row.mean is None and row.nunique == 0
+
+
+def test_limit_preview_deterministic(spark):
+    df = _df(spark)
+    got = [r.id for r in P.limit_preview(df, ["id"], 3).collect()]
+    assert got == [1, 2, 3]
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    from safedata_pipeline_spark.sources.tables import load_table
+
+    df = P.project(load_table(spark, sf_dir, "lineitem"), ["l_orderkey", "l_quantity"])
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "l_extendedprice" not in plan  # column pruning reached the scan
