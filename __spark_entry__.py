@@ -22,9 +22,12 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 if _HERE not in sys.path:
     sys.path.insert(0, _HERE)
 
+from pyspark.sql import functions as F
+
 from safedata_pipeline_spark.sources.tables import load_table
 from safedata_pipeline_spark.operators import profile as P
 from safedata_pipeline_spark.operators import compliance as C
+from safedata_pipeline_spark.operators import protect as PR
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -103,6 +106,46 @@ def _q_checklist_score(spark, sf):
     return C.checklist_score(C.default_checklist(spark))
 
 
+def _skewed_priority(spark, sf):
+    """orders with injected rare categories so PR1's rare branch fires
+    at the correctness sf: every 997th orderkey gets one of 7 RARE-x
+    values (~2 occurrences each at sf0.01 → < threshold 5)."""
+    return load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 997 == 0,
+            F.concat(F.lit("RARE-"), (F.col("o_orderkey") % 7).cast("string")),
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+    )
+
+
+def _q_sdc_suppress(spark, sf):
+    return PR.sdc_suppress(_skewed_priority(spark, sf), ["priority"], threshold=5)
+
+
+def _q_generalize_numeric(spark, sf):
+    df = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    return PR.generalize_numeric(df, ["c_acctbal"], bins=10).withColumnRenamed(
+        "c_acctbal", "acctbal_bin"
+    )
+
+
+def _q_smart_suggest(spark, sf):
+    return PR.smart_suggest(load_table(spark, sf, "customer"))
+
+
+def _q_dp_noise(spark, sf):
+    df = load_table(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    return PR.add_dp_noise(df, ["l_quantity"], epsilon=1.0, sensitivity=1.0, seed=42)
+
+
+def _q_synthetic_sample(spark, sf):
+    df = load_table(spark, sf, "customer").select("c_nationkey", "c_acctbal", "c_mktsegment")
+    return PR.synthetic_sample(df, seed=42)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "limit_preview": _q_limit_preview,
@@ -116,6 +159,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_freq": _q_top_freq,
         "basic_stats": _q_basic_stats,
         "checklist_score": _q_checklist_score,
+        "sdc_suppress": _q_sdc_suppress,
+        "generalize_numeric": _q_generalize_numeric,
+        "smart_suggest": _q_smart_suggest,
+        "dp_noise": _q_dp_noise,
+        "synthetic_sample": _q_synthetic_sample,
     }
 
 
@@ -200,6 +248,53 @@ def _sql_basic_stats(table: str, schema: list[tuple[str, str]]) -> str:
     return " UNION ALL ".join(parts)
 
 
+SQL_SKEWED_PRIORITY = (
+    "SELECT o_orderkey, CASE WHEN o_orderkey % 997 = 0 "
+    "THEN 'RARE-' || CAST(o_orderkey % 7 AS VARCHAR) ELSE o_orderpriority END AS priority "
+    "FROM orders"
+)
+
+
+def _sql_sdc_suppress() -> str:
+    return (
+        f"WITH base AS ({SQL_SKEWED_PRIORITY}), "
+        "cnt AS (SELECT priority AS v, count(*) AS c FROM base GROUP BY priority) "
+        "SELECT b.o_orderkey, CASE WHEN cnt.c < 5 THEN 'OTHER' ELSE b.priority END AS priority "
+        "FROM base b JOIN cnt ON b.priority IS NOT DISTINCT FROM cnt.v"
+    )
+
+
+def _sql_generalize_numeric(table: str, key: str, col: str, out: str, bins: int) -> str:
+    probs = ", ".join(str(i / bins) for i in range(bins + 1))
+    return (
+        f"WITH e AS (SELECT DISTINCT ed AS edge FROM "
+        f"(SELECT unnest(quantile_cont({col}, [{probs}])) AS ed FROM {table})), "
+        f"b AS (SELECT edge AS lo, lead(edge) OVER (ORDER BY edge) AS hi, "
+        f"row_number() OVER (ORDER BY edge) AS rn, count(*) OVER () AS m FROM e), "
+        f"bins AS (SELECT lo, hi, printf('[%.2f, %.2f)', lo, hi) AS label, rn = m - 1 AS is_last "
+        f"FROM b WHERE hi IS NOT NULL) "
+        f"SELECT t.{key}, bins.label AS {out} FROM {table} t LEFT JOIN bins "
+        f"ON t.{col} >= bins.lo AND (t.{col} < bins.hi OR (bins.is_last AND t.{col} <= bins.hi))"
+    )
+
+
+def _sql_smart_suggest(table: str, schema: list[tuple[str, str]]) -> str:
+    parts = []
+    for c, dt in schema:
+        num = dt in NUMERIC_DTYPES
+        kind = "numeric" if num else "categorical"
+        if num:
+            sugg = "CASE WHEN count(DISTINCT {c}) > 50 THEN 'generalize+dp' ELSE 'dp' END"
+        else:
+            sugg = "CASE WHEN count(DISTINCT {c}) > 20 THEN 'sdc' ELSE 'none' END"
+        parts.append(
+            f"SELECT '{c}' AS \"column\", '{kind}' AS kind, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_unique, "
+            f"{sugg.format(c=c)} AS suggestion FROM {table}"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _sql_checklist_score() -> str:
     rows = ", ".join(f"('{k}', false)" for k, _, _ in C.CHECKLIST_ITEMS)
     return (
@@ -225,4 +320,19 @@ def oracle_sql() -> dict[str, str]:
         "top_freq": _sql_top_freq("orders", ["o_orderpriority", "o_orderstatus"]),
         "basic_stats": _sql_basic_stats("lineitem", LINEITEM_SCHEMA),
         "checklist_score": _sql_checklist_score(),
+        "sdc_suppress": _sql_sdc_suppress(),
+        "generalize_numeric": _sql_generalize_numeric(
+            "customer", "c_custkey", "c_acctbal", "acctbal_bin", 10
+        ),
+        "smart_suggest": _sql_smart_suggest(
+            "customer",
+            [
+                ("c_custkey", "bigint"),
+                ("c_name", "string"),
+                ("c_nationkey", "int"),
+                ("c_acctbal", "double"),
+                ("c_mktsegment", "string"),
+            ],
+        ),
+        # dp_noise / synthetic_sample are randomized → rows-only checks
     }

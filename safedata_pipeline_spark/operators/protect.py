@@ -1,0 +1,289 @@
+"""Privacy / anonymization transforms (SURVEY §2.5 PR1–PR5).
+
+Behavior parity targets (reference: /root/reference/modules/privacy.py):
+  * ``sdc_suppress``      — privacy.py:4-11  (rare categories → "OTHER",
+                            null counted as its own group via dropna=False)
+  * ``generalize_numeric``— privacy.py:13-22 (quantile binning, q=10,
+                            duplicate edges dropped, labels "[lo, hi)" %.2f)
+  * ``add_dp_noise``      — privacy.py:24-31 (Laplace(0, sensitivity/ε),
+                            ε clamped to ≥1e-6)
+  * ``synthetic_sample``  — privacy.py:33-53 (per-column independent:
+                            numeric = 50% bootstrap + 50% Gaussian(μ,σ);
+                            categorical = multinomial from empirical freq)
+  * ``smart_suggest``     — privacy.py:55-68 (column-role classifier on
+                            dtype + nunique thresholds 20/50)
+
+All transforms are composable via ``DataFrame.transform`` and stay lazy
+— each is "small aggregation subquery + broadcast join / column
+expression", so chaining sdc → generalize → noise stays one job at the
+sink instead of the reference's materialized ``df.copy()`` per step.
+
+Scale notes:
+  * rare-value suppression joins the per-column count table instead of
+    collecting an ``isin`` list — the count table for a 100 TB string
+    column can itself be huge; Spark broadcasts it only when small (AQE
+    decides), otherwise it's a shuffle join on the value.
+  * ``generalize_numeric`` collects only the ≤(bins+1) edge values to
+    the driver and bins with a whole-stage-codegen CASE chain — no join
+    in the row pass. ``exact=False`` switches the edge computation to
+    ``approxQuantile`` (one pass, bounded memory) for the 100 TB path.
+  * Laplace noise is drawn JVM-side via inverse-CDF over ``F.rand``
+    (seedable) — no Python UDF in the row path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType
+
+EPS_CLAMP = 1e-6
+
+
+def _numeric_cols(df: DataFrame, cols: list[str]) -> list[str]:
+    types = {f.name: f.dataType for f in df.schema.fields}
+    return [c for c in cols if c in types and isinstance(types[c], NumericType)]
+
+
+def _string_cols(df: DataFrame, cols: list[str]) -> list[str]:
+    types = {f.name: f.dataType for f in df.schema.fields}
+    return [c for c in cols if c in types and isinstance(types[c], StringType)]
+
+
+# ---------------------------------------------------------------------------
+# PR1 — SDC rare-category suppression
+# ---------------------------------------------------------------------------
+
+def sdc_suppress(df: DataFrame, cols: list[str], threshold: int = 5, other: str = "OTHER") -> DataFrame:
+    """Replace category values occurring < threshold times with ``other``.
+
+    Parity (privacy.py:4-11): counts include the null group
+    (``value_counts(dropna=False)``); a rare null group is suppressed to
+    ``other`` too, a frequent null group stays null. Non-string columns
+    in ``cols`` are ignored, like the reference's dtype guard.
+    """
+    for c in _string_cols(df, cols):
+        counts = df.groupBy(c).agg(F.count(F.lit(1)).alias(f"__cnt_{c}"))
+        df = (
+            df.join(counts, on=df[c].eqNullSafe(counts[c]), how="left")
+            .drop(counts[c])
+            .withColumn(c, F.when(F.col(f"__cnt_{c}") < threshold, F.lit(other)).otherwise(F.col(c)))
+            .drop(f"__cnt_{c}")
+        )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# PR2 — numeric generalization (quantile binning)
+# ---------------------------------------------------------------------------
+
+def quantile_edges(df: DataFrame, col: str, bins: int, exact: bool = True) -> list[float]:
+    """Exact (oracle-parity) or approximate (100 TB path) quantile edges
+    at i/bins, i=0..bins, with duplicate edges dropped
+    (pandas qcut ``duplicates="drop"``, privacy.py:17)."""
+    probs = [i / bins for i in range(bins + 1)]
+    if exact:
+        arr = df.agg(
+            F.percentile(F.col(col).cast("double"), F.array(*[F.lit(p) for p in probs]))
+        ).collect()[0][0]
+        edges = list(arr) if arr is not None else []
+    else:
+        edges = df.where(F.col(col).isNotNull()).stat.approxQuantile(col, probs, 0.001)
+    out: list[float] = []
+    for e in edges:
+        if e is not None and (not out or e != out[-1]):
+            out.append(float(e))
+    return out
+
+
+def bin_label(lo: float, hi: float) -> str:
+    return f"[{lo:.2f}, {hi:.2f})"
+
+
+def generalize_numeric(df: DataFrame, cols: list[str], bins: int = 10, exact: bool = True) -> DataFrame:
+    """Replace numeric values with their quantile-bin label string.
+
+    Parity (privacy.py:13-22): labels are ``"[lo, hi)"`` with %.2f
+    edges. Bin membership here is ``[lo, hi)`` with the last bin closed
+    ``[lo, hi]`` (the reference's qcut uses ``(lo, hi]`` — our
+    convention matches the label text instead; same equal-frequency
+    semantics). Nulls stay null. Columns with <2 distinct edges are
+    left untouched.
+
+    The row pass is a pure CASE-chain expression (whole-stage codegen,
+    no join, no shuffle) built from the ≤bins+1 collected edges.
+    """
+    for c in _numeric_cols(df, cols):
+        edges = quantile_edges(df, c, bins, exact=exact)
+        if len(edges) < 2:
+            continue
+        expr: Column | None = None
+        for i in range(len(edges) - 1):
+            lo, hi = edges[i], edges[i + 1]
+            last = i == len(edges) - 2
+            cond = (F.col(c) >= F.lit(lo)) & (
+                (F.col(c) <= F.lit(hi)) if last else (F.col(c) < F.lit(hi))
+            )
+            lbl = F.lit(bin_label(lo, hi))
+            expr = F.when(cond, lbl) if expr is None else expr.when(cond, lbl)
+        df = df.withColumn(c, expr.otherwise(F.lit(None).cast("string")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# PR3 — DP-style Laplace noise
+# ---------------------------------------------------------------------------
+
+def laplace_noise(scale: float, seed: int | None = None) -> Column:
+    """Laplace(0, scale) via inverse CDF over uniform ``F.rand``:
+    ``-scale * sign(u) * ln(1 - 2|u|)``, u ∈ (-0.5, 0.5). Seedable and
+    JVM-side (no Python UDF); the 1e-300 floor guards u = -0.5 exactly.
+    """
+    u = (F.rand(seed) if seed is not None else F.rand()) - F.lit(0.5)
+    return (
+        F.lit(-float(scale))
+        * F.signum(u)
+        * F.log(F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(u), F.lit(1e-300)))
+    )
+
+
+def add_dp_noise(
+    df: DataFrame,
+    cols: list[str],
+    epsilon: float = 1.0,
+    sensitivity: float = 1.0,
+    seed: int | None = None,
+) -> DataFrame:
+    """Add iid Laplace(0, sensitivity/max(ε, 1e-6)) noise to numeric
+    columns (privacy.py:24-31). Each column gets an independent draw."""
+    scale = sensitivity / max(epsilon, EPS_CLAMP)
+    for i, c in enumerate(_numeric_cols(df, cols)):
+        s = None if seed is None else seed + i
+        df = df.withColumn(c, F.col(c).cast("double") + laplace_noise(scale, s))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# PR4 — lightweight synthetic sampler
+# ---------------------------------------------------------------------------
+
+def synthetic_sample(df: DataFrame, n: int | None = None, seed: int = 42) -> DataFrame:
+    """Per-column independent synthetic table of ``n`` rows
+    (privacy.py:33-53): numeric columns = (n - n//2) bootstrap draws
+    + n//2 Gaussian(μ, σ) draws (σ=1 fallback when undefined);
+    categorical = multinomial draws from the empirical distribution;
+    all-null columns stay all-null. Output column order matches input.
+
+    Distributed shape: one ``spark.range(n)`` spine; bootstrap picks are
+    a join on a uniformly random row index; categorical draws are an
+    inverse-CDF range join against the (tiny, broadcast) cumulative
+    frequency table. Every randomized expression is seeded per column
+    for reproducibility.
+    """
+    spark = df.sparkSession
+    if n is None:
+        n = df.count()
+    m = int(n * 0.5)  # gaussian share for numeric columns
+    spine = spark.range(n).select(F.col("id").alias("__sid"))
+    out = spine
+    for i, f in enumerate(df.schema.fields):
+        c = f.name
+        cseed = seed + 1000 * i
+        nn = df.where(F.col(c).isNotNull())
+        if isinstance(f.dataType, NumericType):
+            stats = nn.agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.avg(c).alias("mu"),
+                F.stddev_samp(c).alias("sigma"),
+            ).collect()[0]
+            cnt = stats["cnt"]
+            if cnt == 0:
+                out = out.withColumn(c, F.lit(None).cast(f.dataType))
+                continue
+            mu = float(stats["mu"])
+            sigma = float(stats["sigma"]) if stats["sigma"] else 1.0
+            if math.isnan(sigma) or sigma == 0.0:
+                sigma = 1.0
+            # bootstrap: rows [0, n-m) pick a uniformly random source row
+            w = Window.orderBy("__bval", F.monotonically_increasing_id())
+            indexed = nn.select(F.col(c).alias("__bval")).withColumn(
+                "__bidx", F.row_number().over(w) - 1
+            )
+            boot = (
+                spine.where(F.col("__sid") < n - m)
+                .withColumn("__bidx", F.floor(F.rand(cseed) * cnt).cast("long"))
+                .join(indexed, on="__bidx", how="left")
+                .select("__sid", F.col("__bval").alias(c))
+            )
+            gauss = (
+                spine.where(F.col("__sid") >= n - m)
+                .select("__sid", (F.randn(cseed + 1) * sigma + mu).alias(c))
+            )
+            coldf = boot.unionByName(gauss)
+        else:
+            freqs = nn.groupBy(c).agg(F.count(F.lit(1)).alias("__cnt"))
+            if freqs.limit(1).count() == 0:
+                out = out.withColumn(c, F.lit(None).cast(f.dataType))
+                continue
+            wcum = Window.orderBy(F.desc("__cnt"), F.asc(c)).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            total = Window.partitionBy()
+            cum = freqs.select(
+                F.col(c).alias("__val"),
+                (
+                    (F.sum("__cnt").over(wcum) - F.col("__cnt"))
+                    / F.sum("__cnt").over(total)
+                ).alias("__lo"),
+                (F.sum("__cnt").over(wcum) / F.sum("__cnt").over(total)).alias("__hi"),
+            )
+            coldf = (
+                spine.withColumn("__r", F.rand(cseed))
+                .join(
+                    F.broadcast(cum),
+                    on=(F.col("__r") >= F.col("__lo")) & (F.col("__r") < F.col("__hi")),
+                    how="left",
+                )
+                .select("__sid", F.col("__val").alias(c))
+            )
+        out = out.join(coldf, on="__sid", how="left")
+    return out.drop("__sid")
+
+
+# ---------------------------------------------------------------------------
+# PR5 — smart suggestion (column-role classifier)
+# ---------------------------------------------------------------------------
+
+SUGGEST_EPSILON = 1.0  # privacy.py:56 default
+
+
+def smart_suggest(df: DataFrame, exact: bool = True) -> DataFrame:
+    """Column-role suggestions (privacy.py:55-68): string & nunique>20 →
+    'sdc'; numeric & nunique>50 → 'generalize+dp'; numeric otherwise →
+    'dp'; low-cardinality string → 'none'. One wide agg (single scan)
+    instead of the reference's nunique-per-column loop; returns one row
+    per column: (column, kind, n_unique, suggestion)."""
+    cd = F.count_distinct if exact else F.approx_count_distinct
+    fields = df.schema.fields
+    row = df.agg(*[cd(F.col(f.name)).alias(f"u__{f.name}") for f in fields])
+    structs = []
+    for f in fields:
+        c = f.name
+        num = isinstance(f.dataType, NumericType)
+        kind = "numeric" if num else "categorical"
+        u = F.col(f"u__{c}")
+        if num:
+            sugg = F.when(u > 50, F.lit("generalize+dp")).otherwise(F.lit("dp"))
+        else:
+            sugg = F.when(u > 20, F.lit("sdc")).otherwise(F.lit("none"))
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(kind).alias("kind"),
+                u.alias("n_unique"),
+                sugg.alias("suggestion"),
+            )
+        )
+    return row.select(F.inline(F.array(*structs)))

@@ -1,0 +1,116 @@
+import math
+
+from pyspark.sql import functions as F
+
+from safedata_pipeline_spark.operators import protect as PR
+
+
+def test_sdc_suppress_rare_to_other(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 2 + [(None,)] * 1, "s string"
+    )
+    got = [r.s for r in PR.sdc_suppress(df, ["s"], threshold=5).collect()]
+    assert got.count("a") == 6       # frequent kept
+    assert got.count("OTHER") == 3   # rare b (2) + rare null (1) suppressed
+    assert None not in got
+
+
+def test_sdc_suppress_frequent_null_stays_null(spark):
+    df = spark.createDataFrame([(None,)] * 5 + [("x",)] * 1, "s string")
+    got = [r.s for r in PR.sdc_suppress(df, ["s"], threshold=5).collect()]
+    assert got.count(None) == 5 and got.count("OTHER") == 1
+
+
+def test_sdc_suppress_ignores_non_string(spark):
+    df = spark.createDataFrame([(1,), (2,)], "x bigint")
+    assert PR.sdc_suppress(df, ["x"], 5).collect() == df.collect()
+
+
+def test_generalize_numeric_labels_and_membership(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    out = PR.generalize_numeric(df, ["x"], bins=4)
+    labels = [r.x for r in out.collect()]
+    assert all(l.startswith("[") and ", " in l for l in labels)
+    assert len(set(labels)) == 4
+    # equal-frequency: 25 per bin
+    from collections import Counter
+
+    assert set(Counter(labels).values()) == {25}
+
+
+def test_generalize_duplicate_edges_dropped(spark):
+    # constant-heavy column: most quantile edges coincide
+    df = spark.createDataFrame([(1.0,)] * 95 + [(float(i),) for i in range(2, 7)], "x double")
+    out = PR.generalize_numeric(df, ["x"], bins=10)
+    labels = {r.x for r in out.collect()}
+    assert len(labels) >= 1  # no crash; far fewer than 10 bins
+    assert all(l is not None for l in labels)
+
+
+def test_generalize_null_stays_null(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (None,)], "x double")
+    out = PR.generalize_numeric(df, ["x"], bins=2).collect()
+    assert sum(1 for r in out if r.x is None) == 1
+
+
+def test_dp_noise_stats(spark):
+    n = 20000
+    df = spark.range(n).select(F.lit(0.0).alias("x"))
+    out = PR.add_dp_noise(df, ["x"], epsilon=1.0, sensitivity=1.0, seed=7)
+    vals = [r.x for r in out.collect()]
+    mean = sum(vals) / n
+    # Laplace(0, 1): mean ~ 0, E|X| = scale = 1
+    mean_abs = sum(abs(v) for v in vals) / n
+    assert abs(mean) < 0.05
+    assert abs(mean_abs - 1.0) < 0.05
+
+
+def test_dp_noise_epsilon_clamp(spark):
+    df = spark.range(10).select(F.lit(0.0).alias("x"))
+    out = PR.add_dp_noise(df, ["x"], epsilon=0.0, sensitivity=1.0, seed=1)
+    vals = [r.x for r in out.collect()]
+    assert all(not math.isnan(v) and not math.isinf(v) for v in vals)
+    assert max(abs(v) for v in vals) > 1e4  # scale = 1/1e-6 → huge noise
+
+
+def test_dp_noise_seeded_reproducible(spark):
+    df = spark.range(100).select(F.lit(1.0).alias("x"))
+    a = [r.x for r in PR.add_dp_noise(df, ["x"], seed=42).collect()]
+    b = [r.x for r in PR.add_dp_noise(df, ["x"], seed=42).collect()]
+    assert a == b
+
+
+def test_synthetic_sample_shape_and_types(spark):
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "a"), (None, None)],
+        "x double, s string",
+    )
+    out = PR.synthetic_sample(df, n=40, seed=42)
+    rows = out.collect()
+    assert len(rows) == 40
+    assert out.columns == ["x", "s"]
+    svals = {r.s for r in rows}
+    assert svals <= {"a", "b"}  # only observed categories drawn
+
+
+def test_synthetic_sample_all_null_column(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    rows = PR.synthetic_sample(df, n=5, seed=1).collect()
+    assert len(rows) == 5 and all(r.x is None for r in rows)
+
+
+def test_synthetic_sample_default_n(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(10)], "x double")
+    assert PR.synthetic_sample(df, seed=3).count() == 10
+
+
+def test_smart_suggest_branches(spark):
+    rows = [(i, float(i), f"s{i}", "lo" if i % 2 else "hi") for i in range(60)]
+    df = spark.createDataFrame(rows, "big_num bigint, big_float double, hi_card string, lo_card string")
+    got = {r.column: r.suggestion for r in PR.smart_suggest(df).collect()}
+    assert got == {
+        "big_num": "generalize+dp",
+        "big_float": "generalize+dp",
+        "hi_card": "sdc",
+        "lo_card": "none",
+    }
