@@ -28,6 +28,7 @@ from safedata_pipeline_spark.sources.tables import load_table
 from safedata_pipeline_spark.operators import profile as P
 from safedata_pipeline_spark.operators import compliance as C
 from safedata_pipeline_spark.operators import protect as PR
+from safedata_pipeline_spark.operators import drift as DR
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -146,6 +147,39 @@ def _q_synthetic_sample(spark, sf):
     return PR.synthetic_sample(df, seed=42)
 
 
+def _drift_before(spark, sf):
+    return load_table(spark, sf, "lineitem").select("l_quantity", "l_extendedprice", "l_returnflag")
+
+
+def _drift_after(spark, sf):
+    """Deterministic 'protected' variant: price generalized to hundreds,
+    returnflag 'R' suppressed — a stand-in for the (randomized) protect
+    chain so the drift metrics stay oracle-checkable."""
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_quantity",
+        F.round(F.col("l_extendedprice"), -2).alias("l_extendedprice"),
+        F.when(F.col("l_returnflag") == "R", F.lit("OTHER"))
+        .otherwise(F.col("l_returnflag"))
+        .alias("l_returnflag"),
+    )
+
+
+def _q_ks_drift(spark, sf):
+    return DR.ks_statistic(_drift_before(spark, sf), _drift_after(spark, sf), "l_extendedprice")
+
+
+def _q_chi2_drift(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    even = orders.where(F.col("o_orderkey") % 2 == 0)
+    odd = orders.where(F.col("o_orderkey") % 2 == 1)
+    return DR.chi2_categorical(even, odd, "o_orderpriority")
+
+
+def _q_distribution_drift(spark, sf):
+    return DR.distribution_drift(_drift_before(spark, sf), _drift_after(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "limit_preview": _q_limit_preview,
@@ -164,6 +198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smart_suggest": _q_smart_suggest,
         "dp_noise": _q_dp_noise,
         "synthetic_sample": _q_synthetic_sample,
+        "ks_drift": _q_ks_drift,
+        "chi2_drift": _q_chi2_drift,
+        "distribution_drift": _q_distribution_drift,
     }
 
 
@@ -295,6 +332,59 @@ def _sql_smart_suggest(table: str, schema: list[tuple[str, str]]) -> str:
     return " UNION ALL ".join(parts)
 
 
+def _sql_ks(a_select: str, b_select: str, out: str = "ks_stat") -> str:
+    """Two-sample KS in ANSI SQL: grouped tagged union + ordered-window
+    cumulative counts (integers until the final division)."""
+    return (
+        f"WITH u AS (SELECT v, 1 AS ka, 0 AS kb FROM ({a_select}) "
+        f"UNION ALL SELECT v, 0 AS ka, 1 AS kb FROM ({b_select})), "
+        "g AS (SELECT v, CAST(sum(ka) AS BIGINT) AS ka, CAST(sum(kb) AS BIGINT) AS kb FROM u GROUP BY v), "
+        "c AS (SELECT sum(ka) OVER (ORDER BY v) AS ca, sum(kb) OVER (ORDER BY v) AS cb, "
+        "sum(ka) OVER () AS na, sum(kb) OVER () AS nb FROM g) "
+        f"SELECT CASE WHEN max(na) >= 5 AND max(nb) >= 5 "
+        f"THEN round(max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 6) END AS {out} FROM c"
+    )
+
+
+def _sql_chi2(a_select: str, b_select: str, out: str = "chi2") -> str:
+    """Reference χ² drift: nulls → 'NA', outer-join category counts,
+    Σ (oa-ob)²/(oa+ob+1e-9); DECIMAL(38,12) sum for order-independence."""
+    return (
+        f"WITH ta AS (SELECT coalesce(CAST(cat AS VARCHAR), 'NA') AS cat, count(*) AS oa "
+        f"FROM ({a_select}) GROUP BY 1), "
+        f"tb AS (SELECT coalesce(CAST(cat AS VARCHAR), 'NA') AS cat, count(*) AS ob "
+        f"FROM ({b_select}) GROUP BY 1), "
+        "j AS (SELECT CAST(coalesce(oa, 0) AS BIGINT) AS oa, CAST(coalesce(ob, 0) AS BIGINT) AS ob "
+        "FROM ta FULL OUTER JOIN tb USING (cat)) "
+        f"SELECT CASE WHEN sum(oa) > 0 AND sum(ob) > 0 THEN "
+        f"round(CAST(sum(CAST(((oa - ob) * (oa - ob)) / (oa + ob + 1e-9) AS DECIMAL(38,12))) AS DOUBLE), 6) "
+        f"END AS {out} FROM j"
+    )
+
+
+_SQL_DRIFT_AFTER_PRICE = "SELECT round(l_extendedprice, -2) AS v FROM lineitem WHERE l_extendedprice IS NOT NULL"
+_SQL_DRIFT_BEFORE_PRICE = "SELECT l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL"
+
+
+def _sql_distribution_drift() -> str:
+    ks_qty = _sql_ks(
+        "SELECT l_quantity AS v FROM lineitem WHERE l_quantity IS NOT NULL",
+        "SELECT l_quantity AS v FROM lineitem WHERE l_quantity IS NOT NULL",
+        "m",
+    )
+    ks_price = _sql_ks(_SQL_DRIFT_BEFORE_PRICE, _SQL_DRIFT_AFTER_PRICE, "m")
+    chi2_flag = _sql_chi2(
+        "SELECT l_returnflag AS cat FROM lineitem",
+        "SELECT CASE WHEN l_returnflag = 'R' THEN 'OTHER' ELSE l_returnflag END AS cat FROM lineitem",
+        "m",
+    )
+    return (
+        f"SELECT 'l_quantity' AS \"column\", 'numeric' AS type, m AS ks_stat, CAST(NULL AS DOUBLE) AS chi2 FROM ({ks_qty}) "
+        f"UNION ALL SELECT 'l_extendedprice', 'numeric', m, CAST(NULL AS DOUBLE) FROM ({ks_price}) "
+        f"UNION ALL SELECT 'l_returnflag', 'categorical', CAST(NULL AS DOUBLE), m FROM ({chi2_flag})"
+    )
+
+
 def _sql_checklist_score() -> str:
     rows = ", ".join(f"('{k}', false)" for k, _, _ in C.CHECKLIST_ITEMS)
     return (
@@ -335,4 +425,10 @@ def oracle_sql() -> dict[str, str]:
             ],
         ),
         # dp_noise / synthetic_sample are randomized → rows-only checks
+        "ks_drift": _sql_ks(_SQL_DRIFT_BEFORE_PRICE, _SQL_DRIFT_AFTER_PRICE),
+        "chi2_drift": _sql_chi2(
+            "SELECT o_orderpriority AS cat FROM orders WHERE o_orderkey % 2 = 0",
+            "SELECT o_orderpriority AS cat FROM orders WHERE o_orderkey % 2 = 1",
+        ),
+        "distribution_drift": _sql_distribution_drift(),
     }

@@ -1,0 +1,167 @@
+"""Distribution-drift operators (SURVEY §2.7 U1–U3).
+
+Behavior parity targets (reference: /root/reference/modules/utility.py):
+  * ``ks_statistic``       — utility.py:92-97 (scipy ks_2samp two-sample
+                             statistic; NaN→NULL when either side has
+                             <5 non-null values)
+  * ``chi2_categorical``   — utility.py:99-110 (align category counts,
+                             Σ (oa-ob)²/(oa+ob+1e-9); nulls → "NA";
+                             NULL when either side is empty)
+  * ``distribution_drift`` — utility.py:112-123 (per shared column:
+                             numeric → KS, else → chi²)
+
+KS construction (no Spark builtin is two-sample): tag both sides, group
+by value (ties merge, so the ECDF is evaluated at distinct points — the
+window then runs over |distinct values| rows, not |rows|), cumulative
+per-side counts via an ordered window, statistic = max |ca/na - cb/nb|.
+All counts stay integer until the final division, so the cumulative
+arithmetic is exact and engine-independent.
+
+Scale notes: the ordered window is unpartitioned — exact ECDF needs a
+global order. Grouping first collapses the window input to the distinct
+-value table; for 100 TB continuous data use ``ks_statistic_binned``
+(fixed-width bins = a bounded-error KS with a pure groupBy, no global
+sort). χ² sums per-category contributions as DECIMAL(38,12) so the sum
+is order-independent (float sums are not associative; a shuffle could
+otherwise flip the last ulp between runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+ROUND_N = 6
+MIN_KS_ROWS = 5  # utility.py:95
+
+
+def _tagged_union(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    a = df_a.select(F.col(col).alias("v")).where(F.col(col).isNotNull()).withColumn(
+        "ka", F.lit(1)
+    ).withColumn("kb", F.lit(0))
+    b = df_b.select(F.col(col).alias("v")).where(F.col(col).isNotNull()).withColumn(
+        "ka", F.lit(0)
+    ).withColumn("kb", F.lit(1))
+    return a.unionByName(b)
+
+
+def ks_statistic(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic on ``col`` → 1 row
+    ``(ks_stat double)``; NULL when either side has <5 non-null rows."""
+    u = _tagged_union(df_a, df_b, col)
+    g = u.groupBy("v").agg(F.sum("ka").alias("ka"), F.sum("kb").alias("kb"))
+    w_cum = Window.orderBy("v")
+    w_all = Window.partitionBy()
+    c = g.select(
+        F.sum("ka").over(w_cum).alias("ca"),
+        F.sum("kb").over(w_cum).alias("cb"),
+        F.sum("ka").over(w_all).alias("na"),
+        F.sum("kb").over(w_all).alias("nb"),
+    )
+    return c.agg(
+        F.when(
+            (F.max("na") >= MIN_KS_ROWS) & (F.max("nb") >= MIN_KS_ROWS),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca") / F.col("na") - F.col("cb") / F.col("nb")
+                    )
+                ),
+                ROUND_N,
+            ),
+        ).alias("ks_stat")
+    )
+
+
+def ks_statistic_binned(df_a: DataFrame, df_b: DataFrame, col: str, bins: int = 10000) -> DataFrame:
+    """100 TB path: KS over fixed-width bins — one groupBy (map-side
+    combinable) + a window over ≤``bins`` rows; error ≤ max bin width of
+    the true ECDF step. No global sort of the data."""
+    lohi = (
+        _tagged_union(df_a, df_b, col)
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()[0]
+    )
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    width = (hi - lo) / bins or 1.0
+    u = _tagged_union(df_a, df_b, col).withColumn(
+        "v", F.least(F.floor((F.col("v") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
+    )
+    g = u.groupBy("v").agg(F.sum("ka").alias("ka"), F.sum("kb").alias("kb"))
+    w_cum = Window.orderBy("v")
+    w_all = Window.partitionBy()
+    c = g.select(
+        F.sum("ka").over(w_cum).alias("ca"),
+        F.sum("kb").over(w_cum).alias("cb"),
+        F.sum("ka").over(w_all).alias("na"),
+        F.sum("kb").over(w_all).alias("nb"),
+    )
+    return c.agg(
+        F.when(
+            (F.max("na") >= MIN_KS_ROWS) & (F.max("nb") >= MIN_KS_ROWS),
+            F.round(F.max(F.abs(F.col("ca") / F.col("na") - F.col("cb") / F.col("nb"))), ROUND_N),
+        ).alias("ks_stat")
+    )
+
+
+def chi2_categorical(df_a: DataFrame, df_b: DataFrame, col: str, na_label: str = "NA") -> DataFrame:
+    """χ²-like categorical drift → 1 row ``(chi2 double)``.
+
+    Parity (utility.py:99-110): nulls become the "NA" category, counts
+    are aligned by full outer join (missing → 0), statistic is
+    Σ (oa-ob)²/(oa+ob+1e-9); NULL when either side is empty.
+    """
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(F.coalesce(F.col(col).cast("string"), F.lit(na_label)).alias("cat"))
+            .groupBy("cat")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    ta, tb = counts(df_a, "oa"), counts(df_b, "ob")
+    joined = ta.join(tb, on="cat", how="full_outer").select(
+        F.coalesce("oa", F.lit(0)).alias("oa"), F.coalesce("ob", F.lit(0)).alias("ob")
+    )
+    contrib = (
+        ((F.col("oa") - F.col("ob")) * (F.col("oa") - F.col("ob")))
+        / (F.col("oa") + F.col("ob") + F.lit(1e-9))
+    ).cast("decimal(38,12)")
+    return joined.agg(
+        F.when(
+            (F.sum("oa") > 0) & (F.sum("ob") > 0),
+            F.round(F.sum(contrib).cast("double"), ROUND_N),
+        ).alias("chi2")
+    )
+
+
+def distribution_drift(df_a: DataFrame, df_b: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column drift table (utility.py:112-123): numeric columns →
+    KS, everything else → χ². Output one row per shared column:
+    ``(column, type, ks_stat, chi2)`` with the inapplicable metric NULL.
+    """
+    types_a = {f.name: f.dataType for f in df_a.schema.fields}
+    types_b = {f.name: f.dataType for f in df_b.schema.fields}
+    shared = [c for c in df_a.columns if c in types_b] if cols is None else cols
+    parts: list[DataFrame] = []
+    for c in shared:
+        numeric = isinstance(types_a[c], NumericType) and isinstance(types_b[c], NumericType)
+        if numeric:
+            part = ks_statistic(df_a, df_b, c).select(
+                F.lit(c).alias("column"),
+                F.lit("numeric").alias("type"),
+                F.col("ks_stat"),
+                F.lit(None).cast("double").alias("chi2"),
+            )
+        else:
+            part = chi2_categorical(df_a, df_b, c).select(
+                F.lit(c).alias("column"),
+                F.lit("categorical").alias("type"),
+                F.lit(None).cast("double").alias("ks_stat"),
+                F.col("chi2"),
+            )
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,86 @@
+import numpy as np
+import pytest
+
+from safedata_pipeline_spark.operators import drift as D
+
+
+def ks_2samp_stat(a, b):
+    """Reference two-sample KS statistic (max |ECDF_a - ECDF_b| over the
+    pooled sample points) — same definition as scipy.stats.ks_2samp."""
+    a, b = np.sort(np.asarray(a, float)), np.sort(np.asarray(b, float))
+    pts = np.concatenate([a, b])
+    fa = np.searchsorted(a, pts, side="right") / len(a)
+    fb = np.searchsorted(b, pts, side="right") / len(b)
+    return float(np.max(np.abs(fa - fb)))
+
+
+def _one(df):
+    return df.collect()[0][0]
+
+
+def test_ks_matches_scipy(spark):
+    rng = np.random.default_rng(7)
+    a = rng.normal(0, 1, 300)
+    b = rng.normal(0.4, 1.3, 250)
+    dfa = spark.createDataFrame([(float(x),) for x in a], "v double")
+    dfb = spark.createDataFrame([(float(x),) for x in b], "v double")
+    expect = ks_2samp_stat(a, b)
+    got = _one(D.ks_statistic(dfa, dfb, "v"))
+    assert got == pytest.approx(expect, abs=1e-6)
+
+
+def test_ks_with_ties_matches_scipy(spark):
+    a = [1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0]
+    b = [2.0, 2.0, 2.0, 3.0, 4.0, 4.0]
+    dfa = spark.createDataFrame([(x,) for x in a], "v double")
+    dfb = spark.createDataFrame([(x,) for x in b], "v double")
+    expect = ks_2samp_stat(a, b)
+    assert _one(D.ks_statistic(dfa, dfb, "v")) == pytest.approx(expect, abs=1e-6)
+
+
+def test_ks_small_side_is_null(spark):
+    dfa = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")  # 4 < 5
+    dfb = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    assert _one(D.ks_statistic(dfa, dfb, "v")) is None
+
+
+def test_ks_binned_close_to_exact(spark):
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 1, 500)
+    b = rng.normal(0.5, 1, 500)
+    dfa = spark.createDataFrame([(float(x),) for x in a], "v double")
+    dfb = spark.createDataFrame([(float(x),) for x in b], "v double")
+    exact = ks_2samp_stat(a, b)
+    binned = _one(D.ks_statistic_binned(dfa, dfb, "v", bins=2000))
+    assert binned == pytest.approx(exact, abs=0.01)
+
+
+def test_chi2_matches_reference_formula(spark):
+    a = ["x"] * 30 + ["y"] * 10 + [None] * 5
+    b = ["x"] * 20 + ["y"] * 20 + ["z"] * 3
+    dfa = spark.createDataFrame([(v,) for v in a], "c string")
+    dfb = spark.createDataFrame([(v,) for v in b], "c string")
+    # reference: nulls → "NA", align cats, sum (oa-ob)^2/(oa+ob+1e-9)
+    oa = {"x": 30, "y": 10, "NA": 5, "z": 0}
+    ob = {"x": 20, "y": 20, "NA": 0, "z": 3}
+    expect = sum((oa[k] - ob[k]) ** 2 / (oa[k] + ob[k] + 1e-9) for k in oa)
+    assert _one(D.chi2_categorical(dfa, dfb, "c")) == pytest.approx(expect, abs=1e-6)
+
+
+def test_chi2_empty_side_null(spark):
+    dfa = spark.createDataFrame([("x",)], "c string")
+    dfb = spark.createDataFrame([], "c string")
+    assert _one(D.chi2_categorical(dfa, dfb, "c")) is None
+
+
+def test_distribution_drift_dispatch(spark):
+    dfa = spark.createDataFrame([(1.0, "x"), (2.0, "y"), (3.0, "x"), (4.0, "y"), (5.0, "x")], "n double, c string")
+    dfb = spark.createDataFrame([(1.5, "x"), (2.5, "x"), (3.5, "x"), (4.5, "x"), (5.5, "x")], "n double, c string")
+    rows = {r.column: r for r in D.distribution_drift(dfa, dfb).collect()}
+    assert rows["n"].type == "numeric" and rows["n"].ks_stat is not None and rows["n"].chi2 is None
+    assert rows["c"].type == "categorical" and rows["c"].chi2 is not None and rows["c"].ks_stat is None
+
+
+def test_identical_distributions_zero_drift(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(20)], "v double")
+    assert _one(D.ks_statistic(df, df, "v")) == 0.0
