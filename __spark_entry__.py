@@ -29,6 +29,8 @@ from safedata_pipeline_spark.operators import profile as P
 from safedata_pipeline_spark.operators import compliance as C
 from safedata_pipeline_spark.operators import protect as PR
 from safedata_pipeline_spark.operators import drift as DR
+from safedata_pipeline_spark.operators import risk as RK
+from safedata_pipeline_spark.operators import ml_utility as MU
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -180,6 +182,45 @@ def _q_distribution_drift(spark, sf):
     return DR.distribution_drift(_drift_before(spark, sf), _drift_after(spark, sf))
 
 
+QUASI_IDS = ["c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def _real_anon_split(spark, sf):
+    """customer split into a real/anon proxy pair (FIXTURES.md §2):
+    odd custkeys play 'real', even play 'anon'."""
+    cust = load_table(spark, sf, "customer")
+    real = cust.where(F.col("c_custkey") % 2 == 1)
+    anon = cust.where(F.col("c_custkey") % 2 == 0)
+    return real, anon
+
+
+def _q_standard_scale(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    return RK.standard_scale(cust, cust, ["c_acctbal"], keep=["c_custkey"])
+
+
+def _q_one_hot(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    return RK.one_hot(cust, cust, "c_mktsegment", keep=["c_custkey"])
+
+
+def _q_knn_linkage_join(spark, sf):
+    real, anon = _real_anon_split(spark, sf)
+    return RK.knn_linkage_join(anon, real, QUASI_IDS, "c_custkey", "c_custkey")
+
+
+def _q_linkage_risk_score(spark, sf):
+    return RK.linkage_risk_score(_q_knn_linkage_join(spark, sf))
+
+
+def _q_model_utility(spark, sf):
+    cust = load_table(spark, sf, "customer").select(
+        "c_nationkey", "c_acctbal", (F.col("c_custkey") % 2).cast("int").alias("target")
+    )
+    protected = PR.add_dp_noise(cust, ["c_nationkey", "c_acctbal"], epsilon=1.0, seed=42)
+    return MU.model_utility_check(cust, protected, "target")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "limit_preview": _q_limit_preview,
@@ -201,6 +242,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": _q_ks_drift,
         "chi2_drift": _q_chi2_drift,
         "distribution_drift": _q_distribution_drift,
+        "standard_scale": _q_standard_scale,
+        "one_hot": _q_one_hot,
+        "knn_linkage_join": _q_knn_linkage_join,
+        "linkage_risk_score": _q_linkage_risk_score,
+        "model_utility": _q_model_utility,
     }
 
 
@@ -385,6 +431,63 @@ def _sql_distribution_drift() -> str:
     )
 
 
+MKTSEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def _sql_standard_scale() -> str:
+    return (
+        "WITH st AS (SELECT avg(c_acctbal) AS mu, "
+        "CASE WHEN stddev_pop(c_acctbal) IS NULL OR stddev_pop(c_acctbal) = 0 THEN 1.0 "
+        "ELSE stddev_pop(c_acctbal) END AS sd FROM customer) "
+        "SELECT c_custkey, round((c_acctbal - st.mu) / st.sd, 6) AS f_c_acctbal "
+        "FROM customer, st"
+    )
+
+
+def _sql_one_hot() -> str:
+    inds = ", ".join(
+        f"CAST(c_mktsegment = '{v}' AS DOUBLE) AS f_c_mktsegment_{v}" for v in MKTSEGMENTS
+    )
+    return f"SELECT c_custkey, {inds} FROM customer"
+
+
+def _sql_knn_linkage_join() -> str:
+    """Exact 1-NN in SQL, mirroring the Spark plan: anon-fitted scaling
+    + one-hot, cross join, squared distance in the same term order,
+    per-anon top-1 with (dist, real_id) tiebreak."""
+    ind_a = ", ".join(
+        f"CAST(c_mktsegment = '{v}' AS DOUBLE) AS i{j}" for j, v in enumerate(MKTSEGMENTS)
+    )
+    dist_terms = "(a.fn - r.fn) * (a.fn - r.fn) + (a.fa - r.fa) * (a.fa - r.fa)"
+    for j in range(len(MKTSEGMENTS)):
+        dist_terms += f" + (a.i{j} - r.i{j}) * (a.i{j} - r.i{j})"
+    return (
+        "WITH anon AS (SELECT * FROM customer WHERE c_custkey % 2 = 0), "
+        "realt AS (SELECT * FROM customer WHERE c_custkey % 2 = 1), "
+        "st AS (SELECT avg(CAST(c_nationkey AS DOUBLE)) AS mu_n, "
+        "CASE WHEN stddev_pop(c_nationkey) IS NULL OR stddev_pop(c_nationkey) = 0 THEN 1.0 ELSE stddev_pop(c_nationkey) END AS sd_n, "
+        "avg(c_acctbal) AS mu_a, "
+        "CASE WHEN stddev_pop(c_acctbal) IS NULL OR stddev_pop(c_acctbal) = 0 THEN 1.0 ELSE stddev_pop(c_acctbal) END AS sd_a "
+        "FROM anon), "
+        f"ae AS (SELECT c_custkey AS anon_id, (CAST(c_nationkey AS DOUBLE) - st.mu_n) / st.sd_n AS fn, "
+        f"(c_acctbal - st.mu_a) / st.sd_a AS fa, {ind_a} FROM anon, st), "
+        f"re AS (SELECT c_custkey AS real_id, (CAST(c_nationkey AS DOUBLE) - st.mu_n) / st.sd_n AS fn, "
+        f"(c_acctbal - st.mu_a) / st.sd_a AS fa, {ind_a} FROM realt, st), "
+        f"pairs AS (SELECT a.anon_id, r.real_id, sqrt(0.0 + {dist_terms}) AS dist FROM ae a CROSS JOIN re r), "
+        "best AS (SELECT anon_id, real_id, dist, "
+        "row_number() OVER (PARTITION BY anon_id ORDER BY dist ASC, real_id ASC) AS rn FROM pairs) "
+        "SELECT anon_id, real_id, round(dist, 6) AS dist FROM best WHERE rn = 1"
+    )
+
+
+def _sql_linkage_risk_score() -> str:
+    return (
+        f"WITH nn AS ({_sql_knn_linkage_join()}) "
+        "SELECT round(least(greatest(avg(1.0 - dist / (dist + 1e-9)), 0.0), 1.0), 6) AS overall_risk, "
+        "count(*) AS n_rows FROM nn"
+    )
+
+
 def _sql_checklist_score() -> str:
     rows = ", ".join(f"('{k}', false)" for k, _, _ in C.CHECKLIST_ITEMS)
     return (
@@ -431,4 +534,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority AS cat FROM orders WHERE o_orderkey % 2 = 1",
         ),
         "distribution_drift": _sql_distribution_drift(),
+        "standard_scale": _sql_standard_scale(),
+        "one_hot": _sql_one_hot(),
+        "knn_linkage_join": _sql_knn_linkage_join(),
+        "linkage_risk_score": _sql_linkage_risk_score(),
+        # model_utility is randomized (split + noise) → rows-only check
     }

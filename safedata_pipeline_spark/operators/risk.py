@@ -1,0 +1,217 @@
+"""Re-identification (linkage) risk operators (SURVEY §2.4 J1, §2.6 E1–E6).
+
+Behavior parity targets (reference: /root/reference/modules/risk.py):
+  * encode = StandardScaler + OneHotEncoder(handle_unknown="ignore")
+    fit on the ANON side, applied to both (risk.py:10-28). sklearn's
+    StandardScaler uses population std (ddof=0) ⇒ ``stddev_pop``; a
+    zero/undefined std scales by 1.0 like sklearn.
+  * kNN join, k=1 Euclidean (risk.py:29-31): exact form is a broadcast
+    cross join + squared-distance expression + per-anon-row top-1
+    window — fully oracle-checkable SQL.
+  * row score = 1 - d0/(max_row_dist + 1e-9) (risk.py:32-33); with k=1
+    this is ≈1 on exact QI match and ≈0 otherwise.
+  * overall risk = clip(mean(row_scores), 0, 1) (risk.py:34).
+
+Scale notes: the exact kNN join is O(|anon|·|real|) — correct but
+quadratic; it broadcasts the smaller encoded side (dims are tiny after
+encoding) so there is no shuffle, only a map-side nested loop. The
+100 TB path is ``knn_linkage_join_lsh`` (Spark ML
+BucketedRandomProjectionLSH.approxSimilarityJoin): candidate pairs come
+from hash-bucket equi-joins instead of the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType
+
+ROUND_N = 6
+
+
+def split_quasi_ids(df: DataFrame, quasi_ids: list[str]) -> tuple[list[str], list[str]]:
+    """Validate + split quasi-IDs into (numeric, categorical) by dtype
+    (risk.py:11-13); raises like the reference when none are valid."""
+    types = {f.name: f.dataType for f in df.schema.fields}
+    quasi = [c for c in quasi_ids if c in types]
+    num = [c for c in quasi if isinstance(types[c], NumericType)]
+    cat = [c for c in quasi if isinstance(types[c], StringType)]
+    if not num and not cat:
+        raise ValueError("No valid quasi-identifiers found to assess risk.")
+    return num, cat
+
+
+def fit_encoder(fit_df: DataFrame, quasi_ids: list[str]) -> dict:
+    """Fit-side parameters (E1/E2 'fit' half): per-numeric (mean,
+    std_pop), per-categorical sorted distinct vocabulary. Stats come
+    from ONE wide agg; vocabularies from one distinct per column
+    (small results, collected — they parameterize expressions)."""
+    num, cat = split_quasi_ids(fit_df, quasi_ids)
+    params: dict = {"num": {}, "cat": {}}
+    if num:
+        aggs = []
+        for c in num:
+            aggs += [F.avg(c).alias(f"mu__{c}"), F.stddev_pop(c).alias(f"sd__{c}")]
+        row = fit_df.agg(*aggs).collect()[0]
+        for c in num:
+            mu = float(row[f"mu__{c}"] or 0.0)
+            sd = row[f"sd__{c}"]
+            sd = float(sd) if sd not in (None, 0.0) else 1.0
+            params["num"][c] = (mu, sd)
+    for c in cat:
+        vals = [
+            r[0]
+            for r in fit_df.select(c).where(F.col(c).isNotNull()).distinct().orderBy(c).collect()
+        ]
+        params["cat"][c] = vals
+    return params
+
+
+def encode_features(df: DataFrame, params: dict, keep: list[str] | None = None) -> tuple[DataFrame, list[str]]:
+    """Apply fitted scaling + one-hot (E1/E2 'transform' half): numeric →
+    (x-μ)/σ; categorical → one indicator column per fit-side category,
+    unseen categories encode all-zero (handle_unknown='ignore').
+    Returns (encoded df, ordered feature column names)."""
+    cols: list[Column] = [F.col(c) for c in (keep or [])]
+    feat_names: list[str] = []
+    for c, (mu, sd) in params["num"].items():
+        name = f"f_{c}"
+        cols.append(((F.col(c).cast("double") - F.lit(mu)) / F.lit(sd)).alias(name))
+        feat_names.append(name)
+    for c, vocab in params["cat"].items():
+        for v in vocab:
+            name = f"f_{c}_{v}"
+            cols.append((F.col(c) == F.lit(v)).cast("double").alias(name))
+            feat_names.append(name)
+    return df.select(*cols), feat_names
+
+
+def standard_scale(fit_df: DataFrame, apply_df: DataFrame, cols: list[str], keep: list[str] | None = None) -> DataFrame:
+    """E1 as a standalone operator: scale ``cols`` of ``apply_df`` with
+    stats fit on ``fit_df`` (population std, sklearn parity), rounded
+    for cross-engine comparability."""
+    params = fit_encoder(fit_df, cols)
+    enc, feats = encode_features(apply_df, params, keep=keep)
+    out = enc
+    for f_name in feats:
+        out = out.withColumn(f_name, F.round(F.col(f_name), ROUND_N))
+    return out
+
+
+def one_hot(fit_df: DataFrame, apply_df: DataFrame, col: str, keep: list[str] | None = None) -> DataFrame:
+    """E2 as a standalone operator: indicator columns from the fit-side
+    vocabulary; unseen values at apply time → all zeros."""
+    params = fit_encoder(fit_df, [col])
+    enc, _ = encode_features(apply_df, params, keep=keep)
+    return enc
+
+
+def squared_distance(feat_names: list[str], left: str = "a", right: str = "r") -> Column:
+    """Σ (a_i - r_i)² in fixed column order (deterministic FP)."""
+    expr: Column = F.lit(0.0)
+    for f_name in feat_names:
+        d = F.col(f"{left}.{f_name}") - F.col(f"{right}.{f_name}")
+        expr = expr + d * d
+    return expr
+
+
+def knn_linkage_join(
+    anon: DataFrame,
+    real: DataFrame,
+    quasi_ids: list[str],
+    anon_id: str,
+    real_id: str,
+) -> DataFrame:
+    """J1/E4 exact 1-NN join: for each anon row, the Euclidean-nearest
+    real row in the anon-fitted encoded space. Ties break on smallest
+    real id (deterministic). Output: (anon_id, real_id, dist).
+
+    The encoded real side is broadcast — the cross 'join' is a map-side
+    nested loop over the anon partitions, no shuffle of the big side.
+    """
+    params = fit_encoder(anon, quasi_ids)
+    anon_enc, feats = encode_features(anon, params, keep=[anon_id])
+    real_enc, _ = encode_features(real, params, keep=[real_id])
+    pairs = anon_enc.alias("a").crossJoin(F.broadcast(real_enc.alias("r")))
+    dist2 = squared_distance(feats)
+    scored = pairs.select(
+        F.col(f"a.{anon_id}").alias("anon_id"),
+        F.col(f"r.{real_id}").alias("real_id"),
+        F.sqrt(dist2).alias("dist"),
+    )
+    w = Window.partitionBy("anon_id").orderBy(F.asc("dist"), F.asc("real_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("anon_id", "real_id", F.round("dist", ROUND_N).alias("dist"))
+    )
+
+
+def knn_linkage_join_lsh(
+    anon: DataFrame,
+    real: DataFrame,
+    quasi_ids: list[str],
+    anon_id: str,
+    real_id: str,
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """J1 at 100 TB: approximate 1-NN via random-projection LSH
+    (Spark ML BucketedRandomProjectionLSH). Candidate pairs come from
+    bucket equi-joins; only candidates get exact distances. May miss
+    the true NN (approximate), so it is NOT oracle-checked — it exists
+    for scale, validated in unit tests on planted duplicates."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, VectorAssembler
+
+    params = fit_encoder(anon, quasi_ids)
+    anon_enc, feats = encode_features(anon, params, keep=[anon_id])
+    real_enc, _ = encode_features(real, params, keep=[real_id])
+    va = VectorAssembler(inputCols=feats, outputCol="features")
+    anon_v = va.transform(anon_enc).select(F.col(anon_id).alias("anon_id"), "features")
+    real_v = va.transform(real_enc).select(F.col(real_id).alias("real_id"), "features")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(anon_v)
+    pairs = model.approxSimilarityJoin(anon_v, real_v, float("inf"), distCol="dist").select(
+        F.col("datasetA.anon_id").alias("anon_id"),
+        F.col("datasetB.real_id").alias("real_id"),
+        "dist",
+    )
+    w = Window.partitionBy("anon_id").orderBy(F.asc("dist"), F.asc("real_id"))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("anon_id", "real_id", F.round("dist", ROUND_N).alias("dist"))
+    )
+
+
+def row_risk_scores(nn: DataFrame) -> DataFrame:
+    """E5: score = 1 - d/(d + 1e-9) on the k=1 join output
+    (risk.py:32-33) — ≈1 iff exact QI match."""
+    return nn.select(
+        "anon_id",
+        "real_id",
+        F.round(F.lit(1.0) - F.col("dist") / (F.col("dist") + F.lit(1e-9)), ROUND_N).alias(
+            "risk_score"
+        ),
+    )
+
+
+def linkage_risk_score(nn: DataFrame) -> DataFrame:
+    """E6: overall risk = clip(mean(row_scores), 0, 1) (risk.py:34),
+    plus supporting counts. One row."""
+    scores = nn.select(
+        (F.lit(1.0) - F.col("dist") / (F.col("dist") + F.lit(1e-9))).alias("s")
+    )
+    return scores.agg(
+        F.round(
+            F.least(F.greatest(F.avg("s"), F.lit(0.0)), F.lit(1.0)), ROUND_N
+        ).alias("overall_risk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
