@@ -31,6 +31,11 @@ from safedata_pipeline_spark.operators import protect as PR
 from safedata_pipeline_spark.operators import drift as DR
 from safedata_pipeline_spark.operators import risk as RK
 from safedata_pipeline_spark.operators import ml_utility as MU
+from safedata_pipeline_spark.operators import text as TX
+from safedata_pipeline_spark.operators import dedup as DD
+from safedata_pipeline_spark.operators import similarity as SIM
+from safedata_pipeline_spark.operators import multimodal as MM
+from safedata_pipeline_spark.streaming import events as SE
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -213,6 +218,89 @@ def _q_linkage_risk_score(spark, sf):
     return RK.linkage_risk_score(_q_knn_linkage_join(spark, sf))
 
 
+# --- extension surface: text / dedup / similarity / multimodal / events ---
+
+
+def _q_token_count(spark, sf):
+    return TX.token_count(load_table(spark, sf, "documents"))
+
+
+def _q_quality_score(spark, sf):
+    return TX.quality_score(load_table(spark, sf, "documents"))
+
+
+def _q_lang_id(spark, sf):
+    return TX.lang_id(load_table(spark, sf, "documents"))
+
+
+def _q_doc_fingerprint(spark, sf):
+    return TX.doc_fingerprint(load_table(spark, sf, "documents"))
+
+
+def _q_dedup_exact(spark, sf):
+    return DD.dedup_exact(load_table(spark, sf, "documents"))
+
+
+def _q_ngram_jaccard(spark, sf):
+    return DD.ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=3, threshold=0.5)
+
+
+def _q_minhash_signatures(spark, sf):
+    return DD.minhash_signatures(load_table(spark, sf, "documents"), num_hashes=16, n=3)
+
+
+def _q_minhash_lsh(spark, sf):
+    return DD.minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), num_hashes=16, bands=4, n=3, threshold=0.5
+    )
+
+
+def _q_simhash(spark, sf):
+    return DD.simhash_signatures(load_table(spark, sf, "documents"), bits=32)
+
+
+def _q_embedding_cosine_dedup(spark, sf):
+    return DD.embedding_cosine_pairs(load_table(spark, sf, "embeddings"), threshold=0.4)
+
+
+def _q_ann_cosine_topk(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.cosine_topk(emb.where(F.col("vec_id") < 10), emb, k=5)
+
+
+def _q_ann_cosine_topk_lsh(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.cosine_topk_lsh(emb.where(F.col("vec_id") < 10), emb, k=5, dim=64)
+
+
+def _q_multimodal_meta(spark, sf):
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    media = MM.to_media_table(docs, "doc_id", "payload", "text/plain")
+    return MM.media_meta(media)
+
+
+def _q_multimodal_features(spark, sf):
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    media = MM.to_media_table(docs, "doc_id", "payload", "text/plain")
+    return MM.extract_image_features(media)
+
+
+def _q_events_hourly(spark, sf):
+    return SE.hourly_event_profile(load_table(spark, sf, "events"))
+
+
+def _q_events_json(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
 def _q_model_utility(spark, sf):
     cust = load_table(spark, sf, "customer").select(
         "c_nationkey", "c_acctbal", (F.col("c_custkey") % 2).cast("int").alias("target")
@@ -247,6 +335,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_linkage_join": _q_knn_linkage_join,
         "linkage_risk_score": _q_linkage_risk_score,
         "model_utility": _q_model_utility,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_signatures": _q_minhash_signatures,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "embedding_cosine_dedup": _q_embedding_cosine_dedup,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
+        "multimodal_meta": _q_multimodal_meta,
+        "multimodal_features": _q_multimodal_features,
+        "events_hourly": _q_events_hourly,
+        "events_json": _q_events_json,
     }
 
 
@@ -354,7 +458,8 @@ def _sql_generalize_numeric(table: str, key: str, col: str, out: str, bins: int)
         f"(SELECT unnest(quantile_cont({col}, [{probs}])) AS ed FROM {table})), "
         f"b AS (SELECT edge AS lo, lead(edge) OVER (ORDER BY edge) AS hi, "
         f"row_number() OVER (ORDER BY edge) AS rn, count(*) OVER () AS m FROM e), "
-        f"bins AS (SELECT lo, hi, printf('[%.2f, %.2f)', lo, hi) AS label, rn = m - 1 AS is_last "
+        f"bins AS (SELECT lo, hi, printf('[%.2f, %.2f)', floor(lo * 100.0 + 0.5) / 100.0, "
+        f"floor(hi * 100.0 + 0.5) / 100.0) AS label, rn = m - 1 AS is_last "
         f"FROM b WHERE hi IS NOT NULL) "
         f"SELECT t.{key}, bins.label AS {out} FROM {table} t LEFT JOIN bins "
         f"ON t.{col} >= bins.lo AND (t.{col} < bins.hi OR (bins.is_last AND t.{col} <= bins.hi))"
@@ -488,6 +593,192 @@ def _sql_linkage_risk_score() -> str:
     )
 
 
+# --- extension oracle SQL -------------------------------------------------
+
+TOKEN_REGEX_SQL = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+STOPWORDS_SQL = "['the','a','and','of','to','in','is','it','that','for']"
+
+SQL_TOKS = (
+    "SELECT doc_id, text, CASE WHEN trim(text) = '' THEN [] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END AS t FROM documents"
+)
+
+
+def _sql_token_count() -> str:
+    return (
+        f"WITH toks AS ({SQL_TOKS}) SELECT doc_id, CAST(len(t) AS BIGINT) AS n_ws_tokens, "
+        f"CAST(len(regexp_extract_all(text, '{TOKEN_REGEX_SQL}')) AS BIGINT) AS n_regex_tokens "
+        "FROM toks"
+    )
+
+
+def _sql_quality_score() -> str:
+    return (
+        f"WITH toks AS ({SQL_TOKS}), "
+        f"c AS (SELECT doc_id, text, len(t) AS n_tok, "
+        f"len(list_filter(t, tk -> list_contains({STOPWORDS_SQL}, tk))) AS n_stop, "
+        f"length(text) AS n_chars, "
+        f"len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct FROM toks), "
+        "r AS (SELECT doc_id, n_chars, n_tok, "
+        "CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END AS stop_ratio, "
+        "CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio, "
+        "least(n_chars / 500.0, 1.0) AS len_score FROM c) "
+        "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tok AS BIGINT) AS n_tokens, "
+        "round(stop_ratio, 6) AS stopword_ratio, round(punct_ratio, 6) AS punct_ratio, "
+        "round(0.4 * len_score + 0.4 * least(5.0 * stop_ratio, 1.0) + 0.2 * (1.0 - punct_ratio), 6) AS quality "
+        "FROM r"
+    )
+
+
+LANG_MARKERS_SQL = {
+    "en": "['the','and','of','is','with']",
+    "de": "['der','die','und','ist','nicht']",
+    "fr": "['le','les','et','est','dans']",
+    "es": "['el','los','y','es','por']",
+}
+
+
+def _sql_lang_id() -> str:
+    hits = ", ".join(
+        f"len(list_filter(CASE WHEN trim(lower(text)) = '' THEN [] "
+        f"ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END, "
+        f"tk -> list_contains({v}, tk))) AS h_{k}"
+        for k, v in LANG_MARKERS_SQL.items()
+    )
+    return (
+        f"WITH h AS (SELECT doc_id, {hits} FROM documents) "
+        "SELECT doc_id, CASE "
+        "WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown' "
+        "WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en' "
+        "WHEN h_de >= h_fr AND h_de >= h_es THEN 'de' "
+        "WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS lang_guess, "
+        "CAST(h_en AS BIGINT) AS hits_en, CAST(h_de AS BIGINT) AS hits_de, "
+        "CAST(h_fr AS BIGINT) AS hits_fr, CAST(h_es AS BIGINT) AS hits_es FROM h"
+    )
+
+
+def _sql_doc_fingerprint() -> str:
+    return (
+        "SELECT doc_id, md5(text) AS content_md5, "
+        "list_min([md5(substr(text, i, 5)) FOR i IN generate_series(1, greatest(length(text) - 4, 1))]) "
+        "AS min_shingle_md5 FROM documents"
+    )
+
+
+def _sql_dedup_exact() -> str:
+    return (
+        "SELECT md5(text) AS content_md5, CAST(min(doc_id) AS BIGINT) AS keep_id, "
+        "count(*) AS n_copies FROM documents GROUP BY text"
+    )
+
+
+SQL_SHINGLES = (
+    f"WITH toks AS ({SQL_TOKS}), "
+    "sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS s "
+    "FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i))"
+)
+
+
+def _sql_ngram_jaccard() -> str:
+    return (
+        f"{SQL_SHINGLES}, "
+        "sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id), "
+        "common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY a.id, b.id), "
+        "j AS (SELECT id_a, id_b, round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard "
+        "FROM common JOIN sizes sa ON common.id_a = sa.id JOIN sizes sb ON common.id_b = sb.id) "
+        "SELECT * FROM j WHERE jaccard >= 0.5"
+    )
+
+
+def _hash_slot_sql(expr: str, slot: int) -> str:
+    return f"CAST(CAST(('0x' || substr(md5('{slot}:' || {expr}), 1, 8)) AS UBIGINT) AS BIGINT)"
+
+
+def _sql_minhash_signatures(num_hashes: int = 16) -> str:
+    from safedata_pipeline_spark.operators.dedup import MINHASH_P, minhash_params
+
+    sh_list = (
+        "list_distinct([array_to_string(t[i:i+2], ' ') "
+        "FOR i IN generate_series(1, greatest(len(t) - 2, 0))])"
+    )
+    slots = ", ".join(
+        f"list_min([({a} * h + {b}) % {MINHASH_P} FOR h IN hs]) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    return (
+        f"WITH toks AS ({SQL_TOKS}), g AS (SELECT doc_id, {sh_list} AS ss FROM toks), "
+        f"hh AS (SELECT doc_id, [{_hash_slot_sql('s', 0)} FOR s IN ss] AS hs FROM g) "
+        f"SELECT doc_id, {slots} FROM hh"
+    )
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    votes = ", ".join(
+        f"CAST(sum(CASE WHEN (hv & {1 << j}) <> 0 THEN 1 ELSE -1 END) AS BIGINT) AS v{j}"
+        for j in range(bits)
+    )
+    packed = " + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
+    return (
+        f"WITH toks AS ({SQL_TOKS}), "
+        "tok AS (SELECT doc_id, unnest(t) AS tk FROM toks), "
+        f"h AS (SELECT doc_id, {_hash_slot_sql('tk', 0)} AS hv FROM tok), "
+        f"votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes"
+    )
+
+
+SQL_EMB = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+SQL_COS = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+
+def _sql_embedding_cosine_dedup(threshold: float = 0.4) -> str:
+    return (
+        f"WITH e AS ({SQL_EMB}), "
+        f"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({SQL_COS}, 6) AS cosine "
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
+        f"SELECT * FROM p WHERE cosine >= {threshold}"
+    )
+
+
+def _sql_ann_cosine_topk(k: int = 5) -> str:
+    cos = (
+        "list_dot_product(q.qv, e.v) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))"
+    )
+    return (
+        f"WITH e AS ({SQL_EMB}), "
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10), "
+        f"scored AS (SELECT q.query_id, e.vec_id AS id, {cos} AS cosine "
+        "FROM q CROSS JOIN e WHERE q.query_id <> e.vec_id), "
+        "r AS (SELECT query_id, id, cosine, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn FROM scored) "
+        f"SELECT query_id, CAST(rn AS BIGINT) AS rank, id AS neighbor_id, "
+        f"round(cosine, 6) AS cosine FROM r WHERE rn <= {k}"
+    )
+
+
+def _sql_multimodal_meta() -> str:
+    return (
+        "SELECT doc_id AS media_id, 'text/plain' AS mime, "
+        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, "
+        "sha256(text) AS sha256 FROM documents"
+    )
+
+
+def _sql_events_hourly() -> str:
+    return (
+        "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, "
+        "count(*) AS n_events, round(avg(value), 6) AS avg_value, "
+        "round(CAST(sum(value) AS DOUBLE), 4) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )
+
+
+def _sql_events_json() -> str:
+    return "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events"
+
+
 def _sql_checklist_score() -> str:
     rows = ", ".join(f"('{k}', false)" for k, _, _ in C.CHECKLIST_ITEMS)
     return (
@@ -539,4 +830,21 @@ def oracle_sql() -> dict[str, str]:
         "knn_linkage_join": _sql_knn_linkage_join(),
         "linkage_risk_score": _sql_linkage_risk_score(),
         # model_utility is randomized (split + noise) → rows-only check
+        "token_count": _sql_token_count(),
+        "quality_score": _sql_quality_score(),
+        "lang_id": _sql_lang_id(),
+        "doc_fingerprint": _sql_doc_fingerprint(),
+        "dedup_exact": _sql_dedup_exact(),
+        "ngram_jaccard": _sql_ngram_jaccard(),
+        "minhash_signatures": _sql_minhash_signatures(16),
+        # minhash_lsh / ann_cosine_topk_lsh are approximate candidate
+        # generators → rows-only; their exact counterparts above are the
+        # oracle-checked verifiers
+        "simhash": _sql_simhash(32),
+        "embedding_cosine_dedup": _sql_embedding_cosine_dedup(0.4),
+        "ann_cosine_topk": _sql_ann_cosine_topk(5),
+        "multimodal_meta": _sql_multimodal_meta(),
+        # multimodal_features runs the stubbed decode path → rows-only
+        "events_hourly": _sql_events_hourly(),
+        "events_json": _sql_events_json(),
     }

@@ -41,6 +41,23 @@ HEADLINE = [
     "knn_linkage_join",
     "linkage_risk_score",
     "synthetic_sample",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_signatures",
+    "minhash_lsh",
+    "simhash",
+    "embedding_cosine_dedup",
+    "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
+    "multimodal_meta",
+    "multimodal_features",
+    "events_hourly",
+    "events_json",
+    "model_utility",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -1,0 +1,281 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY §2.8 extension surface; no reference counterpart).
+
+Five dedup families, each with a distinct scale profile:
+
+  * ``dedup_exact``          — hash-groupBy on content digest. One
+    shuffle keyed by md5, map-side partial agg; the canonical 100 TB
+    exact dedup (never groupBy raw text — the digest is 16 bytes).
+  * ``ngram_jaccard_pairs``  — exact n-gram-shingle Jaccard via a
+    shingle-inverted-index self-join. Exact but candidate-pair-
+    quadratic per shared shingle; used as the verifier/oracle for the
+    approximate families.
+  * ``minhash_signatures`` / ``minhash_lsh_pairs`` — MinHash (k
+    md5-derived hash slots) + banded LSH: candidates come from
+    equi-joins on band keys, so cost is O(docs·k) + bucket collisions,
+    never all-pairs. The 100 TB near-dup path.
+  * ``simhash_signatures``   — 32-bit SimHash over word tokens as a
+    pure array-expression fold (no explode, no shuffle).
+  * ``embedding_cosine_pairs`` — near-dup by embedding cosine; brute
+    upper-triangle self-join as the exact baseline (the ANN module owns
+    the scale path).
+
+Everything is md5-based so hashes are engine-reproducible (DuckDB can
+compute the identical signatures — these operators are fully
+oracle-checkable, unusual for MinHash implementations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ROUND_N = 6
+
+
+def _word_shingles(col: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+    Blank text → empty array."""
+    toks = F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(col), "\\s+")
+    )
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(cnt > 0, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: one row per distinct content with the kept
+    (minimum) id and the copy count. Output: (content_md5, keep_id,
+    n_copies)."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact near-dup pairs by word-n-gram Jaccard ≥ threshold.
+
+    Shape: explode distinct shingles → inverted index → self-join on
+    shingle (equi-join; only docs sharing a shingle ever pair) → count
+    common shingles per (a,b) → Jaccard from per-doc shingle counts.
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(_word_shingles(F.col(text_col), n)).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on=(F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                ROUND_N,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _hash_slot(col: Column, slot: int) -> Column:
+    """Slot-seeded 32-bit integer hash of a string column, derived from
+    md5 so any engine reproduces it: int(hex8(md5(slot || ':' || s)))."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{slot}:"), col).cast("binary")), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+MINHASH_P = 4294967311  # prime > 2^32
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine-family parameters (aᵢ odd, 20-bit so
+    aᵢ·x stays < 2^52 — exact in int64 AND in a float64 engine)."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = (int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16) % (1 << 20)) | 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16)
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: slot i = min over shingles of
+    hᵢ(shingle), with hᵢ(s) = (aᵢ·md5₃₂(s) + bᵢ) mod P — ONE md5 per
+    shingle and k cheap integer transforms, instead of k md5 passes
+    over a recomputed shingle array (measured 60s → 3s at sf0.1).
+    Pure array expressions per row (the shingle set never leaves the
+    task). Output: (doc_id, mh_0..mh_{k-1})."""
+    base = F.transform(_word_shingles(F.col(text_col), n), lambda s: _hash_slot(s, 0))
+    with_base = df.select(F.col(id_col), base.alias("__bh"))
+
+    def slot_min(a: int, b: int):
+        return F.array_min(
+            F.transform(
+                F.col("__bh"), lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+            )
+        )
+
+    cols = [F.col(id_col)]
+    for i, (a, b) in enumerate(minhash_params(num_hashes)):
+        cols.append(slot_min(a, b).alias(f"mh_{i}"))
+    return with_base.select(*cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate generation + MinHash-estimated Jaccard.
+
+    Signatures are cut into ``bands`` bands of k/bands rows; docs
+    agreeing on ALL rows of any band become candidates (equi-join on
+    the band digest — no all-pairs stage anywhere). Estimated Jaccard =
+    fraction of agreeing signature slots; pairs ≥ threshold survive.
+    Output: (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n).cache()
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts).cast("binary")).alias("key"))
+        )
+    buckets = sig.select(
+        F.col(id_col).alias("id"),
+        *[F.col(f"mh_{i}") for i in range(num_hashes)],
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select("id", *[f"mh_{i}" for i in range(num_hashes)], "bk.band", "bk.key")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=(F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[
+                (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int").alias(f"eq_{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = sum(F.col(f"eq_{i}") for i in range(num_hashes))
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(agree / F.lit(float(num_hashes)), ROUND_N).alias("est_jaccard"),
+    ).where(F.col("est_jaccard") >= threshold)
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash over word tokens: bit j of the signature is the sign of
+    Σ_tokens (±1 depending on bit j of hash(token)). A pure array fold
+    per row — no explode, no shuffle. Output: (doc_id, simhash bigint).
+    Near-duplicate docs differ in few bits (Hamming distance)."""
+    toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(F.col(text_col)), "\\s+")
+    )
+    hashes = F.transform(toks, lambda t: _hash_slot(t, 0))
+    # bit masks are Python-int literals; per-token ±1 votes fold into a
+    # bits-long accumulator array, sign pattern re-packs into a bigint
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1).cast("long")).otherwise(
+                        F.lit(-1).cast("long")
+                    )
+                    for j in range(bits)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << j).cast("bigint") for j in range(bits)])
+    sim = F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold — exact brute
+    upper-triangle self-join baseline (O(n²·d); ANN module owns the
+    LSH-bucketed scale path). Output: (id_a, id_b, cosine)."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    e = df.select(F.col(id_col).alias("id"), v.alias("v"), norm.alias("nrm"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a, b = e.repartition(par).alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(F.broadcast(b), on=F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), ROUND_N).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -98,8 +98,16 @@ def quantile_edges(df: DataFrame, col: str, bins: int, exact: bool = True) -> li
     return out
 
 
+def _snap2(x: float) -> float:
+    """Explicit half-up rounding to 2 decimals on the binary double —
+    Python's %.2f (round-half-even on the true binary value) and C/
+    DuckDB printf disagree on ties like 2.345; floor(x*100+0.5)/100 is
+    engine-independent, and the snapped value is never a formatting tie."""
+    return math.floor(x * 100.0 + 0.5) / 100.0
+
+
 def bin_label(lo: float, hi: float) -> str:
-    return f"[{lo:.2f}, {hi:.2f})"
+    return f"[{_snap2(lo):.2f}, {_snap2(hi):.2f})"
 
 
 def generalize_numeric(df: DataFrame, cols: list[str], bins: int = 10, exact: bool = True) -> DataFrame:

@@ -1,0 +1,132 @@
+"""Text-analysis operators for LLM training-data pipelines
+(SURVEY §2.8 extension surface; no reference counterpart — the
+reference processes only tabular data).
+
+All operators are pure array/string Column expressions — no explode,
+no shuffle, no UDFs: each document is scored inside whole-stage
+codegen, so the ops scale linearly and partition-locally to 100 TB
+(embarrassingly parallel over documents).
+
+Operators:
+  * ``tokenize`` / ``token_count`` — whitespace tokens + a BPE-ish
+    regex token count (letter runs / digit runs / single punctuation).
+  * ``quality_score``   — length / stopword-ratio / punctuation-ratio
+    blend in [0, 1] (the classic pre-filter for web corpora).
+  * ``lang_id``         — marker-stopword-count heuristic over a small
+    per-language vocabulary (en/de/fr/es), deterministic tiebreak.
+  * ``doc_fingerprint`` — content fingerprint: full-text md5 plus the
+    minimum md5 over character 5-gram shingles (a 1-permutation
+    MinHash — robust to small edits at the ends).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ROUND_N = 6
+
+# BPE-ish surface tokens: letter runs, digit runs, single non-space symbol
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
+
+LANG_MARKERS: dict[str, list[str]] = {
+    # language → marker stopwords (disjoint sets so counts are unambiguous)
+    "en": ["the", "and", "of", "is", "with"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "les", "et", "est", "dans"],
+    "es": ["el", "los", "y", "es", "por"],
+}
+
+
+def _ws_tokens(col: Column) -> Column:
+    """Whitespace tokens; empty/blank text → empty array."""
+    return F.when(
+        F.trim(col) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(col), "\\s+"))
+
+
+def _count_in(tokens: Column, vocab: list[str]) -> Column:
+    """#tokens ∈ vocab via an array filter — per-row, JVM-side."""
+    arr = F.array(*[F.lit(v) for v in vocab])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Tokens per document: whitespace count + regex (BPE-ish) count."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        F.size(_ws_tokens(t)).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_REGEX), F.lit(0)))
+        .cast("bigint")
+        .alias("n_regex_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality in [0,1]:
+    0.4·min(len/500, 1) + 0.4·min(5·stopword_ratio, 1) + 0.2·(1 − punct_ratio).
+    Deterministic, pure expressions; one row per doc with components."""
+    t = F.col(text_col)
+    toks = _ws_tokens(t)
+    n_tok = F.size(toks)
+    n_stop = _count_in(toks, STOPWORDS_EN)
+    length = F.length(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9\\s]"), F.lit(0)))
+    len_score = F.least(length / F.lit(500.0), F.lit(1.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(length > 0, n_punct / length).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.4) * F.least(F.lit(5.0) * stop_ratio, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+    )
+    return df.select(
+        id_col,
+        length.cast("bigint").alias("n_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(stop_ratio, ROUND_N).alias("stopword_ratio"),
+        F.round(punct_ratio, ROUND_N).alias("punct_ratio"),
+        F.round(score, ROUND_N).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-stopword language guess. Picks the language with the most
+    marker hits; ties/zero → 'unknown' unless exactly one language leads.
+    Tiebreak = dict order (en, de, fr, es) via strictly-greater chain."""
+    toks = _ws_tokens(F.lower(F.col(text_col)))
+    counts = {lang: _count_in(toks, vocab) for lang, vocab in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best: Column = F.lit("unknown")
+    best_cnt: Column = F.lit(0)
+    for lang in langs:
+        c = counts[lang]
+        take = c > best_cnt
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_cnt = F.when(take, c).otherwise(best_cnt)
+    out = [F.col(id_col), best.alias("lang_guess")]
+    for lang in langs:
+        out.append(counts[lang].cast("bigint").alias(f"hits_{lang}"))
+    return df.select(*out)
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle: int = 5
+) -> DataFrame:
+    """Content fingerprints: md5 of the full text and the minimum md5
+    over character ``shingle``-grams (1-permutation MinHash; equal for
+    near-identical content whose minimal shingle survives the edit)."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t) - F.lit(shingle - 1), F.lit(1))
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.md5(F.substr(t, i, F.lit(shingle)).cast("binary")),
+    )
+    return df.select(
+        id_col,
+        F.md5(t.cast("binary")).alias("content_md5"),
+        F.array_min(shingle_hashes).alias("min_shingle_md5"),
+    )

@@ -29,9 +29,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table as a DataFrame (lazy parquet scan)."""
+    """Load one fixture table as a DataFrame (lazy parquet scan).
+
+    ``events`` carries nanosecond parquet timestamps, which Spark's
+    reader rejects outright; we read them as long (runtime-settable
+    legacy conf) and convert to microsecond timestamps in the plan.
+    """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1,0 +1,78 @@
+"""Structured Streaming over the ``events`` table (SURVEY §2.8: no
+reference counterpart — pure Spark Structured Streaming idioms for the
+fixture stream).
+
+``hourly_event_profile`` is written once and used twice:
+  * batch: the oracle-checkable ``events_hourly`` query;
+  * streaming: ``stream_hourly_event_profile`` applies the same
+    aggregation to a file stream with a watermark, so late events
+    older than the watermark are dropped instead of growing state
+    forever — the 100 TB streaming posture (bounded state, append to
+    sink per closed window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def hourly_event_profile(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + value stats.
+    Written with ``window()`` so the identical expression runs in the
+    streaming job."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+            "sum_value",
+        )
+    )
+
+
+def stream_hourly_event_profile(
+    spark: SparkSession, path_glob: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """The same hourly profile as an unbounded stream with bounded
+    state: watermark closes windows once event time passes, so state
+    for old hours is dropped (late data beyond the watermark is
+    discarded, matching the batch result for on-time data)."""
+    # streams need an explicit schema; take it from a batch footer read.
+    # The fixtures carry nanosecond parquet timestamps, which Spark only
+    # reads as long (legacy conf) — convert to µs timestamps in-plan,
+    # mirroring sources.tables.load_table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path_glob).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path_glob)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return hourly_event_profile(stream.withWatermark("ts", watermark))
+
+
+def run_stream_once(spark: SparkSession, path_glob: str, table: str = "events_hourly_stream"):
+    """Drain everything currently in the source into an in-memory table
+    (availableNow trigger) — used by tests to compare stream vs batch."""
+    q = (
+        stream_hourly_event_profile(spark, path_glob)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)

@@ -1,0 +1,67 @@
+import numpy as np
+
+from safedata_pipeline_spark.operators import dedup as DD
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the old river bank yesterday"
+    other = "completely unrelated text about spark catalyst optimizer and shuffle exchange plans"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)],
+        "doc_id bigint, text string",
+    )
+
+
+def test_dedup_exact_groups(spark):
+    out = {r.keep_id: r.n_copies for r in DD.dedup_exact(_docs(spark)).collect()}
+    assert out[1] == 2  # docs 1,2 identical, doc 1 kept
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in DD.ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0          # identical
+    assert 0.5 < pairs[(1, 3)] < 1.0     # one-word edit
+    assert (1, 4) not in pairs           # unrelated
+
+
+def test_minhash_estimates_jaccard(spark):
+    sigs = {r.doc_id: [r[f"mh_{i}"] for i in range(16)] for r in DD.minhash_signatures(_docs(spark)).collect()}
+    assert sigs[1] == sigs[2]
+    agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 16
+    agree_14 = sum(a == b for a, b in zip(sigs[1], sigs[4])) / 16
+    assert agree_13 > 0.5 > agree_14
+
+
+def test_minhash_lsh_pairs(spark):
+    # 8 bands × 2 rows: P(candidate) = 1-(1-j²)^8 ≈ 1 for j ≈ 0.8
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in DD.minhash_lsh_pairs(_docs(spark), bands=8, threshold=0.4).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs               # near-dup lands in a shared band
+    assert (1, 4) not in pairs
+
+
+def test_simhash_hamming_ordering(spark):
+    sigs = {r.doc_id: r.simhash for r in DD.simhash_signatures(_docs(spark)).collect()}
+    assert sigs[1] == sigs[2]
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
+
+
+def test_embedding_cosine_pairs(spark):
+    rng = np.random.default_rng(5)
+    v1 = rng.normal(size=8)
+    v2 = v1 + rng.normal(scale=0.01, size=8)  # near-dup
+    v3 = rng.normal(size=8)
+    rows = [(1, [float(x) for x in v1]), (2, [float(x) for x in v2]), (3, [float(x) for x in v3])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pairs = {(r.id_a, r.id_b): r.cosine for r in DD.embedding_cosine_pairs(df, threshold=0.95).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs and (2, 3) not in pairs

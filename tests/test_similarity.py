@@ -1,0 +1,62 @@
+import numpy as np
+
+from safedata_pipeline_spark.operators import similarity as S
+
+
+def _emb(spark, n=60, dim=16, seed=11):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        v = rng.normal(size=dim)
+        rows.append((i, [float(x) for x in v]))
+    # plant a near-duplicate of vector 0 at id n
+    v0 = np.array(rows[0][1])
+    rows.append((n, [float(x) for x in v0 + rng.normal(scale=0.01, size=dim)]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>"), rows
+
+
+def _exact_topk(rows, qid, k):
+    q = np.array(dict(rows)[qid])
+    sims = []
+    for i, v in rows:
+        if i == qid:
+            continue
+        v = np.array(v)
+        sims.append((float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), i))
+    sims.sort(key=lambda t: (-t[0], t[1]))
+    return [i for _, i in sims[:k]]
+
+
+def test_cosine_topk_matches_numpy(spark):
+    df, rows = _emb(spark)
+    queries = df.where("vec_id < 3")
+    out = S.cosine_topk(queries, df, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for qid in (0, 1, 2):
+        mine = [nid for _, nid in sorted(got[qid])]
+        assert mine == _exact_topk(rows, qid, 5)
+
+
+def test_cosine_topk_finds_planted_dup_first(spark):
+    df, rows = _emb(spark)
+    out = S.cosine_topk(df.where("vec_id = 0"), df, k=1).collect()
+    assert out[0].neighbor_id == 60 and out[0].cosine > 0.99
+
+
+def test_lsh_recall_on_planted_dup(spark):
+    df, rows = _emb(spark)
+    out = S.cosine_topk_lsh(
+        df.where("vec_id = 0"), df, k=1, dim=16, num_tables=8, planes=4
+    ).collect()
+    # near-identical vectors share sign patterns in every table
+    assert out and out[0].neighbor_id == 60
+
+
+def test_lsh_candidates_subset_scored_correctly(spark):
+    df, rows = _emb(spark)
+    exact = {r.neighbor_id for r in S.cosine_topk(df.where("vec_id = 1"), df, k=10).collect()}
+    approx = {r.neighbor_id for r in S.cosine_topk_lsh(df.where("vec_id = 1"), df, k=10, dim=16, num_tables=8, planes=4).collect()}
+    # approximate set overlaps the exact top-10 substantially
+    assert len(exact & approx) >= 5

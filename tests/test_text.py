@@ -1,0 +1,54 @@
+from safedata_pipeline_spark.operators import text as T
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat on the mat"),
+            (2, "ab1 cd2!"),
+            (3, ""),
+            (4, "der hund und die katze ist nicht da"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_token_count(spark):
+    got = {r.doc_id: r for r in T.token_count(_docs(spark)).collect()}
+    assert got[1].n_ws_tokens == 9
+    assert got[2].n_ws_tokens == 2
+    assert got[2].n_regex_tokens == 5  # ab,1,cd,2,!
+    assert got[3].n_ws_tokens == 0
+
+
+def test_quality_score_components(spark):
+    got = {r.doc_id: r for r in T.quality_score(_docs(spark)).collect()}
+    assert got[1].stopword_ratio > 0.3  # the/and/the/on?->the,and,the = 4/9
+    assert got[2].punct_ratio > 0.1
+    assert got[3].quality == 0.2  # len 0: 0.4*0 + 0.4*0 + 0.2*(1-0)
+    assert all(0.0 <= r.quality <= 1.0 for r in got.values())
+
+
+def test_lang_id(spark):
+    got = {r.doc_id: r.lang_guess for r in T.lang_id(_docs(spark)).collect()}
+    assert got[1] == "en"
+    assert got[4] == "de"
+    assert got[3] == "unknown"
+
+
+def test_doc_fingerprint_detects_identity_and_near_dup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello world this is a document about spark"),
+            (2, "hello world this is a document about spark"),
+            (3, "XXhello world this is a document about spark"),  # prefix edit
+            (4, "completely different content here entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in T.doc_fingerprint(df).collect()}
+    assert got[1].content_md5 == got[2].content_md5
+    assert got[1].content_md5 != got[3].content_md5
+    # min shingle survives a prefix edit (1-perm minhash)
+    assert got[1].min_shingle_md5 == got[3].min_shingle_md5
+    assert got[1].min_shingle_md5 != got[4].min_shingle_md5
