@@ -36,6 +36,7 @@ from safedata_pipeline_spark.operators import dedup as DD
 from safedata_pipeline_spark.operators import similarity as SIM
 from safedata_pipeline_spark.operators import multimodal as MM
 from safedata_pipeline_spark.streaming import events as SE
+from safedata_pipeline_spark.streaming import sessions as SS
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -301,6 +302,20 @@ def _q_events_json(spark, sf):
     )
 
 
+def _q_user_sessions(spark, sf):
+    return SS.user_sessions(load_table(spark, sf, "events"), gap_minutes=30)
+
+
+def _q_impute(spark, sf):
+    base = load_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 50 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("v"),
+    )
+    return PR.impute_mean(base, ["v"]).withColumnRenamed("v", "acctbal_imputed")
+
+
 def _q_model_utility(spark, sf):
     cust = load_table(spark, sf, "customer").select(
         "c_nationkey", "c_acctbal", (F.col("c_custkey") % 2).cast("int").alias("target")
@@ -351,6 +366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "events_hourly": _q_events_hourly,
         "events_json": _q_events_json,
+        "user_sessions": _q_user_sessions,
+        "impute": _q_impute,
     }
 
 
@@ -779,6 +796,33 @@ def _sql_events_json() -> str:
     return "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events"
 
 
+def _sql_user_sessions(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60_000_000
+    # CAST ts to µs TIMESTAMP first: Spark reads the nano fixtures µs-
+    # truncated, DuckDB keeps ns — truncate so gap math + outputs agree
+    return (
+        "WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events), "
+        "tagged AS (SELECT user_id, ts, value, CAST(coalesce("
+        f"epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > {gap_us}, "
+        "true) AS BIGINT) AS new_s FROM ev), "
+        "sess AS (SELECT user_id, ts, value, sum(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM tagged) "
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, min(ts) AS session_start, "
+        "max(ts) AS session_end, count(*) AS n_events, "
+        "round(CAST(sum(value) AS DOUBLE), 4) AS sum_value "
+        "FROM sess GROUP BY user_id, session_id"
+    )
+
+
+def _sql_impute() -> str:
+    return (
+        "WITH base AS (SELECT c_custkey, CASE WHEN c_custkey % 50 = 0 THEN NULL "
+        "ELSE c_acctbal END AS v FROM customer), "
+        "m AS (SELECT avg(v) AS mu FROM base) "
+        "SELECT c_custkey, round(coalesce(v, m.mu), 6) AS acctbal_imputed FROM base, m"
+    )
+
+
 def _sql_checklist_score() -> str:
     rows = ", ".join(f"('{k}', false)" for k, _, _ in C.CHECKLIST_ITEMS)
     return (
@@ -847,4 +891,6 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),
         "events_json": _sql_events_json(),
+        "user_sessions": _sql_user_sessions(30),
+        "impute": _sql_impute(),
     }

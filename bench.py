@@ -57,6 +57,8 @@ HEADLINE = [
     "multimodal_features",
     "events_hourly",
     "events_json",
+    "user_sessions",
+    "impute",
     "model_utility",
 ]
 

@@ -261,6 +261,33 @@ def synthetic_sample(df: DataFrame, n: int | None = None, seed: int = 42) -> Dat
 
 
 # ---------------------------------------------------------------------------
+# P7 — imputation (utility.py:100-101, 136)
+# ---------------------------------------------------------------------------
+
+def impute_mean(df: DataFrame, cols: list[str], round_to: int | None = 6) -> DataFrame:
+    """Mean-impute numeric columns (reference ``X.fillna(X.mean())``,
+    utility.py:136). Means come from ONE wide agg; the fill is a
+    coalesce expression — no extra pass per column."""
+    num = _numeric_cols(df, cols)
+    if not num:
+        return df
+    means = df.agg(*[F.avg(c).alias(c) for c in num]).collect()[0]
+    for c in num:
+        mu = means[c]
+        filled = F.coalesce(F.col(c).cast("double"), F.lit(float(mu) if mu is not None else None))
+        df = df.withColumn(c, F.round(filled, round_to) if round_to is not None else filled)
+    return df
+
+
+def fillna_sentinel(df: DataFrame, cols: list[str], sentinel: str = "NA") -> DataFrame:
+    """String-null sentinel fill (reference ``fillna("NA")``,
+    utility.py:100-101)."""
+    for c in _string_cols(df, cols):
+        df = df.withColumn(c, F.coalesce(F.col(c), F.lit(sentinel)))
+    return df
+
+
+# ---------------------------------------------------------------------------
 # PR5 — smart suggestion (column-role classifier)
 # ---------------------------------------------------------------------------
 

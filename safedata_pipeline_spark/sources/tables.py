@@ -42,9 +42,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer div, not /1000.0: nano epochs (~1.7e18) exceed double's
+        # 2^53 exact range — float division shifts timestamps by ±1 µs
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -59,7 +59,7 @@ def stream_hourly_event_profile(
         .parquet(path_glob)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return hourly_event_profile(stream.withWatermark("ts", watermark))
 
 

@@ -1,0 +1,151 @@
+"""User sessionization over the events stream — the custom stateful
+operator showcase (SURVEY §2.8: streaming constructs have no reference
+counterpart; built on pure Structured Streaming idioms).
+
+``user_sessions`` (batch): gap-based sessions via lag + running sum —
+one window partitioned by user (parallel across users, no global
+sort). Fully SQL-expressible → oracle-checked.
+
+``stream_user_sessions``: the same semantics as an unbounded stateful
+stream via ``applyInPandasWithState`` — per-user state holds only the
+open session (bounded state); closed sessions emit downstream. This is
+the (b)-tier custom operator from the build rules: built-ins can't
+express cross-batch session state, so an Arrow-batched stateful UDF
+carries exactly the open-session struct and nothing else.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+DEFAULT_GAP_MIN = 30
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("session_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def user_sessions(events: DataFrame, gap_minutes: int = DEFAULT_GAP_MIN) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap to the
+    previous event of the same user exceeds ``gap_minutes``. Gap
+    arithmetic is µs-exact (integer) so engines agree on boundaries.
+    Output one row per session."""
+    gap_us = gap_minutes * 60_000_000
+    w = Window.partitionBy("user_id").orderBy("ts")
+    tagged = events.select(
+        "user_id",
+        "ts",
+        "value",
+        (
+            F.coalesce(
+                (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+                > F.lit(gap_us),
+                F.lit(True),
+            )
+        )
+        .cast("long")
+        .alias("new_s"),
+    )
+    sess = tagged.withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def _sessionize_batches(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state, gap_us: int
+) -> Iterator[pd.DataFrame]:
+    """Stateful kernel: folds event batches into the open session,
+    emitting each session as soon as a later event closes it."""
+    (user_id,) = key
+    if state.exists:
+        sid, start_us, last_us, n, sv = state.get
+    else:
+        sid, start_us, last_us, n, sv = 0, None, None, 0, 0.0
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            t_us = int(pd.Timestamp(ts).value // 1000)
+            if start_us is None:
+                sid, start_us, last_us, n, sv = sid + 1, t_us, t_us, 1, float(value)
+            elif t_us - last_us > gap_us:
+                closed.append((user_id, sid, start_us, last_us, n, sv))
+                sid, start_us, last_us, n, sv = sid + 1, t_us, t_us, 1, float(value)
+            else:
+                last_us, n, sv = t_us, n + 1, sv + float(value)
+    if start_us is not None:
+        state.update((sid, start_us, last_us, n, sv))
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "session_id": [c[1] for c in closed],
+                "session_start": [pd.Timestamp(c[2], unit="us") for c in closed],
+                "session_end": [pd.Timestamp(c[3], unit="us") for c in closed],
+                "n_events": [c[4] for c in closed],
+                "sum_value": [round(c[5], 4) for c in closed],
+            }
+        )
+
+
+def stream_user_sessions(
+    events_stream: DataFrame, gap_minutes: int = DEFAULT_GAP_MIN
+) -> DataFrame:
+    """Streaming sessionization with bounded per-user state (the open
+    session only). Sessions emit when closed by a later event; the
+    final open session per user stays in state (would emit via event-
+    time timeout in a production watermark setup)."""
+    gap_us = gap_minutes * 60_000_000
+
+    def fn(key, pdfs, state):
+        yield from _sessionize_batches(key, pdfs, state, gap_us)
+
+    return (
+        events_stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -1,0 +1,76 @@
+import os
+
+from pyspark.sql import functions as F
+
+from safedata_pipeline_spark.pipeline import SafedataPipeline
+from safedata_pipeline_spark.sources.tables import load_table
+
+
+def test_full_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    cust = load_table(spark, sf_dir, "customer")
+    real = cust.where(F.col("c_custkey") % 2 == 1)
+    anon = cust.where(F.col("c_custkey") % 2 == 0)
+
+    p = SafedataPipeline(spark).load(real, anon)
+
+    risk = p.assess_risk(["c_nationkey", "c_acctbal", "c_mktsegment"], "c_custkey")
+    assert 0.0 <= risk["overall_risk"] <= 1.0
+
+    protected = p.protect(
+        sdc_cols=["c_mktsegment"], generalize_cols=["c_acctbal"], dp_cols=["c_nationkey", "c_acctbal"]
+    )
+    assert protected.count() == anon.count()
+    # binning turned acctbal into string labels; noise only hit nationkey
+    assert dict(protected.dtypes)["c_acctbal"] == "string"
+    assert dict(protected.dtypes)["c_nationkey"] == "double"
+
+    tables = p.measure_utility()
+    assert set(tables) == {"profile_before", "profile_after", "drift"}
+    drift_cols = {r.column for r in tables["drift"].collect()}
+    assert "c_acctbal" in drift_cols
+
+    p.compliance({"pii_identified", "privacy_techniques"})
+    assert abs(p.results["compliance_score"] - 2 / 12) < 1e-6
+
+    html = p.report(str(tmp_path / "report.html"))
+    content = open(html).read()
+    assert "Risk Assessment" in content and "overall_risk" in content
+    assert "<table" in content  # rendered result tables
+
+    cfg_path = p.save_config(str(tmp_path / "run.yaml"))
+    p2 = SafedataPipeline.from_config(spark, cfg_path)
+    assert p2.config["protect"]["bins"] == 10  # round-trip (app.py:124-130)
+
+
+def test_pipeline_with_suggestions_and_synthesis(spark, sf_dir):
+    anon = load_table(spark, sf_dir, "customer")
+    p = SafedataPipeline(spark).load(anon, anon)
+    p.protect(use_suggestions=True)
+    assert p.config["protect"]["sdc_cols"] == ["c_name"]  # high-card string
+    assert "c_acctbal" in p.config["protect"]["generalize_cols"]
+
+    synth = p.synthesize(n=100, seed=1)
+    assert synth.count() == 100
+    assert synth.columns == anon.columns
+
+
+def test_pdf_gated_without_reportlab(spark, tmp_path):
+    from safedata_pipeline_spark import reporting as REP
+
+    html = tmp_path / "r.html"
+    html.write_text("<html><body>x</body></html>")
+    # reportlab/bs4 absent in this container → None, never raises
+    assert REP.try_make_pdf(str(html), str(tmp_path / "r.pdf")) is None
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    from safedata_pipeline_spark.sources.csv import read_csv, write_csv
+
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", None)], "id int, s string, x double")
+    path = str(tmp_path / "out_csv")
+    write_csv(df, path)
+    back = read_csv(spark, path)
+    assert back.count() == 2
+    assert {f.name for f in back.schema.fields} == {"id", "s", "x"}
+    # inferSchema recovers numeric types (S1 parity: bare pd.read_csv)
+    assert dict(back.dtypes)["id"] == "int"

@@ -1,0 +1,70 @@
+"""Plan-shape tests: the scale guarantees are plan properties —
+assert them instead of hoping."""
+
+from pyspark.sql import functions as F
+
+from safedata_pipeline_spark import plans
+from safedata_pipeline_spark.operators import profile as P
+from safedata_pipeline_spark.operators import protect as PR
+from safedata_pipeline_spark.sources.tables import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 40).select("l_orderkey")
+    pushed = plans.pushed_filters(li)
+    assert any("l_quantity" in p for p in pushed)
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    li = P.project(load_table(spark, sf_dir, "lineitem"), ["l_orderkey", "l_quantity"])
+    cols = plans.read_schema_columns(li)
+    assert cols == {"l_orderkey", "l_quantity"}
+
+
+def test_basic_stats_reads_each_column_once_per_pass(spark, sf_dir):
+    import re
+
+    df = P.basic_stats(load_table(spark, sf_dir, "lineitem"))
+    plan = plans.formatted_plan(df)
+    # exactly two scan nodes: the moments agg + the grouping-sets agg
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+
+
+def test_protect_chain_stays_codegen(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    out = PR.generalize_numeric(cust, ["c_acctbal"], bins=10)
+    # binning is a CASE chain — no join/exchange/shuffle in the row pass
+    plan = plans.formatted_plan(out)
+    assert "Exchange" not in plan and "Join" not in plan
+    # AQE hides codegen spans pre-execution; check with AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out2 = PR.generalize_numeric(cust, ["c_acctbal"], bins=10)
+        assert plans.scans_whole_stage_codegen(out2)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_sdc_suppress_broadcasts_count_table(spark, sf_dir):
+    out = PR.sdc_suppress(
+        load_table(spark, sf_dir, "customer"), ["c_mktsegment"], threshold=5
+    )
+    plan = plans.formatted_plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_knn_broadcasts_real_side(spark, sf_dir):
+    from safedata_pipeline_spark.operators import risk as RK
+
+    cust = load_table(spark, sf_dir, "customer")
+    real = cust.where(F.col("c_custkey") % 2 == 1)
+    anon = cust.where(F.col("c_custkey") % 2 == 0)
+    nn = RK.knn_linkage_join(anon, real, ["c_nationkey", "c_acctbal"], "c_custkey", "c_custkey")
+    plan = plans.formatted_plan(nn)
+    assert "BroadcastNestedLoopJoin" in plan
+    # argmin is an aggregate with a map-side partial phase (min(struct)
+    # compiles to SortAggregate — struct buffers aren't hash-able), and
+    # crucially NOT an all-pairs window sort on a single partition
+    assert "Window" not in plan
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+    assert "partial_min" in plan
