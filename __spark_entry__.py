@@ -238,6 +238,10 @@ def _q_doc_fingerprint(spark, sf):
     return TX.doc_fingerprint(load_table(spark, sf, "documents"))
 
 
+def _q_tfidf_top_terms(spark, sf):
+    return TX.tfidf_top_terms(load_table(spark, sf, "documents"), top_k=5)
+
+
 def _q_dedup_exact(spark, sf):
     return DD.dedup_exact(load_table(spark, sf, "documents"))
 
@@ -272,6 +276,11 @@ def _q_ann_cosine_topk(spark, sf):
 def _q_ann_cosine_topk_lsh(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     return SIM.cosine_topk_lsh(emb.where(F.col("vec_id") < 10), emb, k=5, dim=64)
+
+
+def _q_ann_cosine_topk_ivf(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.cosine_topk_ivf(emb.where(F.col("vec_id") < 10), emb, k=5, num_cells=16, n_probe=4)
 
 
 def _q_multimodal_meta(spark, sf):
@@ -354,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
@@ -362,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dedup": _q_embedding_cosine_dedup,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
+        "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
         "events_hourly": _q_events_hourly,
@@ -682,6 +693,23 @@ def _sql_doc_fingerprint() -> str:
     )
 
 
+def _sql_tfidf_top_terms(top_k: int) -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t FROM documents), "
+        "ex AS (SELECT doc_id, unnest(t) AS term FROM toks), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term), "
+        "idf AS (SELECT term, ln(((SELECT count(*) FROM documents) + 1.0) / (count(*) + 1.0)) + 1.0 AS idf "
+        "FROM tf GROUP BY term), "
+        "scored AS (SELECT tf.doc_id, tf.term, tf.tf, round(tf.tf * idf.idf, 6) AS tfidf "
+        "FROM tf JOIN idf USING (term)), "
+        "ranked AS (SELECT doc_id, term, tf, tfidf, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk FROM scored) "
+        "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rnk AS BIGINT) AS \"rank\" "
+        f"FROM ranked WHERE rnk <= {top_k}"
+    )
+
+
 def _sql_dedup_exact() -> str:
     return (
         "SELECT md5(text) AS content_md5, CAST(min(doc_id) AS BIGINT) AS keep_id, "
@@ -878,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _sql_quality_score(),
         "lang_id": _sql_lang_id(),
         "doc_fingerprint": _sql_doc_fingerprint(),
+        "tfidf_top_terms": _sql_tfidf_top_terms(5),
         "dedup_exact": _sql_dedup_exact(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "minhash_signatures": _sql_minhash_signatures(16),

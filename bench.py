@@ -45,6 +45,7 @@ HEADLINE = [
     "quality_score",
     "lang_id",
     "doc_fingerprint",
+    "tfidf_top_terms",
     "dedup_exact",
     "ngram_jaccard",
     "minhash_signatures",
@@ -53,6 +54,7 @@ HEADLINE = [
     "embedding_cosine_dedup",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
+    "ann_cosine_topk_ivf",
     "multimodal_meta",
     "multimodal_features",
     "events_hourly",

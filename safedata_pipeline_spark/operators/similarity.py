@@ -11,12 +11,26 @@ quasi-identifier space to arbitrary `array<float>` embeddings).
     Sub-linear candidate sets at 100 TB; recall controlled by
     (num_tables × hyperplanes). Hyperplane directions are md5-derived,
     so the bucketing is deterministic and engine-reproducible.
+  * ``cosine_topk_ivf`` — inverted-file ANN: a KMeans coarse quantizer
+    (fit on a corpus sample, seeded) partitions the corpus into cells;
+    each query probes only its ``n_probe`` nearest cells. Candidates
+    per query ≈ n·n_probe/num_cells; the cell assignment is one
+    codegen'd map pass and the probe join is a plain equi-join.
 
 Dot products / norms are array folds in fixed element order —
 deterministic FP, identical across engines.
+
+Index-side vector math (LSH sign buckets, IVF cell assignment) is an
+Arrow-batched Pandas UDF doing ONE numpy matrix multiply per batch:
+per-row higher-order-function expressions cost ~0.5 µs per scalar op
+(measured: 2k × 64-dim × 64 planes = 5 s interpreted, <0.1 s as GEMM),
+which at 100 TB would dominate the scan. The *scoring* dot products
+stay JVM-side array folds — they touch only top-k candidates.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -102,36 +116,110 @@ import functools
 
 
 @functools.lru_cache(maxsize=8)
-def _hyperplane_literal(dim: int, num_tables: int, planes: int) -> Column:
+def _hyperplane_matrix(dim: int, num_tables: int, planes: int):
+    """(num_tables·planes, dim) ±1 matrix, md5-derived (deterministic)."""
     import numpy as np
 
-    flat = [
-        x for t in range(num_tables) for p in range(planes) for x in _hyperplane(dim, t, p)
-    ]
-    return F.lit(np.array(flat))
+    return np.array(
+        [_hyperplane(dim, t, p) for t in range(num_tables) for p in range(planes)]
+    )
 
 
-def bucket_keys(vec: Column, dim: int, num_tables: int, planes: int) -> Column:
-    """Array of ``num_tables`` LSH bucket keys: sign-pattern of the
-    vector against ``planes`` fixed hyperplanes per table.
+def bucket_keys_vectorized(dim: int, num_tables: int, planes: int):
+    """Pandas UDF: embedding → array of ``num_tables`` packed bigint
+    bucket keys (``t << planes | sign_bits``). One GEMM per Arrow
+    batch; the hyperplane matrix is captured once per executor."""
+    import numpy as np
 
-    The whole hyperplane matrix is ONE flat ndarray literal (cached per
-    process), row-sliced inside the transform lambdas — building it
-    from per-scalar ``lit`` calls put thousands of py4j conversions on
-    the plan-build path (measured: 7.4s plan build → <1s)."""
-    W = _hyperplane_literal(dim, num_tables, planes)
+    W = _hyperplane_matrix(dim, num_tables, planes)
+    pows = 1 << np.arange(planes - 1, -1, -1)
+    offs = (np.arange(num_tables) << planes).astype(np.int64)
 
-    def key_for_table(t: Column) -> Column:
-        bits = F.transform(
-            F.sequence(F.lit(0), F.lit(planes - 1)),
-            lambda p: F.when(
-                _dot(vec, F.slice(W, ((t * planes + p) * dim + 1).cast("int"), dim)) >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0")),
-        )
-        return F.concat(F.lit("t"), t.cast("string"), F.lit(":"), F.array_join(bits, ""))
+    @F.pandas_udf("array<long>")
+    def keys(col: pd.Series) -> pd.Series:
+        M = np.vstack(col.to_numpy())
+        bits = (M @ W.T >= 0).reshape(len(M), num_tables, planes)
+        packed = bits @ pows + offs
+        return pd.Series(list(packed.astype(np.int64)))
 
-    return F.transform(F.sequence(F.lit(0), F.lit(num_tables - 1)), key_for_table)
+    return keys
+
+
+def nearest_cells_vectorized(centers, n_probe: int):
+    """Pandas UDF: unit embedding → ids of the ``n_probe`` centroids
+    with the largest dot product. One GEMM + argsort per Arrow batch."""
+    import numpy as np
+
+    C = np.asarray(centers, dtype=float)
+
+    @F.pandas_udf("array<int>")
+    def cells(col: pd.Series) -> pd.Series:
+        M = np.vstack(col.to_numpy())
+        order = np.argsort(-(M @ C.T), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return cells
+
+
+def _unit(df: DataFrame) -> DataFrame:
+    """Add a unit-normalized copy of ``v`` (zero vectors stay zero)."""
+    return df.withColumn(
+        "u",
+        F.transform(
+            "v", lambda x: F.when(F.col("nrm") > 0, x / F.col("nrm")).otherwise(F.lit(0.0))
+        ),
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: spherical
+    KMeans on unit vectors partitions the corpus; queries score only
+    the ``n_probe`` nearest cells.
+
+    Scale shape: the quantizer fits on a corpus *sample* (set
+    ``sample_fraction`` ≪ 1 at 100 TB — centroid quality needs only
+    O(num_cells) data); centroids are O(num_cells·dim) driver-side and
+    ship as one literal; cell assignment is a map-only pass; the probe
+    is an equi-join on the cell id (AQE handles skewed cells).
+    Approximate ⇒ recall-tested, not oracle-checked."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = _unit(_prep(corpus, id_col, vec_col, "id"))
+    train = c.select(array_to_vector("u").alias("features"))
+    if sample_fraction < 1.0:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    # a coarse quantizer needs rough cells, not convergence — cap iterations
+    model = KMeans(k=num_cells, seed=seed, maxIter=8, featuresCol="features").fit(train)
+    centers = np.vstack(model.clusterCenters()).astype(float)
+
+    assign = nearest_cells_vectorized(centers, 1)
+    probe = nearest_cells_vectorized(centers, n_probe)
+    c_cells = c.withColumn("cell", F.element_at(assign("u"), 1))
+    q_cells = _unit(_prep(queries, id_col, vec_col, "query_id")).withColumn(
+        "cell", F.explode(probe("u"))
+    )
+    # a corpus row lives in exactly one cell ⇒ no (query, id) duplicates
+    pairs = q_cells.alias("q").join(
+        c_cells.alias("c"),
+        on=(F.col("q.cell") == F.col("c.cell")) & (F.col("q.query_id") != F.col("c.id")),
+    ).select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("c.id").alias("id"),
+        (_dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm"))).alias("cosine"),
+    )
+    return _topk(pairs, k)
 
 
 def cosine_topk_lsh(
@@ -148,12 +236,9 @@ def cosine_topk_lsh(
     in at least one table. Candidates per query ≈ n/2^planes ×
     num_tables instead of n — the 100 TB path. Approximate ⇒ validated
     by recall tests, not the SQL oracle."""
-    q = _prep(queries, id_col, vec_col, "query_id").withColumn(
-        "bk", F.explode(bucket_keys(F.col("v"), dim, num_tables, planes))
-    )
-    c = _prep(corpus, id_col, vec_col, "id").withColumn(
-        "bk", F.explode(bucket_keys(F.col("v"), dim, num_tables, planes))
-    )
+    bk = bucket_keys_vectorized(dim, num_tables, planes)
+    q = _prep(queries, id_col, vec_col, "query_id").withColumn("bk", F.explode(bk("v")))
+    c = _prep(corpus, id_col, vec_col, "id").withColumn("bk", F.explode(bk("v")))
     pairs = (
         q.alias("q")
         .join(c.alias("c"), on=(F.col("q.bk") == F.col("c.bk")) & (F.col("q.query_id") != F.col("c.id")))

@@ -17,11 +17,13 @@ Operators:
   * ``doc_fingerprint`` — content fingerprint: full-text md5 plus the
     minimum md5 over character 5-gram shingles (a 1-permutation
     MinHash — robust to small edits at the ends).
+  * ``tfidf_top_terms`` — exact smoothed TF-IDF, top-k terms per doc
+    (the one operator here with a shuffle; see its docstring).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 ROUND_N = 6
@@ -129,4 +131,46 @@ def doc_fingerprint(
         id_col,
         F.md5(t.cast("binary")).alias("content_md5"),
         F.array_min(shingle_hashes).alias("min_shingle_md5"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_k: int = 5
+) -> DataFrame:
+    """Exact TF-IDF (smoothed: idf = ln((N+1)/(df+1)) + 1), top-``k``
+    terms per document.
+
+    Scale shape: explode → groupBy(doc, term) is map-side combinable;
+    the term→df aggregation re-aggregates the already-distinct
+    (doc, term) pairs; the tf⋈idf equi-join shuffles on the term key
+    (AQE broadcasts the idf side when small); top-k is a window
+    partitioned by doc — no unpartitioned sort anywhere. N (doc count)
+    is the only driver-collected value.
+
+    Determinism: ranking uses tfidf ROUNDED to 6 decimals with a term
+    tiebreak, so a ≤1-ulp ln() difference between engines can never
+    reorder the top-k (an oracle run in another SQL engine ranks
+    identically).
+    """
+    toks = _ws_tokens(F.lower(F.col(text_col)))
+    n_docs = df.count()
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(
+        (F.log((F.lit(float(n_docs)) + 1.0) / (F.count(F.lit(1)) + 1.0)) + 1.0).alias("idf")
+    )
+    scored = tf.join(idf, "term").select(
+        id_col,
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.round(F.col("tf") * F.col("idf"), ROUND_N).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "tfidf", F.col("rank").cast("bigint").alias("rank"))
     )

@@ -54,6 +54,36 @@ def test_lsh_recall_on_planted_dup(spark):
     assert out and out[0].neighbor_id == 60
 
 
+def test_ivf_recall_on_planted_dup(spark):
+    df, rows = _emb(spark)
+    out = S.cosine_topk_ivf(
+        df.where("vec_id = 0"), df, k=1, num_cells=4, n_probe=2
+    ).collect()
+    # near-identical vectors quantize to the same cell
+    assert out and out[0].neighbor_id == 60 and out[0].cosine > 0.99
+
+
+def test_ivf_probe_widening_recovers_exact(spark):
+    df, rows = _emb(spark)
+    exact = {r.neighbor_id for r in S.cosine_topk(df.where("vec_id = 1"), df, k=5).collect()}
+    # probing every cell degenerates to exact brute force
+    full = {
+        r.neighbor_id
+        for r in S.cosine_topk_ivf(
+            df.where("vec_id = 1"), df, k=5, num_cells=4, n_probe=4
+        ).collect()
+    }
+    assert full == exact
+    # narrow probe still overlaps the exact set substantially
+    narrow = {
+        r.neighbor_id
+        for r in S.cosine_topk_ivf(
+            df.where("vec_id = 1"), df, k=5, num_cells=4, n_probe=2
+        ).collect()
+    }
+    assert len(narrow & exact) >= 3
+
+
 def test_lsh_candidates_subset_scored_correctly(spark):
     df, rows = _emb(spark)
     exact = {r.neighbor_id for r in S.cosine_topk(df.where("vec_id = 1"), df, k=10).collect()}

@@ -36,6 +36,37 @@ def test_lang_id(spark):
     assert got[3] == "unknown"
 
 
+def test_tfidf_top_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark query"),
+            (2, "spark query engine"),
+            (3, "engine engine tuning"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = T.tfidf_top_terms(df, top_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # empty doc yields no terms
+    assert 4 not in by_doc
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # doc 1: 'spark' tf=3 appears in 2 docs; 'query' tf=1 in 2 docs -> spark ranks 1st
+    d1 = {r.term: r for r in by_doc[1]}
+    assert d1["spark"].rank == 1 and d1["spark"].tf == 3
+    # rarer term with equal tf outranks common term: doc 3 'tuning' (df=1)
+    # vs 'engine' (df=2, tf=2): engine tfidf = 2*idf2, tuning = 1*idf1
+    import math
+
+    idf = lambda dfreq: math.log(5.0 / (dfreq + 1.0)) + 1.0
+    d3 = {r.term: r for r in by_doc[3]}
+    assert d3["engine"].tfidf == round(2 * idf(2), 6)
+    assert d3["tuning"].tfidf == round(1 * idf(1), 6)
+    assert d3["engine"].rank == 1
+
+
 def test_doc_fingerprint_detects_identity_and_near_dup(spark):
     df = spark.createDataFrame(
         [
