@@ -250,6 +250,12 @@ def _q_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=3, threshold=0.5)
 
 
+def _q_dedup_components(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return DD.dedup_components(docs, pairs)
+
+
 def _q_minhash_signatures(spark, sf):
     return DD.minhash_signatures(load_table(spark, sf, "documents"), num_hashes=16, n=3)
 
@@ -366,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_components": _q_dedup_components,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
@@ -736,6 +743,20 @@ def _sql_ngram_jaccard() -> str:
     )
 
 
+def _sql_dedup_components() -> str:
+    # connected components as a recursive CTE: reach(id, r) holds every
+    # label r reachable from id; min(r) per id = the component id
+    return (
+        f"WITH RECURSIVE j AS ({_sql_ngram_jaccard()}), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM j "
+        "UNION ALL SELECT id_b, id_a FROM j), "
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) "
+        "SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS comp_id, "
+        "(min(r) = id) AS is_canonical FROM reach GROUP BY id"
+    )
+
+
 def _hash_slot_sql(expr: str, slot: int) -> str:
     return f"CAST(CAST(('0x' || substr(md5('{slot}:' || {expr}), 1, 8)) AS UBIGINT) AS BIGINT)"
 
@@ -909,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _sql_tfidf_top_terms(5),
         "dedup_exact": _sql_dedup_exact(),
         "ngram_jaccard": _sql_ngram_jaccard(),
+        "dedup_components": _sql_dedup_components(),
         "minhash_signatures": _sql_minhash_signatures(16),
         # minhash_lsh / ann_cosine_topk_lsh are approximate candidate
         # generators → rows-only; their exact counterparts above are the

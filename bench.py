@@ -48,6 +48,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "dedup_exact",
     "ngram_jaccard",
+    "dedup_components",
     "minhash_signatures",
     "minhash_lsh",
     "simhash",

@@ -19,6 +19,10 @@ Five dedup families, each with a distinct scale profile:
   * ``embedding_cosine_pairs`` — near-dup by embedding cosine; brute
     upper-triangle self-join as the exact baseline (the ANN module owns
     the scale path).
+  * ``dedup_components``     — resolves a near-dup PAIR list into
+    duplicate CLUSTERS (connected components, min-id canonical doc) —
+    the step that turns any of the pair generators above into an
+    actual keep/drop decision.
 
 Everything is md5-based so hashes are engine-reproducible (DuckDB can
 compute the identical signatures — these operators are fully
@@ -278,4 +282,69 @@ def embedding_cosine_pairs(
             F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), ROUND_N).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def dedup_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup pairs into duplicate clusters: every doc gets
+    the minimum id of its connected component as its canonical
+    representative. Output: (doc_id, comp_id, is_canonical) — keep the
+    canonical rows, drop the rest.
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own and its neighbors' labels; converges in O(component
+    diameter) rounds (web-corpus dup clusters are near-cliques ⇒ 2–3
+    rounds). Per round: one equi-join edges⋈labels + one groupBy min —
+    both map-side combinable; the edge list is persisted once so the
+    (possibly expensive) pair generator runs a single time. At 100 TB
+    the same loop holds; if diameters grow, switch to the large-star/
+    small-star alternation, which squares label reach per round.
+    Labels only ever decrease, so the convergence check (count of
+    changed labels) is exact.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    sym = edges.union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).persist()
+    labels = docs.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(id_col).cast("bigint").alias("comp")
+    ).persist()
+    for _ in range(max_iter):
+        neigh = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.dst") == F.col("l.id"))
+            .groupBy(F.col("e.src").alias("id"))
+            .agg(F.min("l.comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.alias("l")
+            .join(neigh.alias("n"), F.col("l.id") == F.col("n.id"), "left")
+            .select(
+                F.col("l.id").alias("id"),
+                F.least(
+                    F.col("l.comp"), F.coalesce(F.col("n.ncomp"), F.col("l.comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), F.col("a.id") == F.col("b.id"))
+            .where(F.col("a.comp") != F.col("b.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("comp").alias("comp_id"),
+        (F.col("comp") == F.col("id")).alias("is_canonical"),
     )

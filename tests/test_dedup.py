@@ -65,3 +65,14 @@ def test_embedding_cosine_pairs(spark):
     pairs = {(r.id_a, r.id_b): r.cosine for r in DD.embedding_cosine_pairs(df, threshold=0.95).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_dedup_components_chain_and_isolated(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id bigint")
+    # chain 1-2-3 (diameter 2, needs >1 propagation round), pair 4-5, isolated 6
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (4, 5, 0.7)], "id_a bigint, id_b bigint, jaccard double"
+    )
+    got = {r.doc_id: r for r in DD.dedup_components(docs, pairs).collect()}
+    assert [got[i].comp_id for i in range(1, 7)] == [1, 1, 1, 4, 4, 6]
+    assert [got[i].is_canonical for i in range(1, 7)] == [True, False, False, True, False, True]
