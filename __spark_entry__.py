@@ -35,6 +35,7 @@ from safedata_pipeline_spark.operators import text as TX
 from safedata_pipeline_spark.operators import dedup as DD
 from safedata_pipeline_spark.operators import similarity as SIM
 from safedata_pipeline_spark.operators import multimodal as MM
+from safedata_pipeline_spark.operators import joins as JN
 from safedata_pipeline_spark.streaming import events as SE
 from safedata_pipeline_spark.streaming import sessions as SS
 
@@ -289,6 +290,26 @@ def _q_ann_cosine_topk_ivf(spark, sf):
     return SIM.cosine_topk_ivf(emb.where(F.col("vec_id") < 10), emb, k=5, num_cells=16, n_probe=4)
 
 
+def _q_asof_last_click(spark, sf):
+    ev = load_table(spark, sf, "events")
+    errors = ev.where(F.col("event_type") == "error")
+    clicks = ev.where(F.col("event_type") == "click")
+    return JN.asof_join(
+        errors, clicks, key="user_id", right_cols=["event_id", "ts", "value"], prefix="click_"
+    ).select("event_id", "user_id", "ts", "click_event_id", "click_ts", "click_value")
+
+
+TIERS = [("micro", 0.0, 2.0), ("small", 2.0, 10.0), ("medium", 10.0, 50.0), ("large", 50.0, 500.0)]
+
+
+def _q_range_join_tiers(spark, sf):
+    ev = load_table(spark, sf, "events")
+    tiers = spark.createDataFrame(TIERS, "tier string, lo double, hi double")
+    return JN.range_join_bucketed(ev, tiers, "value", bucket_width=10.0).select(
+        "event_id", "value", "tier"
+    )
+
+
 def _q_multimodal_meta(spark, sf):
     docs = load_table(spark, sf, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
@@ -380,6 +401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
+        "asof_last_click": _q_asof_last_click,
+        "range_join_tiers": _q_range_join_tiers,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
         "events_hourly": _q_events_hourly,
@@ -824,6 +847,27 @@ def _sql_ann_cosine_topk(k: int = 5) -> str:
     )
 
 
+def _sql_asof_last_click() -> str:
+    # DuckDB has a native ASOF join — the engine's union+window
+    # construction must agree with it exactly
+    return (
+        "WITH e AS (SELECT * FROM events WHERE event_type = 'error'), "
+        "c AS (SELECT * FROM events WHERE event_type = 'click') "
+        "SELECT e.event_id, e.user_id, e.ts, c.event_id AS click_event_id, "
+        "c.ts AS click_ts, c.value AS click_value "
+        "FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts"
+    )
+
+
+def _sql_range_join_tiers() -> str:
+    values = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in TIERS)
+    return (
+        f"SELECT e.event_id, e.value, t.tier FROM events e "
+        f"LEFT JOIN (VALUES {values}) AS t(tier, lo, hi) "
+        f"ON e.value >= t.lo AND e.value < t.hi"
+    )
+
+
 def _sql_multimodal_meta() -> str:
     return (
         "SELECT doc_id AS media_id, 'text/plain' AS mime, "
@@ -938,6 +982,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(32),
         "embedding_cosine_dedup": _sql_embedding_cosine_dedup(0.4),
         "ann_cosine_topk": _sql_ann_cosine_topk(5),
+        "asof_last_click": _sql_asof_last_click(),
+        "range_join_tiers": _sql_range_join_tiers(),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

@@ -58,6 +58,8 @@ HEADLINE = [
     "ann_cosine_topk_ivf",
     "multimodal_meta",
     "multimodal_features",
+    "asof_last_click",
+    "range_join_tiers",
     "events_hourly",
     "events_json",
     "user_sessions",

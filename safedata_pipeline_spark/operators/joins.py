@@ -1,0 +1,118 @@
+"""Custom join operators Spark lacks as built-ins (SURVEY §2.8
+extension surface; no reference counterpart — the reference's only
+join is the kNN linkage join, risk.py:26-35).
+
+  * ``asof_join``  — for every left row, the most recent right row of
+    the same key at-or-before the left timestamp (backward, inclusive).
+    NOT a join under the hood: both sides union into one stream,
+    shuffle ONCE on the key, and a per-key ordered window carries the
+    last right payload forward. No pair explosion, no range condition
+    for the optimizer to degrade to nested-loop; cost is one shuffle +
+    one sort, independent of match density. (The pattern time-series
+    stores call "last observation carried forward".)
+  * ``range_join_bucketed`` — left value ∈ [lo, hi) against a ranges
+    table. Naive non-equi joins become broadcast-nested-loop scans of
+    |left|·|ranges|; bucketing each range into fixed-width buckets and
+    exploding turns it into an EQUI-join on the bucket id + a residual
+    predicate — shuffle-partitionable, AQE-skew-splittable, linear in
+    |left| + Σ range-widths/W.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Backward inclusive as-of join (left outer): each left row gets
+    the payload of the latest right row with the same ``key`` and
+    ``right_ts`` <= ``left_ts``; nulls when no prior right row exists.
+
+    Output: all left columns + ``prefix``-ed ``right_cols``.
+
+    Scale: one hash shuffle on ``key`` and one per-key sort — at any
+    |left|, |right|; a hot key degrades the window sort, so pre-split
+    hot keys (salt + re-asof per salt, keeping the max) if key skew is
+    extreme. Right-row atomicity is preserved by carrying ONE struct,
+    not per-column last() calls (a null right column must not inherit
+    an older row's value).
+    """
+    right_cols = right_cols or [c for c in right.columns if c != key]
+    r_payload = F.struct(*[F.col(c) for c in right_cols])
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        r_payload.alias("__r"),
+    )
+    payload_type = r.schema["__r"].dataType
+    l = left.select(
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(payload_type).alias("__r"),
+    )
+    l_type = l.schema["__l"].dataType
+    r = r.select(F.lit(None).cast(l_type).alias("__l"), "__k", "__t", "__side", "__r")
+
+    # right rows sort BEFORE left rows at equal timestamps ⇒ inclusive
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_cols
+    ]
+    return carried.where(F.col("__side") == 1).select(*out_cols)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    ranges: DataFrame,
+    val_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 10.0,
+) -> DataFrame:
+    """Left-outer range join: left rows pick up the columns of the
+    (non-overlapping) range row with ``lo <= val < hi``.
+
+    Each range explodes into ceil((hi-lo)/W) bucket rows; the join is
+    then an equi-join on ``floor(val/W)`` plus the residual bounds
+    check — never a nested-loop over |left|·|ranges|. Pick ``W`` near
+    the median range width: too small multiplies the ranges side, too
+    large puts many ranges in one bucket (both only degrade, never
+    break, correctness).
+    """
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    w = float(bucket_width)
+    exploded = ranges.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(lo / w).cast("long"),
+                # hi is exclusive: a range ending exactly on a bucket
+                # boundary does not reach into the next bucket
+                F.floor((hi - F.lit(1e-9)) / w).cast("long"),
+            )
+        ),
+    )
+    lb = F.floor(F.col(val_col) / w).cast("long")
+    cond = (
+        (lb == exploded["__bucket"])
+        & (F.col(val_col) >= exploded[lo_col])
+        & (F.col(val_col) < exploded[hi_col])
+    )
+    return left.join(exploded, cond, "left").drop("__bucket")

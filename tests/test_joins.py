@@ -1,0 +1,75 @@
+from datetime import datetime
+
+from safedata_pipeline_spark.operators import joins as J
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive_and_outer(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 00:10:00")),  # after clicks a,b -> b
+            (2, 10, _ts("2024-01-01 00:05:00")),  # exactly at b -> b (inclusive)
+            (3, 10, _ts("2024-01-01 00:00:30")),  # after a only -> a
+            (4, 20, _ts("2024-01-01 00:01:00")),  # user with no clicks -> null
+            (5, 10, _ts("2023-12-31 23:00:00")),  # before all clicks -> null
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01 00:00:00"), 1.0),  # a
+            (101, 10, _ts("2024-01-01 00:05:00"), 2.0),  # b
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    got = {
+        r.event_id: r
+        for r in J.asof_join(
+            left, right, key="user_id", right_cols=["event_id", "ts", "value"], prefix="click_"
+        ).collect()
+    }
+    assert got[1].click_event_id == 101
+    assert got[2].click_event_id == 101
+    assert got[3].click_event_id == 100
+    assert got[4].click_event_id is None
+    assert got[5].click_event_id is None
+    # left columns intact
+    assert got[1].user_id == 10 and got[1].ts == _ts("2024-01-01 00:10:00")
+
+
+def test_asof_right_row_atomicity(spark):
+    # a null value in the newest right row must NOT inherit the older
+    # row's value — the whole struct is carried, not per-column last()
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 00:10:00"))], "event_id bigint, user_id bigint, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01 00:00:00"), 5.0),
+            (101, 10, _ts("2024-01-01 00:05:00"), None),
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    row = J.asof_join(left, right, key="user_id", right_cols=["event_id", "value"]).collect()[0]
+    assert row.r_event_id == 101 and row.r_value is None
+
+
+def test_range_join_bucketed(spark):
+    left = spark.createDataFrame(
+        [(1, 0.5), (2, 5.0), (3, 19.99), (4, 20.0), (5, 999.0), (6, None)],
+        "id bigint, v double",
+    )
+    ranges = spark.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 20.0), ("high", 20.0, 100.0)],
+        "tier string, lo double, hi double",
+    )
+    got = {r.id: r.tier for r in J.range_join_bucketed(left, ranges, "v", bucket_width=7.0).collect()}
+    assert got[1] == "low"
+    assert got[2] == "mid"  # lo inclusive
+    assert got[3] == "mid"
+    assert got[4] == "high"  # hi exclusive / boundary bucket handoff
+    assert got[5] is None  # out of every range, still present (left outer)
+    assert got[6] is None  # null value
