@@ -36,6 +36,8 @@ from safedata_pipeline_spark.operators import dedup as DD
 from safedata_pipeline_spark.operators import similarity as SIM
 from safedata_pipeline_spark.operators import multimodal as MM
 from safedata_pipeline_spark.operators import joins as JN
+from safedata_pipeline_spark.operators import rollup as RU
+from safedata_pipeline_spark.operators import sketch as SK
 from safedata_pipeline_spark.streaming import events as SE
 from safedata_pipeline_spark.streaming import sessions as SS
 
@@ -310,6 +312,17 @@ def _q_range_join_tiers(spark, sf):
     )
 
 
+def _q_hypertable_rollup(spark, sf):
+    return RU.hypertable_rollup(load_table(spark, sf, "events"))
+
+
+KMV_COLS = ["c_mktsegment", "c_nationkey", "c_custkey"]
+
+
+def _q_kmv_distinct(spark, sf):
+    return SK.kmv_distinct(load_table(spark, sf, "customer"), KMV_COLS, k=64)
+
+
 def _q_multimodal_meta(spark, sf):
     docs = load_table(spark, sf, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
@@ -403,6 +416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
         "asof_last_click": _q_asof_last_click,
         "range_join_tiers": _q_range_join_tiers,
+        "hypertable_rollup": _q_hypertable_rollup,
+        "kmv_distinct": _q_kmv_distinct,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
         "events_hourly": _q_events_hourly,
@@ -868,6 +883,39 @@ def _sql_range_join_tiers() -> str:
     )
 
 
+def _sql_hypertable_rollup() -> str:
+    def level(unit: str) -> str:
+        return (
+            f"SELECT '{unit}' AS resolution, CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS bucket_start, "
+            "event_type, count(*) AS n_events, "
+            "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 4) AS sum_value, "
+            "min(value) AS min_value, max(value) AS max_value, "
+            "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS avg_value "
+            "FROM events GROUP BY 2, 3"
+        )
+
+    # the engine re-aggregates partials (hour -> day -> month); the
+    # oracle aggregates straight from raw — decimal sums make them equal
+    return " UNION ALL ".join(level(u) for u in ("hour", "day", "month"))
+
+
+def _sql_kmv_distinct(k: int) -> str:
+    def col_sql(c: str) -> str:
+        hv = (
+            f"(CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0) "
+            "/ 4294967296.0"
+        )
+        return (
+            f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS k_used, "
+            f"round(CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE) "
+            f"ELSE {float(k - 1)} / max(hv) END, 6) AS kmv_estimate "
+            f"FROM (SELECT hv FROM (SELECT DISTINCT {hv} AS hv FROM customer "
+            f"WHERE {c} IS NOT NULL) ORDER BY hv LIMIT {k})"
+        )
+
+    return " UNION ALL ".join(col_sql(c) for c in KMV_COLS)
+
+
 def _sql_multimodal_meta() -> str:
     return (
         "SELECT doc_id AS media_id, 'text/plain' AS mime, "
@@ -984,6 +1032,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _sql_ann_cosine_topk(5),
         "asof_last_click": _sql_asof_last_click(),
         "range_join_tiers": _sql_range_join_tiers(),
+        "hypertable_rollup": _sql_hypertable_rollup(),
+        "kmv_distinct": _sql_kmv_distinct(64),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

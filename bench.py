@@ -60,6 +60,8 @@ HEADLINE = [
     "multimodal_features",
     "asof_last_click",
     "range_join_tiers",
+    "hypertable_rollup",
+    "kmv_distinct",
     "events_hourly",
     "events_json",
     "user_sessions",

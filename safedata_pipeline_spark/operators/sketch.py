@@ -1,0 +1,67 @@
+"""Engine-reproducible sketches (SURVEY §2.8 extension surface).
+
+``kmv_distinct`` — K-Minimum-Values distinct-count sketch: keep the k
+smallest md5-derived hash values of a column; if fewer than k distinct
+hashes exist the count is exact, otherwise estimate (k-1)/h_(k) where
+h_(k) is the k-th smallest hash normalized into (0,1).
+
+Why not ``approx_count_distinct``? Spark's HLL++ is neither seedable
+nor reproducible outside Spark. KMV built on md5 is deterministic and
+any SQL engine recomputes the identical sketch — so the *sketch
+itself* is oracle-checkable, and at 100 TB it replaces exact
+count_distinct wherever a ~k^-1/2 relative error is acceptable.
+
+Scale shape: the k minima survive any pre-filter that keeps hash <
+t ≫ E[h_(k)], so at scale a cheap ``h < t`` predicate (t from a coarse
+row-count estimate) drops ~all rows before the distinct-shuffle; the
+remaining distinct+sort touches ~t·n values. Fixture scale skips the
+pre-filter (exactness of the sketch, not of the estimate, is what the
+oracle checks).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_SPACE = float(1 << 32)
+ROUND_N = 6
+
+
+def _hash01(col) -> "F.Column":
+    """md5-derived hash of a value, normalized into (0,1] — identical
+    in any engine that has md5 (cast to string first, hash utf-8)."""
+    h = F.conv(F.substring(F.md5(col.cast("string").cast("binary")), 1, 8), 16, 10)
+    return (h.cast("double") + F.lit(1.0)) / F.lit(HASH_SPACE)
+
+
+def kmv_distinct(df: DataFrame, cols: list[str], k: int = 64) -> DataFrame:
+    """KMV distinct-count estimate per column. Output: one row per
+    column — (column, k_used, kmv_estimate)."""
+    outs = []
+    for c in cols:
+        mins = (
+            df.where(F.col(c).isNotNull())
+            .select(_hash01(F.col(c)).alias("hv"))
+            .distinct()
+            .orderBy("hv")
+            .limit(k)
+        )
+        agg = mins.agg(
+            F.count(F.lit(1)).alias("n_h"), F.max("hv").alias("hk")
+        )
+        outs.append(
+            agg.select(
+                F.lit(c).alias("column"),
+                F.col("n_h").cast("bigint").alias("k_used"),
+                F.round(
+                    F.when(F.col("n_h") < k, F.col("n_h").cast("double")).otherwise(
+                        F.lit(float(k - 1)) / F.col("hk")
+                    ),
+                    ROUND_N,
+                ).alias("kmv_estimate"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -1,0 +1,45 @@
+from datetime import datetime
+
+from safedata_pipeline_spark.operators import rollup as RU
+from safedata_pipeline_spark.operators import sketch as SK
+
+
+def _events(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), "click", 1.25),
+        (2, datetime(2024, 1, 1, 0, 50), "click", 2.75),
+        (3, datetime(2024, 1, 1, 5, 0), "click", 4.00),
+        (4, datetime(2024, 1, 2, 0, 0), "click", 8.00),
+        (5, datetime(2024, 2, 1, 0, 0), "view", 0.50),
+    ]
+    return spark.createDataFrame(rows, "event_id bigint, ts timestamp, event_type string, value double")
+
+
+def test_rollup_hierarchy_consistency(spark):
+    out = RU.hypertable_rollup(_events(spark)).collect()
+    by = {}
+    for r in out:
+        by[(r.resolution, str(r.bucket_start), r.event_type)] = r
+    h0 = by[("hour", "2024-01-01 00:00:00", "click")]
+    assert h0.n_events == 2 and h0.sum_value == 4.0 and h0.avg_value == 2.0
+    d0 = by[("day", "2024-01-01 00:00:00", "click")]
+    assert d0.n_events == 3 and d0.sum_value == 8.0
+    m0 = by[("month", "2024-01-01 00:00:00", "click")]
+    assert m0.n_events == 4 and m0.sum_value == 16.0
+    assert m0.min_value == 1.25 and m0.max_value == 8.0
+    assert by[("month", "2024-02-01 00:00:00", "view")].n_events == 1
+    # day aggregates re-derive from hourly partials: totals must equal
+    # a direct groupBy from raw (decimal sums make this exact)
+    assert sum(r.n_events for r in out if r.resolution == "hour") == 5
+    assert sum(r.n_events for r in out if r.resolution == "day") == 5
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    df = spark.createDataFrame([(i, i % 7, f"v{i}") for i in range(500)], "a bigint, b bigint, c string")
+    got = {r.column: r for r in SK.kmv_distinct(df, ["a", "b", "c"], k=64).collect()}
+    # 7 distinct < k=64 -> exact
+    assert got["b"].k_used == 7 and got["b"].kmv_estimate == 7.0
+    # 500 distinct > k -> estimate in a sane band (k=64 => ~12% rel err)
+    for col in ("a", "c"):
+        assert got[col].k_used == 64
+        assert 300 < got[col].kmv_estimate < 800
