@@ -68,3 +68,37 @@ def test_knn_broadcasts_real_side(spark, sf_dir):
     assert "Window" not in plan
     assert "SortAggregate" in plan or "HashAggregate" in plan
     assert "partial_min" in plan
+
+
+def test_asof_join_is_one_shuffle_no_join(spark, sf_dir):
+    from safedata_pipeline_spark.operators import joins as J
+
+    ev = load_table(spark, sf_dir, "events")
+    out = J.asof_join(
+        ev.where(F.col("event_type") == "error"),
+        ev.where(F.col("event_type") == "click"),
+        key="user_id",
+        right_cols=["event_id"],
+    )
+    import re
+
+    plan = plans.formatted_plan(out)
+    # physically NOT a join: union + one key exchange + window
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" in plan and "Union" in plan
+
+
+def test_range_join_extracts_bucket_equi_key(spark, sf_dir):
+    from safedata_pipeline_spark.operators import joins as J
+
+    ev = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("high", 10.0, 100.0)], "tier string, lo double, hi double"
+    )
+    out = J.range_join_bucketed(ev, tiers, "value", bucket_width=10.0)
+    plan = plans.formatted_plan(out)
+    # the bucket id must become an equi-join key — a plain range
+    # condition would degrade to BroadcastNestedLoopJoin
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__bucket" in plan
