@@ -245,6 +245,10 @@ def _q_tfidf_top_terms(spark, sf):
     return TX.tfidf_top_terms(load_table(spark, sf, "documents"), top_k=5)
 
 
+def _q_quality_filter(spark, sf):
+    return TX.quality_filter(load_table(spark, sf, "documents"), keep_fraction=0.5)
+
+
 def _q_dedup_exact(spark, sf):
     return DD.dedup_exact(load_table(spark, sf, "documents"))
 
@@ -404,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "quality_filter": _q_quality_filter,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_components": _q_dedup_components,
@@ -700,6 +705,14 @@ def _sql_quality_score() -> str:
         "round(stop_ratio, 6) AS stopword_ratio, round(punct_ratio, 6) AS punct_ratio, "
         "round(0.4 * len_score + 0.4 * least(5.0 * stop_ratio, 1.0) + 0.2 * (1.0 - punct_ratio), 6) AS quality "
         "FROM r"
+    )
+
+
+def _sql_quality_filter(keep_fraction: float) -> str:
+    return (
+        f"WITH qs AS ({_sql_quality_score()}), "
+        f"thr AS (SELECT round(quantile_cont(quality, {1.0 - keep_fraction}), 6) AS threshold FROM qs) "
+        "SELECT doc_id, quality, threshold FROM qs, thr WHERE quality >= threshold"
     )
 
 
@@ -1020,6 +1033,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "doc_fingerprint": _sql_doc_fingerprint(),
         "tfidf_top_terms": _sql_tfidf_top_terms(5),
+        "quality_filter": _sql_quality_filter(0.5),
         "dedup_exact": _sql_dedup_exact(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "dedup_components": _sql_dedup_components(),

@@ -46,6 +46,7 @@ HEADLINE = [
     "lang_id",
     "doc_fingerprint",
     "tfidf_top_terms",
+    "quality_filter",
     "dedup_exact",
     "ngram_jaccard",
     "dedup_components",

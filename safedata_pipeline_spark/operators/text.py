@@ -95,6 +95,30 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    keep_fraction: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_fraction`` of documents by quality score —
+    the standard corpus pre-filter. The threshold is the exact
+    (1−keep_fraction) quantile of the score distribution (linear
+    interpolation, = DuckDB ``quantile_cont``), computed in one agg and
+    broadcast back — driver traffic is one double; at 100 TB swap the
+    exact percentile for ``approxQuantile`` like the binning operator.
+    Output: (doc_id, quality, threshold)."""
+    scored = quality_score(df, text_col, id_col).select(id_col, "quality")
+    thr = scored.agg(
+        F.round(F.percentile("quality", 1.0 - keep_fraction), ROUND_N).alias("threshold")
+    )
+    return (
+        scored.join(F.broadcast(thr))
+        .where(F.col("quality") >= F.col("threshold"))
+        .select(id_col, "quality", "threshold")
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-stopword language guess. Picks the language with the most
     marker hits; ties/zero → 'unknown' unless exactly one language leads.

@@ -83,3 +83,16 @@ def test_doc_fingerprint_detects_identity_and_near_dup(spark):
     # min shingle survives a prefix edit (1-perm minhash)
     assert got[1].min_shingle_md5 == got[3].min_shingle_md5
     assert got[1].min_shingle_md5 != got[4].min_shingle_md5
+
+
+def test_quality_filter_keeps_top_fraction(spark):
+    df = spark.createDataFrame(
+        [(i, "the and of is it " * (i + 1)) for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    kept = T.quality_filter(df, keep_fraction=0.5).collect()
+    # scores are monotone in doc length here; >= threshold keeps at least half
+    assert 5 <= len(kept) <= 6
+    kept_ids = {r.doc_id for r in kept}
+    assert all(i in kept_ids for i in range(6, 10))
+    assert all(r.quality >= r.threshold for r in kept)
