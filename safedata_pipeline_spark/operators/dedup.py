@@ -106,12 +106,7 @@ def ngram_jaccard_pairs(
     )
 
 
-def _hash_slot(col: Column, slot: int) -> Column:
-    """Slot-seeded 32-bit integer hash of a string column, derived from
-    md5 so any engine reproduces it: int(hex8(md5(slot || ':' || s)))."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{slot}:"), col).cast("binary")), 1, 8), 16, 10
-    ).cast("bigint")
+from safedata_pipeline_spark.functions.hashing import md5_slot32 as _hash_slot
 
 
 MINHASH_P = 4294967311  # prime > 2^32

@@ -35,15 +35,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from safedata_pipeline_spark.functions.vector import dot as _dot
+from safedata_pipeline_spark.functions.vector import norm as _norm
+
 ROUND_N = 6
-
-
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-
-
-def _norm(v: Column) -> Column:
-    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, alias_id: str) -> DataFrame:

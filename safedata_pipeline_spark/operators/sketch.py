@@ -26,15 +26,9 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-HASH_SPACE = float(1 << 32)
+from safedata_pipeline_spark.functions.hashing import md5_unit_interval as _hash01
+
 ROUND_N = 6
-
-
-def _hash01(col) -> "F.Column":
-    """md5-derived hash of a value, normalized into (0,1] — identical
-    in any engine that has md5 (cast to string first, hash utf-8)."""
-    h = F.conv(F.substring(F.md5(col.cast("string").cast("binary")), 1, 8), 16, 10)
-    return (h.cast("double") + F.lit(1.0)) / F.lit(HASH_SPACE)
 
 
 def kmv_distinct(df: DataFrame, cols: list[str], k: int = 64) -> DataFrame:
