@@ -808,6 +808,33 @@ def _sql_dedup_components() -> str:
     )
 
 
+def _sql_minhash_lsh(num_hashes: int, bands: int, threshold: float) -> str:
+    # the banded-LSH candidate generator is md5-deterministic end to
+    # end, so even the "approximate" path is oracle-checkable
+    rows = num_hashes // bands
+    slot_list = ", ".join(f"mh_{i}" for i in range(num_hashes))
+    band_selects = []
+    for b in range(bands):
+        parts = " || '|' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS key FROM sig"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    return (
+        f"WITH sig AS ({_sql_minhash_signatures(num_hashes)}), "
+        f"sigarr AS (SELECT doc_id, [{slot_list}] AS s FROM sig), "
+        f"buckets AS ({buckets}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM buckets a "
+        "JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), "
+        "est AS (SELECT c.id_a, c.id_b, "
+        f"round(len(list_filter(range(1, {num_hashes + 1}), i -> sa.s[i] = sb.s[i])) / {float(num_hashes)}, 6) AS est_jaccard "
+        "FROM cand c JOIN sigarr sa ON c.id_a = sa.doc_id JOIN sigarr sb ON c.id_b = sb.doc_id) "
+        f"SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}"
+    )
+
+
 def _hash_slot_sql(expr: str, slot: int) -> str:
     return f"CAST(CAST(('0x' || substr(md5('{slot}:' || {expr}), 1, 8)) AS UBIGINT) AS BIGINT)"
 
@@ -1038,9 +1065,11 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _sql_ngram_jaccard(),
         "dedup_components": _sql_dedup_components(),
         "minhash_signatures": _sql_minhash_signatures(16),
-        # minhash_lsh / ann_cosine_topk_lsh are approximate candidate
-        # generators → rows-only; their exact counterparts above are the
-        # oracle-checked verifiers
+        # banded LSH is md5-deterministic end to end — oracle-checked
+        # even though it's the "approximate" path
+        "minhash_lsh": _sql_minhash_lsh(16, 4, 0.5),
+        # ann_cosine_topk_lsh/_ivf stay rows-only: float GEMM sign/argmin
+        # ordering is not reproducible across engines
         "simhash": _sql_simhash(32),
         "embedding_cosine_dedup": _sql_embedding_cosine_dedup(0.4),
         "ann_cosine_topk": _sql_ann_cosine_topk(5),
