@@ -36,6 +36,7 @@ from safedata_pipeline_spark.operators import dedup as DD
 from safedata_pipeline_spark.operators import similarity as SIM
 from safedata_pipeline_spark.operators import multimodal as MM
 from safedata_pipeline_spark.operators import joins as JN
+from safedata_pipeline_spark.operators import pii as PII
 from safedata_pipeline_spark.operators import rollup as RU
 from safedata_pipeline_spark.operators import sketch as SK
 from safedata_pipeline_spark.streaming import events as SE
@@ -249,6 +250,14 @@ def _q_quality_filter(spark, sf):
     return TX.quality_filter(load_table(spark, sf, "documents"), keep_fraction=0.5)
 
 
+def _q_pii_scan(spark, sf):
+    return PII.pii_scan(load_table(spark, sf, "documents"))
+
+
+def _q_pii_redact(spark, sf):
+    return PII.pii_redact(load_table(spark, sf, "documents"))
+
+
 def _q_dedup_exact(spark, sf):
     return DD.dedup_exact(load_table(spark, sf, "documents"))
 
@@ -409,6 +418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "quality_filter": _q_quality_filter,
+        "pii_scan": _q_pii_scan,
+        "pii_redact": _q_pii_redact,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_components": _q_dedup_components,
@@ -706,6 +717,31 @@ def _sql_quality_score() -> str:
         "round(0.4 * len_score + 0.4 * least(5.0 * stop_ratio, 1.0) + 0.2 * (1.0 - punct_ratio), 6) AS quality "
         "FROM r"
     )
+
+
+def _sql_pii_scan() -> str:
+    from safedata_pipeline_spark.operators.pii import PII_PATTERNS
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"n_{name}" for name in PII_PATTERNS)
+    return (
+        f"WITH c AS (SELECT doc_id, {counts} FROM documents) "
+        f"SELECT doc_id, "
+        + ", ".join(f"CAST(n_{n} AS BIGINT) AS n_{n}" for n in PII_PATTERNS)
+        + f", CAST({total} AS BIGINT) AS n_pii FROM c"
+    )
+
+
+def _sql_pii_redact() -> str:
+    from safedata_pipeline_spark.operators.pii import PII_PATTERNS
+
+    expr = "text"
+    for name, pat in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '[{name.upper()}]', 'g')"
+    return f"SELECT doc_id, {expr} AS text FROM documents"
 
 
 def _sql_quality_filter(keep_fraction: float) -> str:
@@ -1061,6 +1097,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _sql_doc_fingerprint(),
         "tfidf_top_terms": _sql_tfidf_top_terms(5),
         "quality_filter": _sql_quality_filter(0.5),
+        "pii_scan": _sql_pii_scan(),
+        "pii_redact": _sql_pii_redact(),
         "dedup_exact": _sql_dedup_exact(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "dedup_components": _sql_dedup_components(),

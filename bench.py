@@ -47,6 +47,8 @@ HEADLINE = [
     "doc_fingerprint",
     "tfidf_top_terms",
     "quality_filter",
+    "pii_scan",
+    "pii_redact",
     "dedup_exact",
     "ngram_jaccard",
     "dedup_components",
