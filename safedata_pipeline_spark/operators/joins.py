@@ -78,6 +78,38 @@ def asof_join(
     return carried.where(F.col("__side") == 1).select(*out_cols)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for EXTREME skew — when one key holds
+    so many rows that even AQE's skew-split (which only splits the
+    probe side's oversized partitions) leaves a straggler task.
+
+    The left (skewed) side scatters each row to a random salt bucket;
+    the right side replicates each row ``salt`` times; joining on
+    (key, salt) spreads the hot key over ``salt`` tasks. Cost: the
+    right side is ×salt — use only when |right| ≪ |left| and skew is
+    measured, not suspected. Result is row-identical to the plain join
+    (the salt is a partitioning artifact, dropped before returning).
+    """
+    l = left.withColumn("__salt", (F.rand(42) * salt).cast("int")).alias("l")
+    r = (
+        right.withColumnRenamed(key, "__rkey")
+        .withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+        .alias("r")
+    )
+    out = l.join(
+        r,
+        on=(F.col(f"l.{key}") == F.col("r.__rkey")) & (F.col("l.__salt") == F.col("r.__salt")),
+        how=how,
+    )
+    return out.drop("__salt", "__rkey")
+
+
 def range_join_bucketed(
     left: DataFrame,
     ranges: DataFrame,

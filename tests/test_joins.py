@@ -73,3 +73,25 @@ def test_range_join_bucketed(spark):
     assert got[4] == "high"  # hi exclusive / boundary bucket handoff
     assert got[5] is None  # out of every range, still present (left outer)
     assert got[6] is None  # null value
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    # heavy skew: 90% of left rows share key 1
+    left = spark.createDataFrame(
+        [(i, 1 if i % 10 else 2) for i in range(200)], "row_id bigint, k bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (3, "unmatched")], "k bigint, label string"
+    )
+    from safedata_pipeline_spark.operators.joins import salted_join
+
+    salted = salted_join(left, right, "k", salt=4)
+    plain = left.join(right, "k")
+    assert salted.count() == plain.count()
+    a = sorted((r.row_id, r.label) for r in salted.collect())
+    b = sorted((r.row_id, r.label) for r in plain.collect())
+    assert a == b
+    # the join key set includes the salt -> hot key spreads across tasks
+    assert "__salt" not in salted.columns
