@@ -250,6 +250,31 @@ def _q_quality_filter(spark, sf):
     return TX.quality_filter(load_table(spark, sf, "documents"), keep_fraction=0.5)
 
 
+def _q_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: the canonical scan→filter→groupBy→agg headline.
+    Exercises pushdown (date filter), column pruning, map-side partial
+    aggregation, and decimal-stable sums in one plan."""
+    li = load_table(spark, sf, "lineitem")
+    d = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = lambda c: c.cast("decimal(38,10)")
+    return (
+        li.where(F.col("l_shipdate") < F.lit("1998-09-03 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.round(F.sum(dec(d)).cast("double"), 4).alias("sum_disc_price"),
+            F.round(F.sum(dec(d * (1 + F.col("l_tax")))).cast("double"), 4).alias("sum_charge"),
+            # decimal-sum/count, not avg(double): double summation order
+            # differs across engines and is not run-to-run stable
+            F.round(F.sum(dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(dec(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(F.sum(dec(F.col("l_discount"))).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
 def _q_pii_scan(spark, sf):
     return PII.pii_scan(load_table(spark, sf, "documents"))
 
@@ -418,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "quality_filter": _q_quality_filter,
+        "pricing_summary": _q_pricing_summary,
         "pii_scan": _q_pii_scan,
         "pii_redact": _q_pii_redact,
         "dedup_exact": _q_dedup_exact,
@@ -1097,6 +1123,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _sql_doc_fingerprint(),
         "tfidf_top_terms": _sql_tfidf_top_terms(5),
         "quality_filter": _sql_quality_filter(0.5),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sum_base_price, "
+            "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE), 4) AS sum_disc_price, "
+            "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS DOUBLE), 4) AS sum_charge, "
+            "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS avg_qty, "
+            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS avg_price, "
+            "round(CAST(sum(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS avg_disc, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
         "pii_scan": _sql_pii_scan(),
         "pii_redact": _sql_pii_redact(),
         "dedup_exact": _sql_dedup_exact(),

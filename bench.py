@@ -27,6 +27,7 @@ from safedata_pipeline_spark.session import get_spark
 # linkage, plus extensions as they land)
 HEADLINE = [
     "basic_stats",
+    "pricing_summary",
     "group_count",
     "numeric_profile",
     "sdc_suppress",
