@@ -76,7 +76,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _q_limit_preview(spark, sf):
-    return P.limit_preview(load_table(spark, sf, "lineitem"), ["l_orderkey", "l_linenumber"], 5)
+    # sort on EVERY column: (l_orderkey, l_linenumber) alone is not
+    # unique in the fixtures, so a 2-key top-5 is engine-ambiguous
+    li = load_table(spark, sf, "lineitem")
+    return P.limit_preview(li, list(li.columns), 5)
 
 
 def _q_project_quasi_ids(spark, sf):
@@ -261,10 +264,12 @@ def _q_pricing_summary(spark, sf):
         li.where(F.col("l_shipdate") < F.lit("1998-09-03 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-            F.round(F.sum(dec(d)).cast("double"), 4).alias("sum_disc_price"),
-            F.round(F.sum(dec(d * (1 + F.col("l_tax")))).cast("double"), 4).alias("sum_charge"),
+            # round even the decimal-exact sums: the decimal→double
+            # conversion itself differs by 1 ulp across engines at 1e9+
+            F.round(F.sum(dec(F.col("l_quantity"))).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec(F.col("l_extendedprice"))).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(dec(d)).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(dec(d * (1 + F.col("l_tax")))).cast("double"), 2).alias("sum_charge"),
             # decimal-sum/count, not avg(double): double summation order
             # differs across engines and is not run-to-run stable
             F.round(F.sum(dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
@@ -1029,8 +1034,9 @@ def _sql_multimodal_meta() -> str:
 def _sql_events_hourly() -> str:
     return (
         "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, "
-        "count(*) AS n_events, round(avg(value), 6) AS avg_value, "
-        "round(CAST(sum(value) AS DOUBLE), 4) AS sum_value "
+        "count(*) AS n_events, "
+        "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS avg_value, "
+        "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 4) AS sum_value "
         "FROM events GROUP BY 1, 2"
     )
 
@@ -1077,7 +1083,11 @@ def _sql_checklist_score() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "limit_preview": "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5",
+        "limit_preview": (
+            "SELECT * FROM lineitem ORDER BY "
+            + ", ".join(c for c, _ in LINEITEM_SCHEMA)
+            + " LIMIT 5"
+        ),
         "project_quasi_ids": "SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal FROM customer",
         "row_count": "SELECT count(*) AS n_rows FROM lineitem",
         "group_count": "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority",
@@ -1125,10 +1135,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": _sql_quality_filter(0.5),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
-            "CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty, "
-            "CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sum_base_price, "
-            "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE), 4) AS sum_disc_price, "
-            "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS DOUBLE), 4) AS sum_charge, "
+            "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_qty, "
+            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_base_price, "
+            "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_disc_price, "
+            "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_charge, "
             "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS avg_qty, "
             "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS avg_price, "
             "round(CAST(sum(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS avg_disc, "

@@ -21,14 +21,17 @@ def hourly_event_profile(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour windows per event_type: count + value stats.
     Written with ``window()`` so the identical expression runs in the
     streaming job."""
+    # sums/avgs ride DECIMAL: double addition across shuffle partitions
+    # is order-dependent and diverged from the oracle by 1e-6 at sf0.1
+    v = F.col("value").cast("decimal(38,12)")
     return (
         events.groupBy(
             F.window("ts", "1 hour").alias("w"), F.col("event_type")
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(v).cast("double") / F.count(F.lit(1)), 6).alias("avg_value"),
+            F.round(F.sum(v).cast("double"), 4).alias("sum_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
