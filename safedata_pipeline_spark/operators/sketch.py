@@ -31,27 +31,41 @@ from safedata_pipeline_spark.functions.hashing import md5_unit_interval as _hash
 ROUND_N = 6
 
 
-def kmv_distinct(df: DataFrame, cols: list[str], k: int = 64) -> DataFrame:
+def kmv_distinct(
+    df: DataFrame, cols: list[str], k: int = 64, prefilter: float | None = None
+) -> DataFrame:
     """KMV distinct-count estimate per column. Output: one row per
-    column — (column, k_used, kmv_estimate)."""
+    column — (column, k_used, kmv_estimate).
+
+    ``prefilter`` is the 100 TB path: keep only ``hash < prefilter``
+    before the distinct shuffle. The k minima are unchanged whenever
+    h_(k) < prefilter (prefilter ≫ k/n_distinct — e.g. 1e-4 drops
+    99.99% of rows pre-shuffle and still yields the identical sketch
+    for any column with ≥ ~640k distincts at k=64). When fewer than k
+    hashes survive the filter, the estimate scales by the kept
+    hash-space fraction (n_h/prefilter) instead of claiming an exact
+    count — the filtered set is a uniform hash-space sample.
+    """
     outs = []
     for c in cols:
-        mins = (
-            df.where(F.col(c).isNotNull())
-            .select(_hash01(F.col(c)).alias("hv"))
-            .distinct()
-            .orderBy("hv")
-            .limit(k)
-        )
+        hashed = df.where(F.col(c).isNotNull()).select(_hash01(F.col(c)).alias("hv"))
+        if prefilter is not None:
+            hashed = hashed.where(F.col("hv") < prefilter)
+        mins = hashed.distinct().orderBy("hv").limit(k)
         agg = mins.agg(
             F.count(F.lit(1)).alias("n_h"), F.max("hv").alias("hk")
+        )
+        below_k = (
+            F.col("n_h").cast("double") / prefilter
+            if prefilter is not None
+            else F.col("n_h").cast("double")
         )
         outs.append(
             agg.select(
                 F.lit(c).alias("column"),
                 F.col("n_h").cast("bigint").alias("k_used"),
                 F.round(
-                    F.when(F.col("n_h") < k, F.col("n_h").cast("double")).otherwise(
+                    F.when(F.col("n_h") < k, below_k).otherwise(
                         F.lit(float(k - 1)) / F.col("hk")
                     ),
                     ROUND_N,

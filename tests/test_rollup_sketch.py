@@ -43,3 +43,17 @@ def test_kmv_exact_below_k_and_estimate_above(spark):
     for col in ("a", "c"):
         assert got[col].k_used == 64
         assert 300 < got[col].kmv_estimate < 800
+
+
+def test_kmv_prefilter_preserves_sketch(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(5000)], "c string")
+    full = SK.kmv_distinct(df, ["c"], k=64).collect()[0]
+    # a generous prefilter keeps the k minima -> identical sketch
+    filtered = SK.kmv_distinct(df, ["c"], k=64, prefilter=0.2).collect()[0]
+    assert filtered.kmv_estimate == full.kmv_estimate and filtered.k_used == 64
+    # an aggressive prefilter scales the surviving count instead
+    tiny = SK.kmv_distinct(df, ["c"], k=64, prefilter=0.001).collect()[0]
+    if tiny.k_used < 64:
+        assert 1000 < tiny.kmv_estimate < 25000
