@@ -280,6 +280,13 @@ def _q_pricing_summary(spark, sf):
     )
 
 
+CONTAMINATION_PROBES = ["key agg row scan", "spark order data", "zz-not-in-corpus-zz"]
+
+
+def _q_contamination_scan(spark, sf):
+    return TX.contamination_scan(load_table(spark, sf, "documents"), CONTAMINATION_PROBES)
+
+
 def _q_pii_scan(spark, sf):
     return PII.pii_scan(load_table(spark, sf, "documents"))
 
@@ -449,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "quality_filter": _q_quality_filter,
         "pricing_summary": _q_pricing_summary,
+        "contamination_scan": _q_contamination_scan,
         "pii_scan": _q_pii_scan,
         "pii_redact": _q_pii_redact,
         "dedup_exact": _q_dedup_exact,
@@ -1145,6 +1153,13 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS count_order "
             "FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "contamination_scan": (
+            "SELECT p.probe, CAST(count(d.doc_id) AS BIGINT) AS n_docs, "
+            "min(d.doc_id) AS example_doc_id FROM (VALUES "
+            + ", ".join(f"('{p}')" for p in CONTAMINATION_PROBES)
+            + ") AS p(probe) LEFT JOIN documents d ON contains(d.text, p.probe) "
+            "GROUP BY p.probe"
         ),
         "pii_scan": _sql_pii_scan(),
         "pii_redact": _sql_pii_redact(),

@@ -48,6 +48,7 @@ HEADLINE = [
     "doc_fingerprint",
     "tfidf_top_terms",
     "quality_filter",
+    "contamination_scan",
     "pii_scan",
     "pii_redact",
     "dedup_exact",

@@ -95,6 +95,38 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def contamination_scan(
+    df: DataFrame,
+    probes: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: count corpus documents containing
+    each probe string (exact substring — eval-set leakage detection).
+    Output: one row per probe — (probe, n_docs, example_doc_id).
+
+    Scale shape: probes ship as plan literals (an eval set is KBs); the
+    corpus is scanned ONCE for all probes (one pass, map-side
+    aggregation, no shuffle of documents). For thousands of probes
+    switch to an Aho-Corasick Pandas UDF behind the same schema.
+    """
+    t = F.col(text_col)
+    per_probe = [
+        F.struct(
+            F.lit(p).alias("probe"),
+            F.when(F.contains(t, F.lit(p)), F.col(id_col)).alias("hit_id"),
+        )
+        for p in probes
+    ]
+    hits = df.select(F.explode(F.array(*per_probe)).alias("h")).select(
+        F.col("h.probe").alias("probe"), F.col("h.hit_id").alias("hit_id")
+    )
+    return hits.groupBy("probe").agg(
+        F.count("hit_id").cast("bigint").alias("n_docs"),
+        F.min("hit_id").alias("example_doc_id"),
+    )
+
+
 def quality_filter(
     df: DataFrame,
     keep_fraction: float = 0.5,

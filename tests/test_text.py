@@ -96,3 +96,18 @@ def test_quality_filter_keeps_top_fraction(spark):
     kept_ids = {r.doc_id for r in kept}
     assert all(i in kept_ids for i in range(6, 10))
     assert all(r.quality >= r.threshold for r in kept)
+
+
+def test_contamination_scan(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "quick brown dog"),
+            (3, "nothing shared here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.probe: r for r in T.contamination_scan(df, ["quick brown", "fox", "zzz"]).collect()}
+    assert got["quick brown"].n_docs == 2 and got["quick brown"].example_doc_id == 1
+    assert got["fox"].n_docs == 1
+    assert got["zzz"].n_docs == 0 and got["zzz"].example_doc_id is None
