@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from safedata_pipeline_spark.functions.vector import dot as _dot

@@ -21,8 +21,7 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType, StringType
+from pyspark.sql.types import NumericType
 
 from safedata_pipeline_spark.operators import compliance as C
 from safedata_pipeline_spark.operators import drift as DR
