@@ -439,8 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sdc_suppress": _q_sdc_suppress,
         "generalize_numeric": _q_generalize_numeric,
         "smart_suggest": _q_smart_suggest,
-        "dp_noise": _q_dp_noise,
-        "synthetic_sample": _q_synthetic_sample,
+        "impute": _q_impute,
         "ks_drift": _q_ks_drift,
         "chi2_drift": _q_chi2_drift,
         "distribution_drift": _q_distribution_drift,
@@ -448,7 +447,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_hot": _q_one_hot,
         "knn_linkage_join": _q_knn_linkage_join,
         "linkage_risk_score": _q_linkage_risk_score,
-        "model_utility": _q_model_utility,
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -467,18 +465,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "embedding_cosine_dedup": _q_embedding_cosine_dedup,
         "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
-        "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
         "asof_last_click": _q_asof_last_click,
         "range_join_tiers": _q_range_join_tiers,
         "hypertable_rollup": _q_hypertable_rollup,
         "kmv_distinct": _q_kmv_distinct,
         "multimodal_meta": _q_multimodal_meta,
-        "multimodal_features": _q_multimodal_features,
         "events_hourly": _q_events_hourly,
         "events_json": _q_events_json,
         "user_sessions": _q_user_sessions,
-        "impute": _q_impute,
+        # --- rows-only entries (no oracle_sql) go LAST: the driver's
+        # correctness matrix records at most 50 rows, and these carry no
+        # hash signal, so oracle-backed queries must occupy the front.
+        "dp_noise": _q_dp_noise,
+        "synthetic_sample": _q_synthetic_sample,
+        "model_utility": _q_model_utility,
+        "multimodal_features": _q_multimodal_features,
+        "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
+        "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
     }
 
 

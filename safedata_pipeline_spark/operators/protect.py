@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
 
@@ -177,6 +177,48 @@ def add_dp_noise(
 # PR4 — lightweight synthetic sampler
 # ---------------------------------------------------------------------------
 
+def _with_row_index(df: DataFrame, idx_col: str) -> DataFrame:
+    """Attach a dense 0..n-1 ``long`` row index WITHOUT a global sort.
+
+    The naive ``row_number().over(Window.orderBy(...))`` funnels the whole
+    dataset through one task; instead we reconstruct the classic
+    ``zipWithIndex`` shape in DataFrame terms:
+
+      1. tag each row with its ``spark_partition_id`` and
+         ``monotonically_increasing_id`` (both map-side, no shuffle);
+      2. one tiny aggregate collects per-partition (count, min id) —
+         O(#partitions) driver rows;
+      3. each row's index = partition offset + (mid - min mid of its
+         partition), applied via a broadcast join on the partition id.
+
+    No shuffle of the data, no window, no single-task stage. Index
+    assignment is deterministic for a deterministic input plan (parquet
+    scans); both passes re-evaluate the same scan layout.
+    """
+    tagged = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    stats = sorted(
+        tagged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.min("__mid").alias("__minmid"))
+        .collect(),
+        key=lambda r: r["__pid"],
+    )
+    if not stats:
+        return df.withColumn(idx_col, F.lit(None).cast("long"))
+    adj = []
+    off = 0
+    for r in stats:
+        adj.append((r["__pid"], off - r["__minmid"]))
+        off += r["__cnt"]
+    adj_df = df.sparkSession.createDataFrame(adj, "__pid int, __adj long")
+    return (
+        tagged.join(F.broadcast(adj_df), on="__pid", how="inner")
+        .withColumn(idx_col, (F.col("__mid") + F.col("__adj")).cast("long"))
+        .drop("__pid", "__mid", "__adj")
+    )
+
+
 def synthetic_sample(df: DataFrame, n: int | None = None, seed: int = 42) -> DataFrame:
     """Per-column independent synthetic table of ``n`` rows
     (privacy.py:33-53): numeric columns = (n - n//2) bootstrap draws
@@ -185,10 +227,14 @@ def synthetic_sample(df: DataFrame, n: int | None = None, seed: int = 42) -> Dat
     all-null columns stay all-null. Output column order matches input.
 
     Distributed shape: one ``spark.range(n)`` spine; bootstrap picks are
-    a join on a uniformly random row index; categorical draws are an
-    inverse-CDF range join against the (tiny, broadcast) cumulative
-    frequency table. Every randomized expression is seeded per column
-    for reproducibility.
+    a join on a uniformly random row index (shuffle-free zipWithIndex
+    reconstruction — see ``_with_row_index``). Categorical draws use the
+    SAME uniform row bootstrap: sampling a row uniformly with
+    replacement draws each value with exactly its empirical frequency,
+    i.e. it IS the reference's multinomial — without materializing a
+    frequency/CDF table, which for near-unique string columns would be
+    data-sized and need a global cumulative window. Every randomized
+    expression is seeded per column for reproducibility.
     """
     spark = df.sparkSession
     if n is None:
@@ -214,11 +260,10 @@ def synthetic_sample(df: DataFrame, n: int | None = None, seed: int = 42) -> Dat
             sigma = float(stats["sigma"]) if stats["sigma"] else 1.0
             if math.isnan(sigma) or sigma == 0.0:
                 sigma = 1.0
-            # bootstrap: rows [0, n-m) pick a uniformly random source row
-            w = Window.orderBy("__bval", F.monotonically_increasing_id())
-            indexed = nn.select(F.col(c).alias("__bval")).withColumn(
-                "__bidx", F.row_number().over(w) - 1
-            )
+            # bootstrap: rows [0, n-m) pick a uniformly random source row;
+            # the 0..cnt-1 index comes from the shuffle-free zipWithIndex
+            # reconstruction, not a global-sort window
+            indexed = _with_row_index(nn.select(F.col(c).alias("__bval")), "__bidx")
             boot = (
                 spine.where(F.col("__sid") < n - m)
                 .withColumn("__bidx", F.floor(F.rand(cseed) * cnt).cast("long"))
@@ -231,30 +276,15 @@ def synthetic_sample(df: DataFrame, n: int | None = None, seed: int = 42) -> Dat
             )
             coldf = boot.unionByName(gauss)
         else:
-            freqs = nn.groupBy(c).agg(F.count(F.lit(1)).alias("__cnt"))
-            if freqs.limit(1).count() == 0:
+            cnt = nn.count()
+            if cnt == 0:
                 out = out.withColumn(c, F.lit(None).cast(f.dataType))
                 continue
-            wcum = Window.orderBy(F.desc("__cnt"), F.asc(c)).rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-            total = Window.partitionBy()
-            cum = freqs.select(
-                F.col(c).alias("__val"),
-                (
-                    (F.sum("__cnt").over(wcum) - F.col("__cnt"))
-                    / F.sum("__cnt").over(total)
-                ).alias("__lo"),
-                (F.sum("__cnt").over(wcum) / F.sum("__cnt").over(total)).alias("__hi"),
-            )
+            indexed = _with_row_index(nn.select(F.col(c).alias("__bval")), "__bidx")
             coldf = (
-                spine.withColumn("__r", F.rand(cseed))
-                .join(
-                    F.broadcast(cum),
-                    on=(F.col("__r") >= F.col("__lo")) & (F.col("__r") < F.col("__hi")),
-                    how="left",
-                )
-                .select("__sid", F.col("__val").alias(c))
+                spine.withColumn("__bidx", F.floor(F.rand(cseed) * cnt).cast("long"))
+                .join(indexed, on="__bidx", how="left")
+                .select("__sid", F.col("__bval").alias(c))
             )
         out = out.join(coldf, on="__sid", how="left")
     return out.drop("__sid")

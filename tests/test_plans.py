@@ -89,6 +89,21 @@ def test_asof_join_is_one_shuffle_no_join(spark, sf_dir):
     assert "Window" in plan and "Union" in plan
 
 
+def test_synthetic_sample_bootstrap_has_no_global_sort_window(spark, sf_dir):
+    # the bootstrap row index (numeric AND categorical draws) must come
+    # from the zipWithIndex reconstruction (broadcast offset join), never
+    # an unpartitioned row_number / cumulative-sum window (single-task
+    # global sort) — including for near-unique string columns like
+    # c_name whose frequency table would be data-sized.
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_acctbal", "c_nationkey", "c_name", "c_mktsegment"
+    )
+    out = PR.synthetic_sample(cust, n=100, seed=7)
+    plan = plans.formatted_plan(out)
+    assert "Window" not in plan
+    assert "row_number" not in plan
+
+
 def test_range_join_extracts_bucket_equi_key(spark, sf_dir):
     from safedata_pipeline_spark.operators import joins as J
 
