@@ -135,32 +135,115 @@ def chi2_categorical(df_a: DataFrame, df_b: DataFrame, col: str, na_label: str =
     )
 
 
-def distribution_drift(df_a: DataFrame, df_b: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def _melt_numeric(df: DataFrame, cols: list[str], ka: int, kb: int) -> DataFrame:
+    """One scan → (column, vnum, ka, kb) rows for all numeric drift
+    columns at once (nulls dropped, mirroring ``_tagged_union``)."""
+    structs = [
+        F.struct(F.lit(c).alias("column"), F.col(c).cast("double").alias("vnum"))
+        for c in cols
+    ]
+    return (
+        df.select(F.inline(F.array(*structs)))
+        .where(F.col("vnum").isNotNull())
+        .withColumn("ka", F.lit(ka))
+        .withColumn("kb", F.lit(kb))
+    )
+
+
+def _melt_categorical(df: DataFrame, cols: list[str], ka: int, kb: int, na_label: str) -> DataFrame:
+    """One scan → (column, cat, ka, kb) rows for all categorical drift
+    columns at once (nulls → the "NA" category, like the reference)."""
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.coalesce(F.col(c).cast("string"), F.lit(na_label)).alias("cat"),
+        )
+        for c in cols
+    ]
+    return (
+        df.select(F.inline(F.array(*structs)))
+        .withColumn("ka", F.lit(ka))
+        .withColumn("kb", F.lit(kb))
+    )
+
+
+def distribution_drift(
+    df_a: DataFrame, df_b: DataFrame, cols: list[str] | None = None, na_label: str = "NA"
+) -> DataFrame:
     """Per-column drift table (utility.py:112-123): numeric columns →
     KS, everything else → χ². Output one row per shared column:
     ``(column, type, ks_stat, chi2)`` with the inapplicable metric NULL.
+
+    Single-pass shape: instead of one KS/χ² subplan per column (2 scans
+    of each input PER COLUMN), all numeric columns are melted into one
+    ``(column, value)`` frame and all categorical columns into another —
+    each input is scanned exactly twice total (once per melt) no matter
+    how many columns drift is computed over. The KS cumulative window is
+    ``partitionBy("column")`` so every column's ECDF runs in parallel;
+    per-column χ² is one grouped sum. Semantics (min-row guards, "NA"
+    nulls, DECIMAL χ² sum, rounding) are identical to the per-column
+    operators above.
     """
     types_a = {f.name: f.dataType for f in df_a.schema.fields}
     types_b = {f.name: f.dataType for f in df_b.schema.fields}
     shared = [c for c in df_a.columns if c in types_b] if cols is None else cols
+    num_cols = [
+        c
+        for c in shared
+        if isinstance(types_a[c], NumericType) and isinstance(types_b[c], NumericType)
+    ]
+    cat_cols = [c for c in shared if c not in num_cols]
+
     parts: list[DataFrame] = []
-    for c in shared:
-        numeric = isinstance(types_a[c], NumericType) and isinstance(types_b[c], NumericType)
-        if numeric:
-            part = ks_statistic(df_a, df_b, c).select(
-                F.lit(c).alias("column"),
+    if num_cols:
+        u = _melt_numeric(df_a, num_cols, 1, 0).unionByName(_melt_numeric(df_b, num_cols, 0, 1))
+        g = u.groupBy("column", "vnum").agg(F.sum("ka").alias("ka"), F.sum("kb").alias("kb"))
+        w_cum = Window.partitionBy("column").orderBy("vnum")
+        w_all = Window.partitionBy("column")
+        c = g.select(
+            "column",
+            F.sum("ka").over(w_cum).alias("ca"),
+            F.sum("kb").over(w_cum).alias("cb"),
+            F.sum("ka").over(w_all).alias("na"),
+            F.sum("kb").over(w_all).alias("nb"),
+        )
+        ks = c.groupBy("column").agg(
+            F.when(
+                (F.max("na") >= MIN_KS_ROWS) & (F.max("nb") >= MIN_KS_ROWS),
+                F.round(F.max(F.abs(F.col("ca") / F.col("na") - F.col("cb") / F.col("nb"))), ROUND_N),
+            ).alias("ks_stat")
+        )
+        parts.append(
+            ks.select(
+                "column",
                 F.lit("numeric").alias("type"),
-                F.col("ks_stat"),
+                "ks_stat",
                 F.lit(None).cast("double").alias("chi2"),
             )
-        else:
-            part = chi2_categorical(df_a, df_b, c).select(
-                F.lit(c).alias("column"),
+        )
+    if cat_cols:
+        u = _melt_categorical(df_a, cat_cols, 1, 0, na_label).unionByName(
+            _melt_categorical(df_b, cat_cols, 0, 1, na_label)
+        )
+        g = u.groupBy("column", "cat").agg(F.sum("ka").alias("oa"), F.sum("kb").alias("ob"))
+        contrib = (
+            ((F.col("oa") - F.col("ob")) * (F.col("oa") - F.col("ob")))
+            / (F.col("oa") + F.col("ob") + F.lit(1e-9))
+        ).cast("decimal(38,12)")
+        chi = g.groupBy("column").agg(
+            F.when(
+                (F.sum("oa") > 0) & (F.sum("ob") > 0),
+                F.round(F.sum(contrib).cast("double"), ROUND_N),
+            ).alias("chi2")
+        )
+        parts.append(
+            chi.select(
+                "column",
                 F.lit("categorical").alias("type"),
                 F.lit(None).cast("double").alias("ks_stat"),
-                F.col("chi2"),
+                "chi2",
             )
-        parts.append(part)
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -89,6 +89,22 @@ def test_asof_join_is_one_shuffle_no_join(spark, sf_dir):
     assert "Window" in plan and "Union" in plan
 
 
+def test_distribution_drift_scans_inputs_twice_total(spark, sf_dir):
+    import re
+
+    from safedata_pipeline_spark.operators import drift as DR
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+    b = li.select("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+    out = DR.distribution_drift(a, b)
+    plan = plans.formatted_plan(out)
+    # one melted pass per (input, column-kind): 2 numeric + 2 categorical
+    # = 4 scans TOTAL, independent of how many columns drift covers
+    # (the old per-column shape was 2 scans × 4 columns = 8)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 4
+
+
 def test_synthetic_sample_bootstrap_has_no_global_sort_window(spark, sf_dir):
     # the bootstrap row index (numeric AND categorical draws) must come
     # from the zipWithIndex reconstruction (broadcast offset join), never
