@@ -31,8 +31,12 @@ oracle-checkable, unusual for MinHash implementations).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 ROUND_N = 6
 
@@ -70,6 +74,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact near-dup pairs by word-n-gram Jaccard ≥ threshold.
 
@@ -77,13 +82,46 @@ def ngram_jaccard_pairs(
     shingle (equi-join; only docs sharing a shingle ever pair) → count
     common shingles per (a,b) → Jaccard from per-doc shingle counts.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_df`` caps the inverted index's posting lists: shingles shared
+    by more than ``max_df`` documents are dropped from candidate
+    generation (a shingle with document frequency f contributes f²
+    join rows — one web-corpus stop-shingle would otherwise explode the
+    self-join). The hot-shingle set is tiny (at most total-occurrences/
+    max_df entries), so it is removed with a broadcast anti-join. Per-
+    doc shingle counts (the Jaccard denominator) stay EXACT; only the
+    intersection count ignores hot shingles, so pairs whose sole
+    overlap is stop-shingles are skipped and other jaccards are a
+    slight underestimate — the standard trade for bounded cost. Set
+    ``max_df=None`` for the fully exact verifier.
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(_word_shingles(F.col(text_col), n)).alias("s")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    joinable = sh
+    if max_df is not None:
+        # localCheckpoint (not persist): materializes the tiny heavy-
+        # hitter set once, truncates its lineage, and its blocks are
+        # auto-released when the DataFrame is GC'd — no CacheManager
+        # entry leaking in a long-lived session.
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("s")
+            .localCheckpoint(eager=True)
+        )
+        n_hot = hot.count()
+        if n_hot:
+            _LOG.info(
+                "ngram_jaccard_pairs: dropping %d shingles with df > %d from the inverted index",
+                n_hot,
+                max_df,
+            )
+        joinable = sh.join(F.broadcast(hot), on="s", how="left_anti")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     common = (
         a.join(b, on=(F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -174,7 +212,13 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, n).cache()
+    # signatures feed BOTH sides of the self-join — localCheckpoint
+    # computes them once and, unlike cache(), releases the blocks when
+    # the result DataFrame is GC'd instead of leaking a CacheManager
+    # entry per invocation in a long-lived session. (Caveat: no lineage
+    # to recompute on executor loss; acceptable for a deterministic
+    # single-pass signature table.)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n).localCheckpoint(eager=False)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
@@ -303,12 +347,16 @@ def dedup_components(
     changed labels) is exact.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # localCheckpoint throughout the loop: materializes each round's
+    # labels, truncates the otherwise round-deep lineage, and the blocks
+    # are auto-released on GC — the final labels frame no longer leaves
+    # a permanent CacheManager entry behind (the old persist() did).
     sym = edges.union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     labels = docs.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(id_col).cast("bigint").alias("comp")
-    ).persist()
+    ).localCheckpoint(eager=False)
     for _ in range(max_iter):
         neigh = (
             sym.alias("e")
@@ -325,7 +373,7 @@ def dedup_components(
                     F.col("l.comp"), F.coalesce(F.col("n.ncomp"), F.col("l.comp"))
                 ).alias("comp"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("a")
@@ -333,11 +381,9 @@ def dedup_components(
             .where(F.col("a.comp") != F.col("b.comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     return labels.select(
         F.col("id").alias(id_col),
         F.col("comp").alias("comp_id"),

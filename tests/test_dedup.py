@@ -26,6 +26,34 @@ def test_ngram_jaccard_finds_near_dup(spark):
     assert (1, 4) not in pairs           # unrelated
 
 
+def test_ngram_jaccard_max_df_caps_candidate_pairs(spark):
+    # 6 docs share ONE stop-shingle ("aaa bbb ccc"); docs 1,2 also share
+    # their full text. With max_df=3 the stop-shingle's posting list
+    # (df=6 > 3) is dropped, so the only surviving candidate pair is the
+    # genuine near-dup — not the 15 stop-shingle-only pairs.
+    stop = "aaa bbb ccc"
+    rows = [(1, f"{stop} xxx yyy zzz www"), (2, f"{stop} xxx yyy zzz www")] + [
+        (i, f"{stop} unique{i} only{i} text{i} here{i}") for i in range(3, 7)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    capped = DD.ngram_jaccard_pairs(df, n=3, threshold=0.1, max_df=3).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(1, 2)}
+    # the shared stop-shingle is excluded from the intersection but the
+    # denominators stay exact: 4 of 5 shingles counted common
+    assert abs(capped[0].jaccard - 4 / 6) < 1e-6  # values round to 6dp
+
+    # cap above every df → identical to the uncapped exact verifier
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(df, n=3, threshold=0.1, max_df=None).collect()
+    }
+    high_cap = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(df, n=3, threshold=0.1, max_df=100).collect()
+    }
+    assert uncapped == high_cap
+
+
 def test_minhash_estimates_jaccard(spark):
     sigs = {r.doc_id: [r[f"mh_{i}"] for i in range(16)] for r in DD.minhash_signatures(_docs(spark)).collect()}
     assert sigs[1] == sigs[2]
