@@ -941,17 +941,29 @@ def _sql_simhash(bits: int = 32) -> str:
         for j in range(bits)
     )
     packed = " + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
+    # LEFT JOIN back to the full doc list: a doc with an empty token
+    # array produces no unnest rows (it would vanish from the GROUP BY),
+    # while Spark's per-row fold emits simhash=0 for it — coalesce keeps
+    # the row sets identical.
     return (
         f"WITH toks AS ({SQL_TOKS}), "
         "tok AS (SELECT doc_id, unnest(t) AS tk FROM toks), "
         f"h AS (SELECT doc_id, {_hash_slot_sql('tk', 0)} AS hv FROM tok), "
-        f"votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id) "
-        f"SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes"
+        f"votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id), "
+        f"packed AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes) "
+        "SELECT toks.doc_id, CAST(coalesce(packed.simhash, 0) AS BIGINT) AS simhash "
+        "FROM toks LEFT JOIN packed ON toks.doc_id = packed.doc_id"
     )
 
 
 SQL_EMB = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
-SQL_COS = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+# zero-norm guard mirrors functions.vector.cosine: undefined → NULL
+# (DuckDB's x/0 is inf/NaN, and NaN sorts above all values there)
+SQL_COS = (
+    "CASE WHEN list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0 "
+    "THEN list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) "
+    "ELSE NULL END"
+)
 
 
 def _sql_embedding_cosine_dedup(threshold: float = 0.4) -> str:
@@ -965,16 +977,21 @@ def _sql_embedding_cosine_dedup(threshold: float = 0.4) -> str:
 
 def _sql_ann_cosine_topk(k: int = 5) -> str:
     cos = (
-        "list_dot_product(q.qv, e.v) / "
-        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))"
+        "CASE WHEN list_dot_product(q.qv, q.qv) > 0 AND list_dot_product(e.v, e.v) > 0 "
+        "THEN list_dot_product(q.qv, e.v) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) "
+        "ELSE NULL END"
     )
     return (
         f"WITH e AS ({SQL_EMB}), "
         "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10), "
         f"scored AS (SELECT q.query_id, e.vec_id AS id, {cos} AS cosine "
         "FROM q CROSS JOIN e WHERE q.query_id <> e.vec_id), "
+        # NULL (zero-norm) cosines are excluded from ranking, mirroring
+        # the Spark _topk filter
+        "scored_nn AS (SELECT * FROM scored WHERE cosine IS NOT NULL), "
         "r AS (SELECT query_id, id, cosine, row_number() OVER "
-        "(PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn FROM scored) "
+        "(PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn FROM scored_nn) "
         f"SELECT query_id, CAST(rn AS BIGINT) AS rank, id AS neighbor_id, "
         f"round(cosine, 6) AS cosine FROM r WHERE rn <= {k}"
     )

@@ -25,5 +25,10 @@ def norm(v: Column) -> Column:
 
 def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     """Cosine from precomputed norms (norms are computed once per row,
-    not once per pair)."""
-    return dot(a, b) / (norm_a * norm_b)
+    not once per pair). Zero-norm (all-zero) vectors yield an EXPLICIT
+    NULL on every engine: Spark's x/0 is null while DuckDB's is
+    inf/nan (and NaN sorts above everything there, silently passing
+    ``>= threshold`` filters) — the guard pins both to NULL-undefined."""
+    return F.when(norm_a * norm_b > 0, dot(a, b) / (norm_a * norm_b)).otherwise(
+        F.lit(None).cast("double")
+    )

@@ -28,11 +28,21 @@ CHECKLIST_ITEMS = [
 ]
 
 
-def default_checklist(spark: SparkSession, done_keys: set[str] | frozenset[str] = frozenset()) -> DataFrame:
+def default_checklist(
+    spark: SparkSession,
+    done_keys: set[str] | frozenset[str] = frozenset(),
+    notes: dict[str, str] | None = None,
+) -> DataFrame:
     """Checklist table; ``status`` true for keys in ``done_keys``
-    (reference default: all False, compliance.py:23)."""
-    rows = [(k, d, r, k in done_keys) for k, d, r in CHECKLIST_ITEMS]
-    return spark.createDataFrame(rows, "key string, description string, regime string, status boolean")
+    (reference default: all False, compliance.py:23). ``notes`` carries
+    free-text per key, defaulting to "" exactly like the reference
+    schema (key, description, status, notes); ``regime`` is our
+    extension column tagging DPDP vs GDPR items."""
+    notes = notes or {}
+    rows = [(k, d, r, k in done_keys, notes.get(k, "")) for k, d, r in CHECKLIST_ITEMS]
+    return spark.createDataFrame(
+        rows, "key string, description string, regime string, status boolean, notes string"
+    )
 
 
 def checklist_score(checklist: DataFrame) -> DataFrame:

@@ -302,23 +302,25 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold — exact brute
     upper-triangle self-join baseline (O(n²·d); ANN module owns the
-    LSH-bucketed scale path). Output: (id_a, id_b, cosine)."""
+    LSH-bucketed scale path). Output: (id_a, id_b, cosine). Zero-norm
+    vectors have undefined cosine → explicit NULL on both engines (see
+    ``functions.vector.cosine``), so their pairs never pass the
+    threshold."""
+    from safedata_pipeline_spark.functions.vector import cosine as _cos
+    from safedata_pipeline_spark.functions.vector import norm as _norm
+
     v = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    e = df.select(F.col(id_col).alias("id"), v.alias("v"), norm.alias("nrm"))
+    e = df.select(F.col(id_col).alias("id"), v.alias("v"), _norm(v).alias("nrm"))
     par = df.sparkSession.sparkContext.defaultParallelism
     a, b = e.repartition(par).alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     return (
         a.join(F.broadcast(b), on=F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), ROUND_N).alias("cosine"),
+            F.round(
+                _cos(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")), ROUND_N
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

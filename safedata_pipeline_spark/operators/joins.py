@@ -95,7 +95,18 @@ def salted_join(
     right side is ×salt — use only when |right| ≪ |left| and skew is
     measured, not suspected. Result is row-identical to the plain join
     (the salt is a partitioning artifact, dropped before returning).
+
+    Only ``inner`` and ``left`` joins are supported: the right side is
+    replicated ×salt, so right/full-outer (and semi/anti) variants
+    would emit ``salt`` copies of every unmatched right row — the
+    replication is only sound when unmatched RIGHT rows never surface.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner' or 'left', got {how!r}: the right side "
+            "is replicated per salt bucket, so outer/semi/anti variants that surface "
+            "unmatched right rows would duplicate them"
+        )
     l = left.withColumn("__salt", (F.rand(42) * salt).cast("int")).alias("l")
     r = (
         right.withColumnRenamed(key, "__rkey")

@@ -3,9 +3,13 @@
 Behavior parity targets (reference: /root/reference/modules/utility.py:125-146):
   * numeric features only, target excluded (utility.py:131)
   * mean imputation (utility.py:136) — per-column means from one agg
-  * 70/30 split, seed 42 (utility.py:137); reference stratifies when
-    nunique(y)<20 — here randomSplit (documented divergence; the split
-    is randomized either way, so the driver check is rows-only)
+  * 70/30 split, seed 42 (utility.py:137); stratified per class when
+    nunique(y)<20, like the reference's ``stratify=y``: each class is
+    randomly ordered and cut at exactly round(0.7·n_c) rows. Exact
+    per-class proportions need a per-class ordering (one window task
+    per class — fine for <20 classes on an operator whose MLlib fit
+    dominates anyway; ``sampleBy`` Bernoulli is the approximate
+    alternative if a class itself outgrows a task)
   * LogisticRegression(maxIter=200) with RandomForest(100 trees,
     seed 42) fallback (utility.py:138-143)
   * metrics: accuracy + weighted F1 on the holdout (utility.py:144-145)
@@ -17,9 +21,33 @@ Output: one row per dataset: (dataset, acc, f1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
+
+STRATIFY_MAX_CLASSES = 20  # reference utility.py:137
+TRAIN_FRACTION = 0.7
+
+
+def stratified_split(
+    data: DataFrame, label_col: str = "label", train_frac: float = TRAIN_FRACTION, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Exact stratified train/test split: within each class, rows are
+    ordered by a seeded uniform draw and the first round(train_frac·n_c)
+    go to train — per-class proportions are exact and deterministic per
+    seed, mirroring sklearn's ``stratify=y``. The per-class window is
+    one task per class; intended for low-cardinality targets (the only
+    case the reference stratifies)."""
+    w = Window.partitionBy(label_col).orderBy("__u")
+    cw = Window.partitionBy(label_col)
+    tagged = (
+        data.withColumn("__u", F.rand(seed))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__ntr", F.round(F.count(F.lit(1)).over(cw) * F.lit(train_frac)).cast("long"))
+    )
+    train = tagged.where(F.col("__rn") <= F.col("__ntr")).drop("__u", "__rn", "__ntr")
+    test = tagged.where(F.col("__rn") > F.col("__ntr")).drop("__u", "__rn", "__ntr")
+    return train, test
 
 
 def _null_row(spark: SparkSession, name: str) -> DataFrame:
@@ -55,7 +83,10 @@ def _evaluate_one(df: DataFrame, target: str, name: str, seed: int = 42) -> Data
     for c in feat_cols:
         data = data.withColumn(c, F.coalesce(F.col(c).cast("double"), F.lit(float(means[c] or 0.0))))
 
-    train, test = data.randomSplit([0.7, 0.3], seed=seed)
+    if n_classes < STRATIFY_MAX_CLASSES:
+        train, test = stratified_split(data, "label", TRAIN_FRACTION, seed)
+    else:
+        train, test = data.randomSplit([TRAIN_FRACTION, 1.0 - TRAIN_FRACTION], seed=seed)
     va = VectorAssembler(inputCols=feat_cols, outputCol="features")
     train_v, test_v = va.transform(train), va.transform(test)
     try:

@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from safedata_pipeline_spark.functions.vector import cosine as _cos
 from safedata_pipeline_spark.functions.vector import dot as _dot
 from safedata_pipeline_spark.functions.vector import norm as _norm
 
@@ -52,6 +53,10 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     slice — acceptable because the aggregation is per query id and
     map-side partials keep only candidate structs, not raw vectors.
     Output one row per (query_id, rank)."""
+    # undefined (zero-norm) cosines are NULL — drop them BEFORE the
+    # sort: Spark's sort_array places nulls first, which would rank a
+    # degenerate candidate at the top
+    scored = scored.where(F.col("cosine").isNotNull())
     packed = scored.select(
         "query_id",
         F.struct(
@@ -90,7 +95,7 @@ def cosine_topk(
     scored = pairs.select(
         F.col("q.query_id").alias("query_id"),
         F.col("c.id").alias("id"),
-        (_dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm"))).alias("cosine"),
+        _cos(F.col("q.v"), F.col("c.v"), F.col("q.nrm"), F.col("c.nrm")).alias("cosine"),
     )
     return _topk(scored, k)
 
@@ -212,7 +217,7 @@ def cosine_topk_ivf(
     ).select(
         F.col("q.query_id").alias("query_id"),
         F.col("c.id").alias("id"),
-        (_dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm"))).alias("cosine"),
+        _cos(F.col("q.v"), F.col("c.v"), F.col("q.nrm"), F.col("c.nrm")).alias("cosine"),
     )
     return _topk(pairs, k)
 
@@ -240,7 +245,7 @@ def cosine_topk_lsh(
         .select(
             F.col("q.query_id").alias("query_id"),
             F.col("c.id").alias("id"),
-            (_dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm"))).alias("cosine"),
+            _cos(F.col("q.v"), F.col("c.v"), F.col("q.nrm"), F.col("c.nrm")).alias("cosine"),
         )
         .dropDuplicates(["query_id", "id"])
     )

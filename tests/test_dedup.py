@@ -95,6 +95,15 @@ def test_embedding_cosine_pairs(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_embedding_cosine_zero_vector_yields_no_pair(spark):
+    # all-zero vector: cosine undefined → explicit NULL → never passes
+    # the threshold (and no divide-by-zero inf/nan on either engine)
+    rows = [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0]), (3, [0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pairs = {(r.id_a, r.id_b) for r in DD.embedding_cosine_pairs(df, threshold=0.0).collect()}
+    assert pairs == {(1, 2)}
+
+
 def test_dedup_components_chain_and_isolated(spark):
     docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id bigint")
     # chain 1-2-3 (diameter 2, needs >1 propagation round), pair 4-5, isolated 6

@@ -20,6 +20,22 @@ def test_model_utility_two_rows(spark):
     assert 0.0 <= out[1].acc <= 1.0
 
 
+def test_stratified_split_exact_per_class_proportions(spark):
+    # skewed 2-class target: 180 of class 0, 20 of class 1 — plain
+    # randomSplit would leave the minority class's train share to
+    # chance; stratified_split cuts each class at exactly round(0.7*n_c)
+    rows = [(float(i), 0.0 if i < 180 else 1.0) for i in range(200)]
+    data = spark.createDataFrame(rows, "x double, label double")
+    train, test = MU.stratified_split(data, "label", 0.7, seed=42)
+    tr = {r["label"]: r["n"] for r in train.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    te = {r["label"]: r["n"] for r in test.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert tr[0.0] == 126 and te[0.0] == 54  # round(0.7*180)
+    assert tr[1.0] == 14 and te[1.0] == 6    # round(0.7*20)
+    # split is a partition: no row lost or duplicated
+    assert train.count() + test.count() == 200
+    assert train.join(test, on="x", how="inner").count() == 0
+
+
 def test_missing_target_null_row(spark):
     df = _labeled(spark)
     out = MU.model_utility_check(df.drop("target"), df, "target").collect()
