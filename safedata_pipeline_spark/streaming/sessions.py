@@ -89,12 +89,37 @@ def user_sessions(events: DataFrame, gap_minutes: int = DEFAULT_GAP_MIN) -> Data
     )
 
 
+def _sessions_frame(rows: list[tuple]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [c[0] for c in rows],
+            "session_id": [c[1] for c in rows],
+            "session_start": [pd.Timestamp(c[2], unit="us") for c in rows],
+            "session_end": [pd.Timestamp(c[3], unit="us") for c in rows],
+            "n_events": [c[4] for c in rows],
+            "sum_value": [round(c[5], 4) for c in rows],
+        }
+    )
+
+
 def _sessionize_batches(
     key: tuple, pdfs: Iterator[pd.DataFrame], state, gap_us: int
 ) -> Iterator[pd.DataFrame]:
     """Stateful kernel: folds event batches into the open session,
-    emitting each session as soon as a later event closes it."""
+    emitting each session as soon as a later event closes it — or when
+    the event-time timeout fires (watermark passed session_end + gap),
+    which flushes the final open session instead of losing it.
+
+    Out-of-order events across micro-batches (t ≤ last seen, but above
+    the watermark) merge into the open session without moving its
+    boundaries backwards: start = min(start, t), end = max(end, t)."""
     (user_id,) = key
+    if state.hasTimedOut:
+        # watermark passed end+gap: no event can extend this session
+        sid, start_us, last_us, n, sv = state.get
+        state.remove()
+        yield _sessions_frame([(user_id, sid, start_us, last_us, n, sv)])
+        return
     if state.exists:
         sid, start_us, last_us, n, sv = state.get
     else:
@@ -110,29 +135,30 @@ def _sessionize_batches(
                 closed.append((user_id, sid, start_us, last_us, n, sv))
                 sid, start_us, last_us, n, sv = sid + 1, t_us, t_us, 1, float(value)
             else:
-                last_us, n, sv = t_us, n + 1, sv + float(value)
+                start_us = min(start_us, t_us)
+                last_us = max(last_us, t_us)
+                n, sv = n + 1, sv + float(value)
     if start_us is not None:
         state.update((sid, start_us, last_us, n, sv))
+        # flush when the watermark passes session_end + gap; must be
+        # strictly above the current watermark or Spark rejects it
+        timeout_ms = max(last_us // 1000 + gap_us // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+        state.setTimeoutTimestamp(timeout_ms)
     if closed:
-        yield pd.DataFrame(
-            {
-                "user_id": [c[0] for c in closed],
-                "session_id": [c[1] for c in closed],
-                "session_start": [pd.Timestamp(c[2], unit="us") for c in closed],
-                "session_end": [pd.Timestamp(c[3], unit="us") for c in closed],
-                "n_events": [c[4] for c in closed],
-                "sum_value": [round(c[5], 4) for c in closed],
-            }
-        )
+        yield _sessions_frame(closed)
 
 
 def stream_user_sessions(
-    events_stream: DataFrame, gap_minutes: int = DEFAULT_GAP_MIN
+    events_stream: DataFrame,
+    gap_minutes: int = DEFAULT_GAP_MIN,
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Streaming sessionization with bounded per-user state (the open
-    session only). Sessions emit when closed by a later event; the
-    final open session per user stays in state (would emit via event-
-    time timeout in a production watermark setup)."""
+    session only). Sessions emit when closed by a later event OR when
+    the event-time watermark passes session_end + gap (EventTimeTimeout)
+    — so the final open session per user is flushed, not lost, and
+    state for idle users is reclaimed. ``watermark_delay`` bounds how
+    late an event may arrive and still merge into its session."""
     gap_us = gap_minutes * 60_000_000
 
     def fn(key, pdfs, state):
@@ -140,12 +166,13 @@ def stream_user_sessions(
 
     return (
         events_stream.select("user_id", "ts", "value")
+        .withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf="NoTimeout",
+            timeoutConf="EventTimeTimeout",
         )
     )

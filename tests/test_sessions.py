@@ -50,22 +50,85 @@ def test_gap_boundary_exclusive(spark):
     assert len(out) == 2
 
 
-def test_stream_sessions_match_batch_closed_ones(spark, sf_dir, tmp_path):
+class _FakeState:
+    """Minimal GroupState stand-in for driving the kernel directly."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def test_kernel_out_of_order_across_batches_keeps_end_monotonic():
+    import pandas as pd
+
+    from safedata_pipeline_spark.streaming.sessions import _sessionize_batches
+
+    gap_us = 30 * 60_000_000
+    t0 = pd.Timestamp("2024-01-01")
+
+    def batch(*minutes):
+        return pd.DataFrame(
+            {"ts": [t0 + pd.Timedelta(minutes=m) for m in minutes], "value": [1.0] * len(minutes)}
+        )
+
+    # batch 1 reaches minute 20; batch 2 delivers a LATE minute-15 event
+    state = _FakeState()
+    list(_sessionize_batches((7,), iter([batch(0, 10, 20)]), state, gap_us))
+    list(_sessionize_batches((7,), iter([batch(15)]), state, gap_us))
+    sid, start_us, last_us, n, sv = state.get
+    assert last_us == int((t0 + pd.Timedelta(minutes=20)).value // 1000)  # end did NOT move back
+    assert start_us == int(t0.value // 1000)
+    assert n == 4 and sv == 4.0
+
+    # timeout call flushes the open session and clears state
+    out = list(_sessionize_batches((7,), iter([]), _FakeState(state.get, timed_out=True), gap_us))
+    assert len(out) == 1 and out[0].iloc[0]["n_events"] == 4
+
+
+def test_stream_sessions_match_batch_exactly(spark, sf_dir, tmp_path):
+    """Stream/batch twin: with EventTimeTimeout, the stream emits EVERY
+    session — closed ones as later events arrive, and each user's final
+    open session once the watermark passes its end + gap. A far-future
+    sentinel event (user -1) drives the watermark past everything."""
     batch = SS.user_sessions(load_table(spark, sf_dir, "events")).collect()
-    # every session except each user's last is 'closed' by a later event
-    last_per_user = {}
-    for r in batch:
-        if r.user_id not in last_per_user or r.session_id > last_per_user[r.user_id]:
-            last_per_user[r.user_id] = r.session_id
     expected = {
         (r.user_id, r.session_id, r.session_start, r.session_end, r.n_events)
         for r in batch
-        if r.session_id != last_per_user[r.user_id]
     }
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events*.parquet").schema
-    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+    raw = spark.read.parquet(f"{sf_dir}/events*.parquet").select("user_id", "ts", "value")
+    max_ns = raw.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ns + 10 * 86400 * 10**9, 0.0)], "user_id bigint, ts bigint, value double"
+    )
+    src = str(tmp_path / "ev")
+    raw.unionByName(sentinel).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
     stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     q = (
         SS.stream_user_sessions(stream)
@@ -79,6 +142,7 @@ def test_stream_sessions_match_batch_closed_ones(spark, sf_dir, tmp_path):
     got = {
         (r.user_id, r.session_id, r.session_start, r.session_end, r.n_events)
         for r in spark.table("t_sessions").collect()
+        if r.user_id != -1
     }
     assert got == expected
     assert len(got) > 0
