@@ -25,29 +25,37 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
-HTML_TEMPLATE = """<html>
-<head><meta charset='utf-8'><title>SafeData Spark Report</title>
-<style>
-body {{ font-family: Arial, sans-serif; margin: 24px; }}
-h1, h2, h3 {{ color: #163; }}
-table {{ border-collapse: collapse; width: 100%; margin: 12px 0; }}
-th, td {{ border: 1px solid #ccc; padding: 6px 8px; text-align: left; }}
-.small {{ color: #666; font-size: 12px; }}
-</style>
-</head>
-<body>
-<h1>SafeData Pipeline Report (Spark engine)</h1>
-<p class='small'>Generated: {generated}</p>
-<h2>Run Summary</h2>
-<pre>{summary}</pre>
-<h2>Risk Assessment</h2>
-<pre>{risk_summary}</pre>
-<h2>Utility Metrics</h2>
-{utility_tables}
-<h2>Compliance Checklist</h2>
-{compliance_table}
-</body></html>
-"""
+# Report sections match the reference's report (reporting.py:5-28):
+# Run Summary, Risk Assessment, Utility Metrics, Compliance Checklist.
+# The document itself is assembled programmatically with our own
+# structure and styling — section parity, not template parity.
+_CSS = "\n".join(
+    [
+        ":root { --ink: #1a2b22; --line: #d8dee3; --dim: #7a8288; }",
+        "body { font: 14px/1.5 system-ui, sans-serif; color: var(--ink);",
+        "       max-width: 60rem; margin: 2rem auto; padding: 0 1rem; }",
+        "section { margin-bottom: 1.5rem; }",
+        "h1 { border-bottom: 2px solid var(--ink); padding-bottom: .3rem; }",
+        "table { border-collapse: collapse; min-width: 50%; }",
+        "td, th { border-bottom: 1px solid var(--line); padding: .3rem .8rem; }",
+        "thead th { border-bottom-width: 2px; text-align: left; }",
+        "pre { background: #f6f7f8; padding: .8rem; overflow-x: auto; }",
+        ".meta { color: var(--dim); font-size: .85em; }",
+    ]
+)
+
+
+def _html_doc(title: str, meta_line: str, sections: list[tuple[str, str]]) -> str:
+    """Assemble the report document from (heading, body-html) sections."""
+    body = [f"<h1>{title}</h1>", f"<p class='meta'>{meta_line}</p>"]
+    body += [f"<section>\n<h2>{h}</h2>\n{b}\n</section>" for h, b in sections]
+    return (
+        "<!doctype html>\n<html lang='en'>\n<head>\n<meta charset='utf-8'>\n"
+        f"<title>{title}</title>\n<style>\n{_CSS}\n</style>\n</head>\n<body>\n"
+        + "\n".join(body)
+        + "\n</body>\n</html>\n"
+    )
+
 
 MAX_REPORT_ROWS = 1000  # hard cap: report tables must be aggregates
 
@@ -68,16 +76,17 @@ def save_html_report(
     util_tables: dict[str, DataFrame],
     compliance_df: DataFrame,
 ) -> str:
-    util_html = ""
-    for name, df in util_tables.items():
-        util_html += f"<h3>{name}</h3>" + df_to_html(df)
-    html = HTML_TEMPLATE.format(
-        generated=str(datetime.datetime.now(datetime.timezone.utc)),
-        summary=json.dumps(summary, indent=2, default=str),
-        risk_summary=json.dumps(risk_summary, indent=2, default=str),
-        utility_tables=util_html,
-        compliance_table=df_to_html(compliance_df),
+    util_html = "\n".join(
+        f"<h3>{name}</h3>\n{df_to_html(df)}" for name, df in util_tables.items()
     )
+    sections = [
+        ("Run Summary", f"<pre>{json.dumps(summary, indent=2, default=str)}</pre>"),
+        ("Risk Assessment", f"<pre>{json.dumps(risk_summary, indent=2, default=str)}</pre>"),
+        ("Utility Metrics", util_html),
+        ("Compliance Checklist", df_to_html(compliance_df)),
+    ]
+    stamp = f"Generated {datetime.datetime.now(datetime.timezone.utc).isoformat()}"
+    html = _html_doc("SafeData Pipeline Report (Spark engine)", stamp, sections)
     with open(path, "w", encoding="utf-8") as f:
         f.write(html)
     return path
@@ -85,11 +94,14 @@ def save_html_report(
 
 def try_make_pdf(html_path: str, pdf_path: str) -> str | None:
     """Best-effort text PDF; None when reportlab/bs4 are missing
-    (reporting.py:51-64 parity — the import guard IS the behavior)."""
+    (reporting.py:51-64 parity — the import guard IS the behavior).
+    Rendering uses platypus flowables (wrapping + pagination handled by
+    the layout engine), not a manual canvas cursor."""
     try:
         from bs4 import BeautifulSoup  # noqa: F401
         from reportlab.lib.pagesizes import A4
-        from reportlab.pdfgen import canvas
+        from reportlab.lib.styles import getSampleStyleSheet
+        from reportlab.platypus import Paragraph, SimpleDocTemplate, Spacer
     except Exception:
         return None
     try:
@@ -97,16 +109,15 @@ def try_make_pdf(html_path: str, pdf_path: str) -> str | None:
             text = BeautifulSoup(f.read(), "html.parser").get_text("\n")
     except Exception:
         text = "SafeData Report (text fallback)."
-    c = canvas.Canvas(pdf_path, pagesize=A4)
-    _, height = A4
-    x, y = 40, height - 40
-    for line in text.split("\n"):
-        if y < 40:
-            c.showPage()
-            y = height - 40
-        c.drawString(x, y, line[:110])
-        y -= 14
-    c.save()
+
+    from xml.sax.saxutils import escape
+
+    style = getSampleStyleSheet()["BodyText"]
+    story: list[Any] = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        story.append(Paragraph(escape(line), style) if line else Spacer(1, 6))
+    SimpleDocTemplate(pdf_path, pagesize=A4).build(story)
     return pdf_path
 
 
