@@ -54,6 +54,49 @@ def test_pipeline_with_suggestions_and_synthesis(spark, sf_dir):
     assert synth.columns == anon.columns
 
 
+def test_reference_demo_csv_pipeline_parity(spark, tmp_path):
+    """Pin the 6-step flow to the reference's own demo fixture pair
+    (reference app.py:139-147): sample_anon is sample_real minus the
+    direct identifier, so exact linkage must be near-certain, the
+    protect chain must transform the suggested quasi-ids, and the
+    report must render every section."""
+    from safedata_pipeline_spark.sources.csv import read_csv
+
+    real = read_csv(spark, "/root/reference/sample_real.csv").withColumn(
+        "row_id", F.monotonically_increasing_id()
+    )
+    anon = read_csv(spark, "/root/reference/sample_anon.csv").withColumn(
+        "row_id", F.monotonically_increasing_id()
+    )
+    assert dict(real.dtypes)["age"] in ("int", "bigint")  # S1 inferred schema
+    assert dict(real.dtypes)["income"] == "double"
+
+    p = SafedataPipeline(spark).load(real, anon)
+    # quasi-ids = reference QUASI_ID_SUGGESTIONS ∩ columns (risk.py:8)
+    risk = p.assess_risk(["age", "gender", "pincode", "income"], "row_id")
+    # anon rows are byte-identical on quasi-ids → linkage is certain
+    assert risk["overall_risk"] > 0.9
+
+    protected = p.protect(
+        sdc_cols=["gender"], generalize_cols=["income"], dp_cols=["age"]
+    )
+    assert protected.count() == 200
+    assert dict(protected.dtypes)["income"] == "string"  # binned labels
+
+    tables = p.measure_utility(target="target")
+    assert set(tables) == {"profile_before", "profile_after", "drift", "model_utility"}
+    drift_rows = {r.column: r for r in tables["drift"].collect()}
+    assert drift_rows["age"].ks_stat is not None and drift_rows["age"].ks_stat > 0
+    mu = {r.dataset: r for r in tables["model_utility"].collect()}
+    assert mu["original"].acc is not None
+
+    p.compliance({"pii_identified"})
+    html = p.report(str(tmp_path / "demo.html"))
+    content = open(html).read()
+    for section in ("Run Summary", "Risk Assessment", "Utility Metrics", "Compliance Checklist"):
+        assert section in content
+
+
 def test_pdf_gated_without_reportlab(spark, tmp_path):
     from safedata_pipeline_spark import reporting as REP
 
