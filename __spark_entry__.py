@@ -309,6 +309,15 @@ def _q_dedup_components(spark, sf):
     return DD.dedup_components(docs, pairs)
 
 
+def _q_dedup_components_star(spark, sf):
+    """Large-star/small-star variant — deterministic, so it shares
+    dedup_components' oracle (same (doc_id, comp_id, is_canonical)
+    contract; only the convergence schedule differs)."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return DD.dedup_components_star(docs, pairs)
+
+
 def _q_minhash_signatures(spark, sf):
     return DD.minhash_signatures(load_table(spark, sf, "documents"), num_hashes=16, n=3)
 
@@ -460,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_components": _q_dedup_components,
+        "dedup_components_star": _q_dedup_components_star,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
@@ -1186,6 +1196,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _sql_dedup_exact(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "dedup_components": _sql_dedup_components(),
+        "dedup_components_star": _sql_dedup_components(),
         "minhash_signatures": _sql_minhash_signatures(16),
         # banded LSH is md5-deterministic end to end — oracle-checked
         # even though it's the "approximate" path

@@ -326,6 +326,78 @@ def embedding_cosine_pairs(
     )
 
 
+def dedup_components_star(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the deep-diameter variant of ``dedup_components``.
+
+    Plain min-label propagation needs O(diameter) rounds; the star
+    operations contract paths so convergence is O(log² n) rounds even
+    for chain-shaped components. Use this when duplicate clusters are
+    NOT near-cliques (e.g. transitive chains from asof/threshold
+    pairing). Same output contract as ``dedup_components``:
+    (doc_id, comp_id, is_canonical).
+
+    Each operation is a groupBy-min + equi-join — no per-node neighbor
+    lists are ever collected, so giant stars don't OOM a task. Edge
+    frames are localCheckpoint'ed per round (auto-released on GC).
+    """
+    # undirected edge set, kept as (u, v); self-loops dropped
+    e = (
+        pairs.select(F.col("id_a").cast("bigint").alias("u"), F.col("id_b").cast("bigint").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # large-star: connect every neighbor v > u to m(u) = min(N(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("m"))
+        large = (
+            sym.join(m, on="u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+        # small-star: orient (u = max, v = min); connect u and all its
+        # smaller neighbors to m(u) = min of those neighbors
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        sm = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(sm, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(sm.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        # converged when the star rounds stop rewriting the edge set
+        if small.count() == e.count() and small.exceptAll(e).limit(1).count() == 0:
+            e = small
+            break
+        e = small
+    comp = e.groupBy("u").agg(F.min("v").alias("comp"))
+    labels = (
+        docs.select(F.col(id_col).cast("bigint").alias("id"))
+        .join(comp, on=F.col("id") == F.col("u"), how="left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    )
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("comp").alias("comp_id"),
+        (F.col("comp") == F.col("id")).alias("is_canonical"),
+    )
+
+
 def dedup_components(
     docs: DataFrame,
     pairs: DataFrame,

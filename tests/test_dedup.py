@@ -95,6 +95,38 @@ def test_embedding_cosine_pairs(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_star_components_equal_propagation_on_deep_chain(spark):
+    import random
+
+    rng = random.Random(11)
+    ids = list(range(1, 16))
+    rng.shuffle(ids)
+    # planted deep chain (diameter 14) + pair + isolated node
+    chain = [(min(a, b), max(a, b), 0.9) for a, b in zip(ids, ids[1:])]
+    extra = [(20, 21, 0.8)]
+    docs = spark.createDataFrame([(i,) for i in ids + [20, 21, 22]], "doc_id bigint")
+    pairs = spark.createDataFrame(chain + extra, "id_a bigint, id_b bigint, jaccard double")
+
+    prop = {r.doc_id: (r.comp_id, r.is_canonical) for r in DD.dedup_components(docs, pairs).collect()}
+    star = {r.doc_id: (r.comp_id, r.is_canonical) for r in DD.dedup_components_star(docs, pairs).collect()}
+    assert star == prop
+    assert star[22] == (22, True)
+    assert all(star[i][0] == 1 for i in ids)
+
+
+def test_star_components_converge_on_long_chain(spark):
+    # 60-node chain: plain propagation would need 59 rounds; the star
+    # alternation contracts it within its default budget
+    n = 60
+    docs = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(1, n)], "id_a bigint, id_b bigint, jaccard double"
+    )
+    out = DD.dedup_components_star(docs, pairs).collect()
+    assert all(r.comp_id == 1 for r in out)
+    assert sum(r.is_canonical for r in out) == 1
+
+
 def test_embedding_cosine_zero_vector_yields_no_pair(spark):
     # all-zero vector: cosine undefined → explicit NULL → never passes
     # the threshold (and no divide-by-zero inf/nan on either engine)
