@@ -19,10 +19,11 @@ expression", so chaining sdc → generalize → noise stays one job at the
 sink instead of the reference's materialized ``df.copy()`` per step.
 
 Scale notes:
-  * rare-value suppression joins the per-column count table instead of
-    collecting an ``isin`` list — the count table for a 100 TB string
-    column can itself be huge; Spark broadcasts it only when small (AQE
-    decides), otherwise it's a shuffle join on the value.
+  * rare-value suppression fits all columns' rare sets in ONE melted
+    count pass (``sdc_rare_values``) and applies them as a map-side
+    CASE — no join or shuffle in the row pass regardless of column
+    count. Where the rare set is itself data-sized (near-unique IDs),
+    ``sdc_suppress_join`` trades the collect for three shuffles.
   * ``generalize_numeric`` collects only the ≤(bins+1) edge values to
     the driver and bins with a whole-stage-codegen CASE chain — no join
     in the row pass. ``exact=False`` switches the edge computation to
@@ -56,23 +57,119 @@ def _string_cols(df: DataFrame, cols: list[str]) -> list[str]:
 # PR1 — SDC rare-category suppression
 # ---------------------------------------------------------------------------
 
-def sdc_suppress(df: DataFrame, cols: list[str], threshold: int = 5, other: str = "OTHER") -> DataFrame:
+def sdc_rare_values(
+    df: DataFrame, cols: list[str], threshold: int = 5
+) -> dict[str, set[str | None]]:
+    """Fit step for ``sdc_suppress``: per-column sets of values occurring
+    fewer than ``threshold`` times, computed in ONE pass over the input.
+
+    All suppression columns melt through a single ``unpivot`` (one scan,
+    one shuffle of the melted (column, value) cells) instead of one
+    count subquery per column — at k columns the old shape cost k scans
+    and k shuffles. Null groups are counted like any other value
+    (``value_counts(dropna=False)`` parity, privacy.py:4-11), so ``None``
+    can appear in a returned set.
+
+    The collected sets are fit parameters, same class as ``one_hot``'s
+    category list or ``quantile_edges``: driver memory is O(rare
+    values), fine for the categorical columns suppression targets. For
+    columns where the rare set itself is data-sized (near-unique IDs),
+    use ``sdc_suppress_join`` which never collects.
+    """
+    scols = _string_cols(df, cols)
+    if not scols:
+        return {}
+    melted = df.select(*scols).unpivot([], scols, "__sdc_name", "__sdc_value")
+    rare = (
+        melted.groupBy("__sdc_name", "__sdc_value")
+        .agg(F.count(F.lit(1)).alias("__sdc_cnt"))
+        .where(F.col("__sdc_cnt") < threshold)
+        .select("__sdc_name", "__sdc_value")
+        .collect()
+    )
+    out: dict[str, set[str | None]] = {c: set() for c in scols}
+    for r in rare:
+        out[r["__sdc_name"]].add(r["__sdc_value"])
+    return out
+
+
+def sdc_suppress(
+    df: DataFrame,
+    cols: list[str],
+    threshold: int = 5,
+    other: str = "OTHER",
+    rare: dict[str, set[str | None]] | None = None,
+) -> DataFrame:
     """Replace category values occurring < threshold times with ``other``.
 
     Parity (privacy.py:4-11): counts include the null group
     (``value_counts(dropna=False)``); a rare null group is suppressed to
     ``other`` too, a frequent null group stays null. Non-string columns
     in ``cols`` are ignored, like the reference's dtype guard.
+
+    Plan shape: one fused count pass (``sdc_rare_values``) and then a
+    pure map-side CASE over the rows — no join and no shuffle in the
+    row pass, whole-stage codegen end to end, independent of how many
+    columns are suppressed. Pass a precomputed ``rare`` dict to apply
+    one fit to several frames (e.g. suppress a holdout with the
+    training frame's counts).
     """
-    for c in _string_cols(df, cols):
-        counts = df.groupBy(c).agg(F.count(F.lit(1)).alias(f"__cnt_{c}"))
-        df = (
-            df.join(counts, on=df[c].eqNullSafe(counts[c]), how="left")
-            .drop(counts[c])
-            .withColumn(c, F.when(F.col(f"__cnt_{c}") < threshold, F.lit(other)).otherwise(F.col(c)))
-            .drop(f"__cnt_{c}")
-        )
+    scols = _string_cols(df, cols)
+    if not scols:
+        return df
+    if rare is None:
+        rare = sdc_rare_values(df, scols, threshold)
+    for c in scols:
+        vals = rare.get(c, set())
+        lits = sorted(v for v in vals if v is not None)
+        cond = F.col(c).isin(lits) if lits else F.lit(False)
+        if None in vals:
+            cond = cond | F.col(c).isNull()
+        df = df.withColumn(c, F.when(cond, F.lit(other)).otherwise(F.col(c)))
     return df
+
+
+def sdc_suppress_join(
+    df: DataFrame, cols: list[str], threshold: int = 5, other: str = "OTHER"
+) -> DataFrame:
+    """100 TB twin of ``sdc_suppress`` for columns whose rare-value set
+    is itself data-sized (near-unique IDs): nothing is collected to the
+    driver and nothing is broadcast.
+
+    Shape: tag rows with a transient id, melt the suppression columns
+    once (one scan), count cells per (column, value) with an unordered
+    window over the melted shuffle, keep the rare cells, fold them to a
+    per-row set of suppressed column names, and join that (usually tiny)
+    set back on the row id. Three shuffles total, independent of the
+    number of columns — versus one full-table shuffle per column in a
+    join-per-column shape.
+
+    The transient id is ``monotonically_increasing_id`` over the input
+    scan; both uses re-execute the same deterministic plan, so the ids
+    agree. Feed it deterministic inputs (files, not fresh ``rand``).
+    """
+    from pyspark.sql.window import Window
+
+    scols = _string_cols(df, cols)
+    if not scols:
+        return df
+    rid = "__sdc_rid"
+    dfi = df.withColumn(rid, F.monotonically_increasing_id())
+    melted = dfi.select(rid, *scols).unpivot([rid], scols, "__sdc_name", "__sdc_value")
+    w = Window.partitionBy("__sdc_name", "__sdc_value")
+    rare_cells = (
+        melted.withColumn("__sdc_cnt", F.count(F.lit(1)).over(w))
+        .where(F.col("__sdc_cnt") < threshold)
+        .groupBy(rid)
+        .agg(F.collect_set("__sdc_name").alias("__sdc_hit"))
+    )
+    out = dfi.join(rare_cells, on=rid, how="left")
+    for c in scols:
+        out = out.withColumn(
+            c,
+            F.when(F.array_contains(F.col("__sdc_hit"), c), F.lit(other)).otherwise(F.col(c)),
+        )
+    return out.drop(rid, "__sdc_hit")
 
 
 # ---------------------------------------------------------------------------

@@ -45,12 +45,29 @@ def test_protect_chain_stays_codegen(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
-def test_sdc_suppress_broadcasts_count_table(spark, sf_dir):
+def test_sdc_suppress_row_pass_is_join_free(spark, sf_dir):
+    # fit = one fused count pass; apply = pure CASE — the returned
+    # frame's plan must have no join and no exchange, however many
+    # columns are suppressed
     out = PR.sdc_suppress(
-        load_table(spark, sf_dir, "customer"), ["c_mktsegment"], threshold=5
+        load_table(spark, sf_dir, "customer"),
+        ["c_mktsegment", "c_name"],
+        threshold=5,
     )
     plan = plans.formatted_plan(out)
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_sdc_rare_values_is_one_scan(spark, sf_dir):
+    import re
+
+    cust = load_table(spark, sf_dir, "customer")
+    melted = cust.select("c_mktsegment", "c_name").unpivot(
+        [], ["c_mktsegment", "c_name"], "__sdc_name", "__sdc_value"
+    )
+    counts = melted.groupBy("__sdc_name", "__sdc_value").count()
+    plan = plans.formatted_plan(counts)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
 
 
 def test_knn_broadcasts_real_side(spark, sf_dir):

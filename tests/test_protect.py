@@ -26,6 +26,37 @@ def test_sdc_suppress_ignores_non_string(spark):
     assert PR.sdc_suppress(df, ["x"], 5).collect() == df.collect()
 
 
+def test_sdc_suppress_multi_column_one_fit(spark):
+    df = spark.createDataFrame(
+        [("a", "x")] * 6 + [("b", "x")] * 2 + [("a", None)] * 1,
+        "s string, t string",
+    )
+    rare = PR.sdc_rare_values(df, ["s", "t"], threshold=5)
+    assert rare == {"s": {"b"}, "t": {None}}
+    got = PR.sdc_suppress(df, ["s", "t"], threshold=5, rare=rare).collect()
+    assert sorted((r.s, r.t) for r in got) == sorted(
+        [("a", "x")] * 6 + [("OTHER", "x")] * 2 + [("a", "OTHER")] * 1
+    )
+
+
+def test_sdc_suppress_join_matches_fit_apply(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice(["a", "b", "c", "rare1", "rare2", None]),
+         rng.choice(["x", "y", None]))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "s string, t string")
+    key = lambda t: tuple("" if v is None else "\x01" + v for v in t)
+    a = sorted(map(tuple, PR.sdc_suppress(df, ["s", "t"], threshold=20).collect()), key=key)
+    b = sorted(
+        map(tuple, PR.sdc_suppress_join(df, ["s", "t"], threshold=20).collect()), key=key
+    )
+    assert a == b
+
+
 def test_generalize_numeric_labels_and_membership(spark):
     df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
     out = PR.generalize_numeric(df, ["x"], bins=4)
