@@ -90,12 +90,9 @@ def _q_row_count(spark, sf):
     return P.row_count(load_table(spark, sf, "lineitem"))
 
 
-def _q_group_count(spark, sf):
-    return P.group_count(load_table(spark, sf, "orders"), "o_orderpriority")
-
-
-def _q_group_freq_norm(spark, sf):
-    return P.group_freq_norm(load_table(spark, sf, "orders"), "o_orderpriority")
+def _q_value_counts(spark, sf):
+    # A1 + A2 in one result: per-value count and normalized frequency
+    return P.value_counts(load_table(spark, sf, "orders"), "o_orderpriority")
 
 
 def _q_null_profile(spark, sf):
@@ -229,20 +226,34 @@ def _q_linkage_risk_score(spark, sf):
 # --- extension surface: text / dedup / similarity / multimodal / events ---
 
 
-def _q_token_count(spark, sf):
-    return TX.token_count(load_table(spark, sf, "documents"))
+def _q_text_profile(spark, sf):
+    # token_count ∪ lang_id ∪ doc_fingerprint, fused into one scan
+    return TX.text_profile(load_table(spark, sf, "documents"))
 
 
 def _q_quality_score(spark, sf):
     return TX.quality_score(load_table(spark, sf, "documents"))
 
 
-def _q_lang_id(spark, sf):
-    return TX.lang_id(load_table(spark, sf, "documents"))
+def _q_repetition_stats(spark, sf):
+    return TX.repetition_stats(load_table(spark, sf, "documents"))
 
 
-def _q_doc_fingerprint(spark, sf):
-    return TX.doc_fingerprint(load_table(spark, sf, "documents"))
+def _q_corpus_stats(spark, sf):
+    return TX.corpus_stats(load_table(spark, sf, "documents"), group_col="source")
+
+
+def _q_paragraph_dedup(spark, sf):
+    # fixtures carry no newlines, so dedup at word granularity — the
+    # mechanics (global first-occurrence window + ordered reassembly)
+    # are separator-independent
+    return DD.paragraph_dedup(load_table(spark, sf, "documents"), sep=" ")
+
+
+def _q_pack_sequences(spark, sf):
+    from safedata_pipeline_spark.operators import pack as PK
+
+    return PK.pack_sequences(load_table(spark, sf, "documents"), budget=256, buckets=8)
 
 
 def _q_tfidf_top_terms(spark, sf):
@@ -334,6 +345,17 @@ def _q_simhash(spark, sf):
 
 def _q_embedding_cosine_dedup(spark, sf):
     return DD.embedding_cosine_pairs(load_table(spark, sf, "embeddings"), threshold=0.4)
+
+
+def _q_simhash_pairs(spark, sf):
+    return DD.simhash_pairs(
+        load_table(spark, sf, "documents"), bits=32, bands=4, max_hamming=3
+    )
+
+
+def _q_embedding_centroids(spark, sf):
+    # long form: flat-typed columns survive the driver's value compare
+    return SIM.embedding_centroids(load_table(spark, sf, "embeddings"), packed=False)
 
 
 def _q_ann_cosine_topk(spark, sf):
@@ -437,8 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "limit_preview": _q_limit_preview,
         "project_quasi_ids": _q_project_quasi_ids,
         "row_count": _q_row_count,
-        "group_count": _q_group_count,
-        "group_freq_norm": _q_group_freq_norm,
+        "value_counts": _q_value_counts,
         "null_profile": _q_null_profile,
         "distinct_count": _q_distinct_count,
         "numeric_profile": _q_numeric_profile,
@@ -456,10 +477,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_hot": _q_one_hot,
         "knn_linkage_join": _q_knn_linkage_join,
         "linkage_risk_score": _q_linkage_risk_score,
-        "token_count": _q_token_count,
+        "text_profile": _q_text_profile,
         "quality_score": _q_quality_score,
-        "lang_id": _q_lang_id,
-        "doc_fingerprint": _q_doc_fingerprint,
+        "repetition_stats": _q_repetition_stats,
+        "corpus_stats": _q_corpus_stats,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "pack_sequences": _q_pack_sequences,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "quality_filter": _q_quality_filter,
         "pricing_summary": _q_pricing_summary,
@@ -483,8 +506,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_json": _q_events_json,
         "user_sessions": _q_user_sessions,
-        # --- rows-only entries (no oracle_sql) go LAST: the driver's
-        # correctness matrix records at most 50 rows, and these carry no
+        # --- past the driver's 50-row correctness window from here on.
+        # These two ARE oracle-backed (tools/check_oracle.py verifies
+        # them locally, same hash compare) but the matrix is full; they
+        # sit here rather than displace a reference-parity query.
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_centroids": _q_embedding_centroids,
+        # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
         "synthetic_sample": _q_synthetic_sample,
@@ -839,6 +867,86 @@ def _sql_doc_fingerprint() -> str:
     )
 
 
+def _sql_text_profile() -> str:
+    return (
+        f"WITH tc AS ({_sql_token_count()}), li AS ({_sql_lang_id()}), "
+        f"fp AS ({_sql_doc_fingerprint()}) "
+        "SELECT tc.doc_id, tc.n_ws_tokens, tc.n_regex_tokens, li.lang_guess, "
+        "li.hits_en, li.hits_de, li.hits_fr, li.hits_es, fp.content_md5, fp.min_shingle_md5 "
+        "FROM tc JOIN li USING (doc_id) JOIN fp USING (doc_id)"
+    )
+
+
+def _sql_repetition_stats() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, "
+        "CASE WHEN trim(lower(text)) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w, "
+        "list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ln FROM documents), "
+        "base AS (SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS nwd, "
+        "len(ln) AS nl, len(list_distinct(ln)) AS nld, "
+        "list_sum(list_transform(w, x -> length(x))) AS sl FROM d), "
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), "
+        "i -> w[i] || ' ' || w[i + 1])) AS bg FROM d WHERE len(w) >= 2), "
+        "cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg), "
+        "top AS (SELECT doc_id, bg, c, sum(c) OVER (PARTITION BY doc_id) AS total, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn FROM cnt) "
+        "SELECT b.doc_id, CAST(b.nw AS BIGINT) AS n_words, "
+        "CAST(b.nwd AS BIGINT) AS n_distinct_words, "
+        "CASE WHEN b.nw > 0 THEN round(1.0 - CAST(b.nwd AS DOUBLE) / b.nw, 6) END AS dup_word_fraction, "
+        "CAST(b.nl AS BIGINT) AS n_lines, CAST(b.nld AS BIGINT) AS n_distinct_lines, "
+        "CASE WHEN b.nl > 0 THEN round(1.0 - CAST(b.nld AS DOUBLE) / b.nl, 6) END AS dup_line_fraction, "
+        "CASE WHEN b.nw > 0 THEN round(CAST(b.sl AS DOUBLE) / b.nw, 6) END AS mean_word_length, "
+        "t.bg AS top_bigram, CAST(t.c AS BIGINT) AS top_bigram_count, "
+        "round(CAST(t.c AS DOUBLE) / t.total, 6) AS top_bigram_fraction "
+        "FROM base b LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)"
+    )
+
+
+def _sql_corpus_stats() -> str:
+    return (
+        f"WITH q AS ({_sql_quality_score()}), "
+        "b AS (SELECT doc_id, source, lang, CAST(len(CASE WHEN trim(text) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END) AS BIGINT) AS n_toks FROM documents) "
+        "SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(b.n_toks) AS BIGINT) AS total_ws_tokens, "
+        "CAST(count(DISTINCT b.lang) AS BIGINT) AS n_langs, "
+        "round(CAST(sum(CAST(q.quality AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_quality "
+        "FROM b JOIN q USING (doc_id) GROUP BY b.source"
+    )
+
+
+def _sql_paragraph_dedup(sep: str) -> str:
+    return (
+        f"WITH f AS (SELECT doc_id, list_filter(list_transform(string_split(text, '{sep}'), "
+        "x -> trim(x)), x -> x <> '') AS us FROM documents), "
+        "u AS (SELECT doc_id, unnest(us) AS unit, unnest(range(1, len(us) + 1)) AS pos FROM f), "
+        "k AS (SELECT doc_id, pos, unit FROM (SELECT doc_id, pos, unit, "
+        "row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rn FROM u) WHERE rn = 1), "
+        f"r AS (SELECT doc_id, string_agg(unit, '{sep}' ORDER BY pos) AS text_dedup, "
+        "count(*) AS n_kept FROM k GROUP BY doc_id) "
+        "SELECT f.doc_id, coalesce(r.text_dedup, '') AS text_dedup, "
+        "CAST(len(f.us) AS BIGINT) AS n_units, "
+        "CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept "
+        "FROM f LEFT JOIN r USING (doc_id)"
+    )
+
+
+def _sql_pack_sequences(budget: int, buckets: int) -> str:
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "CAST(CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
+        f"% {buckets} AS BIGINT) AS bucket, "
+        "CAST(len(CASE WHEN trim(text) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END) AS BIGINT) AS n_tokens FROM documents), "
+        "c AS (SELECT doc_id, bucket, n_tokens, "
+        "CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset FROM t) "
+        "SELECT doc_id, bucket, n_tokens, start_offset, "
+        f"CAST(floor(start_offset / {float(budget)}) AS BIGINT) AS pack_no FROM c"
+    )
+
+
 def _sql_tfidf_top_terms(top_k: int) -> str:
     return (
         "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
@@ -963,6 +1071,35 @@ def _sql_simhash(bits: int = 32) -> str:
         f"packed AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes) "
         "SELECT toks.doc_id, CAST(coalesce(packed.simhash, 0) AS BIGINT) AS simhash "
         "FROM toks LEFT JOIN packed ON toks.doc_id = packed.doc_id"
+    )
+
+
+def _sql_simhash_pairs(bits: int, bands: int, max_hamming: int) -> str:
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = " UNION ALL ".join(
+        f"SELECT doc_id AS id, simhash, {i} AS band, "
+        f"(simhash >> {i * band_bits}) & {mask} AS band_key FROM sig"
+        for i in range(bands)
+    )
+    return (
+        f"WITH sig AS ({_sql_simhash(bits)}), "
+        f"banded AS ({banded}) "
+        "SELECT DISTINCT a.id AS id_a, b.id AS id_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        "FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key "
+        "AND a.id < b.id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+    )
+
+
+def _sql_embedding_centroids() -> str:
+    return (
+        "WITH ex AS (SELECT label, unnest(embedding::DOUBLE[]) AS x, "
+        "unnest(range(0, len(embedding))) AS dim FROM embeddings) "
+        "SELECT label, CAST(dim AS BIGINT) AS dim, "
+        "round(CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS centroid_val, "
+        "CAST(count(*) AS BIGINT) AS n_vectors FROM ex GROUP BY label, dim"
     )
 
 
@@ -1128,9 +1265,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "project_quasi_ids": "SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal FROM customer",
         "row_count": "SELECT count(*) AS n_rows FROM lineitem",
-        "group_count": "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority",
-        "group_freq_norm": (
-            "SELECT o_orderpriority, round(cnt / sum(cnt) OVER (), 6) AS freq "
+        "value_counts": (
+            "SELECT o_orderpriority, cnt, round(cnt / sum(cnt) OVER (), 6) AS freq "
             "FROM (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY o_orderpriority)"
         ),
         "null_profile": _sql_null_profile("customer", CUSTOMER_COLS),
@@ -1165,10 +1301,12 @@ def oracle_sql() -> dict[str, str]:
         "knn_linkage_join": _sql_knn_linkage_join(),
         "linkage_risk_score": _sql_linkage_risk_score(),
         # model_utility is randomized (split + noise) → rows-only check
-        "token_count": _sql_token_count(),
+        "text_profile": _sql_text_profile(),
         "quality_score": _sql_quality_score(),
-        "lang_id": _sql_lang_id(),
-        "doc_fingerprint": _sql_doc_fingerprint(),
+        "repetition_stats": _sql_repetition_stats(),
+        "corpus_stats": _sql_corpus_stats(),
+        "paragraph_dedup": _sql_paragraph_dedup(" "),
+        "pack_sequences": _sql_pack_sequences(256, 8),
         "tfidf_top_terms": _sql_tfidf_top_terms(5),
         "quality_filter": _sql_quality_filter(0.5),
         "pricing_summary": (
@@ -1204,6 +1342,8 @@ def oracle_sql() -> dict[str, str]:
         # ann_cosine_topk_lsh/_ivf stay rows-only: float GEMM sign/argmin
         # ordering is not reproducible across engines
         "simhash": _sql_simhash(32),
+        "simhash_pairs": _sql_simhash_pairs(32, 4, 3),
+        "embedding_centroids": _sql_embedding_centroids(),
         "embedding_cosine_dedup": _sql_embedding_cosine_dedup(0.4),
         "ann_cosine_topk": _sql_ann_cosine_topk(5),
         "asof_last_click": _sql_asof_last_click(),

@@ -28,7 +28,7 @@ from safedata_pipeline_spark.session import get_spark
 HEADLINE = [
     "basic_stats",
     "pricing_summary",
-    "group_count",
+    "value_counts",
     "numeric_profile",
     "sdc_suppress",
     "generalize_numeric",
@@ -42,12 +42,14 @@ HEADLINE = [
     "knn_linkage_join",
     "linkage_risk_score",
     "synthetic_sample",
-    "token_count",
+    "text_profile",
     "quality_score",
-    "lang_id",
-    "doc_fingerprint",
+    "repetition_stats",
+    "corpus_stats",
     "tfidf_top_terms",
     "quality_filter",
+    "paragraph_dedup",
+    "pack_sequences",
     "contamination_scan",
     "pii_scan",
     "pii_redact",
@@ -57,7 +59,9 @@ HEADLINE = [
     "minhash_signatures",
     "minhash_lsh",
     "simhash",
+    "simhash_pairs",
     "embedding_cosine_dedup",
+    "embedding_centroids",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
@@ -94,7 +98,7 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
 
     # warm-up (JVM, codegen, parquet footer caches)
-    qs["group_count"](spark, sf_dir).collect()
+    qs["value_counts"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -294,6 +294,77 @@ def simhash_signatures(
     return df.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming`` —
+    the pair-generation step for the SimHash family (Manku et al. 2007,
+    "Detecting Near-Duplicates for Web Crawling" — the public Google
+    web-dedup paper; its table-of-rotations becomes a band equi-join
+    here).
+
+    By pigeonhole, two signatures within Hamming distance d agree on at
+    least one of d+1 disjoint bit blocks — so candidates come from an
+    equi-join on (band index, band bits), never an all-pairs scan, and
+    with ``bands`` > ``max_hamming`` the result is EXACT for the given
+    signatures. The final Hamming filter is a bit-count over XOR.
+
+    Scale: |docs|·bands shuffle rows of (int, int, id); collisions per
+    band bucket are the only quadratic term (same profile as MinHash
+    LSH). Everything md5-derived — oracle-reproducible in any engine
+    with xor + bit_count.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) for the "
+            "pigeonhole band join to be exact"
+        )
+    band_bits = bits // bands
+    sig = simhash_signatures(df, text_col, id_col, bits).select(
+        F.col(id_col).alias("id"), F.col("simhash")
+    )
+    banded = sig.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .cast("bigint")
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    # bit_count is a JVM intrinsic (one popcount per pair); an array
+    # fold over 32 masks here cost ~30x more per candidate
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            on=(F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -462,4 +533,61 @@ def dedup_components(
         F.col("id").alias(id_col),
         F.col("comp").alias("comp_id"),
         (F.col("comp") == F.col("id")).alias("is_canonical"),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Global sub-document exact dedup, C4-style (Raffel et al. 2020
+    §2.2 — public paper; the C4 pipeline drops every repeated three-
+    sentence span corpus-wide): split each document on ``sep``, keep
+    only the FIRST occurrence of each unit across the whole corpus
+    (first = smallest ``(doc_id, position)``), and reassemble the
+    surviving units in their original order.
+
+    Output per input doc: ``(id, text_dedup, n_units, n_kept)`` —
+    every doc keeps a row even if all its units were dropped
+    (``text_dedup`` = '').
+
+    Plan shape: posexplode → per-unit first-occurrence window
+    partitioned BY UNIT (shuffle keyed on unit text — high cardinality,
+    well spread; no global sort) → re-assemble with a map-side-
+    combinable ``collect_list`` + in-row ``array_sort``. For 100 TB,
+    partition the window on ``md5(unit)`` instead of raw text to keep
+    shuffle rows small; semantics are identical (md5 collisions aside),
+    kept as raw text here so any SQL engine reproduces it exactly.
+    """
+    units = F.filter(
+        F.transform(F.split(F.col(text_col), sep), lambda u: F.trim(u)),
+        lambda u: u != "",
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.posexplode(units).alias("pos", "unit")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("unit").orderBy("id", "pos")
+    kept = exploded.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit"))), lambda s: s["unit"]
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(F.col(id_col).alias("id"), F.size(units).cast("bigint").alias("n_units"))
+    return (
+        base.join(rebuilt, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            F.col("n_units"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        )
     )

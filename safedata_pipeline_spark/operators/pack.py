@@ -1,0 +1,70 @@
+"""Sequence packing for LLM training-data pipelines (SURVEY §2.8
+extension surface; no reference counterpart).
+
+Training consumes fixed-length token windows; feeding one short
+document per window wastes most of it. The standard fix is to
+concatenate documents into a token stream and cut it every ``budget``
+tokens ("packing with document concatenation", as in public GPT/T5
+data pipelines). ``pack_sequences`` assigns every document its pack:
+which window its FIRST token lands in.
+
+Scale shape — the whole point of this operator: a single concatenation
+order would be a global sort (one task owns the cumulative sum).
+Instead documents hash into ``buckets`` independent streams via an
+md5-derived key (engine-reproducible, so the assignment is
+oracle-checkable), and each stream packs independently with a
+cumulative-sum window partitioned by bucket. ``buckets`` is the
+parallelism knob: at 100 TB raise it until one bucket's documents fit
+an executor's sort budget (the assignment stays deterministic at any
+bucket count; packs never span buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from safedata_pipeline_spark.functions.hashing import md5_slot32
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget pack.
+
+    Within its md5 bucket, documents order by ``id_col``; each doc's
+    ``start_offset`` is the running token count before it, and its pack
+    is ``floor(start_offset / budget)`` — i.e. the training window its
+    first token falls into once the bucket's stream is cut every
+    ``budget`` tokens. Documents longer than ``budget`` simply span
+    multiple windows, as in real packing.
+
+    Output: (id, bucket, n_tokens, start_offset, pack_no) — one row
+    per document, deterministic at any parallelism.
+    """
+    t = F.col(text_col)
+    toks = F.when(F.trim(t) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(t), "\\s+")
+    )
+    base = df.select(
+        F.col(id_col),
+        (md5_slot32(F.col(id_col).cast("string"), 0) % buckets).cast("bigint").alias("bucket"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint").alias("start_offset"),
+    ).withColumn(
+        "pack_no", F.floor(F.col("start_offset") / F.lit(budget)).cast("bigint")
+    )

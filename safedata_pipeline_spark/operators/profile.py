@@ -87,6 +87,19 @@ def group_freq_norm(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def value_counts(df: DataFrame, col: str) -> DataFrame:
+    """A1+A2 in one result: per-value count AND normalized frequency
+    (``value_counts(dropna=False)`` ∪ ``normalize=True``) — same
+    aggregation, the total ridden over the tiny post-agg table."""
+    counts = group_count(df, col)
+    total = Window.partitionBy()
+    return counts.select(
+        col,
+        F.col("cnt"),
+        F.round(F.col("cnt") / F.sum("cnt").over(total), ROUND_N).alias("freq"),
+    )
+
+
 def null_profile(df: DataFrame) -> DataFrame:
     """A4 per-column null count + % — one wide agg, melted via inline."""
     n = F.count(F.lit(1))

@@ -250,3 +250,48 @@ def cosine_topk_lsh(
         .dropDuplicates(["query_id", "id"])
     )
     return _topk(pairs, k)
+
+
+def embedding_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    packed: bool = True,
+) -> DataFrame:
+    """Per-label mean embedding (class centroids / cluster centers) —
+    the fit step behind nearest-centroid classification, IVF coarse
+    quantizers, and per-cluster corpus statistics.
+
+    Shape: posexplode to (label, dim, x) → one map-side-combinable
+    aggregation keyed (label, dim) → repack each label's dims into an
+    ordered array in-row. Two shuffles, both on small keys; no vector
+    ever crosses the wire whole.
+
+    Cross-engine float discipline: per-dimension sums ride
+    DECIMAL(38,12) (partition-order independent), convert to double
+    once, divide by the count, round — so the centroid is
+    oracle-reproducible despite shuffle nondeterminism.
+
+    Output: (label, centroid array<double>, n_vectors) — or, with
+    ``packed=False``, the long form (label, dim, centroid_val,
+    n_vectors), one row per dimension (flat-typed, driver/oracle
+    compare friendly).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    ex = df.select(F.col(label_col).alias("label"), F.posexplode(v).alias("dim", "x"))
+    per_dim = ex.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(38,12)")).cast("double") / F.count(F.lit(1)),
+            ROUND_N,
+        ).alias("centroid_val"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+    )
+    if not packed:
+        return per_dim.select("label", F.col("dim").cast("bigint").alias("dim"), "centroid_val", "n_vectors")
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid_val"))),
+            lambda s: s["centroid_val"],
+        ).alias("centroid"),
+        F.max("n_vectors").cast("bigint").alias("n_vectors"),
+    )

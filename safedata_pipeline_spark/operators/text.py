@@ -67,6 +67,26 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _quality_expr(t: Column) -> Column:
+    """The quality score as a bare rounded Column expression (shared by
+    ``quality_score`` and ``corpus_stats`` so aggregating consumers can
+    inline it without a join)."""
+    toks = _ws_tokens(t)
+    n_tok = F.size(toks)
+    n_stop = _count_in(toks, STOPWORDS_EN)
+    length = F.length(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9\\s]"), F.lit(0)))
+    len_score = F.least(length / F.lit(500.0), F.lit(1.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(length > 0, n_punct / length).otherwise(F.lit(0.0))
+    return F.round(
+        F.lit(0.4) * len_score
+        + F.lit(0.4) * F.least(F.lit(5.0) * stop_ratio, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio),
+        ROUND_N,
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality in [0,1]:
     0.4·min(len/500, 1) + 0.4·min(5·stopword_ratio, 1) + 0.2·(1 − punct_ratio).
@@ -187,6 +207,167 @@ def doc_fingerprint(
         id_col,
         F.md5(t.cast("binary")).alias("content_md5"),
         F.array_min(shingle_hashes).alias("min_shingle_md5"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition filters — public paper;
+    no reference counterpart, extension surface).
+
+    Output per doc:
+      * ``n_words`` / ``n_distinct_words`` / ``dup_word_fraction`` —
+        fraction of word occurrences that repeat an earlier word.
+      * ``n_lines`` / ``n_distinct_lines`` / ``dup_line_fraction`` —
+        same at line granularity (blank lines ignored).
+      * ``mean_word_length`` — boilerplate/gibberish indicator.
+      * ``top_bigram`` / ``top_bigram_count`` / ``top_bigram_fraction``
+        — most frequent word bigram and its share of all bigrams
+        (ties break to the lexicographically smallest bigram); null
+        for docs with fewer than two words.
+
+    Plan shape: the word/line stats are pure per-row array expressions
+    (codegen, no shuffle). The top-bigram needs a frequency mode, which
+    per-row array folds would make O(len²) per doc — instead bigrams
+    explode into a two-level map-side-combinable aggregation
+    (doc, bigram) → doc, then join back on ``id_col``. Two shuffles
+    total, both on the document key, at any document length.
+    """
+    t = F.col(text_col)
+    toks = _ws_tokens(F.lower(t))
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
+    n_w = F.size(toks)
+    n_wd = F.size(F.array_distinct(toks))
+    n_l = F.size(lines)
+    n_ld = F.size(F.array_distinct(lines))
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda s, x: s + F.length(x))
+    base = df.select(
+        id_col,
+        n_w.cast("bigint").alias("n_words"),
+        n_wd.cast("bigint").alias("n_distinct_words"),
+        F.when(n_w > 0, F.round(F.lit(1.0) - n_wd / n_w, ROUND_N)).alias("dup_word_fraction"),
+        n_l.cast("bigint").alias("n_lines"),
+        n_ld.cast("bigint").alias("n_distinct_lines"),
+        F.when(n_l > 0, F.round(F.lit(1.0) - n_ld / n_l, ROUND_N)).alias("dup_line_fraction"),
+        F.when(n_w > 0, F.round(sum_len / n_w, ROUND_N)).alias("mean_word_length"),
+    )
+    bigrams = F.when(
+        n_w >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_w - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cnt = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # deterministic mode: min over (-cnt, bigram) — largest count, then
+    # lexicographically smallest bigram (same trick as profile.top_freq)
+    top = (
+        cnt.groupBy(id_col)
+        .agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("bg"))).alias("m"),
+            F.sum("cnt").alias("total"),
+        )
+        .select(
+            id_col,
+            F.col("m.bg").alias("top_bigram"),
+            (-F.col("m.neg")).cast("bigint").alias("top_bigram_count"),
+            F.round((-F.col("m.neg")) / F.col("total"), ROUND_N).alias("top_bigram_fraction"),
+        )
+    )
+    return base.join(top, on=id_col, how="left")
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass fused text profile: token counts, language guess, and
+    content fingerprints in a single map-only select (the per-column
+    analogue of ``profile.basic_stats`` for text) — profiling a corpus
+    with the individual operators would scan it once per operator;
+    this emits all their columns from one scan, still pure codegen.
+
+    Columns = ``token_count`` ∪ ``lang_id`` ∪ ``doc_fingerprint``.
+    """
+    t = F.col(text_col)
+    low_toks = _ws_tokens(F.lower(t))
+    counts = {lang: _count_in(low_toks, vocab) for lang, vocab in LANG_MARKERS.items()}
+    best: Column = F.lit("unknown")
+    best_cnt: Column = F.lit(0)
+    for lang in LANG_MARKERS:
+        c = counts[lang]
+        take = c > best_cnt
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_cnt = F.when(take, c).otherwise(best_cnt)
+    shingle = 5
+    n = F.greatest(F.length(t) - F.lit(shingle - 1), F.lit(1))
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.md5(F.substr(t, i, F.lit(shingle)).cast("binary")),
+    )
+    cols = [
+        F.col(id_col),
+        F.size(_ws_tokens(t)).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_REGEX), F.lit(0)))
+        .cast("bigint")
+        .alias("n_regex_tokens"),
+        best.alias("lang_guess"),
+    ]
+    cols += [counts[lang].cast("bigint").alias(f"hits_{lang}") for lang in LANG_MARKERS]
+    cols += [
+        F.md5(t.cast("binary")).alias("content_md5"),
+        F.array_min(shingle_hashes).alias("min_shingle_md5"),
+    ]
+    return df.select(*cols)
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source corpus summary — the dashboard query for corpus
+    curation: document count, token volume, language spread, and mean
+    quality per ``group_col``.
+
+    One scan, one map-side-combinable aggregation, no join: the
+    quality score is a pure row expression (``_quality_expr``) so it
+    computes inline with the token count. The quality mean crosses
+    engines, so it rides DECIMAL(38,6): summing rounded quality scores
+    as decimals is partition-order independent, then one divide +
+    round at the end (double sums would drift ulps between Spark and
+    the oracle at large group sizes).
+    """
+    base = df.select(
+        F.col(group_col),
+        F.col("lang"),
+        F.size(_ws_tokens(F.col(text_col))).cast("bigint").alias("n_toks"),
+        _quality_expr(F.col(text_col)).alias("quality"),
+    )
+    return (
+        base.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_ws_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum(F.col("quality").cast("decimal(38,6)")).alias("__qsum"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "total_ws_tokens",
+            "n_langs",
+            # cast the decimal SUM to double BEFORE dividing: the exact
+            # decimal sum converts identically on every engine, while
+            # decimal÷int quotient scales are engine-specific
+            F.round(F.col("__qsum").cast("double") / F.col("n_docs"), ROUND_N).alias(
+                "avg_quality"
+            ),
+        )
     )
 
 

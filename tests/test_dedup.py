@@ -145,3 +145,80 @@ def test_dedup_components_chain_and_isolated(spark):
     got = {r.doc_id: r for r in DD.dedup_components(docs, pairs).collect()}
     assert [got[i].comp_id for i in range(1, 7)] == [1, 1, 1, 4, 4, 6]
     assert [got[i].is_canonical for i in range(1, 7)] == [True, False, False, True, False, True]
+
+
+def test_paragraph_dedup_global_first_occurrence(spark):
+    from safedata_pipeline_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha"),   # in-doc repeat of alpha
+            (2, "beta\ngamma"),          # beta already seen in doc 1
+            (3, "beta"),                 # everything dropped
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in paragraph_dedup(df, sep="\n").collect()}
+    assert got[1].text_dedup == "alpha\nbeta" and got[1].n_units == 3 and got[1].n_kept == 2
+    assert got[2].text_dedup == "gamma" and got[2].n_kept == 1
+    assert got[3].text_dedup == "" and got[3].n_kept == 0  # row survives empty
+
+
+def test_paragraph_dedup_window_is_partitioned_by_unit(spark, sf_dir):
+    from safedata_pipeline_spark import plans
+    from safedata_pipeline_spark.operators.dedup import paragraph_dedup
+    from safedata_pipeline_spark.sources.tables import load_table
+
+    out = paragraph_dedup(load_table(spark, sf_dir, "documents"), sep=" ")
+    plan = plans.formatted_plan(out)
+    # the first-occurrence window must shuffle on the unit key, never
+    # collapse to a single unpartitioned sort
+    assert "Window" in plan
+    assert "hashpartitioning(unit" in plan
+
+
+def test_simhash_pairs_finds_near_dups(spark):
+    from safedata_pipeline_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and once"),  # 1-word edit
+            (3, "completely different content about spark shuffles and parquet files"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(df, bands=16, max_hamming=8).collect()
+    }
+    assert (1, 2) in pairs
+    # hamming in the output must equal the true signature distance
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    assert pairs[(1, 2)] == bin(sigs[1] ^ sigs[2]).count("1")
+
+
+def test_simhash_pairs_band_join_is_exact_vs_brute_force(spark):
+    from safedata_pipeline_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    rows = [(i, f"token{i % 5} alpha beta gamma delta word{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.id_a, r.id_b) for r in simhash_pairs(df, bands=4, max_hamming=3).collect()}
+    sigs = simhash_signatures(df).collect()
+    want = {
+        (a.doc_id, b.doc_id)
+        for a in sigs
+        for b in sigs
+        if a.doc_id < b.doc_id and bin(a.simhash ^ b.simhash).count("1") <= 3
+    }
+    assert got == want  # pigeonhole: bands > max_hamming -> exact
+
+
+def test_simhash_pairs_rejects_insufficient_bands(spark):
+    import pytest
+
+    from safedata_pipeline_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        simhash_pairs(df, bands=3, max_hamming=3)

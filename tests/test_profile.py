@@ -93,3 +93,9 @@ def test_projection_prunes_scan(spark, sf_dir):
     df = P.project(load_table(spark, sf_dir, "lineitem"), ["l_orderkey", "l_quantity"])
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "l_extendedprice" not in plan  # column pruning reached the scan
+
+
+def test_value_counts_cnt_and_freq(spark):
+    got = {r[0]: (r[1], r[2]) for r in P.value_counts(_df(spark), "s").collect()}
+    total = sum(c for c, _ in got.values())
+    assert all(abs(f - c / total) < 1e-6 for c, f in got.values())

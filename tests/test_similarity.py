@@ -90,3 +90,23 @@ def test_lsh_candidates_subset_scored_correctly(spark):
     approx = {r.neighbor_id for r in S.cosine_topk_lsh(df.where("vec_id = 1"), df, k=10, dim=16, num_tables=8, planes=4).collect()}
     # approximate set overlaps the exact top-10 substantially
     assert len(exact & approx) >= 5
+
+
+def test_embedding_centroids_means_and_shapes(spark):
+    import numpy as np
+
+    from safedata_pipeline_spark.operators.similarity import embedding_centroids
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], "a"),
+        (2, [3.0, 4.0, 5.0], "a"),
+        (3, [10.0, 20.0, 30.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label string")
+    packed = {r.label: r for r in embedding_centroids(df).collect()}
+    assert np.allclose(packed["a"].centroid, [2.0, 3.0, 4.0])
+    assert packed["a"].n_vectors == 2
+    assert np.allclose(packed["b"].centroid, [10.0, 20.0, 30.0])
+    long = embedding_centroids(df, packed=False).collect()
+    vals = {(r.label, r.dim): r.centroid_val for r in long}
+    assert vals[("a", 1)] == 3.0 and len(long) == 6

@@ -111,3 +111,80 @@ def test_contamination_scan(spark):
     assert got["quick brown"].n_docs == 2 and got["quick brown"].example_doc_id == 1
     assert got["fox"].n_docs == 1
     assert got["zzz"].n_docs == 0 and got["zzz"].example_doc_id is None
+
+
+def test_repetition_stats_word_and_bigram(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # heavy bigram repetition
+            (2, "x y z"),             # all distinct
+            (3, ""),                  # degenerate
+            (4, "solo"),              # one word -> no bigrams
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in T.repetition_stats(df).collect()}
+    r1 = got[1]
+    assert r1.n_words == 6 and r1.n_distinct_words == 2
+    assert abs(r1.dup_word_fraction - (1 - 2 / 6)) < 1e-6
+    # bigrams: "a b" x3, "b a" x2 -> top = "a b", 3/5
+    assert r1.top_bigram == "a b" and r1.top_bigram_count == 3
+    assert abs(r1.top_bigram_fraction - 0.6) < 1e-6
+    r2 = got[2]
+    assert r2.dup_word_fraction == 0.0 and r2.top_bigram_count == 1
+    # tiebreak: all bigrams count 1 -> lexicographically smallest
+    assert r2.top_bigram == "x y"
+    r3 = got[3]
+    assert r3.n_words == 0 and r3.dup_word_fraction is None
+    assert r3.top_bigram is None
+    r4 = got[4]
+    assert r4.n_words == 1 and r4.top_bigram is None
+    assert r4.mean_word_length == 4.0
+
+
+def test_repetition_stats_lines(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world\nhello world\nbye\n\n")], "doc_id bigint, text string"
+    )
+    r = T.repetition_stats(df).collect()[0]
+    assert r.n_lines == 3 and r.n_distinct_lines == 2
+    assert abs(r.dup_line_fraction - (1 - 2 / 3)) < 1e-6
+
+
+def test_text_profile_matches_individual_operators(spark):
+    df = _docs(spark)
+    fused = {r.doc_id: r for r in T.text_profile(df).collect()}
+    tc = {r.doc_id: r for r in T.token_count(df).collect()}
+    li = {r.doc_id: r for r in T.lang_id(df).collect()}
+    fp = {r.doc_id: r for r in T.doc_fingerprint(df).collect()}
+    for d in fused:
+        assert fused[d].n_ws_tokens == tc[d].n_ws_tokens
+        assert fused[d].n_regex_tokens == tc[d].n_regex_tokens
+        assert fused[d].lang_guess == li[d].lang_guess
+        assert fused[d].content_md5 == fp[d].content_md5
+        assert fused[d].min_shingle_md5 == fp[d].min_shingle_md5
+
+
+def test_text_profile_is_single_scan_no_shuffle(spark, sf_dir):
+    from safedata_pipeline_spark import plans
+    from safedata_pipeline_spark.sources.tables import load_table
+
+    out = T.text_profile(load_table(spark, sf_dir, "documents"))
+    plan = plans.formatted_plan(out)
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_corpus_stats_aggregates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog", "en", "web"),
+            (2, "one two three", "en", "web"),
+            (3, "der hund", "de", "books"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    got = {r.source: r for r in T.corpus_stats(df, group_col="source").collect()}
+    assert got["web"].n_docs == 2 and got["web"].total_ws_tokens == 8
+    assert got["web"].n_langs == 1
+    assert got["books"].n_docs == 1 and got["books"].total_ws_tokens == 2
+    assert 0.0 <= got["web"].avg_quality <= 1.0
