@@ -1,0 +1,102 @@
+"""Corpus-curation pipeline — the LLM-training-data counterpart of
+``SafedataPipeline`` (no reference equivalent; extension surface,
+SURVEY §2.8): the standard web-corpus flow Quality filter → sub-
+document dedup → near-dup clustering → canonical selection → sequence
+packing, composed from the individual operators so a user runs one
+object instead of wiring eight DataFrames.
+
+Execution shape: every step consumes the previous step's DataFrame
+lazily; the near-dup stage persists its pair list once (it feeds both
+the cluster resolution and the stats), and the final packed corpus is
+one plan from the surviving documents. Stats collected to the driver
+are O(steps) scalars, never rows.
+
+Scale posture inherits from the operators: quality filtering is a
+map-side CASE + one exact-or-approx quantile; dedup families avoid
+all-pairs via banded LSH; packing avoids the global sort via md5
+buckets. See SCALE.md.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from safedata_pipeline_spark.operators import dedup as DD
+from safedata_pipeline_spark.operators import pack as PK
+from safedata_pipeline_spark.operators import text as TX
+
+
+class CorpusPipeline:
+    """Holds the curation state: the current surviving documents plus
+    per-step row counts (the curation funnel)."""
+
+    def __init__(self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+        self.df = df
+        self.text_col = text_col
+        self.id_col = id_col
+        self.funnel: dict[str, int] = {"input": df.count()}
+        self.results: dict[str, Any] = {}
+
+    def _keep(self, step: str, df: DataFrame) -> "CorpusPipeline":
+        self.df = df
+        self.funnel[step] = df.count()
+        return self
+
+    # -- step 1: quality filter ----------------------------------------
+    def filter_quality(self, keep_fraction: float = 0.5) -> "CorpusPipeline":
+        kept = TX.quality_filter(
+            self.df, keep_fraction, self.text_col, self.id_col
+        ).select(self.id_col)
+        return self._keep(
+            "quality", self.df.join(kept, on=self.id_col, how="left_semi")
+        )
+
+    # -- step 2: sub-document exact dedup ------------------------------
+    def dedup_units(self, sep: str = "\n") -> "CorpusPipeline":
+        rebuilt = DD.paragraph_dedup(self.df, self.text_col, self.id_col, sep)
+        out = (
+            self.df.drop(self.text_col)
+            .join(rebuilt.select(self.id_col, "text_dedup", "n_kept"), on=self.id_col)
+            .where(F.col("n_kept") > 0)
+            .withColumnRenamed("text_dedup", self.text_col)
+            .drop("n_kept")
+        )
+        return self._keep("unit_dedup", out)
+
+    # -- step 3: near-dup clusters, keep canonical ---------------------
+    def dedup_near(
+        self, num_hashes: int = 16, bands: int = 4, n: int = 3, threshold: float = 0.5
+    ) -> "CorpusPipeline":
+        """Banded MinHash LSH pairs → connected components → keep each
+        cluster's canonical (min-id) document."""
+        pairs = DD.minhash_lsh_pairs(
+            self.df, self.text_col, self.id_col, num_hashes=num_hashes, bands=bands, n=n,
+            threshold=threshold,
+        )
+        labels = DD.dedup_components(self.df, pairs, id_col=self.id_col)
+        keep = labels.where(F.col("is_canonical")).select(
+            F.col(self.id_col)
+        )
+        self.results["n_clusters"] = labels.select("comp_id").distinct().count()
+        return self._keep(
+            "near_dedup", self.df.join(keep, on=self.id_col, how="left_semi")
+        )
+
+    # -- step 4: pack into training windows ----------------------------
+    def pack(self, budget: int = 2048, buckets: int = 64) -> DataFrame:
+        packed = PK.pack_sequences(
+            self.df, budget=budget, buckets=buckets, text_col=self.text_col,
+            id_col=self.id_col,
+        )
+        self.results["packed"] = packed
+        return packed
+
+    # -- diagnostics ----------------------------------------------------
+    def stats(self, group_col: str = "source") -> DataFrame:
+        return TX.corpus_stats(self.df, group_col, self.text_col, self.id_col)
+
+    def funnel_report(self) -> dict[str, int]:
+        """Document counts surviving each step, in execution order."""
+        return dict(self.funnel)

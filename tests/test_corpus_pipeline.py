@@ -1,0 +1,57 @@
+"""End-to-end corpus curation: filter → unit dedup → near-dup →
+pack, on the documents fixture."""
+
+from pyspark.sql import functions as F
+
+from safedata_pipeline_spark.corpus_pipeline import CorpusPipeline
+from safedata_pipeline_spark.sources.tables import load_table
+
+
+def test_corpus_pipeline_funnel_and_pack(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cp = CorpusPipeline(docs)
+    cp.filter_quality(keep_fraction=0.6)
+    cp.dedup_units(sep=" ")  # fixtures have no newlines; word units
+    cp.dedup_near(threshold=0.5)
+    packed = cp.pack(budget=64, buckets=8)
+
+    funnel = cp.funnel_report()
+    # monotone funnel, nothing fully drained
+    order = ["input", "quality", "unit_dedup", "near_dedup"]
+    vals = [funnel[k] for k in order]
+    assert vals == sorted(vals, reverse=True)
+    assert vals[-1] > 0
+    # quality keeps ~60%
+    assert abs(vals[1] / vals[0] - 0.6) < 0.1
+
+    rows = packed.collect()
+    assert len(rows) == funnel["near_dedup"]
+    # pack assignment is consistent: offsets gap-free per bucket
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for docs_in_bucket in by_bucket.values():
+        docs_in_bucket.sort(key=lambda r: r.doc_id)
+        run = 0
+        for r in docs_in_bucket:
+            assert r.start_offset == run
+            run += r.n_tokens
+
+    # surviving docs are canonical: re-running near-dedup is a no-op
+    n_again = CorpusPipeline(cp.df).dedup_near(threshold=0.5).funnel_report()[
+        "near_dedup"
+    ]
+    assert n_again == funnel["near_dedup"]
+
+
+def test_corpus_pipeline_stats_schema(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    st = CorpusPipeline(docs).stats("source")
+    assert set(st.columns) == {
+        "source",
+        "n_docs",
+        "total_ws_tokens",
+        "n_langs",
+        "avg_quality",
+    }
+    assert st.count() > 0
