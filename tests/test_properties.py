@@ -95,3 +95,96 @@ def test_sdc_suppress_matches_pandas_value_counts(spark, data):
     rare = set(counts[counts < threshold].index)
     want = ["OTHER" if v in rare else v for v in vals]
     assert sorted(got) == sorted(want)
+
+
+# docs drawn from a tiny vocabulary force heavy unit collisions —
+# the global-first-occurrence and bigram-tie branches
+_doc_lists = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=8),
+    min_size=1,
+    max_size=10,
+)
+
+
+@_settings
+@given(docs=_doc_lists)
+def test_paragraph_dedup_matches_sequential_reference(spark, docs):
+    """paragraph_dedup == a single-threaded first-occurrence scan."""
+    from safedata_pipeline_spark.operators.dedup import paragraph_dedup
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in paragraph_dedup(df, sep=" ").collect()}
+
+    seen: set[str] = set()
+    for i, words in enumerate(docs):
+        kept = []
+        for w in words:
+            if w not in seen:
+                seen.add(w)
+                kept.append(w)
+        assert got[i].text_dedup == " ".join(kept)
+        assert got[i].n_units == len(words)
+        assert got[i].n_kept == len(kept)
+
+
+@_settings
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=30),
+    budget=st.sampled_from([16, 64, 256]),
+)
+def test_pack_sequences_matches_python_cumsum(spark, toks, budget):
+    """Pack assignment == per-bucket python cumulative sum with the
+    same md5-derived bucket keys."""
+    import hashlib
+
+    from safedata_pipeline_spark.operators.pack import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in pack_sequences(df, budget=budget, buckets=4).collect()}
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"0:{doc_id}".encode()).hexdigest()[:8]
+        return int(h, 16) % 4
+
+    offsets: dict[int, int] = {}
+    for i, n in enumerate(toks):  # doc_id order == bucket order key
+        b = bucket(i)
+        start = offsets.get(b, 0)
+        assert got[i].bucket == b
+        assert got[i].n_tokens == n
+        assert got[i].start_offset == start
+        assert got[i].pack_no == start // budget
+        offsets[b] = start + n
+
+
+@_settings
+@given(
+    words=st.lists(
+        st.sampled_from(["x", "y", "zz", "www"]), min_size=0, max_size=25
+    )
+)
+def test_repetition_stats_matches_python_reference(spark, words):
+    from collections import Counter
+
+    from safedata_pipeline_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id bigint, text string")
+    r = repetition_stats(df).collect()[0]
+    assert r.n_words == len(words)
+    assert r.n_distinct_words == len(set(words))
+    if words:
+        assert abs(r.dup_word_fraction - (1 - len(set(words)) / len(words))) < 1e-6
+        assert abs(r.mean_word_length - (sum(map(len, words)) / len(words))) < 1e-6
+    else:
+        assert r.dup_word_fraction is None
+    bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+    if bigrams:
+        counts = Counter(bigrams)
+        top_cnt = max(counts.values())
+        top_bg = min(bg for bg, c in counts.items() if c == top_cnt)
+        assert (r.top_bigram, r.top_bigram_count) == (top_bg, top_cnt)
+        assert abs(r.top_bigram_fraction - top_cnt / len(bigrams)) < 1e-6
+    else:
+        assert r.top_bigram is None
