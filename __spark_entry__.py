@@ -298,6 +298,12 @@ def _q_contamination_scan(spark, sf):
     return TX.contamination_scan(load_table(spark, sf, "documents"), CONTAMINATION_PROBES)
 
 
+def _q_contamination_ngram(spark, sf):
+    return TX.contamination_ngram(
+        load_table(spark, sf, "documents"), CONTAMINATION_PROBES, n=3
+    )
+
+
 def _q_pii_scan(spark, sf):
     return PII.pii_scan(load_table(spark, sf, "documents"))
 
@@ -512,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sit here rather than displace a reference-parity query.
         "simhash_pairs": _q_simhash_pairs,
         "embedding_centroids": _q_embedding_centroids,
+        "contamination_ngram": _q_contamination_ngram,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -990,6 +997,28 @@ def _sql_ngram_jaccard() -> str:
     )
 
 
+def _sql_contamination_ngram(probes: list[str]) -> str:
+    values = ", ".join(f"('{p}')" for p in probes)
+    return (
+        f"{SQL_SHINGLES}, "
+        f"probes(probe) AS (VALUES {values}), "
+        "ptoks AS (SELECT probe, CASE WHEN trim(probe) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(probe), '\\s+') END AS t FROM probes), "
+        "psh AS (SELECT DISTINCT probe, array_to_string(t[i:i+2], ' ') AS s "
+        "FROM ptoks CROSS JOIN unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)), "
+        "totals AS (SELECT p.probe, count(psh.s) AS n_shingles FROM probes p "
+        "LEFT JOIN psh ON p.probe = psh.probe GROUP BY p.probe), "
+        "hits AS (SELECT psh.probe, count(DISTINCT sh.s) AS n_matched, "
+        "count(DISTINCT sh.id) AS n_docs FROM sh JOIN psh ON sh.s = psh.s GROUP BY psh.probe) "
+        "SELECT t.probe, CAST(t.n_shingles AS BIGINT) AS n_shingles, "
+        "CAST(coalesce(h.n_matched, 0) AS BIGINT) AS n_matched, "
+        "CASE WHEN t.n_shingles > 0 THEN "
+        "round(CAST(coalesce(h.n_matched, 0) AS DOUBLE) / t.n_shingles, 6) END AS overlap_fraction, "
+        "CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs "
+        "FROM totals t LEFT JOIN hits h USING (probe)"
+    )
+
+
 def _sql_dedup_components() -> str:
     # connected components as a recursive CTE: reach(id, r) holds every
     # label r reachable from id; min(r) per id = the component id
@@ -1344,6 +1373,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(32),
         "simhash_pairs": _sql_simhash_pairs(32, 4, 3),
         "embedding_centroids": _sql_embedding_centroids(),
+        "contamination_ngram": _sql_contamination_ngram(CONTAMINATION_PROBES),
         "embedding_cosine_dedup": _sql_embedding_cosine_dedup(0.4),
         "ann_cosine_topk": _sql_ann_cosine_topk(5),
         "asof_last_click": _sql_asof_last_click(),

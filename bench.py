@@ -51,6 +51,7 @@ HEADLINE = [
     "paragraph_dedup",
     "pack_sequences",
     "contamination_scan",
+    "contamination_ngram",
     "pii_scan",
     "pii_redact",
     "dedup_exact",

@@ -147,6 +147,63 @@ def contamination_scan(
     )
 
 
+def contamination_ngram(
+    df: DataFrame,
+    probes: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Shingle-overlap contamination: for each probe (eval-set string),
+    the fraction of its word ``n``-gram shingles that occur anywhere in
+    the corpus, and how many documents share at least one. Catches
+    lightly reworded / reflowed eval leakage that the exact-substring
+    ``contamination_scan`` misses.
+
+    Scale shape: probe shingles are tiny (an eval set is KBs) and
+    BROADCAST; the corpus explodes to distinct shingles ONCE and
+    semi-aggregates map-side after the broadcast join — one corpus
+    pass, no corpus shuffle keyed on anything probe-dependent. Probes
+    shorter than ``n`` words have no shingles: overlap_fraction is
+    NULL (not 0 — "no evidence", not "no overlap").
+
+    Output: (probe, n_shingles, n_matched, overlap_fraction, n_docs).
+    """
+    from safedata_pipeline_spark.operators.dedup import _word_shingles
+
+    spark = df.sparkSession
+    probes_df = spark.createDataFrame([(p,) for p in probes], "probe string")
+    psh = probes_df.select(
+        "probe", F.explode(_word_shingles(F.col("probe"), n)).alias("s")
+    )
+    totals = (
+        probes_df.join(psh.groupBy("probe").agg(F.count(F.lit(1)).alias("n_shingles")),
+                       on="probe", how="left")
+        .select("probe", F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"))
+    )
+    csh = df.select(
+        F.col(id_col).alias("id"), F.explode(_word_shingles(F.col(text_col), n)).alias("s")
+    )
+    hits = (
+        csh.join(F.broadcast(psh), on="s")
+        .groupBy("probe")
+        .agg(
+            F.countDistinct("s").alias("n_matched"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+    )
+    return totals.join(hits, on="probe", how="left").select(
+        "probe",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
+        F.when(
+            F.col("n_shingles") > 0,
+            F.round(F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_shingles"), ROUND_N),
+        ).alias("overlap_fraction"),
+        F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+    )
+
+
 def quality_filter(
     df: DataFrame,
     keep_fraction: float = 0.5,

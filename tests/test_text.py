@@ -188,3 +188,27 @@ def test_corpus_stats_aggregates(spark):
     assert got["web"].n_langs == 1
     assert got["books"].n_docs == 1 and got["books"].total_ws_tokens == 2
     assert 0.0 <= got["web"].avg_quality <= 1.0
+
+
+def test_contamination_ngram_overlap(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "lazy dogs sleep all day long"),
+        ],
+        "doc_id bigint, text string",
+    )
+    probes = [
+        "the quick brown fox",   # fully contained: 2/2 shingles
+        "quick brown wolf",      # 0/1 shingles match
+        "short",                 # < n words -> no shingles
+    ]
+    got = {r.probe: r for r in T.contamination_ngram(df, probes, n=3).collect()}
+    full = got["the quick brown fox"]
+    assert (full.n_shingles, full.n_matched, full.n_docs) == (2, 2, 1)
+    assert full.overlap_fraction == 1.0
+    miss = got["quick brown wolf"]
+    assert (miss.n_shingles, miss.n_matched, miss.n_docs) == (1, 0, 0)
+    assert miss.overlap_fraction == 0.0
+    short = got["short"]
+    assert short.n_shingles == 0 and short.overlap_fraction is None
