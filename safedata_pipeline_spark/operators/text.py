@@ -340,14 +340,21 @@ def repetition_stats(
     return base.join(top, on=id_col, how="left")
 
 
-def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_quality: bool = False,
+) -> DataFrame:
     """One-pass fused text profile: token counts, language guess, and
     content fingerprints in a single map-only select (the per-column
     analogue of ``profile.basic_stats`` for text) — profiling a corpus
     with the individual operators would scan it once per operator;
     this emits all their columns from one scan, still pure codegen.
 
-    Columns = ``token_count`` ∪ ``lang_id`` ∪ ``doc_fingerprint``.
+    Columns = ``token_count`` ∪ ``lang_id`` ∪ ``doc_fingerprint``
+    (∪ ``quality`` with ``include_quality`` — stays one projection, so
+    the plan remains streamable: no join between scored frames).
     """
     t = F.col(text_col)
     low_toks = _ws_tokens(F.lower(t))
@@ -378,6 +385,8 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.md5(t.cast("binary")).alias("content_md5"),
         F.array_min(shingle_hashes).alias("min_shingle_md5"),
     ]
+    if include_quality:
+        cols.append(_quality_expr(t).alias("quality"))
     return df.select(*cols)
 
 
