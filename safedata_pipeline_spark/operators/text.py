@@ -176,9 +176,14 @@ def contamination_ngram(
     psh = probes_df.select(
         "probe", F.explode(_word_shingles(F.col("probe"), n)).alias("s")
     )
+    # probe-level frames are eval-set sized; Spark can't estimate
+    # literal-derived aggregates, so mark them broadcast explicitly
+    # (SortMergeJoin otherwise)
     totals = (
-        probes_df.join(psh.groupBy("probe").agg(F.count(F.lit(1)).alias("n_shingles")),
-                       on="probe", how="left")
+        probes_df.join(
+            F.broadcast(psh.groupBy("probe").agg(F.count(F.lit(1)).alias("n_shingles"))),
+            on="probe", how="left",
+        )
         .select("probe", F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"))
     )
     csh = df.select(
@@ -192,7 +197,7 @@ def contamination_ngram(
             F.countDistinct("id").alias("n_docs"),
         )
     )
-    return totals.join(hits, on="probe", how="left").select(
+    return totals.join(F.broadcast(hits), on="probe", how="left").select(
         "probe",
         F.col("n_shingles").cast("bigint").alias("n_shingles"),
         F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
