@@ -304,6 +304,14 @@ def _q_contamination_ngram(spark, sf):
     )
 
 
+def _q_contamination_scan_many(spark, sf):
+    # Aho–Corasick path: same semantics as contamination_scan, built
+    # for probe sets too large to ship as plan literals
+    return TX.contamination_scan_many(
+        load_table(spark, sf, "documents"), CONTAMINATION_PROBES
+    )
+
+
 def _q_pii_scan(spark, sf):
     return PII.pii_scan(load_table(spark, sf, "documents"))
 
@@ -519,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "embedding_centroids": _q_embedding_centroids,
         "contamination_ngram": _q_contamination_ngram,
+        "contamination_scan_many": _q_contamination_scan_many,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -997,6 +1006,16 @@ def _sql_ngram_jaccard() -> str:
     )
 
 
+def _sql_contamination_scan() -> str:
+    return (
+        "SELECT p.probe, CAST(count(d.doc_id) AS BIGINT) AS n_docs, "
+        "min(d.doc_id) AS example_doc_id FROM (VALUES "
+        + ", ".join(f"('{p}')" for p in CONTAMINATION_PROBES)
+        + ") AS p(probe) LEFT JOIN documents d ON contains(d.text, p.probe) "
+        "GROUP BY p.probe"
+    )
+
+
 def _sql_contamination_ngram(probes: list[str]) -> str:
     values = ", ".join(f"('{p}')" for p in probes)
     return (
@@ -1351,13 +1370,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"
         ),
-        "contamination_scan": (
-            "SELECT p.probe, CAST(count(d.doc_id) AS BIGINT) AS n_docs, "
-            "min(d.doc_id) AS example_doc_id FROM (VALUES "
-            + ", ".join(f"('{p}')" for p in CONTAMINATION_PROBES)
-            + ") AS p(probe) LEFT JOIN documents d ON contains(d.text, p.probe) "
-            "GROUP BY p.probe"
-        ),
+        "contamination_scan": _sql_contamination_scan(),
+        # the Aho–Corasick path computes the identical result; same oracle
+        "contamination_scan_many": _sql_contamination_scan(),
         "pii_scan": _sql_pii_scan(),
         "pii_redact": _sql_pii_redact(),
         "dedup_exact": _sql_dedup_exact(),

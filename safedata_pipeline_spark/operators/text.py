@@ -147,6 +147,111 @@ def contamination_scan(
     )
 
 
+class _AhoCorasick:
+    """Plain-python Aho–Corasick automaton (Aho & Corasick 1975,
+    public algorithm): trie + BFS failure links + output links. Built
+    once per Python worker from the broadcast probe list; matching is
+    O(text length + matches) regardless of probe count."""
+
+    def __init__(self, probes: list[str]):
+        self.goto: list[dict[str, int]] = [{}]
+        self.fail: list[int] = [0]
+        self.out: list[list[int]] = [[]]
+        for idx, p in enumerate(probes):
+            node = 0
+            for ch in p:
+                nxt = self.goto[node].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.fail.append(0)
+                    self.out.append([])
+                    nxt = len(self.goto) - 1
+                    self.goto[node][ch] = nxt
+                node = nxt
+            self.out[node].append(idx)
+        from collections import deque
+
+        q = deque()
+        for child in self.goto[0].values():
+            q.append(child)
+        while q:
+            node = q.popleft()
+            for ch, child in self.goto[node].items():
+                q.append(child)
+                f = self.fail[node]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                cand = self.goto[f].get(ch, 0)
+                self.fail[child] = cand if cand != child else 0
+                self.out[child].extend(self.out[self.fail[child]])
+
+    def matches(self, text: str) -> set[int]:
+        node, hits = 0, set()
+        for ch in text:
+            while node and ch not in self.goto[node]:
+                node = self.fail[node]
+            node = self.goto[node].get(ch, 0)
+            if self.out[node]:
+                hits.update(self.out[node])
+        return hits
+
+
+def contamination_scan_many(
+    df: DataFrame,
+    probes: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``contamination_scan`` for LARGE probe sets: the literal
+    per-probe ``contains()`` plan stops scaling at thousands of probes
+    (plan size and per-probe scans of each row); an Aho–Corasick
+    automaton matches every probe in one pass per document.
+
+    Scale shape: probes broadcast once (an eval suite is MBs at most),
+    the automaton builds once per Python worker, and the corpus streams
+    through one Arrow ``mapInPandas`` stage emitting only (probe_idx,
+    doc_id) hits — per-document dedup happens in the automaton pass, so
+    the downstream groupBy sees at most |docs|·|matched probes| rows.
+    Output schema identical to ``contamination_scan``.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(probes)
+
+    def scan(batches):
+        ac = _AhoCorasick(bc.value)
+        for pdf in batches:
+            out_probe, out_id = [], []
+            for doc_id, text in zip(pdf["__id"], pdf["__text"]):
+                if text is None:
+                    continue
+                for idx in ac.matches(text):
+                    out_probe.append(idx)
+                    out_id.append(doc_id)
+            yield pd.DataFrame({"probe_idx": pd.array(out_probe, dtype="int32"),
+                                "hit_id": pd.array(out_id, dtype="int64")})
+
+    hits = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).mapInPandas(scan, "probe_idx int, hit_id long")
+    agg = hits.groupBy("probe_idx").agg(
+        F.count("hit_id").cast("bigint").alias("n_docs"),
+        F.min("hit_id").alias("example_doc_id"),
+    )
+    probes_df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(probes)], "probe_idx int, probe string"
+    )
+    return (
+        probes_df.join(F.broadcast(agg), on="probe_idx", how="left")
+        .select(
+            "probe",
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            "example_doc_id",
+        )
+    )
+
+
 def contamination_ngram(
     df: DataFrame,
     probes: list[str],

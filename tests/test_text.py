@@ -212,3 +212,38 @@ def test_contamination_ngram_overlap(spark):
     assert miss.overlap_fraction == 0.0
     short = got["short"]
     assert short.n_shingles == 0 and short.overlap_fraction is None
+
+
+def test_aho_corasick_matches_brute_force():
+    import itertools
+    import random
+
+    from safedata_pipeline_spark.operators.text import _AhoCorasick
+
+    rng = random.Random(3)
+    # overlapping/nested/prefix-suffix patterns over a tiny alphabet
+    probes = ["a", "ab", "ba", "aba", "bab", "abab", "bb", "aaa"]
+    ac = _AhoCorasick(probes)
+    for length in range(0, 9):
+        for tup in itertools.product("ab", repeat=length):
+            text = "".join(tup)
+            want = {i for i, p in enumerate(probes) if p in text}
+            assert ac.matches(text) == want, text
+    # random longer texts
+    for _ in range(50):
+        text = "".join(rng.choice("ab") for _ in range(60))
+        want = {i for i, p in enumerate(probes) if p in text}
+        assert ac.matches(text) == want
+
+
+def test_contamination_scan_many_matches_literal_scan(spark, sf_dir):
+    from safedata_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    probes = ["key agg row scan", "spark order data", "zz-not-in-corpus-zz", "table"]
+    lit = {r.probe: (r.n_docs, r.example_doc_id)
+           for r in T.contamination_scan(docs, probes).collect()}
+    many = {r.probe: (r.n_docs, r.example_doc_id)
+            for r in T.contamination_scan_many(docs, probes).collect()}
+    assert many == lit
+    assert many["zz-not-in-corpus-zz"] == (0, None)
