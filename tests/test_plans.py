@@ -150,3 +150,29 @@ def test_range_join_extracts_bucket_equi_key(spark, sf_dir):
     # condition would degrade to BroadcastNestedLoopJoin
     assert "BroadcastNestedLoopJoin" not in plan
     assert "__bucket" in plan
+
+
+def test_corpus_stats_is_one_scan_no_join(spark, sf_dir):
+    import re
+
+    from safedata_pipeline_spark.operators import text as TX
+
+    out = TX.corpus_stats(load_table(spark, sf_dir, "documents"))
+    plan = plans.formatted_plan(out)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_contamination_scan_many_is_one_arrow_pass(spark, sf_dir):
+    import re
+
+    from safedata_pipeline_spark.operators import text as TX
+
+    out = TX.contamination_scan_many(
+        load_table(spark, sf_dir, "documents"), ["key agg row", "zz"]
+    )
+    plan = plans.formatted_plan(out)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    # the probe join must broadcast, never shuffle the corpus side
+    assert "SortMergeJoin" not in plan
