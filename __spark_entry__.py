@@ -181,6 +181,14 @@ def _q_ks_drift(spark, sf):
     return DR.ks_statistic(_drift_before(spark, sf), _drift_after(spark, sf), "l_extendedprice")
 
 
+def _q_ks_drift_binned(spark, sf):
+    # the 100 TB KS path (fixed-width bins, no global value sort) is
+    # deterministic too — verify the scale twin, not just the exact form
+    return DR.ks_statistic_binned(
+        _drift_before(spark, sf), _drift_after(spark, sf), "l_extendedprice", bins=10000
+    )
+
+
 def _q_chi2_drift(spark, sf):
     orders = load_table(spark, sf, "orders")
     even = orders.where(F.col("o_orderkey") % 2 == 0)
@@ -528,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": _q_embedding_centroids,
         "contamination_ngram": _q_contamination_ngram,
         "contamination_scan_many": _q_contamination_scan_many,
+        "ks_drift_binned": _q_ks_drift_binned,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -700,6 +709,25 @@ def _sql_chi2(a_select: str, b_select: str, out: str = "chi2") -> str:
 
 _SQL_DRIFT_AFTER_PRICE = "SELECT round(l_extendedprice, -2) AS v FROM lineitem WHERE l_extendedprice IS NOT NULL"
 _SQL_DRIFT_BEFORE_PRICE = "SELECT l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL"
+
+
+def _sql_ks_binned(a_select: str, b_select: str, bins: int = 10000) -> str:
+    # mirrors drift.ks_statistic_binned bit for bit: width and bin ids
+    # are the same IEEE double ops ((hi-lo)/bins, floor((v-lo)/w)), so
+    # both engines land every value in the same bin
+    return (
+        f"WITH a AS ({a_select}), b AS ({b_select}), "
+        "u AS (SELECT CAST(v AS DOUBLE) AS v, 1 AS ka, 0 AS kb FROM a "
+        "UNION ALL SELECT CAST(v AS DOUBLE) AS v, 0 AS ka, 1 AS kb FROM b), "
+        "r AS (SELECT min(v) AS lo, CASE WHEN max(v) - min(v) = 0 THEN 1.0 "
+        f"ELSE (max(v) - min(v)) / {float(bins)} END AS w FROM u), "
+        f"bn AS (SELECT least(floor((u.v - r.lo) / r.w), {bins - 1}) AS v, ka, kb FROM u, r), "
+        "g AS (SELECT v, sum(ka) AS ka, sum(kb) AS kb FROM bn GROUP BY v), "
+        "c AS (SELECT sum(ka) OVER (ORDER BY v) AS ca, sum(kb) OVER (ORDER BY v) AS cb, "
+        "sum(ka) OVER () AS na, sum(kb) OVER () AS nb FROM g) "
+        "SELECT CASE WHEN max(na) >= 5 AND max(nb) >= 5 THEN "
+        "round(max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 6) END AS ks_stat FROM c"
+    )
 
 
 def _sql_distribution_drift() -> str:
@@ -1339,6 +1367,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # dp_noise / synthetic_sample are randomized → rows-only checks
         "ks_drift": _sql_ks(_SQL_DRIFT_BEFORE_PRICE, _SQL_DRIFT_AFTER_PRICE),
+        "ks_drift_binned": _sql_ks_binned(_SQL_DRIFT_BEFORE_PRICE, _SQL_DRIFT_AFTER_PRICE),
         "chi2_drift": _sql_chi2(
             "SELECT o_orderpriority AS cat FROM orders WHERE o_orderkey % 2 = 0",
             "SELECT o_orderpriority AS cat FROM orders WHERE o_orderkey % 2 = 1",

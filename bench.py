@@ -35,6 +35,7 @@ HEADLINE = [
     "dp_noise",
     "smart_suggest",
     "ks_drift",
+    "ks_drift_binned",
     "chi2_drift",
     "distribution_drift",
     "standard_scale",
