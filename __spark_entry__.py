@@ -426,6 +426,14 @@ def _q_kmv_distinct(spark, sf):
     return SK.kmv_distinct(load_table(spark, sf, "customer"), KMV_COLS, k=64)
 
 
+def _q_kmv_distinct_prefilter(spark, sf):
+    # the 100 TB path: hash < t drops rows BEFORE the distinct shuffle;
+    # md5-deterministic, so the filtered sketch is hash-checkable too
+    return SK.kmv_distinct(
+        load_table(spark, sf, "customer"), KMV_COLS, k=64, prefilter=0.25
+    )
+
+
 def _q_multimodal_meta(spark, sf):
     docs = load_table(spark, sf, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
@@ -537,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_ngram": _q_contamination_ngram,
         "contamination_scan_many": _q_contamination_scan_many,
         "ks_drift_binned": _q_ks_drift_binned,
+        "kmv_distinct_prefilter": _q_kmv_distinct_prefilter,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1274,6 +1283,23 @@ def _sql_kmv_distinct(k: int) -> str:
     return " UNION ALL ".join(col_sql(c) for c in KMV_COLS)
 
 
+def _sql_kmv_distinct_prefilter(k: int, t: float) -> str:
+    def col_sql(c: str) -> str:
+        hv = (
+            f"(CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0) "
+            "/ 4294967296.0"
+        )
+        return (
+            f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS k_used, "
+            f"round(CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE) / {t} "
+            f"ELSE {float(k - 1)} / max(hv) END, 6) AS kmv_estimate "
+            f"FROM (SELECT hv FROM (SELECT DISTINCT {hv} AS hv FROM customer "
+            f"WHERE {c} IS NOT NULL) WHERE hv < {t} ORDER BY hv LIMIT {k})"
+        )
+
+    return " UNION ALL ".join(col_sql(c) for c in KMV_COLS)
+
+
 def _sql_multimodal_meta() -> str:
     return (
         "SELECT doc_id AS media_id, 'text/plain' AS mime, "
@@ -1424,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_tiers": _sql_range_join_tiers(),
         "hypertable_rollup": _sql_hypertable_rollup(),
         "kmv_distinct": _sql_kmv_distinct(64),
+        "kmv_distinct_prefilter": _sql_kmv_distinct_prefilter(64, 0.25),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),
