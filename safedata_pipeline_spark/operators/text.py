@@ -402,15 +402,24 @@ def repetition_stats(
     (doc, bigram) → doc, then join back on ``id_col``. Two shuffles
     total, both on the document key, at any document length.
     """
-    t = F.col(text_col)
-    toks = _ws_tokens(F.lower(t))
+    # materialize the token array in a projection FIRST: an expression
+    # captured inside a higher-order lambda re-evaluates per element
+    # (the original element_at(toks, i) form re-split the text O(len)
+    # times per row — measured 9x slower at sf0.1)
+    with_tk = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        _ws_tokens(F.lower(F.col(text_col))).alias("__tk"),
+    )
+    tk = F.col("__tk")
+    t = F.col("__text")
     lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
-    n_w = F.size(toks)
-    n_wd = F.size(F.array_distinct(toks))
+    n_w = F.size(tk)
+    n_wd = F.size(F.array_distinct(tk))
     n_l = F.size(lines)
     n_ld = F.size(F.array_distinct(lines))
-    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda s, x: s + F.length(x))
-    base = df.select(
+    sum_len = F.aggregate(tk, F.lit(0).cast("long"), lambda s, x: s + F.length(x))
+    base = with_tk.select(
         id_col,
         n_w.cast("bigint").alias("n_words"),
         n_wd.cast("bigint").alias("n_distinct_words"),
@@ -420,15 +429,19 @@ def repetition_stats(
         F.when(n_l > 0, F.round(F.lit(1.0) - n_ld / n_l, ROUND_N)).alias("dup_line_fraction"),
         F.when(n_w > 0, F.round(sum_len / n_w, ROUND_N)).alias("mean_word_length"),
     )
+    # bigrams as zip_with over two shifted slices — the slices are
+    # top-level args (evaluated once per row), nothing array-indexed
+    # inside the lambda
     bigrams = F.when(
         n_w >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n_w - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        F.zip_with(
+            F.slice(tk, 1, n_w - 1),
+            F.slice(tk, 2, n_w - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     cnt = (
-        df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        with_tk.select(F.col(id_col), F.explode(bigrams).alias("bg"))
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
