@@ -426,6 +426,10 @@ def _q_kmv_distinct(spark, sf):
     return SK.kmv_distinct(load_table(spark, sf, "customer"), KMV_COLS, k=64)
 
 
+def _q_length_histogram(spark, sf):
+    return TX.length_histogram(load_table(spark, sf, "documents"))
+
+
 def _q_kmv_distinct_prefilter(spark, sf):
     # the 100 TB path: hash < t drops rows BEFORE the distinct shuffle;
     # md5-deterministic, so the filtered sketch is hash-checkable too
@@ -546,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_scan_many": _q_contamination_scan_many,
         "ks_drift_binned": _q_ks_drift_binned,
         "kmv_distinct_prefilter": _q_kmv_distinct_prefilter,
+        "length_histogram": _q_length_histogram,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1043,6 +1048,19 @@ def _sql_ngram_jaccard() -> str:
     )
 
 
+def _sql_length_histogram(max_pow: int = 20) -> str:
+    # integer CASE chain, not floor(log2(n)) — see operators.text
+    cases = " ".join(f"WHEN len(t) >= {1 << b} THEN {b}" for b in range(max_pow, -1, -1))
+    return (
+        f"WITH toks AS ({SQL_TOKS}), "
+        f"st AS (SELECT CASE {cases} ELSE -1 END AS bucket, len(t) AS n FROM toks) "
+        "SELECT CAST(bucket AS BIGINT) AS bucket, "
+        "CAST(CASE WHEN bucket >= 0 THEN power(2.0, bucket) ELSE 0 END AS BIGINT) AS lo_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens "
+        "FROM st GROUP BY bucket"
+    )
+
+
 def _sql_contamination_scan() -> str:
     return (
         "SELECT p.probe, CAST(count(d.doc_id) AS BIGINT) AS n_docs, "
@@ -1451,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         "hypertable_rollup": _sql_hypertable_rollup(),
         "kmv_distinct": _sql_kmv_distinct(64),
         "kmv_distinct_prefilter": _sql_kmv_distinct_prefilter(64, 0.25),
+        "length_histogram": _sql_length_histogram(),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

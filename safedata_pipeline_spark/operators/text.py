@@ -121,6 +121,48 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def length_histogram(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_pow: int = 20
+) -> DataFrame:
+    """Token-count distribution in power-of-two buckets — the standard
+    corpus-curation diagnostic (how much of the corpus is tiny
+    fragments vs book-length documents, and where the token mass sits).
+
+    Bucket ``b`` holds docs with 2^b ≤ tokens < 2^(b+1); empty docs get
+    bucket -1. The bucket comes from an integer CASE chain, NOT
+    ``floor(log2(n))``: log2 is computed as log(n)/log(2) on some
+    engines, which lands a hair under whole numbers at exact powers of
+    two and floors into the wrong bucket — the CASE compares integers
+    only, so every engine buckets identically.
+
+    One scan, one map-side-combinable aggregation.
+    Output: (bucket, lo_tokens, n_docs, total_tokens).
+    """
+    n = F.size(_ws_tokens(F.col(text_col)))
+    # build innermost-first: the OUTERMOST when must test the largest
+    # threshold, or every non-empty doc matches n >= 1 and lands in 0
+    bucket: Column = F.lit(-1)
+    for b in range(0, max_pow + 1):
+        bucket = F.when(n >= (1 << b), F.lit(b)).otherwise(bucket)
+    staged = df.select(bucket.alias("bucket"), n.cast("bigint").alias("n"))
+    return (
+        staged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.when(F.col("bucket") >= 0, F.pow(F.lit(2.0), F.col("bucket")).cast("bigint"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("lo_tokens"),
+            "n_docs",
+            "total_tokens",
+        )
+    )
+
+
 def contamination_scan(
     df: DataFrame,
     probes: list[str],

@@ -247,3 +247,24 @@ def test_contamination_scan_many_matches_literal_scan(spark, sf_dir):
             for r in T.contamination_scan_many(docs, probes).collect()}
     assert many == lit
     assert many["zz-not-in-corpus-zz"] == (0, None)
+
+
+def test_length_histogram_buckets(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ""),                      # bucket -1
+            (2, "one"),                   # 1 token -> bucket 0
+            (3, "a b"),                   # 2 -> bucket 1
+            (4, "a b c"),                 # 3 -> bucket 1
+            (5, " ".join(["w"] * 4)),     # 4 -> bucket 2
+            (6, " ".join(["w"] * 7)),     # 7 -> bucket 2
+            (7, " ".join(["w"] * 8)),     # 8 -> bucket 3 (exact power)
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.bucket: r for r in T.length_histogram(df).collect()}
+    assert got[-1].n_docs == 1 and got[-1].lo_tokens == 0
+    assert got[0].n_docs == 1
+    assert got[1].n_docs == 2 and got[1].lo_tokens == 2
+    assert got[2].n_docs == 2 and got[2].total_tokens == 11
+    assert got[3].n_docs == 1 and got[3].lo_tokens == 8
