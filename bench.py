@@ -45,6 +45,7 @@ HEADLINE = [
     "synthetic_sample",
     "text_profile",
     "quality_score",
+    "length_histogram",
     "repetition_stats",
     "corpus_stats",
     "tfidf_top_terms",
