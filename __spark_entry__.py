@@ -430,6 +430,10 @@ def _q_length_histogram(spark, sf):
     return TX.length_histogram(load_table(spark, sf, "documents"))
 
 
+def _q_unigram_logprob(spark, sf):
+    return TX.unigram_logprob(load_table(spark, sf, "documents"))
+
+
 def _q_kmv_distinct_prefilter(spark, sf):
     # the 100 TB path: hash < t drops rows BEFORE the distinct shuffle;
     # md5-deterministic, so the filtered sketch is hash-checkable too
@@ -551,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_binned": _q_ks_drift_binned,
         "kmv_distinct_prefilter": _q_kmv_distinct_prefilter,
         "length_histogram": _q_length_histogram,
+        "unigram_logprob": _q_unigram_logprob,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1048,6 +1053,23 @@ def _sql_ngram_jaccard() -> str:
     )
 
 
+def _sql_unigram_logprob() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t FROM documents), "
+        "ex AS (SELECT doc_id, unnest(t) AS tok FROM toks), "
+        "cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok), "
+        "tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM cnt), "
+        "scored AS (SELECT ex.doc_id, CAST(round(-ln((cnt.c + 1.0) / (tot.total + tot.vocab)), 6) "
+        "AS DECIMAL(38,6)) AS nlp FROM ex JOIN cnt USING (tok) CROSS JOIN tot), "
+        "per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "round(CAST(sum(nlp) AS DOUBLE) / count(*), 6) AS avg_neg_logprob "
+        "FROM scored GROUP BY doc_id) "
+        "SELECT toks.doc_id, CAST(coalesce(per_doc.n_tokens, 0) AS BIGINT) AS n_tokens, "
+        "per_doc.avg_neg_logprob FROM toks LEFT JOIN per_doc USING (doc_id)"
+    )
+
+
 def _sql_length_histogram(max_pow: int = 20) -> str:
     # integer CASE chain, not floor(log2(n)) — see operators.text
     cases = " ".join(f"WHEN len(t) >= {1 << b} THEN {b}" for b in range(max_pow, -1, -1))
@@ -1470,6 +1492,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _sql_kmv_distinct(64),
         "kmv_distinct_prefilter": _sql_kmv_distinct_prefilter(64, 0.25),
         "length_histogram": _sql_length_histogram(),
+        "unigram_logprob": _sql_unigram_logprob(),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

@@ -46,6 +46,7 @@ HEADLINE = [
     "text_profile",
     "quality_score",
     "length_histogram",
+    "unigram_logprob",
     "repetition_stats",
     "corpus_stats",
     "tfidf_top_terms",

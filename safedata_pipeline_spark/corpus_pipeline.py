@@ -53,6 +53,27 @@ class CorpusPipeline:
             "quality", self.df.join(kept, on=self.id_col, how="left_semi")
         )
 
+    # -- step 1b: Gopher-rule repetition filter ------------------------
+    def filter_repetition(
+        self,
+        max_dup_word_fraction: float = 0.5,
+        max_top_bigram_fraction: float = 0.5,
+    ) -> "CorpusPipeline":
+        """Drop documents exceeding the repetition thresholds (Gopher
+        §A1.1-style rules). Docs too short to have the statistic (null
+        fraction) are kept — absence of evidence is not repetition."""
+        stats = TX.repetition_stats(self.df, self.text_col, self.id_col)
+        keep = stats.where(
+            (F.coalesce(F.col("dup_word_fraction"), F.lit(0.0)) <= max_dup_word_fraction)
+            & (
+                F.coalesce(F.col("top_bigram_fraction"), F.lit(0.0))
+                <= max_top_bigram_fraction
+            )
+        ).select(self.id_col)
+        return self._keep(
+            "repetition", self.df.join(keep, on=self.id_col, how="left_semi")
+        )
+
     # -- step 2: sub-document exact dedup ------------------------------
     def dedup_units(self, sep: str = "\n") -> "CorpusPipeline":
         rebuilt = DD.paragraph_dedup(self.df, self.text_col, self.id_col, sep)

@@ -121,6 +121,61 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-self language-model quality score — the engine-native
+    analogue of CCNet's KenLM perplexity filter (Wenzek et al. 2020,
+    public paper): documents whose tokens are improbable under the
+    corpus's own unigram distribution are outliers (gibberish, wrong
+    language, boilerplate).
+
+    score(doc) = (1/n)·Σ −ln p(tok), with add-one-smoothed unigram
+    probabilities p(tok) = (count+1)/(total+vocab) from one corpus
+    pass. Low = typical text, high = improbable text.
+
+    Shape: explode → corpus unigram counts (map-side combinable) →
+    token equi-join back (vocabulary-sized right side; AQE broadcasts
+    when small) → per-doc aggregation. Cross-engine determinism: each
+    token's −ln p rounds to 6 decimals and sums as DECIMAL, so shuffle
+    order can't drift the mean (raw double ln-sums would).
+
+    Output: (id, n_tokens, avg_neg_logprob).
+    """
+    staged = df.select(
+        F.col(id_col), _ws_tokens(F.lower(F.col(text_col))).alias("__tk")
+    )
+    ex = staged.select(F.col(id_col), F.explode("__tk").alias("tok"))
+    counts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    neg_lp = F.round(
+        -F.log((F.col("c") + 1.0) / (F.col("total") + F.col("vocab"))), ROUND_N
+    )
+    scored = (
+        ex.join(counts, on="tok")
+        .join(F.broadcast(totals))
+        .select(F.col(id_col), neg_lp.cast("decimal(38,6)").alias("nlp"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.sum("nlp").cast("double") / F.count(F.lit(1)), ROUND_N).alias(
+            "avg_neg_logprob"
+        ),
+    )
+    # docs with no tokens keep a row (null score), like the other ops
+    base = staged.select(F.col(id_col))
+    return (
+        base.join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.col("avg_neg_logprob"),
+        )
+    )
+
+
 def length_histogram(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_pow: int = 20
 ) -> DataFrame:

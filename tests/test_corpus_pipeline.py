@@ -55,3 +55,16 @@ def test_corpus_pipeline_stats_schema(spark, sf_dir):
         "avg_quality",
     }
     assert st.count() > 0
+
+
+def test_filter_repetition_drops_repeated_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a a a a a"),                       # dup_word_fraction 7/8
+            (2, "the quick brown fox jumps over dogs"),  # all distinct
+        ],
+        "doc_id bigint, text string",
+    )
+    cp = CorpusPipeline(df).filter_repetition(max_dup_word_fraction=0.5)
+    assert [r.doc_id for r in cp.df.collect()] == [2]
+    assert cp.funnel_report()["repetition"] == 1

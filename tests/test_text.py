@@ -268,3 +268,20 @@ def test_length_histogram_buckets(spark):
     assert got[1].n_docs == 2 and got[1].lo_tokens == 2
     assert got[2].n_docs == 2 and got[2].total_tokens == 11
     assert got[3].n_docs == 1 and got[3].lo_tokens == 8
+
+
+def test_unigram_logprob_orders_rare_docs_higher(spark):
+    import math
+
+    common = "the the the the the"
+    rare = "zyx qwv jkl mno pqr"
+    df = spark.createDataFrame(
+        [(1, common), (2, rare), (3, "")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in T.unigram_logprob(df).collect()}
+    # rare tokens are less probable -> higher surprise
+    assert got[2].avg_neg_logprob > got[1].avg_neg_logprob
+    assert got[3].n_tokens == 0 and got[3].avg_neg_logprob is None
+    # hand-check doc 1: p(the) = (5+1)/(10+6); 10 tokens, 6 vocab
+    want = round(-math.log(6 / 16), 6)
+    assert abs(got[1].avg_neg_logprob - want) < 1e-6
