@@ -1063,7 +1063,7 @@ def _sql_unigram_logprob() -> str:
         "scored AS (SELECT ex.doc_id, CAST(round(-ln((cnt.c + 1.0) / (tot.total + tot.vocab)), 6) "
         "AS DECIMAL(38,6)) AS nlp FROM ex JOIN cnt USING (tok) CROSS JOIN tot), "
         "per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
-        "round(CAST(sum(nlp) AS DOUBLE) / count(*), 6) AS avg_neg_logprob "
+        "floor(CAST(sum(nlp) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_neg_logprob "
         "FROM scored GROUP BY doc_id) "
         "SELECT toks.doc_id, CAST(coalesce(per_doc.n_tokens, 0) AS BIGINT) AS n_tokens, "
         "per_doc.avg_neg_logprob FROM toks LEFT JOIN per_doc USING (doc_id)"

@@ -158,11 +158,15 @@ def unigram_logprob(
         .join(F.broadcast(totals))
         .select(F.col(id_col), neg_lp.cast("decimal(38,6)").alias("nlp"))
     )
+    # explicit half-up snap instead of round(): the decimal-sum ÷ n
+    # quotient CAN land exactly on a x.xxxxxx5 tie (sum has 6dp, n is
+    # an integer), and round() half-up (Spark) vs half-even (DuckDB)
+    # then differ by 1e-6 — floor(x·1e6 + 0.5)/1e6 is the same double
+    # op on every engine (caught by an sf0.1 sweep; see protect._snap2)
+    avg = F.sum("nlp").cast("double") / F.count(F.lit(1))
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.round(F.sum("nlp").cast("double") / F.count(F.lit(1)), ROUND_N).alias(
-            "avg_neg_logprob"
-        ),
+        (F.floor(avg * 1e6 + F.lit(0.5)) / 1e6).alias("avg_neg_logprob"),
     )
     # docs with no tokens keep a row (null score), like the other ops
     base = staged.select(F.col(id_col))
