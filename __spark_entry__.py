@@ -974,7 +974,8 @@ def _sql_corpus_stats() -> str:
         "SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs, "
         "CAST(sum(b.n_toks) AS BIGINT) AS total_ws_tokens, "
         "CAST(count(DISTINCT b.lang) AS BIGINT) AS n_langs, "
-        "round(CAST(sum(CAST(q.quality AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_quality "
+        "floor(CAST(sum(CAST(q.quality AS DECIMAL(38,6))) AS DOUBLE) / count(*) * 1000000.0 + 0.5) "
+        "/ 1000000.0 AS avg_quality "
         "FROM b JOIN q USING (doc_id) GROUP BY b.source"
     )
 
@@ -1223,7 +1224,8 @@ def _sql_embedding_centroids() -> str:
         "WITH ex AS (SELECT label, unnest(embedding::DOUBLE[]) AS x, "
         "unnest(range(0, len(embedding))) AS dim FROM embeddings) "
         "SELECT label, CAST(dim AS BIGINT) AS dim, "
-        "round(CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS centroid_val, "
+        "floor(CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) * 1000000.0 + 0.5) "
+        "/ 1000000.0 AS centroid_val, "
         "CAST(count(*) AS BIGINT) AS n_vectors FROM ex GROUP BY label, dim"
     )
 

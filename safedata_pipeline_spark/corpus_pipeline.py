@@ -97,13 +97,14 @@ class CorpusPipeline:
             threshold=threshold,
         )
         labels = DD.dedup_components(self.df, pairs, id_col=self.id_col)
-        keep = labels.where(F.col("is_canonical")).select(
-            F.col(self.id_col)
-        )
-        self.results["n_clusters"] = labels.select("comp_id").distinct().count()
-        return self._keep(
+        keep = labels.where(F.col("is_canonical")).select(F.col(self.id_col))
+        out = self._keep(
             "near_dedup", self.df.join(keep, on=self.id_col, how="left_semi")
         )
+        # one canonical doc per component, so cluster count == kept
+        # count — no extra distinct+count job over the label frame
+        self.results["n_clusters"] = self.funnel["near_dedup"]
+        return out
 
     # -- step 4: pack into training windows ----------------------------
     def pack(self, budget: int = 2048, buckets: int = 64) -> DataFrame:
@@ -116,7 +117,7 @@ class CorpusPipeline:
 
     # -- diagnostics ----------------------------------------------------
     def stats(self, group_col: str = "source") -> DataFrame:
-        return TX.corpus_stats(self.df, group_col, self.text_col, self.id_col)
+        return TX.corpus_stats(self.df, group_col, text_col=self.text_col)
 
     def funnel_report(self) -> dict[str, int]:
         """Document counts surviving each step, in execution order."""

@@ -569,8 +569,13 @@ def paragraph_dedup(
     shuffle rows small; semantics are identical (md5 collisions aside),
     kept as raw text here so any SQL engine reproduces it exactly.
     """
+    # \Q...\E-quote the separator: F.split takes a REGEX, but the
+    # contract here (and the oracle's string_split) is a literal
+    # separator — an unquoted "." or "|" would split on every character
     units = F.filter(
-        F.transform(F.split(F.col(text_col), sep), lambda u: F.trim(u)),
+        F.transform(
+            F.split(F.col(text_col), f"\\Q{sep}\\E"), lambda u: F.trim(u)
+        ),
         lambda u: u != "",
     )
     exploded = df.select(

@@ -83,6 +83,12 @@ def ks_statistic_binned(df_a: DataFrame, df_b: DataFrame, col: str, bins: int = 
         .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
         .collect()[0]
     )
+    if lohi["lo"] is None:
+        # both inputs empty/all-null: NULL statistic, like ks_statistic
+        # and the SQL twin (float(None) would crash at plan build)
+        return df_a.sparkSession.range(1).select(
+            F.lit(None).cast("double").alias("ks_stat")
+        )
     lo, hi = float(lohi["lo"]), float(lohi["hi"])
     width = (hi - lo) / bins or 1.0
     u = _tagged_union(df_a, df_b, col).withColumn(

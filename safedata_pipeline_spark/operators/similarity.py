@@ -279,11 +279,12 @@ def embedding_centroids(
     """
     v = F.col(vec_col).cast("array<double>")
     ex = df.select(F.col(label_col).alias("label"), F.posexplode(v).alias("dim", "x"))
+    # half-up snap instead of round(): a decimal-sum / int-count
+    # quotient can land exactly on a .5e-6 tie, where Spark (half-up)
+    # and an oracle engine (half-even) disagree by 1e-6
+    mean = F.sum(F.col("x").cast("decimal(38,12)")).cast("double") / F.count(F.lit(1))
     per_dim = ex.groupBy("label", "dim").agg(
-        F.round(
-            F.sum(F.col("x").cast("decimal(38,12)")).cast("double") / F.count(F.lit(1)),
-            ROUND_N,
-        ).alias("centroid_val"),
+        (F.floor(mean * 1e6 + F.lit(0.5)) / 1e6).alias("centroid_val"),
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
     )
     if not packed:

@@ -636,7 +636,7 @@ def corpus_stats(
     df: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
-    id_col: str = "doc_id",
+    lang_col: str = "lang",
 ) -> DataFrame:
     """Per-source corpus summary — the dashboard query for corpus
     curation: document count, token volume, language spread, and mean
@@ -650,18 +650,28 @@ def corpus_stats(
     round at the end (double sums would drift ulps between Spark and
     the oracle at large group sizes).
     """
-    base = df.select(
+    staged = df.select(
         F.col(group_col),
-        F.col("lang"),
-        F.size(_ws_tokens(F.col(text_col))).cast("bigint").alias("n_toks"),
-        _quality_expr(F.col(text_col)).alias("quality"),
+        F.col(lang_col).alias("__lang"),
+        F.col(text_col).alias("__text"),
+        _ws_tokens(F.col(text_col)).alias("__wt"),
     )
+    base = staged.select(
+        group_col,
+        "__lang",
+        F.size("__wt").cast("bigint").alias("n_toks"),
+        _quality_expr(F.col("__text"), toks=F.col("__wt")).alias("quality"),
+    )
+    # explicit half-up snap, not round(): decimal-sum / int-count can
+    # land exactly on a .5e-6 tie where Spark (half-up) and DuckDB
+    # (half-even) disagree — same class fixed in unigram_logprob
+    avg = F.col("__qsum").cast("double") / F.col("n_docs")
     return (
         base.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_toks").cast("bigint").alias("total_ws_tokens"),
-            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.countDistinct("__lang").cast("bigint").alias("n_langs"),
             F.sum(F.col("quality").cast("decimal(38,6)")).alias("__qsum"),
         )
         .select(
@@ -672,9 +682,7 @@ def corpus_stats(
             # cast the decimal SUM to double BEFORE dividing: the exact
             # decimal sum converts identically on every engine, while
             # decimal÷int quotient scales are engine-specific
-            F.round(F.col("__qsum").cast("double") / F.col("n_docs"), ROUND_N).alias(
-                "avg_quality"
-            ),
+            (F.floor(avg * 1e6 + F.lit(0.5)) / 1e6).alias("avg_quality"),
         )
     )
 

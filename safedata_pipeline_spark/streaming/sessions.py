@@ -115,9 +115,16 @@ def _sessionize_batches(
     boundaries backwards: start = min(start, t), end = max(end, t)."""
     (user_id,) = key
     if state.hasTimedOut:
-        # watermark passed end+gap: no event can extend this session
+        # watermark passed end+gap: no event can extend this session.
+        # Keep the session COUNTER (null boundaries = no open session,
+        # no timeout armed) instead of removing state: a removed
+        # counter would restart a returning user at session 1,
+        # emitting duplicate (user_id, session_id) keys and breaking
+        # the batch twin's cumulative numbering. Residual state is 5
+        # scalars per ever-seen user — the unavoidable cost of
+        # globally-unique per-user session numbers.
         sid, start_us, last_us, n, sv = state.get
-        state.remove()
+        state.update((sid, None, None, 0, 0.0))
         yield _sessions_frame([(user_id, sid, start_us, last_us, n, sv)])
         return
     if state.exists:

@@ -146,3 +146,33 @@ def test_stream_sessions_match_batch_exactly(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_kernel_timeout_flush_preserves_session_counter():
+    import pandas as pd
+
+    from safedata_pipeline_spark.streaming.sessions import _sessionize_batches
+
+    gap_us = 30 * 60_000_000
+    t0 = pd.Timestamp("2024-01-01")
+
+    def batch(*minutes):
+        return pd.DataFrame(
+            {"ts": [t0 + pd.Timedelta(minutes=m) for m in minutes], "value": [1.0] * len(minutes)}
+        )
+
+    # two sessions close in-stream, the third flushes via timeout
+    state = _FakeState()
+    list(_sessionize_batches((7,), iter([batch(0, 40, 80)]), state, gap_us))
+    sid = state.get[0]
+    assert sid == 3
+    # watermark passes end+gap: timeout fires with no new events
+    state.hasTimedOut = True
+    out = list(_sessionize_batches((7,), iter([]), state, gap_us))
+    assert out and out[0]["session_id"].tolist() == [3]
+    # state must keep the counter (not be removed) with no open session
+    assert not state.removed and state.get[0] == 3 and state.get[1] is None
+    # the user returns: the new session continues the numbering at 4
+    state.hasTimedOut = False
+    list(_sessionize_batches((7,), iter([batch(200)]), state, gap_us))
+    assert state.get[0] == 4
