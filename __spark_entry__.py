@@ -39,6 +39,7 @@ from safedata_pipeline_spark.operators import joins as JN
 from safedata_pipeline_spark.operators import pii as PII
 from safedata_pipeline_spark.operators import rollup as RU
 from safedata_pipeline_spark.operators import sketch as SK
+from safedata_pipeline_spark.operators import sampling as SMP
 from safedata_pipeline_spark.streaming import events as SE
 from safedata_pipeline_spark.streaming import sessions as SS
 
@@ -484,6 +485,19 @@ def _q_impute(spark, sf):
     return PR.impute_mean(base, ["v"]).withColumnRenamed("v", "acctbal_imputed")
 
 
+MIXTURE_SHARES = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.05, "src4": 0.05}
+
+
+def _q_source_mixture_sample(spark, sf):
+    return SMP.source_mixture_sample(
+        load_table(spark, sf, "documents").select("doc_id", "source"), MIXTURE_SHARES
+    )
+
+
+def _q_quality_deciles(spark, sf):
+    return SMP.quality_deciles(load_table(spark, sf, "documents"))
+
+
 def _q_model_utility(spark, sf):
     cust = load_table(spark, sf, "customer").select(
         "c_nationkey", "c_acctbal", (F.col("c_custkey") % 2).cast("int").alias("target")
@@ -556,6 +570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_prefilter": _q_kmv_distinct_prefilter,
         "length_histogram": _q_length_histogram,
         "unigram_logprob": _q_unigram_logprob,
+        "source_mixture_sample": _q_source_mixture_sample,
+        "quality_deciles": _q_quality_deciles,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1400,6 +1416,46 @@ def _sql_checklist_score() -> str:
     )
 
 
+def _sql_source_mixture_sample(shares: dict[str, float]) -> str:
+    vals = ", ".join(f"('{s}', {w!r})" for s, w in sorted(shares.items()))
+    return (
+        "WITH cnt AS (SELECT source, CAST(count(*) AS DOUBLE) AS c "
+        "FROM documents GROUP BY source), "
+        f"sh(source, share) AS (VALUES {vals}), "
+        "j AS (SELECT cnt.source, c, share FROM cnt JOIN sh ON cnt.source = sh.source "
+        "WHERE share > 0), "
+        # rate = share * min(c/share) / c, same IEEE op order as mixture_rates
+        "rate AS (SELECT source, share * (SELECT min(c / share) FROM j) / c AS r FROM j) "
+        "SELECT d.doc_id, d.source FROM documents d JOIN rate ON d.source = rate.source "
+        "WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0) "
+        "/ 4294967296.0 <= r"
+    )
+
+
+def _sql_quality_deciles(buckets: int = 10) -> str:
+    probs = ", ".join(repr(i / buckets) for i in range(buckets + 1))
+    return (
+        f"WITH s0 AS ({_sql_quality_score()}), "
+        "s AS (SELECT n_tokens, quality FROM s0), "
+        f"qs AS (SELECT unnest(quantile_cont(quality, [{probs}])) AS e FROM s), "
+        "ded AS (SELECT DISTINCT e FROM qs WHERE e IS NOT NULL), "
+        "ord AS (SELECT e, row_number() OVER (ORDER BY e) - 1 AS i FROM ded), "
+        "pairs AS (SELECT a.i AS bucket, a.e AS lo, b.e AS hi, "
+        "b.i = (SELECT max(i) FROM ord) AS islast FROM ord a JOIN ord b ON b.i = a.i + 1), "
+        # bin against the UNROUNDED edges, [lo, hi) with the top bucket closed
+        "asg AS (SELECT s.n_tokens, s.quality, p.bucket, p.lo, p.hi FROM s JOIN pairs p "
+        "ON s.quality >= p.lo AND (s.quality < p.hi OR (p.islast AND s.quality <= p.hi))) "
+        "SELECT CAST(bucket AS BIGINT) AS bucket, "
+        "floor(lo * 1000000.0 + 0.5) / 1000000.0 AS lo, "
+        "floor(hi * 1000000.0 + 0.5) / 1000000.0 AS hi, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS total_ws_tokens, "
+        "floor(CAST(sum(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) / count(*) "
+        "* 1000000.0 + 0.5) / 1000000.0 AS avg_quality "
+        "FROM asg GROUP BY bucket, lo, hi"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "limit_preview": (
@@ -1495,6 +1551,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_prefilter": _sql_kmv_distinct_prefilter(64, 0.25),
         "length_histogram": _sql_length_histogram(),
         "unigram_logprob": _sql_unigram_logprob(),
+        "source_mixture_sample": _sql_source_mixture_sample(MIXTURE_SHARES),
+        "quality_deciles": _sql_quality_deciles(),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

@@ -1,0 +1,186 @@
+"""Corpus sampling / stratification operators for LLM training-data
+pipelines (SURVEY §2.8 extension surface; no reference counterpart —
+the reference processes only tabular data).
+
+Operators:
+  * ``source_mixture_sample`` — deterministic Bernoulli sampling that
+    reshapes a corpus to a target per-source mixture (the sampling-side
+    form of domain reweighting à la DoReMi / The Pile's per-source
+    epochs: decide a mixture, then draw documents to match it). The
+    keep/drop decision is an md5-derived uniform per document, so the
+    sample is engine-reproducible and oracle-checkable — not a
+    ``df.sample`` whose RNG no other engine can replay.
+  * ``quality_deciles`` — equal-frequency quality stratification:
+    exact decile edges over the heuristic quality score, then per-bucket
+    document/token/quality rollups. The curation dashboard query for
+    "how much volume do we lose if we cut below decile k?".
+
+Scale notes:
+  * ``source_mixture_sample`` collects only the per-source count table
+    (O(#sources) rows — fit parameters, same class as one-hot's
+    category list) and applies rates as a map-side CASE + filter: the
+    row pass is one scan, no join, no shuffle, whole-stage codegen.
+  * ``quality_deciles`` collects ≤ buckets+1 edge doubles (one exact
+    percentile agg — swap ``exact=False`` for approxQuantile on the
+    100 TB path) and bins with a CASE chain; the rollup is one
+    map-side-combinable groupBy over ≤ buckets keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from safedata_pipeline_spark.functions.hashing import md5_unit_interval
+from safedata_pipeline_spark.operators.text import _quality_expr, _ws_tokens
+
+ROUND_N = 6
+
+
+def mixture_rates(
+    df: DataFrame, shares: dict[str, float], source_col: str = "source"
+) -> dict[str, float]:
+    """Per-source keep rates that reshape the corpus to ``shares``
+    while keeping the maximum possible volume.
+
+    With ``c_s`` = docs in source s and ``w_s`` = target share, the
+    largest total N with composition w is N = min_s(c_s / w_s), and
+    rate_s = w_s * N / c_s ≤ 1 by construction. Sources absent from
+    ``shares`` get rate 0 (dropped).
+
+    The count table is O(#sources) — collected as fit parameters. The
+    arithmetic is plain IEEE doubles in a fixed order (share * N / c)
+    so the oracle SQL reproduces the exact rate values bit-for-bit.
+    """
+    counts = {
+        r[source_col]: float(r["cnt"])
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    pos = {s: w for s, w in shares.items() if w > 0 and counts.get(s, 0) > 0}
+    if not pos:
+        return {}
+    cap = min(counts[s] / w for s, w in pos.items())
+    return {s: w * cap / counts[s] for s, w in pos.items()}
+
+
+def source_mixture_sample(
+    df: DataFrame,
+    shares: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    rates: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministically sample ``df`` so the surviving rows' source
+    composition matches ``shares`` (expected counts), keeping maximal
+    volume. A row survives iff md5_unit(id) <= rate(source) — the
+    same document always gets the same verdict, across runs and across
+    engines (md5-derived uniform, ``functions.hashing``).
+
+    Pass a precomputed ``rates`` dict to apply one fit to several
+    frames (e.g. sample a holdout with the training corpus's rates).
+    Row pass: map-side CASE + filter; no join, no shuffle.
+    """
+    if rates is None:
+        rates = mixture_rates(df, shares, source_col)
+    if not rates:
+        return df.where(F.lit(False))
+    rate = F.lit(None).cast("double")
+    expr = None
+    for s, r in sorted(rates.items()):
+        cond = F.col(source_col) == F.lit(s)
+        expr = F.when(cond, F.lit(r)) if expr is None else expr.when(cond, F.lit(r))
+    rate = expr.otherwise(F.lit(None).cast("double"))
+    u = md5_unit_interval(F.col(id_col))
+    return df.where(rate.isNotNull() & (u <= rate))
+
+
+def quality_decile_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    buckets: int = 10,
+    exact: bool = True,
+) -> list[float]:
+    """Equal-frequency bucket edges of the per-doc quality score at
+    i/buckets, i=0..buckets, duplicate edges dropped (qcut-style).
+    ``exact=False`` switches to approxQuantile for the 100 TB path."""
+    scores = df.select(_quality_expr(F.col(text_col)).alias("q"))
+    probs = [i / buckets for i in range(buckets + 1)]
+    if exact:
+        arr = scores.agg(
+            F.percentile(F.col("q"), F.array(*[F.lit(p) for p in probs]))
+        ).collect()[0][0]
+        edges = list(arr) if arr is not None else []
+    else:
+        edges = scores.where(F.col("q").isNotNull()).stat.approxQuantile("q", probs, 0.001)
+    out: list[float] = []
+    for e in edges:
+        if e is not None and (not out or e != out[-1]):
+            out.append(float(e))
+    return out
+
+
+def _snap6(col):
+    """Half-up snap to 6 decimals for non-negative doubles — identical
+    on Spark and DuckDB (plain round() is half-up on one engine and
+    half-even on the other at exact .5e-6 ties)."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def quality_deciles(
+    df: DataFrame,
+    text_col: str = "text",
+    buckets: int = 10,
+    exact: bool = True,
+) -> DataFrame:
+    """Equal-frequency quality stratification: one row per bucket with
+    ``(bucket, lo, hi, n_docs, total_ws_tokens, avg_quality)``.
+
+    Bucket membership is [lo, hi) with the top bucket closed, computed
+    against the UNROUNDED edge doubles on both engines (lo/hi in the
+    output are display-snapped to 6 decimals). The mean rides a
+    DECIMAL(38,6) sum (partition-order independent) and is half-up
+    snapped, mirroring ``corpus_stats``.
+    """
+    edges = quality_decile_edges(df, text_col, buckets, exact)
+    spark = df.sparkSession
+    if len(edges) < 2:
+        return spark.createDataFrame(
+            [],
+            "bucket bigint, lo double, hi double, n_docs bigint, "
+            "total_ws_tokens bigint, avg_quality double",
+        )
+    t = F.col(text_col)
+    base = df.select(
+        _ws_tokens(t).alias("__wt"), _quality_expr(t, toks=None).alias("q")
+    ).select(F.size("__wt").cast("bigint").alias("n_toks"), "q")
+    expr = None
+    for i in range(len(edges) - 1):
+        lo, hi = edges[i], edges[i + 1]
+        last = i == len(edges) - 2
+        cond = (F.col("q") >= F.lit(lo)) & (
+            (F.col("q") <= F.lit(hi)) if last else (F.col("q") < F.lit(hi))
+        )
+        b = F.struct(
+            F.lit(i).cast("bigint").alias("bucket"),
+            F.lit(lo).alias("lo"),
+            F.lit(hi).alias("hi"),
+        )
+        expr = F.when(cond, b) if expr is None else expr.when(cond, b)
+    binned = base.select("n_toks", "q", expr.alias("b")).where(F.col("b").isNotNull())
+    avg = F.col("__qsum").cast("double") / F.col("n_docs")
+    return (
+        binned.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_ws_tokens"),
+            F.sum(F.col("q").cast("decimal(38,6)")).alias("__qsum"),
+        )
+        .select(
+            F.col("b.bucket").alias("bucket"),
+            _snap6(F.col("b.lo")).alias("lo"),
+            _snap6(F.col("b.hi")).alias("hi"),
+            "n_docs",
+            "total_ws_tokens",
+            _snap6(avg).alias("avg_quality"),
+        )
+    )
