@@ -80,6 +80,8 @@ HEADLINE = [
     "user_sessions",
     "impute",
     "model_utility",
+    "source_mixture_sample",
+    "quality_deciles",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -17,13 +17,18 @@ per-side counts via an ordered window, statistic = max |ca/na - cb/nb|.
 All counts stay integer until the final division, so the cumulative
 arithmetic is exact and engine-independent.
 
-Scale notes: the ordered window is unpartitioned — exact ECDF needs a
-global order. Grouping first collapses the window input to the distinct
--value table; for 100 TB continuous data use ``ks_statistic_binned``
-(fixed-width bins = a bounded-error KS with a pure groupBy, no global
-sort). χ² sums per-category contributions as DECIMAL(38,12) so the sum
-is order-independent (float sums are not associative; a shuffle could
-otherwise flip the last ulp between runs).
+Scale notes: exact ECDF needs a global order, but NOT a global window.
+``_two_phase_cum`` range-partitions the distinct-value table, computes
+per-partition cumulative sums in parallel, and broadcasts per-partition
+prefix offsets (an O(partitions) collected fit-parameter table) — the
+same trick as ``protect._with_row_index``. No stage ever sorts more
+than one partition's values in one task. For 100 TB continuous data
+``ks_statistic_binned`` (fixed-width bins, pure groupBy) bounds the
+window input to ≤``bins`` rows per column with error ≤ one bin width;
+``distribution_drift(exact=False)`` routes every numeric column through
+that construction. χ² sums per-category contributions as
+DECIMAL(38,12) so the sum is order-independent (float sums are not
+associative; a shuffle could otherwise flip the last ulp between runs).
 """
 
 from __future__ import annotations
@@ -46,19 +51,74 @@ def _tagged_union(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def _two_phase_cum(g: DataFrame, key_col: str, val_col: str) -> DataFrame:
+    """Exact per-key cumulative (ka, kb) counts with NO single-task
+    window — the scale fix for the ECDF construction.
+
+    Phase 1: range-partition the distinct-value table on (key, value)
+    and pin partition ids (``localCheckpoint`` materializes the rows
+    WITH their ``spark_partition_id``, so both downstream jobs see the
+    same placement). Per-partition (key, pid) totals are collected —
+    an O(partitions × keys-spanning-boundaries) fit-parameter table,
+    same class as one-hot's category list.
+
+    Phase 2: prefix offsets per (key, pid) are computed driver-side and
+    broadcast back; the cumulative window is ``partitionBy(key, pid)``
+    — every task sorts only its own contiguous value range. All counts
+    stay integer, so results are bit-identical to the single-window
+    form. Output: (key, ca, cb, na, nb), one row per distinct value.
+    """
+    spark = g.sparkSession
+    npart = max(int(spark.conf.get("spark.sql.shuffle.partitions", "8")), 1)
+    rp = (
+        g.repartitionByRange(npart, F.col(key_col), F.col(val_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    tot = (
+        rp.groupBy(key_col, "__pid")
+        .agg(F.sum("ka").alias("tka"), F.sum("kb").alias("tkb"))
+        .collect()
+    )
+    per_key: dict[str, list] = {}
+    for r in tot:
+        per_key.setdefault(r[key_col], []).append(r)
+    rows = []
+    for k, rs in per_key.items():
+        rs.sort(key=lambda r: r["__pid"])
+        na = sum(r["tka"] for r in rs)
+        nb = sum(r["tkb"] for r in rs)
+        offa = offb = 0
+        for r in rs:
+            rows.append((k, r["__pid"], offa, offb, na, nb))
+            offa += r["tka"]
+            offb += r["tkb"]
+    off = spark.createDataFrame(
+        rows,
+        f"{key_col} string, __pid int, offa bigint, offb bigint, na bigint, nb bigint",
+    )
+    w_local = Window.partitionBy(key_col, "__pid").orderBy(val_col)
+    return rp.join(F.broadcast(off), [key_col, "__pid"]).select(
+        key_col,
+        (F.sum("ka").over(w_local) + F.col("offa")).alias("ca"),
+        (F.sum("kb").over(w_local) + F.col("offb")).alias("cb"),
+        "na",
+        "nb",
+    )
+
+
 def ks_statistic(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic on ``col`` → 1 row
-    ``(ks_stat double)``; NULL when either side has <5 non-null rows."""
+    ``(ks_stat double)``; NULL when either side has <5 non-null rows.
+    Cumulative ECDF counts come from ``_two_phase_cum`` — parallel
+    across value ranges, never a one-task global window."""
     u = _tagged_union(df_a, df_b, col)
-    g = u.groupBy("v").agg(F.sum("ka").alias("ka"), F.sum("kb").alias("kb"))
-    w_cum = Window.orderBy("v")
-    w_all = Window.partitionBy()
-    c = g.select(
-        F.sum("ka").over(w_cum).alias("ca"),
-        F.sum("kb").over(w_cum).alias("cb"),
-        F.sum("ka").over(w_all).alias("na"),
-        F.sum("kb").over(w_all).alias("nb"),
+    g = (
+        u.groupBy("v")
+        .agg(F.sum("ka").alias("ka"), F.sum("kb").alias("kb"))
+        .withColumn("column", F.lit("_"))
     )
+    c = _two_phase_cum(g, "column", "v")
     return c.agg(
         F.when(
             (F.max("na") >= MIN_KS_ROWS) & (F.max("nb") >= MIN_KS_ROWS),
@@ -174,7 +234,12 @@ def _melt_categorical(df: DataFrame, cols: list[str], ka: int, kb: int, na_label
 
 
 def distribution_drift(
-    df_a: DataFrame, df_b: DataFrame, cols: list[str] | None = None, na_label: str = "NA"
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cols: list[str] | None = None,
+    na_label: str = "NA",
+    exact: bool = True,
+    bins: int = 10000,
 ) -> DataFrame:
     """Per-column drift table (utility.py:112-123): numeric columns →
     KS, everything else → χ². Output one row per shared column:
@@ -184,11 +249,17 @@ def distribution_drift(
     of each input PER COLUMN), all numeric columns are melted into one
     ``(column, value)`` frame and all categorical columns into another —
     each input is scanned exactly twice total (once per melt) no matter
-    how many columns drift is computed over. The KS cumulative window is
-    ``partitionBy("column")`` so every column's ECDF runs in parallel;
-    per-column χ² is one grouped sum. Semantics (min-row guards, "NA"
-    nulls, DECIMAL χ² sum, rounding) are identical to the per-column
-    operators above.
+    how many columns drift is computed over. Per-column χ² is one
+    grouped sum. Semantics (min-row guards, "NA" nulls, DECIMAL χ² sum,
+    rounding) are identical to the per-column operators above.
+
+    ``exact=True`` computes exact per-column ECDFs via
+    ``_two_phase_cum`` (parallel over value ranges — no per-column
+    single-task window). ``exact=False`` is the 100 TB continuous-data
+    route: each column's values collapse into ≤``bins`` fixed-width
+    bins first (the ``ks_statistic_binned`` construction, error ≤ one
+    bin width), so the cumulative window input is bounded at
+    ``bins`` rows per column regardless of cardinality.
     """
     types_a = {f.name: f.dataType for f in df_a.schema.fields}
     types_b = {f.name: f.dataType for f in df_b.schema.fields}
@@ -203,16 +274,35 @@ def distribution_drift(
     parts: list[DataFrame] = []
     if num_cols:
         u = _melt_numeric(df_a, num_cols, 1, 0).unionByName(_melt_numeric(df_b, num_cols, 0, 1))
+        if not exact:
+            # per-column lo/width: one tiny agg (O(columns) rows) over
+            # the melt, applied as a broadcast join + floor — the bin id
+            # replaces the raw value and the distinct-value table is
+            # bounded at bins rows per column
+            lohi = (
+                u.groupBy("column")
+                .agg(F.min("vnum").alias("lo"), F.max("vnum").alias("hi"))
+                .collect()
+            )
+            brows = [
+                (r["column"], float(r["lo"]), ((float(r["hi"]) - float(r["lo"])) / bins) or 1.0)
+                for r in lohi
+                if r["lo"] is not None
+            ]
+            bounds = u.sparkSession.createDataFrame(
+                brows, "column string, lo double, width double"
+            )
+            u = u.join(F.broadcast(bounds), "column").select(
+                "column",
+                F.least(
+                    F.floor((F.col("vnum") - F.col("lo")) / F.col("width")),
+                    F.lit(bins - 1),
+                ).cast("double").alias("vnum"),
+                "ka",
+                "kb",
+            )
         g = u.groupBy("column", "vnum").agg(F.sum("ka").alias("ka"), F.sum("kb").alias("kb"))
-        w_cum = Window.partitionBy("column").orderBy("vnum")
-        w_all = Window.partitionBy("column")
-        c = g.select(
-            "column",
-            F.sum("ka").over(w_cum).alias("ca"),
-            F.sum("kb").over(w_cum).alias("cb"),
-            F.sum("ka").over(w_all).alias("na"),
-            F.sum("kb").over(w_all).alias("nb"),
-        )
+        c = _two_phase_cum(g, "column", "vnum")
         ks = c.groupBy("column").agg(
             F.when(
                 (F.max("na") >= MIN_KS_ROWS) & (F.max("nb") >= MIN_KS_ROWS),

@@ -31,20 +31,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
 
-    ``events`` carries nanosecond parquet timestamps, which Spark's
-    reader rejects outright; we read them as long (runtime-settable
-    legacy conf) and convert to microsecond timestamps in the plan.
+    ``events.ts`` has shipped as both nanosecond parquet timestamps
+    (which Spark's reader rejects outright — readable only as long via
+    the legacy conf) and plain microsecond timestamps; normalize either
+    form to a microsecond TimestampType column.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # integer div, not /1000.0: nano epochs (~1.7e18) exceed double's
-        # 2^53 exact range — float division shifts timestamps by ±1 µs
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # integer div, not /1000.0: nano epochs (~1.7e18) exceed
+            # double's 2^53 exact range — float division shifts
+            # timestamps by ±1 µs
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -51,9 +51,10 @@ def stream_hourly_event_profile(
     for old hours is dropped (late data beyond the watermark is
     discarded, matching the batch result for on-time data)."""
     # streams need an explicit schema; take it from a batch footer read.
-    # The fixtures carry nanosecond parquet timestamps, which Spark only
-    # reads as long (legacy conf) — convert to µs timestamps in-plan,
-    # mirroring sources.tables.load_table.
+    # ``ts`` has shipped as nanosecond parquet timestamps (readable only
+    # as long via the legacy conf) and as plain µs naive timestamps —
+    # normalize either to TimestampType in-plan, mirroring
+    # sources.tables.load_table (watermarks reject TIMESTAMP_NTZ).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path_glob).schema
     stream = (
@@ -61,8 +62,11 @@ def stream_hourly_event_profile(
         .option("maxFilesPerTrigger", 4)
         .parquet(path_glob)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return hourly_event_profile(stream.withWatermark("ts", watermark))
 
 

@@ -84,3 +84,53 @@ def test_distribution_drift_dispatch(spark):
 def test_identical_distributions_zero_drift(spark):
     df = spark.createDataFrame([(float(i),) for i in range(20)], "v double")
     assert _one(D.ks_statistic(df, df, "v")) == 0.0
+
+
+def test_distribution_drift_binned_close_to_exact(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(0, 1, 400)
+    b = rng.normal(0.3, 1.2, 400)
+    dfa = spark.createDataFrame([(float(x), "u") for x in a], "n double, c string")
+    dfb = spark.createDataFrame([(float(x), "u") for x in b], "n double, c string")
+    exact = {r.column: r for r in D.distribution_drift(dfa, dfb).collect()}
+    binned = {r.column: r for r in D.distribution_drift(dfa, dfb, exact=False, bins=2000).collect()}
+    assert binned["n"].ks_stat == pytest.approx(exact["n"].ks_stat, abs=0.01)
+    # χ² is unaffected by the numeric binning switch
+    assert binned["c"].chi2 == exact["c"].chi2
+
+
+def test_distribution_drift_exact_flag_same_columns(spark):
+    dfa = spark.createDataFrame([(float(i), str(i % 3)) for i in range(30)], "n double, c string")
+    dfb = spark.createDataFrame([(float(i) + 0.5, str(i % 2)) for i in range(30)], "n double, c string")
+    for exact in (True, False):
+        rows = {r.column: r for r in D.distribution_drift(dfa, dfb, exact=exact).collect()}
+        assert set(rows) == {"n", "c"}
+        assert rows["n"].ks_stat is not None and rows["c"].chi2 is not None
+
+
+def test_ks_two_phase_no_single_task_window(spark):
+    """Scale guarantee: every cumulative-ECDF window is partitioned by
+    (key, range-partition id) — no windowspec without __pid anywhere in
+    the exact-KS plan."""
+    import re
+
+    from safedata_pipeline_spark import plans
+
+    dfa = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    dfb = spark.createDataFrame([(float(i) + 0.3,) for i in range(50)], "v double")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for df in (
+            D.ks_statistic(dfa, dfb, "v"),
+            D.distribution_drift(
+                dfa.withColumnRenamed("v", "n"), dfb.withColumnRenamed("v", "n")
+            ),
+        ):
+            plan = plans.formatted_plan(df)
+            specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+            assert specs, "expected a window in the KS plan"
+            assert all("__pid" in s for s in specs), specs
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,119 @@
+import pytest
+
+from pyspark.sql import functions as F
+
+from safedata_pipeline_spark.operators import sampling as S
+
+
+def _corpus(spark, n_a=600, n_b=300, n_c=100):
+    rows = []
+    i = 0
+    for src, n in (("web", n_a), ("books", n_b), ("code", n_c)):
+        for _ in range(n):
+            rows.append((i, src, f"doc {i} text with some words here {i % 7}"))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+
+def test_mixture_rates_max_volume(spark):
+    df = _corpus(spark)
+    rates = S.mixture_rates(df, {"web": 0.5, "books": 0.3, "code": 0.2})
+    # cap = min(600/.5, 300/.3, 100/.2) = 500 ⇒ rates (.4167, .5, 1.0)
+    assert rates["code"] == 1.0
+    assert rates["books"] == pytest.approx(0.3 * 500 / 300)
+    assert rates["web"] == pytest.approx(0.5 * 500 / 600)
+    assert all(0 < r <= 1.0 for r in rates.values())
+
+
+def test_mixture_sample_composition(spark):
+    df = _corpus(spark)
+    shares = {"web": 0.5, "books": 0.3, "code": 0.2}
+    out = S.source_mixture_sample(df, shares)
+    got = {r["source"]: r["cnt"] for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    total = sum(got.values())
+    # expected totals: 250/150/100 of 500; md5-Bernoulli ⇒ binomial noise
+    for src, w in shares.items():
+        assert got[src] / total == pytest.approx(w, abs=0.08)
+    # rate-1.0 source keeps EVERY row (no sampling noise)
+    assert got["code"] == 100
+
+
+def test_mixture_sample_deterministic(spark):
+    df = _corpus(spark, 100, 50, 20)
+    shares = {"web": 0.6, "books": 0.4}
+    a = sorted(r.doc_id for r in S.source_mixture_sample(df, shares).collect())
+    b = sorted(r.doc_id for r in S.source_mixture_sample(df, shares).collect())
+    assert a == b and len(a) > 0
+
+
+def test_mixture_sample_absent_source_dropped(spark):
+    df = _corpus(spark, 100, 50, 20)
+    out = S.source_mixture_sample(df, {"web": 0.7, "books": 0.3})
+    assert out.where(F.col("source") == "code").count() == 0
+
+
+def test_mixture_sample_empty_and_unknown_shares(spark):
+    df = _corpus(spark, 50, 20, 10)
+    assert S.source_mixture_sample(df, {}).count() == 0
+    # shares naming only nonexistent sources ⇒ empty result, same schema
+    out = S.source_mixture_sample(df, {"wiki": 1.0})
+    assert out.count() == 0
+    assert out.columns == df.columns
+
+
+def test_mixture_rates_reuse_on_holdout(spark):
+    train = _corpus(spark, 200, 100, 50)
+    rates = S.mixture_rates(train, {"web": 0.5, "books": 0.5})
+    holdout = _corpus(spark, 40, 40, 40)
+    out = S.source_mixture_sample(holdout, {}, rates=rates)
+    # the holdout is filtered with the TRAIN-fitted rates: code dropped,
+    # web/books sampled at the train rates
+    assert out.where(F.col("source") == "code").count() == 0
+    assert out.count() > 0
+
+
+def test_quality_decile_edges_dedup(spark):
+    # constant-quality corpus ⇒ all edges equal ⇒ collapses to 1 edge
+    df = spark.createDataFrame(
+        [(i, "same text every time") for i in range(40)], "doc_id bigint, text string"
+    )
+    edges = S.quality_decile_edges(df)
+    assert len(edges) == 1
+    # and quality_deciles degrades to an empty, correctly-typed frame
+    out = S.quality_deciles(df)
+    assert out.count() == 0
+    assert out.columns == ["bucket", "lo", "hi", "n_docs", "total_ws_tokens", "avg_quality"]
+
+
+def test_quality_deciles_partition(spark):
+    rows = []
+    for i in range(100):
+        # vary length and punctuation so quality actually spreads
+        words = " ".join(f"w{j}" for j in range(1 + (i % 25)))
+        punct = "!" * (i % 5)
+        rows.append((i, f"{words} the and of {punct}"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = S.quality_deciles(df).collect()
+    assert 1 < len(out) <= 10
+    # every doc lands in exactly one bucket
+    assert sum(r.n_docs for r in out) == 100
+    by_bucket = sorted(out, key=lambda r: r.bucket)
+    for a, b in zip(by_bucket, by_bucket[1:]):
+        assert a.hi <= b.lo + 1e-9  # buckets ordered, non-overlapping
+    assert all(0.0 <= r.avg_quality <= 1.0 for r in out)
+    assert all(r.lo - 1e-9 <= r.avg_quality <= r.hi + 1e-9 for r in out)
+
+
+def test_quality_deciles_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id bigint, text string")
+    out = S.quality_deciles(df)
+    assert out.count() == 0
+
+
+def test_quality_deciles_approx_path(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(1 + (i % 20)))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    exact = {r.bucket: r.n_docs for r in S.quality_deciles(df, exact=True).collect()}
+    approx = {r.bucket: r.n_docs for r in S.quality_deciles(df, exact=False).collect()}
+    # approx quantiles at 0.001 accuracy on 200 rows = exact
+    assert sum(exact.values()) == sum(approx.values()) == 200

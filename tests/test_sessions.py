@@ -118,18 +118,22 @@ def test_stream_sessions_match_batch_exactly(spark, sf_dir, tmp_path):
         for r in batch
     }
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events*.parquet").select("user_id", "ts", "value")
-    max_ns = raw.agg(F.max("ts")).collect()[0][0]
+    # load_table normalizes ts to TimestampType whatever the fixture
+    # vintage (nanos-as-long or µs-naive); re-write that normalized form
+    # so the stream source needs no per-vintage conversion
+    raw = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
     sentinel = spark.createDataFrame(
-        [(-1, max_ns + 10 * 86400 * 10**9, 0.0)], "user_id bigint, ts bigint, value double"
+        [(-1, max_ts + datetime.timedelta(days=10), 0.0)],
+        "user_id bigint, ts timestamp, value double",
     )
     src = str(tmp_path / "ev")
     raw.unionByName(sentinel).write.parquet(src)
 
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(stream.dtypes).get("ts") != "timestamp":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     q = (
         SS.stream_user_sessions(stream)
         .writeStream.format("memory")
