@@ -523,7 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smart_suggest": _q_smart_suggest,
         "impute": _q_impute,
         "ks_drift": _q_ks_drift,
-        "chi2_drift": _q_chi2_drift,
+        "ks_drift_binned": _q_ks_drift_binned,
         "distribution_drift": _q_distribution_drift,
         "standard_scale": _q_standard_scale,
         "one_hot": _q_one_hot,
@@ -531,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_risk_score": _q_linkage_risk_score,
         "text_profile": _q_text_profile,
         "quality_score": _q_quality_score,
+        "unigram_logprob": _q_unigram_logprob,
         "repetition_stats": _q_repetition_stats,
         "corpus_stats": _q_corpus_stats,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -544,11 +545,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_components": _q_dedup_components,
-        "dedup_components_star": _q_dedup_components_star,
-        "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh": _q_minhash_lsh,
-        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "embedding_cosine_dedup": _q_embedding_cosine_dedup,
+        "embedding_centroids": _q_embedding_centroids,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "asof_last_click": _q_asof_last_click,
         "range_join_tiers": _q_range_join_tiers,
@@ -559,17 +559,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "user_sessions": _q_user_sessions,
         # --- past the driver's 50-row correctness window from here on.
-        # These two ARE oracle-backed (tools/check_oracle.py verifies
-        # them locally, same hash compare) but the matrix is full; they
-        # sit here rather than displace a reference-parity query.
-        "simhash_pairs": _q_simhash_pairs,
-        "embedding_centroids": _q_embedding_centroids,
+        # Everything below through quality_deciles IS oracle-backed —
+        # tools/check_oracle.py runs the identical hash compare locally.
+        # Window policy: a query sits past the window only when its hash
+        # signal is subsumed by an in-window sibling (minhash_signatures
+        # / simhash are CTEs inside minhash_lsh / simhash_pairs' oracle
+        # SQL and their Spark operators execute inside those same pair
+        # queries; dedup_components_star shares dedup_components' exact
+        # oracle SQL; chi2_drift's construction is computed per-column
+        # inside distribution_drift) — or when it arrived after the 50
+        # slots filled.
+        "chi2_drift": _q_chi2_drift,
+        "simhash": _q_simhash,
+        "minhash_signatures": _q_minhash_signatures,
+        "dedup_components_star": _q_dedup_components_star,
         "contamination_ngram": _q_contamination_ngram,
         "contamination_scan_many": _q_contamination_scan_many,
-        "ks_drift_binned": _q_ks_drift_binned,
         "kmv_distinct_prefilter": _q_kmv_distinct_prefilter,
         "length_histogram": _q_length_histogram,
-        "unigram_logprob": _q_unigram_logprob,
         "source_mixture_sample": _q_source_mixture_sample,
         "quality_deciles": _q_quality_deciles,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no

@@ -180,23 +180,26 @@ def cosine_topk_ivf(
     num_cells: int = 16,
     n_probe: int = 2,
     seed: int = 42,
-    sample_fraction: float = 1.0,
+    sample_fraction: float = 0.25,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: spherical
     KMeans on unit vectors partitions the corpus; queries score only
     the ``n_probe`` nearest cells.
 
-    Scale shape: the quantizer fits on a corpus *sample* (set
-    ``sample_fraction`` ≪ 1 at 100 TB — centroid quality needs only
+    Scale shape: the quantizer fits on a corpus *sample* (default 25%;
+    set ``sample_fraction`` ≪ 1 at 100 TB — centroid quality needs only
     O(num_cells) data); centroids are O(num_cells·dim) driver-side and
     ship as one literal; cell assignment is a map-only pass; the probe
-    is an equi-join on the cell id (AQE handles skewed cells).
+    is an equi-join on the cell id (AQE handles skewed cells). The
+    normalized corpus is materialized once (localCheckpoint, blocks
+    auto-released on GC) so the KMeans fit iterations and the probe
+    join don't each re-run the scan + normalize lineage.
     Approximate ⇒ recall-tested, not oracle-checked."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    c = _unit(_prep(corpus, id_col, vec_col, "id"))
+    c = _unit(_prep(corpus, id_col, vec_col, "id")).localCheckpoint(eager=False)
     train = c.select(array_to_vector("u").alias("features"))
     if sample_fraction < 1.0:
         train = train.sample(fraction=sample_fraction, seed=seed)
