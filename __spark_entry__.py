@@ -40,6 +40,7 @@ from safedata_pipeline_spark.operators import pii as PII
 from safedata_pipeline_spark.operators import rollup as RU
 from safedata_pipeline_spark.operators import sketch as SK
 from safedata_pipeline_spark.operators import sampling as SMP
+from safedata_pipeline_spark.streaming import corpus as SC
 from safedata_pipeline_spark.streaming import events as SE
 from safedata_pipeline_spark.streaming import sessions as SS
 
@@ -463,6 +464,12 @@ def _q_events_hourly(spark, sf):
     return SE.hourly_event_profile(load_table(spark, sf, "events"))
 
 
+def _q_scored_documents(spark, sf):
+    # the streaming doc scorer's batch twin: one map-only projection,
+    # identical plan on a stream — this row hash-anchors both
+    return SC.scored_documents(load_table(spark, sf, "documents"))
+
+
 def _q_events_json(spark, sf):
     ev = load_table(spark, sf, "events")
     return ev.select(
@@ -579,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": _q_length_histogram,
         "source_mixture_sample": _q_source_mixture_sample,
         "quality_deciles": _q_quality_deciles,
+        "scored_documents": _q_scored_documents,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -960,6 +968,15 @@ def _sql_text_profile() -> str:
         "SELECT tc.doc_id, tc.n_ws_tokens, tc.n_regex_tokens, li.lang_guess, "
         "li.hits_en, li.hits_de, li.hits_fr, li.hits_es, fp.content_md5, fp.min_shingle_md5 "
         "FROM tc JOIN li USING (doc_id) JOIN fp USING (doc_id)"
+    )
+
+
+def _sql_scored_documents() -> str:
+    # text_profile ∪ quality: the same fused projection the streaming
+    # scorer emits (streaming/corpus.scored_documents)
+    return (
+        f"WITH tp AS ({_sql_text_profile()}), qs AS ({_sql_quality_score()}) "
+        "SELECT tp.*, qs.quality FROM tp JOIN qs USING (doc_id)"
     )
 
 
@@ -1560,6 +1577,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _sql_unigram_logprob(),
         "source_mixture_sample": _sql_source_mixture_sample(MIXTURE_SHARES),
         "quality_deciles": _sql_quality_deciles(),
+        "scored_documents": _sql_scored_documents(),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from safedata_pipeline_spark.operators import dedup as DD
 from safedata_pipeline_spark.operators import pack as PK
+from safedata_pipeline_spark.operators import sampling as SMP
 from safedata_pipeline_spark.operators import text as TX
 
 
@@ -105,6 +106,25 @@ class CorpusPipeline:
         # count — no extra distinct+count job over the label frame
         self.results["n_clusters"] = self.funnel["near_dedup"]
         return out
+
+    # -- step 3b: source-mixture reshaping -----------------------------
+    def mix_sources(
+        self, shares: dict[str, float], source_col: str = "source"
+    ) -> "CorpusPipeline":
+        """Reshape the surviving corpus to a target per-source mixture
+        (DoReMi/Pile-style domain reweighting) — the step a pretraining
+        run applies right after dedup, before packing. Rates are fit on
+        the CURRENT survivors (so earlier quality/dedup drops are
+        already priced in) and applied as the md5-deterministic
+        Bernoulli of ``source_mixture_sample``: map-side CASE + filter,
+        no shuffle. The fitted per-source keep rates land in
+        ``results['mixture_rates']`` for reuse on a holdout."""
+        rates = SMP.mixture_rates(self.df, shares, source_col)
+        self.results["mixture_rates"] = rates
+        out = SMP.source_mixture_sample(
+            self.df, shares, source_col, self.id_col, rates=rates
+        )
+        return self._keep("mixture", out)
 
     # -- step 4: pack into training windows ----------------------------
     def pack(self, budget: int = 2048, buckets: int = 64) -> DataFrame:

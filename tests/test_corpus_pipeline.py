@@ -68,3 +68,31 @@ def test_filter_repetition_drops_repeated_docs(spark):
     cp = CorpusPipeline(df).filter_repetition(max_dup_word_fraction=0.5)
     assert [r.doc_id for r in cp.df.collect()] == [2]
     assert cp.funnel_report()["repetition"] == 1
+
+
+def test_corpus_pipeline_mixture_step(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    shares = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    cp = CorpusPipeline(docs)
+    cp.filter_quality(keep_fraction=0.8)
+    cp.mix_sources(shares)
+
+    funnel = cp.funnel_report()
+    assert funnel["mixture"] <= funnel["quality"]
+    assert funnel["mixture"] > 0
+    # post-step composition matches the target shares within binomial
+    # noise; any source absent from shares is gone entirely
+    got = {
+        r["source"]: r["cnt"]
+        for r in cp.df.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(got) <= set(shares)
+    total = sum(got.values())
+    for src, cnt in got.items():
+        assert abs(cnt / total - shares[src]) < 0.1
+    # fitted rates are recorded for holdout reuse
+    rates = cp.results["mixture_rates"]
+    assert rates and all(0 < r <= 1.0 for r in rates.values())
+    # the pipeline still packs after reshaping
+    packed = cp.pack(budget=64, buckets=8)
+    assert packed.count() == funnel["mixture"]

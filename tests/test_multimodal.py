@@ -38,9 +38,67 @@ def test_fake_decode_features(spark):
     assert got[1].sha256 == hashlib.sha256(b"\x00\x01\x02\x03" * 40).hexdigest()
 
 
-def test_real_decode_is_stubbed(spark):
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
-        MM.extract_image_features(_media(spark), decode="real").collect()
+def _make_png(pixels, channels=3):
+    """Build a valid non-interlaced 8-bit PNG from a row-major nested
+    list of pixel tuples (public PNG spec: IHDR + one zlib IDAT with
+    filter-0 scanlines + IEND)."""
+    import struct
+    import zlib
+
+    height, width = len(pixels), len(pixels[0])
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(v for px in row for v in (px if channels > 1 else (px,)))
+        for row in pixels
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_exact_mean():
+    # 2x2 RGB, known values -> mean over 12 samples
+    px = [[(0, 0, 0), (255, 255, 255)], [(10, 20, 30), (40, 50, 60)]]
+    flat = [v for row in px for p in row for v in p]
+    mean, n = MM._png_decode(_make_png(px))
+    assert n == 12
+    assert mean == sum(flat) / 12
+
+
+def test_png_decoder_filters_roundtrip():
+    # gradient image exercises a non-trivial zlib stream; grayscale path
+    px = [[(r * 16 + c) % 256 for c in range(16)] for r in range(8)]
+    mean, n = MM._png_decode(_make_png(px, channels=1))
+    assert n == 16 * 8
+    assert mean == sum(sum(row) for row in px) / n
+
+
+def test_real_decode_runs_on_png(spark):
+    png = _make_png([[(0, 0, 0), (255, 255, 255)]])
+    df = spark.createDataFrame([(1, bytearray(png))], "media_id long, payload binary")
+    media = MM.to_media_table(df, "media_id", "payload", "image/png")
+    got = MM.extract_image_features(media, decode="real").collect()[0]
+    assert got.feature_dim == 6
+    assert got.mean_byte == 127.5
+    assert got.n_bytes == len(png)
+
+
+def test_real_decode_non_png_raises(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x01\x02\x03" * 40))], "media_id long, payload binary"
+    )
+    media = MM.to_media_table(df, "media_id", "payload", "application/octet-stream")
+    with pytest.raises(Exception, match="not a PNG|PythonException"):
+        MM.extract_image_features(media, decode="real").collect()
 
 
 def test_sample_frames_chunking(spark):
