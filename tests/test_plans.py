@@ -176,3 +176,23 @@ def test_contamination_scan_many_is_one_arrow_pass(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
     # the probe join must broadcast, never shuffle the corpus side
     assert "SortMergeJoin" not in plan
+
+
+def test_plans_md_covers_every_query():
+    """PLANS.md is the plan-shape audit record — it must have a row for
+    every registered query so the audit can't silently go stale when a
+    new operator lands. (Regenerate with `python tools/audit_plans.py`;
+    this test only checks coverage, it doesn't rebuild plans.)"""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    with open("/root/repo/PLANS.md") as f:
+        text = f.read()
+    rows = set(re.findall(r"^\| (\S+) \|", text, flags=re.M)) - {"query"}
+    missing = sorted(set(entry.queries()) - rows)
+    assert not missing, f"queries with no PLANS.md row (run tools/audit_plans.py): {missing}"
+    errors = re.findall(r"^\| (\S+) \|.*error", text, flags=re.M)
+    assert not errors, f"PLANS.md rows recording a plan-build error: {errors}"
