@@ -40,6 +40,7 @@ from safedata_pipeline_spark.operators import pii as PII
 from safedata_pipeline_spark.operators import rollup as RU
 from safedata_pipeline_spark.operators import sketch as SK
 from safedata_pipeline_spark.operators import sampling as SMP
+from safedata_pipeline_spark.operators import anonymity as AN
 from safedata_pipeline_spark.streaming import corpus as SC
 from safedata_pipeline_spark.streaming import events as SE
 from safedata_pipeline_spark.streaming import sessions as SS
@@ -464,6 +465,40 @@ def _q_events_hourly(spark, sf):
     return SE.hourly_event_profile(load_table(spark, sf, "events"))
 
 
+QI_COLS = ["c_nationkey", "c_mktsegment"]
+DOC_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _q_k_anonymity(spark, sf):
+    return AN.k_anonymity(load_table(spark, sf, "customer"), QI_COLS, k=5)
+
+
+def _q_l_diversity(spark, sf):
+    return AN.l_diversity(load_table(spark, sf, "customer"), QI_COLS, "c_acctbal", l=3)
+
+
+def _q_top_ngrams(spark, sf):
+    return TX.top_ngrams(load_table(spark, sf, "documents"), n=2, top_k=100)
+
+
+def _q_source_lang_pivot(spark, sf):
+    # pivot values pinned so the schema (and the 100 TB plan) is static
+    return TX.source_lang_pivot(load_table(spark, sf, "documents"), pivot_values=DOC_LANGS)
+
+
+def _q_dedup_incremental(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    ref = docs.where(F.col("doc_id") < 100)
+    new = docs.where(F.col("doc_id") >= 100)
+    return DD.dedup_incremental(new, ref).select("doc_id", "source", "text")
+
+
+def _q_take_per_source(spark, sf):
+    return SMP.take_per_source(load_table(spark, sf, "documents"), 5).select(
+        "doc_id", "source"
+    )
+
+
 def _q_scored_documents(spark, sf):
     # the streaming doc scorer's batch twin: one map-only projection,
     # identical plan on a stream — this row hash-anchors both
@@ -587,6 +622,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture_sample": _q_source_mixture_sample,
         "quality_deciles": _q_quality_deciles,
         "scored_documents": _q_scored_documents,
+        "k_anonymity": _q_k_anonymity,
+        "l_diversity": _q_l_diversity,
+        "top_ngrams": _q_top_ngrams,
+        "source_lang_pivot": _q_source_lang_pivot,
+        "dedup_incremental": _q_dedup_incremental,
+        "take_per_source": _q_take_per_source,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -968,6 +1009,75 @@ def _sql_text_profile() -> str:
         "SELECT tc.doc_id, tc.n_ws_tokens, tc.n_regex_tokens, li.lang_guess, "
         "li.hits_en, li.hits_de, li.hits_fr, li.hits_es, fp.content_md5, fp.min_shingle_md5 "
         "FROM tc JOIN li USING (doc_id) JOIN fp USING (doc_id)"
+    )
+
+
+def _sql_k_anonymity(k: int) -> str:
+    qi = ", ".join(QI_COLS)
+    return (
+        f"WITH cls AS (SELECT {qi}, CAST(count(*) AS BIGINT) AS class_size "
+        f"FROM customer GROUP BY {qi}) "
+        "SELECT min(class_size) AS k_anonymity, "
+        "CAST(count(*) AS BIGINT) AS n_classes, "
+        f"CAST(sum(CAST(class_size < {k} AS INT)) AS BIGINT) AS n_violating_classes, "
+        f"CAST(sum(CASE WHEN class_size < {k} THEN class_size ELSE 0 END) AS BIGINT) AS n_rows_at_risk, "
+        f"CAST({k} AS INT) AS k_required, "
+        f"min(class_size) >= {k} AS satisfies_k FROM cls"
+    )
+
+
+def _sql_l_diversity(l: int, sensitive: str = "c_acctbal") -> str:
+    qi = ", ".join(QI_COLS)
+    return (
+        f"WITH cls AS (SELECT {qi}, CAST(count(DISTINCT {sensitive}) AS BIGINT) AS n_sensitive "
+        f"FROM customer GROUP BY {qi}) "
+        "SELECT min(n_sensitive) AS l_diversity, "
+        "CAST(count(*) AS BIGINT) AS n_classes, "
+        f"CAST(sum(CAST(n_sensitive < {l} AS INT)) AS BIGINT) AS n_violating_classes, "
+        f"CAST({l} AS INT) AS l_required, "
+        f"min(n_sensitive) >= {l} AS satisfies_l FROM cls"
+    )
+
+
+def _sql_top_ngrams(top_k: int) -> str:
+    return (
+        "WITH w AS (SELECT CASE WHEN trim(lower(text)) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w FROM documents), "
+        "g AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS ngram "
+        "FROM w WHERE len(w) >= 2), "
+        "c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences FROM g GROUP BY ngram "
+        f"ORDER BY n_occurrences DESC, ngram ASC LIMIT {top_k}) "
+        "SELECT ngram, n_occurrences, CAST(row_number() OVER "
+        "(ORDER BY n_occurrences DESC, ngram ASC) AS BIGINT) AS rank FROM c"
+    )
+
+
+def _sql_source_lang_pivot(langs: list[str]) -> str:
+    cols = ", ".join(
+        f"CAST(sum(CAST(lang = '{v}' AS INT)) AS BIGINT) AS n_{v}" for v in sorted(langs)
+    )
+    return (
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"{cols} FROM documents GROUP BY source"
+    )
+
+
+def _sql_dedup_incremental(split_id: int) -> str:
+    return (
+        f"WITH ref AS (SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id < {split_id}), "
+        f"new AS (SELECT doc_id, source, text, md5(text) AS d FROM documents WHERE doc_id >= {split_id}), "
+        "surv AS (SELECT new.* FROM new WHERE d NOT IN (SELECT d FROM ref)), "
+        "keep AS (SELECT d, min(doc_id) AS doc_id FROM surv GROUP BY d) "
+        "SELECT s.doc_id, s.source, s.text FROM surv s JOIN keep USING (d, doc_id)"
+    )
+
+
+def _sql_take_per_source(n: int) -> str:
+    return (
+        "SELECT doc_id, source FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY source ORDER BY "
+        "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0) "
+        f"/ 4294967296.0 ASC, doc_id ASC) <= {n}"
     )
 
 
@@ -1578,6 +1688,12 @@ def oracle_sql() -> dict[str, str]:
         "source_mixture_sample": _sql_source_mixture_sample(MIXTURE_SHARES),
         "quality_deciles": _sql_quality_deciles(),
         "scored_documents": _sql_scored_documents(),
+        "k_anonymity": _sql_k_anonymity(5),
+        "l_diversity": _sql_l_diversity(3),
+        "top_ngrams": _sql_top_ngrams(100),
+        "source_lang_pivot": _sql_source_lang_pivot(DOC_LANGS),
+        "dedup_incremental": _sql_dedup_incremental(100),
+        "take_per_source": _sql_take_per_source(5),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

@@ -82,6 +82,12 @@ HEADLINE = [
     "model_utility",
     "source_mixture_sample",
     "quality_deciles",
+    "k_anonymity",
+    "l_diversity",
+    "top_ngrams",
+    "source_lang_pivot",
+    "dedup_incremental",
+    "take_per_source",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

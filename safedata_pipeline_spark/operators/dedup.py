@@ -604,3 +604,34 @@ def paragraph_dedup(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: keep only new documents whose content
+    digest does NOT appear in an already-ingested reference corpus —
+    the batch-over-batch ingestion step (each crawl drop dedups against
+    everything accepted before it, the streaming twin being
+    ``stream_dedup_exact``'s watermark state).
+
+    Shape: digest both sides (map-only md5) → LEFT ANTI equi-join on
+    the digest. The anti-join shuffles only digests + ids, never
+    payloads; Spark's runtime Bloom-filter join optimization
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) injects the
+    classic "bloom prefilter before the shuffle" automatically when the
+    reference side is selective, and AQE picks broadcast when the
+    reference digest set is small. Self-duplicates WITHIN the new batch
+    are also collapsed (min-id wins, ``dedup_exact`` semantics), so the
+    output is duplicate-free against ref ∪ itself.
+    """
+    w_digest = F.md5(F.col(text_col).cast("binary")).alias("__digest")
+    ref_d = ref_docs.select(F.md5(F.col(text_col).cast("binary")).alias("__digest")).dropDuplicates()
+    new_d = new_docs.select("*", w_digest)
+    survivors = new_d.join(ref_d, on="__digest", how="left_anti")
+    # collapse in-batch duplicates: keep the min id per digest
+    keep = survivors.groupBy("__digest").agg(F.min(F.col(id_col)).alias(id_col))
+    return survivors.join(keep, on=["__digest", id_col], how="left_semi").drop("__digest")

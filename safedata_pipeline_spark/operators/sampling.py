@@ -184,3 +184,32 @@ def quality_deciles(
             _snap6(avg).alias("avg_quality"),
         )
     )
+
+
+def take_per_source(
+    df: DataFrame,
+    n_per_source: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic uniform sample of ``n_per_source`` documents per
+    source — eval-set / inspection-subset carving that any engine can
+    replay (the md5-unit hash is the sort key, so the "random" choice
+    is a pure function of the ids).
+
+    Shape: one window per source ordered by (md5_unit(id), id) with
+    row_number ≤ n. Sources sort in parallel (partitionBy source); a
+    giant source means a big per-key sort, so at 100 TB pre-thin with
+    ``source_mixture_sample`` rates sized to ~2·n/c_s first, then take
+    exactly n from the survivors — same result with overwhelming
+    probability, window input bounded at ~2n rows per source.
+    """
+    from pyspark.sql import Window
+
+    u = md5_unit_interval(F.col(id_col))
+    w = Window.partitionBy(source_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_source)
+        .drop("__rn")
+    )

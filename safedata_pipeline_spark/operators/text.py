@@ -727,3 +727,78 @@ def tfidf_top_terms(
         .where(F.col("rank") <= top_k)
         .select(id_col, "term", "tf", "tfidf", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    top_k: int = 100,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams — the classic "count the
+    n-grams in 100 TB" job (corpus exploration, boilerplate discovery,
+    contamination-probe mining).
+
+    Shape: per-row n-gram array (pure expressions, no explode until the
+    array exists) → explode → ONE map-side-combinable groupBy count →
+    global top-k as TakeOrdered (orderBy+limit over k rows per
+    partition, never a full sort of the n-gram vocabulary). Ties break
+    deterministically (count desc, ngram asc) so the result is
+    engine-reproducible. Output: (ngram, n_occurrences, rank).
+    """
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = F.when(F.trim(t) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(t), "\\s+")
+    )
+    # guard: sequence(1, 0) counts DOWN in Spark, so a doc with fewer
+    # than n tokens must short-circuit to an empty gram array
+    grams = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )).otherwise(F.array().cast("array<string>"))
+    counted = (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+    # rank window runs AFTER the limit — ≤ top_k rows, driver-bounded
+    return counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def source_lang_pivot(
+    df: DataFrame,
+    row_col: str = "source",
+    pivot_col: str = "lang",
+    pivot_values: list[str] | None = None,
+) -> DataFrame:
+    """Document-count crosstab: one row per ``row_col``, one column per
+    ``pivot_col`` value (the curation dashboard's composition matrix).
+
+    Pivot values are either caller-supplied or discovered with one tiny
+    distinct pass (O(#langs) rows collected — fit parameters); passing
+    them explicitly keeps the plan single-pass at 100 TB. With values
+    known, Spark compiles the pivot into ONE groupBy with a conditional
+    count per value — map-side combinable, no join, no second shuffle.
+    Column order is sorted for engine-reproducible schemas.
+    """
+    if pivot_values is None:
+        pivot_values = [
+            r[0]
+            for r in df.select(pivot_col).distinct().collect()
+            if r[0] is not None
+        ]
+    values = sorted(pivot_values)
+    return (
+        df.groupBy(row_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            *[
+                F.sum((F.col(pivot_col) == v).cast("bigint")).alias(f"n_{v}")
+                for v in values
+            ],
+        )
+    )

@@ -1,0 +1,58 @@
+from pyspark.sql import functions as F
+
+from safedata_pipeline_spark.operators import anonymity as AN
+
+
+def _table(spark):
+    rows = [
+        # class (25, m): 3 rows, 2 distinct diseases
+        (25, "m", "flu"),
+        (25, "m", "flu"),
+        (25, "m", "cold"),
+        # class (25, f): 2 rows, 1 distinct
+        (25, "f", "flu"),
+        (25, "f", "flu"),
+        # class (30, m): 1 row
+        (30, "m", "cold"),
+        # class (None, f): null QI forms its own class
+        (None, "f", "flu"),
+    ]
+    return spark.createDataFrame(rows, "age int, gender string, disease string")
+
+
+def test_equivalence_classes(spark):
+    cls = {(r.age, r.gender): r.class_size for r in AN.equivalence_classes(_table(spark), ["age", "gender"]).collect()}
+    assert cls[(25, "m")] == 3 and cls[(25, "f")] == 2
+    assert cls[(30, "m")] == 1 and cls[(None, "f")] == 1
+
+
+def test_k_anonymity_metrics(spark):
+    r = AN.k_anonymity(_table(spark), ["age", "gender"], k=2).collect()[0]
+    assert r.k_anonymity == 1
+    assert r.n_classes == 4
+    assert r.n_violating_classes == 2  # the two singletons
+    assert r.n_rows_at_risk == 2
+    assert r.satisfies_k is False
+    # k=1 is always satisfied on non-empty input
+    assert AN.k_anonymity(_table(spark), ["age", "gender"], k=1).collect()[0].satisfies_k is True
+
+
+def test_k_anonymity_violations_lists_classes(spark):
+    v = {(r.age, r.gender) for r in AN.k_anonymity_violations(_table(spark), ["age", "gender"], k=3).collect()}
+    assert v == {(25, "f"), (30, "m"), (None, "f")}
+
+
+def test_l_diversity_metrics(spark):
+    r = AN.l_diversity(_table(spark), ["age", "gender"], "disease", l=2).collect()[0]
+    assert r.l_diversity == 1  # (25,f) and singletons have 1 distinct disease
+    assert r.n_violating_classes == 3
+    assert r.satisfies_l is False
+
+
+def test_k_anonymity_after_suppression_improves(spark):
+    # coarsening the QI (drop age) merges classes — the remediation story
+    df = _table(spark)
+    before = AN.k_anonymity(df, ["age", "gender"], k=2).collect()[0]
+    after = AN.k_anonymity(df.withColumn("age", F.lit(0)), ["age", "gender"], k=2).collect()[0]
+    assert after.k_anonymity >= before.k_anonymity
+    assert after.satisfies_k is True

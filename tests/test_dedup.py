@@ -222,3 +222,25 @@ def test_simhash_pairs_rejects_insufficient_bands(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         simhash_pairs(df, bands=3, max_hamming=3)
+
+
+def test_dedup_incremental_against_reference(spark):
+    ref = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "seen before"),   # dup of ref -> dropped
+            (11, "brand new"),
+            (12, "brand new"),     # in-batch dup -> min id kept
+            (13, "also seen"),     # dup of ref -> dropped
+            (14, "another fresh"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = sorted(r.doc_id for r in DD.dedup_incremental(new, ref).collect())
+    assert got == [11, 14]
+    # empty reference: only in-batch collapse applies
+    empty_ref = spark.createDataFrame([], "doc_id bigint, text string")
+    got2 = sorted(r.doc_id for r in DD.dedup_incremental(new, empty_ref).collect())
+    assert got2 == [10, 11, 13, 14]

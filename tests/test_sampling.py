@@ -117,3 +117,17 @@ def test_quality_deciles_approx_path(spark):
     approx = {r.bucket: r.n_docs for r in S.quality_deciles(df, exact=False).collect()}
     # approx quantiles at 0.001 accuracy on 200 rows = exact
     assert sum(exact.values()) == sum(approx.values()) == 200
+
+
+def test_take_per_source(spark):
+    df = _corpus(spark, 50, 30, 10)
+    out = S.take_per_source(df, 8)
+    got = {r["source"]: r["cnt"] for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert got == {"web": 8, "books": 8, "code": 8}
+    # deterministic across invocations
+    a = sorted(r.doc_id for r in S.take_per_source(df, 8).collect())
+    b = sorted(r.doc_id for r in S.take_per_source(df, 8).collect())
+    assert a == b
+    # n larger than a source takes the whole source
+    tiny = S.take_per_source(df, 20)
+    assert tiny.where(F.col("source") == "code").count() == 10

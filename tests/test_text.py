@@ -285,3 +285,32 @@ def test_unigram_logprob_orders_rare_docs_higher(spark):
     # hand-check doc 1: p(the) = (5+1)/(10+6); 10 tokens, 6 vocab
     want = round(-math.log(6 / 16), 6)
     assert abs(got[1].avg_neg_logprob - want) < 1e-6
+
+
+def test_top_ngrams(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "A b x"), (3, ""), (4, "solo")],
+        "doc_id bigint, text string",
+    )
+    rows = T.top_ngrams(df, n=2, top_k=3).collect()
+    assert [(r.ngram, r.n_occurrences, r.rank) for r in rows] == [
+        ("a b", 3, 1),  # lowercased: doc 2's "A b" counts
+        ("b c", 1, 2),
+        ("b x", 1, 3),
+    ]
+    # unigrams: empty and short docs handled
+    uni = {r.ngram: r.n_occurrences for r in T.top_ngrams(df, n=1, top_k=10).collect()}
+    assert uni["a"] == 3 and uni["solo"] == 1
+
+
+def test_source_lang_pivot(spark):
+    df = spark.createDataFrame(
+        [(1, "s1", "en"), (2, "s1", "de"), (3, "s2", "en"), (4, "s2", None)],
+        "doc_id bigint, source string, lang string",
+    )
+    got = {r.source: r for r in T.source_lang_pivot(df).collect()}
+    assert got["s1"].n_docs == 2 and got["s1"].n_en == 1 and got["s1"].n_de == 1
+    assert got["s2"].n_docs == 2 and got["s2"].n_en == 1 and got["s2"].n_de == 0
+    # explicit pivot values pin the schema (absent value -> zero column)
+    cols = T.source_lang_pivot(df, pivot_values=["en", "fr"]).columns
+    assert cols == ["source", "n_docs", "n_en", "n_fr"]
