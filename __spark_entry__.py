@@ -467,6 +467,25 @@ def _q_events_hourly(spark, sf):
 
 QI_COLS = ["c_nationkey", "c_mktsegment"]
 DOC_LANGS = ["de", "en", "es", "fr", "zh"]
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q_psi_drift(spark, sf):
+    return DR.psi_drift(
+        _drift_before(spark, sf), _drift_after(spark, sf), "l_extendedprice", bins=10
+    )
+
+
+def _q_correlation_matrix(spark, sf):
+    return P.correlation_matrix(load_table(spark, sf, "lineitem"), CORR_COLS)
+
+
+def _q_corpus_cube(spark, sf):
+    return TX.corpus_stats_cube(load_table(spark, sf, "documents"))
+
+
+def _q_events_sliding(spark, sf):
+    return SE.sliding_event_profile(load_table(spark, sf, "events"))
 
 
 def _q_k_anonymity(spark, sf):
@@ -628,6 +647,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_lang_pivot": _q_source_lang_pivot,
         "dedup_incremental": _q_dedup_incremental,
         "take_per_source": _q_take_per_source,
+        "psi_drift": _q_psi_drift,
+        "correlation_matrix": _q_correlation_matrix,
+        "corpus_cube": _q_corpus_cube,
+        "events_sliding": _q_events_sliding,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1009,6 +1032,82 @@ def _sql_text_profile() -> str:
         "SELECT tc.doc_id, tc.n_ws_tokens, tc.n_regex_tokens, li.lang_guess, "
         "li.hits_en, li.hits_de, li.hits_fr, li.hits_es, fp.content_md5, fp.min_shingle_md5 "
         "FROM tc JOIN li USING (doc_id) JOIN fp USING (doc_id)"
+    )
+
+
+def _sql_psi(a_select: str, b_select: str, bins: int = 10, eps: float = 1e-6) -> str:
+    # mirrors drift.psi_drift bit for bit: same bin math as _sql_ks_binned,
+    # proportions clamped to eps, contributions rounded to 10 decimals
+    # and DECIMAL-summed before the final 6-decimal round
+    return (
+        f"WITH a AS ({a_select}), b AS ({b_select}), "
+        "u AS (SELECT CAST(v AS DOUBLE) AS v, 1 AS ka, 0 AS kb FROM a "
+        "UNION ALL SELECT CAST(v AS DOUBLE) AS v, 0 AS ka, 1 AS kb FROM b), "
+        "r AS (SELECT min(v) AS lo, CASE WHEN max(v) - min(v) = 0 THEN 1.0 "
+        f"ELSE (max(v) - min(v)) / {float(bins)} END AS w FROM u), "
+        f"bn AS (SELECT least(floor((u.v - r.lo) / r.w), {bins - 1}) AS b, ka, kb FROM u, r), "
+        "g AS (SELECT b, sum(ka) AS ca, sum(kb) AS cb FROM bn GROUP BY b), "
+        f"p AS (SELECT greatest(CAST(ca AS DOUBLE) / sum(ca) OVER (), {eps!r}) AS pa, "
+        f"greatest(CAST(cb AS DOUBLE) / sum(cb) OVER (), {eps!r}) AS pb, "
+        "sum(ca) OVER () AS na, sum(cb) OVER () AS nb FROM g) "
+        "SELECT CASE WHEN max(na) > 0 AND max(nb) > 0 THEN "
+        "round(CAST(sum(CAST(round((pa - pb) * ln(pa / pb), 10) AS DECIMAL(38,10))) AS DOUBLE), 6) "
+        "END AS psi FROM p"
+    )
+
+
+def _sql_correlation_matrix(cols: list[str]) -> str:
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in cols:
+        sums.append(f"sum(CAST({c} AS DECIMAL(38,12))) AS s_{c}")
+        sums.append(f"sum(CAST({c} * {c} AS DECIMAL(38,12))) AS ss_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        sums.append(f"sum(CAST({a} * {b} AS DECIMAL(38,12))) AS sp_{a}__{b}")
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    sel = []
+    for a, b in pairs:
+        # identical IEEE op order to profile.correlation_matrix
+        n = "CAST(n AS DOUBLE)"
+        sa, sb = f"CAST(s_{a} AS DOUBLE)", f"CAST(s_{b} AS DOUBLE)"
+        ssa, ssb = f"CAST(ss_{a} AS DOUBLE)", f"CAST(ss_{b} AS DOUBLE)"
+        sp = f"CAST(sp_{a}__{b} AS DOUBLE)"
+        var_a, var_b = f"({n} * {ssa} - {sa} * {sa})", f"({n} * {ssb} - {sb} * {sb})"
+        sel.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"CASE WHEN {var_a} > 0 AND {var_b} > 0 THEN "
+            f"round(({n} * {sp} - {sa} * {sb}) / sqrt({var_a} * {var_b}), 6) END AS corr FROM m"
+        )
+    body = " UNION ALL ".join(sel)
+    cast_cols = ", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in cols)
+    return (
+        f"WITH d AS (SELECT {cast_cols} FROM lineitem WHERE {notnull}), "
+        f"m AS (SELECT {', '.join(sums)} FROM d) {body}"
+    )
+
+
+def _sql_corpus_cube() -> str:
+    return (
+        "WITH d AS (SELECT source, lang, CAST(len(CASE WHEN trim(text) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END) AS BIGINT) AS nt FROM documents) "
+        "SELECT source, lang, CAST(grouping(source, lang) AS BIGINT) AS gid, "
+        "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_ws_tokens "
+        "FROM d GROUP BY CUBE (source, lang)"
+    )
+
+
+def _sql_events_sliding() -> str:
+    return (
+        "WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events), "
+        "w AS (SELECT date_trunc('hour', ts) AS ws, event_type, value FROM e "
+        "UNION ALL "
+        "SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value FROM e) "
+        "SELECT CAST(ws AS TIMESTAMP) AS window_start, "
+        "CAST(ws + INTERVAL 2 HOUR AS TIMESTAMP) AS window_end, event_type, "
+        "count(*) AS n_events, "
+        "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS avg_value, "
+        "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 4) AS sum_value "
+        "FROM w GROUP BY 1, 2, 3"
     )
 
 
@@ -1694,6 +1793,10 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_pivot": _sql_source_lang_pivot(DOC_LANGS),
         "dedup_incremental": _sql_dedup_incremental(100),
         "take_per_source": _sql_take_per_source(5),
+        "psi_drift": _sql_psi(_SQL_DRIFT_BEFORE_PRICE, _SQL_DRIFT_AFTER_PRICE, 10),
+        "correlation_matrix": _sql_correlation_matrix(CORR_COLS),
+        "corpus_cube": _sql_corpus_cube(),
+        "events_sliding": _sql_events_sliding(),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

@@ -88,6 +88,10 @@ HEADLINE = [
     "source_lang_pivot",
     "dedup_incremental",
     "take_per_source",
+    "psi_drift",
+    "correlation_matrix",
+    "corpus_cube",
+    "events_sliding",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

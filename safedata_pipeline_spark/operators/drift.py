@@ -344,3 +344,58 @@ def distribution_drift(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index over fixed-width bins → 1 row
+    ``(psi double)`` — the monitoring-dashboard drift metric
+    (PSI = Σ (p_a − p_b)·ln(p_a/p_b); rule of thumb: <0.1 stable,
+    >0.25 shifted). Complements KS (distribution shape) and χ²
+    (categorical) with a magnitude-weighted score.
+
+    Construction mirrors ``ks_statistic_binned``: shared lo/hi from one
+    tiny agg, bin ids via floor (map-only), ONE grouped count per side,
+    proportions clamped to ``eps`` so empty bins contribute finitely
+    (the standard PSI smoothing). All counts integer until the final
+    expression; NULL when either side is empty.
+    """
+    lohi = (
+        _tagged_union(df_a, df_b, col)
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()[0]
+    )
+    if lohi["lo"] is None:
+        return df_a.sparkSession.range(1).select(F.lit(None).cast("double").alias("psi"))
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    width = (hi - lo) / bins or 1.0
+    u = _tagged_union(df_a, df_b, col).withColumn(
+        "b", F.least(F.floor((F.col("v") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
+    )
+    g = u.groupBy("b").agg(F.sum("ka").alias("ca"), F.sum("kb").alias("cb"))
+    w_all = Window.partitionBy()
+    # try_divide: a fully-empty side has total 0 — the guard below
+    # yields NULL psi for that case, but ANSI mode would raise first
+    p = g.select(
+        F.greatest(F.try_divide(F.col("ca"), F.sum("ca").over(w_all)), F.lit(eps)).alias("pa"),
+        F.greatest(F.try_divide(F.col("cb"), F.sum("cb").over(w_all)), F.lit(eps)).alias("pb"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    )
+    # per-bin contributions round to 10 decimals and sum as DECIMAL so
+    # the (ln-bearing) float sum is partition-order and engine
+    # independent before the final 6-decimal round
+    contrib = F.round(
+        (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 10
+    ).cast("decimal(38,10)")
+    return p.agg(
+        F.when(
+            (F.max("na") > 0) & (F.max("nb") > 0),
+            F.round(F.sum(contrib).cast("double"), ROUND_N),
+        ).alias("psi")
+    )

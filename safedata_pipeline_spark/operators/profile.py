@@ -315,3 +315,43 @@ def basic_stats(df: DataFrame, exact: bool = True) -> DataFrame:
         "min_ts", "max_ts", "top", "freq",
     ]
     return profile.select(*order)
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation of numeric columns in ONE scan →
+    long form ``(col_a, col_b, corr)``, col_a < col_b — the utility-
+    measurement companion to drift (does the protected table keep the
+    correlation structure?).
+
+    All k + k + k·(k−1)/2 moment sums (Σx, Σx², Σxy) ride a single
+    wide aggregate; sums use DECIMAL(38,12) so they're partition-order
+    independent, and the correlation arithmetic runs driver-free in one
+    fixed-order expression per pair — engine-reproducible to the
+    rounded 6 decimals. Rows with a NULL in ANY requested column are
+    dropped (listwise deletion) so every pair sees the same n.
+    """
+    d = df.select(*[F.col(c).cast("double").alias(c) for c in cols]).dropna()
+    dec = lambda c: c.cast("decimal(38,12)")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(dec(F.col(c))).alias(f"s_{c}"))
+        aggs.append(F.sum(dec(F.col(c) * F.col(c))).alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(dec(F.col(a) * F.col(b))).alias(f"sp_{a}__{b}"))
+    m = df.sparkSession.createDataFrame([], "x int") if not pairs else d.agg(*aggs)
+    outs = []
+    n = F.col("n").cast("double")
+    for a, b in pairs:
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        sp = F.col(f"sp_{a}__{b}").cast("double")
+        cov = n * sp - sa * sb
+        var_a, var_b = n * ssa - sa * sa, n * ssb - sb * sb
+        corr = F.when(
+            (var_a > 0) & (var_b > 0), F.round(cov / F.sqrt(var_a * var_b), ROUND_N)
+        )
+        outs.append(
+            F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), corr.alias("corr"))
+        )
+    return m.select(F.inline(F.array(*outs)))

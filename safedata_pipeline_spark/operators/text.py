@@ -802,3 +802,33 @@ def source_lang_pivot(
             ],
         )
     )
+
+
+def corpus_stats_cube(
+    df: DataFrame,
+    dims: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus composition with subtotals: doc/token counts per
+    (source, lang) cell AND per source, per lang, and grand total — one
+    CUBE aggregation instead of four separate groupBys (each subtotal
+    tier is computed from map-side partials in the same shuffle).
+
+    ``grouping_id`` disambiguates a real NULL dim value from a subtotal
+    row (bit set = dim rolled up), matching SQL GROUPING() semantics so
+    the oracle can reproduce rows exactly.
+    """
+    dims = dims or ["source", "lang"]
+    staged = df.select(
+        *[F.col(c) for c in dims],
+        F.size(_ws_tokens(F.col(text_col))).cast("bigint").alias("__nt"),
+    )
+    return (
+        staged.cube(*dims)
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__nt").cast("bigint").alias("total_ws_tokens"),
+        )
+        .select(*dims, "gid", "n_docs", "total_ws_tokens")
+    )

@@ -83,3 +83,32 @@ def run_stream_once(spark: SparkSession, path_glob: str, table: str = "events_ho
     )
     q.awaitTermination()
     return spark.table(table)
+
+
+def sliding_event_profile(
+    events: DataFrame, window: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding-window per-type profile (2 h windows every 1 h by
+    default): each event lands in window/slide overlapping windows, so
+    the dashboard sees smoothed hour-over-hour trends instead of
+    tumbling-bucket cliffs. Identical expression runs on a stream (with
+    a watermark upstream, state = open windows only). DECIMAL value
+    sums for cross-engine determinism, like ``hourly_event_profile``.
+    """
+    v = F.col("value").cast("decimal(38,12)")
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(v).cast("double") / F.count(F.lit(1)), 6).alias("avg_value"),
+            F.round(F.sum(v).cast("double"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+            "sum_value",
+        )
+    )

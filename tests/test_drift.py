@@ -134,3 +134,42 @@ def test_ks_two_phase_no_single_task_window(spark):
             assert all("__pid" in s for s in specs), specs
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_psi_identical_is_zero_and_shift_positive(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    a = spark.createDataFrame([(float(x),) for x in rng.normal(0, 1, 300)], "v double")
+    b = spark.createDataFrame([(float(x),) for x in rng.normal(0.6, 1, 300)], "v double")
+    assert _one(D.psi_drift(a, a, "v")) == 0.0
+    shifted = _one(D.psi_drift(a, b, "v"))
+    assert shifted > 0.1  # a 0.6σ mean shift is a "significant" PSI
+    # empty side -> NULL
+    empty = spark.createDataFrame([], "v double")
+    assert _one(D.psi_drift(a, empty, "v")) is None
+    assert _one(D.psi_drift(empty, empty, "v")) is None
+
+
+def test_psi_matches_manual_computation(spark):
+    import math
+
+    a_vals = [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 10.0]
+    b_vals = [0.0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 10.0]
+    a = spark.createDataFrame([(v,) for v in a_vals], "v double")
+    b = spark.createDataFrame([(v,) for v in b_vals], "v double")
+    bins, eps = 5, 1e-6
+    lo, hi = 0.0, 10.0
+    width = (hi - lo) / bins
+    ca = [0] * bins
+    cb = [0] * bins
+    for v in a_vals:
+        ca[min(int((v - lo) // width), bins - 1)] += 1
+    for v in b_vals:
+        cb[min(int((v - lo) // width), bins - 1)] += 1
+    expect = sum(
+        (max(x / 10, eps) - max(y / 10, eps)) * math.log(max(x / 10, eps) / max(y / 10, eps))
+        for x, y in zip(ca, cb)
+    )
+    got = _one(D.psi_drift(a, b, "v", bins=bins, eps=eps))
+    assert got == pytest.approx(expect, abs=1e-6)

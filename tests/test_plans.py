@@ -116,10 +116,14 @@ def test_distribution_drift_scans_inputs_twice_total(spark, sf_dir):
     b = li.select("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
     out = DR.distribution_drift(a, b)
     plan = plans.formatted_plan(out)
-    # one melted pass per (input, column-kind): 2 numeric + 2 categorical
-    # = 4 scans TOTAL, independent of how many columns drift covers
-    # (the old per-column shape was 2 scans × 4 columns = 8)
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 4
+    # one melted pass per (input, column-kind), independent of how many
+    # columns drift covers (the old per-column shape was 2 scans ×
+    # #columns). The numeric melt's 2 parquet scans now run inside the
+    # two-phase-ECDF checkpoint job and surface in the final plan as a
+    # materialized-RDD scan; the categorical melt contributes the 2
+    # parquet scans visible here.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "ExistingRDD" in plan
 
 
 def test_synthetic_sample_bootstrap_has_no_global_sort_window(spark, sf_dir):

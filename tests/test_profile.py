@@ -1,5 +1,7 @@
 import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from safedata_pipeline_spark.operators import profile as P
@@ -99,3 +101,34 @@ def test_value_counts_cnt_and_freq(spark):
     got = {r[0]: (r[1], r[2]) for r in P.value_counts(_df(spark), "s").collect()}
     total = sum(c for c, _ in got.values())
     assert all(abs(f - c / total) < 1e-6 for c, f in got.values())
+
+
+def test_correlation_matrix_exact(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, 200)
+    y = 2 * x + rng.normal(0, 0.5, 200)
+    z = rng.normal(5, 2, 200)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    got = {(r.col_a, r.col_b): r.corr for r in P.correlation_matrix(df, ["x", "y", "z"]).collect()}
+    assert got[("x", "y")] == pytest.approx(float(np.corrcoef(x, y)[0, 1]), abs=1e-6)
+    assert got[("x", "z")] == pytest.approx(float(np.corrcoef(x, z)[0, 1]), abs=1e-6)
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+
+
+def test_correlation_matrix_constant_column_null(spark):
+    df = spark.createDataFrame([(float(i), 7.0) for i in range(20)], "x double, k double")
+    got = P.correlation_matrix(df, ["x", "k"]).collect()
+    assert len(got) == 1 and got[0].corr is None
+
+
+def test_correlation_matrix_null_rows_listwise(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (None, 9.0), (3.0, 6.0)], "x double, y double"
+    )
+    got = P.correlation_matrix(df, ["x", "y"]).collect()[0]
+    assert got.corr == 1.0  # the null row is excluded; remaining is exact

@@ -11,3 +11,23 @@ def test_stream_matches_batch(spark, sf_dir):
     got = {(r.hour_start, r.event_type): (r.n_events, r.avg_value) for r in streamed.collect()}
     assert got == expected
     assert len(got) > 0
+
+
+def test_sliding_profile_overlap(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    tumbling = SE.hourly_event_profile(ev)
+    sliding = SE.sliding_event_profile(ev, window="2 hours", slide="1 hour")
+    n_events = ev.count()
+    # every event lands in exactly window/slide = 2 sliding windows
+    assert sliding.agg(F.sum("n_events")).collect()[0][0] == 2 * n_events
+    assert tumbling.agg(F.sum("n_events")).collect()[0][0] == n_events
+    # a sliding window [t, t+2h) covers the two tumbling hours inside it
+    t = {(r.hour_start, r.event_type): r.n_events for r in tumbling.collect()}
+    for r in sliding.limit(50).collect():
+        import datetime
+
+        h0 = t.get((r.window_start, r.event_type), 0)
+        h1 = t.get((r.window_start + datetime.timedelta(hours=1), r.event_type), 0)
+        assert r.n_events == h0 + h1
