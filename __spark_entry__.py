@@ -488,6 +488,26 @@ def _q_events_sliding(spark, sf):
     return SE.sliding_event_profile(load_table(spark, sf, "events"))
 
 
+def _q_winsorize(spark, sf):
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    out = PR.winsorize(li, ["l_extendedprice", "l_quantity"], 0.01, 0.99)
+    # round the clipped columns: the interpolated percentile bound may
+    # differ from the oracle's in the last ulp; 6 decimals is exact for
+    # the underlying 2-decimal prices
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 6).alias("l_extendedprice"),
+        F.round("l_quantity", 6).alias("l_quantity"),
+    )
+
+
+def _q_robust_stats(spark, sf):
+    return P.robust_stats(load_table(spark, sf, "lineitem"), CORR_COLS)
+
+
 def _q_k_anonymity(spark, sf):
     return AN.k_anonymity(load_table(spark, sf, "customer"), QI_COLS, k=5)
 
@@ -651,6 +671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_matrix": _q_correlation_matrix,
         "corpus_cube": _q_corpus_cube,
         "events_sliding": _q_events_sliding,
+        "winsorize": _q_winsorize,
+        "robust_stats": _q_robust_stats,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1109,6 +1131,42 @@ def _sql_events_sliding() -> str:
         "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 4) AS sum_value "
         "FROM w GROUP BY 1, 2, 3"
     )
+
+
+def _sql_winsorize(lower: float, upper: float) -> str:
+    def clip(c: str) -> str:
+        return (
+            f"round(least(greatest({c}, (SELECT quantile_cont({c}, {lower}) FROM lineitem)), "
+            f"(SELECT quantile_cont({c}, {upper}) FROM lineitem)), 6) AS {c}"
+        )
+
+    return (
+        "SELECT l_orderkey, l_linenumber, "
+        f"{clip('l_extendedprice')}, {clip('l_quantity')} FROM lineitem"
+    )
+
+
+def _sql_robust_stats(cols: list[str]) -> str:
+    # half-up floor-snap mirrors the Spark side's _r6 (python round()
+    # would be half-even; see quality_deciles for the same convention)
+    def snap(expr: str) -> str:
+        return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+    sel = []
+    for c in cols:
+        med = f"(SELECT quantile_cont({c}, 0.5) FROM lineitem)"
+        q25 = f"(SELECT quantile_cont({c}, 0.25) FROM lineitem)"
+        q75 = f"(SELECT quantile_cont({c}, 0.75) FROM lineitem)"
+        sel.append(
+            f"SELECT '{c}' AS \"column\", "
+            f"{snap(med)} AS median, "
+            f"{snap(q25)} AS p25, "
+            f"{snap(q75)} AS p75, "
+            f"{snap(f'{q75} - {q25}')} AS iqr, "
+            f"round((SELECT quantile_cont(abs(CAST({c} AS DOUBLE) - {med}), 0.5) "
+            f"FROM lineitem WHERE {c} IS NOT NULL), 6) AS mad"
+        )
+    return " UNION ALL ".join(sel)
 
 
 def _sql_k_anonymity(k: int) -> str:
@@ -1797,6 +1855,8 @@ def oracle_sql() -> dict[str, str]:
         "correlation_matrix": _sql_correlation_matrix(CORR_COLS),
         "corpus_cube": _sql_corpus_cube(),
         "events_sliding": _sql_events_sliding(),
+        "winsorize": _sql_winsorize(0.01, 0.99),
+        "robust_stats": _sql_robust_stats(CORR_COLS),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

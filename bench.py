@@ -92,6 +92,8 @@ HEADLINE = [
     "correlation_matrix",
     "corpus_cube",
     "events_sliding",
+    "winsorize",
+    "robust_stats",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

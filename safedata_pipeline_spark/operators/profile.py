@@ -355,3 +355,67 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
             F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), corr.alias("corr"))
         )
     return m.select(F.inline(F.array(*outs)))
+
+
+def robust_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Outlier-resistant per-column location/spread profile → one row
+    per column: ``(column, median, p25, p75, iqr, mad)`` with MAD the
+    median absolute deviation (median of |x − median|), the robust
+    stddev stand-in (σ ≈ 1.4826·MAD under normality).
+
+    Two passes by necessity (MAD nests a median inside a median): pass
+    1 is one wide exact-percentile aggregate (O(columns) collected
+    doubles); pass 2 melts all columns into one frame and computes each
+    column's deviation median in a single grouped percentile aggregate
+    — 2 scans total regardless of column count. ``percentile_approx``
+    is the drop-in at 100 TB (same shape, bounded error).
+    """
+    row = df.agg(
+        *[
+            F.percentile(F.col(c), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(c)
+            for c in cols
+        ]
+    ).collect()[0]
+    quart = {c: row[c] for c in cols}
+    structs = []
+    for c in cols:
+        if quart[c] is None:
+            continue
+        med = float(quart[c][1])
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.abs(F.col(c).cast("double") - F.lit(med)).alias("dev"),
+            )
+        )
+    if not structs:
+        return df.sparkSession.createDataFrame(
+            [], "column string, median double, p25 double, p75 double, iqr double, mad double"
+        )
+    melted = df.select(F.inline(F.array(*structs))).where(F.col("dev").isNotNull())
+    mads = melted.groupBy("column").agg(
+        F.round(F.percentile(F.col("dev"), F.lit(0.5)), ROUND_N).alias("mad")
+    )
+    spark = df.sparkSession
+
+    def _r6(x: float) -> float:
+        # half-up snap (python round() is half-even; SQL round() is not)
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    qrows = [
+        (
+            c,
+            _r6(float(quart[c][1])),
+            _r6(float(quart[c][0])),
+            _r6(float(quart[c][2])),
+            _r6(float(quart[c][2]) - float(quart[c][0])),
+        )
+        for c in cols
+        if quart[c] is not None
+    ]
+    qdf = spark.createDataFrame(
+        qrows, "column string, median double, p25 double, p75 double, iqr double"
+    )
+    return qdf.join(mads, on="column", how="left")

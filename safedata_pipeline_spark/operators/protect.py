@@ -449,3 +449,52 @@ def smart_suggest(df: DataFrame, exact: bool = True) -> DataFrame:
             )
         )
     return row.select(F.inline(F.array(*structs)))
+
+
+def winsorize(
+    df: DataFrame,
+    cols: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    exact: bool = True,
+) -> DataFrame:
+    """Percentile clipping (winsorization) — the outlier treatment that
+    pairs with ``generalize_numeric``: extreme values are pulled to the
+    [lower, upper] percentile bounds instead of binned away, preserving
+    numeric dtype for downstream ML while capping disclosure-prone
+    tails.
+
+    Fit = ONE wide percentile aggregate over all requested columns
+    (O(columns) collected doubles — fit parameters); apply = pure
+    least/greatest expressions, whole-stage codegen, no join. Exact
+    percentiles by default for oracle parity; ``exact=False`` switches
+    to approxQuantile for the 100 TB path. All-null columns pass
+    through unchanged (no bounds to clip to).
+    """
+    num = _numeric_cols(df, cols)
+    if not num:
+        return df
+    probs = F.array(F.lit(float(lower)), F.lit(float(upper)))
+    row = df.agg(
+        *[F.percentile(F.col(c), probs).alias(c) for c in num]
+    ).collect()[0] if exact else None
+    bounds: dict[str, tuple[float, float] | None] = {}
+    if exact:
+        for c in num:
+            v = row[c]
+            bounds[c] = (float(v[0]), float(v[1])) if v is not None else None
+    else:
+        for c in num:
+            q = df.where(F.col(c).isNotNull()).stat.approxQuantile(
+                c, [float(lower), float(upper)], 0.001
+            )
+            bounds[c] = (q[0], q[1]) if len(q) == 2 else None
+    out = df
+    for c in num:
+        if bounds[c] is None:
+            continue
+        lo, hi = bounds[c]
+        out = out.withColumn(
+            c, F.least(F.greatest(F.col(c), F.lit(lo)), F.lit(hi))
+        )
+    return out

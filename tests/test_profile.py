@@ -132,3 +132,26 @@ def test_correlation_matrix_null_rows_listwise(spark):
     )
     got = P.correlation_matrix(df, ["x", "y"]).collect()[0]
     assert got.corr == 1.0  # the null row is excluded; remaining is exact
+
+
+def test_robust_stats_known_values(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "x double")
+    r = {row.column: row for row in P.robust_stats(df, ["x"]).collect()}["x"]
+    assert r.median == 50.0 and r.p25 == 25.0 and r.p75 == 75.0
+    assert r.iqr == 50.0 and r.mad == 25.0
+
+
+def test_robust_stats_outlier_resistant(spark):
+    base = [(float(i),) for i in range(1, 100)]
+    with_outlier = base + [(1e9,)]
+    a = {r.column: r for r in P.robust_stats(spark.createDataFrame(base, "x double"), ["x"]).collect()}
+    b = {r.column: r for r in P.robust_stats(spark.createDataFrame(with_outlier, "x double"), ["x"]).collect()}
+    # one extreme outlier barely moves median/MAD
+    assert abs(a["x"].median - b["x"].median) <= 1.0
+    assert abs(a["x"].mad - b["x"].mad) <= 1.0
+
+
+def test_robust_stats_all_null_column_skipped(spark):
+    df = spark.createDataFrame([(1.0, None), (3.0, None)], "a double, b double")
+    out = {r.column for r in P.robust_stats(df, ["a", "b"]).collect()}
+    assert out == {"a"}

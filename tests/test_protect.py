@@ -145,3 +145,29 @@ def test_smart_suggest_branches(spark):
         "hi_card": "sdc",
         "lo_card": "none",
     }
+
+
+def test_winsorize_clips_tails(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "x double")
+    out = PR.winsorize(df, ["x"], lower=0.1, upper=0.9)
+    lo, hi = out.agg(F.min("x"), F.max("x")).collect()[0]
+    assert lo == 10.0 and hi == 90.0
+    assert out.count() == 101  # clipping, not filtering
+    # interior values untouched
+    mid = out.where(F.col("x") == 50.0).count()
+    assert mid == 1
+
+
+def test_winsorize_all_null_and_non_numeric_passthrough(spark):
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b")], "x double, s string"
+    )
+    out = PR.winsorize(df, ["x", "s"])
+    assert out.collect() == df.collect()
+
+
+def test_winsorize_approx_path_close(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "x double")
+    ex = PR.winsorize(df, ["x"], 0.05, 0.95, exact=True).agg(F.min("x"), F.max("x")).collect()[0]
+    ap = PR.winsorize(df, ["x"], 0.05, 0.95, exact=False).agg(F.min("x"), F.max("x")).collect()[0]
+    assert abs(ex[0] - ap[0]) <= 2 and abs(ex[1] - ap[1]) <= 2
