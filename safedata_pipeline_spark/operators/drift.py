@@ -70,6 +70,10 @@ def _two_phase_cum(g: DataFrame, key_col: str, val_col: str) -> DataFrame:
     """
     spark = g.sparkSession
     npart = max(int(spark.conf.get("spark.sql.shuffle.partitions", "8")), 1)
+    # checkpoint the distinct-value table BEFORE range partitioning:
+    # repartitionByRange runs a separate boundary-sampling job, which
+    # would otherwise re-execute g's whole scan+union+agg lineage
+    g = g.localCheckpoint(eager=True)
     rp = (
         g.repartitionByRange(npart, F.col(key_col), F.col(val_col))
         .withColumn("__pid", F.spark_partition_id())
