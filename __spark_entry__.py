@@ -305,6 +305,56 @@ def _q_pricing_summary(spark, sf):
 CONTAMINATION_PROBES = ["key agg row scan", "spark order data", "zz-not-in-corpus-zz"]
 
 
+def _q_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) with
+    filters on every side, grouped revenue, top-10 — the canonical
+    multi-join planning test. The dimension filters reach their scans
+    via pushdown; AQE picks broadcast for the filtered customer side;
+    the top-10 is TakeOrdered, never a full sort."""
+    cust = load_table(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    cut = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf, "orders").where(F.col("o_orderdate") < cut)
+    li = load_table(spark, sf, "lineitem").where(F.col("l_shipdate") > cut)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev.cast("decimal(38,10)")).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def _q_regional_volume(spark, sf):
+    """TPC-H Q5 shape: 5-way star join (region→nation→{customer,
+    supplier}→orders→lineitem) with the customer-and-supplier-same-
+    nation condition — join-reorder + broadcast-dimension showcase.
+    Revenue per nation for ASIA, one order year."""
+    region = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf, "nation")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        region.join(nation, F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(cust, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev.cast("decimal(38,10)")).cast("double"), 2).alias("revenue"))
+    )
+
+
 def _q_contamination_scan(spark, sf):
     return TX.contamination_scan(load_table(spark, sf, "documents"), CONTAMINATION_PROBES)
 
@@ -673,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": _q_events_sliding,
         "winsorize": _q_winsorize,
         "robust_stats": _q_robust_stats,
+        "shipping_priority": _q_shipping_priority,
+        "regional_volume": _q_regional_volume,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1130,6 +1182,35 @@ def _sql_events_sliding() -> str:
         "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS avg_value, "
         "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 4) AS sum_value "
         "FROM w GROUP BY 1, 2, 3"
+    )
+
+
+def _sql_shipping_priority() -> str:
+    return (
+        "SELECT l_orderkey, "
+        "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue, "
+        "o_orderdate, o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+    )
+
+
+def _sql_regional_volume() -> str:
+    return (
+        "SELECT n_name, "
+        "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue "
+        "FROM region JOIN nation ON r_regionkey = n_regionkey "
+        "JOIN customer ON n_nationkey = c_nationkey "
+        "JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey "
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY n_name"
     )
 
 
@@ -1857,6 +1938,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": _sql_events_sliding(),
         "winsorize": _sql_winsorize(0.01, 0.99),
         "robust_stats": _sql_robust_stats(CORR_COLS),
+        "shipping_priority": _sql_shipping_priority(),
+        "regional_volume": _sql_regional_volume(),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

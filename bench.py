@@ -94,6 +94,8 @@ HEADLINE = [
     "events_sliding",
     "winsorize",
     "robust_stats",
+    "shipping_priority",
+    "regional_volume",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -200,3 +200,15 @@ def test_plans_md_covers_every_query():
     assert not missing, f"queries with no PLANS.md row (run tools/audit_plans.py): {missing}"
     errors = re.findall(r"^\| (\S+) \|.*error", text, flags=re.M)
     assert not errors, f"PLANS.md rows recording a plan-build error: {errors}"
+
+
+def test_shipping_priority_broadcasts_dims_and_takeordered(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    df = entry._q_shipping_priority(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    # filtered dimension sides broadcast; the top-10 must be TakeOrdered
+    # (bounded per-partition heaps), never a global Sort + collect
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plans.pushed_filters(df)  # segment/date filters reach scans
