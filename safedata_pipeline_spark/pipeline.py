@@ -110,6 +110,31 @@ class SafedataPipeline:
         self.df_protected = PR.synthetic_sample(self.df_anon, n=n, seed=seed)
         return self.df_protected
 
+    # -- step 3b: anonymity audit (beyond the reference: the SDC
+    # metrics that tell you whether the protect chain was enough) ------
+    def audit_anonymity(
+        self,
+        quasi_ids: list[str],
+        k: int = 5,
+        sensitive_col: str | None = None,
+        l: int = 2,
+    ) -> dict[str, Any]:
+        """k-anonymity (and optional l-diversity) of the PROTECTED
+        table over the given quasi-identifiers — run after ``protect``
+        to check the transforms actually produced k-sized equivalence
+        classes; re-run with a bigger bin count / lower threshold when
+        ``satisfies_k`` is false."""
+        from safedata_pipeline_spark.operators import anonymity as AN
+
+        df = self.df_protected if self.df_protected is not None else self.df_anon
+        out: dict[str, Any] = dict(
+            AN.k_anonymity(df, quasi_ids, k).collect()[0].asDict()
+        )
+        if sensitive_col is not None:
+            out.update(AN.l_diversity(df, quasi_ids, sensitive_col, l).collect()[0].asDict())
+        self.results["anonymity"] = out
+        return out
+
     # -- step 4: utility (app.py:205-223) ---------------------------------
     def measure_utility(self, target: str | None = None) -> dict[str, DataFrame]:
         before, after = self.df_anon, self.df_protected

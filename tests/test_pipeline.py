@@ -117,3 +117,16 @@ def test_csv_roundtrip(spark, tmp_path):
     assert {f.name for f in back.schema.fields} == {"id", "s", "x"}
     # inferSchema recovers numeric types (S1 parity: bare pd.read_csv)
     assert dict(back.dtypes)["id"] == "int"
+
+
+def test_pipeline_anonymity_audit(spark):
+    from safedata_pipeline_spark.pipeline import SafedataPipeline
+
+    rows = [(i, 25 + i % 3, "m" if i % 2 else "f", float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id bigint, age int, gender string, val double")
+    p = SafedataPipeline(spark).load(df)
+    p.protect(sdc_cols=["gender"], generalize_cols=["age"], dp_cols=[])
+    audit = p.audit_anonymity(["age", "gender"], k=5, sensitive_col="val", l=2)
+    assert {"k_anonymity", "satisfies_k", "l_diversity", "satisfies_l"} <= set(audit)
+    assert audit["n_classes"] >= 1
+    assert p.results["anonymity"] is audit
