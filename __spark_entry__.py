@@ -558,6 +558,14 @@ def _q_robust_stats(spark, sf):
     return P.robust_stats(load_table(spark, sf, "lineitem"), CORR_COLS)
 
 
+def _q_quantize_embeddings(spark, sf):
+    return SIM.quantize_embeddings(load_table(spark, sf, "embeddings"))
+
+
+def _q_quantization_error(spark, sf):
+    return SIM.quantization_error(load_table(spark, sf, "embeddings"))
+
+
 def _q_k_anonymity(spark, sf):
     return AN.k_anonymity(load_table(spark, sf, "customer"), QI_COLS, k=5)
 
@@ -725,6 +733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_stats": _q_robust_stats,
         "shipping_priority": _q_shipping_priority,
         "regional_volume": _q_regional_volume,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "quantization_error": _q_quantization_error,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1182,6 +1192,34 @@ def _sql_events_sliding() -> str:
         "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS avg_value, "
         "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 4) AS sum_value "
         "FROM w GROUP BY 1, 2, 3"
+    )
+
+
+_SQL_QUANT_BASE = (
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS raw_scale FROM e), "
+    "ex AS (SELECT vec_id, raw_scale, unnest(v) AS x, unnest(range(0, len(v))) AS dim FROM s), "
+    "q AS (SELECT vec_id, dim, raw_scale, x, "
+    "CASE WHEN raw_scale > 0 THEN round(x / raw_scale, 0) ELSE 0 END AS qd FROM ex) "
+)
+
+
+def _sql_quantize_embeddings() -> str:
+    return (
+        _SQL_QUANT_BASE
+        + "SELECT vec_id, CAST(dim AS BIGINT) AS dim, CAST(qd AS BIGINT) AS qval, "
+        "round(raw_scale, 6) AS scale FROM q"
+    )
+
+
+def _sql_quantization_error() -> str:
+    return (
+        _SQL_QUANT_BASE
+        + ", err AS (SELECT abs(x - qd * raw_scale) AS e FROM q) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_values, "
+        "floor(CAST(sum(CAST(round(e, 10) AS DECIMAL(38,10))) AS DOUBLE) / count(*) "
+        "* 1000000.0 + 0.5) / 1000000.0 AS mean_abs_err, "
+        "round(max(e), 6) AS max_abs_err FROM err"
     )
 
 
@@ -1940,6 +1978,8 @@ def oracle_sql() -> dict[str, str]:
         "robust_stats": _sql_robust_stats(CORR_COLS),
         "shipping_priority": _sql_shipping_priority(),
         "regional_volume": _sql_regional_volume(),
+        "quantize_embeddings": _sql_quantize_embeddings(),
+        "quantization_error": _sql_quantization_error(),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

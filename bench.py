@@ -96,6 +96,8 @@ HEADLINE = [
     "robust_stats",
     "shipping_priority",
     "regional_volume",
+    "quantize_embeddings",
+    "quantization_error",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

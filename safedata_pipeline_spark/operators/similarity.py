@@ -299,3 +299,76 @@ def embedding_centroids(
         ).alias("centroid"),
         F.max("n_vectors").cast("bigint").alias("n_vectors"),
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    long_form: bool = True,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth
+    step before ANN at 100 TB (float32 → int8 is 4× less scan and
+    shuffle; recall loss is small for cosine search because each
+    vector keeps its own scale).
+
+    q_i = round(x_i / scale), scale = max|x| / 127 — all plain column
+    arithmetic inside codegen, map-only. Zero vectors quantize to all
+    zeros with scale 0 (try_divide guards the split). ``long_form``
+    emits (id, dim, qval, scale) rows — flat-typed for the oracle
+    compare; ``long_form=False`` keeps (id, scale, qvec array<int>)
+    for pipeline use.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    staged = df.select(F.col(id_col).alias("id"), v.alias("v"), scale)
+    qvec = F.transform(
+        F.col("v"),
+        lambda x: F.coalesce(
+            F.round(F.try_divide(x, F.col("scale")), 0), F.lit(0.0)
+        ).cast("int"),
+    )
+    # quantize in its own projection: re-aliasing "scale" in the same
+    # select as the generator turns the lambda's reference into a
+    # lateral alias and trips an analyzer internal error
+    quanted = staged.select(
+        "id", qvec.alias("q"), F.round("scale", ROUND_N).alias("scale")
+    )
+    if not long_form:
+        return quanted.select(
+            F.col("id").alias(id_col), "scale", F.col("q").alias("qvec")
+        )
+    return quanted.select(
+        F.col("id").alias(id_col), "scale", F.posexplode("q").alias("dim", "qval")
+    ).select(
+        id_col, F.col("dim").cast("bigint").alias("dim"), F.col("qval").cast("bigint").alias("qval"), "scale"
+    )
+
+
+def quantization_error(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Round-trip error summary of int8 quantization → 1 row
+    ``(n_values, mean_abs_err, max_abs_err)`` over every dimension of
+    every vector. Per-dim errors |x − q·scale| round to 10 decimals and
+    sum as DECIMAL so the mean is engine-reproducible; the whole thing
+    is one map pass + one scalar aggregate."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    staged = df.select(v.alias("v"), (amax / F.lit(127.0)).alias("scale"))
+    err = F.transform(
+        F.col("v"),
+        lambda x: F.abs(
+            x - F.coalesce(F.round(F.try_divide(x, F.col("scale")), 0), F.lit(0.0)) * F.col("scale")
+        ),
+    )
+    ex = staged.select(F.explode(err).alias("e"))
+    avg = F.sum(F.round(F.col("e"), 10).cast("decimal(38,10)")).cast("double") / F.count(F.lit(1))
+    return ex.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        (F.floor(avg * 1e6 + F.lit(0.5)) / 1e6).alias("mean_abs_err"),
+        F.round(F.max("e"), ROUND_N).alias("max_abs_err"),
+    )

@@ -110,3 +110,37 @@ def test_embedding_centroids_means_and_shapes(spark):
     long = embedding_centroids(df, packed=False).collect()
     vals = {(r.label, r.dim): r.centroid_val for r in long}
     assert vals[("a", 1)] == 3.0 and len(long) == 6
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = S.quantize_embeddings(df).collect()
+    by = {(r.vec_id, r.dim): r for r in rows}
+    # scale = 1.0/127; q = round(x*127)
+    assert by[(1, 0)].qval == 127 and by[(1, 1)].qval == -64
+    assert by[(1, 2)].qval == 32 and by[(1, 3)].qval == 0
+    # zero vector: scale 0, all-zero quants, no division error
+    assert all(by[(2, d)].qval == 0 for d in range(4))
+    assert by[(2, 0)].scale == 0.0
+    # packed form carries the same values
+    packed = {r.vec_id: r for r in S.quantize_embeddings(df, long_form=False).collect()}
+    assert packed[1].qvec == [127, -64, 32, 0]
+
+
+def test_quantization_error_bounded(spark, sf_dir):
+    from safedata_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = S.quantization_error(emb).collect()[0]
+    # int8 symmetric: per-dim error ≤ scale/2 = max|x|/254
+    assert r.n_values > 0
+    assert 0.0 <= r.mean_abs_err <= r.max_abs_err
+    import duckdb
+
+    amax = duckdb.sql(
+        f"SELECT max(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert r.max_abs_err <= amax / 254 + 1e-9
