@@ -566,6 +566,16 @@ def _q_quantization_error(spark, sf):
     return SIM.quantization_error(load_table(spark, sf, "embeddings"))
 
 
+def _q_skew_report(spark, sf):
+    return P.skew_report(load_table(spark, sf, "orders"), "o_custkey")
+
+
+def _q_normalize_text(spark, sf):
+    return TX.normalize_text(load_table(spark, sf, "documents")).select(
+        "doc_id", "text"
+    )
+
+
 def _q_k_anonymity(spark, sf):
     return AN.k_anonymity(load_table(spark, sf, "customer"), QI_COLS, k=5)
 
@@ -735,6 +745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_volume": _q_regional_volume,
         "quantize_embeddings": _q_quantize_embeddings,
         "quantization_error": _q_quantization_error,
+        "skew_report": _q_skew_report,
+        "normalize_text": _q_normalize_text,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1192,6 +1204,29 @@ def _sql_events_sliding() -> str:
         "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS avg_value, "
         "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 4) AS sum_value "
         "FROM w GROUP BY 1, 2, 3"
+    )
+
+
+def _sql_normalize_text() -> str:
+    # same fixed op order as text.normalize_text: strip control chars →
+    # collapse whitespace runs → trim → lowercase
+    return (
+        "SELECT doc_id, lower(trim(regexp_replace("
+        "regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
+        "'\\s+', ' ', 'g'))) AS text FROM documents"
+    )
+
+
+def _sql_skew_report(table: str, key: str) -> str:
+    return (
+        f"WITH c AS (SELECT {key}, count(*) AS c FROM {table} GROUP BY {key}) "
+        "SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys, "
+        "CAST(max(c) AS BIGINT) AS max_key_count, "
+        "round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS avg_key_count, "
+        "quantile_cont(c, 0.5) AS p50_count, quantile_cont(c, 0.9) AS p90_count, "
+        "quantile_cont(c, 0.99) AS p99_count, "
+        "round(CAST(max(c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) / count(*)), 6) AS skew_ratio "
+        "FROM c"
     )
 
 
@@ -1980,6 +2015,8 @@ def oracle_sql() -> dict[str, str]:
         "regional_volume": _sql_regional_volume(),
         "quantize_embeddings": _sql_quantize_embeddings(),
         "quantization_error": _sql_quantization_error(),
+        "skew_report": _sql_skew_report("orders", "o_custkey"),
+        "normalize_text": _sql_normalize_text(),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

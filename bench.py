@@ -98,6 +98,8 @@ HEADLINE = [
     "regional_volume",
     "quantize_embeddings",
     "quantization_error",
+    "skew_report",
+    "normalize_text",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -330,16 +330,20 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     rounded 6 decimals. Rows with a NULL in ANY requested column are
     dropped (listwise deletion) so every pair sees the same n.
     """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    if not pairs:
+        return df.sparkSession.createDataFrame(
+            [], "col_a string, col_b string, corr double"
+        )
     d = df.select(*[F.col(c).cast("double").alias(c) for c in cols]).dropna()
     dec = lambda c: c.cast("decimal(38,12)")
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cols:
         aggs.append(F.sum(dec(F.col(c))).alias(f"s_{c}"))
         aggs.append(F.sum(dec(F.col(c) * F.col(c))).alias(f"ss_{c}"))
-    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     for a, b in pairs:
         aggs.append(F.sum(dec(F.col(a) * F.col(b))).alias(f"sp_{a}__{b}"))
-    m = df.sparkSession.createDataFrame([], "x int") if not pairs else d.agg(*aggs)
+    m = d.agg(*aggs)
     outs = []
     n = F.col("n").cast("double")
     for a, b in pairs:
@@ -419,3 +423,28 @@ def robust_stats(df: DataFrame, cols: list[str]) -> DataFrame:
         qrows, "column string, median double, p25 double, p75 double, iqr double"
     )
     return qdf.join(mads, on="column", how="left")
+
+
+def skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Join/group-key skew audit → 1 row: ``(n_rows, n_keys,
+    max_key_count, avg_key_count, p50_count, p90_count, p99_count,
+    skew_ratio)`` with skew_ratio = max/avg — the measurement that
+    decides between a plain shuffle join, AQE skew splitting, and
+    ``salted_join`` (salt only when skew is measured, not suspected).
+
+    One grouped count (map-side combinable) + one aggregate over the
+    per-key count table (size = |keys|, already reduced). NULL keys
+    count as a key, mirroring groupBy semantics.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
+    pct = F.percentile(F.col("c"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return counts.agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_key_count"),
+        F.round(F.sum("c") / F.count(F.lit(1)), ROUND_N).alias("avg_key_count"),
+        F.element_at(pct, 1).alias("p50_count"),
+        F.element_at(pct, 2).alias("p90_count"),
+        F.element_at(pct, 3).alias("p99_count"),
+        F.round(F.max("c") / (F.sum("c") / F.count(F.lit(1))), ROUND_N).alias("skew_ratio"),
+    )

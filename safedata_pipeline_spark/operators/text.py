@@ -834,3 +834,29 @@ def corpus_stats_cube(
         )
         .select(*dims, "gid", "n_docs", "total_ws_tokens")
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+) -> DataFrame:
+    """Canonicalize text before hashing/dedup (the C4/CCNet pre-step:
+    exact dedup on raw bytes misses near-identical documents that
+    differ only in case/whitespace/control chars). Pure regexp/lower
+    column expressions — map-only, codegen, order of operations fixed
+    (strip control → collapse runs → trim → lowercase) so every engine
+    produces byte-identical output.
+
+    Replaces ``text_col`` in place; all other columns pass through.
+    """
+    t = F.col(text_col)
+    if strip_control:
+        t = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    if collapse_whitespace:
+        t = F.trim(F.regexp_replace(t, "\\s+", " "))
+    if lowercase:
+        t = F.lower(t)
+    return df.withColumn(text_col, t)

@@ -112,3 +112,49 @@ def sliding_event_profile(
             "sum_value",
         )
     )
+
+
+def stream_sliding_event_profile(
+    spark: SparkSession,
+    path_glob: str,
+    watermark: str = "2 hours",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """``sliding_event_profile`` over a file stream: the watermark
+    closes each overlapping window once event time passes its end +
+    delay, so state holds only the open windows (window/slide per key
+    group). Same expression as the batch twin — the stream/batch pair
+    is the correctness check."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path_glob).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path_glob)
+    )
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sliding_event_profile(
+        stream.withWatermark("ts", watermark), window=window, slide=slide
+    )
+
+
+def run_sliding_stream_once(
+    spark: SparkSession, path_glob: str, table: str = "events_sliding_stream"
+):
+    """Drain the source through the sliding profile into a memory table
+    (availableNow) — stream-vs-batch twin harness."""
+    q = (
+        stream_sliding_event_profile(spark, path_glob)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)

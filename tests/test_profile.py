@@ -155,3 +155,24 @@ def test_robust_stats_all_null_column_skipped(spark):
     df = spark.createDataFrame([(1.0, None), (3.0, None)], "a double, b double")
     out = {r.column for r in P.robust_stats(df, ["a", "b"]).collect()}
     assert out == {"a"}
+
+
+def test_correlation_matrix_single_column_empty(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    out = P.correlation_matrix(df, ["x"])
+    assert out.count() == 0
+    assert out.columns == ["col_a", "col_b", "corr"]
+
+
+def test_skew_report(spark):
+    rows = [(1,)] * 90 + [(2,)] * 9 + [(3,)] * 1
+    df = spark.createDataFrame(rows, "k bigint")
+    r = P.skew_report(df, "k").collect()[0]
+    assert r.n_rows == 100 and r.n_keys == 3
+    assert r.max_key_count == 90
+    assert r.p50_count == 9.0
+    assert abs(r.skew_ratio - 90 / (100 / 3)) < 1e-6
+    # null keys form their own group
+    df2 = spark.createDataFrame([(1,), (None,), (None,)], "k bigint")
+    r2 = P.skew_report(df2, "k").collect()[0]
+    assert r2.n_keys == 2

@@ -31,3 +31,17 @@ def test_sliding_profile_overlap(spark, sf_dir):
         h0 = t.get((r.window_start, r.event_type), 0)
         h1 = t.get((r.window_start + datetime.timedelta(hours=1), r.event_type), 0)
         assert r.n_events == h0 + h1
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    batch = SE.sliding_event_profile(load_table(spark, sf_dir, "events"))
+    expected = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    streamed = SE.run_sliding_stream_once(spark, f"{sf_dir}/events*.parquet", "t_stream_sliding")
+    got = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.sum_value)
+        for r in streamed.collect()
+    }
+    assert got == expected and len(got) > 0

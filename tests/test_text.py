@@ -314,3 +314,29 @@ def test_source_lang_pivot(spark):
     # explicit pivot values pin the schema (absent value -> zero column)
     cols = T.source_lang_pivot(df, pivot_values=["en", "fr"]).columns
     assert cols == ["source", "n_docs", "n_en", "n_fr"]
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "  Hello\t\tWORLD \n x  "),
+            (2, "already clean"),
+            (3, "ctrl\x00chars\x1fhere"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.text for r in T.normalize_text(df).collect()}
+    assert got[1] == "hello world x"
+    assert got[2] == "already clean"
+    assert got[3] == "ctrlcharshere"
+    assert got[4] == ""
+    # flags off -> identity
+    same = {r.doc_id: r.text for r in T.normalize_text(
+        df, lowercase=False, collapse_whitespace=False, strip_control=False
+    ).collect()}
+    assert same[1] == "  Hello\t\tWORLD \n x  "
+    # normalization makes case/space variants collide for exact dedup
+    a = spark.createDataFrame([(1, "The  Cat"), (2, "the cat")], "doc_id bigint, text string")
+    n = T.normalize_text(a).select("text").distinct().count()
+    assert n == 1
