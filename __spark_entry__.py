@@ -576,6 +576,20 @@ def _q_normalize_text(spark, sf):
     )
 
 
+ENTROPY_COLS = ["c_mktsegment", "c_nationkey", "c_name"]
+
+
+def _q_column_entropy(spark, sf):
+    return P.column_entropy(load_table(spark, sf, "customer"), ENTROPY_COLS)
+
+
+def _q_dedup_best(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    quality = TX.quality_score(docs).select("doc_id", "quality")
+    return DD.dedup_components_best(docs, pairs, quality)
+
+
 def _q_k_anonymity(spark, sf):
     return AN.k_anonymity(load_table(spark, sf, "customer"), QI_COLS, k=5)
 
@@ -747,6 +761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantization_error": _q_quantization_error,
         "skew_report": _q_skew_report,
         "normalize_text": _q_normalize_text,
+        "column_entropy": _q_column_entropy,
+        "dedup_best": _q_dedup_best,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1204,6 +1220,38 @@ def _sql_events_sliding() -> str:
         "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS avg_value, "
         "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 4) AS sum_value "
         "FROM w GROUP BY 1, 2, 3"
+    )
+
+
+def _sql_column_entropy(table: str, cols: list[str]) -> str:
+    parts = [
+        f"SELECT '{c}' AS \"column\", CAST({c} AS VARCHAR) AS val FROM {table}"
+        for c in cols
+    ]
+    melted = " UNION ALL ".join(parts)
+    return (
+        f"WITH m AS ({melted}), "
+        "cnt AS (SELECT \"column\", val, count(*) AS c FROM m GROUP BY 1, 2), "
+        "p AS (SELECT \"column\", CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY \"column\") AS p FROM cnt) "
+        "SELECT \"column\", CAST(count(*) AS BIGINT) AS n_categories, "
+        "round(CAST(sum(CAST(round(-p * ln(p), 10) AS DECIMAL(38,10))) AS DOUBLE), 6) AS entropy "
+        "FROM p GROUP BY \"column\""
+    )
+
+
+def _sql_dedup_best() -> str:
+    return (
+        f"WITH RECURSIVE j AS ({_sql_ngram_jaccard()}), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM j "
+        "UNION ALL SELECT id_b, id_a FROM j), "
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id), "
+        "comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS comp_id FROM reach GROUP BY id), "
+        f"q AS ({_sql_quality_score()}) "
+        "SELECT comp.doc_id, comp.comp_id, q.quality AS score, "
+        "row_number() OVER (PARTITION BY comp.comp_id "
+        "ORDER BY q.quality DESC NULLS LAST, comp.doc_id ASC) = 1 AS is_kept "
+        "FROM comp JOIN q ON comp.doc_id = q.doc_id"
     )
 
 
@@ -2017,6 +2065,8 @@ def oracle_sql() -> dict[str, str]:
         "quantization_error": _sql_quantization_error(),
         "skew_report": _sql_skew_report("orders", "o_custkey"),
         "normalize_text": _sql_normalize_text(),
+        "column_entropy": _sql_column_entropy("customer", ENTROPY_COLS),
+        "dedup_best": _sql_dedup_best(),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

@@ -100,6 +100,8 @@ HEADLINE = [
     "quantization_error",
     "skew_report",
     "normalize_text",
+    "column_entropy",
+    "dedup_best",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

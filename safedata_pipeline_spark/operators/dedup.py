@@ -635,3 +635,41 @@ def dedup_incremental(
     # collapse in-batch duplicates: keep the min id per digest
     keep = survivors.groupBy("__digest").agg(F.min(F.col(id_col)).alias(id_col))
     return survivors.join(keep, on=["__digest", id_col], how="left_semi").drop("__digest")
+
+
+def dedup_components_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster resolution that keeps the BEST document of
+    each cluster instead of the arbitrary min-id one — what a curation
+    run actually wants (drop the truncated/boilerplate variants, keep
+    the highest-quality copy). ``quality`` is any (id, score) frame —
+    e.g. ``text.quality_score`` output.
+
+    Same min-label propagation as ``dedup_components``; the keeper is
+    then one window per component ordered by (score desc, id asc) —
+    components are numerous and small, so the window partitions well.
+    Output: (doc_id, comp_id, score, is_kept).
+    """
+    from pyspark.sql import Window
+
+    labels = dedup_components(docs, pairs, id_col, max_iter)
+    scored = labels.join(
+        quality.select(F.col(id_col), F.col(quality_col).alias("score")),
+        on=id_col,
+        how="left",
+    )
+    w = Window.partitionBy("comp_id").orderBy(
+        F.desc_nulls_last("score"), F.asc(id_col)
+    )
+    return scored.select(
+        id_col,
+        "comp_id",
+        "score",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )

@@ -448,3 +448,35 @@ def skew_report(df: DataFrame, key_col: str) -> DataFrame:
         F.element_at(pct, 3).alias("p99_count"),
         F.round(F.max("c") / (F.sum("c") / F.count(F.lit(1))), ROUND_N).alias("skew_ratio"),
     )
+
+
+def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy (nats) of each column's value distribution,
+    nulls included as a category → one row per column:
+    ``(column, n_categories, entropy)``.
+
+    The privacy read: a quasi-identifier column's entropy bounds its
+    contribution to re-identification (high-entropy QI ⇒ small
+    equivalence classes); the curation read: near-zero entropy flags
+    degenerate/constant columns. One melted count pass for ALL columns
+    (the ``sdc_suppress`` fit shape) + per-column sums; −p·ln p terms
+    round@10 → DECIMAL-sum so the ln-bearing float total is order- and
+    engine-independent.
+    """
+    structs = [
+        F.struct(F.lit(c).alias("column"), F.col(c).cast("string").alias("val"))
+        for c in cols
+    ]
+    melted = df.select(F.inline(F.array(*structs)))
+    counts = melted.groupBy("column", "val").agg(F.count(F.lit(1)).alias("c"))
+    w_col = Window.partitionBy("column")
+    p = F.col("c") / F.sum("c").over(w_col)
+    term = F.round(-p * F.log(p), 10).cast("decimal(38,10)")
+    return (
+        counts.select("column", term.alias("t"))
+        .groupBy("column")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+            F.round(F.sum("t").cast("double"), ROUND_N).alias("entropy"),
+        )
+    )

@@ -244,3 +244,25 @@ def test_dedup_incremental_against_reference(spark):
     empty_ref = spark.createDataFrame([], "doc_id bigint, text string")
     got2 = sorted(r.doc_id for r in DD.dedup_incremental(new, empty_ref).collect())
     assert got2 == [10, 11, 13, 14]
+
+
+def test_dedup_components_best_keeps_highest_quality(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id bigint")
+    # clusters: {1,2,3} and {4,5}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (4, 0.7), (5, 0.7)],
+        "doc_id bigint, quality double",
+    )
+    rows = {r.doc_id: r for r in DD.dedup_components_best(docs, pairs, quality).collect()}
+    kept = {i for i, r in rows.items() if r.is_kept}
+    # cluster 1: doc 2 wins on quality; cluster 2: tie -> min id 4
+    assert kept == {2, 4}
+    assert rows[1].comp_id == rows[2].comp_id == rows[3].comp_id
+    # every cluster keeps exactly one doc
+    from collections import Counter
+
+    comps = Counter(r.comp_id for r in rows.values() if r.is_kept)
+    assert all(v == 1 for v in comps.values())

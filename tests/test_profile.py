@@ -176,3 +176,23 @@ def test_skew_report(spark):
     df2 = spark.createDataFrame([(1,), (None,), (None,)], "k bigint")
     r2 = P.skew_report(df2, "k").collect()[0]
     assert r2.n_keys == 2
+
+
+def test_column_entropy(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")], "u string, v string"
+    )
+    got = {r.column: r for r in P.column_entropy(df, ["u", "v"]).collect()}
+    # uniform over 2 categories -> ln 2
+    assert got["u"].entropy == round(math.log(2), 6)
+    assert got["u"].n_categories == 2
+    # constant column -> zero entropy
+    const = spark.createDataFrame([("k",)] * 10, "c string")
+    r = P.column_entropy(const, ["c"]).collect()[0]
+    assert r.entropy == 0.0 and r.n_categories == 1
+    # nulls count as a category
+    with_null = spark.createDataFrame([("a",), (None,)], "c string")
+    r2 = P.column_entropy(with_null, ["c"]).collect()[0]
+    assert r2.n_categories == 2 and r2.entropy == round(math.log(2), 6)
