@@ -590,6 +590,11 @@ def _q_dedup_best(spark, sf):
     return DD.dedup_components_best(docs, pairs, quality)
 
 
+def _q_table_diff(spark, sf):
+    # regression diff: how many rows did the protect chain change?
+    return P.table_diff(_drift_before(spark, sf), _drift_after(spark, sf))
+
+
 def _q_k_anonymity(spark, sf):
     return AN.k_anonymity(load_table(spark, sf, "customer"), QI_COLS, k=5)
 
@@ -763,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "column_entropy": _q_column_entropy,
         "dedup_best": _q_dedup_best,
+        "table_diff": _q_table_diff,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1220,6 +1226,25 @@ def _sql_events_sliding() -> str:
         "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS avg_value, "
         "round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 4) AS sum_value "
         "FROM w GROUP BY 1, 2, 3"
+    )
+
+
+def _sql_table_diff() -> str:
+    a = "SELECT l_quantity, l_extendedprice, l_returnflag FROM lineitem"
+    b = (
+        "SELECT l_quantity, round(l_extendedprice, -2) AS l_extendedprice, "
+        "CASE WHEN l_returnflag = 'R' THEN 'OTHER' ELSE l_returnflag END AS l_returnflag "
+        "FROM lineitem"
+    )
+    return (
+        f"WITH a AS ({a}), b AS ({b}), "
+        "oa AS (SELECT count(*) AS c FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)), "
+        "ob AS (SELECT count(*) AS c FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)) "
+        "SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a, "
+        "CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b, "
+        "CAST(oa.c AS BIGINT) AS n_only_a, CAST(ob.c AS BIGINT) AS n_only_b, "
+        "CAST((SELECT count(*) FROM a) - oa.c AS BIGINT) AS n_common "
+        "FROM oa, ob"
     )
 
 
@@ -2067,6 +2092,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": _sql_normalize_text(),
         "column_entropy": _sql_column_entropy("customer", ENTROPY_COLS),
         "dedup_best": _sql_dedup_best(),
+        "table_diff": _sql_table_diff(),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

@@ -102,6 +102,7 @@ HEADLINE = [
     "normalize_text",
     "column_entropy",
     "dedup_best",
+    "table_diff",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

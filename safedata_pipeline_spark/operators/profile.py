@@ -480,3 +480,23 @@ def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
             F.round(F.sum("t").cast("double"), ROUND_N).alias("entropy"),
         )
     )
+
+
+def table_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Schema-aligned dataset diff summary → 1 row ``(n_a, n_b,
+    n_only_a, n_only_b, n_common)`` under multiset (EXCEPT ALL)
+    semantics — the regression check for pipeline changes ("did the new
+    protect chain alter rows it shouldn't have?").
+
+    exceptAll compiles to a hash anti-semantics shuffle on the full row
+    (all columns the key); counts are map-side combinable aggregates.
+    n_common counts matched row instances: n_a − n_only_a.
+    """
+    n_a, n_b = a.count(), b.count()
+    only_a = a.exceptAll(b).count()
+    only_b = b.exceptAll(a).count()
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [(n_a, n_b, only_a, only_b, n_a - only_a)],
+        "n_a bigint, n_b bigint, n_only_a bigint, n_only_b bigint, n_common bigint",
+    )

@@ -173,3 +173,20 @@ def test_psi_matches_manual_computation(spark):
     )
     got = _one(D.psi_drift(a, b, "v", bins=bins, eps=eps))
     assert got == pytest.approx(expect, abs=1e-6)
+
+
+def test_two_phase_ecdf_invariant_to_partitioning(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    a = spark.createDataFrame([(float(x),) for x in rng.normal(0, 1, 200)], "v double")
+    b = spark.createDataFrame([(float(x),) for x in rng.normal(0.2, 1, 200)], "v double")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for parts in ("2", "17", "64"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            results.append(_one(D.ks_statistic(a, b, "v")))
+        assert results[0] == results[1] == results[2]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -196,3 +196,15 @@ def test_column_entropy(spark):
     with_null = spark.createDataFrame([("a",), (None,)], "c string")
     r2 = P.column_entropy(with_null, ["c"]).collect()[0]
     assert r2.n_categories == 2 and r2.entropy == round(math.log(2), 6)
+
+
+def test_table_diff_multiset_semantics(spark):
+    a = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "k bigint, v string")
+    b = spark.createDataFrame([(1, "x"), (3, "z")], "k bigint, v string")
+    r = P.table_diff(a, b).collect()[0]
+    # duplicate (1, x): one instance matches, the second is only-in-a
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert r.n_only_a == 2 and r.n_only_b == 1
+    assert r.n_common == 1
+    same = P.table_diff(a, a).collect()[0]
+    assert same.n_only_a == 0 and same.n_only_b == 0 and same.n_common == 3
