@@ -45,6 +45,23 @@ class CorpusPipeline:
         self.funnel[step] = df.count()
         return self
 
+    # -- step 0: canonicalize text -------------------------------------
+    def normalize(
+        self,
+        lowercase: bool = True,
+        collapse_whitespace: bool = True,
+        strip_control: bool = True,
+    ) -> "CorpusPipeline":
+        """C4/CCNet-style canonicalization before any hashing — exact
+        dedup on raw bytes misses case/whitespace variants. Row count
+        is unchanged; the funnel records the step for provenance."""
+        return self._keep(
+            "normalize",
+            TX.normalize_text(
+                self.df, self.text_col, lowercase, collapse_whitespace, strip_control
+            ),
+        )
+
     # -- step 1: quality filter ----------------------------------------
     def filter_quality(self, keep_fraction: float = 0.5) -> "CorpusPipeline":
         kept = TX.quality_filter(

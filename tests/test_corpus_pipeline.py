@@ -96,3 +96,19 @@ def test_corpus_pipeline_mixture_step(spark, sf_dir):
     # the pipeline still packs after reshaping
     packed = cp.pack(budget=64, buckets=8)
     assert packed.count() == funnel["mixture"]
+
+
+def test_corpus_pipeline_normalize_step(spark):
+    docs = spark.createDataFrame(
+        [(1, "The  CAT", "s"), (2, "the cat", "s"), (3, "dog", "s")],
+        "doc_id bigint, text string, source string",
+    )
+    cp = CorpusPipeline(docs)
+    cp.normalize()
+    assert cp.funnel_report()["normalize"] == 3  # no rows dropped
+    # case/space variants now collide in unit dedup
+    cp.dedup_units(sep=" ")
+    texts = {r.text for r in cp.df.collect()}
+    assert "the cat" in texts
+    # doc 2 (the later duplicate) lost all its units
+    assert cp.funnel_report()["unit_dedup"] < 3 or "" in texts
