@@ -595,6 +595,16 @@ def _q_table_diff(spark, sf):
     return P.table_diff(_drift_before(spark, sf), _drift_after(spark, sf))
 
 
+def _q_bigram_logprob(spark, sf):
+    return TX.bigram_logprob(load_table(spark, sf, "documents"))
+
+
+def _q_jsd_drift(spark, sf):
+    return DR.jsd_drift(
+        _drift_before(spark, sf), _drift_after(spark, sf), "l_extendedprice", bins=10
+    )
+
+
 def _q_k_anonymity(spark, sf):
     return AN.k_anonymity(load_table(spark, sf, "customer"), QI_COLS, k=5)
 
@@ -769,6 +779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy": _q_column_entropy,
         "dedup_best": _q_dedup_best,
         "table_diff": _q_table_diff,
+        "bigram_logprob": _q_bigram_logprob,
+        "jsd_drift": _q_jsd_drift,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1605,6 +1617,49 @@ def _sql_unigram_logprob() -> str:
     )
 
 
+def _sql_bigram_logprob() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t FROM documents), "
+        "ex AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1, "
+        "unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bg "
+        "FROM toks WHERE len(t) >= 2), "
+        "bgc AS (SELECT bg, count(*) AS cbg FROM ex GROUP BY bg), "
+        "w1c AS (SELECT w1, count(*) AS cw1 FROM ex GROUP BY w1), "
+        "tot AS (SELECT count(*) AS vocab FROM bgc), "
+        "scored AS (SELECT ex.doc_id, CAST(round(-ln((bgc.cbg + 1.0) / (w1c.cw1 + tot.vocab)), 6) "
+        "AS DECIMAL(38,6)) AS nlp FROM ex JOIN bgc USING (bg) JOIN w1c USING (w1) CROSS JOIN tot), "
+        "per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        "floor(CAST(sum(nlp) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_neg_logprob "
+        "FROM scored GROUP BY doc_id) "
+        "SELECT toks.doc_id, CAST(coalesce(per_doc.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+        "per_doc.avg_neg_logprob FROM toks LEFT JOIN per_doc USING (doc_id)"
+    )
+
+
+def _sql_jsd(a_select: str, b_select: str, bins: int = 10) -> str:
+    # mirrors drift.jsd_drift: same bin math as _sql_ks_binned, KL terms
+    # with 0·ln(0/m) := 0, round@10 → DECIMAL-sum → round 6
+    return (
+        f"WITH a AS ({a_select}), b AS ({b_select}), "
+        "u AS (SELECT CAST(v AS DOUBLE) AS v, 1 AS ka, 0 AS kb FROM a "
+        "UNION ALL SELECT CAST(v AS DOUBLE) AS v, 0 AS ka, 1 AS kb FROM b), "
+        "r AS (SELECT min(v) AS lo, CASE WHEN max(v) - min(v) = 0 THEN 1.0 "
+        f"ELSE (max(v) - min(v)) / {float(bins)} END AS w FROM u), "
+        f"bn AS (SELECT least(floor((u.v - r.lo) / r.w), {bins - 1}) AS b, ka, kb FROM u, r), "
+        "g AS (SELECT b, sum(ka) AS ca, sum(kb) AS cb FROM bn GROUP BY b), "
+        "p AS (SELECT coalesce(CAST(ca AS DOUBLE) / nullif(sum(ca) OVER (), 0), 0.0) AS pa, "
+        "coalesce(CAST(cb AS DOUBLE) / nullif(sum(cb) OVER (), 0), 0.0) AS pb, "
+        "sum(ca) OVER () AS na, sum(cb) OVER () AS nb FROM g), "
+        "k AS (SELECT na, nb, CAST(round(0.5 * ("
+        "(CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0.0 END) + "
+        "(CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0.0 END)), 10) "
+        "AS DECIMAL(38,10)) AS t FROM p) "
+        "SELECT CASE WHEN max(na) > 0 AND max(nb) > 0 THEN "
+        "round(CAST(sum(t) AS DOUBLE), 6) END AS jsd FROM k"
+    )
+
+
 def _sql_length_histogram(max_pow: int = 20) -> str:
     # integer CASE chain, not floor(log2(n)) — see operators.text
     cases = " ".join(f"WHEN len(t) >= {1 << b} THEN {b}" for b in range(max_pow, -1, -1))
@@ -2093,6 +2148,8 @@ def oracle_sql() -> dict[str, str]:
         "column_entropy": _sql_column_entropy("customer", ENTROPY_COLS),
         "dedup_best": _sql_dedup_best(),
         "table_diff": _sql_table_diff(),
+        "bigram_logprob": _sql_bigram_logprob(),
+        "jsd_drift": _sql_jsd(_SQL_DRIFT_BEFORE_PRICE, _SQL_DRIFT_AFTER_PRICE, 10),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

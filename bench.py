@@ -103,6 +103,8 @@ HEADLINE = [
     "column_entropy",
     "dedup_best",
     "table_diff",
+    "bigram_logprob",
+    "jsd_drift",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -403,3 +403,48 @@ def psi_drift(
             F.round(F.sum(contrib).cast("double"), ROUND_N),
         ).alias("psi")
     )
+
+
+def jsd_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Jensen–Shannon divergence over fixed-width bins → 1 row
+    ``(jsd double)`` — the bounded, symmetric drift metric
+    (0 ≤ JSD ≤ ln 2; no eps smoothing needed because 0·ln(0/m) := 0
+    and the mixture m is positive wherever either side has mass).
+
+    Same binned construction as PSI; per-bin KL terms round@10 →
+    DECIMAL-sum. NULL when either side is empty."""
+    lohi = (
+        _tagged_union(df_a, df_b, col)
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()[0]
+    )
+    if lohi["lo"] is None:
+        return df_a.sparkSession.range(1).select(F.lit(None).cast("double").alias("jsd"))
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    width = (hi - lo) / bins or 1.0
+    u = _tagged_union(df_a, df_b, col).withColumn(
+        "b", F.least(F.floor((F.col("v") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
+    )
+    g = u.groupBy("b").agg(F.sum("ka").alias("ca"), F.sum("kb").alias("cb"))
+    w_all = Window.partitionBy()
+    p = g.select(
+        F.coalesce(F.try_divide(F.col("ca"), F.sum("ca").over(w_all)), F.lit(0.0)).alias("pa"),
+        F.coalesce(F.try_divide(F.col("cb"), F.sum("cb").over(w_all)), F.lit(0.0)).alias("pb"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    kl_a = F.when(F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / m)).otherwise(F.lit(0.0))
+    kl_b = F.when(F.col("pb") > 0, F.col("pb") * F.log(F.col("pb") / m)).otherwise(F.lit(0.0))
+    contrib = F.round(F.lit(0.5) * (kl_a + kl_b), 10).cast("decimal(38,10)")
+    return p.agg(
+        F.when(
+            (F.max("na") > 0) & (F.max("nb") > 0),
+            F.round(F.sum(contrib).cast("double"), ROUND_N),
+        ).alias("jsd")
+    )

@@ -860,3 +860,58 @@ def normalize_text(
     if lowercase:
         t = F.lower(t)
     return df.withColumn(text_col, t)
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-self BIGRAM language-model score — the order-sensitive
+    upgrade of ``unigram_logprob``: shuffled-word gibberish keeps its
+    unigram score but collapses under a bigram model (the CCNet
+    direction of using a stronger LM as the quality filter).
+
+    score(doc) = (1/m)·Σ −ln P(wᵢ|wᵢ₋₁) over the m bigram positions,
+    P(w|v) = (c(v w) + 1) / (c(v) + V) with V = bigram vocabulary size
+    (add-one smoothing). Two corpus count passes (bigrams, unigrams),
+    both map-side combinable; the join-back is vocabulary-sized (AQE
+    broadcasts when small). Per-position −ln P rounds@6 → DECIMAL-sum,
+    mean half-up snapped — same float discipline as unigram_logprob.
+    Docs with <2 tokens keep a row with NULL score.
+    """
+    staged = df.select(
+        F.col(id_col), _ws_tokens(F.lower(F.col(text_col))).alias("__tk")
+    )
+    grams = F.when(
+        F.size("__tk") >= 2,
+        F.zip_with(
+            F.slice("__tk", 1, F.size("__tk") - 1),
+            F.slice("__tk", 2, F.size("__tk") - 1),
+            lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bg")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,bg:string>>"))
+    ex = staged.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        id_col, F.col("g.w1").alias("w1"), F.col("g.bg").alias("bg")
+    )
+    bg_counts = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
+    w1_counts = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("cw1"))
+    vocab = bg_counts.agg(F.count(F.lit(1)).alias("vocab"))
+    neg_lp = F.round(
+        -F.log((F.col("cbg") + 1.0) / (F.col("cw1") + F.col("vocab"))), ROUND_N
+    )
+    scored = (
+        ex.join(bg_counts, on="bg")
+        .join(w1_counts, on="w1")
+        .join(F.broadcast(vocab))
+        .select(F.col(id_col), neg_lp.cast("decimal(38,6)").alias("nlp"))
+    )
+    avg = F.sum("nlp").cast("double") / F.count(F.lit(1))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (F.floor(avg * 1e6 + F.lit(0.5)) / 1e6).alias("avg_neg_logprob"),
+    )
+    base = staged.select(F.col(id_col))
+    return base.join(per_doc, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        "avg_neg_logprob",
+    )

@@ -190,3 +190,20 @@ def test_two_phase_ecdf_invariant_to_partitioning(spark):
         assert results[0] == results[1] == results[2]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_jsd_bounds_and_symmetry(spark):
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    a = spark.createDataFrame([(float(x),) for x in rng.normal(0, 1, 300)], "v double")
+    b = spark.createDataFrame([(float(x),) for x in rng.normal(3, 1, 300)], "v double")
+    ab = _one(D.jsd_drift(a, b, "v"))
+    ba = _one(D.jsd_drift(b, a, "v"))
+    assert ab == ba  # symmetric
+    assert 0.0 < ab <= math.log(2) + 1e-9  # bounded
+    assert _one(D.jsd_drift(a, a, "v")) == 0.0
+    empty = spark.createDataFrame([], "v double")
+    assert _one(D.jsd_drift(a, empty, "v")) is None

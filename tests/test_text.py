@@ -340,3 +340,19 @@ def test_normalize_text(spark):
     a = spark.createDataFrame([(1, "The  Cat"), (2, "the cat")], "doc_id bigint, text string")
     n = T.normalize_text(a).select("text").distinct().count()
     assert n == 1
+
+
+def test_bigram_logprob_orders_sensitivity(spark):
+    # natural-order docs repeat "a b"; the shuffled doc has the same
+    # unigram profile but rare bigrams -> higher bigram surprise
+    rows = [(i, "a b c a b c a b c") for i in range(10)]
+    rows.append((99, "b a c b a c b a c"))
+    rows.append((100, ""))
+    rows.append((101, "solo"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in T.bigram_logprob(df).collect()}
+    assert got[0].avg_neg_logprob < got[99].avg_neg_logprob
+    # short/empty docs keep their row with no score
+    assert got[100].n_bigrams == 0 and got[100].avg_neg_logprob is None
+    assert got[101].n_bigrams == 0 and got[101].avg_neg_logprob is None
+    assert got[0].n_bigrams == 8
