@@ -106,18 +106,41 @@ class CorpusPipeline:
 
     # -- step 3: near-dup clusters, keep canonical ---------------------
     def dedup_near(
-        self, num_hashes: int = 16, bands: int = 4, n: int = 3, threshold: float = 0.5
+        self,
+        num_hashes: int = 16,
+        bands: int = 4,
+        n: int = 3,
+        threshold: float = 0.5,
+        keep: str = "min_id",
     ) -> "CorpusPipeline":
-        """Banded MinHash LSH pairs → connected components → keep each
-        cluster's canonical (min-id) document."""
+        """Banded MinHash LSH pairs → connected components → keep one
+        document per cluster: the canonical min-id doc (``keep=
+        "min_id"``) or the highest-quality one (``keep="best"`` — the
+        curation-grade choice: duplicates usually differ by truncation
+        or boilerplate, so keep the best copy, not an arbitrary one)."""
+        if keep not in ("min_id", "best"):
+            raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
         pairs = DD.minhash_lsh_pairs(
             self.df, self.text_col, self.id_col, num_hashes=num_hashes, bands=bands, n=n,
             threshold=threshold,
         )
+        if keep == "best":
+            quality = TX.quality_score(self.df, self.text_col, self.id_col).select(
+                self.id_col, "quality"
+            )
+            labels = DD.dedup_components_best(
+                self.df, pairs, quality, id_col=self.id_col
+            )
+            keep_df = labels.where(F.col("is_kept")).select(F.col(self.id_col))
+            out = self._keep(
+                "near_dedup", self.df.join(keep_df, on=self.id_col, how="left_semi")
+            )
+            self.results["n_clusters"] = self.funnel["near_dedup"]
+            return out
         labels = DD.dedup_components(self.df, pairs, id_col=self.id_col)
-        keep = labels.where(F.col("is_canonical")).select(F.col(self.id_col))
+        keep_df = labels.where(F.col("is_canonical")).select(F.col(self.id_col))
         out = self._keep(
-            "near_dedup", self.df.join(keep, on=self.id_col, how="left_semi")
+            "near_dedup", self.df.join(keep_df, on=self.id_col, how="left_semi")
         )
         # one canonical doc per component, so cluster count == kept
         # count — no extra distinct+count job over the label frame

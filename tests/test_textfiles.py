@@ -1,0 +1,48 @@
+from pyspark.sql import functions as F
+
+from safedata_pipeline_spark.sources import textfiles as TF
+
+
+def _write_corpus(tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("first doc line\nsecond doc line\n\nthird after blank\n")
+    (d / "b.txt").write_text("only doc in b\n")
+    return str(d)
+
+
+def test_read_text_lines(spark, tmp_path):
+    path = _write_corpus(tmp_path)
+    df = TF.read_text_lines(spark, path)
+    rows = df.collect()
+    assert len(rows) == 4  # blank line dropped
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source.rsplit("/", 1)[-1], []).append(r)
+    assert len(by_src["a.txt"]) == 3 and len(by_src["b.txt"]) == 1
+    # line numbers are per-file and gap-free over kept lines
+    assert sorted(r.line_no for r in by_src["a.txt"]) == [1, 2, 3]
+    # ids unique and deterministic across reads
+    ids1 = sorted(r.doc_id for r in rows)
+    ids2 = sorted(r.doc_id for r in TF.read_text_lines(spark, path).collect())
+    assert ids1 == ids2 and len(set(ids1)) == 4
+
+
+def test_read_text_files_wholetext(spark, tmp_path):
+    path = _write_corpus(tmp_path)
+    df = TF.read_text_files(spark, path)
+    rows = {r.source.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert len(rows) == 2
+    assert "second doc line" in rows["a.txt"].text
+    assert rows["b.txt"].text.strip() == "only doc in b"
+    assert rows["a.txt"].doc_id != rows["b.txt"].doc_id
+
+
+def test_text_lines_feed_downstream_operators(spark, tmp_path):
+    from safedata_pipeline_spark.operators import text as TX
+
+    path = _write_corpus(tmp_path)
+    docs = TF.read_text_lines(spark, path)
+    scored = TX.quality_score(docs)
+    assert scored.count() == 4
+    assert scored.where(F.col("quality").isNull()).count() == 0
