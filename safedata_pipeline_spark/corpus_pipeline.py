@@ -92,6 +92,27 @@ class CorpusPipeline:
             "repetition", self.df.join(keep, on=self.id_col, how="left_semi")
         )
 
+    # -- step 1c: LM-surprise filter (CCNet-style) ---------------------
+    def filter_lm(
+        self, max_avg_neg_logprob: float, model: str = "unigram"
+    ) -> "CorpusPipeline":
+        """Drop documents whose corpus-self LM surprise exceeds the
+        threshold — the CCNet move (perplexity-filter against a LM;
+        here the corpus's own unigram or bigram model). Docs too short
+        to score (NULL) are kept: absence of evidence again."""
+        if model == "unigram":
+            scores = TX.unigram_logprob(self.df, self.text_col, self.id_col)
+        elif model == "bigram":
+            scores = TX.bigram_logprob(self.df, self.text_col, self.id_col)
+        else:
+            raise ValueError(f"model must be 'unigram' or 'bigram', got {model!r}")
+        keep_ids = scores.where(
+            F.coalesce(F.col("avg_neg_logprob"), F.lit(0.0)) <= max_avg_neg_logprob
+        ).select(self.id_col)
+        return self._keep(
+            "lm_filter", self.df.join(keep_ids, on=self.id_col, how="left_semi")
+        )
+
     # -- step 2: sub-document exact dedup ------------------------------
     def dedup_units(self, sep: str = "\n") -> "CorpusPipeline":
         rebuilt = DD.paragraph_dedup(self.df, self.text_col, self.id_col, sep)

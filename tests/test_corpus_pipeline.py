@@ -112,3 +112,24 @@ def test_corpus_pipeline_normalize_step(spark):
     assert "the cat" in texts
     # doc 2 (the later duplicate) lost all its units
     assert cp.funnel_report()["unit_dedup"] < 3 or "" in texts
+
+
+def test_corpus_pipeline_keep_best_and_lm_filter(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cp = CorpusPipeline(docs)
+    cp.filter_lm(max_avg_neg_logprob=50.0)  # generous: keeps most
+    assert 0 < cp.funnel_report()["lm_filter"] <= cp.funnel_report()["input"]
+    cp.dedup_near(threshold=0.5, keep="best")
+    funnel = cp.funnel_report()
+    assert 0 < funnel["near_dedup"] <= funnel["lm_filter"]
+    # exactly one kept doc per cluster: re-running is a no-op
+    before = cp.funnel_report()["near_dedup"]
+    cp.dedup_near(threshold=0.5, keep="best")
+    assert cp.funnel_report()["near_dedup"] == before
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cp.dedup_near(keep="nope")
+    with _pytest.raises(ValueError):
+        cp.filter_lm(1.0, model="trigram")
