@@ -605,6 +605,16 @@ def _q_jsd_drift(spark, sf):
     )
 
 
+def _q_k_anonymity_violations(spark, sf):
+    return AN.k_anonymity_violations(load_table(spark, sf, "customer"), QI_COLS, k=10)
+
+
+def _q_pack_stats(spark, sf):
+    from safedata_pipeline_spark.operators.pack import pack_stats
+
+    return pack_stats(load_table(spark, sf, "documents"), budget=256, buckets=8)
+
+
 def _q_k_anonymity(spark, sf):
     return AN.k_anonymity(load_table(spark, sf, "customer"), QI_COLS, k=5)
 
@@ -781,6 +791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": _q_table_diff,
         "bigram_logprob": _q_bigram_logprob,
         "jsd_drift": _q_jsd_drift,
+        "k_anonymity_violations": _q_k_anonymity_violations,
+        "pack_stats": _q_pack_stats,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1617,6 +1629,28 @@ def _sql_unigram_logprob() -> str:
     )
 
 
+def _sql_k_anonymity_violations(k: int) -> str:
+    qi = ", ".join(QI_COLS)
+    return (
+        f"SELECT {qi}, CAST(count(*) AS BIGINT) AS class_size "
+        f"FROM customer GROUP BY {qi} HAVING count(*) < {k}"
+    )
+
+
+def _sql_pack_stats(budget: int, buckets: int) -> str:
+    return (
+        f"WITH p AS ({_sql_pack_sequences(budget, buckets)}), "
+        "pb AS (SELECT bucket, count(*) AS docs, sum(n_tokens) AS toks FROM p GROUP BY bucket), "
+        f"w AS (SELECT docs, toks, CAST(ceil(toks / {float(budget)}) AS BIGINT) AS w FROM pb), "
+        "a AS (SELECT CAST(sum(docs) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_buckets, CAST(sum(w) AS BIGINT) AS n_windows FROM w) "
+        f"SELECT n_docs, total_tokens, n_buckets, n_windows, "
+        f"round(CAST(total_tokens AS DOUBLE) / (n_windows * {budget}), 6) AS avg_window_fill, "
+        f"round(CAST(n_windows * {budget} - total_tokens AS DOUBLE) / (n_windows * {budget}), 6) AS wasted_fraction "
+        "FROM a"
+    )
+
+
 def _sql_bigram_logprob() -> str:
     return (
         "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
@@ -2150,6 +2184,8 @@ def oracle_sql() -> dict[str, str]:
         "table_diff": _sql_table_diff(),
         "bigram_logprob": _sql_bigram_logprob(),
         "jsd_drift": _sql_jsd(_SQL_DRIFT_BEFORE_PRICE, _SQL_DRIFT_AFTER_PRICE, 10),
+        "k_anonymity_violations": _sql_k_anonymity_violations(10),
+        "pack_stats": _sql_pack_stats(256, 8),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

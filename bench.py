@@ -105,6 +105,8 @@ HEADLINE = [
     "table_diff",
     "bigram_logprob",
     "jsd_drift",
+    "k_anonymity_violations",
+    "pack_stats",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -68,3 +68,42 @@ def pack_sequences(
     ).withColumn(
         "pack_no", F.floor(F.col("start_offset") / F.lit(budget)).cast("bigint")
     )
+
+
+def pack_stats(
+    df: DataFrame,
+    budget: int = 256,
+    buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Packing-efficiency summary → 1 row ``(n_docs, total_tokens,
+    n_buckets, n_windows, avg_window_fill, wasted_fraction)`` — the
+    "how much GPU time does this packing waste" dashboard number.
+
+    With document concatenation, waste only occurs in each bucket
+    stream's final partial window: n_windows = Σ_bucket ceil(tokens/
+    budget), fill = total/(n_windows·budget). Composes on the
+    ``pack_sequences`` assignment (same token counts); one grouped sum
+    per bucket + a scalar aggregate.
+    """
+    packed = pack_sequences(df, budget, buckets, text_col, id_col)
+    per_bucket = packed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("toks")
+    )
+    windows = F.ceil(F.col("toks") / F.lit(float(budget))).cast("bigint")
+    agg = per_bucket.select("docs", "toks", windows.alias("w")).agg(
+        F.sum("docs").cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("w").cast("bigint").alias("n_windows"),
+    )
+    cap = F.col("n_windows") * F.lit(budget)
+    return agg.select(
+        "n_docs",
+        "total_tokens",
+        "n_buckets",
+        "n_windows",
+        F.round(F.try_divide(F.col("total_tokens"), cap), 6).alias("avg_window_fill"),
+        F.round(F.try_divide(cap - F.col("total_tokens"), cap), 6).alias("wasted_fraction"),
+    )

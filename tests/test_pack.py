@@ -45,3 +45,21 @@ def test_pack_no_global_sort(spark, sf_dir):
     # the cumsum window partitions by bucket — no single-partition sort
     assert "hashpartitioning(bucket" in plan
     assert "SinglePartition" not in plan
+
+
+def test_pack_stats_accounts_every_token(spark):
+    from safedata_pipeline_spark.operators.pack import pack_stats
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i % 7))) for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    r = pack_stats(docs, budget=64, buckets=4).collect()[0]
+    total = sum(10 + i % 7 for i in range(40))
+    assert r.n_docs == 40 and r.total_tokens == total
+    assert r.n_buckets <= 4 and r.n_windows >= total // 64
+    assert 0.0 < r.avg_window_fill <= 1.0
+    assert abs(r.avg_window_fill + r.wasted_fraction - 1.0) < 1e-9
+    # a single huge budget -> one window per bucket, fill = total/(buckets*budget)
+    r2 = pack_stats(docs, budget=100000, buckets=2).collect()[0]
+    assert r2.n_windows == r2.n_buckets
