@@ -605,6 +605,17 @@ def _q_jsd_drift(spark, sf):
     )
 
 
+def _q_drift_timeline(spark, sf):
+    return DR.drift_timeline(load_table(spark, sf, "events"), "ts", "value", bins=100)
+
+
+def _q_events_hourly_users(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_start")
+    ).agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+
+
 def _q_k_anonymity_violations(spark, sf):
     return AN.k_anonymity_violations(load_table(spark, sf, "customer"), QI_COLS, k=10)
 
@@ -793,6 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_drift": _q_jsd_drift,
         "k_anonymity_violations": _q_k_anonymity_violations,
         "pack_stats": _q_pack_stats,
+        "drift_timeline": _q_drift_timeline,
+        "events_hourly_users": _q_events_hourly_users,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1629,6 +1642,36 @@ def _sql_unigram_logprob() -> str:
     )
 
 
+def _sql_drift_timeline(bins: int = 100) -> str:
+    return (
+        "WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE value IS NOT NULL), "
+        "r AS (SELECT min(value) AS lo, CASE WHEN max(value) - min(value) = 0 THEN 1.0 "
+        f"ELSE (max(value) - min(value)) / {float(bins)} END AS w FROM e), "
+        "bn AS (SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS hour_start, "
+        f"least(floor((e.value - r.lo) / r.w), {bins - 1}) AS b FROM e, r), "
+        "g AS (SELECT hour_start, b, count(*) AS c FROM bn GROUP BY 1, 2), "
+        "gb AS (SELECT b, sum(c) AS cg FROM g GROUP BY b), "
+        "hours AS (SELECT hour_start, sum(c) AS nh FROM g GROUP BY hour_start), "
+        "grid AS (SELECT hour_start, nh, b, cg FROM hours CROSS JOIN gb), "
+        "j AS (SELECT grid.hour_start, grid.nh, grid.b, grid.cg, coalesce(g.c, 0) AS c "
+        "FROM grid LEFT JOIN g ON grid.hour_start = g.hour_start AND grid.b = g.b), "
+        "cum AS (SELECT hour_start, nh, "
+        "sum(c) OVER (PARTITION BY hour_start ORDER BY b) AS ch, "
+        "sum(cg) OVER (PARTITION BY hour_start ORDER BY b) AS cgc FROM j), "
+        "tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM e) "
+        "SELECT hour_start, CAST(max(nh) AS BIGINT) AS n_rows, "
+        "round(max(abs(CAST(ch AS DOUBLE) / nh - CAST(cgc AS DOUBLE) / tot.total)), 6) AS ks_stat "
+        "FROM cum, tot GROUP BY hour_start"
+    )
+
+
+def _sql_events_hourly_users() -> str:
+    return (
+        "SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events GROUP BY 1"
+    )
+
+
 def _sql_k_anonymity_violations(k: int) -> str:
     qi = ", ".join(QI_COLS)
     return (
@@ -2186,6 +2229,8 @@ def oracle_sql() -> dict[str, str]:
         "jsd_drift": _sql_jsd(_SQL_DRIFT_BEFORE_PRICE, _SQL_DRIFT_AFTER_PRICE, 10),
         "k_anonymity_violations": _sql_k_anonymity_violations(10),
         "pack_stats": _sql_pack_stats(256, 8),
+        "drift_timeline": _sql_drift_timeline(100),
+        "events_hourly_users": _sql_events_hourly_users(),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

@@ -107,6 +107,8 @@ HEADLINE = [
     "jsd_drift",
     "k_anonymity_violations",
     "pack_stats",
+    "drift_timeline",
+    "events_hourly_users",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

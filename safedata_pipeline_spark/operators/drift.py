@@ -448,3 +448,71 @@ def jsd_drift(
             F.round(F.sum(contrib).cast("double"), ROUND_N),
         ).alias("jsd")
     )
+
+
+def drift_timeline(
+    df: DataFrame,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    bins: int = 100,
+) -> DataFrame:
+    """Hour-by-hour distribution drift of ``val_col`` against the
+    WHOLE dataset's distribution — the monitoring query for "when did
+    the data change?". One row per hour: ``(hour_start, n_rows,
+    ks_stat)`` with ks = max |ECDF_hour − ECDF_global| over fixed-width
+    bins.
+
+    Shape: one pass bins every row (global lo/hi from a tiny agg);
+    per-(hour, bin) counts and per-bin global counts come from the
+    same grouped table; each hour's cumulative runs in a window
+    partitioned by hour over ≤``bins`` rows. Everything is integer
+    until the final division — engine-exact.
+    """
+    lohi = df.agg(
+        F.min(val_col).alias("lo"), F.max(val_col).alias("hi")
+    ).collect()[0]
+    if lohi["lo"] is None:
+        return df.sparkSession.createDataFrame(
+            [], "hour_start timestamp_ntz, n_rows bigint, ks_stat double"
+        )
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    width = (hi - lo) / bins or 1.0
+    binned = df.where(F.col(val_col).isNotNull()).select(
+        F.date_trunc("hour", F.col(ts_col)).cast("timestamp_ntz").alias("hour_start"),
+        F.least(
+            F.floor((F.col(val_col) - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
+        ).alias("b"),
+    )
+    g = binned.groupBy("hour_start", "b").agg(F.count(F.lit(1)).alias("c"))
+    # explicit hour × global-bin grid: an hour MISSING a bin still
+    # advances the global cumulative there, so the grid (bounded at
+    # hours × bins rows — both dashboard-sized) left-joins the hour
+    # counts with 0-fill rather than skipping absent bins
+    gb = g.groupBy("b").agg(F.sum("c").alias("cg"))
+    hours = g.groupBy("hour_start").agg(F.sum("c").alias("nh"))
+    grid = hours.crossJoin(F.broadcast(gb))
+    j = grid.join(g, on=["hour_start", "b"], how="left").select(
+        "hour_start", "b", "nh", "cg", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w_cum_h = Window.partitionBy("hour_start").orderBy("b")
+    total = df.where(F.col(val_col).isNotNull()).count()
+    cum = j.select(
+        "hour_start",
+        "nh",
+        F.sum("c").over(w_cum_h).alias("ch"),
+        F.sum("cg").over(w_cum_h).alias("cgc"),
+    )
+    return (
+        cum.groupBy("hour_start")
+        .agg(
+            F.max("nh").cast("bigint").alias("n_rows"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ch") / F.col("nh") - F.col("cgc") / F.lit(float(total))
+                    )
+                ),
+                ROUND_N,
+            ).alias("ks_stat"),
+        )
+    )

@@ -207,3 +207,39 @@ def test_jsd_bounds_and_symmetry(spark):
     assert _one(D.jsd_drift(a, a, "v")) == 0.0
     empty = spark.createDataFrame([], "v double")
     assert _one(D.jsd_drift(a, empty, "v")) is None
+
+
+def test_drift_timeline_flags_shifted_hour(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # hours 0-3: values ~ U[0, 10); hour 4: shifted to ~U[50, 60)
+    i = 0
+    for h in range(5):
+        base = 50.0 if h == 4 else 0.0
+        for k in range(200):
+            rows.append((t0 + datetime.timedelta(hours=h, seconds=k), base + (k % 100) / 10.0))
+            i += 1
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r.hour_start.hour: r for r in D.drift_timeline(df, bins=50).collect()}
+    assert len(out) == 5
+    assert all(r.n_rows == 200 for r in out.values())
+    # the shifted hour stands far above the stable ones
+    stable_max = max(out[h].ks_stat for h in range(4))
+    assert out[4].ks_stat > 0.5 > stable_max
+
+
+def test_drift_timeline_empty_and_identical(spark):
+    import datetime
+
+    empty = spark.createDataFrame([], "ts timestamp, value double")
+    assert D.drift_timeline(empty).count() == 0
+    # one hour only: its ECDF IS the global ECDF -> ks 0
+    t0 = datetime.datetime(2024, 1, 1)
+    one = spark.createDataFrame(
+        [(t0 + datetime.timedelta(seconds=k), float(k % 7)) for k in range(50)],
+        "ts timestamp, value double",
+    )
+    r = D.drift_timeline(one, bins=20).collect()[0]
+    assert r.ks_stat == 0.0 and r.n_rows == 50
