@@ -426,17 +426,21 @@ def quality_filter(
     keep_fraction: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact: bool = True,
 ) -> DataFrame:
     """Keep the top ``keep_fraction`` of documents by quality score —
-    the standard corpus pre-filter. The threshold is the exact
-    (1−keep_fraction) quantile of the score distribution (linear
-    interpolation, = DuckDB ``quantile_cont``), computed in one agg and
-    broadcast back — driver traffic is one double; at 100 TB swap the
-    exact percentile for ``approxQuantile`` like the binning operator.
+    the standard corpus pre-filter. The threshold is the
+    (1−keep_fraction) quantile of the score distribution, computed in
+    one agg and broadcast back — driver traffic is one double. Exact
+    percentile (linear interpolation, = DuckDB ``quantile_cont``) by
+    default for oracle parity; ``exact=False`` is the 100 TB route
+    (``percentile_approx``, bounded-memory one-pass sketch — exact
+    buffers are O(distinct scores) per executor).
     Output: (doc_id, quality, threshold)."""
     scored = quality_score(df, text_col, id_col).select(id_col, "quality")
+    pfn = F.percentile if exact else F.percentile_approx
     thr = scored.agg(
-        F.round(F.percentile("quality", 1.0 - keep_fraction), ROUND_N).alias("threshold")
+        F.round(pfn("quality", F.lit(1.0 - keep_fraction)), ROUND_N).alias("threshold")
     )
     return (
         scored.join(F.broadcast(thr))

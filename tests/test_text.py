@@ -356,3 +356,13 @@ def test_bigram_logprob_orders_sensitivity(spark):
     assert got[100].n_bigrams == 0 and got[100].avg_neg_logprob is None
     assert got[101].n_bigrams == 0 and got[101].avg_neg_logprob is None
     assert got[0].n_bigrams == 8
+
+
+def test_quality_filter_approx_close_to_exact(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(1 + (i % 30)))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    exact_ids = {r.doc_id for r in T.quality_filter(df, 0.5, exact=True).collect()}
+    approx_ids = {r.doc_id for r in T.quality_filter(df, 0.5, exact=False).collect()}
+    # same order of magnitude of survivors; overwhelming overlap
+    assert abs(len(exact_ids) - len(approx_ids)) <= 30
+    assert len(exact_ids & approx_ids) / max(len(exact_ids), 1) > 0.85
