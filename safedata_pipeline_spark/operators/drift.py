@@ -70,15 +70,20 @@ def _two_phase_cum(g: DataFrame, key_col: str, val_col: str) -> DataFrame:
     """
     spark = g.sparkSession
     npart = max(int(spark.conf.get("spark.sql.shuffle.partitions", "8")), 1)
-    # checkpoint the distinct-value table BEFORE range partitioning:
-    # repartitionByRange runs a separate boundary-sampling job, which
-    # would otherwise re-execute g's whole scan+union+agg lineage
-    g = g.localCheckpoint(eager=True)
+    # ONE materialization total: g is persisted lazily so
+    # repartitionByRange's boundary-sampling job (which executes the
+    # child lineage) doubles as the cache fill; the single eager
+    # checkpoint then reads the cache, and both downstream jobs (the
+    # per-partition totals collect and the final join) read the
+    # checkpoint with pinned partition ids. r3 shipped TWO eager
+    # checkpoints here — the extra blocking job dominated ks_drift.
+    g = g.persist()
     rp = (
         g.repartitionByRange(npart, F.col(key_col), F.col(val_col))
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    g.unpersist()
     tot = (
         rp.groupBy(key_col, "__pid")
         .agg(F.sum("ka").alias("tka"), F.sum("kb").alias("tkb"))
@@ -495,12 +500,15 @@ def drift_timeline(
         "hour_start", "b", "nh", "cg", F.coalesce("c", F.lit(0)).alias("c")
     )
     w_cum_h = Window.partitionBy("hour_start").orderBy("b")
-    total = df.where(F.col(val_col).isNotNull()).count()
+    w_h = Window.partitionBy("hour_start")
+    # the global total is Σ cg within any one hour's grid rows — no
+    # extra scan of df for a number the grid already contains
     cum = j.select(
         "hour_start",
         "nh",
         F.sum("c").over(w_cum_h).alias("ch"),
         F.sum("cg").over(w_cum_h).alias("cgc"),
+        F.sum("cg").over(w_h).alias("total"),
     )
     return (
         cum.groupBy("hour_start")
@@ -509,7 +517,7 @@ def drift_timeline(
             F.round(
                 F.max(
                     F.abs(
-                        F.col("ch") / F.col("nh") - F.col("cgc") / F.lit(float(total))
+                        F.col("ch") / F.col("nh") - F.col("cgc") / F.col("total")
                     )
                 ),
                 ROUND_N,
