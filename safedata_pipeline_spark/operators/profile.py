@@ -488,15 +488,25 @@ def table_diff(a: DataFrame, b: DataFrame) -> DataFrame:
     semantics — the regression check for pipeline changes ("did the new
     protect chain alter rows it shouldn't have?").
 
-    exceptAll compiles to a hash anti-semantics shuffle on the full row
-    (all columns the key); counts are map-side combinable aggregates.
-    n_common counts matched row instances: n_a − n_only_a.
+    Shape: ONE tagged union + ONE full-row groupBy (per-side counts),
+    then a tiny final agg — one scan per input and a single shuffle,
+    replacing the r3 form's four eager jobs (2 counts + 2 exceptAll
+    scans). Multiset identities fall out of the per-row (ca, cb)
+    pairs: n_only_a = Σ max(ca−cb, 0), n_common = Σ min(ca, cb).
+    GroupBy treats NULLs as equal, matching EXCEPT ALL semantics.
     """
-    n_a, n_b = a.count(), b.count()
-    only_a = a.exceptAll(b).count()
-    only_b = b.exceptAll(a).count()
-    spark = a.sparkSession
-    return spark.createDataFrame(
-        [(n_a, n_b, only_a, only_b, n_a - only_a)],
-        "n_a bigint, n_b bigint, n_only_a bigint, n_only_b bigint, n_common bigint",
+    cols = a.columns
+    ta = a.withColumns({"__ca": F.lit(1), "__cb": F.lit(0)})
+    tb = b.select(*cols).withColumns({"__ca": F.lit(0), "__cb": F.lit(1)})
+    g = (
+        ta.unionByName(tb)
+        .groupBy(*cols)
+        .agg(F.sum("__ca").alias("ca"), F.sum("__cb").alias("cb"))
+    )
+    return g.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum(F.greatest(F.col("ca") - F.col("cb"), F.lit(0))).cast("bigint").alias("n_only_a"),
+        F.sum(F.greatest(F.col("cb") - F.col("ca"), F.lit(0))).cast("bigint").alias("n_only_b"),
+        F.sum(F.least(F.col("ca"), F.col("cb"))).cast("bigint").alias("n_common"),
     )
