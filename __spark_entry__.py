@@ -1485,8 +1485,8 @@ def _sql_source_lang_pivot(langs: list[str]) -> str:
 
 def _sql_dedup_incremental(split_id: int) -> str:
     return (
-        f"WITH ref AS (SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id < {split_id}), "
-        f"new AS (SELECT doc_id, source, text, md5(text) AS d FROM documents WHERE doc_id >= {split_id}), "
+        f"WITH ref AS (SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id < {split_id} AND text IS NOT NULL), "
+        f"new AS (SELECT doc_id, source, text, md5(text) AS d FROM documents WHERE doc_id >= {split_id} AND text IS NOT NULL), "
         "surv AS (SELECT new.* FROM new WHERE d NOT IN (SELECT d FROM ref)), "
         "keep AS (SELECT d, min(doc_id) AS doc_id FROM surv GROUP BY d) "
         "SELECT s.doc_id, s.source, s.text FROM surv s JOIN keep USING (d, doc_id)"

@@ -626,11 +626,18 @@ def dedup_incremental(
     reference side is selective, and AQE picks broadcast when the
     reference digest set is small. Self-duplicates WITHIN the new batch
     are also collapsed (min-id wins, ``dedup_exact`` semantics), so the
-    output is duplicate-free against ref ∪ itself.
+    output is duplicate-free against ref ∪ itself. NULL-text rows are
+    dropped on BOTH sides before digesting: Spark's null digest never
+    equi-joins while SQL ``NOT IN`` nulls evaluate UNKNOWN, so keeping
+    them would make the engines disagree on null-text documents.
     """
     w_digest = F.md5(F.col(text_col).cast("binary")).alias("__digest")
-    ref_d = ref_docs.select(F.md5(F.col(text_col).cast("binary")).alias("__digest")).dropDuplicates()
-    new_d = new_docs.select("*", w_digest)
+    ref_d = (
+        ref_docs.where(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col).cast("binary")).alias("__digest"))
+        .dropDuplicates()
+    )
+    new_d = new_docs.where(F.col(text_col).isNotNull()).select("*", w_digest)
     survivors = new_d.join(ref_d, on="__digest", how="left_anti")
     # collapse in-batch duplicates: keep the min id per digest
     keep = survivors.groupBy("__digest").agg(F.min(F.col(id_col)).alias(id_col))

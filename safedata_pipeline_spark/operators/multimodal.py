@@ -131,6 +131,8 @@ def _png_decode(payload: bytes) -> tuple[float, int]:
     for row in range(height):
         off = row * (stride + 1)
         ftype, line = raw[off], bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype > 4:
+            raise ValueError(f"invalid PNG scanline filter type {ftype}")
         for i in range(stride):
             a = line[i - channels] if i >= channels else 0  # left
             b = prev[i]  # up

@@ -467,28 +467,28 @@ def winsorize(
     Fit = ONE wide percentile aggregate over all requested columns
     (O(columns) collected doubles — fit parameters); apply = pure
     least/greatest expressions, whole-stage codegen, no join. Exact
-    percentiles by default for oracle parity; ``exact=False`` switches
-    to approxQuantile for the 100 TB path. All-null columns pass
-    through unchanged (no bounds to clip to).
+    percentiles by default for oracle parity; ``exact=False`` swaps
+    ``percentile_approx`` expressions into the SAME single wide agg
+    (one scan regardless of column count — the r3 form looped one
+    approxQuantile job per column). All-null columns pass through
+    unchanged (no bounds to clip to).
     """
     num = _numeric_cols(df, cols)
     if not num:
         return df
     probs = F.array(F.lit(float(lower)), F.lit(float(upper)))
-    row = df.agg(
-        *[F.percentile(F.col(c), probs).alias(c) for c in num]
-    ).collect()[0] if exact else None
+    pct = F.percentile if exact else (
+        lambda col, pr: F.percentile_approx(col, pr, F.lit(10000))
+    )
+    row = df.agg(*[pct(F.col(c), probs).alias(c) for c in num]).collect()[0]
     bounds: dict[str, tuple[float, float] | None] = {}
-    if exact:
-        for c in num:
-            v = row[c]
-            bounds[c] = (float(v[0]), float(v[1])) if v is not None else None
-    else:
-        for c in num:
-            q = df.where(F.col(c).isNotNull()).stat.approxQuantile(
-                c, [float(lower), float(upper)], 0.001
-            )
-            bounds[c] = (q[0], q[1]) if len(q) == 2 else None
+    for c in num:
+        v = row[c]
+        bounds[c] = (
+            (float(v[0]), float(v[1]))
+            if v is not None and v[0] is not None
+            else None
+        )
     out = df
     for c in num:
         if bounds[c] is None:

@@ -38,9 +38,15 @@ def read_text_lines(
     """One document per line across all matched files. Output:
     (doc_id, source, line_no, text). Blank/short lines are dropped
     before anything downstream pays for them (predicate runs in the
-    same scan stage). ``line_no`` is per-file, assigned by a window
-    over a per-file monotonic id — files are independent so the window
-    partitions by file, never globally."""
+    same scan stage). ``line_no`` is per-file over the KEPT lines, in
+    true file order: the window orders by (block start offset, within-
+    block monotonic id). Block starts sort a file's byte ranges by
+    offset and rows within one block are scanned in file order, so the
+    ordering — and therefore ``line_no`` and ``doc_id = md5(source,
+    line_no)`` — is identical under ANY split layout
+    (maxPartitionBytes, cluster size, bin-packing order). The r3 form
+    hashed the raw monotonic id, which IS layout-dependent; ids minted
+    then do not match ids minted now."""
     from pyspark.sql import Window
 
     df = (
@@ -48,15 +54,21 @@ def read_text_lines(
         .select(
             F.col("value").alias("text"),
             F.input_file_name().alias("source"),
+            F.input_file_block_start().alias("__blk"),
             F.monotonically_increasing_id().alias("__mid"),
         )
         .where(F.length(F.trim("text")) >= min_chars)
     )
-    w = Window.partitionBy("source").orderBy("__mid")
-    return df.select(
-        _md5_id(F.col("source"), F.col("__mid").cast("string")).alias("doc_id"),
+    w = Window.partitionBy("source").orderBy("__blk", "__mid")
+    lines = df.select(
         "source",
         F.row_number().over(w).cast("bigint").alias("line_no"),
+        "text",
+    )
+    return lines.select(
+        _md5_id(F.col("source"), F.col("line_no").cast("string")).alias("doc_id"),
+        "source",
+        "line_no",
         "text",
     )
 

@@ -266,3 +266,17 @@ def test_dedup_components_best_keeps_highest_quality(spark):
 
     comps = Counter(r.comp_id for r in rows.values() if r.is_kept)
     assert all(v == 1 for v in comps.values())
+
+
+def test_dedup_incremental_null_text_dropped_both_sides(spark):
+    """NULL-text docs are dropped before digesting (ADVICE r3: Spark's
+    null digest never anti-joins while SQL NOT IN drops them — both
+    engines must agree, so neither keeps them)."""
+    ref = spark.createDataFrame(
+        [(1, "seen"), (2, None)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, None), (11, "fresh"), (12, "seen")], "doc_id bigint, text string"
+    )
+    got = sorted(r.doc_id for r in DD.dedup_incremental(new, ref).collect())
+    assert got == [11]

@@ -111,3 +111,28 @@ def test_sample_frames_chunking(spark):
     assert 3 not in by_id  # null payload dropped
     assert len(by_id[1][0].frame_bytes) == 64
     assert len(by_id[1][2].frame_bytes) == 32  # tail chunk
+
+
+def test_png_decoder_rejects_invalid_filter():
+    """Scanline filter bytes outside 0-4 are invalid per the PNG spec —
+    the decoder must raise, not silently treat them as filter None."""
+    import re
+    import struct
+    import zlib
+
+    import pytest
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)  # 2x1 grayscale
+    raw = b"\x05" + bytes([10, 20])  # filter type 5: invalid
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match=re.escape("filter type 5")):
+        MM._png_decode(bad)

@@ -46,3 +46,31 @@ def test_text_lines_feed_downstream_operators(spark, tmp_path):
     scored = TX.quality_score(docs)
     assert scored.count() == 4
     assert scored.where(F.col("quality").isNull()).count() == 0
+
+
+def test_line_ids_stable_across_split_layouts(spark, tmp_path):
+    """doc_id = md5(source, line_no) must not depend on the file-split
+    layout (ADVICE r3: the old md5(source, monotonic-id) form broke
+    whenever maxPartitionBytes or cluster size changed)."""
+    d = tmp_path / "big"
+    d.mkdir()
+    lines = [f"document number {i} with some padding text" for i in range(200)]
+    (d / "dump.txt").write_text("\n".join(lines) + "\n")
+    path = str(d)
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "512")
+        split_rows = {
+            (r.line_no, r.doc_id): r.text for r in TF.read_text_lines(spark, path).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    whole_rows = {
+        (r.line_no, r.doc_id): r.text for r in TF.read_text_lines(spark, path).collect()
+    }
+    # forced ~512-byte splits vs one split: identical (line_no, id, text)
+    assert split_rows == whole_rows and len(whole_rows) == 200
+    # and line_no reflects true file order
+    by_no = {ln: t for (ln, _), t in whole_rows.items()}
+    assert by_no[1] == lines[0] and by_no[200] == lines[199]
