@@ -365,6 +365,14 @@ def _q_contamination_ngram(spark, sf):
     )
 
 
+def _q_decontaminate(spark, sf):
+    # the removal counterpart of contamination_scan: survivors after
+    # dropping every doc that contains a probe verbatim (map-only)
+    return TX.decontaminate(
+        load_table(spark, sf, "documents"), CONTAMINATION_PROBES, method="substring"
+    )
+
+
 def _q_contamination_scan_many(spark, sf):
     # Aho–Corasick path: same semantics as contamination_scan, built
     # for probe sets too large to ship as plan literals
@@ -806,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_stats": _q_pack_stats,
         "drift_timeline": _q_drift_timeline,
         "events_hourly_users": _q_events_hourly_users,
+        "decontaminate": _q_decontaminate,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1760,6 +1769,11 @@ def _sql_contamination_scan() -> str:
     )
 
 
+def _sql_decontaminate() -> str:
+    cond = " OR ".join(f"contains(text, '{p}')" for p in CONTAMINATION_PROBES)
+    return f"SELECT * FROM documents WHERE NOT COALESCE({cond}, FALSE)"
+
+
 def _sql_contamination_ngram(probes: list[str]) -> str:
     values = ", ".join(f"('{p}')" for p in probes)
     return (
@@ -2231,6 +2245,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_stats": _sql_pack_stats(256, 8),
         "drift_timeline": _sql_drift_timeline(100),
         "events_hourly_users": _sql_events_hourly_users(),
+        "decontaminate": _sql_decontaminate(),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

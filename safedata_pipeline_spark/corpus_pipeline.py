@@ -113,6 +113,25 @@ class CorpusPipeline:
             "lm_filter", self.df.join(keep_ids, on=self.id_col, how="left_semi")
         )
 
+    # -- step 1d: benchmark decontamination ----------------------------
+    def decontaminate(
+        self, probes: list[str], method: str = "substring", n: int = 3
+    ) -> "CorpusPipeline":
+        """Drop documents that leak eval-benchmark content — the most
+        compliance-critical curation step: a model scored on a
+        benchmark its training data contains is measuring recall, not
+        ability. Delegates to ``text.decontaminate`` (``substring`` =
+        verbatim map-only filter, ``ngram`` = shingle-overlap
+        broadcast join, ``aho`` = Aho–Corasick Arrow pass for huge
+        probe sets). Runs after the quality/LM filters (fewer docs to
+        scan) and before dedup (a contaminated doc must never become a
+        cluster's kept canonical)."""
+        out = TX.decontaminate(
+            self.df, probes, method=method, text_col=self.text_col,
+            id_col=self.id_col, n=n,
+        )
+        return self._keep("decontaminated", out)
+
     # -- step 2: sub-document exact dedup ------------------------------
     def dedup_units(self, sep: str = "\n") -> "CorpusPipeline":
         rebuilt = DD.paragraph_dedup(self.df, self.text_col, self.id_col, sep)

@@ -302,6 +302,18 @@ class _AhoCorasick:
                 hits.update(self.out[node])
         return hits
 
+    def matches_any(self, text: str) -> bool:
+        """Early-exit membership test: True on the FIRST probe hit —
+        the decontamination path needs only the verdict, not the set."""
+        node = 0
+        for ch in text:
+            while node and ch not in self.goto[node]:
+                node = self.fail[node]
+            node = self.goto[node].get(ch, 0)
+            if self.out[node]:
+                return True
+        return False
+
 
 def contamination_scan_many(
     df: DataFrame,
@@ -419,6 +431,79 @@ def contamination_ngram(
         ).alias("overlap_fraction"),
         F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    probes: list[str],
+    method: str = "substring",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Remove benchmark-contaminated documents — the curation step the
+    scan operators diagnose: where ``contamination_scan`` counts hits,
+    this DROPS the hit documents and returns the survivors (all input
+    columns, rows whose text matches no probe).
+
+    Methods (each reuses the corresponding scan's construction):
+      * ``substring`` — doc contains any probe verbatim. ONE map-only
+        pass with probes as plan literals: no join, no shuffle — the
+        filter fuses into whatever scan feeds it.
+      * ``ngram`` — doc shares ≥1 word ``n``-gram shingle with any
+        probe (catches reflowed/reworded leakage). One corpus explode +
+        broadcast semi-join on shingles → distinct hit ids → anti-join.
+      * ``aho`` — Aho–Corasick automaton over the broadcast probe list,
+        one Arrow ``mapInPandas`` pass with per-document early exit —
+        for probe sets too large to inline as plan literals.
+
+    NULL-text documents are KEPT under every method (no evidence of
+    contamination — consistent with the scans' null handling).
+    """
+    if method == "substring":
+        t = F.col(text_col)
+        hit: Column = F.lit(False)
+        for p in probes:
+            hit = hit | F.contains(t, F.lit(p))
+        return df.where(~F.coalesce(hit, F.lit(False)))
+    if method == "ngram":
+        from safedata_pipeline_spark.operators.dedup import _word_shingles
+
+        spark = df.sparkSession
+        psh = (
+            spark.createDataFrame([(p,) for p in probes], "probe string")
+            .select(F.explode(_word_shingles(F.col("probe"), n)).alias("s"))
+            .dropDuplicates()
+        )
+        csh = df.select(
+            F.col(id_col), F.explode(_word_shingles(F.col(text_col), n)).alias("s")
+        )
+        hit_ids = csh.join(F.broadcast(psh), on="s").select(id_col).dropDuplicates()
+        return df.join(hit_ids, on=id_col, how="left_anti")
+    if method == "aho":
+        import pandas as pd
+
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(probes)
+
+        def scan(batches):
+            ac = _AhoCorasick(bc.value)
+            for pdf in batches:
+                ids = [
+                    doc_id
+                    for doc_id, text in zip(pdf["__id"], pdf["__text"])
+                    if text is not None and ac.matches_any(text)
+                ]
+                yield pd.DataFrame({"hit_id": pd.array(ids, dtype="int64")})
+
+        hit_ids = (
+            df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+            .mapInPandas(scan, "hit_id long")
+            .withColumnRenamed("hit_id", id_col)
+            .dropDuplicates()
+        )
+        return df.join(hit_ids, on=id_col, how="left_anti")
+    raise ValueError(f"method must be 'substring', 'ngram' or 'aho', got {method!r}")
 
 
 def quality_filter(

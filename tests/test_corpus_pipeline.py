@@ -133,3 +133,23 @@ def test_corpus_pipeline_keep_best_and_lm_filter(spark, sf_dir):
         cp.dedup_near(keep="nope")
     with _pytest.raises(ValueError):
         cp.filter_lm(1.0, model="trigram")
+
+
+def test_corpus_pipeline_decontaminate_step(spark, sf_dir):
+    """A planted eval-probe document is removed by the decontamination
+    step and the funnel records exactly that one drop."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    planted = spark.createDataFrame(
+        [(10_000_001, "The capital of France is Paris QUESTION_7731 answer choice B",
+          "en", "eval", 60)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).select(*docs.columns)
+    cp = CorpusPipeline(docs.unionByName(planted))
+    n_in = cp.funnel_report()["input"]
+    cp.decontaminate(["QUESTION_7731"], method="substring")
+    funnel = cp.funnel_report()
+    assert funnel["decontaminated"] == n_in - 1
+    assert cp.df.where(F.col("doc_id") == 10_000_001).count() == 0
+    # pipeline continues downstream unharmed
+    cp.dedup_units(sep=" ")
+    assert cp.funnel_report()["unit_dedup"] > 0

@@ -366,3 +366,38 @@ def test_quality_filter_approx_close_to_exact(spark):
     # same order of magnitude of survivors; overwhelming overlap
     assert abs(len(exact_ids) - len(approx_ids)) <= 30
     assert len(exact_ids & approx_ids) / max(len(exact_ids), 1) > 0.85
+
+
+def test_decontaminate_three_methods_agree(spark):
+    """A verbatim-planted probe is removed by every method; clean and
+    null-text docs survive everywhere."""
+    from safedata_pipeline_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated clean document about spark plans"),
+            (3, "prefix text the quick brown fox jumps over suffix text"),
+            (4, None),
+            (5, "another clean one with enough words to shingle on"),
+        ],
+        "doc_id bigint, text string",
+    )
+    probes = ["the quick brown fox jumps over"]
+    for method in ("substring", "ngram", "aho"):
+        kept = sorted(
+            r.doc_id for r in TX.decontaminate(docs, probes, method=method).collect()
+        )
+        assert kept == [2, 4, 5], method
+    # ngram catches a REWORDED leak the substring scan misses
+    reflowed = spark.createDataFrame(
+        [(6, "intro the quick brown fox leaps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    assert TX.decontaminate(reflowed, probes, method="substring").count() == 1
+    assert TX.decontaminate(reflowed, probes, method="ngram", n=3).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="method"):
+        TX.decontaminate(docs, probes, method="bogus")
