@@ -634,6 +634,12 @@ def _q_pack_stats(spark, sf):
     return pack_stats(load_table(spark, sf, "documents"), budget=256, buckets=8)
 
 
+def _q_pack_windows(spark, sf):
+    from safedata_pipeline_spark.operators.pack import pack_windows
+
+    return pack_windows(load_table(spark, sf, "documents"), budget=256, buckets=8)
+
+
 def _q_k_anonymity(spark, sf):
     return AN.k_anonymity(load_table(spark, sf, "customer"), QI_COLS, k=5)
 
@@ -815,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_timeline": _q_drift_timeline,
         "events_hourly_users": _q_events_hourly_users,
         "decontaminate": _q_decontaminate,
+        "pack_windows": _q_pack_windows,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1591,6 +1598,20 @@ def _sql_pack_sequences(budget: int, buckets: int) -> str:
     )
 
 
+def _sql_pack_windows(budget: int, buckets: int) -> str:
+    return (
+        f"WITH p AS ({_sql_pack_sequences(budget, buckets)}), "
+        "e AS (SELECT doc_id, bucket, n_tokens, start_offset, "
+        f"unnest(generate_series(CAST(floor(start_offset / {float(budget)}) AS BIGINT), "
+        f"CAST(floor((start_offset + n_tokens - 1) / {float(budget)}) AS BIGINT))) AS window_no "
+        "FROM p WHERE n_tokens > 0) "
+        "SELECT doc_id, bucket, CAST(window_no AS BIGINT) AS window_no, "
+        f"CAST(greatest(0, window_no * {budget} - start_offset) AS BIGINT) AS start_tok, "
+        f"CAST(least(n_tokens, (window_no + 1) * {budget} - start_offset) AS BIGINT) AS end_tok "
+        "FROM e"
+    )
+
+
 def _sql_tfidf_top_terms(top_k: int) -> str:
     return (
         "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
@@ -2246,6 +2267,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_timeline": _sql_drift_timeline(100),
         "events_hourly_users": _sql_events_hourly_users(),
         "decontaminate": _sql_decontaminate(),
+        "pack_windows": _sql_pack_windows(256, 8),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

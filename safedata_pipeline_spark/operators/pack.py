@@ -70,6 +70,56 @@ def pack_sequences(
     )
 
 
+def pack_windows(
+    df: DataFrame,
+    budget: int = 256,
+    buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the per-window token slices a training loader
+    actually consumes: one row per (document, window) overlap —
+    ``(id, bucket, window_no, start_tok, end_tok)`` where the loader
+    copies the doc's tokens[start_tok:end_tok] into bucket-local
+    window ``window_no``. ``pack_sequences`` says which window a doc
+    STARTS in; this explodes docs longer than ``budget`` across every
+    window they span (pack_no == the doc's first window_no).
+
+    Shape: the ``pack_sequences`` assignment + one ``sequence``/
+    ``explode`` over each doc's window range — output rows =
+    Σ ceil-ish spans, bounded by n_docs + total_tokens/budget. All
+    integers, deterministic at any parallelism (oracle-hashable).
+    Zero-token documents occupy no window and emit nothing.
+    """
+    packed = pack_sequences(df, budget, buckets, text_col, id_col).where(
+        F.col("n_tokens") > 0
+    )
+    first_w = F.floor(F.col("start_offset") / F.lit(budget))
+    last_w = F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / F.lit(budget))
+    staged = packed.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        "start_offset",
+        F.sequence(first_w, last_w).alias("__ws"),
+    )
+    ex = staged.select(
+        id_col, "bucket", "n_tokens", "start_offset",
+        F.explode("__ws").alias("window_no"),
+    )
+    return ex.select(
+        id_col,
+        "bucket",
+        F.col("window_no").cast("bigint").alias("window_no"),
+        F.greatest(
+            F.lit(0), F.col("window_no") * budget - F.col("start_offset")
+        ).cast("bigint").alias("start_tok"),
+        F.least(
+            F.col("n_tokens"), (F.col("window_no") + 1) * budget - F.col("start_offset")
+        ).cast("bigint").alias("end_tok"),
+    )
+
+
 def pack_stats(
     df: DataFrame,
     budget: int = 256,

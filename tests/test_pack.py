@@ -63,3 +63,53 @@ def test_pack_stats_accounts_every_token(spark):
     # a single huge budget -> one window per bucket, fill = total/(buckets*budget)
     r2 = pack_stats(docs, budget=100000, buckets=2).collect()[0]
     assert r2.n_windows == r2.n_buckets
+
+
+def test_pack_windows_token_conservation(spark):
+    """Every document's token slices across its windows are gap-free,
+    disjoint, and sum to n_tokens; every window except each bucket's
+    last is filled to exactly `budget` tokens."""
+    from safedata_pipeline_spark.operators.pack import pack_windows
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 37) % 90))) for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    budget = 32
+    packed = {r.doc_id: r for r in pack_sequences(docs, budget=budget, buckets=4).collect()}
+    rows = pack_windows(docs, budget=budget, buckets=4).collect()
+
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, wins in by_doc.items():
+        wins.sort(key=lambda r: r.window_no)
+        # contiguous window range starting at the doc's pack_no
+        assert wins[0].window_no == packed[doc_id].pack_no
+        assert [w.window_no for w in wins] == list(
+            range(wins[0].window_no, wins[0].window_no + len(wins))
+        )
+        # slices partition [0, n_tokens)
+        assert wins[0].start_tok == 0
+        assert wins[-1].end_tok == packed[doc_id].n_tokens
+        for a, b in zip(wins, wins[1:]):
+            assert a.end_tok == b.start_tok
+        assert sum(w.end_tok - w.start_tok for w in wins) == packed[doc_id].n_tokens
+    # zero-token docs emit nothing
+    empty_ids = {d for d, p in packed.items() if p.n_tokens == 0}
+    assert empty_ids.isdisjoint(by_doc)
+
+    # per-(bucket, window) fill: exactly budget except each bucket's last
+    fill = {}
+    for r in rows:
+        fill[(r.bucket, r.window_no)] = fill.get((r.bucket, r.window_no), 0) + (
+            r.end_tok - r.start_tok
+        )
+    last_per_bucket = {}
+    for (b, w) in fill:
+        last_per_bucket[b] = max(last_per_bucket.get(b, -1), w)
+    for (b, w), tok in fill.items():
+        if w != last_per_bucket[b]:
+            assert tok == budget, (b, w, tok)
+        else:
+            assert 0 < tok <= budget
