@@ -45,3 +45,32 @@ def test_sliding_stream_matches_batch(spark, sf_dir):
         for r in streamed.collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_drift_timeline_stream_matches_batch(spark, sf_dir):
+    """The streaming drift monitor (per-(hour,bin) counts under a
+    watermark + KS finish vs a fixed reference CDF) reproduces the
+    batch drift_timeline exactly when the reference is fit on the same
+    data the stream consumed."""
+    from safedata_pipeline_spark.operators import drift as DR
+    from safedata_pipeline_spark.streaming import drift as SD
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r.hour_start,): (r.n_rows, r.ks_stat)
+        for r in DR.drift_timeline(ev, "ts", "value", bins=100).collect()
+    }
+    ref = SD.fit_reference(ev, "value", bins=100)
+    streamed = SD.run_drift_stream_once(
+        spark, f"{sf_dir}/events*.parquet", ref, "t_stream_drift"
+    )
+    got = {(r.hour_start,): (r.n_rows, r.ks_stat) for r in streamed.collect()}
+    assert got == batch and len(got) > 0
+
+    # the finishing step over BATCH counts is the same number too
+    counts = SD.hourly_bin_counts(ev, ref["lo"], ref["width"], ref["bins"])
+    finished = {
+        (r.hour_start,): (r.n_rows, r.ks_stat)
+        for r in SD.finish_timeline(counts, ref).collect()
+    }
+    assert finished == batch
