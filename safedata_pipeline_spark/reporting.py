@@ -92,6 +92,48 @@ def save_html_report(
     return path
 
 
+def save_audit_report(
+    path: str,
+    summary: dict[str, Any],
+    k_anonymity_df: DataFrame | None = None,
+    k_violations_df: DataFrame | None = None,
+    l_diversity_df: DataFrame | None = None,
+    skew_df: DataFrame | None = None,
+    drift_timeline_df: DataFrame | None = None,
+) -> str:
+    """The operator-era audit report — the numbers a privacy officer
+    or pipeline operator actually reads, assembled from the round-3
+    audit operators: k-anonymity/l-diversity (with the violating
+    equivalence classes as a remediation worklist), join-key skew, and
+    the hourly drift timeline. Every input is an aggregate (the
+    operators return 1-row or dashboard-sized tables); rendering
+    collects at most ``MAX_REPORT_ROWS`` rows per section. Sections
+    whose DataFrame is None are omitted, so the report composes with
+    whatever audits a run actually executed."""
+    sections: list[tuple[str, str]] = [
+        ("Run Summary", f"<pre>{json.dumps(summary, indent=2, default=str)}</pre>")
+    ]
+    if k_anonymity_df is not None:
+        body = df_to_html(k_anonymity_df)
+        if k_violations_df is not None:
+            body += (
+                "\n<h3>Violating equivalence classes (remediation worklist)</h3>\n"
+                + df_to_html(k_violations_df)
+            )
+        sections.append(("K-Anonymity", body))
+    if l_diversity_df is not None:
+        sections.append(("L-Diversity", df_to_html(l_diversity_df)))
+    if skew_df is not None:
+        sections.append(("Key Skew", df_to_html(skew_df)))
+    if drift_timeline_df is not None:
+        sections.append(("Drift Timeline", df_to_html(drift_timeline_df)))
+    stamp = f"Generated {datetime.datetime.now(datetime.timezone.utc).isoformat()}"
+    html = _html_doc("SafeData Audit Report (Spark engine)", stamp, sections)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(html)
+    return path
+
+
 def try_make_pdf(html_path: str, pdf_path: str) -> str | None:
     """Best-effort text PDF; None when reportlab/bs4 are missing
     (reporting.py:51-64 parity — the import guard IS the behavior).

@@ -130,3 +130,45 @@ def test_pipeline_anonymity_audit(spark):
     assert {"k_anonymity", "satisfies_k", "l_diversity", "satisfies_l"} <= set(audit)
     assert audit["n_classes"] >= 1
     assert p.results["anonymity"] is audit
+
+
+def test_audit_report_renders_new_sections(spark, sf_dir, tmp_path):
+    """The audit report wires the round-3 audit operators: k-anonymity
+    (+ violations worklist), l-diversity, key skew, drift timeline —
+    each section renders from its aggregate frame."""
+    from safedata_pipeline_spark import reporting
+    from safedata_pipeline_spark.operators import anonymity as AN
+    from safedata_pipeline_spark.operators import drift as DR
+    from safedata_pipeline_spark.operators import profile as P
+    from safedata_pipeline_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    qi = ["c_nationkey", "c_mktsegment"]
+    path = reporting.save_audit_report(
+        str(tmp_path / "audit.html"),
+        {"rows": cust.count(), "run": "unit"},
+        k_anonymity_df=AN.k_anonymity(cust, qi, k=5),
+        k_violations_df=AN.k_anonymity_violations(cust, qi, k=5),
+        l_diversity_df=AN.l_diversity(cust, qi, "c_mktsegment", l=2),
+        skew_df=P.skew_report(ev, "user_id"),
+        drift_timeline_df=DR.drift_timeline(ev, "ts", "value", bins=20),
+    )
+    html = open(path, encoding="utf-8").read()
+    for heading in (
+        "K-Anonymity",
+        "Violating equivalence classes",
+        "L-Diversity",
+        "Key Skew",
+        "Drift Timeline",
+    ):
+        assert heading in html, heading
+    for col in ("k_anonymity", "class_size", "skew_ratio", "ks_stat"):
+        assert col in html, col
+    # omitted sections disappear
+    p2 = reporting.save_audit_report(
+        str(tmp_path / "a2.html"), {"run": "unit"},
+        skew_df=P.skew_report(ev, "user_id"),
+    )
+    h2 = open(p2, encoding="utf-8").read()
+    assert "Key Skew" in h2 and "K-Anonymity" not in h2
