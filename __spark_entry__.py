@@ -720,10 +720,13 @@ def _q_model_utility(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Round-4 window rotation: the driver hash-checks the FIRST 50
+    # entries. Ten operators that landed in r3 with only local oracle
+    # coverage (psi_drift, correlation_matrix, robust_stats, winsorize,
+    # dedup_best, drift_timeline, table_diff, jsd_drift, k_anonymity,
+    # bigram_logprob) are promoted in-window; ten rows whose hash
+    # signal is redundant rotate out (see the past-window note below).
     return {
-        "limit_preview": _q_limit_preview,
-        "project_quasi_ids": _q_project_quasi_ids,
-        "row_count": _q_row_count,
         "value_counts": _q_value_counts,
         "null_profile": _q_null_profile,
         "distinct_count": _q_distinct_count,
@@ -738,13 +741,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": _q_ks_drift,
         "ks_drift_binned": _q_ks_drift_binned,
         "distribution_drift": _q_distribution_drift,
+        "psi_drift": _q_psi_drift,
+        "jsd_drift": _q_jsd_drift,
+        "drift_timeline": _q_drift_timeline,
+        "table_diff": _q_table_diff,
         "standard_scale": _q_standard_scale,
         "one_hot": _q_one_hot,
         "knn_linkage_join": _q_knn_linkage_join,
         "linkage_risk_score": _q_linkage_risk_score,
+        "k_anonymity": _q_k_anonymity,
+        "winsorize": _q_winsorize,
+        "correlation_matrix": _q_correlation_matrix,
+        "robust_stats": _q_robust_stats,
         "text_profile": _q_text_profile,
-        "quality_score": _q_quality_score,
-        "unigram_logprob": _q_unigram_logprob,
+        "bigram_logprob": _q_bigram_logprob,
         "repetition_stats": _q_repetition_stats,
         "corpus_stats": _q_corpus_stats,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -756,32 +766,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "pii_redact": _q_pii_redact,
         "dedup_exact": _q_dedup_exact,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "dedup_components": _q_dedup_components,
+        "dedup_best": _q_dedup_best,
         "minhash_lsh": _q_minhash_lsh,
-        "simhash_pairs": _q_simhash_pairs,
         "embedding_cosine_dedup": _q_embedding_cosine_dedup,
-        "embedding_centroids": _q_embedding_centroids,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "asof_last_click": _q_asof_last_click,
         "range_join_tiers": _q_range_join_tiers,
         "hypertable_rollup": _q_hypertable_rollup,
-        "kmv_distinct": _q_kmv_distinct,
         "multimodal_meta": _q_multimodal_meta,
         "events_hourly": _q_events_hourly,
         "events_json": _q_events_json,
         "user_sessions": _q_user_sessions,
         # --- past the driver's 50-row correctness window from here on.
-        # Everything below through quality_deciles IS oracle-backed —
-        # tools/check_oracle.py runs the identical hash compare locally.
-        # Window policy: a query sits past the window only when its hash
-        # signal is subsumed by an in-window sibling (minhash_signatures
-        # / simhash are CTEs inside minhash_lsh / simhash_pairs' oracle
-        # SQL and their Spark operators execute inside those same pair
-        # queries; dedup_components_star shares dedup_components' exact
-        # oracle SQL; chi2_drift's construction is computed per-column
-        # inside distribution_drift) — or when it arrived after the 50
-        # slots filled.
+        # Everything below through events_hourly_users IS oracle-backed
+        # — tools/check_oracle.py runs the identical hash compare
+        # locally. Window policy: a query sits past the window only
+        # when its hash signal is subsumed by an in-window sibling, it
+        # has already been driver-verified green in a prior round, or
+        # it arrived after the 50 slots filled. Rotated out in r4 after
+        # r1-r3 green runs: limit_preview / project_quasi_ids /
+        # row_count (trivial projections), quality_score (construction
+        # runs inside quality_filter and scored_documents),
+        # unigram_logprob (bigram_logprob generalizes the
+        # construction), ngram_jaccard + dedup_components (both execute
+        # inside the promoted dedup_best composition), simhash_pairs
+        # (r3-green; CTE-shared with simhash), embedding_centroids
+        # (r3-green), kmv_distinct (prefilter twin shares the sketch).
+        # Longstanding subsumptions: minhash_signatures / simhash are
+        # CTEs inside minhash_lsh / simhash_pairs' oracle SQL;
+        # dedup_components_star shares dedup_components' oracle SQL;
+        # chi2_drift runs per-column inside distribution_drift.
+        "limit_preview": _q_limit_preview,
+        "project_quasi_ids": _q_project_quasi_ids,
+        "row_count": _q_row_count,
+        "quality_score": _q_quality_score,
+        "unigram_logprob": _q_unigram_logprob,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_components": _q_dedup_components,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_centroids": _q_embedding_centroids,
+        "kmv_distinct": _q_kmv_distinct,
         "chi2_drift": _q_chi2_drift,
         "simhash": _q_simhash,
         "minhash_signatures": _q_minhash_signatures,
@@ -793,18 +817,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture_sample": _q_source_mixture_sample,
         "quality_deciles": _q_quality_deciles,
         "scored_documents": _q_scored_documents,
-        "k_anonymity": _q_k_anonymity,
         "l_diversity": _q_l_diversity,
         "top_ngrams": _q_top_ngrams,
         "source_lang_pivot": _q_source_lang_pivot,
         "dedup_incremental": _q_dedup_incremental,
         "take_per_source": _q_take_per_source,
-        "psi_drift": _q_psi_drift,
-        "correlation_matrix": _q_correlation_matrix,
         "corpus_cube": _q_corpus_cube,
         "events_sliding": _q_events_sliding,
-        "winsorize": _q_winsorize,
-        "robust_stats": _q_robust_stats,
         "shipping_priority": _q_shipping_priority,
         "regional_volume": _q_regional_volume,
         "quantize_embeddings": _q_quantize_embeddings,
@@ -812,13 +831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": _q_skew_report,
         "normalize_text": _q_normalize_text,
         "column_entropy": _q_column_entropy,
-        "dedup_best": _q_dedup_best,
-        "table_diff": _q_table_diff,
-        "bigram_logprob": _q_bigram_logprob,
-        "jsd_drift": _q_jsd_drift,
         "k_anonymity_violations": _q_k_anonymity_violations,
         "pack_stats": _q_pack_stats,
-        "drift_timeline": _q_drift_timeline,
         "events_hourly_users": _q_events_hourly_users,
         "decontaminate": _q_decontaminate,
         "pack_windows": _q_pack_windows,
