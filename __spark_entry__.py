@@ -327,6 +327,64 @@ def _q_shipping_priority(spark, sf):
     )
 
 
+def _q_returned_revenue(spark, sf):
+    """TPC-H Q10 shape: who returned the most revenue in a quarter —
+    customer ⋈ filtered orders ⋈ returned lineitems, grouped per
+    customer, top-20. The order-date filter prunes at the orders scan,
+    returnflag at the lineitem scan; the customer side broadcasts;
+    top-20 is TakeOrdered. Revenue sums ride DECIMAL for parity."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf, "customer")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        # round the exact DECIMAL sum, THEN cast: rounding after the
+        # double cast flips half-cent boundaries between engines
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def _q_large_orders(spark, sf):
+    """TPC-H Q18 shape: orders whose total quantity exceeds the
+    threshold — a grouped HAVING on the fact table feeding a semi-ish
+    join back to orders and customer. The heavy aggregate runs FIRST
+    (map-side combinable), so the joins see only qualifying orderkeys;
+    both dimension sides broadcast under AQE."""
+    li = load_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("__q"))
+        .where(F.col("__q") > 300)
+        .select("l_orderkey", F.round(F.col("__q").cast("double"), 2).alias("total_qty"))
+    )
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+def _q_t_closeness(spark, sf):
+    return AN.t_closeness(
+        load_table(spark, sf, "customer"), ["c_nationkey"], "c_mktsegment", t=0.2
+    )
+
+
+def _q_mutual_information(spark, sf):
+    return P.mutual_information(load_table(spark, sf, "documents"), "source", "lang")
+
+
 def _q_regional_volume(spark, sf):
     """TPC-H Q5 shape: 5-way star join (region→nation→{customer,
     supplier}→orders→lineitem) with the customer-and-supplier-same-
@@ -836,6 +894,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_users": _q_events_hourly_users,
         "decontaminate": _q_decontaminate,
         "pack_windows": _q_pack_windows,
+        "returned_revenue": _q_returned_revenue,
+        "large_orders": _q_large_orders,
+        "t_closeness": _q_t_closeness,
+        "mutual_information": _q_mutual_information,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1804,6 +1866,61 @@ def _sql_contamination_scan() -> str:
     )
 
 
+def _sql_returned_revenue() -> str:
+    return (
+        "SELECT c_custkey, c_name, c_acctbal, c_mktsegment, "
+        "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' "
+        "AND l_returnflag = 'R' "
+        "GROUP BY c_custkey, c_name, c_acctbal, c_mktsegment "
+        "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+    )
+
+
+def _sql_large_orders(threshold: int) -> str:
+    return (
+        "WITH big AS (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(38,10))) AS q "
+        f"FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(38,10))) > {threshold}) "
+        "SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, "
+        "round(CAST(q AS DOUBLE), 2) AS total_qty "
+        "FROM big JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey"
+    )
+
+
+def _sql_t_closeness(t: float) -> str:
+    return (
+        "WITH d AS (SELECT c_nationkey AS q0, COALESCE(CAST(c_mktsegment AS VARCHAR), '__NULL__') AS s FROM customer), "
+        "cs AS (SELECT q0, s, count(*) AS c FROM d GROUP BY q0, s), "
+        "cls AS (SELECT q0, sum(c) AS n_c FROM cs GROUP BY q0), "
+        "gn AS (SELECT s, sum(c) AS g, (SELECT sum(c) FROM cs) AS N FROM cs GROUP BY s), "
+        "grid AS (SELECT cls.q0, cls.n_c, gn.s, gn.g, gn.N FROM cls CROSS JOIN gn), "
+        "j AS (SELECT grid.q0, grid.n_c, grid.g, grid.N, COALESCE(cs.c, 0) AS c "
+        "FROM grid LEFT JOIN cs ON grid.q0 = cs.q0 AND grid.s = cs.s), "
+        "pc AS (SELECT q0, round(CAST(sum(CAST(round(abs(CAST(c AS DOUBLE)/n_c - CAST(g AS DOUBLE)/N), 10) "
+        "AS DECIMAL(38,10))) AS DOUBLE)/2, 6) AS tv FROM j GROUP BY q0) "
+        "SELECT round(max(tv), 6) AS t_closeness, CAST(count(*) AS BIGINT) AS n_classes, "
+        f"CAST(sum(CASE WHEN tv > {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_classes, "
+        f"CAST({t} AS DOUBLE) AS t_required, CAST(max(tv) <= {t} AS BOOLEAN) AS satisfies_t FROM pc"
+    )
+
+
+def _sql_mutual_information() -> str:
+    return (
+        "WITH d AS (SELECT COALESCE(CAST(source AS VARCHAR), '__NULL__') AS x, "
+        "COALESCE(CAST(lang AS VARCHAR), '__NULL__') AS y FROM documents), "
+        "cxy AS (SELECT x, y, count(*) AS cxy FROM d GROUP BY x, y), "
+        "p AS (SELECT x, y, cxy, sum(cxy) OVER (PARTITION BY x) AS cx, "
+        "sum(cxy) OVER (PARTITION BY y) AS cy, sum(cxy) OVER () AS n FROM cxy) "
+        "SELECT round(CAST(sum(CAST(round((CAST(cxy AS DOUBLE)/n) * "
+        "ln((CAST(cxy AS DOUBLE)*n)/(CAST(cx AS DOUBLE)*cy)), 10) AS DECIMAL(38,10))) AS DOUBLE), 6) AS mi, "
+        "CAST(count(DISTINCT x) AS BIGINT) AS n_x_categories, "
+        "CAST(count(DISTINCT y) AS BIGINT) AS n_y_categories FROM p"
+    )
+
+
 def _sql_decontaminate() -> str:
     cond = " OR ".join(f"contains(text, '{p}')" for p in CONTAMINATION_PROBES)
     return f"SELECT * FROM documents WHERE NOT COALESCE({cond}, FALSE)"
@@ -2282,6 +2399,10 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_users": _sql_events_hourly_users(),
         "decontaminate": _sql_decontaminate(),
         "pack_windows": _sql_pack_windows(256, 8),
+        "returned_revenue": _sql_returned_revenue(),
+        "large_orders": _sql_large_orders(300),
+        "t_closeness": _sql_t_closeness(0.2),
+        "mutual_information": _sql_mutual_information(),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

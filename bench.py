@@ -111,6 +111,10 @@ HEADLINE = [
     "events_hourly_users",
     "decontaminate",
     "pack_windows",
+    "returned_revenue",
+    "large_orders",
+    "t_closeness",
+    "mutual_information",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -23,7 +23,7 @@ groups), matching the treatment of NaN as a category in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,4 +77,66 @@ def l_diversity(
         F.sum(viol.cast("bigint")).alias("n_violating_classes"),
         F.max(F.lit(l)).alias("l_required"),
         (F.min("n_sensitive") >= l).alias("satisfies_l"),
+    )
+
+
+def t_closeness(
+    df: DataFrame, qi_cols: list[str], sensitive_col: str, t: float = 0.2
+) -> DataFrame:
+    """Table-level t-closeness audit (Li, Li & Venkatasubramanian 2007
+    — the third leg of the SDC triad: k bounds class size, l bounds
+    sensitive diversity, t bounds how much a class's sensitive-value
+    DISTRIBUTION deviates from the global one). Categorical sensitive
+    attribute; distance = total variation (= the Earth Mover's
+    Distance under uniform ground distance, the paper's categorical
+    case). → 1 row ``(t_closeness, n_classes, n_violating_classes,
+    t_required, satisfies_t)`` with t_closeness = max over classes of
+    ½ Σ_v |p_class(v) − p_global(v)|.
+
+    Scale shape: one groupBy over (QI, sensitive), from which class
+    sizes AND the global distribution both derive (no second scan).
+    The comparison grid is classes × |sensitive categories| — the
+    global distribution is O(categories) and broadcast, so the grid is
+    a bounded-width blowup of the class table, never of the data.
+    NULL sensitive values form their own category, like NULL QIs.
+    Per-term |Δp| rounds @10 → DECIMAL-sum so the per-class float sum
+    is partition-order and engine independent.
+    """
+    d = df.select(
+        *qi_cols,
+        F.coalesce(F.col(sensitive_col).cast("string"), F.lit("__NULL__")).alias("__s"),
+    )
+    cs = d.groupBy(*qi_cols, "__s").agg(F.count(F.lit(1)).alias("c"))
+    classes = cs.groupBy(*qi_cols).agg(F.sum("c").alias("n_c"))
+    w_all = Window.partitionBy()
+    glob = (
+        cs.groupBy("__s")
+        .agg(F.sum("c").alias("g"))
+        .select("__s", "g", F.sum("g").over(w_all).alias("N"))
+    )
+    grid = classes.crossJoin(F.broadcast(glob))
+    # rename the count side's keys: grid derives from cs, and a raw
+    # self-join on shared names trips conflicting-reference resolution
+    c2 = cs
+    for i, q in enumerate(qi_cols):
+        c2 = c2.withColumnRenamed(q, f"__q{i}")
+    c2 = c2.withColumnRenamed("__s", "__s2")
+    cond = F.col("__s") == F.col("__s2")
+    for i, q in enumerate(qi_cols):
+        cond = cond & F.col(q).eqNullSafe(F.col(f"__q{i}"))
+    j = grid.join(c2, on=cond, how="left").select(
+        *qi_cols, "n_c", "g", "N", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    term = F.round(
+        F.abs(F.col("c") / F.col("n_c") - F.col("g") / F.col("N")), 10
+    ).cast("decimal(38,10)")
+    per_class = j.groupBy(*qi_cols).agg(
+        F.round(F.sum(term).cast("double") / 2, 6).alias("tv")
+    )
+    return per_class.agg(
+        F.round(F.max("tv"), 6).alias("t_closeness"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum((F.col("tv") > t).cast("bigint")).alias("n_violating_classes"),
+        F.max(F.lit(float(t))).alias("t_required"),
+        (F.max("tv") <= t).alias("satisfies_t"),
     )

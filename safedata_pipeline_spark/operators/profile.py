@@ -482,6 +482,52 @@ def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, nulls
+    as their own category → 1 row ``(mi, n_x_categories,
+    n_y_categories)``.
+
+    The privacy read: MI between a quasi-identifier and a sensitive
+    column measures how much the QI leaks about it (the quantity
+    t-closeness bounds indirectly); the curation read: near-zero MI
+    between `source` and `lang` says the mixture is balanced, high MI
+    flags a source dominating a language.
+
+    Shape: ONE groupBy over (x, y); marginals fall out of window sums
+    over that grouped table (|x|·|y| rows — dashboard-sized), so the
+    data is scanned once and shuffled once. MI = Σ (c_xy/N)·ln(c_xy·N /
+    (c_x·c_y)) — every ln argument is a ratio of exact integers.
+    Per-term round@10 → DECIMAL-sum keeps the ln-bearing float total
+    order- and engine-independent.
+    """
+    d = df.select(
+        F.coalesce(F.col(col_x).cast("string"), F.lit("__NULL__")).alias("x"),
+        F.coalesce(F.col(col_y).cast("string"), F.lit("__NULL__")).alias("y"),
+    )
+    cxy = d.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cxy"))
+    w_all = Window.partitionBy()
+    w_x = Window.partitionBy("x")
+    w_y = Window.partitionBy("y")
+    p = cxy.select(
+        "x",
+        "y",
+        "cxy",
+        F.sum("cxy").over(w_x).alias("cx"),
+        F.sum("cxy").over(w_y).alias("cy"),
+        F.sum("cxy").over(w_all).alias("n"),
+    )
+    term = F.round(
+        (F.col("cxy") / F.col("n"))
+        * F.log((F.col("cxy") * F.col("n")) / (F.col("cx") * F.col("cy"))),
+        10,
+    ).cast("decimal(38,10)")
+    return p.agg(
+        F.round(F.sum(term).cast("double"), ROUND_N).alias("mi"),
+        F.count_distinct("x").cast("bigint").alias("n_x_categories"),
+        F.count_distinct("y").cast("bigint").alias("n_y_categories"),
+    )
+
+
 def table_diff(a: DataFrame, b: DataFrame) -> DataFrame:
     """Schema-aligned dataset diff summary → 1 row ``(n_a, n_b,
     n_only_a, n_only_b, n_common)`` under multiset (EXCEPT ALL)

@@ -56,3 +56,36 @@ def test_k_anonymity_after_suppression_improves(spark):
     after = AN.k_anonymity(df.withColumn("age", F.lit(0)), ["age", "gender"], k=2).collect()[0]
     assert after.k_anonymity >= before.k_anonymity
     assert after.satisfies_k is True
+
+
+def test_t_closeness_uniform_vs_skewed(spark):
+    """A class mirroring the global distribution scores tv=0; a fully
+    concentrated class scores the max deviation."""
+    from safedata_pipeline_spark.operators import anonymity as AN
+
+    # global: A/B 50-50. class q=1 mirrors it; class q=2 is all-A.
+    rows = [(1, "A"), (1, "B"), (1, "A"), (1, "B"), (2, "A"), (2, "A")]
+    df = spark.createDataFrame(rows, "q int, s string")
+    r = AN.t_closeness(df, ["q"], "s", t=0.2).collect()[0]
+    # global p = (A: 4/6, B: 2/6); class2 = (A: 1, B: 0)
+    # tv(class2) = 0.5*(|1-4/6| + |0-2/6|) = 1/3
+    assert r.n_classes == 2
+    assert abs(r.t_closeness - round(1 / 3, 6)) < 1e-9
+    assert r.n_violating_classes == 1 and not r.satisfies_t
+    # identical distributions everywhere -> t = 0, satisfied
+    uni = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A"), (2, "B")], "q int, s string"
+    )
+    r2 = AN.t_closeness(uni, ["q"], "s", t=0.2).collect()[0]
+    assert r2.t_closeness == 0.0 and r2.satisfies_t
+
+
+def test_t_closeness_null_sensitive_is_category(spark):
+    from safedata_pipeline_spark.operators import anonymity as AN
+
+    df = spark.createDataFrame(
+        [(1, None), (1, "A"), (2, "A"), (2, None)], "q int, s string"
+    )
+    r = AN.t_closeness(df, ["q"], "s", t=0.5).collect()[0]
+    # both classes mirror the 50-50 global (null, A) distribution
+    assert r.t_closeness == 0.0 and r.n_classes == 2

@@ -208,3 +208,30 @@ def test_table_diff_multiset_semantics(spark):
     assert r.n_common == 1
     same = P.table_diff(a, a).collect()[0]
     assert same.n_only_a == 0 and same.n_only_b == 0 and same.n_common == 3
+
+
+def test_mutual_information_independent_and_dependent(spark):
+    from safedata_pipeline_spark.operators import profile as P
+
+    # x == y: MI equals the (shared) entropy ln 2 for a 50-50 binary
+    dep = spark.createDataFrame(
+        [("a", "a"), ("b", "b")] * 50, "x string, y string"
+    )
+    mi_dep = P.mutual_information(dep, "x", "y").collect()[0]
+    import math
+
+    assert abs(mi_dep.mi - round(math.log(2), 6)) < 1e-6
+    assert mi_dep.n_x_categories == 2 and mi_dep.n_y_categories == 2
+
+    # independent uniform pair: MI = 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd"] * 25, "x string, y string"
+    )
+    assert P.mutual_information(ind, "x", "y").collect()[0].mi == 0.0
+
+    # nulls form a category, not a drop
+    withnull = spark.createDataFrame(
+        [("a", None), ("b", "y")] * 30, "x string, y string"
+    )
+    r = P.mutual_information(withnull, "x", "y").collect()[0]
+    assert r.n_y_categories == 2 and abs(r.mi - round(math.log(2), 6)) < 1e-6
