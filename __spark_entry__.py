@@ -375,6 +375,25 @@ def _q_large_orders(spark, sf):
     )
 
 
+def _q_rolling_user_stats(spark, sf):
+    from safedata_pipeline_spark.operators import timeseries as TS
+
+    return TS.rolling_user_stats(load_table(spark, sf, "events"), n=3)
+
+
+def _q_weighted_sample(spark, sf):
+    docs = load_table(spark, sf, "documents").withColumn(
+        "w", F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    )
+    return SMP.weighted_sample(docs, "w").drop("w")
+
+
+def _q_cluster_size_histogram(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return DD.cluster_size_histogram(docs, pairs)
+
+
 def _q_t_closeness(spark, sf):
     return AN.t_closeness(
         load_table(spark, sf, "customer"), ["c_nationkey"], "c_mktsegment", t=0.2
@@ -898,6 +917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": _q_large_orders,
         "t_closeness": _q_t_closeness,
         "mutual_information": _q_mutual_information,
+        "rolling_user_stats": _q_rolling_user_stats,
+        "weighted_sample": _q_weighted_sample,
+        "cluster_size_histogram": _q_cluster_size_histogram,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1866,6 +1888,39 @@ def _sql_contamination_scan() -> str:
     )
 
 
+def _sql_rolling_user_stats(n: int) -> str:
+    return (
+        "SELECT event_id, user_id, ts, value, "
+        "round(CAST(sum(CAST(value AS DECIMAL(38,12))) OVER w AS DOUBLE) / count(*) OVER w, 6) AS roll_mean, "
+        "max(value) OVER w AS roll_max, "
+        "CAST(count(*) OVER w AS BIGINT) AS roll_n "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+    )
+
+
+def _sql_weighted_sample() -> str:
+    return (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents "
+        "WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0) "
+        "/ 4294967296.0 <= least(1.0, greatest(0.0, n_chars / 400.0))"
+    )
+
+
+def _sql_cluster_size_histogram() -> str:
+    return (
+        f"WITH RECURSIVE j AS ({_sql_ngram_jaccard()}), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM j "
+        "UNION ALL SELECT id_b, id_a FROM j), "
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id), "
+        "comp AS (SELECT id AS doc_id, min(r) AS comp_id FROM reach GROUP BY id), "
+        "sizes AS (SELECT comp_id, count(*) AS cluster_size FROM comp GROUP BY comp_id) "
+        "SELECT CAST(cluster_size AS BIGINT) AS cluster_size, "
+        "CAST(count(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY cluster_size"
+    )
+
+
 def _sql_returned_revenue() -> str:
     return (
         "SELECT c_custkey, c_name, c_acctbal, c_mktsegment, "
@@ -2403,6 +2458,9 @@ def oracle_sql() -> dict[str, str]:
         "large_orders": _sql_large_orders(300),
         "t_closeness": _sql_t_closeness(0.2),
         "mutual_information": _sql_mutual_information(),
+        "rolling_user_stats": _sql_rolling_user_stats(3),
+        "weighted_sample": _sql_weighted_sample(),
+        "cluster_size_histogram": _sql_cluster_size_histogram(),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

@@ -115,6 +115,9 @@ HEADLINE = [
     "large_orders",
     "t_closeness",
     "mutual_information",
+    "rolling_user_stats",
+    "weighted_sample",
+    "cluster_size_histogram",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

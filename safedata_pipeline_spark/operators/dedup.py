@@ -644,6 +644,29 @@ def dedup_incremental(
     return survivors.join(keep, on=["__digest", id_col], how="left_semi").drop("__digest")
 
 
+def cluster_size_histogram(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster size distribution → one row per size:
+    ``(cluster_size, n_clusters)`` — the dedup diagnostic ("is the
+    corpus mostly singletons with a few mega-clusters, or uniformly
+    near-duplicated?") that decides whether keep-one-per-cluster is
+    safe or a mega-cluster needs inspection first.
+
+    Composes on ``dedup_components``; two grouped counts on top of the
+    label frame (components → sizes → histogram), both map-side
+    combinable. Output is at most |distinct sizes| rows — tiny.
+    """
+    labels = dedup_components(docs, pairs, id_col, max_iter)
+    sizes = labels.groupBy("comp_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    ).select(F.col("cluster_size").cast("bigint").alias("cluster_size"), "n_clusters")
+
+
 def dedup_components_best(
     docs: DataFrame,
     pairs: DataFrame,

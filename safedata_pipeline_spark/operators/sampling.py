@@ -186,6 +186,28 @@ def quality_deciles(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    scale: float = 1.0,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep each row with
+    probability ``clamp(weight · scale, 0, 1)`` — quality-weighted
+    corpus thinning (a doc with quality 0.9 is 3× likelier to survive
+    than one at 0.3), replayable by any engine because the coin is the
+    md5-unit hash of the id, not an RNG.
+
+    Map-only: no shuffle, no fit pass; the filter fuses into the scan.
+    NULL weights drop the row (no evidence to weight by — callers who
+    want them kept coalesce first).
+    """
+    p = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), F.col(weight_col) * F.lit(float(scale)))
+    )
+    return df.where(md5_unit_interval(F.col(id_col)) <= p)
+
+
 def take_per_source(
     df: DataFrame,
     n_per_source: int,

@@ -1,0 +1,62 @@
+"""Ordered time-series analytics over the events stream (SURVEY §2.8
+extension surface; no reference counterpart — the reference has no
+event-time data at all, so these are pure Spark analytic-window
+idioms).
+
+Scale shape: every window here partitions by ``user_id`` — millions of
+small per-user partitions spread across executors; no global ordered
+window anywhere. The ordering key is (ts, event_id): (user_id, ts) is
+unique in the fixtures, but event_id breaks any tie deterministically,
+so the rolling frames are a total order and the results are
+engine-exact (the oracle runs the identical ROWS BETWEEN frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ROUND_N = 6
+
+
+def rolling_user_stats(
+    events: DataFrame,
+    n: int = 3,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event rolling statistics over each user's last ``n`` events
+    (inclusive): mean, max, and the actual frame size — the
+    feature-engineering / anomaly-baseline query ("is this event far
+    from this user's recent behavior?").
+
+    One analytic window, ROWS-framed (never RANGE: row frames are
+    O(1) memory per step and deterministic under the total order).
+    The rolling mean sums DECIMAL and divides by the frame count so
+    the float result is frame-order independent. Output: one row per
+    event — (event_id, user_id, ts, value, roll_mean, roll_max,
+    roll_n).
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    v_dec = F.col(val_col).cast("decimal(38,12)")
+    return events.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.col(ts_col).cast("timestamp_ntz").alias(ts_col),
+        F.col(val_col),
+        # exact DECIMAL sum → double ONCE, then double/bigint divide:
+        # decimal÷int result scales differ between engines, double
+        # division does not
+        F.round(
+            F.sum(v_dec).over(w).cast("double") / F.count(F.lit(1)).over(w),
+            ROUND_N,
+        ).alias("roll_mean"),
+        F.max(F.col(val_col)).over(w).alias("roll_max"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("roll_n"),
+    )

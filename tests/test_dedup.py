@@ -280,3 +280,16 @@ def test_dedup_incremental_null_text_dropped_both_sides(spark):
     )
     got = sorted(r.doc_id for r in DD.dedup_incremental(new, ref).collect())
     assert got == [11]
+
+
+def test_cluster_size_histogram(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a bigint, id_b bigint"
+    )
+    got = {r.cluster_size: r.n_clusters for r in
+           DD.cluster_size_histogram(docs, pairs).collect()}
+    # {0,1,2} size 3; {3,4} size 2; {5} singleton
+    assert got == {3: 1, 2: 1, 1: 1}

@@ -131,3 +131,27 @@ def test_take_per_source(spark):
     # n larger than a source takes the whole source
     tiny = S.take_per_source(df, 20)
     assert tiny.where(F.col("source") == "code").count() == 10
+
+
+def test_weighted_sample_rates_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.operators import sampling as SMP
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(0.9)).otherwise(F.lit(0.1)).alias("w"),
+    )
+    kept = SMP.weighted_sample(df, "w").collect()
+    hi = sum(1 for r in kept if r.doc_id % 2 == 0)
+    lo = len(kept) - hi
+    # md5-uniform coins: ~90% of evens, ~10% of odds survive
+    assert abs(hi / 2000 - 0.9) < 0.05 and abs(lo / 2000 - 0.1) < 0.05
+    # deterministic replay
+    again = SMP.weighted_sample(df, "w").collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in kept)
+    # clamp: weight >= 1 keeps everything, <= 0 keeps nothing
+    allw = df.withColumn("w", F.lit(5.0))
+    assert SMP.weighted_sample(allw, "w").count() == 4000
+    nonew = df.withColumn("w", F.lit(-1.0))
+    assert SMP.weighted_sample(nonew, "w").count() == 0
