@@ -381,6 +381,20 @@ def _q_rolling_user_stats(spark, sf):
     return TS.rolling_user_stats(load_table(spark, sf, "events"), n=3)
 
 
+def _q_rolling_anomalies(spark, sf):
+    from safedata_pipeline_spark.operators import timeseries as TS
+
+    return TS.rolling_anomalies(
+        load_table(spark, sf, "events"), n=5, factor=3.0, min_baseline_n=3
+    )
+
+
+def _q_session_funnel(spark, sf):
+    return SS.session_funnel(
+        load_table(spark, sf, "events"), ("view", "click", "purchase"), gap_minutes=30
+    )
+
+
 def _q_weighted_sample(spark, sf):
     docs = load_table(spark, sf, "documents").withColumn(
         "w", F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
@@ -920,6 +934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_stats": _q_rolling_user_stats,
         "weighted_sample": _q_weighted_sample,
         "cluster_size_histogram": _q_cluster_size_histogram,
+        "rolling_anomalies": _q_rolling_anomalies,
+        "session_funnel": _q_session_funnel,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1888,6 +1904,47 @@ def _sql_contamination_scan() -> str:
     )
 
 
+def _sql_rolling_anomalies(n: int, factor: float, min_n: int) -> str:
+    return (
+        "WITH s AS (SELECT event_id, user_id, ts, value, "
+        "round(CAST(sum(CAST(value AS DECIMAL(38,12))) OVER w AS DOUBLE) / count(*) OVER w, 6) AS baseline_mean, "
+        "CAST(count(*) OVER w AS BIGINT) AS baseline_n "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN {n} PRECEDING AND 1 PRECEDING)) "
+        "SELECT event_id, user_id, ts, value, baseline_mean, baseline_n FROM s "
+        f"WHERE baseline_n >= {min_n} AND value > {factor} * baseline_mean"
+    )
+
+
+def _sql_session_funnel(steps: tuple, gap_minutes: int) -> str:
+    gap_us = gap_minutes * 60_000_000
+    mins = ", ".join(
+        f"min(CASE WHEN event_type = '{s}' THEN ts END) AS t{i}"
+        for i, s in enumerate(steps)
+    )
+    chain, inds = [], []
+    for i in range(len(steps)):
+        chain.append(f"t{i} IS NOT NULL" if i == 0 else f"t{i} > t{i-1}")
+        inds.append("CASE WHEN " + " AND ".join(chain) + " THEN 1 ELSE 0 END")
+    counts = ", ".join(f"CAST(sum({ind}) AS BIGINT) AS c{i}" for i, ind in enumerate(inds))
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1} AS stage, '{s}' AS step, COALESCE(c{i}, 0) AS n_sessions FROM counts"
+        for i, s in enumerate(steps)
+    )
+    return (
+        "WITH tagged AS (SELECT user_id, ts, event_type, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        f"OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us} THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "sess AS (SELECT user_id, ts, event_type, sum(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+        "FROM tagged), "
+        f"mins AS (SELECT user_id, session_id, {mins} FROM sess GROUP BY user_id, session_id), "
+        f"counts AS (SELECT {counts} FROM mins) "
+        + selects
+    )
+
+
 def _sql_rolling_user_stats(n: int) -> str:
     return (
         "SELECT event_id, user_id, ts, value, "
@@ -2461,6 +2518,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_user_stats": _sql_rolling_user_stats(3),
         "weighted_sample": _sql_weighted_sample(),
         "cluster_size_histogram": _sql_cluster_size_histogram(),
+        "rolling_anomalies": _sql_rolling_anomalies(5, 3.0, 3),
+        "session_funnel": _sql_session_funnel(("view", "click", "purchase"), 30),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

@@ -118,6 +118,8 @@ HEADLINE = [
     "rolling_user_stats",
     "weighted_sample",
     "cluster_size_histogram",
+    "rolling_anomalies",
+    "session_funnel",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

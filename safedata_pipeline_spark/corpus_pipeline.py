@@ -207,11 +207,28 @@ class CorpusPipeline:
         return self._keep("mixture", out)
 
     # -- step 4: pack into training windows ----------------------------
-    def pack(self, budget: int = 2048, buckets: int = 64) -> DataFrame:
-        packed = PK.pack_sequences(
-            self.df, budget=budget, buckets=buckets, text_col=self.text_col,
-            id_col=self.id_col,
-        )
+    def pack(
+        self, budget: int = 2048, buckets: int = 64, materialize: str = "assignment"
+    ) -> DataFrame:
+        """``materialize="assignment"`` returns one row per document
+        (which window its first token lands in — ``pack_sequences``);
+        ``materialize="windows"`` returns the exploded per-(doc,
+        window) token slices a training loader consumes
+        (``pack_windows``)."""
+        if materialize == "assignment":
+            packed = PK.pack_sequences(
+                self.df, budget=budget, buckets=buckets, text_col=self.text_col,
+                id_col=self.id_col,
+            )
+        elif materialize == "windows":
+            packed = PK.pack_windows(
+                self.df, budget=budget, buckets=buckets, text_col=self.text_col,
+                id_col=self.id_col,
+            )
+        else:
+            raise ValueError(
+                f"materialize must be 'assignment' or 'windows', got {materialize!r}"
+            )
         self.results["packed"] = packed
         return packed
 

@@ -60,3 +60,47 @@ def rolling_user_stats(
         F.max(F.col(val_col)).over(w).alias("roll_max"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("roll_n"),
     )
+
+
+def rolling_anomalies(
+    events: DataFrame,
+    n: int = 5,
+    factor: float = 3.0,
+    min_baseline_n: int = 3,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Events whose value exceeds ``factor ×`` the mean of the user's
+    PREVIOUS ``n`` events — the per-entity anomaly monitor. The frame
+    is strictly preceding (``[-n, -1]``): the current row never
+    contaminates its own baseline. Events with fewer than
+    ``min_baseline_n`` prior events are skipped — no evidence is not
+    an anomaly. Output: (event_id, user_id, ts, value, baseline_mean,
+    baseline_n), anomalies only.
+
+    Same scale shape as ``rolling_user_stats``: one per-user ROWS
+    window under a total order, DECIMAL-exact baseline sums.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-n, -1)
+    )
+    v_dec = F.col(val_col).cast("decimal(38,12)")
+    staged = events.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.col(ts_col).cast("timestamp_ntz").alias(ts_col),
+        F.col(val_col),
+        F.round(
+            F.sum(v_dec).over(w).cast("double") / F.count(F.lit(1)).over(w),
+            ROUND_N,
+        ).alias("baseline_mean"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("baseline_n"),
+    )
+    return staged.where(
+        (F.col("baseline_n") >= min_baseline_n)
+        & (F.col(val_col) > F.lit(float(factor)) * F.col("baseline_mean"))
+    )

@@ -89,6 +89,73 @@ def user_sessions(events: DataFrame, gap_minutes: int = DEFAULT_GAP_MIN) -> Data
     )
 
 
+def session_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    gap_minutes: int = DEFAULT_GAP_MIN,
+) -> DataFrame:
+    """Session funnel analysis: how many sessions reach each step of
+    an ordered event-type chain (first-occurrence semantics: a session
+    reaches stage k iff the first occurrences of steps 1..k appear in
+    strictly increasing time order). Output: one row per step —
+    ``(stage, step, n_sessions)`` with n_sessions = sessions reaching
+    AT LEAST that stage.
+
+    Shape: the ``user_sessions`` gap tagging (per-user window, µs-
+    exact integer arithmetic) → ONE groupBy per (user, session) with
+    conditional min-ts per step → a scalar aggregate → k output rows.
+    No joins; the funnel chain is a pure column expression over the
+    per-session step times, so engines agree exactly.
+    """
+    gap_us = gap_minutes * 60_000_000
+    w = Window.partitionBy("user_id").orderBy("ts")
+    tagged = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        (
+            F.coalesce(
+                (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+                > F.lit(gap_us),
+                F.lit(True),
+            )
+        )
+        .cast("long")
+        .alias("new_s"),
+    )
+    sess = tagged.withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    mins = sess.groupBy("user_id", "session_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"__t{i}")
+            for i in range(len(steps))
+            for s in [steps[i]]
+        ]
+    )
+    # reached-stage indicators: each includes its whole prefix chain
+    indicators = []
+    chain = None
+    for i in range(len(steps)):
+        ci = F.col(f"__t{i}").isNotNull()
+        if i > 0:
+            ci = ci & (F.col(f"__t{i}") > F.col(f"__t{i-1}"))
+        chain = ci if chain is None else (chain & ci)
+        indicators.append(chain.cast("bigint"))
+    counts = mins.agg(
+        *[F.sum(ind).alias(f"__c{i}") for i, ind in enumerate(indicators)]
+    )
+    stages = [
+        F.struct(
+            F.lit(i + 1).alias("stage"),
+            F.lit(s).alias("step"),
+            F.coalesce(F.col(f"__c{i}"), F.lit(0)).cast("bigint").alias("n_sessions"),
+        )
+        for i, s in enumerate(steps)
+    ]
+    return counts.select(F.inline(F.array(*stages)))
+
+
 def _sessions_frame(rows: list[tuple]) -> pd.DataFrame:
     return pd.DataFrame(
         {

@@ -153,3 +153,17 @@ def test_corpus_pipeline_decontaminate_step(spark, sf_dir):
     # pipeline continues downstream unharmed
     cp.dedup_units(sep=" ")
     assert cp.funnel_report()["unit_dedup"] > 0
+
+
+def test_corpus_pipeline_pack_windows(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    cp = CorpusPipeline(docs)
+    wins = cp.pack(budget=32, buckets=4, materialize="windows")
+    rows = wins.collect()
+    assert {"doc_id", "bucket", "window_no", "start_tok", "end_tok"} <= set(wins.columns)
+    assert all(r.end_tok > r.start_tok for r in rows)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="materialize"):
+        cp.pack(materialize="bogus")

@@ -180,3 +180,33 @@ def test_kernel_timeout_flush_preserves_session_counter():
     state.hasTimedOut = False
     list(_sessionize_batches((7,), iter([batch(200)]), state, gap_us))
     assert state.get[0] == 4
+
+
+def test_session_funnel_chain_semantics(spark):
+    import datetime
+
+    from safedata_pipeline_spark.streaming import sessions as SS
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def ev(i, user, minutes, typ):
+        return (i, t0 + datetime.timedelta(minutes=minutes), user, typ, 1.0)
+
+    rows = [
+        # user 1, one session: full funnel in order
+        ev(1, 1, 0, "view"), ev(2, 1, 1, "click"), ev(3, 1, 2, "purchase"),
+        # user 2: click BEFORE view -> only stage 1 (view exists)
+        ev(4, 2, 0, "click"), ev(5, 2, 1, "view"),
+        # user 3: view then click, purchase in a LATER session (gap > 30min)
+        ev(6, 3, 0, "view"), ev(7, 3, 1, "click"), ev(8, 3, 120, "purchase"),
+        # user 4: no funnel events at all
+        ev(9, 4, 0, "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    got = {r.step: (r.stage, r.n_sessions) for r in
+           SS.session_funnel(df, ("view", "click", "purchase"), 30).collect()}
+    # sessions reaching view: u1, u2, u3-first = 3; click-after-view: u1, u3-first = 2;
+    # purchase-after-click: u1 only (u3's purchase is its own session)
+    assert got == {"view": (1, 3), "click": (2, 2), "purchase": (3, 1)}

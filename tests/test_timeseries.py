@@ -31,3 +31,23 @@ def test_rolling_user_stats_tie_break_deterministic(spark):
     )
     got = {r.event_id: r for r in TS.rolling_user_stats(df, n=2).collect()}
     assert got[1].roll_n == 1 and got[2].roll_n == 2 and got[2].roll_mean == 3.0
+
+
+def test_rolling_anomalies_baseline_excludes_current(spark):
+    t0 = datetime.datetime(2026, 1, 1)
+    vals = [10.0, 10.0, 10.0, 100.0, 10.0]
+    df = spark.createDataFrame(
+        [(i, t0 + datetime.timedelta(minutes=i), 1, v) for i, v in enumerate(vals)],
+        "event_id bigint, ts timestamp, user_id bigint, value double",
+    )
+    got = TS.rolling_anomalies(df, n=5, factor=3.0, min_baseline_n=3).collect()
+    # only the 100.0 spike is flagged (baseline mean 10 from 3 priors);
+    # the event after the spike has an inflated baseline, still no flag
+    assert [r.event_id for r in got] == [3]
+    assert got[0].baseline_mean == 10.0 and got[0].baseline_n == 3
+    # first events lack evidence -> never flagged even if large
+    df2 = spark.createDataFrame(
+        [(0, t0, 2, 1000.0)],
+        "event_id bigint, ts timestamp, user_id bigint, value double",
+    )
+    assert TS.rolling_anomalies(df2).count() == 0
