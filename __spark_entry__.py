@@ -389,6 +389,12 @@ def _q_rolling_anomalies(spark, sf):
     )
 
 
+def _q_hourly_retention(spark, sf):
+    from safedata_pipeline_spark.operators import timeseries as TS
+
+    return TS.hourly_retention(load_table(spark, sf, "events"))
+
+
 def _q_session_funnel(spark, sf):
     return SS.session_funnel(
         load_table(spark, sf, "events"), ("view", "click", "purchase"), gap_minutes=30
@@ -936,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_size_histogram": _q_cluster_size_histogram,
         "rolling_anomalies": _q_rolling_anomalies,
         "session_funnel": _q_session_funnel,
+        "hourly_retention": _q_hourly_retention,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1904,6 +1911,18 @@ def _sql_contamination_scan() -> str:
     )
 
 
+def _sql_hourly_retention() -> str:
+    return (
+        "WITH uh AS (SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS h FROM events), "
+        "f AS (SELECT u, h, CASE WHEN lead(h) OVER (PARTITION BY u ORDER BY h) = h + INTERVAL 1 HOUR "
+        "THEN 1 ELSE NULL END AS ret FROM uh) "
+        "SELECT h AS hour_start, CAST(count(*) AS BIGINT) AS n_users, "
+        "CAST(COALESCE(sum(ret), 0) AS BIGINT) AS n_retained, "
+        "round(CAST(COALESCE(sum(ret), 0) AS DOUBLE) / count(*), 6) AS retention_rate "
+        "FROM f GROUP BY h"
+    )
+
+
 def _sql_rolling_anomalies(n: int, factor: float, min_n: int) -> str:
     return (
         "WITH s AS (SELECT event_id, user_id, ts, value, "
@@ -2520,6 +2539,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_size_histogram": _sql_cluster_size_histogram(),
         "rolling_anomalies": _sql_rolling_anomalies(5, 3.0, 3),
         "session_funnel": _sql_session_funnel(("view", "click", "purchase"), 30),
+        "hourly_retention": _sql_hourly_retention(),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

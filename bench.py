@@ -120,6 +120,7 @@ HEADLINE = [
     "cluster_size_histogram",
     "rolling_anomalies",
     "session_funnel",
+    "hourly_retention",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

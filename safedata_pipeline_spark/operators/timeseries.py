@@ -62,6 +62,48 @@ def rolling_user_stats(
     )
 
 
+def hourly_retention(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Hour-over-hour user retention: for each hour, how many distinct
+    users were active, and how many of them return in the NEXT hour —
+    the cohort-retention dashboard shape. Output one row per hour:
+    ``(hour_start, n_users, n_retained, retention_rate)``.
+
+    Shape: distinct (user, hour) pairs (one groupBy — the only shuffle
+    touching event rows), a per-user ``lead`` over their ordered hour
+    list (per-user partitions, total order: hours are distinct within
+    a user), then a per-hour count. Retained = the user's next active
+    hour is exactly +1h. The last hour has no next hour to look into
+    and still reports its (possibly zero) retention honestly.
+    """
+    uh = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.date_trunc("hour", F.col(ts_col)).cast("timestamp_ntz").alias("h"),
+        )
+        .groupBy("u", "h")
+        .agg(F.lit(1).alias("__one"))
+    )
+    w = Window.partitionBy("u").orderBy("h")
+    flagged = uh.select(
+        "u",
+        "h",
+        (
+            F.lead("h").over(w) == F.col("h") + F.expr("INTERVAL 1 HOUR")
+        ).cast("bigint").alias("ret"),
+    )
+    return flagged.groupBy(F.col("h").alias("hour_start")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.coalesce(F.sum("ret"), F.lit(0)).cast("bigint").alias("n_retained"),
+        F.round(
+            F.coalesce(F.sum("ret"), F.lit(0)) / F.count(F.lit(1)), ROUND_N
+        ).alias("retention_rate"),
+    )
+
+
 def rolling_anomalies(
     events: DataFrame,
     n: int = 5,

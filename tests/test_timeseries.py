@@ -51,3 +51,26 @@ def test_rolling_anomalies_baseline_excludes_current(spark):
         "event_id bigint, ts timestamp, user_id bigint, value double",
     )
     assert TS.rolling_anomalies(df2).count() == 0
+
+
+def test_hourly_retention(spark):
+    t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ev(i, user, minutes):
+        return (i, t0 + datetime.timedelta(minutes=minutes), user, 1.0)
+
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 61),    # user 1: hour 10 and 11 -> retained at 10
+        ev(3, 2, 5),                  # user 2: hour 10 only
+        ev(4, 3, 10), ev(5, 3, 130),  # user 3: hour 10 then 12 -> NOT retained
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    got = {r.hour_start.hour: r for r in TS.hourly_retention(df).collect()}
+    assert got[10].n_users == 3 and got[10].n_retained == 1
+    assert abs(got[10].retention_rate - round(1 / 3, 6)) < 1e-9
+    # hour 11: only user 1, does not return in hour 12
+    assert got[11].n_users == 1 and got[11].n_retained == 0
+    # hour 12: user 3, last hour -> zero retention reported honestly
+    assert got[12].n_users == 1 and got[12].n_retained == 0
