@@ -825,10 +825,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # signal is redundant rotate out (see the past-window note below).
     return {
         "value_counts": _q_value_counts,
-        "null_profile": _q_null_profile,
-        "distinct_count": _q_distinct_count,
-        "numeric_profile": _q_numeric_profile,
-        "top_freq": _q_top_freq,
         "basic_stats": _q_basic_stats,
         "checklist_score": _q_checklist_score,
         "sdc_suppress": _q_sdc_suppress,
@@ -842,8 +838,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_drift": _q_jsd_drift,
         "drift_timeline": _q_drift_timeline,
         "table_diff": _q_table_diff,
-        "standard_scale": _q_standard_scale,
-        "one_hot": _q_one_hot,
         "knn_linkage_join": _q_knn_linkage_join,
         "linkage_risk_score": _q_linkage_risk_score,
         "k_anonymity": _q_k_anonymity,
@@ -874,6 +868,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_json": _q_events_json,
         "user_sessions": _q_user_sessions,
+        "decontaminate": _q_decontaminate,
+        "pack_windows": _q_pack_windows,
+        "t_closeness": _q_t_closeness,
+        "session_funnel": _q_session_funnel,
+        "hourly_retention": _q_hourly_retention,
+        "returned_revenue": _q_returned_revenue,
         # --- past the driver's 50-row correctness window from here on.
         # Everything below through events_hourly_users IS oracle-backed
         # — tools/check_oracle.py runs the identical hash compare
@@ -882,13 +882,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # has already been driver-verified green in a prior round, or
         # it arrived after the 50 slots filled. Rotated out in r4 after
         # r1-r3 green runs: limit_preview / project_quasi_ids /
-        # row_count (trivial projections), quality_score (construction
-        # runs inside quality_filter and scored_documents),
-        # unigram_logprob (bigram_logprob generalizes the
-        # construction), ngram_jaccard + dedup_components (both execute
-        # inside the promoted dedup_best composition), simhash_pairs
-        # (r3-green; CTE-shared with simhash), embedding_centroids
-        # (r3-green), kmv_distinct (prefilter twin shares the sketch).
+        # row_count (trivial projections), null_profile /
+        # distinct_count / numeric_profile / top_freq (their fused
+        # constructions run inside the in-window basic_stats),
+        # standard_scale + one_hot (3-round green; the encode pipeline
+        # also executes inside the in-window knn_linkage_join),
+        # quality_score (construction runs inside quality_filter and
+        # scored_documents), unigram_logprob (bigram_logprob
+        # generalizes the construction), ngram_jaccard +
+        # dedup_components (both execute inside the promoted
+        # dedup_best composition), simhash_pairs (r3-green; CTE-shared
+        # with simhash), embedding_centroids (r3-green), kmv_distinct
+        # (prefilter twin shares the sketch). The freed slots carry six
+        # r4-new operators (decontaminate, pack_windows, t_closeness,
+        # session_funnel, hourly_retention, returned_revenue) so new
+        # code gets driver rows in its first round.
         # Longstanding subsumptions: minhash_signatures / simhash are
         # CTEs inside minhash_lsh / simhash_pairs' oracle SQL;
         # dedup_components_star shares dedup_components' oracle SQL;
@@ -896,6 +904,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "limit_preview": _q_limit_preview,
         "project_quasi_ids": _q_project_quasi_ids,
         "row_count": _q_row_count,
+        "null_profile": _q_null_profile,
+        "distinct_count": _q_distinct_count,
+        "numeric_profile": _q_numeric_profile,
+        "top_freq": _q_top_freq,
+        "standard_scale": _q_standard_scale,
+        "one_hot": _q_one_hot,
         "quality_score": _q_quality_score,
         "unigram_logprob": _q_unigram_logprob,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -931,18 +945,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_violations": _q_k_anonymity_violations,
         "pack_stats": _q_pack_stats,
         "events_hourly_users": _q_events_hourly_users,
-        "decontaminate": _q_decontaminate,
-        "pack_windows": _q_pack_windows,
-        "returned_revenue": _q_returned_revenue,
         "large_orders": _q_large_orders,
-        "t_closeness": _q_t_closeness,
         "mutual_information": _q_mutual_information,
         "rolling_user_stats": _q_rolling_user_stats,
         "weighted_sample": _q_weighted_sample,
         "cluster_size_histogram": _q_cluster_size_histogram,
         "rolling_anomalies": _q_rolling_anomalies,
-        "session_funnel": _q_session_funnel,
-        "hourly_retention": _q_hourly_retention,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
