@@ -488,7 +488,15 @@ def drift_timeline(
             F.floor((F.col(val_col) - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
         ).alias("b"),
     )
-    g = binned.groupBy("hour_start", "b").agg(F.count(F.lit(1)).alias("c"))
+    # the per-(hour, bin) count table feeds THREE branches (global bin
+    # sums, per-hour totals, the grid join) — materialize it once
+    # (bounded at hours × bins rows, dashboard-sized) so the final
+    # plan reads the events data exactly once instead of per branch
+    g = (
+        binned.groupBy("hour_start", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     # explicit hour × global-bin grid: an hour MISSING a bin still
     # advances the global cumulative there, so the grid (bounded at
     # hours × bins rows — both dashboard-sized) left-joins the hour
