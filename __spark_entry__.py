@@ -395,6 +395,17 @@ def _q_hourly_retention(spark, sf):
     return TS.hourly_retention(load_table(spark, sf, "events"))
 
 
+def _q_drift_timeline_psi(spark, sf):
+    # the PSI finish over the SAME per-(hour, bin) aggregation the
+    # streaming monitor maintains; reference fit on the whole table
+    from safedata_pipeline_spark.streaming import drift as SD
+
+    ev = load_table(spark, sf, "events")
+    ref = SD.fit_reference(ev, "value", bins=100)
+    counts = SD.hourly_bin_counts(ev, ref["lo"], ref["width"], ref["bins"])
+    return SD.finish_timeline_psi(counts, ref)
+
+
 def _q_session_funnel(spark, sf):
     return SS.session_funnel(
         load_table(spark, sf, "events"), ("view", "click", "purchase"), gap_minutes=30
@@ -951,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "cluster_size_histogram": _q_cluster_size_histogram,
         "rolling_anomalies": _q_rolling_anomalies,
+        "drift_timeline_psi": _q_drift_timeline_psi,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -1931,6 +1943,30 @@ def _sql_hourly_retention() -> str:
     )
 
 
+def _sql_drift_timeline_psi(bins: int = 100, eps: float = 1e-6) -> str:
+    return (
+        "WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE value IS NOT NULL), "
+        "r AS (SELECT min(value) AS lo, CASE WHEN max(value) - min(value) = 0 THEN 1.0 "
+        f"ELSE (max(value) - min(value)) / {float(bins)} END AS w FROM e), "
+        "bn AS (SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS hour_start, "
+        f"least(floor((e.value - r.lo) / r.w), {bins - 1}) AS b FROM e, r), "
+        "g AS (SELECT hour_start, b, count(*) AS c FROM bn GROUP BY 1, 2), "
+        "gb AS (SELECT b, sum(c) AS cg FROM g GROUP BY b), "
+        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM g), "
+        "refp AS (SELECT b, cg / tot.total AS ref_p FROM gb, tot), "
+        "hours AS (SELECT hour_start, sum(c) AS nh FROM g GROUP BY hour_start), "
+        "grid AS (SELECT hour_start, nh, b, ref_p FROM hours CROSS JOIN refp), "
+        "j AS (SELECT grid.hour_start, grid.nh, grid.ref_p, coalesce(g.c, 0) AS c "
+        "FROM grid LEFT JOIN g ON grid.hour_start = g.hour_start AND grid.b = g.b), "
+        "t AS (SELECT hour_start, nh, CAST(round("
+        f"(greatest(CAST(c AS DOUBLE) / nh, {eps}) - greatest(ref_p, {eps})) * "
+        f"ln(greatest(CAST(c AS DOUBLE) / nh, {eps}) / greatest(ref_p, {eps})), 10) "
+        "AS DECIMAL(38,10)) AS term FROM j) "
+        "SELECT hour_start, CAST(max(nh) AS BIGINT) AS n_rows, "
+        "round(CAST(sum(term) AS DOUBLE), 6) AS psi FROM t GROUP BY hour_start"
+    )
+
+
 def _sql_rolling_anomalies(n: int, factor: float, min_n: int) -> str:
     return (
         "WITH s AS (SELECT event_id, user_id, ts, value, "
@@ -2548,6 +2584,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_anomalies": _sql_rolling_anomalies(5, 3.0, 3),
         "session_funnel": _sql_session_funnel(("view", "click", "purchase"), 30),
         "hourly_retention": _sql_hourly_retention(),
+        "drift_timeline_psi": _sql_drift_timeline_psi(100),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

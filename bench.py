@@ -121,6 +121,7 @@ HEADLINE = [
     "rolling_anomalies",
     "session_funnel",
     "hourly_retention",
+    "drift_timeline_psi",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -57,7 +57,8 @@ def fit_reference(
     for b, c in counts:
         run += c
         cdf.append((int(b), run / total))
-    return {"lo": lo, "width": width, "bins": bins, "cdf": cdf}
+    pdf = [(int(b), c / total) for b, c in counts]
+    return {"lo": lo, "width": width, "bins": bins, "cdf": cdf, "pdf": pdf}
 
 
 def hourly_bin_counts(
@@ -124,6 +125,41 @@ def finish_timeline(counts: DataFrame, ref: dict) -> DataFrame:
         F.round(
             F.max(F.abs(F.col("ch") / F.col("nh") - F.col("ref_cdf"))), ROUND_N
         ).alias("ks_stat"),
+    )
+
+
+def finish_timeline_psi(counts: DataFrame, ref: dict, eps: float = 1e-6) -> DataFrame:
+    """Per-hour Population Stability Index against the reference
+    distribution, from the same (hour, bin, c) state table the KS
+    finish consumes → ``(hour_start, n_rows, psi)``. KS answers "did
+    the shape move?"; PSI weights the move by magnitude — dashboards
+    watch both, and both finish from ONE streaming aggregation.
+
+    Conventions mirror ``operators.drift.psi_drift``: proportions
+    clamp to ``eps`` (empty bins contribute finitely), per-bin terms
+    round@10 → DECIMAL-sum so the ln-bearing float total is order-
+    and engine-independent.
+    """
+    spark = counts.sparkSession
+    refdf = spark.createDataFrame(
+        [(b, p) for b, p in ref["pdf"]], "b bigint, ref_p double"
+    )
+    hours = counts.groupBy("hour_start").agg(F.sum("c").alias("nh"))
+    grid = hours.crossJoin(F.broadcast(refdf))
+    c2 = counts.withColumnRenamed("hour_start", "__h").withColumnRenamed("b", "__b")
+    j = grid.join(
+        c2,
+        on=(F.col("hour_start") == F.col("__h")) & (F.col("b") == F.col("__b")),
+        how="left",
+    ).select(
+        "hour_start", "nh", "ref_p", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    pa = F.greatest(F.col("c") / F.col("nh"), F.lit(eps))
+    pb = F.greatest(F.col("ref_p"), F.lit(eps))
+    contrib = F.round((pa - pb) * F.log(pa / pb), 10).cast("decimal(38,10)")
+    return j.groupBy("hour_start").agg(
+        F.max("nh").cast("bigint").alias("n_rows"),
+        F.round(F.sum(contrib).cast("double"), ROUND_N).alias("psi"),
     )
 
 

@@ -74,3 +74,55 @@ def test_drift_timeline_stream_matches_batch(spark, sf_dir):
         for r in SD.finish_timeline(counts, ref).collect()
     }
     assert finished == batch
+
+
+def test_drift_timeline_psi_stream_matches_batch(spark, sf_dir):
+    """The PSI finish over streamed per-(hour,bin) counts equals the
+    batch finish, and a planted shifted hour scores high PSI while an
+    in-distribution hour scores low."""
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.streaming import drift as SD
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = SD.fit_reference(ev, "value", bins=50)
+    batch = {
+        r.hour_start: (r.n_rows, r.psi)
+        for r in SD.finish_timeline_psi(
+            SD.hourly_bin_counts(ev, ref["lo"], ref["width"], ref["bins"]), ref
+        ).collect()
+    }
+    q = (
+        SD.stream_hourly_bin_counts(spark, f"{sf_dir}/events*.parquet", ref)
+        .writeStream.format("memory")
+        .queryName("t_stream_psi")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.hour_start: (r.n_rows, r.psi)
+        for r in SD.finish_timeline_psi(spark.table("t_stream_psi"), ref).collect()
+    }
+    assert got == batch and len(got) > 0
+
+    # sanity on the metric itself: synthetic shifted hour scores high
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1)
+    # nine uniform hours dominate the reference; hour 9 is all-9s
+    rows = [
+        (t0 + datetime.timedelta(hours=h), float(v % 10))
+        for h in range(9)
+        for v in range(200)
+    ] + [(t0 + datetime.timedelta(hours=9), 9.0)] * 200
+    syn = spark.createDataFrame(rows, "ts timestamp, value double")
+    ref2 = SD.fit_reference(syn, "value", bins=10)
+    psis = {
+        r.hour_start.hour: r.psi
+        for r in SD.finish_timeline_psi(
+            SD.hourly_bin_counts(syn, ref2["lo"], ref2["width"], ref2["bins"]), ref2
+        ).collect()
+    }
+    assert psis[9] > 0.25 > psis[0]
