@@ -100,6 +100,7 @@ def save_audit_report(
     l_diversity_df: DataFrame | None = None,
     skew_df: DataFrame | None = None,
     drift_timeline_df: DataFrame | None = None,
+    t_closeness_df: DataFrame | None = None,
 ) -> str:
     """The operator-era audit report — the numbers a privacy officer
     or pipeline operator actually reads, assembled from the round-3
@@ -123,6 +124,8 @@ def save_audit_report(
         sections.append(("K-Anonymity", body))
     if l_diversity_df is not None:
         sections.append(("L-Diversity", df_to_html(l_diversity_df)))
+    if t_closeness_df is not None:
+        sections.append(("T-Closeness", df_to_html(t_closeness_df)))
     if skew_df is not None:
         sections.append(("Key Skew", df_to_html(skew_df)))
     if drift_timeline_df is not None:

@@ -151,6 +151,7 @@ def test_audit_report_renders_new_sections(spark, sf_dir, tmp_path):
         k_anonymity_df=AN.k_anonymity(cust, qi, k=5),
         k_violations_df=AN.k_anonymity_violations(cust, qi, k=5),
         l_diversity_df=AN.l_diversity(cust, qi, "c_mktsegment", l=2),
+        t_closeness_df=AN.t_closeness(cust, ["c_nationkey"], "c_mktsegment", t=0.2),
         skew_df=P.skew_report(ev, "user_id"),
         drift_timeline_df=DR.drift_timeline(ev, "ts", "value", bins=20),
     )
@@ -159,6 +160,7 @@ def test_audit_report_renders_new_sections(spark, sf_dir, tmp_path):
         "K-Anonymity",
         "Violating equivalence classes",
         "L-Diversity",
+        "T-Closeness",
         "Key Skew",
         "Drift Timeline",
     ):
