@@ -188,3 +188,60 @@ def test_repetition_stats_matches_python_reference(spark, words):
         assert abs(r.top_bigram_fraction - top_cnt / len(bigrams)) < 1e-6
     else:
         assert r.top_bigram is None
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=3), min_size=2, max_size=40),
+    classes=st.lists(st.integers(min_value=0, max_value=2), min_size=2, max_size=40),
+)
+def test_t_closeness_matches_python_reference(spark, vals, classes):
+    """t_closeness == max over classes of the hand-computed total
+    variation distance, and always lands in [0, 1]."""
+    from safedata_pipeline_spark.operators import anonymity as AN
+
+    n = min(len(vals), len(classes))
+    rows = [(classes[i], str(vals[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "q int, s string")
+    got = AN.t_closeness(df, ["q"], "s", t=0.2).collect()[0]
+
+    from collections import Counter
+
+    total = Counter(s for _, s in rows)
+    ntot = sum(total.values())
+    tvs = []
+    for cls in {q for q, _ in rows}:
+        cc = Counter(s for q, s in rows if q == cls)
+        nc = sum(cc.values())
+        tv = 0.5 * sum(
+            abs(round(abs(cc.get(v, 0) / nc - total[v] / ntot), 10))
+            for v in total
+        )
+        tvs.append(round(tv, 6))
+    assert abs(got.t_closeness - round(max(tvs), 6)) < 1e-6
+    assert 0.0 <= got.t_closeness <= 1.0
+    assert got.n_classes == len({q for q, _ in rows})
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=30),
+    budget=st.integers(min_value=1, max_value=16),
+)
+def test_pack_windows_conserves_tokens(spark, toks, budget):
+    """Σ slice lengths over a doc's windows == its token count, for
+    any document lengths and any budget."""
+    from safedata_pipeline_spark.operators.pack import pack_windows
+
+    docs = spark.createDataFrame(
+        [(i, " ".join("w" for _ in range(t))) for i, t in enumerate(toks)],
+        "doc_id bigint, text string",
+    )
+    rows = pack_windows(docs, budget=budget, buckets=3).collect()
+    per_doc: dict = {}
+    for r in rows:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + (r.end_tok - r.start_tok)
+    for i, t in enumerate(toks):
+        assert per_doc.get(i, 0) == t
+        # every slice within budget
+    assert all(0 < r.end_tok - r.start_tok <= budget for r in rows)
