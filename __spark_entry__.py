@@ -419,6 +419,16 @@ def _q_weighted_sample(spark, sf):
     return SMP.weighted_sample(docs, "w").drop("w")
 
 
+def _q_source_share(spark, sf):
+    return SMP.source_share(load_table(spark, sf, "documents"))
+
+
+def _q_minhash_threshold_curve(spark, sf):
+    return DD.minhash_threshold_curve(
+        load_table(spark, sf, "documents"), num_hashes=16, bands=4, n=3, buckets=10
+    )
+
+
 def _q_cluster_size_histogram(spark, sf):
     docs = load_table(spark, sf, "documents")
     pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
@@ -963,6 +973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_size_histogram": _q_cluster_size_histogram,
         "rolling_anomalies": _q_rolling_anomalies,
         "drift_timeline_psi": _q_drift_timeline_psi,
+        "source_share": _q_source_share,
+        "minhash_threshold_curve": _q_minhash_threshold_curve,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -2027,6 +2039,22 @@ def _sql_weighted_sample() -> str:
     )
 
 
+def _sql_source_share() -> str:
+    return (
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "round(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE), 6) AS share "
+        "FROM documents GROUP BY source"
+    )
+
+
+def _sql_minhash_threshold_curve(num_hashes: int, bands: int, buckets: int) -> str:
+    return (
+        f"WITH p AS ({_sql_minhash_lsh(num_hashes, bands, 0.0)}) "
+        f"SELECT round(least(floor(est_jaccard * {buckets}), {buckets - 1}) / {float(buckets)}, 6) AS bucket_lo, "
+        "CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1"
+    )
+
+
 def _sql_cluster_size_histogram() -> str:
     return (
         f"WITH RECURSIVE j AS ({_sql_ngram_jaccard()}), "
@@ -2585,6 +2613,8 @@ def oracle_sql() -> dict[str, str]:
         "session_funnel": _sql_session_funnel(("view", "click", "purchase"), 30),
         "hourly_retention": _sql_hourly_retention(),
         "drift_timeline_psi": _sql_drift_timeline_psi(100),
+        "source_share": _sql_source_share(),
+        "minhash_threshold_curve": _sql_minhash_threshold_curve(16, 4, 10),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

@@ -122,6 +122,8 @@ HEADLINE = [
     "session_funnel",
     "hourly_retention",
     "drift_timeline_psi",
+    "source_share",
+    "minhash_threshold_curve",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -264,6 +264,42 @@ def minhash_lsh_pairs(
     ).where(F.col("est_jaccard") >= threshold)
 
 
+def minhash_threshold_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    buckets: int = 10,
+) -> DataFrame:
+    """Candidate-pair counts per estimated-Jaccard bucket — the tuning
+    curve for choosing ``minhash_lsh_pairs``' threshold ("how many
+    pairs would each cutoff keep?"). One grouped count over the
+    candidate pairs at threshold 0: bucket = floor(est·buckets),
+    clamped to the top bucket so est = 1.0 lands in it. Output one
+    row per occupied bucket: ``(bucket_lo, n_pairs)``.
+
+    Estimates are exact dyadic fractions (k/num_hashes), so the
+    bucket arithmetic is engine-identical; the pair generation is the
+    same banded equi-join, never all-pairs.
+    """
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, n=n, threshold=0.0
+    )
+    b = F.least(
+        F.floor(F.col("est_jaccard") * buckets), F.lit(buckets - 1)
+    )
+    return (
+        pairs.groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            F.round(F.col("bucket") / F.lit(float(buckets)), 6).alias("bucket_lo"),
+            "n_pairs",
+        )
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:

@@ -186,6 +186,25 @@ def quality_deciles(
     )
 
 
+def source_share(df: DataFrame, source_col: str = "source") -> DataFrame:
+    """Corpus composition: per source, document count and share of the
+    total — the number ``source_mixture_sample`` targets; run it
+    before and after a mixture step (or any filter) to see what the
+    step did to the blend. One grouped count + a window over the
+    O(sources) result. Output: (source, n_docs, share)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w_all = Window.partitionBy()
+    return counts.select(
+        source_col,
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w_all), 6).alias("share"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

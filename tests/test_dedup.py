@@ -293,3 +293,23 @@ def test_cluster_size_histogram(spark):
            DD.cluster_size_histogram(docs, pairs).collect()}
     # {0,1,2} size 3; {3,4} size 2; {5} singleton
     assert got == {3: 1, 2: 1, 1: 1}
+
+
+def test_minhash_threshold_curve_counts_all_candidates(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),   # exact dup
+            (3, "the quick brown fox leaps over the lazy dog"),   # near dup
+            (4, "completely different text about spark plans here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    curve = DD.minhash_threshold_curve(docs, buckets=10).collect()
+    total_pairs = sum(r.n_pairs for r in curve)
+    all_pairs = DD.minhash_lsh_pairs(docs, threshold=0.0)
+    assert total_pairs == all_pairs.count()
+    # the exact dup pair lands in the top bucket (est = 1.0)
+    top = {r.bucket_lo: r.n_pairs for r in curve}
+    assert top.get(0.9, 0) >= 1
+    assert all(0.0 <= r.bucket_lo <= 0.9 for r in curve)

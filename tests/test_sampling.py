@@ -155,3 +155,16 @@ def test_weighted_sample_rates_and_determinism(spark):
     assert SMP.weighted_sample(allw, "w").count() == 4000
     nonew = df.withColumn("w", F.lit(-1.0))
     assert SMP.weighted_sample(nonew, "w").count() == 0
+
+
+def test_source_share_sums_to_one(spark):
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.operators import sampling as SMP
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(90)], "doc_id bigint, source string"
+    ).union(spark.createDataFrame([(100, "src0")], "doc_id bigint, source string"))
+    rows = {r.source: r for r in SMP.source_share(df).collect()}
+    assert rows["src0"].n_docs == 31 and rows["src1"].n_docs == 30
+    assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-5
