@@ -419,6 +419,19 @@ def _q_weighted_sample(spark, sf):
     return SMP.weighted_sample(docs, "w").drop("w")
 
 
+def _q_quantile_rank(spark, sf):
+    ev = (
+        load_table(spark, sf, "events")
+        .select("event_id", "value")
+        .where(F.col("value").isNotNull())
+    )
+    return P.quantile_rank(ev, "value")
+
+
+def _q_group_quantiles(spark, sf):
+    return P.group_quantiles(load_table(spark, sf, "documents"), "source", "n_chars")
+
+
 def _q_source_share(spark, sf):
     return SMP.source_share(load_table(spark, sf, "documents"))
 
@@ -975,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_timeline_psi": _q_drift_timeline_psi,
         "source_share": _q_source_share,
         "minhash_threshold_curve": _q_minhash_threshold_curve,
+        "quantile_rank": _q_quantile_rank,
+        "group_quantiles": _q_group_quantiles,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -2039,6 +2054,21 @@ def _sql_weighted_sample() -> str:
     )
 
 
+def _sql_quantile_rank() -> str:
+    return (
+        "SELECT event_id, value, round(cume_dist() OVER (ORDER BY value), 6) AS q_rank "
+        "FROM events WHERE value IS NOT NULL"
+    )
+
+
+def _sql_group_quantiles(probs: tuple) -> str:
+    cols = ", ".join(
+        f"round(quantile_cont(n_chars, {p}), 6) AS p{int(round(p * 100)):02d}"
+        for p in probs
+    )
+    return f"SELECT source, {cols} FROM documents GROUP BY source"
+
+
 def _sql_source_share() -> str:
     return (
         "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
@@ -2615,6 +2645,8 @@ def oracle_sql() -> dict[str, str]:
         "drift_timeline_psi": _sql_drift_timeline_psi(100),
         "source_share": _sql_source_share(),
         "minhash_threshold_curve": _sql_minhash_threshold_curve(16, 4, 10),
+        "quantile_rank": _sql_quantile_rank(),
+        "group_quantiles": _sql_group_quantiles((0.25, 0.5, 0.75)),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

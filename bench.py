@@ -124,6 +124,8 @@ HEADLINE = [
     "drift_timeline_psi",
     "source_share",
     "minhash_threshold_curve",
+    "quantile_rank",
+    "group_quantiles",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

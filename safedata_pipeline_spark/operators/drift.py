@@ -51,7 +51,9 @@ def _tagged_union(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
     return a.unionByName(b)
 
 
-def _two_phase_cum(g: DataFrame, key_col: str, val_col: str) -> DataFrame:
+def _two_phase_cum(
+    g: DataFrame, key_col: str, val_col: str, keep_val: bool = False
+) -> DataFrame:
     """Exact per-key cumulative (ka, kb) counts with NO single-task
     window — the scale fix for the ECDF construction.
 
@@ -107,8 +109,12 @@ def _two_phase_cum(g: DataFrame, key_col: str, val_col: str) -> DataFrame:
         f"{key_col} string, __pid int, offa bigint, offb bigint, na bigint, nb bigint",
     )
     w_local = Window.partitionBy(key_col, "__pid").orderBy(val_col)
+    # keep_val lets callers join the cumulative counts back by value
+    # (quantile_rank); the drift paths only need the aggregates
+    extra = [val_col] if keep_val else []
     return rp.join(F.broadcast(off), [key_col, "__pid"]).select(
         key_col,
+        *extra,
         (F.sum("ka").over(w_local) + F.col("offa")).alias("ca"),
         (F.sum("kb").over(w_local) + F.col("offb")).alias("cb"),
         "na",

@@ -482,6 +482,61 @@ def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def quantile_rank(df: DataFrame, col: str) -> DataFrame:
+    """Rank-based quantile normalization: append ``q_rank`` = the
+    ECDF position of each row's ``col`` value (rows with value ≤ v,
+    over total non-null rows — exactly SQL ``cume_dist()``) — the ML
+    feature transform that is uniform-[0,1] by construction and
+    robust to outliers. NULL values get NULL rank.
+
+    Scale shape: a global ``cume_dist`` window would sort all rows in
+    ONE task; instead the distinct-value table runs through
+    ``_two_phase_cum`` (range-partitioned parallel prefix sums) and
+    the per-value ranks join back — the join key is the value, whose
+    distinct table is the small side. Results are bit-identical to
+    the single-window form (integer counts, one final division).
+    """
+    from safedata_pipeline_spark.operators.drift import _two_phase_cum
+
+    g = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(col).alias("__v"))
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("ka"))
+        .withColumns({"kb": F.lit(0), "__key": F.lit("_")})
+    )
+    c = _two_phase_cum(g, "__key", "__v", keep_val=True)
+    ranks = c.select(
+        "__v", F.round(F.col("ca") / F.col("na"), 6).alias("q_rank")
+    )
+    return df.join(
+        ranks, on=df[col].eqNullSafe(F.col("__v")), how="left"
+    ).drop("__v")
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact per-group percentiles in ONE grouped aggregate (the
+    percentile array computes all probs in a single buffer) → one row
+    per group: ``(group, p25, p50, p75, …)``. The grouped flavor of
+    ``numeric_profile``'s percentile block — per-source length/quality
+    bands for dashboards. ``percentile_approx`` is the 100 TB drop-in,
+    same as every exact-percentile site.
+    """
+    pct = F.percentile(
+        F.col(val_col), F.array(*[F.lit(float(p)) for p in probs])
+    )
+    cols = [
+        F.round(F.element_at(pct, i + 1), 6).alias(f"p{int(round(p * 100)):02d}")
+        for i, p in enumerate(probs)
+    ]
+    return df.groupBy(group_col).agg(*cols)
+
+
 def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     """Mutual information (nats) between two categorical columns, nulls
     as their own category → 1 row ``(mi, n_x_categories,

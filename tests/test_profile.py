@@ -235,3 +235,41 @@ def test_mutual_information_independent_and_dependent(spark):
     )
     r = P.mutual_information(withnull, "x", "y").collect()[0]
     assert r.n_y_categories == 2 and abs(r.mi - round(math.log(2), 6)) < 1e-6
+
+
+def test_quantile_rank_matches_cume_dist(spark):
+    """The two-phase rank equals a global cume_dist window exactly,
+    and NULL values get NULL rank."""
+    from pyspark.sql import Window, functions as F
+
+    from safedata_pipeline_spark.operators import profile as P
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([5, 1, 3, 3, 9, 1, 7])]
+        + [(99, None)],
+        "id bigint, x double",
+    )
+    got = {r.id: r.q_rank for r in P.quantile_rank(df, "x").collect()}
+    w = Window.orderBy("x")
+    expected = {
+        r.id: round(r.cd, 6)
+        for r in df.where(F.col("x").isNotNull())
+        .select("id", F.cume_dist().over(w).alias("cd"))
+        .collect()
+    }
+    assert {k: v for k, v in got.items() if k != 99} == expected
+    assert got[99] is None
+    # uniform by construction: max rank is 1.0, ties share a rank
+    assert max(v for v in got.values() if v is not None) == 1.0
+
+
+def test_group_quantiles(spark):
+    from safedata_pipeline_spark.operators import profile as P
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)] + [("b", 5.0), ("b", 15.0)],
+        "g string, x double",
+    )
+    rows = {r.g: r for r in P.group_quantiles(df, "g", "x").collect()}
+    assert rows["a"].p50 == 50.5 and rows["a"].p25 == 25.75
+    assert rows["b"].p50 == 10.0  # linear interpolation between 5 and 15
