@@ -69,3 +69,45 @@ def test_centroids_on_empty_and_null_labels(spark):
     got = {r.label: r for r in embedding_centroids(with_null).collect()}
     assert list(got["a"].centroid) == [0.0, 0.0]
     assert list(got[None].centroid) == [2.0, 4.0]  # null label is a group
+
+
+def test_round4_operators_on_empty_inputs(spark):
+    """Every round-4 operator returns an empty (or well-formed) result
+    on an empty input instead of raising."""
+    from safedata_pipeline_spark.operators import anonymity as AN
+    from safedata_pipeline_spark.operators import dedup as DD
+    from safedata_pipeline_spark.operators import pack as PK
+    from safedata_pipeline_spark.operators import profile as P
+    from safedata_pipeline_spark.operators import sampling as SMP
+    from safedata_pipeline_spark.operators import text as T
+    from safedata_pipeline_spark.operators import timeseries as TS
+    from safedata_pipeline_spark.streaming import sessions as SS
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string, source string")
+    ev = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, value double, event_type string"
+    )
+    assert T.decontaminate(docs, ["p"], method="substring").count() == 0
+    assert T.decontaminate(docs, ["p q r"], method="ngram").count() == 0
+    assert T.decontaminate(docs, ["p"], method="aho").count() == 0
+    assert PK.pack_windows(docs, budget=8).count() == 0
+    assert SMP.weighted_sample(docs.withColumn("w", F.lit(0.5)), "w").count() == 0
+    assert SMP.source_share(docs).count() == 0
+    assert TS.rolling_user_stats(ev).count() == 0
+    assert TS.rolling_anomalies(ev).count() == 0
+    assert TS.hourly_retention(ev).count() == 0
+    assert SS.session_funnel(ev).collect()[0].n_sessions == 0  # stages still emit
+    assert P.quantile_rank(docs.withColumn("x", F.lit(None).cast("double")), "x").count() == 0
+    assert P.group_quantiles(docs.withColumn("x", F.lit(1.0)), "source", "x").count() == 0
+    assert P.mutual_information(docs, "source", "text").collect()[0].mi is None
+    r = AN.t_closeness(docs, ["source"], "text").collect()[0]
+    assert r.n_classes == 0
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert DD.cluster_size_histogram(docs, pairs).count() == 0
+
+
+def test_decontaminate_no_probes_keeps_everything(spark):
+    from safedata_pipeline_spark.operators import text as T
+
+    docs = spark.createDataFrame([(1, "some text")], "doc_id bigint, text string")
+    assert T.decontaminate(docs, [], method="substring").count() == 1
