@@ -448,6 +448,12 @@ def _q_cluster_size_histogram(spark, sf):
     return DD.cluster_size_histogram(docs, pairs)
 
 
+def _q_enforce_k_anonymity(spark, sf):
+    return AN.enforce_k_anonymity(
+        load_table(spark, sf, "customer"), QI_COLS, k=10
+    )
+
+
 def _q_t_closeness(spark, sf):
     return AN.t_closeness(
         load_table(spark, sf, "customer"), ["c_nationkey"], "c_mktsegment", t=0.2
@@ -990,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_threshold_curve": _q_minhash_threshold_curve,
         "quantile_rank": _q_quantile_rank,
         "group_quantiles": _q_group_quantiles,
+        "enforce_k_anonymity": _q_enforce_k_anonymity,
         # --- rows-only entries (no oracle_sql) go LAST: they carry no
         # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
@@ -2123,6 +2130,20 @@ def _sql_large_orders(threshold: int) -> str:
     )
 
 
+def _sql_enforce_k_anonymity(k: int) -> str:
+    qi = ", ".join(QI_COLS)
+    cols = []
+    for c in ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]:
+        if c in QI_COLS:
+            cols.append(
+                f"CASE WHEN count(*) OVER (PARTITION BY {qi}) < {k} "
+                f"THEN '*' ELSE CAST({c} AS VARCHAR) END AS {c}"
+            )
+        else:
+            cols.append(c)
+    return f"SELECT {', '.join(cols)} FROM customer"
+
+
 def _sql_t_closeness(t: float) -> str:
     return (
         "WITH d AS (SELECT c_nationkey AS q0, COALESCE(CAST(c_mktsegment AS VARCHAR), '__NULL__') AS s FROM customer), "
@@ -2647,6 +2668,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_threshold_curve": _sql_minhash_threshold_curve(16, 4, 10),
         "quantile_rank": _sql_quantile_rank(),
         "group_quantiles": _sql_group_quantiles((0.25, 0.5, 0.75)),
+        "enforce_k_anonymity": _sql_enforce_k_anonymity(10),
         "multimodal_meta": _sql_multimodal_meta(),
         # multimodal_features runs the stubbed decode path → rows-only
         "events_hourly": _sql_events_hourly(),

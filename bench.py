@@ -126,6 +126,7 @@ HEADLINE = [
     "minhash_threshold_curve",
     "quantile_rank",
     "group_quantiles",
+    "enforce_k_anonymity",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -80,6 +80,47 @@ def l_diversity(
     )
 
 
+def enforce_k_anonymity(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+    mask: str = "*",
+    residual: str = "keep",
+) -> DataFrame:
+    """Suppression-based k-anonymity ENFORCEMENT — the remedy the
+    audits gate: every row in an equivalence class smaller than ``k``
+    gets ALL its quasi-identifier values replaced by ``mask``, merging
+    the risky rows into one suppressed class (QI columns come back as
+    strings; non-QI columns pass through untouched).
+
+    ``residual`` controls the corner where the merged suppressed class
+    is ITSELF still smaller than k: ``"keep"`` returns it (callers
+    re-audit with ``k_anonymity``), ``"drop"`` removes those rows so
+    the output is unconditionally k-anonymous.
+
+    Shape: one analytic count over the QI partition (classes are many
+    and small — spreads well) + a map-side CASE per QI column; the
+    ``drop`` path reuses the same windowed counts, no second scan.
+    """
+    if residual not in ("keep", "drop"):
+        raise ValueError(f"residual must be 'keep' or 'drop', got {residual!r}")
+    w = Window.partitionBy(*qi_cols)
+    cnt = F.count(F.lit(1)).over(w)
+    out_cols = [
+        F.when(cnt < k, F.lit(mask)).otherwise(F.col(c).cast("string")).alias(c)
+        if c in qi_cols
+        else F.col(c)
+        for c in df.columns
+    ]
+    masked = df.select(*out_cols, (cnt < k).alias("__was_masked"))
+    if residual == "drop":
+        w2 = Window.partitionBy(*[F.col(c) for c in qi_cols])
+        masked = masked.withColumn("__n2", F.count(F.lit(1)).over(w2)).where(
+            (~F.col("__was_masked")) | (F.col("__n2") >= k)
+        ).drop("__n2")
+    return masked.drop("__was_masked")
+
+
 def t_closeness(
     df: DataFrame, qi_cols: list[str], sensitive_col: str, t: float = 0.2
 ) -> DataFrame:

@@ -89,3 +89,38 @@ def test_t_closeness_null_sensitive_is_category(spark):
     r = AN.t_closeness(df, ["q"], "s", t=0.5).collect()[0]
     # both classes mirror the 50-50 global (null, A) distribution
     assert r.t_closeness == 0.0 and r.n_classes == 2
+
+
+def test_enforce_k_anonymity_masks_and_drops(spark):
+    from safedata_pipeline_spark.operators import anonymity as AN
+
+    # class (1, "x"): 5 rows (safe at k=3); (2, "y"): 1 row; (3, "z"): 1 row
+    rows = [(i, 1, "x") for i in range(5)] + [(10, 2, "y"), (11, 3, "z")]
+    df = spark.createDataFrame(rows, "id bigint, q1 int, q2 string")
+    out = {r.id: r for r in AN.enforce_k_anonymity(df, ["q1", "q2"], k=3).collect()}
+    # safe class keeps its (stringified) QI values
+    assert out[0].q1 == "1" and out[0].q2 == "x"
+    # violating rows are masked and merge into one class of size 2
+    assert out[10].q1 == "*" and out[10].q2 == "*" and out[11].q1 == "*"
+    # the merged class (size 2) still violates k=3: audit agrees...
+    audit = AN.k_anonymity(
+        spark.createDataFrame(
+            [(r.q1, r.q2) for r in out.values()], "q1 string, q2 string"
+        ),
+        ["q1", "q2"],
+        k=3,
+    ).collect()[0]
+    assert not audit.satisfies_k
+    # ...and residual="drop" removes it, making the output k-anonymous
+    dropped = AN.enforce_k_anonymity(df, ["q1", "q2"], k=3, residual="drop")
+    assert sorted(r.id for r in dropped.collect()) == [0, 1, 2, 3, 4]
+    # with enough violating rows the merged class survives on its own
+    rows2 = rows + [(12, 4, "w")]
+    df2 = spark.createDataFrame(rows2, "id bigint, q1 int, q2 string")
+    kept = AN.enforce_k_anonymity(df2, ["q1", "q2"], k=3, residual="drop")
+    assert kept.count() == 8  # 5 safe + 3 masked (class size 3 >= k)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="residual"):
+        AN.enforce_k_anonymity(df, ["q1"], residual="bogus")
