@@ -135,6 +135,23 @@ class SafedataPipeline:
         self.results["anonymity"] = out
         return out
 
+    # -- step 3c: anonymity enforcement (the remedy the audit gates) ---
+    def enforce_anonymity(
+        self, quasi_ids: list[str], k: int = 5, residual: str = "keep"
+    ) -> DataFrame:
+        """Suppression-based k-anonymity enforcement on the protected
+        table: rows in sub-k equivalence classes get their
+        quasi-identifiers masked (``residual="drop"`` removes the
+        merged suppressed class when it is itself still under k, so
+        the result is unconditionally k-anonymous). Run when
+        ``audit_anonymity`` reports ``satisfies_k`` false and a
+        coarser generalization isn't acceptable."""
+        from safedata_pipeline_spark.operators import anonymity as AN
+
+        df = self.df_protected if self.df_protected is not None else self.df_anon
+        self.df_protected = AN.enforce_k_anonymity(df, quasi_ids, k, residual=residual)
+        return self.df_protected
+
     # -- step 4: utility (app.py:205-223) ---------------------------------
     def measure_utility(self, target: str | None = None) -> dict[str, DataFrame]:
         before, after = self.df_anon, self.df_protected

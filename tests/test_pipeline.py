@@ -174,3 +174,19 @@ def test_audit_report_renders_new_sections(spark, sf_dir, tmp_path):
     )
     h2 = open(p2, encoding="utf-8").read()
     assert "Key Skew" in h2 and "K-Anonymity" not in h2
+
+
+def test_pipeline_enforce_anonymity_roundtrip(spark, sf_dir):
+    """audit -> enforce(residual=drop) -> re-audit satisfies k."""
+    from safedata_pipeline_spark.pipeline import SafedataPipeline
+    from safedata_pipeline_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    p = SafedataPipeline(spark).load(cust, cust.drop("c_name"))
+    qi = ["c_nationkey", "c_mktsegment"]
+    p.protect(sdc_cols=[], generalize_cols=[], dp_cols=[])
+    first = p.audit_anonymity(qi, k=10)
+    p.enforce_anonymity(qi, k=10, residual="drop")
+    again = p.audit_anonymity(qi, k=10)
+    assert again["satisfies_k"]
+    assert again["n_classes"] <= first["n_classes"] + 1
