@@ -41,6 +41,9 @@ from safedata_pipeline_spark.operators import rollup as RU
 from safedata_pipeline_spark.operators import sketch as SK
 from safedata_pipeline_spark.operators import sampling as SMP
 from safedata_pipeline_spark.operators import anonymity as AN
+from safedata_pipeline_spark.operators import cdc as CDC
+from safedata_pipeline_spark.operators import quality_rules as QR
+from safedata_pipeline_spark.functions.hashing import md5_unit_interval as _hash01
 from safedata_pipeline_spark.streaming import corpus as SC
 from safedata_pipeline_spark.streaming import events as SE
 from safedata_pipeline_spark.streaming import sessions as SS
@@ -856,6 +859,56 @@ def _q_model_utility(spark, sf):
     return MU.model_utility_check(cust, protected, "target")
 
 
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+QUALITY_RULES = [
+    {"name": "complete_acctbal", "kind": "completeness", "col": "c_acctbal", "min_ratio": 0.99},
+    {"name": "unique_custkey", "kind": "uniqueness", "col": "c_custkey", "min_ratio": 1.0},
+    {"name": "acctbal_min", "kind": "min", "col": "c_acctbal", "low": -1000.0},
+    {"name": "acctbal_mean", "kind": "mean", "col": "c_acctbal", "low": 0.0, "high": 10000.0},
+    {"name": "name_pattern", "kind": "pattern", "col": "c_name", "regex": "^Customer#[0-9]+$", "min_ratio": 1.0},
+    {"name": "segment_domain", "kind": "in_set", "col": "c_mktsegment", "allowed": SEGMENTS, "min_ratio": 1.0},
+    {"name": "table_rows", "kind": "row_count", "low": 1.0},
+]
+
+
+def _q_quality_rules(spark, sf):
+    # Deequ-style suite: 7 rules, ONE aggregate pass (X104)
+    return QR.check_rules(load_table(spark, sf, "customer"), QUALITY_RULES)
+
+
+def _q_latest_events(spark, sf):
+    # CDC latest-wins compaction per (user, event_type) (X105)
+    return CDC.latest_by_key(
+        load_table(spark, sf, "events"), ["user_id", "event_type"], "ts", "event_id"
+    )
+
+
+def _q_split_leakage(spark, sf):
+    # near-dup edges crossing a deterministic 80/20 split (X106)
+    docs = load_table(spark, sf, "documents")
+    asg = docs.select(
+        "doc_id",
+        F.when(_hash01(F.col("doc_id")) <= 0.8, F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+    pairs = DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3, threshold=0.5)
+    return DD.split_leakage_summary(asg, pairs)
+
+
+def _q_hll_user_rollup(spark, sf):
+    # mergeable HLL: hourly user sketches unioned to days (X107);
+    # estimate is engine-specific -> rows-only in the harness
+    ev = load_table(spark, sf, "events")
+    hourly = SK.hll_rollup(ev, F.date_trunc("hour", F.col("ts")), "user_id")
+    daily = SK.hll_rollup_merge(hourly, F.date_trunc("day", F.col("grp")))
+    return daily.select(
+        F.col("grp").cast("timestamp_ntz").alias("day_start"),
+        F.col("ndv_estimate").alias("n_users_approx"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-4 window rotation: the driver hash-checks the FIRST 50
     # entries. Ten operators that landed in r3 with only local oracle
@@ -1005,6 +1058,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
+        "quality_rules": _q_quality_rules,
+        "latest_events": _q_latest_events,
+        "split_leakage": _q_split_leakage,
+        "hll_user_rollup": _q_hll_user_rollup,
     }
 
 
@@ -2526,6 +2583,82 @@ def _sql_quality_deciles(buckets: int = 10) -> str:
     )
 
 
+def _sql_check_rules(table: str, rules: list[dict]) -> str:
+    """Mirror of quality_rules.check_rules: one CTE computes every
+    metric; UNION ALL emits one literal-typed row per rule."""
+    metrics = []
+    for i, r in enumerate(rules):
+        k, c = r["kind"], r.get("col")
+        if k == "completeness":
+            m = f"count({c}) * 1.0 / count(*)"
+        elif k == "uniqueness":
+            m = f"count(DISTINCT {c}) * 1.0 / count({c})"
+        elif k == "min":
+            m = f"CAST(min({c}) AS DOUBLE)"
+        elif k == "max":
+            m = f"CAST(max({c}) AS DOUBLE)"
+        elif k == "mean":
+            m = f"avg({c})"
+        elif k == "pattern":
+            m = (
+                f"sum(CASE WHEN regexp_matches({c}, '{r['regex']}') THEN 1 ELSE 0 END)"
+                f" * 1.0 / count({c})"
+            )
+        elif k == "in_set":
+            vals = ", ".join(f"'{v}'" for v in r["allowed"])
+            m = f"sum(CASE WHEN {c} IN ({vals}) THEN 1 ELSE 0 END) * 1.0 / count({c})"
+        else:  # row_count
+            m = "CAST(count(*) AS DOUBLE)"
+        metrics.append(f"round({m}, 6) AS m{i}")
+    rows = []
+    for i, r in enumerate(rules):
+        k = r["kind"]
+        if k in ("completeness", "uniqueness", "pattern", "in_set"):
+            low, high = float(r.get("min_ratio", 1.0)), None
+        else:
+            low = float(r["low"]) if "low" in r else None
+            high = float(r["high"]) if "high" in r else None
+        name = r.get("name") or f"{k}_{r.get('col', 'table')}"
+        low_s = f"{low}" if low is not None else "CAST(NULL AS DOUBLE)"
+        high_s = f"{high}" if high is not None else "CAST(NULL AS DOUBLE)"
+        ok = []
+        if low is not None:
+            ok.append(f"m{i} >= {low}")
+        if high is not None:
+            ok.append(f"m{i} <= {high}")
+        ok_s = " AND ".join(ok) if ok else "TRUE"
+        rows.append(
+            f"SELECT '{name}' AS rule, '{r.get('col', '')}' AS col, '{k}' AS metric, "
+            f"m{i} AS value, {low_s} AS low, {high_s} AS high, "
+            f"coalesce({ok_s}, FALSE) AS passed FROM m"
+        )
+    return f"WITH m AS (SELECT {', '.join(metrics)} FROM {table}) " + " UNION ALL ".join(rows)
+
+
+def _sql_latest_events() -> str:
+    return (
+        "SELECT event_id, ts, user_id, event_type, value, props FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY user_id, event_type "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+    )
+
+
+def _sql_split_leakage() -> str:
+    asg = (
+        "SELECT doc_id, CASE WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "AS UBIGINT) + 1.0) / 4294967296.0 <= 0.8 THEN 'train' ELSE 'eval' END AS split "
+        "FROM documents"
+    )
+    return (
+        f"WITH pairs AS ({_sql_minhash_lsh(16, 4, 0.5)}), asg AS ({asg}) "
+        "SELECT a.split AS split_a, b.split AS split_b, "
+        "CAST(count(*) AS BIGINT) AS n_pairs, "
+        "CAST(count(DISTINCT p.id_b) AS BIGINT) AS n_leaked_docs "
+        "FROM pairs p JOIN asg a ON p.id_a = a.doc_id JOIN asg b ON p.id_b = b.doc_id "
+        "WHERE a.split <> b.split GROUP BY a.split, b.split"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "limit_preview": (
@@ -2675,4 +2808,8 @@ def oracle_sql() -> dict[str, str]:
         "events_json": _sql_events_json(),
         "user_sessions": _sql_user_sessions(30),
         "impute": _sql_impute(),
+        "quality_rules": _sql_check_rules("customer", QUALITY_RULES),
+        "latest_events": _sql_latest_events(),
+        "split_leakage": _sql_split_leakage(),
+        # hll_user_rollup: Datasketches estimate is engine-specific → rows-only
     }

@@ -127,6 +127,10 @@ HEADLINE = [
     "quantile_rank",
     "group_quantiles",
     "enforce_k_anonymity",
+    "quality_rules",
+    "latest_events",
+    "split_leakage",
+    "hll_user_rollup",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

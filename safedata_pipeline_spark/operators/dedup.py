@@ -739,3 +739,52 @@ def dedup_components_best(
         "score",
         (F.row_number().over(w) == 1).alias("is_kept"),
     )
+
+
+def split_leakage_pairs(
+    assignments: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/eval SPLIT-LEAKAGE audit: near-duplicate pairs that cross
+    the split boundary. A document whose near-dup sits in the eval
+    split inflates eval scores exactly like benchmark contamination —
+    this is the within-corpus twin of ``text.decontaminate``.
+
+    ``assignments``: (id, split) — any deterministic split column.
+    ``pairs``: output of any pair generator here (id_a, id_b, …).
+    Output: the crossing pairs, each annotated with both splits.
+
+    Shape: two broadcast-or-shuffle hash joins on the id (the
+    assignment table is narrow); no new pair generation — the audit
+    reuses whatever candidate structure (LSH bands, shingle postings)
+    produced ``pairs``, so its cost is O(|pairs|), not O(n²).
+    """
+    a = assignments.select(
+        F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a")
+    )
+    b = assignments.select(
+        F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+
+
+def split_leakage_summary(
+    assignments: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """One row per (split_a, split_b) direction pair: how many
+    near-dup edges cross it, and how many distinct eval-side docs are
+    compromised. ``n_leaked_docs`` counts distinct id_b — the docs
+    whose split is contaminated by a near-dup on the other side."""
+    crossing = split_leakage_pairs(assignments, pairs, id_col, split_col)
+    return crossing.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count_distinct("id_b").cast("bigint").alias("n_leaked_docs"),
+    )

@@ -313,3 +313,28 @@ def test_minhash_threshold_curve_counts_all_candidates(spark):
     top = {r.bucket_lo: r.n_pairs for r in curve}
     assert top.get(0.9, 0) >= 1
     assert all(0.0 <= r.bucket_lo <= 0.9 for r in curve)
+
+
+def test_split_leakage_pairs_and_summary(spark):
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.operators.dedup import (
+        split_leakage_pairs,
+        split_leakage_summary,
+    )
+
+    asg = spark.createDataFrame(
+        [(1, "train"), (2, "eval"), (3, "train"), (4, "train")],
+        "doc_id bigint, split string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4)], "id_a bigint, id_b bigint"
+    )
+    crossing = split_leakage_pairs(asg, pairs)
+    got = sorted((r["id_a"], r["id_b"]) for r in crossing.collect())
+    assert got == [(1, 2), (2, 4)]  # 1-3 is train-train, not leakage
+    summ = {
+        (r["split_a"], r["split_b"]): (r["n_pairs"], r["n_leaked_docs"])
+        for r in split_leakage_summary(asg, pairs).collect()
+    }
+    assert summ == {("train", "eval"): (1, 1), ("eval", "train"): (1, 1)}

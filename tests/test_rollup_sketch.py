@@ -57,3 +57,27 @@ def test_kmv_prefilter_preserves_sketch(spark):
     tiny = SK.kmv_distinct(df, ["c"], k=64, prefilter=0.001).collect()[0]
     if tiny.k_used < 64:
         assert 1000 < tiny.kmv_estimate < 25000
+
+
+def test_hll_rollup_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    # 5000 events over 3 hours in one day: per-hour estimates within
+    # ~2% of exact; merging hour sketches to the day must agree with a
+    # direct day-level sketch (the mergeability contract)
+    ev = spark.range(5000).select(
+        F.col("id").alias("event_id"),
+        F.expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id % 3 AS INT),0,0)").alias("ts"),
+        (F.col("id") % 1000).alias("user_id"),
+    )
+    hourly = SK.hll_rollup(ev, F.date_trunc("hour", F.col("ts")), "user_id")
+    rows = {r["grp"]: r["ndv_estimate"] for r in hourly.collect()}
+    assert len(rows) == 3
+    for est in rows.values():
+        assert abs(est - 1000) / 1000 < 0.05
+    daily = SK.hll_rollup_merge(hourly, F.date_trunc("day", F.col("grp")))
+    direct = SK.hll_rollup(ev, F.date_trunc("day", F.col("ts")), "user_id")
+    merged_est = daily.collect()[0]["ndv_estimate"]
+    direct_est = direct.collect()[0]["ndv_estimate"]
+    assert merged_est == direct_est  # identical sketch state, not just close
+    assert abs(merged_est - 1000) / 1000 < 0.05
