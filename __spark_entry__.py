@@ -897,6 +897,28 @@ def _q_split_leakage(spark, sf):
     return DD.split_leakage_summary(asg, pairs)
 
 
+DOC_RULES = [
+    {"name": "complete_text", "kind": "completeness", "col": "text", "min_ratio": 0.99},
+    {"name": "chars_mean", "kind": "mean", "col": "n_chars", "low": 10.0, "high": 5000.0},
+    {"name": "lang_domain", "kind": "in_set", "col": "lang", "allowed": DOC_LANGS, "min_ratio": 0.9},
+    {"name": "min_docs", "kind": "row_count", "low": 10.0},
+]
+
+
+def _q_rules_by_source(spark, sf):
+    # per-source corpus gating: same compiled suite, ONE groupBy pass (X108)
+    return QR.check_rules_by(load_table(spark, sf, "documents"), ["source"], DOC_RULES)
+
+
+def _q_orphan_orders(spark, sf):
+    # cross-table FK audit: orders.o_custkey ⊆ customer.c_custkey (X109)
+    return QR.referential_integrity(
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+        {"o_custkey": "c_custkey"},
+    )
+
+
 def _q_hll_user_rollup(spark, sf):
     # mergeable HLL: hourly user sketches unioned to days (X107);
     # estimate is engine-specific -> rows-only in the harness
@@ -1062,6 +1084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_events": _q_latest_events,
         "split_leakage": _q_split_leakage,
         "hll_user_rollup": _q_hll_user_rollup,
+        "rules_by_source": _q_rules_by_source,
+        "orphan_orders": _q_orphan_orders,
     }
 
 
@@ -2586,6 +2610,15 @@ def _sql_quality_deciles(buckets: int = 10) -> str:
 def _sql_check_rules(table: str, rules: list[dict]) -> str:
     """Mirror of quality_rules.check_rules: one CTE computes every
     metric; UNION ALL emits one literal-typed row per rule."""
+    return _sql_rules_impl(table, [], rules)
+
+
+def _sql_check_rules_by(table: str, group_cols: list[str], rules: list[dict]) -> str:
+    """Mirror of quality_rules.check_rules_by: grouped metric CTE."""
+    return _sql_rules_impl(table, group_cols, rules)
+
+
+def _sql_rules_impl(table: str, group_cols: list[str], rules: list[dict]) -> str:
     metrics = []
     for i, r in enumerate(rules):
         k, c = r["kind"], r.get("col")
@@ -2627,12 +2660,31 @@ def _sql_check_rules(table: str, rules: list[dict]) -> str:
         if high is not None:
             ok.append(f"m{i} <= {high}")
         ok_s = " AND ".join(ok) if ok else "TRUE"
+        grp_sel = "".join(f"{g}, " for g in group_cols)
         rows.append(
-            f"SELECT '{name}' AS rule, '{r.get('col', '')}' AS col, '{k}' AS metric, "
+            f"SELECT {grp_sel}'{name}' AS rule, '{r.get('col', '')}' AS col, '{k}' AS metric, "
             f"m{i} AS value, {low_s} AS low, {high_s} AS high, "
             f"coalesce({ok_s}, FALSE) AS passed FROM m"
         )
-    return f"WITH m AS (SELECT {', '.join(metrics)} FROM {table}) " + " UNION ALL ".join(rows)
+    grp_cte = "".join(f"{g}, " for g in group_cols)
+    group_by = f" GROUP BY {', '.join(group_cols)}" if group_cols else ""
+    return (
+        f"WITH m AS (SELECT {grp_cte}{', '.join(metrics)} FROM {table}{group_by}) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+def _sql_orphan_orders() -> str:
+    orphan = "CASE WHEN o_custkey IS NOT NULL AND k IS NULL THEN 1 ELSE 0 END"
+    return (
+        "WITH pk AS (SELECT DISTINCT c_custkey AS k FROM customer), "
+        "j AS (SELECT o.o_custkey, pk.k FROM orders o LEFT JOIN pk ON o.o_custkey = pk.k) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_child, "
+        "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys, "
+        f"CAST(sum({orphan}) AS BIGINT) AS n_orphans, "
+        f"round(sum({orphan}) * 1.0 / count(*), 6) AS orphan_ratio, "
+        f"(sum({orphan}) = 0) AS ri_ok FROM j"
+    )
 
 
 def _sql_latest_events() -> str:
@@ -2812,4 +2864,6 @@ def oracle_sql() -> dict[str, str]:
         "latest_events": _sql_latest_events(),
         "split_leakage": _sql_split_leakage(),
         # hll_user_rollup: Datasketches estimate is engine-specific → rows-only
+        "rules_by_source": _sql_check_rules_by("documents", ["source"], DOC_RULES),
+        "orphan_orders": _sql_orphan_orders(),
     }

@@ -131,6 +131,8 @@ HEADLINE = [
     "latest_events",
     "split_leakage",
     "hll_user_rollup",
+    "rules_by_source",
+    "orphan_orders",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

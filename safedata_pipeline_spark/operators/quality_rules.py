@@ -142,3 +142,84 @@ def rule_violations(df: DataFrame, rule: dict) -> DataFrame:
     if high is not None:
         cond = cond | (F.col(col) > F.lit(high))
     return df.where(F.col(col).isNotNull() & cond)
+
+
+def check_rules_by(
+    df: DataFrame, group_cols: list[str], rules: list[dict]
+) -> DataFrame:
+    """Per-group rule evaluation — the suite applied independently to
+    every ``group_cols`` slice (per-source corpus gating, per-tenant
+    QA). Output: group columns + the same verdict columns as
+    ``check_rules``, one row per (group × rule).
+
+    Shape: ONE groupBy pass — the rules compile into the same wide
+    aggregate, keyed by the group; the per-rule explode multiplies the
+    (small) group table, never the data. ``row_count`` here means rows
+    per group."""
+    if not rules:
+        raise ValueError("empty rule suite")
+    if not group_cols:
+        raise ValueError("empty group_cols; use check_rules")
+    aggs = [_metric_expr(df, r, i)[0] for i, r in enumerate(rules)]
+    m = df.groupBy(*group_cols).agg(*aggs)
+    structs = []
+    for i, r in enumerate(rules):
+        low, high = _bounds(r)
+        v = F.col(f"__m{i}")
+        ok = F.lit(True)
+        if low is not None:
+            ok = ok & (v >= F.lit(low))
+        if high is not None:
+            ok = ok & (v <= F.lit(high))
+        structs.append(
+            F.struct(
+                F.lit(_rule_name(r)).alias("rule"),
+                F.lit(r.get("col", "")).alias("col"),
+                F.lit(r["kind"]).alias("metric"),
+                v.alias("value"),
+                F.lit(low).cast("double").alias("low"),
+                F.lit(high).cast("double").alias("high"),
+                F.coalesce(ok, F.lit(False)).alias("passed"),
+            )
+        )
+    return m.select(*group_cols, F.explode(F.array(*structs)).alias("r")).select(
+        *group_cols, "r.*"
+    )
+
+
+def referential_integrity(
+    child: DataFrame, parent: DataFrame, keys: dict[str, str]
+) -> DataFrame:
+    """Cross-table FK check: every non-null ``keys`` tuple in ``child``
+    must exist in ``parent``. ``keys`` maps child column → parent
+    column. Output (1 row): ``(n_child, n_null_keys, n_orphans,
+    orphan_ratio, ri_ok)`` — rows whose key tuple contains a NULL are
+    counted separately (SQL FK semantics: NULL keys don't violate).
+
+    Shape: distinct parent keys (a groupBy on the parent's key — at
+    100 TB the dimension side, typically broadcastable after distinct)
+    + ONE left join and one aggregate over the child; no second child
+    scan."""
+    if not keys:
+        raise ValueError("empty key mapping")
+    ccols = list(keys.keys())
+    pk = (
+        parent.select(*[F.col(p).alias(c) for c, p in keys.items()])
+        .dropDuplicates()
+        .withColumn("__hit", F.lit(1))
+    )
+    has_null = None
+    for c in ccols:
+        n = F.col(c).isNull()
+        has_null = n if has_null is None else (has_null | n)
+    j = child.select(*ccols).join(pk, on=ccols, how="left")
+    orphan = (~has_null) & F.col("__hit").isNull()
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_child"),
+        F.sum(has_null.cast("bigint")).alias("n_null_keys"),
+        F.sum(orphan.cast("bigint")).alias("n_orphans"),
+        F.round(
+            F.sum(orphan.cast("bigint")) / F.count(F.lit(1)), ROUND_N
+        ).alias("orphan_ratio"),
+        (F.sum(orphan.cast("bigint")) == 0).alias("ri_ok"),
+    )

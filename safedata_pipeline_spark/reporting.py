@@ -101,6 +101,7 @@ def save_audit_report(
     skew_df: DataFrame | None = None,
     drift_timeline_df: DataFrame | None = None,
     t_closeness_df: DataFrame | None = None,
+    quality_rules_df: DataFrame | None = None,
 ) -> str:
     """The operator-era audit report — the numbers a privacy officer
     or pipeline operator actually reads, assembled from the round-3
@@ -130,6 +131,8 @@ def save_audit_report(
         sections.append(("Key Skew", df_to_html(skew_df)))
     if drift_timeline_df is not None:
         sections.append(("Drift Timeline", df_to_html(drift_timeline_df)))
+    if quality_rules_df is not None:
+        sections.append(("Data-Quality Rules", df_to_html(quality_rules_df)))
     stamp = f"Generated {datetime.datetime.now(datetime.timezone.utc).isoformat()}"
     html = _html_doc("SafeData Audit Report (Spark engine)", stamp, sections)
     with open(path, "w", encoding="utf-8") as f:

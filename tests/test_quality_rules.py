@@ -89,3 +89,55 @@ def test_single_scan_plan(tbl):
     ]
     plan = QR.check_rules(tbl, rules)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("LocalTableScan") + plan.count("Scan ") <= 2
+
+
+def test_check_rules_by_groups(spark):
+    rows = [
+        ("a", 1.0, "x"), ("a", 3.0, "y"), ("a", None, "x"),
+        ("b", 10.0, "x"), ("b", 20.0, "x"),
+    ]
+    df = spark.createDataFrame(rows, "src string, v double, tag string")
+    rules = [
+        {"kind": "completeness", "col": "v", "min_ratio": 0.9},
+        {"kind": "mean", "col": "v", "low": 0.0, "high": 5.0},
+        {"kind": "row_count", "low": 3.0},
+    ]
+    out = QR.check_rules_by(df, ["src"], rules)
+    v = {(r["src"], r["rule"]): r.asDict() for r in out.collect()}
+    assert len(v) == 6  # 2 groups x 3 rules
+    assert v[("a", "completeness_v")]["passed"] is False  # 2/3 < 0.9
+    assert v[("b", "completeness_v")]["passed"] is True
+    assert v[("a", "mean_v")]["value"] == 2.0 and v[("a", "mean_v")]["passed"] is True
+    assert v[("b", "mean_v")]["value"] == 15.0 and v[("b", "mean_v")]["passed"] is False
+    assert v[("a", "row_count_table")]["passed"] is True   # 3 rows
+    assert v[("b", "row_count_table")]["passed"] is False  # 2 rows
+    with pytest.raises(ValueError):
+        QR.check_rules_by(df, [], rules)
+
+
+def test_referential_integrity(spark):
+    parent = spark.createDataFrame([(1,), (2,), (2,), (3,)], "pk bigint")
+    child = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 9), (4, None), (5, 3)], "id bigint, fk bigint"
+    )
+    out = QR.referential_integrity(child, parent, {"fk": "pk"}).collect()[0]
+    assert out["n_child"] == 5
+    assert out["n_null_keys"] == 1   # fk NULL doesn't violate
+    assert out["n_orphans"] == 1     # fk=9
+    assert out["orphan_ratio"] == 0.2
+    assert out["ri_ok"] is False
+    clean = QR.referential_integrity(
+        child.where("fk IS NULL OR fk <= 3"), parent, {"fk": "pk"}
+    ).collect()[0]
+    assert clean["ri_ok"] is True
+    with pytest.raises(ValueError):
+        QR.referential_integrity(child, parent, {})
+
+
+def test_audit_report_renders_quality_rules(tbl, tmp_path):
+    from safedata_pipeline_spark.reporting import save_audit_report
+
+    verdicts = QR.check_rules(tbl, [{"kind": "uniqueness", "col": "id"}])
+    path = save_audit_report(str(tmp_path / "audit.html"), {"run": "t"}, quality_rules_df=verdicts)
+    html = open(path).read()
+    assert "Data-Quality Rules" in html and "uniqueness_id" in html
