@@ -43,6 +43,7 @@ from safedata_pipeline_spark.operators import sampling as SMP
 from safedata_pipeline_spark.operators import anonymity as AN
 from safedata_pipeline_spark.operators import cdc as CDC
 from safedata_pipeline_spark.operators import quality_rules as QR
+from safedata_pipeline_spark.operators import incremental as INC
 from safedata_pipeline_spark.functions.hashing import md5_unit_interval as _hash01
 from safedata_pipeline_spark.streaming import corpus as SC
 from safedata_pipeline_spark.streaming import events as SE
@@ -897,6 +898,18 @@ def _q_split_leakage(spark, sf):
     return DD.split_leakage_summary(asg, pairs)
 
 
+INC_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _q_incremental_profile(spark, sf):
+    # mergeable-profile contract (X111): two disjoint batches profiled
+    # separately, merged as state, finalized — must equal from-scratch
+    li = load_table(spark, sf, "lineitem")
+    a = INC.profile_partials(li.where(F.col("l_orderkey") % 2 == 0), INC_COLS)
+    b = INC.profile_partials(li.where(F.col("l_orderkey") % 2 == 1), INC_COLS)
+    return INC.finalize_profile(INC.merge_partials(a, b))
+
+
 DOC_RULES = [
     {"name": "complete_text", "kind": "completeness", "col": "text", "min_ratio": 0.99},
     {"name": "chars_mean", "kind": "mean", "col": "n_chars", "low": 10.0, "high": 5000.0},
@@ -1086,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_user_rollup": _q_hll_user_rollup,
         "rules_by_source": _q_rules_by_source,
         "orphan_orders": _q_orphan_orders,
+        "incremental_profile": _q_incremental_profile,
     }
 
 
@@ -2674,6 +2688,28 @@ def _sql_rules_impl(table: str, group_cols: list[str], rules: list[dict]) -> str
     )
 
 
+def _sql_incremental_profile(table: str, cols: list[str]) -> str:
+    # from-scratch twin of the merged-partials profile: exact DECIMAL
+    # sums of round@6 inputs, cast to DOUBLE once before dividing
+    parts = []
+    for c in cols:
+        s = f"CAST(sum(CAST(round({c}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+        s2 = f"CAST(sum(CAST(round({c} * {c}, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+        n = f"count({c})"
+        mean = f"{s} / {n}"
+        var = f"greatest({s2} / {n} - ({mean}) * ({mean}), 0.0)"
+        parts.append(
+            f"SELECT '{c}' AS \"column\", CAST({n} AS BIGINT) AS n, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+            f"round({n} * 1.0 / count(*), 6) AS completeness, "
+            f"round({mean}, 6) AS mean, "
+            f"round(sqrt({var}), 6) AS std_pop, "
+            f"round(CAST(min({c}) AS DOUBLE), 6) AS min, "
+            f"round(CAST(max({c}) AS DOUBLE), 6) AS max FROM {table}"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _sql_orphan_orders() -> str:
     orphan = "CASE WHEN o_custkey IS NOT NULL AND k IS NULL THEN 1 ELSE 0 END"
     return (
@@ -2866,4 +2902,5 @@ def oracle_sql() -> dict[str, str]:
         # hll_user_rollup: Datasketches estimate is engine-specific → rows-only
         "rules_by_source": _sql_check_rules_by("documents", ["source"], DOC_RULES),
         "orphan_orders": _sql_orphan_orders(),
+        "incremental_profile": _sql_incremental_profile("lineitem", INC_COLS),
     }

@@ -133,6 +133,7 @@ HEADLINE = [
     "hll_user_rollup",
     "rules_by_source",
     "orphan_orders",
+    "incremental_profile",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

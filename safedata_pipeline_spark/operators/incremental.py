@@ -1,0 +1,112 @@
+"""Incremental (mergeable) profiling — partial-aggregate state tables.
+
+Extension surface: the reference profiles a whole table per run
+(/root/reference/modules/utility.py:60-79 recomputes every stat from
+scratch). At 100 TB with daily arrivals, re-scanning history for a
+profile is the anti-pattern; the fix is the classic mergeable-
+aggregate decomposition (the same algebra Spark's own partial
+aggregation and the hypertable rollup use, lifted to a USER-VISIBLE
+state table):
+
+  * ``profile_partials(df, cols)`` — one row per column holding the
+    sufficient statistics (n, n_null, sum, sumsq as DECIMAL(38,6),
+    min, max). One wide aggregate pass over the batch.
+  * ``merge_partials(*parts)`` — combine any number of partial tables
+    (union + groupBy column): the commutative-monoid merge. O(columns)
+    rows in, O(columns) out — merging a year of daily partials never
+    touches the data again.
+  * ``finalize_profile(partials)`` — mean / population-std / min /
+    max / completeness from the state. Pure map over O(columns) rows.
+
+Because sums are DECIMAL (exact, associative), the pipeline satisfies
+``finalize(merge(partials(A), partials(B))) == finalize(partials(A∪B))``
+BIT-FOR-BIT — the equivalence the unit tests pin and the reason this
+is safe to run incrementally: no float-summation drift between the
+incremental and from-scratch answers. (Percentiles are deliberately
+absent: exact ones aren't mergeable; the KMV/HLL sketches and
+``percentile_approx`` cover the approximate path.)
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROUND_N = 6
+_DEC = "decimal(38,6)"
+
+
+def profile_partials(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Sufficient statistics per numeric column, one aggregate pass →
+    ``(column, n, n_null, sum, sumsq, min, max)``."""
+    if not cols:
+        raise ValueError("no columns")
+    aggs = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        aggs += [
+            F.count(col).cast("bigint").alias(f"n__{c}"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nn__{c}"),
+            F.sum(F.round(col, ROUND_N).cast(_DEC)).alias(f"s__{c}"),
+            F.sum(F.round(col * col, ROUND_N).cast(_DEC)).alias(f"s2__{c}"),
+            F.min(col).alias(f"mn__{c}"),
+            F.max(col).alias(f"mx__{c}"),
+        ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"n__{c}").alias("n"),
+            F.col(f"nn__{c}").alias("n_null"),
+            F.coalesce(F.col(f"s__{c}"), F.lit(0).cast(_DEC)).alias("sum"),
+            F.coalesce(F.col(f"s2__{c}"), F.lit(0).cast(_DEC)).alias("sumsq"),
+            F.col(f"mn__{c}").alias("min"),
+            F.col(f"mx__{c}").alias("max"),
+        )
+        for c in cols
+    ]
+    return row.select(F.inline(F.array(*structs)))
+
+
+def merge_partials(*parts: DataFrame) -> DataFrame:
+    """Monoid merge of partial tables: counts and decimal sums add,
+    min/max fold. Any number of inputs, any grouping of the underlying
+    data — the result is independent of how the data was batched."""
+    if not parts:
+        raise ValueError("no partials")
+    allp = reduce(lambda a, b: a.unionByName(b), parts)
+    return allp.groupBy("column").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("n_null").cast("bigint").alias("n_null"),
+        F.sum("sum").cast(_DEC).alias("sum"),
+        F.sum("sumsq").cast(_DEC).alias("sumsq"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    )
+
+
+def finalize_profile(partials: DataFrame) -> DataFrame:
+    """Human-facing profile from the state table (map-only over
+    O(columns) rows): ``(column, n, n_null, completeness, mean,
+    std_pop, min, max)``. Population std via E[x²]−E[x]² on the exact
+    decimal sums, clamped at 0 for the degenerate constant-column
+    case."""
+    n = F.col("n")
+    # cast the EXACT decimal sums to double once, then divide in
+    # double: decimal-division result scales are engine-specific,
+    # double division is not
+    mean = F.col("sum").cast("double") / n
+    ex2 = F.col("sumsq").cast("double") / n
+    var = F.greatest(ex2 - mean * mean, F.lit(0.0))
+    return partials.select(
+        "column",
+        "n",
+        "n_null",
+        F.round(n / (n + F.col("n_null")), ROUND_N).alias("completeness"),
+        F.when(n > 0, F.round(mean, ROUND_N)).alias("mean"),
+        F.when(n > 0, F.round(F.sqrt(var), ROUND_N)).alias("std_pop"),
+        F.round(F.col("min"), ROUND_N).alias("min"),
+        F.round(F.col("max"), ROUND_N).alias("max"),
+    )
