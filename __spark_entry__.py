@@ -898,6 +898,30 @@ def _q_split_leakage(spark, sf):
     return DD.split_leakage_summary(asg, pairs)
 
 
+def _q_user_value_trend(spark, sf):
+    # per-user least-squares drift monitor via regr_slope (X113)
+    from safedata_pipeline_spark.operators.timeseries import per_key_trend
+
+    return per_key_trend(load_table(spark, sf, "events"), "user_id", "ts", "value")
+
+
+def _q_hourly_value_bands(spark, sf):
+    # p50/p95/p99 latency-style bands per event hour (X114)
+    from safedata_pipeline_spark.operators.timeseries import hourly_percentiles
+
+    return hourly_percentiles(load_table(spark, sf, "events"), "ts", "value")
+
+
+def _q_orders_join_audit(spark, sf):
+    # exact pre-join cardinality/fanout audit lineitem ⋈ orders (X115)
+    return P.join_cardinality(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+    )
+
+
 INC_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 
 
@@ -1100,6 +1124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_by_source": _q_rules_by_source,
         "orphan_orders": _q_orphan_orders,
         "incremental_profile": _q_incremental_profile,
+        "user_value_trend": _q_user_value_trend,
+        "hourly_value_bands": _q_hourly_value_bands,
+        "orders_join_audit": _q_orders_join_audit,
     }
 
 
@@ -2688,6 +2715,59 @@ def _sql_rules_impl(table: str, group_cols: list[str], rules: list[dict]) -> str
     )
 
 
+def _sql_user_value_trend() -> str:
+    # exact DECIMAL moment sums, mirroring per_key_trend (NOT DuckDB's
+    # regr_slope — its float path differs in the 6th decimal)
+    xr = "round((epoch(ts) - 1704067200.0) / 3600.0, 6)"
+    yr = "round(value, 6)"
+    dec = "DECIMAL(38,10)"
+    return (
+        "WITH g AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_points, "
+        f"CAST(sum(CAST({xr} AS {dec})) AS DOUBLE) AS sx, "
+        f"CAST(sum(CAST({yr} AS {dec})) AS DOUBLE) AS sy, "
+        f"CAST(sum(CAST(round({xr} * {yr}, 10) AS {dec})) AS DOUBLE) AS sxy, "
+        f"CAST(sum(CAST(round({xr} * {xr}, 10) AS {dec})) AS DOUBLE) AS sxx "
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY user_id) "
+        "SELECT key, n_points, "
+        "CASE WHEN n_points >= 2 AND n_points * sxx - sx * sx <> 0 THEN "
+        "round((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 6) END AS slope_per_hour, "
+        "CASE WHEN n_points >= 2 AND n_points * sxx - sx * sx <> 0 THEN "
+        "round((sy - (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx) * sx) / n_points, 6) END AS intercept "
+        "FROM g"
+    )
+
+
+def _sql_hourly_value_bands(probs: tuple) -> str:
+    cols = ", ".join(
+        f"round(quantile_cont(value, {p}), 6) AS p{int(round(p * 100)):02d}"
+        for p in probs
+    )
+    return (
+        "SELECT date_trunc('hour', ts) AS hour_start, "
+        f"CAST(count(*) AS BIGINT) AS n, {cols} "
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+        "GROUP BY date_trunc('hour', ts)"
+    )
+
+
+def _sql_orders_join_audit() -> str:
+    return (
+        "WITH ca AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, count(*) AS cnt_a "
+        "FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1), "
+        "cb AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, count(*) AS cnt_b "
+        "FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1), "
+        "j AS (SELECT ca.k, cnt_a * cnt_b AS fan FROM ca JOIN cb USING (k)) "
+        "SELECT (SELECT CAST(sum(cnt_a) AS BIGINT) FROM ca) AS n_a, "
+        "(SELECT CAST(sum(cnt_b) AS BIGINT) FROM cb) AS n_b, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM ca) AS n_keys_a, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM cb) AS n_keys_b, "
+        "CAST(count(*) AS BIGINT) AS n_keys_common, "
+        "CAST(coalesce(sum(fan), 0) AS BIGINT) AS n_out, "
+        "CAST(max(fan) AS BIGINT) AS max_fanout, "
+        "(SELECT k FROM j ORDER BY fan DESC, k LIMIT 1) AS top_key FROM j"
+    )
+
+
 def _sql_incremental_profile(table: str, cols: list[str]) -> str:
     # from-scratch twin of the merged-partials profile: exact DECIMAL
     # sums of round@6 inputs, cast to DOUBLE once before dividing
@@ -2903,4 +2983,7 @@ def oracle_sql() -> dict[str, str]:
         "rules_by_source": _sql_check_rules_by("documents", ["source"], DOC_RULES),
         "orphan_orders": _sql_orphan_orders(),
         "incremental_profile": _sql_incremental_profile("lineitem", INC_COLS),
+        "user_value_trend": _sql_user_value_trend(),
+        "hourly_value_bands": _sql_hourly_value_bands((0.5, 0.95, 0.99)),
+        "orders_join_audit": _sql_orders_join_audit(),
     }

@@ -134,6 +134,9 @@ HEADLINE = [
     "rules_by_source",
     "orphan_orders",
     "incremental_profile",
+    "user_value_trend",
+    "hourly_value_bands",
+    "orders_join_audit",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

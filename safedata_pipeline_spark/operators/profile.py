@@ -611,3 +611,61 @@ def table_diff(a: DataFrame, b: DataFrame) -> DataFrame:
         F.sum(F.greatest(F.col("cb") - F.col("ca"), F.lit(0))).cast("bigint").alias("n_only_b"),
         F.sum(F.least(F.col("ca"), F.col("cb"))).cast("bigint").alias("n_common"),
     )
+
+
+def join_cardinality(
+    a: DataFrame, b: DataFrame, a_key: str, b_key: str | None = None
+) -> DataFrame:
+    """Pre-join audit: EXACT output cardinality and fanout profile of
+    ``a ⋈ b`` on the key, computed from per-side key-count tables
+    WITHOUT running the join — the "will this 100 TB join explode?"
+    check that pairs with ``skew_report``. Output (1 row):
+    ``(n_a, n_b, n_keys_a, n_keys_b, n_keys_common, n_out,
+    max_fanout, top_key)`` where ``n_out = Σ_k cnt_a(k)·cnt_b(k)`` is
+    the exact inner-join row count, ``max_fanout`` the largest single
+    key's contribution, and ``top_key`` that key (ties → smallest
+    key string, deterministic).
+
+    Shape: one groupBy per side (map-combinable counts), an inner
+    join of the two KEY-COUNT tables (rows = distinct keys, not
+    data), one aggregate. Null keys never join and are excluded.
+    """
+    b_key = b_key or a_key
+    ca = (
+        a.where(F.col(a_key).isNotNull())
+        .groupBy(F.col(a_key).cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
+    )
+    cb = (
+        b.where(F.col(b_key).isNotNull())
+        .groupBy(F.col(b_key).cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_b"))
+    )
+    tot_a = ca.agg(
+        F.sum("cnt_a").alias("n_a"), F.count(F.lit(1)).alias("n_keys_a")
+    )
+    tot_b = cb.agg(
+        F.sum("cnt_b").alias("n_b"), F.count(F.lit(1)).alias("n_keys_b")
+    )
+    both = ca.join(cb, "k")
+    fan = (F.col("cnt_a") * F.col("cnt_b")).alias("fan")
+    # min over (-fan, k): largest fanout first, smallest key on ties
+    common = both.select("k", fan).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys_common"),
+        F.coalesce(F.sum("fan"), F.lit(0)).cast("bigint").alias("n_out"),
+        F.min(F.struct((-F.col("fan")).alias("nf"), F.col("k"))).alias("__m"),
+    )
+    return (
+        tot_a.crossJoin(tot_b)
+        .crossJoin(common)
+        .select(
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_keys_a").cast("bigint").alias("n_keys_a"),
+            F.col("n_keys_b").cast("bigint").alias("n_keys_b"),
+            "n_keys_common",
+            "n_out",
+            (-F.col("__m.nf")).cast("bigint").alias("max_fanout"),
+            F.col("__m.k").alias("top_key"),
+        )
+    )

@@ -146,3 +146,90 @@ def rolling_anomalies(
         (F.col("baseline_n") >= min_baseline_n)
         & (F.col(val_col) > F.lit(float(factor)) * F.col("baseline_mean"))
     )
+
+
+def per_key_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    min_points: int = 2,
+) -> DataFrame:
+    """Per-key least-squares trend of ``value_col`` over event time —
+    the "which users/sources are drifting up or down?" monitor.
+    Output: one row per key — (key, n_points, slope_per_hour,
+    intercept) with x = hours since 2024-01-01 UTC, so the slope unit
+    is value-per-hour (shift-invariant) and the intercept is the fitted
+    value at that origin. Keys with fewer than ``min_points`` points
+    (or a degenerate constant x) report NULL slope.
+
+    Shape: ONE groupBy accumulating the four regression moment sums
+    (Σx, Σy, Σxy, Σx²) as DECIMAL(38,10) of round@10 inputs — exact,
+    order-independent, map-side combinable — then the closed-form
+    slope/intercept in double. Spark's built-in ``regr_slope`` is the
+    obvious alternative, but its streaming float sums differ from
+    other engines in the 6th decimal (measured vs DuckDB); the exact
+    decimal moments make the result engine-independent, the same
+    discipline as the χ²/PSI sums. No window, no Python.
+    """
+    # hours since a FIXED 2024-01-01 origin, not the unix epoch: the
+    # slope is shift-invariant, and the small origin keeps x² within
+    # decimal range and the double-side algebra well-conditioned
+    # cast-to-double keeps the microsecond fraction (unix_timestamp
+    # truncates to whole seconds and would disagree with SQL epoch())
+    xr = F.round(
+        (F.col(ts_col).cast("double") - F.lit(1704067200.0)) / F.lit(3600.0),
+        ROUND_N,
+    )
+    yr = F.round(F.col(value_col).cast("double"), ROUND_N)
+    dec = "decimal(38,10)"
+    g = df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()).groupBy(
+        F.col(key_col).alias("key")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum(xr.cast(dec)).cast("double").alias("sx"),
+        F.sum(yr.cast(dec)).cast("double").alias("sy"),
+        F.sum(F.round(xr * yr, 10).cast(dec)).cast("double").alias("sxy"),
+        F.sum(F.round(xr * xr, 10).cast(dec)).cast("double").alias("sxx"),
+    )
+    n = F.col("n_points").cast("double")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    fit_ok = (F.col("n_points") >= min_points) & (den != 0)
+    return g.select(
+        "key",
+        "n_points",
+        F.when(fit_ok, F.round(slope, ROUND_N)).alias("slope_per_hour"),
+        F.when(fit_ok, F.round(intercept, ROUND_N)).alias("intercept"),
+    )
+
+
+def hourly_percentiles(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    probs: tuple = (0.5, 0.95, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Percentile bands per event-time hour — the latency/size
+    dashboard query. Output: (hour_start, n, p50, p95, p99 ...) with
+    one column per requested prob.
+
+    ONE grouped percentile-array aggregate (no per-prob jobs);
+    ``exact=True`` is the oracle-parity path (``F.percentile``),
+    ``exact=False`` the 100 TB one-pass sketch (``percentile_approx``)
+    — same switch discipline as ``numeric_profile``."""
+    y = F.col(value_col).cast("double")
+    fn = F.percentile if exact else F.percentile_approx
+    arr = fn(y, F.array(*[F.lit(p) for p in probs]))
+    g = df.where(F.col(ts_col).isNotNull() & y.isNotNull()).groupBy(
+        F.date_trunc("hour", F.col(ts_col)).cast("timestamp_ntz").alias("hour_start")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"), arr.alias("__p"))
+    cols = [
+        F.round(F.element_at(F.col("__p"), i + 1), ROUND_N).alias(
+            f"p{int(round(p * 100)):02d}"
+        )
+        for i, p in enumerate(probs)
+    ]
+    return g.select("hour_start", "n", *cols)

@@ -273,3 +273,32 @@ def test_group_quantiles(spark):
     rows = {r.g: r for r in P.group_quantiles(df, "g", "x").collect()}
     assert rows["a"].p50 == 50.5 and rows["a"].p25 == 25.75
     assert rows["b"].p50 == 10.0  # linear interpolation between 5 and 15
+
+
+def test_join_cardinality_exact_counts(spark):
+    from safedata_pipeline_spark.operators.profile import join_cardinality
+
+    a = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k bigint"
+    )
+    b = spark.createDataFrame([(1,), (2,), (2,), (9,), (None,)], "j bigint")
+    out = join_cardinality(a, b, "k", "j").collect()[0]
+    assert out["n_a"] == 4 and out["n_b"] == 4          # nulls excluded
+    assert out["n_keys_a"] == 3 and out["n_keys_b"] == 3
+    assert out["n_keys_common"] == 2                     # keys 1 and 2
+    # exact join size: key1 -> 2*1, key2 -> 1*2
+    assert out["n_out"] == 4
+    assert out["max_fanout"] == 2
+    assert out["top_key"] == "1"                         # tie 2 vs 2 -> smaller key
+    # agrees with the actual join
+    assert a.join(b, a["k"] == b["j"]).count() == out["n_out"]
+
+
+def test_join_cardinality_disjoint_keys(spark):
+    from safedata_pipeline_spark.operators.profile import join_cardinality
+
+    a = spark.createDataFrame([(1,)], "k bigint")
+    b = spark.createDataFrame([(2,)], "k bigint")
+    out = join_cardinality(a, b, "k").collect()[0]
+    assert out["n_keys_common"] == 0 and out["n_out"] == 0
+    assert out["max_fanout"] is None and out["top_key"] is None

@@ -74,3 +74,47 @@ def test_hourly_retention(spark):
     assert got[11].n_users == 1 and got[11].n_retained == 0
     # hour 12: user 3, last hour -> zero retention reported honestly
     assert got[12].n_users == 1 and got[12].n_retained == 0
+
+
+def test_per_key_trend_recovers_known_slope(spark):
+    from datetime import datetime, timedelta
+
+    from safedata_pipeline_spark.operators.timeseries import per_key_trend
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # key 1: exact line value = 10 + 2.5 * hours
+    for h in range(6):
+        rows.append((1, base + timedelta(hours=h), 10.0 + 2.5 * h))
+    # key 2: single point -> NULL fit
+    rows.append((2, base, 99.0))
+    # key 3: two points at the SAME x -> degenerate, NULL fit
+    rows.append((3, base, 1.0))
+    rows.append((3, base, 2.0))
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, value double")
+    out = {r["key"]: r for r in per_key_trend(df, "k", "ts", "value").collect()}
+    assert out[1]["slope_per_hour"] == 2.5
+    assert out[1]["intercept"] == 10.0
+    assert out[2]["slope_per_hour"] is None and out[2]["n_points"] == 1
+    assert out[3]["slope_per_hour"] is None  # zero-variance x
+    # no window, hash-agg shape
+    plan = per_key_trend(df, "k", "ts", "value")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_hourly_percentiles_values_and_approx_switch(spark):
+    from datetime import datetime, timedelta
+
+    from safedata_pipeline_spark.operators.timeseries import hourly_percentiles
+
+    base = datetime(2024, 1, 1, 5)
+    rows = [(base + timedelta(minutes=i), float(i)) for i in range(11)]   # hour A: 0..10
+    rows += [(base + timedelta(hours=1, minutes=i), 100.0) for i in range(4)]  # hour B: constant
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["hour_start"]: r for r in hourly_percentiles(df, "ts", "value").collect()}
+    a = out[base]
+    assert a["n"] == 11 and a["p50"] == 5.0 and a["p95"] == 9.5
+    b = out[base + timedelta(hours=1)]
+    assert b["p50"] == b["p99"] == 100.0
+    approx = hourly_percentiles(df, "ts", "value", exact=False).collect()
+    assert {r["hour_start"] for r in approx} == set(out)
