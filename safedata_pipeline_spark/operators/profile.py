@@ -626,46 +626,44 @@ def join_cardinality(
     key's contribution, and ``top_key`` that key (ties → smallest
     key string, deterministic).
 
-    Shape: one groupBy per side (map-combinable counts), an inner
-    join of the two KEY-COUNT tables (rows = distinct keys, not
-    data), one aggregate. Null keys never join and are excluded.
+    Shape: ONE scan per input — tagged union → one groupBy on the key
+    (map-combinable partial counts) → one tiny aggregate over the
+    key-count table. No join at all, same trick as ``table_diff``.
+    Null keys never join and are excluded.
     """
     b_key = b_key or a_key
-    ca = (
-        a.where(F.col(a_key).isNotNull())
-        .groupBy(F.col(a_key).cast("string").alias("k"))
-        .agg(F.count(F.lit(1)).alias("cnt_a"))
+    ta = a.where(F.col(a_key).isNotNull()).select(
+        F.col(a_key).cast("string").alias("k"),
+        F.lit(1).alias("ia"),
+        F.lit(0).alias("ib"),
     )
-    cb = (
-        b.where(F.col(b_key).isNotNull())
-        .groupBy(F.col(b_key).cast("string").alias("k"))
-        .agg(F.count(F.lit(1)).alias("cnt_b"))
+    tb = b.where(F.col(b_key).isNotNull()).select(
+        F.col(b_key).cast("string").alias("k"),
+        F.lit(0).alias("ia"),
+        F.lit(1).alias("ib"),
     )
-    tot_a = ca.agg(
-        F.sum("cnt_a").alias("n_a"), F.count(F.lit(1)).alias("n_keys_a")
+    per_key = ta.unionByName(tb).groupBy("k").agg(
+        F.sum("ia").alias("cnt_a"), F.sum("ib").alias("cnt_b")
     )
-    tot_b = cb.agg(
-        F.sum("cnt_b").alias("n_b"), F.count(F.lit(1)).alias("n_keys_b")
-    )
-    both = ca.join(cb, "k")
-    fan = (F.col("cnt_a") * F.col("cnt_b")).alias("fan")
-    # min over (-fan, k): largest fanout first, smallest key on ties
-    common = both.select("k", fan).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_keys_common"),
-        F.coalesce(F.sum("fan"), F.lit(0)).cast("bigint").alias("n_out"),
-        F.min(F.struct((-F.col("fan")).alias("nf"), F.col("k"))).alias("__m"),
-    )
-    return (
-        tot_a.crossJoin(tot_b)
-        .crossJoin(common)
-        .select(
-            F.col("n_a").cast("bigint").alias("n_a"),
-            F.col("n_b").cast("bigint").alias("n_b"),
-            F.col("n_keys_a").cast("bigint").alias("n_keys_a"),
-            F.col("n_keys_b").cast("bigint").alias("n_keys_b"),
-            "n_keys_common",
-            "n_out",
-            (-F.col("__m.nf")).cast("bigint").alias("max_fanout"),
-            F.col("__m.k").alias("top_key"),
-        )
+    both = (F.col("cnt_a") > 0) & (F.col("cnt_b") > 0)
+    fan = F.col("cnt_a") * F.col("cnt_b")
+    # min over (-fan, k): largest fanout first, smallest key on ties;
+    # non-common keys contribute NULL and are ignored by min
+    return per_key.agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum("cnt_b").cast("bigint").alias("n_b"),
+        F.sum((F.col("cnt_a") > 0).cast("bigint")).alias("n_keys_a"),
+        F.sum((F.col("cnt_b") > 0).cast("bigint")).alias("n_keys_b"),
+        F.sum(both.cast("bigint")).alias("n_keys_common"),
+        F.coalesce(F.sum(F.when(both, fan)), F.lit(0)).cast("bigint").alias("n_out"),
+        F.min(F.when(both, F.struct((-fan).alias("nf"), F.col("k")))).alias("__m"),
+    ).select(
+        "n_a",
+        "n_b",
+        "n_keys_a",
+        "n_keys_b",
+        "n_keys_common",
+        "n_out",
+        (-F.col("__m.nf")).cast("bigint").alias("max_fanout"),
+        F.col("__m.k").alias("top_key"),
     )
