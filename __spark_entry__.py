@@ -898,6 +898,18 @@ def _q_split_leakage(spark, sf):
     return DD.split_leakage_summary(asg, pairs)
 
 
+def _q_chunk_documents(spark, sf):
+    # RAG-style overlapping char chunks, map-only explode (X116)
+    return TX.chunk_documents(load_table(spark, sf, "documents"), size=200, overlap=50)
+
+
+def _q_fold_assign(spark, sf):
+    # deterministic md5 k-fold assignment (X117)
+    return SMP.assign_folds(
+        load_table(spark, sf, "documents").select("doc_id"), "doc_id", k=5
+    )
+
+
 def _q_user_value_trend(spark, sf):
     # per-user least-squares drift monitor via regr_slope (X113)
     from safedata_pipeline_spark.operators.timeseries import per_key_trend
@@ -1127,6 +1139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_trend": _q_user_value_trend,
         "hourly_value_bands": _q_hourly_value_bands,
         "orders_join_audit": _q_orders_join_audit,
+        "chunk_documents": _q_chunk_documents,
+        "fold_assign": _q_fold_assign,
     }
 
 
@@ -2715,6 +2729,22 @@ def _sql_rules_impl(table: str, group_cols: list[str], rules: list[dict]) -> str
     )
 
 
+def _sql_chunk_documents(size: int, overlap: int) -> str:
+    step = size - overlap
+    return (
+        f"SELECT doc_id, CAST(t.s / {step} AS INT) AS chunk_no, CAST(t.s AS INT) AS start, "
+        f"substr(text, CAST(t.s AS INT) + 1, {size}) AS chunk_text, "
+        f"CAST(length(substr(text, CAST(t.s AS INT) + 1, {size})) AS INT) AS chunk_len "
+        f"FROM documents, unnest(generate_series(0, greatest(length(text) - 1, 0), {step})) AS t(s) "
+        "WHERE text IS NOT NULL AND length(text) > 0"
+    )
+
+
+def _sql_fold_assign(k: int) -> str:
+    h = "CAST(CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)"
+    return f"SELECT doc_id, CAST({h} % {k} AS INT) AS fold FROM documents"
+
+
 def _sql_user_value_trend() -> str:
     # exact DECIMAL moment sums, mirroring per_key_trend (NOT DuckDB's
     # regr_slope — its float path differs in the 6th decimal)
@@ -2986,4 +3016,6 @@ def oracle_sql() -> dict[str, str]:
         "user_value_trend": _sql_user_value_trend(),
         "hourly_value_bands": _sql_hourly_value_bands((0.5, 0.95, 0.99)),
         "orders_join_audit": _sql_orders_join_audit(),
+        "chunk_documents": _sql_chunk_documents(200, 50),
+        "fold_assign": _sql_fold_assign(5),
     }

@@ -137,6 +137,8 @@ HEADLINE = [
     "user_value_trend",
     "hourly_value_bands",
     "orders_join_audit",
+    "chunk_documents",
+    "fold_assign",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from safedata_pipeline_spark.functions.hashing import md5_slot32 as _md5_slot
 from safedata_pipeline_spark.functions.hashing import md5_unit_interval
 from safedata_pipeline_spark.operators.text import _quality_expr, _ws_tokens
 
@@ -253,4 +254,17 @@ def take_per_source(
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n_per_source)
         .drop("__rn")
+    )
+
+
+def assign_folds(df: DataFrame, id_col: str, k: int = 5) -> DataFrame:
+    """Deterministic k-fold assignment: fold = md5-slot hash of the id
+    mod k. Map-only, replayable on any engine (md5 contract), stable
+    under repartitioning — the split every cross-validation /
+    train-eval carve in this engine can share, and the input
+    ``split_leakage_pairs`` audits. Adds a ``fold`` int column."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return df.withColumn(
+        "fold", (_md5_slot(F.col(id_col).cast("string"), 0) % k).cast("int")
     )

@@ -1004,3 +1004,42 @@ def bigram_logprob(
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
         "avg_neg_logprob",
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 1000,
+    overlap: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size overlapping character chunks — the RAG / context-
+    window splitter. Chunks start every ``size - overlap`` characters;
+    the last chunk may be short; a doc shorter than ``size`` yields
+    exactly one chunk. Output: (id, chunk_no, start, chunk_text,
+    chunk_len), 0-based starts. NULL/empty texts are dropped.
+
+    Shape: map-only explode — ``sequence`` generates the start
+    offsets, ``posexplode`` emits one row per chunk, ``substring``
+    slices. Output size is input_chars × (1 + overlap/step), a
+    constant-factor expansion with NO shuffle; chunking 100 TB is
+    scan-bound.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    step = size - overlap
+    ln = F.length(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.greatest(ln - 1, F.lit(0)), F.lit(step))
+    return (
+        df.where(F.col(text_col).isNotNull() & (ln > 0))
+        .select(F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_no", "start"))
+        .select(
+            id_col,
+            "chunk_no",
+            "start",
+            F.substring(F.col(text_col), F.col("start") + 1, size).alias("chunk_text"),
+            F.length(F.substring(F.col(text_col), F.col("start") + 1, size)).alias(
+                "chunk_len"
+            ),
+        )
+    )

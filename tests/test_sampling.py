@@ -168,3 +168,21 @@ def test_source_share_sums_to_one(spark):
     rows = {r.source: r for r in SMP.source_share(df).collect()}
     assert rows["src0"].n_docs == 31 and rows["src1"].n_docs == 30
     assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-5
+
+
+def test_assign_folds_deterministic_and_balanced(spark):
+    from safedata_pipeline_spark.operators.sampling import assign_folds
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["fold"] for r in assign_folds(df, "doc_id", 5).collect()}
+    b = {r["doc_id"]: r["fold"] for r in assign_folds(df.repartition(7), "doc_id", 5).collect()}
+    assert a == b  # stable under repartitioning
+    assert set(a.values()) == {0, 1, 2, 3, 4}
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert min(counts.values()) > 120  # roughly balanced
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        assign_folds(df, "doc_id", 1)

@@ -401,3 +401,28 @@ def test_decontaminate_three_methods_agree(spark):
 
     with pytest.raises(ValueError, match="method"):
         TX.decontaminate(docs, probes, method="bogus")
+
+
+def test_chunk_documents_offsets_and_reassembly(spark):
+    from safedata_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 450), (2, "short"), (3, None), (4, "")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, size=200, overlap=50).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,150,300 -> lens 200,200,150
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_no"])
+    assert [(r["start"], r["chunk_len"]) for r in c1] == [(0, 200), (150, 200), (300, 150)]
+    # consecutive chunks overlap by exactly `overlap` chars
+    assert c1[0]["chunk_text"][150:] == c1[1]["chunk_text"][:50]
+    # short doc -> one whole chunk; null/empty dropped
+    assert [(r["start"], r["chunk_text"]) for r in by_doc[2]] == [(0, "short")]
+    assert 3 not in by_doc and 4 not in by_doc
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, size=100, overlap=100)
