@@ -232,6 +232,25 @@ class CorpusPipeline:
         self.results["packed"] = packed
         return packed
 
+    # -- quality gate ---------------------------------------------------
+    def gate(self, rules: list[dict], on_fail: str = "raise") -> "CorpusPipeline":
+        """Evaluate a declarative data-quality suite
+        (``quality_rules.check_rules``) on the CURRENT surviving corpus
+        — the CI assertion between curation steps. ``on_fail``:
+        ``"raise"`` aborts the run on any failing rule (listing them),
+        ``"record"`` stores the verdict table in ``results`` and
+        continues. One aggregate pass; verdicts are O(rules) rows."""
+        from safedata_pipeline_spark.operators import quality_rules as QR
+
+        if on_fail not in ("raise", "record"):
+            raise ValueError(f"on_fail must be 'raise' or 'record', got {on_fail!r}")
+        verdicts = QR.check_rules(self.df, rules).collect()
+        self.results.setdefault("gates", []).append(verdicts)
+        failed = [r["rule"] for r in verdicts if not r["passed"]]
+        if failed and on_fail == "raise":
+            raise ValueError(f"corpus quality gate failed: {failed}")
+        return self
+
     # -- diagnostics ----------------------------------------------------
     def stats(self, group_col: str = "source") -> DataFrame:
         return TX.corpus_stats(self.df, group_col, text_col=self.text_col)

@@ -167,3 +167,26 @@ def test_corpus_pipeline_pack_windows(spark, sf_dir):
 
     with pytest.raises(ValueError, match="materialize"):
         cp.pack(materialize="bogus")
+
+
+def test_corpus_pipeline_quality_gate(spark, sf_dir):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    cp = CorpusPipeline(docs)
+    # passing gate: text present, plausible sizes
+    cp.gate(
+        [
+            {"kind": "completeness", "col": "text", "min_ratio": 0.99},
+            {"kind": "row_count", "low": 1.0},
+        ]
+    )
+    assert len(cp.results["gates"]) == 1
+    # failing gate raises and names the rule...
+    with pytest.raises(ValueError, match="row_count_table"):
+        cp.gate([{"kind": "row_count", "low": 1e9}])
+    # ...unless on_fail="record"
+    cp.gate([{"kind": "row_count", "low": 1e9}], on_fail="record")
+    assert len(cp.results["gates"]) == 3
+    with pytest.raises(ValueError, match="on_fail"):
+        cp.gate([{"kind": "row_count", "low": 1.0}], on_fail="explode")
