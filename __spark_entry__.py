@@ -987,6 +987,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_best, drift_timeline, table_diff, jsd_drift, k_anonymity,
     # bigram_logprob) are promoted in-window; ten rows whose hash
     # signal is redundant rotate out (see the past-window note below).
+    #
+    # Second-wave rotation (same round): six operators new this round
+    # (quality_rules, latest_events, incremental_profile,
+    # orders_join_audit, user_value_trend, split_leakage) replace six
+    # rows whose hash was green in r3 AND whose construction stays
+    # anchored by an in-window sibling: events_json/events_hourly
+    # (hourly-grid math lives on in drift_timeline + the rotated-out
+    # rows stay past-window), multimodal_meta (features twin),
+    # range_join_tiers (r1-r3 green), ks_drift_binned (binned ECDF
+    # shared with psi/jsd), minhash_lsh (split_leakage's oracle embeds
+    # the FULL banded-LSH SQL, so that path stays hash-anchored).
     return {
         "value_counts": _q_value_counts,
         "basic_stats": _q_basic_stats,
@@ -996,7 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smart_suggest": _q_smart_suggest,
         "impute": _q_impute,
         "ks_drift": _q_ks_drift,
-        "ks_drift_binned": _q_ks_drift_binned,
+        "user_value_trend": _q_user_value_trend,
         "distribution_drift": _q_distribution_drift,
         "psi_drift": _q_psi_drift,
         "jsd_drift": _q_jsd_drift,
@@ -1022,15 +1033,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "dedup_exact": _q_dedup_exact,
         "dedup_best": _q_dedup_best,
-        "minhash_lsh": _q_minhash_lsh,
+        "split_leakage": _q_split_leakage,
         "embedding_cosine_dedup": _q_embedding_cosine_dedup,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "asof_last_click": _q_asof_last_click,
-        "range_join_tiers": _q_range_join_tiers,
+        "orders_join_audit": _q_orders_join_audit,
         "hypertable_rollup": _q_hypertable_rollup,
-        "multimodal_meta": _q_multimodal_meta,
-        "events_hourly": _q_events_hourly,
-        "events_json": _q_events_json,
+        "incremental_profile": _q_incremental_profile,
+        "latest_events": _q_latest_events,
+        "quality_rules": _q_quality_rules,
         "user_sessions": _q_user_sessions,
         "decontaminate": _q_decontaminate,
         "pack_windows": _q_pack_windows,
@@ -1129,16 +1140,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
-        "quality_rules": _q_quality_rules,
-        "latest_events": _q_latest_events,
-        "split_leakage": _q_split_leakage,
+        "events_json": _q_events_json,
+        "events_hourly": _q_events_hourly,
+        "minhash_lsh": _q_minhash_lsh,
         "hll_user_rollup": _q_hll_user_rollup,
         "rules_by_source": _q_rules_by_source,
         "orphan_orders": _q_orphan_orders,
-        "incremental_profile": _q_incremental_profile,
-        "user_value_trend": _q_user_value_trend,
+        "multimodal_meta": _q_multimodal_meta,
+        "ks_drift_binned": _q_ks_drift_binned,
         "hourly_value_bands": _q_hourly_value_bands,
-        "orders_join_audit": _q_orders_join_audit,
+        "range_join_tiers": _q_range_join_tiers,
         "chunk_documents": _q_chunk_documents,
         "fold_assign": _q_fold_assign,
     }

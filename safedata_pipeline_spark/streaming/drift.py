@@ -219,3 +219,52 @@ def run_drift_stream_once(
     )
     q.awaitTermination()
     return finish_timeline(spark.table(table), ref)
+
+
+def finish_bands(
+    counts: DataFrame,
+    lo: float,
+    width: float,
+    probs: tuple = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Per-hour percentile BANDS from the same (hour, bin, c) state
+    table the drift monitor streams — p50/p95/p99 dashboards without a
+    second streaming aggregation or an approx-sketch whose insertion
+    order makes stream and batch disagree.
+
+    Estimator: linear interpolation within the first bin whose
+    cumulative count reaches p·n (uniform-within-bin assumption —
+    error ≤ one bin width, the binned-KS trade). All-integer
+    cumulative arithmetic + the same double finish on stream-drained
+    or batch-computed counts → stream == batch EXACTLY, which
+    ``tests/test_drift_stream_bands.py`` pins. Output:
+    ``(hour_start, n, p50, p95, ...)``.
+    """
+    w_cum = Window.partitionBy("hour_start").orderBy("b")
+    w_h = Window.partitionBy("hour_start")
+    cum = counts.select(
+        "hour_start",
+        "b",
+        "c",
+        F.sum("c").over(w_cum).alias("ch"),
+        F.sum("c").over(w_h).alias("n"),
+    )
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    for p in probs:
+        target = F.lit(float(p)) * F.col("n")
+        hit = F.col("ch") >= target
+        # first qualifying bin: min over (b, cum, c) among hits
+        pick = F.min(
+            F.when(hit, F.struct(F.col("b"), F.col("ch"), F.col("c")))
+        ).alias(f"__pk{int(round(p * 100)):02d}")
+        aggs.append(pick)
+    g = cum.groupBy("hour_start").agg(*aggs)
+    outs = ["hour_start", "n"]
+    for p in probs:
+        name = f"p{int(round(p * 100)):02d}"
+        pk = F.col(f"__pk{name[1:]}")
+        frac = (F.lit(float(p)) * F.col("n") - (pk["ch"] - pk["c"])) / pk["c"]
+        frac = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+        val = F.lit(lo) + (pk["b"].cast("double") + frac) * F.lit(width)
+        outs.append(F.round(val, ROUND_N).alias(name))
+    return g.select(*outs)

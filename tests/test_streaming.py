@@ -126,3 +126,61 @@ def test_drift_timeline_psi_stream_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert psis[9] > 0.25 > psis[0]
+
+
+def test_percentile_bands_stream_matches_batch(spark, sf_dir):
+    """The binned percentile-band finish over streamed (hour,bin)
+    counts equals the batch finish exactly, and every band brackets
+    the true rank to within one bin width."""
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.streaming import drift as SD
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = SD.fit_reference(ev, "value", bins=100)
+    counts = SD.hourly_bin_counts(ev, ref["lo"], ref["width"], ref["bins"])
+    batch = {
+        r.hour_start: (r.n, r.p50, r.p95, r.p99)
+        for r in SD.finish_bands(counts, ref["lo"], ref["width"]).collect()
+    }
+    q = (
+        SD.stream_hourly_bin_counts(spark, f"{sf_dir}/events*.parquet", ref)
+        .writeStream.format("memory")
+        .queryName("t_stream_bands")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.hour_start: (r.n, r.p50, r.p95, r.p99)
+        for r in SD.finish_bands(
+            spark.table("t_stream_bands"), ref["lo"], ref["width"]
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
+
+    # the binned guarantee is a RANK bracket, not closeness to the
+    # interpolated percentile (sparse hours put adjacent order stats
+    # bins apart): at least p*n values sit at or below the band's bin
+    # right edge, and fewer than p*n strictly below its left edge
+    import collections
+
+    vals = collections.defaultdict(list)
+    for r in ev.select(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"), "value"
+    ).collect():
+        if r["value"] is not None:
+            vals[r["h"]].append(r["value"])
+    width = ref["width"]
+    checked = 0
+    for h, (n, b50, b95, b99) in batch.items():
+        xs = sorted(vals[h])
+        assert n == len(xs)
+        for p, band in ((0.5, b50), (0.95, b95), (0.99, b99)):
+            below_right = sum(1 for x in xs if x <= band + width + 1e-9)
+            below_left = sum(1 for x in xs if x < band - width - 1e-9)
+            assert below_right >= p * n - 1e-9
+            assert below_left < p * n
+        checked += 1
+    assert checked > 0
