@@ -898,6 +898,20 @@ def _q_split_leakage(spark, sf):
     return DD.split_leakage_summary(asg, pairs)
 
 
+def _q_user_growth(spark, sf):
+    # DAU decomposition: new / retained / resurrected per day (X120)
+    from safedata_pipeline_spark.operators.timeseries import growth_accounting
+
+    return growth_accounting(load_table(spark, sf, "events"), period="day")
+
+
+def _q_trending_hourly(spark, sf):
+    # top-3 event types per hour, aggregate-first (X121)
+    from safedata_pipeline_spark.operators.timeseries import trending_per_period
+
+    return trending_per_period(load_table(spark, sf, "events"), top_k=3)
+
+
 def _q_chunk_documents(spark, sf):
     # RAG-style overlapping char chunks, map-only explode (X116)
     return TX.chunk_documents(load_table(spark, sf, "documents"), size=200, overlap=50)
@@ -1152,6 +1166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_tiers": _q_range_join_tiers,
         "chunk_documents": _q_chunk_documents,
         "fold_assign": _q_fold_assign,
+        "user_growth": _q_user_growth,
+        "trending_hourly": _q_trending_hourly,
     }
 
 
@@ -2740,6 +2756,34 @@ def _sql_rules_impl(table: str, group_cols: list[str], rules: list[dict]) -> str
     )
 
 
+def _sql_user_growth() -> str:
+    lagp = "lag(p) OVER (PARTITION BY u ORDER BY p)"
+    return (
+        "WITH act AS (SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS p "
+        "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+        f"t AS (SELECT p, CASE WHEN {lagp} IS NULL THEN 'new' "
+        f"WHEN epoch(p) - epoch({lagp}) <= 86400 THEN 'retained' "
+        "ELSE 'resurrected' END AS status FROM act) "
+        "SELECT p AS period_start, CAST(count(*) AS BIGINT) AS n_active, "
+        "CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new, "
+        "CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, "
+        "CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected "
+        "FROM t GROUP BY p"
+    )
+
+
+def _sql_trending_hourly(top_k: int) -> str:
+    return (
+        "WITH c AS (SELECT date_trunc('hour', ts) AS period_start, "
+        "event_type AS key, CAST(count(*) AS BIGINT) AS n FROM events "
+        "WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2) "
+        "SELECT period_start, CAST(rank AS INT) AS rank, key, n FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY period_start "
+        "ORDER BY n DESC, key ASC) AS rank FROM c) "
+        f"WHERE rank <= {top_k}"
+    )
+
+
 def _sql_chunk_documents(size: int, overlap: int) -> str:
     step = size - overlap
     return (
@@ -3029,4 +3073,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_join_audit": _sql_orders_join_audit(),
         "chunk_documents": _sql_chunk_documents(200, 50),
         "fold_assign": _sql_fold_assign(5),
+        "user_growth": _sql_user_growth(),
+        "trending_hourly": _sql_trending_hourly(3),
     }

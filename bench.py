@@ -139,6 +139,8 @@ HEADLINE = [
     "orders_join_audit",
     "chunk_documents",
     "fold_assign",
+    "user_growth",
+    "trending_hourly",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -233,3 +233,78 @@ def hourly_percentiles(
         for i, p in enumerate(probs)
     ]
     return g.select("hour_start", "n", *cols)
+
+
+def growth_accounting(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "day",
+) -> DataFrame:
+    """Growth-accounting dashboard: per period, how many active users
+    are NEW (first period ever), RETAINED (active in the immediately
+    preceding period), or RESURRECTED (active before, but not in the
+    preceding period) — the standard DAU decomposition
+    (new + retained + resurrected = active).
+
+    Shape: one distinct (user, period) aggregation over the events
+    (the only pass that touches event rows), then a per-user ``lag``
+    window on that much smaller activity table, then one groupBy per
+    period. All counts integer; period boundaries via ``date_trunc``
+    so the oracle computes identical buckets.
+    """
+    # gap math on TimestampType (ntz refuses the double cast); output
+    # casts to ntz for oracle parity like every other hour/day grid
+    p = F.date_trunc(period, F.col(ts_col))
+    act = (
+        df.where(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("u"), p.alias("p"))
+        .distinct()
+    )
+    w = Window.partitionBy("u").orderBy("p")
+    step = {"day": 86400, "hour": 3600}.get(period)
+    if step is None:
+        raise ValueError(f"unsupported period {period!r} (day or hour)")
+    gap = F.col("p").cast("double") - F.lag("p").over(w).cast("double")
+    tagged = act.select(
+        "p",
+        F.when(gap.isNull(), F.lit("new"))
+        .when(gap <= step, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("status"),
+    )
+    return tagged.groupBy(
+        F.col("p").cast("timestamp_ntz").alias("period_start")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum((F.col("status") == "new").cast("bigint")).alias("n_new"),
+        F.sum((F.col("status") == "retained").cast("bigint")).alias("n_retained"),
+        F.sum((F.col("status") == "resurrected").cast("bigint")).alias("n_resurrected"),
+    )
+
+
+def trending_per_period(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    period: str = "hour",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k keys per period by event count — the "trending now"
+    dashboard. Aggregate-FIRST (groupBy period × key, map-side
+    combinable), then rank within each period on the tiny aggregate
+    table (periods × keys rows, never event rows). Deterministic ties:
+    (count desc, key asc). Output: (period_start, rank, key, n)."""
+    p = F.date_trunc(period, F.col(ts_col)).cast("timestamp_ntz")
+    counts = (
+        df.where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(p.alias("period_start"), F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("period_start").orderBy(F.desc("n"), F.asc("key"))
+    return (
+        counts.select(
+            "period_start", F.row_number().over(w).alias("rank"), "key", "n"
+        )
+        .where(F.col("rank") <= top_k)
+    )

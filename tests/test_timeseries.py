@@ -118,3 +118,44 @@ def test_hourly_percentiles_values_and_approx_switch(spark):
     assert b["p50"] == b["p99"] == 100.0
     approx = hourly_percentiles(df, "ts", "value", exact=False).collect()
     assert {r["hour_start"] for r in approx} == set(out)
+
+
+def test_growth_accounting_decomposition(spark):
+    from datetime import datetime
+
+    from safedata_pipeline_spark.operators.timeseries import growth_accounting
+
+    d = datetime
+    rows = [
+        # u1 active days 1,2,4: new, retained, resurrected
+        (1, d(2024, 1, 1, 5)), (1, d(2024, 1, 2, 6)), (1, d(2024, 1, 4, 7)),
+        # u2 active day 2 only: new
+        (2, d(2024, 1, 2, 9)),
+        # duplicate activity in one day collapses
+        (1, d(2024, 1, 1, 22)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = {r["period_start"].day: r for r in growth_accounting(ev).collect()}
+    assert (out[1]["n_active"], out[1]["n_new"]) == (1, 1)
+    assert (out[2]["n_active"], out[2]["n_new"], out[2]["n_retained"]) == (2, 1, 1)
+    assert (out[4]["n_active"], out[4]["n_resurrected"]) == (1, 1)
+    for r in out.values():
+        assert r["n_active"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        growth_accounting(ev, period="week")
+
+
+def test_trending_per_period_ranks_and_ties(spark):
+    from datetime import datetime
+
+    from safedata_pipeline_spark.operators.timeseries import trending_per_period
+
+    d = datetime(2024, 1, 1, 10)
+    rows = [(d, "b")] * 3 + [(d, "a")] * 3 + [(d, "c")] * 1 + [(d, "d")] * 2
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = trending_per_period(ev, top_k=3).collect()
+    ranked = sorted((r["rank"], r["key"], r["n"]) for r in out)
+    # tie between a and b at 3 -> a first (key asc); c drops out of top-3
+    assert ranked == [(1, "a", 3), (2, "b", 3), (3, "d", 2)]
