@@ -104,7 +104,7 @@ def finalize_profile(partials: DataFrame) -> DataFrame:
         "column",
         "n",
         "n_null",
-        F.round(n / (n + F.col("n_null")), ROUND_N).alias("completeness"),
+        F.round(F.try_divide(n, n + F.col("n_null")), ROUND_N).alias("completeness"),
         F.when(n > 0, F.round(mean, ROUND_N)).alias("mean"),
         F.when(n > 0, F.round(F.sqrt(var), ROUND_N)).alias("std_pop"),
         F.round(F.col("min"), ROUND_N).alias("min"),

@@ -44,9 +44,9 @@ def _metric_expr(df: DataFrame, rule: dict, idx: int) -> tuple[Column, str]:
     kind = rule["kind"]
     col = rule.get("col")
     if kind == "completeness":
-        m = F.count(F.col(col)) / F.count(F.lit(1))
+        m = F.try_divide(F.count(F.col(col)), F.count(F.lit(1)))
     elif kind == "uniqueness":
-        m = F.count_distinct(F.col(col)) / F.count(F.col(col))
+        m = F.try_divide(F.count_distinct(F.col(col)), F.count(F.col(col)))
     elif kind == "min":
         m = F.min(F.col(col)).cast("double")
     elif kind == "max":
@@ -55,10 +55,10 @@ def _metric_expr(df: DataFrame, rule: dict, idx: int) -> tuple[Column, str]:
         m = F.avg(F.col(col))
     elif kind == "pattern":
         hit = F.col(col).rlike(rule["regex"]).cast("bigint")
-        m = F.sum(hit) / F.count(F.col(col))
+        m = F.try_divide(F.sum(hit), F.count(F.col(col)))
     elif kind == "in_set":
         hit = F.col(col).isin(list(rule["allowed"])).cast("bigint")
-        m = F.sum(hit) / F.count(F.col(col))
+        m = F.try_divide(F.sum(hit), F.count(F.col(col)))
     elif kind == "row_count":
         m = F.count(F.lit(1)).cast("double")
     else:
@@ -214,12 +214,13 @@ def referential_integrity(
         has_null = n if has_null is None else (has_null | n)
     j = child.select(*ccols).join(pk, on=ccols, how="left")
     orphan = (~has_null) & F.col("__hit").isNull()
+    zero = F.lit(0).cast("bigint")
     return j.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_child"),
-        F.sum(has_null.cast("bigint")).alias("n_null_keys"),
-        F.sum(orphan.cast("bigint")).alias("n_orphans"),
+        F.coalesce(F.sum(has_null.cast("bigint")), zero).alias("n_null_keys"),
+        F.coalesce(F.sum(orphan.cast("bigint")), zero).alias("n_orphans"),
         F.round(
-            F.sum(orphan.cast("bigint")) / F.count(F.lit(1)), ROUND_N
+            F.try_divide(F.sum(orphan.cast("bigint")), F.count(F.lit(1))), ROUND_N
         ).alias("orphan_ratio"),
-        (F.sum(orphan.cast("bigint")) == 0).alias("ri_ok"),
+        F.coalesce(F.sum(orphan.cast("bigint")) == 0, F.lit(True)).alias("ri_ok"),
     )

@@ -111,3 +111,54 @@ def test_decontaminate_no_probes_keeps_everything(spark):
 
     docs = spark.createDataFrame([(1, "some text")], "doc_id bigint, text string")
     assert T.decontaminate(docs, [], method="substring").count() == 1
+
+
+def test_round4b_operators_on_empty_tables(spark):
+    """The second-wave round-4 operators on empty inputs: verdicts/
+    summaries still typed and well-formed, never a crash."""
+    from safedata_pipeline_spark.operators import cdc as CDC
+    from safedata_pipeline_spark.operators import quality_rules as QR
+    from safedata_pipeline_spark.operators.profile import join_cardinality
+    from safedata_pipeline_spark.operators.text import chunk_documents
+    from safedata_pipeline_spark.operators.timeseries import (
+        growth_accounting,
+        hourly_percentiles,
+        per_key_trend,
+        trending_per_period,
+    )
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    empty_docs = _empty_docs(spark)
+
+    # rule suite on an empty table: one verdict row per rule, ratio
+    # metrics NULL -> failed, row_count 0.0
+    v = {r["rule"]: r for r in QR.check_rules(
+        empty_docs, [{"kind": "completeness", "col": "text"}, {"kind": "row_count", "low": 1.0}]
+    ).collect()}
+    assert v["row_count_table"]["value"] == 0.0 and v["row_count_table"]["passed"] is False
+    assert v["completeness_text"]["passed"] is False
+    assert QR.check_rules_by(empty_docs, ["doc_id"], [{"kind": "row_count"}]).count() == 0
+    ri = QR.referential_integrity(empty_ev, empty_ev, {"event_id": "event_id"}).collect()[0]
+    assert (ri["n_child"], ri["n_orphans"], ri["ri_ok"]) == (0, 0, True)
+
+    assert CDC.latest_by_key(empty_ev, ["user_id"], "ts", "event_id").count() == 0
+    assert join_cardinality(empty_ev, empty_ev, "user_id").collect()[0]["n_out"] == 0
+    assert chunk_documents(empty_docs).count() == 0
+    assert per_key_trend(empty_ev, "user_id", "ts", "value").count() == 0
+    assert hourly_percentiles(empty_ev, "ts", "value").count() == 0
+    assert growth_accounting(empty_ev).count() == 0
+    assert trending_per_period(empty_ev).count() == 0
+
+
+def test_incremental_partials_empty_merge_identity(spark):
+    from safedata_pipeline_spark.operators import incremental as INC
+
+    empty = spark.createDataFrame([], "v double")
+    data = spark.createDataFrame([(1.0,), (3.0,)], "v double")
+    merged = INC.merge_partials(
+        INC.profile_partials(empty, ["v"]), INC.profile_partials(data, ["v"])
+    )
+    out = INC.finalize_profile(merged).collect()[0]
+    assert (out["n"], out["mean"], out["min"], out["max"]) == (2, 2.0, 1.0, 3.0)
