@@ -898,6 +898,18 @@ def _q_split_leakage(spark, sf):
     return DD.split_leakage_summary(asg, pairs)
 
 
+def _q_iqr_outliers(spark, sf):
+    # Tukey-fence triage report feeding winsorize/drop decisions (X122)
+    return P.iqr_outlier_report(load_table(spark, sf, "lineitem"), INC_COLS)
+
+
+def _q_completeness_timeline(spark, sf):
+    # per-hour per-column null-fraction monitor (X123)
+    return P.completeness_timeline(
+        load_table(spark, sf, "events"), ["value", "props"]
+    )
+
+
 def _q_user_growth(spark, sf):
     # DAU decomposition: new / retained / resurrected per day (X120)
     from safedata_pipeline_spark.operators.timeseries import growth_accounting
@@ -1168,6 +1180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fold_assign": _q_fold_assign,
         "user_growth": _q_user_growth,
         "trending_hourly": _q_trending_hourly,
+        "iqr_outliers": _q_iqr_outliers,
+        "completeness_timeline": _q_completeness_timeline,
     }
 
 
@@ -2756,6 +2770,47 @@ def _sql_rules_impl(table: str, group_cols: list[str], rules: list[dict]) -> str
     )
 
 
+def _sql_iqr_outliers(table: str, cols: list[str], k: float = 1.5) -> str:
+    parts = []
+    for c in cols:
+        fence = (
+            f"SELECT round(quantile_cont({c}, 0.25), 6) AS q1, "
+            f"round(quantile_cont({c}, 0.75), 6) AS q3 FROM {table}"
+        )
+        derived = (
+            f"SELECT q1, q3, round(q3 - q1, 6) AS iqr, "
+            f"round(q1 - {k} * round(q3 - q1, 6), 6) AS lo_fence, "
+            f"round(q3 + {k} * round(q3 - q1, 6), 6) AS hi_fence FROM ({fence})"
+        )
+        parts.append(
+            f"SELECT '{c}' AS \"column\", f.q1, f.q3, f.iqr, f.lo_fence, f.hi_fence, "
+            f"CAST(sum(CASE WHEN t.{c} < f.lo_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_low, "
+            f"CAST(sum(CASE WHEN t.{c} > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_high, "
+            f"round((sum(CASE WHEN t.{c} < f.lo_fence THEN 1 ELSE 0 END) "
+            f"+ sum(CASE WHEN t.{c} > f.hi_fence THEN 1 ELSE 0 END)) * 100.0 / count(*), 2) AS outlier_pct "
+            f"FROM {table} t CROSS JOIN ({derived}) f "
+            "GROUP BY f.q1, f.q3, f.iqr, f.lo_fence, f.hi_fence"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _sql_completeness_timeline(cols: list[str]) -> str:
+    nn = ", ".join(
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_{c}"
+        for c in cols
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT period_start, '{c}' AS \"column\", n_rows, nn_{c} AS n_null, "
+        f"round((n_rows - nn_{c}) * 1.0 / n_rows, 6) AS completeness FROM g"
+        for c in cols
+    )
+    return (
+        "WITH g AS (SELECT date_trunc('hour', ts) AS period_start, "
+        f"CAST(count(*) AS BIGINT) AS n_rows, {nn} "
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1) " + rows
+    )
+
+
 def _sql_user_growth() -> str:
     lagp = "lag(p) OVER (PARTITION BY u ORDER BY p)"
     return (
@@ -3075,4 +3130,6 @@ def oracle_sql() -> dict[str, str]:
         "fold_assign": _sql_fold_assign(5),
         "user_growth": _sql_user_growth(),
         "trending_hourly": _sql_trending_hourly(3),
+        "iqr_outliers": _sql_iqr_outliers("lineitem", INC_COLS),
+        "completeness_timeline": _sql_completeness_timeline(["value", "props"]),
     }

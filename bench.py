@@ -141,6 +141,8 @@ HEADLINE = [
     "fold_assign",
     "user_growth",
     "trending_hourly",
+    "iqr_outliers",
+    "completeness_timeline",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -667,3 +667,124 @@ def join_cardinality(
         (-F.col("__m.nf")).cast("bigint").alias("max_fanout"),
         F.col("__m.k").alias("top_key"),
     )
+
+
+def iqr_outlier_report(
+    df: DataFrame, cols: list[str], k: float = 1.5, exact: bool = True
+) -> DataFrame:
+    """Tukey-fence outlier audit per column: quartiles, fences at
+    Q1−k·IQR / Q3+k·IQR, and how many rows fall outside — the triage
+    report that decides between ``winsorize`` (clip) and row drop.
+    Output: one row per column — (column, q1, q3, iqr, lo_fence,
+    hi_fence, n_low, n_high, outlier_pct).
+
+    Two passes: ONE wide quantile agg fits every column's fences
+    (exact percentiles for oracle parity; ``exact=False`` swaps in the
+    one-pass Greenwald-Khanna sketch for 100 TB), then one wide
+    conditional-count agg applies them — O(1) scans regardless of
+    column count, fences ride the plan as literals.
+    """
+    if not cols:
+        raise ValueError("no columns")
+    fn = F.percentile if exact else F.percentile_approx
+    qrow = df.agg(
+        *[
+            fn(F.col(c), F.array(F.lit(0.25), F.lit(0.75))).alias(f"q__{c}")
+            for c in cols
+        ]
+    ).collect()[0]
+    fences = {}
+    for c in cols:
+        q = qrow[f"q__{c}"]
+        if q is None or q[0] is None:
+            fences[c] = None
+            continue
+        # every ingredient snaps to 6 decimals BEFORE deriving the
+        # fences, so both engines build bit-identical fence literals
+        # even if their raw quartile interpolation differs by an ulp
+        q1, q3 = round(float(q[0]), ROUND_N), round(float(q[1]), ROUND_N)
+        iqr = round(q3 - q1, ROUND_N)
+        fences[c] = (
+            q1,
+            q3,
+            iqr,
+            round(q1 - k * iqr, ROUND_N),
+            round(q3 + k * iqr, ROUND_N),
+        )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        if fences[c] is None:
+            continue
+        _, _, _, lo, hi = fences[c]
+        aggs += [
+            F.coalesce(
+                F.sum((F.col(c) < F.lit(lo)).cast("bigint")), F.lit(0)
+            ).alias(f"lo__{c}"),
+            F.coalesce(
+                F.sum((F.col(c) > F.lit(hi)).cast("bigint")), F.lit(0)
+            ).alias(f"hi__{c}"),
+        ]
+    crow = df.agg(*aggs)
+    structs = []
+    null_b = F.lit(None).cast("bigint")
+    for c in cols:
+        fc = fences[c]
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(None if fc is None else round(fc[0], ROUND_N)).cast("double").alias("q1"),
+                F.lit(None if fc is None else round(fc[1], ROUND_N)).cast("double").alias("q3"),
+                F.lit(None if fc is None else round(fc[2], ROUND_N)).cast("double").alias("iqr"),
+                F.lit(None if fc is None else round(fc[3], ROUND_N)).cast("double").alias("lo_fence"),
+                F.lit(None if fc is None else round(fc[4], ROUND_N)).cast("double").alias("hi_fence"),
+                (F.col(f"lo__{c}") if fc is not None else null_b).alias("n_low"),
+                (F.col(f"hi__{c}") if fc is not None else null_b).alias("n_high"),
+                (
+                    F.round(
+                        F.try_divide(
+                            (F.col(f"lo__{c}") + F.col(f"hi__{c}")) * 100.0,
+                            F.col("__n"),
+                        ),
+                        2,
+                    )
+                    if fc is not None
+                    else F.lit(None).cast("double")
+                ).alias("outlier_pct"),
+            )
+        )
+    return crow.select(F.inline(F.array(*structs)))
+
+
+def completeness_timeline(
+    df: DataFrame, cols: list[str], ts_col: str = "ts", period: str = "hour"
+) -> DataFrame:
+    """Missing-data DRIFT: per period, each column's non-null fraction
+    — the "did an upstream field silently break at 3am?" monitor that
+    pairs with the value-drift timeline. Output: one row per
+    (period, column) — (period_start, column, n_rows, n_null,
+    completeness). ONE groupBy pass; the per-column melt multiplies
+    the small period grid, never the data."""
+    if not cols:
+        raise ValueError("no columns")
+    p = F.date_trunc(period, F.col(ts_col)).cast("timestamp_ntz")
+    g = df.where(F.col(ts_col).isNotNull()).groupBy(p.alias("period_start")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        *[
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nn__{c}")
+            for c in cols
+        ],
+    )
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"nn__{c}").alias("n_null"),
+            F.round(
+                (F.col("__n") - F.col(f"nn__{c}")) / F.col("__n"), ROUND_N
+            ).alias("completeness"),
+        )
+        for c in cols
+    ]
+    return g.select(
+        "period_start", F.inline(F.array(*structs))
+    )

@@ -302,3 +302,40 @@ def test_join_cardinality_disjoint_keys(spark):
     out = join_cardinality(a, b, "k").collect()[0]
     assert out["n_keys_common"] == 0 and out["n_out"] == 0
     assert out["max_fanout"] is None and out["top_key"] is None
+
+
+def test_iqr_outlier_report_fences_and_counts(spark):
+    from safedata_pipeline_spark.operators.profile import iqr_outlier_report
+
+    # 1..100 plus two planted extremes
+    rows = [(float(i),) for i in range(1, 101)] + [(-1000.0,), (1000.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = iqr_outlier_report(df, ["v"]).collect()[0]
+    assert out["q1"] < out["q3"]
+    assert out["iqr"] == round(out["q3"] - out["q1"], 6)
+    assert out["n_low"] == 1 and out["n_high"] == 1
+    assert out["outlier_pct"] == round(2 * 100.0 / 102, 2)
+    # all-null column -> NULL fences, NULL counts
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    r = iqr_outlier_report(nulls, ["v"]).collect()[0]
+    assert r["q1"] is None and r["n_low"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        iqr_outlier_report(df, [])
+
+
+def test_completeness_timeline_tracks_nulls(spark):
+    from datetime import datetime
+
+    from safedata_pipeline_spark.operators.profile import completeness_timeline
+
+    h0, h1 = datetime(2024, 1, 1, 0), datetime(2024, 1, 1, 1)
+    rows = [(h0, 1.0), (h0, None), (h1, 2.0), (h1, 3.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = {
+        (r["period_start"].hour, r["column"]): (r["n_rows"], r["n_null"], r["completeness"])
+        for r in completeness_timeline(df, ["v"]).collect()
+    }
+    assert out[(0, "v")] == (2, 1, 0.5)
+    assert out[(1, "v")] == (2, 0, 1.0)
