@@ -898,6 +898,22 @@ def _q_split_leakage(spark, sf):
     return DD.split_leakage_summary(asg, pairs)
 
 
+def _q_incremental_percentiles(spark, sf):
+    # mergeable percentile state (X124): fixed-grid histograms of two
+    # disjoint batches merged, percentile finish over ≤100 state rows
+    li = load_table(spark, sf, "lineitem")
+    lohi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
+    lo, hi = float(lohi[0]), float(lohi[1])
+    width = (hi - lo) / 100.0 or 1.0
+    a = INC.histogram_partials(
+        li.where(F.col("l_orderkey") % 2 == 0), "l_extendedprice", lo, width, 100
+    )
+    b = INC.histogram_partials(
+        li.where(F.col("l_orderkey") % 2 == 1), "l_extendedprice", lo, width, 100
+    )
+    return INC.percentiles_from_histogram(INC.merge_histograms(a, b), lo, width)
+
+
 def _q_iqr_outliers(spark, sf):
     # Tukey-fence triage report feeding winsorize/drop decisions (X122)
     return P.iqr_outlier_report(load_table(spark, sf, "lineitem"), INC_COLS)
@@ -1182,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_hourly": _q_trending_hourly,
         "iqr_outliers": _q_iqr_outliers,
         "completeness_timeline": _q_completeness_timeline,
+        "incremental_percentiles": _q_incremental_percentiles,
     }
 
 
@@ -2770,6 +2787,26 @@ def _sql_rules_impl(table: str, group_cols: list[str], rules: list[dict]) -> str
     )
 
 
+def _sql_incremental_percentiles(
+    table: str, col: str, bins: int, probs: tuple
+) -> str:
+    pcols = []
+    for p in probs:
+        name = f"p{int(round(p * 100)):02d}"
+        pcols.append(
+            f"(SELECT round((SELECT lo FROM mm) + (bin + least(greatest(({p} * tot - (cn - n)) / n, 0.0), 1.0)) "
+            f"* (SELECT w FROM mm), 6) FROM c WHERE cn >= {p} * tot ORDER BY bin LIMIT 1) AS {name}"
+        )
+    return (
+        f"WITH mm AS (SELECT CAST(min({col}) AS DOUBLE) AS lo, "
+        f"(CAST(max({col}) AS DOUBLE) - CAST(min({col}) AS DOUBLE)) / {float(bins)} AS w FROM {table}), "
+        f"h AS (SELECT CAST(least(greatest(floor(({col} - mm.lo) / mm.w), 0), {bins - 1}) AS BIGINT) AS bin, "
+        f"CAST(count(*) AS BIGINT) AS n FROM {table}, mm WHERE {col} IS NOT NULL GROUP BY 1), "
+        "c AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cn, sum(n) OVER () AS tot FROM h) "
+        "SELECT (SELECT CAST(max(tot) AS BIGINT) FROM c) AS n, " + ", ".join(pcols)
+    )
+
+
 def _sql_iqr_outliers(table: str, cols: list[str], k: float = 1.5) -> str:
     parts = []
     for c in cols:
@@ -3132,4 +3169,7 @@ def oracle_sql() -> dict[str, str]:
         "trending_hourly": _sql_trending_hourly(3),
         "iqr_outliers": _sql_iqr_outliers("lineitem", INC_COLS),
         "completeness_timeline": _sql_completeness_timeline(["value", "props"]),
+        "incremental_percentiles": _sql_incremental_percentiles(
+            "lineitem", "l_extendedprice", 100, (0.25, 0.5, 0.75)
+        ),
     }

@@ -143,6 +143,7 @@ HEADLINE = [
     "trending_hourly",
     "iqr_outliers",
     "completeness_timeline",
+    "incremental_percentiles",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -22,9 +22,14 @@ Because sums are DECIMAL (exact, associative), the pipeline satisfies
 ``finalize(merge(partials(A), partials(B))) == finalize(partials(A∪B))``
 BIT-FOR-BIT — the equivalence the unit tests pin and the reason this
 is safe to run incrementally: no float-summation drift between the
-incremental and from-scratch answers. (Percentiles are deliberately
-absent: exact ones aren't mergeable; the KMV/HLL sketches and
-``percentile_approx`` cover the approximate path.)
+incremental and from-scratch answers.
+
+Percentiles: EXACT ones aren't mergeable, so the moment partials skip
+them; ``histogram_partials`` / ``merge_histograms`` /
+``percentiles_from_histogram`` provide the mergeable approximation —
+fixed-grid bin counts that add across batches, with an interpolated
+finish whose error is bounded by one bin width and whose result is
+deterministic (incremental == from-scratch exactly).
 """
 
 from __future__ import annotations
@@ -110,3 +115,78 @@ def finalize_profile(partials: DataFrame) -> DataFrame:
         F.round(F.col("min"), ROUND_N).alias("min"),
         F.round(F.col("max"), ROUND_N).alias("max"),
     )
+
+
+def histogram_partials(
+    df: DataFrame, col: str, lo: float, width: float, bins: int
+) -> DataFrame:
+    """Mergeable PERCENTILE state — the piece ``profile_partials``
+    deliberately omits (exact percentiles aren't mergeable): a
+    fixed-grid histogram (bin, count). The grid (lo, width, bins) is
+    pinned at fit time like a drift reference, so partials from any
+    two batches share bins and merge by ADDING counts — percentile
+    error is bounded by one bin width, the binned-KS trade.
+
+    One groupBy pass; values below the grid clamp to bin 0, above to
+    bin ``bins``-1 (open tails, documented), NULLs drop. Output:
+    (bin, n) — at most ``bins`` rows of state per column."""
+    if width <= 0 or bins < 1:
+        raise ValueError("need width > 0 and bins >= 1")
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(b.cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def merge_histograms(*parts: DataFrame) -> DataFrame:
+    """Add bin counts across batches — same monoid contract as
+    ``merge_partials`` (partials must share the fit grid)."""
+    if not parts:
+        raise ValueError("no partials")
+    allp = reduce(lambda a, b: a.unionByName(b), parts)
+    return allp.groupBy("bin").agg(F.sum("n").cast("bigint").alias("n"))
+
+
+def percentiles_from_histogram(
+    hist: DataFrame, lo: float, width: float, probs: tuple = (0.25, 0.5, 0.75)
+) -> DataFrame:
+    """Percentile estimates from the histogram state (1 output row):
+    linear interpolation within the first bin whose cumulative count
+    reaches p·n — error ≤ one bin width, deterministic (all-integer
+    cumulative math), so incremental == from-scratch exactly. The
+    cumulative window runs over ≤bins rows of state, never data."""
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("bin")
+    cum = hist.select(
+        "bin",
+        "n",
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    aggs = [F.max("tot").cast("bigint").alias("n")]
+    for p in probs:
+        target = F.lit(float(p)) * F.col("tot")
+        pick = F.min(
+            F.when(F.col("cn") >= target, F.struct(F.col("bin"), F.col("cn"), F.col("n")))
+        ).alias(f"__pk{int(round(p * 100)):02d}")
+        aggs.append(pick)
+    g = cum.agg(*aggs)
+    outs = [F.col("n")]
+    for p in probs:
+        name = f"p{int(round(p * 100)):02d}"
+        pk = F.col(f"__pk{name[1:]}")
+        frac = (F.lit(float(p)) * F.col("n") - (pk["cn"] - pk["n"])) / pk["n"]
+        frac = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+        outs.append(
+            F.round(F.lit(lo) + (pk["bin"].cast("double") + frac) * F.lit(width), ROUND_N).alias(name)
+        )
+    return g.select(*outs)

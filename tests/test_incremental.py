@@ -64,3 +64,39 @@ def test_all_null_and_empty_columns(spark):
         INC.profile_partials(df, [])
     with pytest.raises(ValueError):
         INC.merge_partials()
+
+
+def test_histogram_partials_merge_and_percentiles(spark, sf_dir):
+    from safedata_pipeline_spark.operators import incremental as INC
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lohi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
+    lo, hi = float(lohi[0]), float(lohi[1])
+    width = (hi - lo) / 100 or 1.0
+    whole = INC.histogram_partials(li, "l_extendedprice", lo, width, 100)
+    a = INC.histogram_partials(li.where(F.col("l_orderkey") % 2 == 0), "l_extendedprice", lo, width, 100)
+    b = INC.histogram_partials(li.where(F.col("l_orderkey") % 2 == 1), "l_extendedprice", lo, width, 100)
+    merged = INC.merge_histograms(a, b)
+    assert _rows(merged) == _rows(whole)
+
+    inc_p = INC.percentiles_from_histogram(merged, lo, width).collect()[0]
+    scratch_p = INC.percentiles_from_histogram(whole, lo, width).collect()[0]
+    assert tuple(inc_p) == tuple(scratch_p)  # incremental == from-scratch exactly
+    # and each estimate is within one bin width of the exact percentile
+    exact = li.agg(
+        F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    ).collect()[0][0]
+    for est, ex in zip((inc_p["p25"], inc_p["p50"], inc_p["p75"]), exact):
+        assert abs(est - float(ex)) <= width + 1e-9
+
+
+def test_histogram_validates_grid(spark):
+    from safedata_pipeline_spark.operators import incremental as INC
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        INC.histogram_partials(df, "v", 0.0, 0.0, 10)
+    with _pytest.raises(ValueError):
+        INC.merge_histograms()
