@@ -898,6 +898,17 @@ def _q_split_leakage(spark, sf):
     return DD.split_leakage_summary(asg, pairs)
 
 
+def _q_vocab_top(spark, sf):
+    # corpus vocabulary fit artifact, TakeOrdered top-k (X125)
+    return TX.build_vocab(load_table(spark, sf, "documents"), top_k=500)
+
+
+def _q_oov_rate(spark, sf):
+    # encoder-coverage audit vs a deliberately small vocab (X126)
+    docs = load_table(spark, sf, "documents")
+    return TX.oov_rate(docs, TX.build_vocab(docs, top_k=50))
+
+
 def _q_incremental_percentiles(spark, sf):
     # mergeable percentile state (X124): fixed-grid histograms of two
     # disjoint batches merged, percentile finish over ≤100 state rows
@@ -1199,6 +1210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_outliers": _q_iqr_outliers,
         "completeness_timeline": _q_completeness_timeline,
         "incremental_percentiles": _q_incremental_percentiles,
+        "vocab_top": _q_vocab_top,
+        "oov_rate": _q_oov_rate,
     }
 
 
@@ -2787,6 +2800,39 @@ def _sql_rules_impl(table: str, group_cols: list[str], rules: list[dict]) -> str
     )
 
 
+_SQL_TOKS = (
+    "SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
+    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t "
+    "FROM documents WHERE text IS NOT NULL"
+)
+
+
+def _sql_vocab_top(top_k: int) -> str:
+    return (
+        f"WITH toks AS ({_SQL_TOKS}), "
+        "ex AS (SELECT unnest(t) AS token FROM toks), "
+        "cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY token), "
+        f"top AS (SELECT token, n FROM cnt ORDER BY n DESC, token ASC LIMIT {top_k}) "
+        "SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS token_id, n FROM top"
+    )
+
+
+def _sql_oov_rate(top_k: int) -> str:
+    return (
+        f"WITH toks AS ({_SQL_TOKS}), "
+        "ex AS (SELECT doc_id, unnest(t) AS token FROM toks), "
+        "cnt AS (SELECT token, count(*) AS n FROM ex GROUP BY token), "
+        f"top AS (SELECT token FROM cnt ORDER BY n DESC, token ASC LIMIT {top_k}), "
+        "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(CASE WHEN token NOT IN (SELECT token FROM top) THEN 1 ELSE 0 END) AS BIGINT) AS n_oov "
+        "FROM ex GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens, "
+        "CAST(coalesce(per.n_oov, 0) AS BIGINT) AS n_oov, "
+        "round(per.n_oov * 1.0 / per.n_tokens, 6) AS oov_rate "
+        "FROM documents d LEFT JOIN per USING (doc_id)"
+    )
+
+
 def _sql_incremental_percentiles(
     table: str, col: str, bins: int, probs: tuple
 ) -> str:
@@ -3172,4 +3218,6 @@ def oracle_sql() -> dict[str, str]:
         "incremental_percentiles": _sql_incremental_percentiles(
             "lineitem", "l_extendedprice", 100, (0.25, 0.5, 0.75)
         ),
+        "vocab_top": _sql_vocab_top(500),
+        "oov_rate": _sql_oov_rate(50),
     }

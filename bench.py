@@ -144,6 +144,8 @@ HEADLINE = [
     "iqr_outliers",
     "completeness_timeline",
     "incremental_percentiles",
+    "vocab_top",
+    "oov_rate",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

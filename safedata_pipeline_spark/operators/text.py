@@ -1043,3 +1043,70 @@ def chunk_documents(
             ),
         )
     )
+
+
+def build_vocab(
+    df: DataFrame, top_k: int = 1000, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_k`` most frequent lowercased
+    whitespace tokens with contiguous ids — the fit artifact an
+    encoder / OOV audit consumes. Deterministic order: (count desc,
+    token asc). Output: (token, token_id, n).
+
+    Shape: one explode + groupBy count (map-side combinable), then a
+    TakeOrdered top-k (bounded per-partition heaps — never a global
+    sort of the vocabulary); ids come from a row_number over the
+    ALREADY-SELECTED top_k rows, so the only window input is top_k
+    rows."""
+    from pyspark.sql import Window
+
+    t = F.lower(F.col(text_col))
+    ex = df.where(F.col(text_col).isNotNull()).select(
+        F.explode(_ws_tokens(t)).alias("token")
+    )
+    counts = ex.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_k)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return top.select(
+        "token", F.row_number().over(w).cast("int").alias("token_id"), "n"
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary fraction against a fitted
+    ``build_vocab`` table — the encoder-coverage audit (a doc whose
+    tokens a tokenizer/vocab can't represent trains badly). Output:
+    one row per input doc — (id, n_tokens, n_oov, oov_rate);
+    token-less docs report 0 tokens and NULL rate.
+
+    Shape: explode + ONE broadcast left join against the (small)
+    vocab + one groupBy; the final left join restores token-less
+    docs. No shuffle carries more than the exploded token stream."""
+    t = F.lower(F.col(text_col))
+    ex = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(_ws_tokens(t)).alias("token")
+    )
+    v = vocab.select("token").withColumn("__in", F.lit(1))
+    per = (
+        ex.join(F.broadcast(v), on="token", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("__in").isNull().cast("bigint")).alias("n_oov"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+            F.round(F.try_divide(F.col("n_oov"), F.col("n_tokens")), 6).alias("oov_rate"),
+        )
+    )

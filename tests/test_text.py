@@ -426,3 +426,28 @@ def test_chunk_documents_offsets_and_reassembly(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, size=100, overlap=100)
+
+
+def test_build_vocab_and_oov_rate(spark):
+    from safedata_pipeline_spark.operators.text import build_vocab, oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the THE dog"),
+            (3, "zebra"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    vocab = build_vocab(docs, top_k=2)
+    rows = sorted((r["token_id"], r["token"], r["n"]) for r in vocab.collect())
+    # 'the' x3; tie between cat/dog/sat/zebra at 1 -> 'cat' wins (asc)
+    assert rows == [(1, "the", 3), (2, "cat", 1)]
+    out = {r["doc_id"]: r for r in oov_rate(docs, vocab).collect()}
+    assert out[1]["n_tokens"] == 3 and out[1]["n_oov"] == 1  # 'sat'
+    assert out[2]["n_oov"] == 1                               # 'dog'
+    assert out[3]["oov_rate"] == 1.0                          # 'zebra'
+    assert out[4]["n_tokens"] == 0 and out[4]["oov_rate"] is None
+    assert out[5]["n_tokens"] == 0
