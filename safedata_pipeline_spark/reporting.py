@@ -102,6 +102,8 @@ def save_audit_report(
     drift_timeline_df: DataFrame | None = None,
     t_closeness_df: DataFrame | None = None,
     quality_rules_df: DataFrame | None = None,
+    iqr_outliers_df: DataFrame | None = None,
+    completeness_timeline_df: DataFrame | None = None,
 ) -> str:
     """The operator-era audit report — the numbers a privacy officer
     or pipeline operator actually reads, assembled from the round-3
@@ -133,6 +135,10 @@ def save_audit_report(
         sections.append(("Drift Timeline", df_to_html(drift_timeline_df)))
     if quality_rules_df is not None:
         sections.append(("Data-Quality Rules", df_to_html(quality_rules_df)))
+    if iqr_outliers_df is not None:
+        sections.append(("Outlier Fences (IQR)", df_to_html(iqr_outliers_df)))
+    if completeness_timeline_df is not None:
+        sections.append(("Completeness Timeline", df_to_html(completeness_timeline_df)))
     stamp = f"Generated {datetime.datetime.now(datetime.timezone.utc).isoformat()}"
     html = _html_doc("SafeData Audit Report (Spark engine)", stamp, sections)
     with open(path, "w", encoding="utf-8") as f:

@@ -141,3 +141,27 @@ def test_audit_report_renders_quality_rules(tbl, tmp_path):
     path = save_audit_report(str(tmp_path / "audit.html"), {"run": "t"}, quality_rules_df=verdicts)
     html = open(path).read()
     assert "Data-Quality Rules" in html and "uniqueness_id" in html
+
+
+def test_audit_report_renders_outlier_and_completeness_sections(spark, tmp_path):
+    from datetime import datetime
+
+    from safedata_pipeline_spark.operators.profile import (
+        completeness_timeline,
+        iqr_outlier_report,
+    )
+    from safedata_pipeline_spark.reporting import save_audit_report
+
+    df = spark.createDataFrame([(float(i),) for i in range(20)], "v double")
+    ev = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0), 1.0), (datetime(2024, 1, 1, 0), None)],
+        "ts timestamp, v double",
+    )
+    path = save_audit_report(
+        str(tmp_path / "audit2.html"),
+        {"run": "t"},
+        iqr_outliers_df=iqr_outlier_report(df, ["v"]),
+        completeness_timeline_df=completeness_timeline(ev, ["v"]),
+    )
+    html = open(path).read()
+    assert "Outlier Fences (IQR)" in html and "Completeness Timeline" in html
