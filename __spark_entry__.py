@@ -898,6 +898,11 @@ def _q_split_leakage(spark, sf):
     return DD.split_leakage_summary(asg, pairs)
 
 
+def _q_session_concurrency(spark, sf):
+    # sweep-line concurrent-sessions timeline (X127)
+    return SS.session_concurrency(load_table(spark, sf, "events"), gap_minutes=30)
+
+
 def _q_vocab_top(spark, sf):
     # corpus vocabulary fit artifact, TakeOrdered top-k (X125)
     return TX.build_vocab(load_table(spark, sf, "documents"), top_k=500)
@@ -1212,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_percentiles": _q_incremental_percentiles,
         "vocab_top": _q_vocab_top,
         "oov_rate": _q_oov_rate,
+        "session_concurrency": _q_session_concurrency,
     }
 
 
@@ -2807,6 +2813,17 @@ _SQL_TOKS = (
 )
 
 
+def _sql_session_concurrency(gap_minutes: int) -> str:
+    return (
+        f"WITH s AS ({_sql_user_sessions(gap_minutes)}), "
+        "d AS (SELECT date_trunc('hour', session_start) AS h, 1 AS dlt FROM s "
+        "UNION ALL SELECT date_trunc('hour', session_end) + INTERVAL 1 HOUR, -1 FROM s), "
+        "g AS (SELECT h, sum(dlt) AS dd FROM d GROUP BY h) "
+        "SELECT h AS hour_start, CAST(sum(dd) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+        "AS n_concurrent FROM g"
+    )
+
+
 def _sql_vocab_top(top_k: int) -> str:
     return (
         f"WITH toks AS ({_SQL_TOKS}), "
@@ -3220,4 +3237,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocab_top": _sql_vocab_top(500),
         "oov_rate": _sql_oov_rate(50),
+        "session_concurrency": _sql_session_concurrency(30),
     }

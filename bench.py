@@ -146,6 +146,7 @@ HEADLINE = [
     "incremental_percentiles",
     "vocab_top",
     "oov_rate",
+    "session_concurrency",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -250,3 +250,33 @@ def stream_user_sessions(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+def session_concurrency(
+    events: DataFrame, gap_minutes: int = DEFAULT_GAP_MIN
+) -> DataFrame:
+    """Concurrent-session timeline by sweep-line: +1 at each session's
+    start hour, −1 the hour AFTER its end hour, cumulative-summed over
+    the hour grid — "how many sessions were open during hour h?"
+    (capacity-planning / load dashboard). Output: one row per
+    change-point hour — (hour_start, n_concurrent); between change
+    points the level is constant (the standard sweep-line encoding).
+
+    Shape: sessions themselves are the one event-row pass
+    (``user_sessions``); the delta union + groupBy + cumulative
+    window all run on the HOUR GRID (≤ thousands of rows at any
+    horizon) — same dashboard-sized-window discipline as
+    ``value_counts``. All-integer deltas, engine-exact.
+    """
+    s = user_sessions(events, gap_minutes)
+    start_h = F.date_trunc("hour", F.col("session_start"))
+    end_h = F.date_trunc("hour", F.col("session_end")) + F.expr("INTERVAL 1 HOUR")
+    deltas = s.select(start_h.alias("h"), F.lit(1).alias("d")).unionByName(
+        s.select(end_h.alias("h"), F.lit(-1).alias("d"))
+    )
+    g = deltas.groupBy("h").agg(F.sum("d").alias("dd"))
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        F.col("h").cast("timestamp_ntz").alias("hour_start"),
+        F.sum("dd").over(w).cast("bigint").alias("n_concurrent"),
+    )

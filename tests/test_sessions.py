@@ -210,3 +210,27 @@ def test_session_funnel_chain_semantics(spark):
     # sessions reaching view: u1, u2, u3-first = 3; click-after-view: u1, u3-first = 2;
     # purchase-after-click: u1 only (u3's purchase is its own session)
     assert got == {"view": (1, 3), "click": (2, 2), "purchase": (3, 1)}
+
+
+def test_session_concurrency_sweep_line(spark):
+    from datetime import datetime
+
+    from safedata_pipeline_spark.streaming.sessions import session_concurrency
+
+    d = datetime
+    # u1: one session 10:05-10:10; u2: 10:20-11:40 (spans hours 10,11);
+    # u3: 13:00 single-event session
+    rows = [
+        (1, 1, d(2024, 1, 1, 10, 5), 1.0), (2, 1, d(2024, 1, 1, 10, 10), 1.0),
+        (3, 2, d(2024, 1, 1, 10, 20), 1.0), (4, 2, d(2024, 1, 1, 10, 40), 1.0),
+        (5, 2, d(2024, 1, 1, 11, 0), 1.0), (6, 2, d(2024, 1, 1, 11, 40), 1.0),
+        (7, 3, d(2024, 1, 1, 13, 0), 1.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp, value double")
+    out = {r["hour_start"].hour: r["n_concurrent"] for r in session_concurrency(ev, 60).collect()}
+    # hour 10: both sessions open; 11: only u2; 12: none; 13: u3; 14: none
+    assert out[10] == 2
+    assert out[11] == 1
+    assert out[12] == 0
+    assert out[13] == 1
+    assert out[14] == 0
