@@ -898,6 +898,13 @@ def _q_split_leakage(spark, sf):
     return DD.split_leakage_summary(asg, pairs)
 
 
+def _q_cohort_retention(spark, sf):
+    # first-day cohorts × day-offset retention triangle (X128)
+    from safedata_pipeline_spark.operators.timeseries import cohort_retention
+
+    return cohort_retention(load_table(spark, sf, "events"))
+
+
 def _q_session_concurrency(spark, sf):
     # sweep-line concurrent-sessions timeline (X127)
     return SS.session_concurrency(load_table(spark, sf, "events"), gap_minutes=30)
@@ -1218,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top": _q_vocab_top,
         "oov_rate": _q_oov_rate,
         "session_concurrency": _q_session_concurrency,
+        "cohort_retention": _q_cohort_retention,
     }
 
 
@@ -2813,6 +2821,21 @@ _SQL_TOKS = (
 )
 
 
+def _sql_cohort_retention() -> str:
+    return (
+        "WITH act AS (SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS d "
+        "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+        "cohorts AS (SELECT u, min(d) AS c0 FROM act GROUP BY u), "
+        "sizes AS (SELECT c0, CAST(count(*) AS BIGINT) AS cohort_n FROM cohorts GROUP BY c0), "
+        "grid AS (SELECT c0, CAST(date_diff('day', c0, d) AS INT) AS day_offset, "
+        "CAST(count(*) AS BIGINT) AS n_users FROM act JOIN cohorts USING (u) "
+        "GROUP BY c0, date_diff('day', c0, d)) "
+        "SELECT g.c0 AS cohort_day, g.day_offset, g.n_users, "
+        "round(g.n_users * 1.0 / s.cohort_n, 6) AS retention_rate "
+        "FROM grid g JOIN sizes s USING (c0)"
+    )
+
+
 def _sql_session_concurrency(gap_minutes: int) -> str:
     return (
         f"WITH s AS ({_sql_user_sessions(gap_minutes)}), "
@@ -3238,4 +3261,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_top": _sql_vocab_top(500),
         "oov_rate": _sql_oov_rate(50),
         "session_concurrency": _sql_session_concurrency(30),
+        "cohort_retention": _sql_cohort_retention(),
     }

@@ -147,6 +147,7 @@ HEADLINE = [
     "vocab_top",
     "oov_rate",
     "session_concurrency",
+    "cohort_retention",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -308,3 +308,45 @@ def trending_per_period(
         )
         .where(F.col("rank") <= top_k)
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by FIRST active day
+    (their cohort); for each (cohort_day, day_offset) cell, how many
+    of that cohort were active ``offset`` days later and what fraction
+    of the cohort that is — the classic retention heatmap. Output:
+    (cohort_day, day_offset, n_users, retention_rate); offset 0 rows
+    carry the cohort size with rate 1.
+
+    Shape: one distinct (user, day) pass over events; cohorts via a
+    min-aggregate on that table; one join of activity-days against
+    the (user, cohort) table keyed on user (narrow build side); one
+    groupBy on the (cohort, offset) grid. Event rows are touched
+    once; everything after runs on user- or grid-sized tables.
+    """
+    act = (
+        df.where(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("u"),
+            F.date_trunc("day", F.col(ts_col)).alias("d"),
+        )
+        .distinct()
+    )
+    cohorts = act.groupBy("u").agg(F.min("d").alias("c0"))
+    sizes = cohorts.groupBy("c0").agg(F.count(F.lit(1)).cast("bigint").alias("cohort_n"))
+    joined = act.join(cohorts, "u").select(
+        "c0", F.datediff(F.col("d"), F.col("c0")).alias("day_offset")
+    )
+    grid = joined.groupBy("c0", "day_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    return grid.join(sizes, "c0").select(
+        F.col("c0").cast("timestamp_ntz").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_users",
+        F.round(F.col("n_users") / F.col("cohort_n"), ROUND_N).alias("retention_rate"),
+    )

@@ -159,3 +159,28 @@ def test_trending_per_period_ranks_and_ties(spark):
     ranked = sorted((r["rank"], r["key"], r["n"]) for r in out)
     # tie between a and b at 3 -> a first (key asc); c drops out of top-3
     assert ranked == [(1, "a", 3), (2, "b", 3), (3, "d", 2)]
+
+
+def test_cohort_retention_triangle(spark):
+    from datetime import datetime
+
+    from safedata_pipeline_spark.operators.timeseries import cohort_retention
+
+    d = datetime
+    rows = [
+        # cohort day1: u1 (returns day2), u2 (returns day3)
+        (1, d(2024, 1, 1, 8)), (1, d(2024, 1, 2, 8)),
+        (2, d(2024, 1, 1, 9)), (2, d(2024, 1, 3, 9)),
+        # cohort day2: u3 only
+        (3, d(2024, 1, 2, 10)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = {
+        (r["cohort_day"].day, r["day_offset"]): (r["n_users"], r["retention_rate"])
+        for r in cohort_retention(ev).collect()
+    }
+    assert out[(1, 0)] == (2, 1.0)
+    assert out[(1, 1)] == (1, 0.5)   # u1 back on day 2
+    assert out[(1, 2)] == (1, 0.5)   # u2 back on day 3
+    assert out[(2, 0)] == (1, 1.0)
+    assert (2, 1) not in out
