@@ -788,3 +788,27 @@ def completeness_timeline(
     return g.select(
         "period_start", F.inline(F.array(*structs))
     )
+
+
+def schema_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Schema DRIFT between two frames (yesterday's snapshot vs
+    today's feed): per column — added, removed, retyped, or unchanged
+    — the metadata-plane check that runs before any data-plane diff
+    (``table_diff``) is worth paying for. Pure schema comparison: no
+    job, no scan; the result is a local relation of max(|cols_a|,
+    |cols_b|) rows ordered by column name."""
+    ta = {f.name: f.dataType.simpleString() for f in a.schema.fields}
+    tb = {f.name: f.dataType.simpleString() for f in b.schema.fields}
+    rows = []
+    for c in sorted(set(ta) | set(tb)):
+        da, db = ta.get(c), tb.get(c)
+        status = (
+            "added" if da is None
+            else "removed" if db is None
+            else "retyped" if da != db
+            else "unchanged"
+        )
+        rows.append((c, da, db, status))
+    return a.sparkSession.createDataFrame(
+        rows, "column string, dtype_a string, dtype_b string, status string"
+    )

@@ -339,3 +339,15 @@ def test_completeness_timeline_tracks_nulls(spark):
     }
     assert out[(0, "v")] == (2, 1, 0.5)
     assert out[(1, "v")] == (2, 0, 1.0)
+
+
+def test_schema_diff_statuses(spark):
+    from safedata_pipeline_spark.operators.profile import schema_diff
+
+    a = spark.createDataFrame([], "id bigint, v double, gone string")
+    b = spark.createDataFrame([], "id bigint, v string, fresh int")
+    out = {r["column"]: (r["dtype_a"], r["dtype_b"], r["status"]) for r in schema_diff(a, b).collect()}
+    assert out["id"] == ("bigint", "bigint", "unchanged")
+    assert out["v"] == ("double", "string", "retyped")
+    assert out["gone"] == ("string", None, "removed")
+    assert out["fresh"] == (None, "int", "added")
