@@ -245,3 +245,102 @@ def test_pack_windows_conserves_tokens(spark, toks, budget):
         assert per_doc.get(i, 0) == t
         # every slice within budget
     assert all(0 < r.end_tok - r.start_tok <= budget for r in rows)
+
+
+# CDC logs: small key space forces multi-version keys; distinct
+# (ts, offset) pairs keep the winner well-defined (the operator's
+# documented contract)
+_log_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),       # key
+        st.integers(min_value=0, max_value=20),      # ts bucket
+        st.integers(min_value=0, max_value=100),     # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_settings
+@given(rows=_log_rows)
+def test_latest_by_key_matches_pandas_reference(spark, rows):
+    """latest_by_key == pandas sort + tail(1) per key, for any log
+    shape (ties on ts resolved by the unique offset)."""
+    import pandas as pd
+
+    from safedata_pipeline_spark.operators.cdc import latest_by_key
+
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "payload"])
+    pdf["offset"] = range(len(pdf))  # unique tiebreak
+    df = spark.createDataFrame(pdf[["offset", "ts", "k", "payload"]])
+    got = {
+        r["k"]: (r["ts"], r["offset"], r["payload"])
+        for r in latest_by_key(df, ["k"], "ts", "offset").collect()
+    }
+    ref = {
+        int(k): (int(g["ts"].iloc[-1]), int(g["offset"].iloc[-1]), int(g["payload"].iloc[-1]))
+        for k, g in pdf.sort_values(["ts", "offset"]).groupby("k")
+    }
+    assert got == ref
+
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c\ndé"), min_size=0, max_size=120
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@_settings
+@given(texts=_texts, size=st.sampled_from([5, 16, 50]), overlap=st.sampled_from([0, 2, 4]))
+def test_chunk_documents_reassembles_original(spark, texts, size, overlap):
+    """Dropping each chunk's first `overlap` chars (after chunk 0) and
+    concatenating reproduces the original text exactly — no char lost
+    or duplicated, for any unicode text and any size/overlap combo."""
+    from safedata_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    out = chunk_documents(docs, size=size, overlap=overlap)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_no"], r["chunk_text"]))
+    for i, t in enumerate(texts):
+        if not t:
+            assert i not in by_doc
+            continue
+        chunks = [c for _, c in sorted(by_doc[i])]
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == t
+
+
+@_settings
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32),
+        min_size=5,
+        max_size=60,
+    ),
+    n_splits=st.sampled_from([2, 3]),
+)
+def test_profile_partials_batching_invariance(spark, vals, n_splits):
+    """merge(partials of ANY disjoint batching) == partials(whole),
+    for arbitrary float data — the monoid law under real inputs."""
+    from safedata_pipeline_spark.operators import incremental as INC
+
+    pdf = pd.DataFrame({"v": vals, "g": [i % n_splits for i in range(len(vals))]})
+    whole = spark.createDataFrame(pdf[["v"]])
+    parts = [
+        spark.createDataFrame(pdf[pdf["g"] == i][["v"]])
+        if (pdf["g"] == i).any()
+        else spark.createDataFrame([], "v double")
+        for i in range(n_splits)
+    ]
+    a = INC.finalize_profile(
+        INC.merge_partials(*[INC.profile_partials(p, ["v"]) for p in parts])
+    ).collect()
+    b = INC.finalize_profile(INC.profile_partials(whole, ["v"])).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
