@@ -898,6 +898,11 @@ def _q_split_leakage(spark, sf):
     return DD.split_leakage_summary(asg, pairs)
 
 
+def _q_dedup_rate_by_source(spark, sf):
+    # per-source exact-dup fraction, the corpus-health KPI (X130)
+    return DD.dedup_rate_by_source(load_table(spark, sf, "documents"))
+
+
 def _q_cohort_retention(spark, sf):
     # first-day cohorts × day-offset retention triangle (X128)
     from safedata_pipeline_spark.operators.timeseries import cohort_retention
@@ -1226,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": _q_oov_rate,
         "session_concurrency": _q_session_concurrency,
         "cohort_retention": _q_cohort_retention,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
     }
 
 
@@ -2821,6 +2827,19 @@ _SQL_TOKS = (
 )
 
 
+def _sql_dedup_rate_by_source() -> str:
+    uniq = (
+        "count(DISTINCT md5(text)) "
+        "+ sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)"
+    )
+    return (
+        "SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST({uniq} AS BIGINT) AS n_unique, "
+        f"round(1.0 - ({uniq}) * 1.0 / count(*), 6) AS dup_rate "
+        "FROM documents GROUP BY source"
+    )
+
+
 def _sql_cohort_retention() -> str:
     return (
         "WITH act AS (SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS d "
@@ -3262,4 +3281,5 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate": _sql_oov_rate(50),
         "session_concurrency": _sql_session_concurrency(30),
         "cohort_retention": _sql_cohort_retention(),
+        "dedup_rate_by_source": _sql_dedup_rate_by_source(),
     }

@@ -148,6 +148,7 @@ HEADLINE = [
     "oov_rate",
     "session_concurrency",
     "cohort_retention",
+    "dedup_rate_by_source",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

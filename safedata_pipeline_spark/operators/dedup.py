@@ -788,3 +788,38 @@ def split_leakage_summary(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.count_distinct("id_b").cast("bigint").alias("n_leaked_docs"),
     )
+
+
+def dedup_rate_by_source(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-health KPI: per source, what fraction of documents are
+    exact duplicates of another document IN that source — the number a
+    curation dashboard watches between runs (a rising dup rate means
+    an upstream feed started re-sending). Output: one row per group —
+    (group, n_docs, n_unique, dup_rate). NULL texts count as docs but
+    never as duplicates of each other (digest NULL ≠ digest NULL,
+    matching ``dedup_exact``).
+
+    Shape: ONE groupBy with a distinct-count over the md5 digest —
+    map-side combinable counts plus the usual distinct expand; no
+    join, no second scan."""
+    digest = F.md5(F.col(text_col).cast("binary"))
+    return df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.count_distinct(digest)
+            + F.sum(F.col(text_col).isNull().cast("bigint"))
+        ).cast("bigint").alias("n_unique"),
+        F.round(
+            F.lit(1.0)
+            - F.try_divide(
+                F.count_distinct(digest)
+                + F.sum(F.col(text_col).isNull().cast("bigint")),
+                F.count(F.lit(1)),
+            ),
+            6,
+        ).alias("dup_rate"),
+    )

@@ -338,3 +338,19 @@ def test_split_leakage_pairs_and_summary(spark):
         for r in split_leakage_summary(asg, pairs).collect()
     }
     assert summ == {("train", "eval"): (1, 1), ("eval", "train"): (1, 1)}
+
+
+def test_dedup_rate_by_source(spark):
+    from safedata_pipeline_spark.operators.dedup import dedup_rate_by_source
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "dup"), (2, "a", "dup"), (3, "a", "solo"), (4, "a", None),
+            (5, "b", "x"), (6, "b", "y"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    out = {r["grp"]: (r["n_docs"], r["n_unique"], r["dup_rate"]) for r in dedup_rate_by_source(docs).collect()}
+    # source a: 4 docs, uniques = {dup, solo} + 1 null doc = 3 -> rate 0.25
+    assert out["a"] == (4, 3, 0.25)
+    assert out["b"] == (2, 2, 0.0)
