@@ -2771,7 +2771,9 @@ def _sql_rules_impl(table: str, group_cols: list[str], rules: list[dict]) -> str
         if k == "completeness":
             m = f"count({c}) * 1.0 / count(*)"
         elif k == "uniqueness":
-            m = f"count(DISTINCT {c}) * 1.0 / count({c})"
+            # nullif mirrors Spark's try_divide: all-NULL column group
+            # → NULL metric → passed=FALSE on both engines
+            m = f"count(DISTINCT {c}) * 1.0 / nullif(count({c}), 0)"
         elif k == "min":
             m = f"CAST(min({c}) AS DOUBLE)"
         elif k == "max":
@@ -2781,11 +2783,11 @@ def _sql_rules_impl(table: str, group_cols: list[str], rules: list[dict]) -> str
         elif k == "pattern":
             m = (
                 f"sum(CASE WHEN regexp_matches({c}, '{r['regex']}') THEN 1 ELSE 0 END)"
-                f" * 1.0 / count({c})"
+                f" * 1.0 / nullif(count({c}), 0)"
             )
         elif k == "in_set":
             vals = ", ".join(f"'{v}'" for v in r["allowed"])
-            m = f"sum(CASE WHEN {c} IN ({vals}) THEN 1 ELSE 0 END) * 1.0 / count({c})"
+            m = f"sum(CASE WHEN {c} IN ({vals}) THEN 1 ELSE 0 END) * 1.0 / nullif(count({c}), 0)"
         else:  # row_count
             m = "CAST(count(*) AS DOUBLE)"
         metrics.append(f"round({m}, 6) AS m{i}")
@@ -2904,7 +2906,10 @@ def _sql_incremental_percentiles(
         )
     return (
         f"WITH mm AS (SELECT CAST(min({col}) AS DOUBLE) AS lo, "
-        f"(CAST(max({col}) AS DOUBLE) - CAST(min({col}) AS DOUBLE)) / {float(bins)} AS w FROM {table}), "
+        # degenerate-guard mirrors the Spark side's `(hi-lo)/bins or 1.0`:
+        # a constant column gets width 1.0 instead of a divide-by-zero
+        f"CASE WHEN CAST(max({col}) AS DOUBLE) = CAST(min({col}) AS DOUBLE) THEN 1.0 "
+        f"ELSE (CAST(max({col}) AS DOUBLE) - CAST(min({col}) AS DOUBLE)) / {float(bins)} END AS w FROM {table}), "
         f"h AS (SELECT CAST(least(greatest(floor(({col} - mm.lo) / mm.w), 0), {bins - 1}) AS BIGINT) AS bin, "
         f"CAST(count(*) AS BIGINT) AS n FROM {table}, mm WHERE {col} IS NOT NULL GROUP BY 1), "
         "c AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cn, sum(n) OVER () AS tot FROM h) "
@@ -2987,7 +2992,9 @@ def _sql_chunk_documents(size: int, overlap: int) -> str:
         f"SELECT doc_id, CAST(t.s / {step} AS INT) AS chunk_no, CAST(t.s AS INT) AS start, "
         f"substr(text, CAST(t.s AS INT) + 1, {size}) AS chunk_text, "
         f"CAST(length(substr(text, CAST(t.s AS INT) + 1, {size})) AS INT) AS chunk_len "
-        f"FROM documents, unnest(generate_series(0, greatest(length(text) - 1, 0), {step})) AS t(s) "
+        f"FROM documents, unnest(generate_series(0, "
+        f"greatest(CAST(ceil((length(text) - {size}) / CAST({step} AS DOUBLE)) AS INT) * {step}, 0), "
+        f"{step})) AS t(s) "
         "WHERE text IS NOT NULL AND length(text) > 0"
     )
 

@@ -1029,7 +1029,14 @@ def chunk_documents(
         raise ValueError("overlap must be smaller than size")
     step = size - overlap
     ln = F.length(F.col(text_col))
-    starts = F.sequence(F.lit(0), F.greatest(ln - 1, F.lit(0)), F.lit(step))
+    # last start = the first multiple of step whose chunk reaches the
+    # end; stopping there keeps every chunk contributing new chars (a
+    # tail start within `overlap` of the end would emit a chunk fully
+    # contained in its predecessor — a pure duplicate for RAG use)
+    last_start = F.greatest(
+        (F.ceil((ln - F.lit(size)) / F.lit(step)).cast("int") * step), F.lit(0)
+    )
+    starts = F.sequence(F.lit(0), last_start, F.lit(step))
     return (
         df.where(F.col(text_col).isNotNull() & (ln > 0))
         .select(F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_no", "start"))

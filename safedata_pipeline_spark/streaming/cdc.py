@@ -47,6 +47,10 @@ def _latest_batches(
         best = (ts_us, tb, pickle.loads(bytes(payload)))
     changed = False
     for pdf in pdfs:
+        # null-ts rows can never win under batch latest_by_key (NULL
+        # loses every max(struct) comparison); pandas would sort NaT
+        # last and pick one, so drop them before the winner pick
+        pdf = pdf.dropna(subset=[ts_col])
         if pdf.empty:
             continue
         # vectorized per micro-batch: the batch's winner is the last

@@ -84,3 +84,14 @@ def test_kernel_state_carries_across_batches():
     out3 = run([(1, "2024-01-02 00:00", 9, "newest")])
     assert len(out3) == 1 and out3[0]["payload"].iloc[0] == "newest"
     assert state.get[1] == 9
+
+    # null-timestamp rows never win (batch latest_by_key: NULL ts
+    # loses every comparison; pandas sorts NaT last, so without the
+    # dropna guard the NaT row would be picked as the batch winner)
+    out4 = run([(1, None, 99, "null-ts")])
+    assert out4 == []
+    assert state.get[1] == 9
+    # mixed batch: the non-null row wins even when the NaT row would
+    # sort after it
+    out5 = run([(1, None, 100, "null-ts-2"), (1, "2024-01-03 00:00", 11, "real")])
+    assert len(out5) == 1 and out5[0]["payload"].iloc[0] == "real"

@@ -451,3 +451,31 @@ def test_build_vocab_and_oov_rate(spark):
     assert out[3]["oov_rate"] == 1.0                          # 'zebra'
     assert out[4]["n_tokens"] == 0 and out[4]["oov_rate"] is None
     assert out[5]["n_tokens"] == 0
+
+
+def test_chunk_documents_no_contained_tail(spark):
+    """A tail start within `overlap` of the end would emit a chunk
+    fully contained in its predecessor — pure duplicate content. The
+    start sequence must stop at the first chunk that reaches the end."""
+    from safedata_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 950), (2, "y" * 1000), (3, "z" * 1001), (4, "w" * 1900)],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, size=1000, overlap=100).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["start"], r["chunk_len"]))
+    # len=950 < size: exactly one chunk (NOT [0:950] + duplicate [900:950])
+    assert sorted(by_doc[1]) == [(0, 950)]
+    # len=1000 == size: one chunk
+    assert sorted(by_doc[2]) == [(0, 1000)]
+    # len=1001: second chunk contributes one new char
+    assert sorted(by_doc[3]) == [(0, 1000), (900, 101)]
+    # len=1900: second chunk ends exactly at the end
+    assert sorted(by_doc[4]) == [(0, 1000), (900, 1000)]
+    # every chunk contributes at least one char past the previous end
+    for doc, chunks in by_doc.items():
+        ends = [s + ln for s, ln in sorted(chunks)]
+        assert all(b > a for a, b in zip(ends, ends[1:]))
