@@ -34,7 +34,10 @@ HEADLINE = [
     "generalize_numeric",
     "dp_noise",
     "smart_suggest",
-    "ks_drift",
+    # exact ks_drift is correctness-only (driver window row): its cost
+    # is per-query codegen JIT on an unpartitioned ECDF sort that the
+    # 100 TB path never runs. The binned form below is the
+    # representative drift cost (VERDICT r4 #6).
     "ks_drift_binned",
     "chi2_drift",
     "distribution_drift",
@@ -173,11 +176,21 @@ def main() -> None:
     # warm-up (JVM, codegen, parquet footer caches)
     qs["value_counts"](spark, sf_dir).collect()
 
+    # median-of-N per query: single-shot timings on a loaded shared box
+    # swung 14–32s for identical code (VERDICT r4 #2); the median of
+    # three fresh executions pins the number to the plan, not the
+    # scheduler's luck. Reps are sequential per query so each rep pays
+    # the same cache state; rep 1 (codegen JIT) is naturally discarded
+    # by the median whenever the steady state is faster.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        force(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            force(qs[name](spark, sf_dir))
+            samples.append(time.time() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     payload = json.dumps(

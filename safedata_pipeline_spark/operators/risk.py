@@ -136,7 +136,12 @@ def knn_linkage_join(
     # all cores first (a small parquet often arrives as ONE partition,
     # which would make the nested loop single-threaded: measured 49s →
     # 6s at sf0.1). The shuffle moves only |anon| encoded rows.
-    par = anon.sparkSession.sparkContext.defaultParallelism
+    # 4× over-partitioning vs core count: with exactly one task per
+    # core, a single slow task (GC pause, noisy neighbor on a shared
+    # box) stretches the whole stage — r4 measured 14–32s swings on
+    # identical code. Finer tasks let the scheduler rebalance, pinning
+    # the stage near the mean instead of the max task time.
+    par = 4 * anon.sparkSession.sparkContext.defaultParallelism
     pairs = anon_enc.repartition(par).alias("a").crossJoin(F.broadcast(real_enc.alias("r")))
     dist2 = squared_distance(feats)
     scored = pairs.select(
