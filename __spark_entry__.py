@@ -805,6 +805,12 @@ def _q_dedup_incremental(spark, sf):
     return DD.dedup_incremental(new, ref).select("doc_id", "source", "text")
 
 
+def _q_substring_dedup(spark, sf):
+    # Lee-et-al-style exact repeated-substring removal (X131): every
+    # non-first occurrence of a duplicated 8-word window is stripped
+    return DD.substring_dedup(load_table(spark, sf, "documents"), k=8)
+
+
 def _q_take_per_source(spark, sf):
     return SMP.take_per_source(load_table(spark, sf, "documents"), 5).select(
         "doc_id", "source"
@@ -1125,7 +1131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": _q_skew_report,
         "quantize_embeddings": _q_quantize_embeddings,
         "source_mixture_sample": _q_source_mixture_sample,
-        "minhash_threshold_curve": _q_minhash_threshold_curve,
+        # new-in-r5 operator gets its driver row in its first round
+        # (standing policy), taking the slot of minhash_threshold_curve
+        # (moved just past the window; hash-anchored locally)
+        "substring_dedup": _q_substring_dedup,
         # --- past the driver's 50-row correctness window from here on.
         # Everything below except the trailing rows-only block IS
         # oracle-backed — tools/check_oracle.py runs the identical
@@ -1140,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # linkage_risk_score is a CTE of knn_linkage_join;
         # contamination_scan is the complement of decontaminate;
         # user_sessions' SQL is embedded in session_concurrency's.
+        "minhash_threshold_curve": _q_minhash_threshold_curve,
         "value_counts": _q_value_counts,
         "checklist_score": _q_checklist_score,
         "sdc_suppress": _q_sdc_suppress,
@@ -3110,6 +3120,37 @@ def _sql_split_leakage() -> str:
     )
 
 
+def _sql_substring_dedup(k: int) -> str:
+    """Mirror of dedup.substring_dedup: k-word window digests, global
+    first-occurrence (doc_id, start) keeps, every other occurrence's
+    word positions stripped, text rebuilt space-joined."""
+    return (
+        "WITH base AS (SELECT doc_id AS id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS words FROM documents "
+        "WHERE text IS NOT NULL AND trim(text) <> ''), "
+        f"occ AS (SELECT id, s.i AS pos, md5(array_to_string(words[s.i+1:s.i+{k}], ' ')) AS h "
+        f"FROM base, unnest(generate_series(0, len(words) - {k})) AS s(i) "
+        f"WHERE len(words) >= {k}), "
+        "ranked AS (SELECT id, pos, "
+        "row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn, "
+        "count(*) OVER (PARTITION BY h) AS cnt FROM occ), "
+        "markedocc AS (SELECT id, pos FROM ranked WHERE cnt >= 2 AND rn > 1), "
+        f"marked AS (SELECT DISTINCT id, u.i AS widx FROM markedocc, "
+        f"unnest(generate_series(pos, pos + {k - 1})) AS u(i)), "
+        "toks AS (SELECT id, s.i - 1 AS pos, words[s.i] AS w FROM base, "
+        "unnest(generate_series(1, len(words))) AS s(i)), "
+        "counts AS (SELECT id, CAST(count(*) AS BIGINT) AS n_removed FROM marked GROUP BY id), "
+        "clean AS (SELECT t.id, string_agg(t.w, ' ' ORDER BY t.pos) AS clean_text "
+        "FROM toks t LEFT JOIN marked m ON t.id = m.id AND t.pos = m.widx "
+        "WHERE m.id IS NULL GROUP BY t.id) "
+        "SELECT b.id AS doc_id, CAST(len(b.words) AS BIGINT) AS n_words, "
+        "coalesce(c.n_removed, 0) AS n_removed, "
+        "coalesce(cl.clean_text, '') AS clean_text "
+        "FROM base b LEFT JOIN counts c ON b.id = c.id "
+        "LEFT JOIN clean cl ON b.id = cl.id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "limit_preview": (
@@ -3213,6 +3254,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": _sql_top_ngrams(100),
         "source_lang_pivot": _sql_source_lang_pivot(DOC_LANGS),
         "dedup_incremental": _sql_dedup_incremental(100),
+        "substring_dedup": _sql_substring_dedup(8),
         "take_per_source": _sql_take_per_source(5),
         "psi_drift": _sql_psi(_SQL_DRIFT_BEFORE_PRICE, _SQL_DRIFT_AFTER_PRICE, 10),
         "correlation_matrix": _sql_correlation_matrix(CORR_COLS),

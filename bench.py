@@ -90,6 +90,7 @@ HEADLINE = [
     "top_ngrams",
     "source_lang_pivot",
     "dedup_incremental",
+    "substring_dedup",
     "take_per_source",
     "psi_drift",
     "correlation_matrix",

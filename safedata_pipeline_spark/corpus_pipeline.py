@@ -132,6 +132,21 @@ class CorpusPipeline:
         )
         return self._keep("decontaminated", out)
 
+    def dedup_against(self, ref_docs: DataFrame) -> "CorpusPipeline":
+        """Incremental-ingestion entry point: drop every document
+        whose exact content already exists in an accepted reference
+        corpus (the survivors of a previous pipeline run), then
+        collapse in-batch duplicates — "dedup this crawl drop against
+        the corpus". Delegates to ``dedup.dedup_incremental`` (digest
+        anti-join: only md5 digests shuffle, runtime bloom filter /
+        broadcast via AQE). Runs FIRST in an incremental pass — no
+        point scoring or near-dedup'ing documents the corpus already
+        holds."""
+        out = DD.dedup_incremental(
+            self.df, ref_docs, text_col=self.text_col, id_col=self.id_col
+        )
+        return self._keep("incremental_deduped", out)
+
     # -- step 2: sub-document exact dedup ------------------------------
     def dedup_units(self, sep: str = "\n") -> "CorpusPipeline":
         rebuilt = DD.paragraph_dedup(self.df, self.text_col, self.id_col, sep)
@@ -143,6 +158,29 @@ class CorpusPipeline:
             .drop("n_kept")
         )
         return self._keep("unit_dedup", out)
+
+    def dedup_substrings(self, k: int = 8) -> "CorpusPipeline":
+        """Cross-document repeated-substring removal below the unit
+        granularity (Lee et al. 2022 ExactSubstr lineage — the
+        boilerplate pass real pretraining curation runs): every
+        non-first occurrence of a duplicated k-word window is stripped
+        from the running text; documents left empty are dropped.
+        Sits between unit dedup (coarser: whole paragraphs) and
+        near-dup clustering (coarser still: whole documents)."""
+        cleaned = DD.substring_dedup(
+            self.df, k=k, text_col=self.text_col, id_col=self.id_col
+        )
+        out = (
+            self.df.drop(self.text_col)
+            .join(
+                cleaned.select(self.id_col, "clean_text", "n_removed", "n_words"),
+                on=self.id_col,
+            )
+            .where(F.col("n_removed") < F.col("n_words"))
+            .withColumnRenamed("clean_text", self.text_col)
+            .drop("n_removed", "n_words")
+        )
+        return self._keep("substring_dedup", out)
 
     # -- step 3: near-dup clusters, keep canonical ---------------------
     def dedup_near(

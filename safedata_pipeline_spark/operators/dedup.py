@@ -823,3 +823,114 @@ def dedup_rate_by_source(
             6,
         ).alias("dup_rate"),
     )
+
+
+def _positional_windows(words: Column, k: int) -> Column:
+    """All k-word windows of a token array, POSITION-ALIGNED: element
+    ``i`` of the result is words[i..i+k-1] joined by a single space
+    (0-based start ``i``). Fewer than ``k`` words → empty array.
+
+    Same zip_with-fold as ``_word_shingles`` (the slices are top-level
+    arguments evaluated once per row; a ``transform(sequence, ...)``
+    capture would re-evaluate the token split per element, O(len²)) —
+    but WITHOUT the ``array_distinct``: position identity is the point.
+    """
+    cnt = F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
+    grams = F.slice(words, 1, cnt)
+    for i in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(words, i + 1, cnt), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(cnt > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def substring_dedup(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact repeated-SUBSTRING dedup at sub-document granularity —
+    the dedup mode large-corpus curation applies against boilerplate
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", public paper: its ExactSubstr pass removes every
+    substring of ≥ N tokens occurring twice anywhere in the corpus,
+    keeping one copy). ``paragraph_dedup`` needs a separator; this
+    operator catches repeats ANYWHERE inside running text.
+
+    Spark-first reformulation (no distributed suffix array): the match
+    unit is the fixed-length k-word window. Any repeated run of
+    ≥ k words is covered by ≥ 1 repeated k-window; every NON-FIRST
+    occurrence of each duplicated window (first = smallest
+    ``(doc_id, start)``, a total order) marks its k word positions for
+    removal, and a document's cleaned text is its unmarked words
+    re-joined by single spaces. Removal boundaries are therefore
+    quantized to the k-window grid — repeats shorter than k words
+    survive, and a marked window may clip up to k-1 words adjacent to
+    the true repeat (the greedy price of not building a suffix array;
+    Lee et al.'s byte-exact boundaries need one).
+
+    Output per input doc (null/blank texts dropped):
+    ``(id, n_words, n_removed, clean_text)``; a fully-duplicated doc
+    keeps its row with ``clean_text = ''``.
+
+    Plan shape, in 100 TB terms: window digests are md5 strings, so
+    the corpus text itself never shuffles — (1) map-only shingle +
+    posexplode, (2) groupBy(digest) with map-side-combinable
+    min(struct)/count (high-cardinality key, well spread), (3) digest
+    equi-join occurrences×duplicated-digests (AQE broadcasts when the
+    dup set is small — boilerplate corpora), (4) groupBy(doc) of
+    marked spans (rows bounded by marked occurrences, not corpus
+    size), (5) doc-keyed left join back + a map-side
+    ``array_except(sequence, marked)`` rebuild (hash-set semantics:
+    O(n_words + n_marked) per doc, order-preserving). Deterministic
+    end-to-end: md5 windows, (doc_id, start) first-occurrence order —
+    fully oracle-checkable, DuckDB reproduces every hash.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (a 1-word window dedups the vocabulary)")
+    words = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), "\\s+"))
+    base = (
+        df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col).alias("id"), words.alias("__words"))
+    )
+    occ = base.select(
+        "id", F.posexplode(_positional_windows(F.col("__words"), k)).alias("pos", "gram")
+    ).select("id", "pos", F.md5(F.col("gram").cast("binary")).alias("h"))
+    dup = (
+        occ.groupBy("h")
+        .agg(
+            F.min(F.struct(F.col("id"), F.col("pos"))).alias("first"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .where(F.col("cnt") >= 2)
+        .select("h", "first")
+    )
+    marked_occ = (
+        occ.join(dup, on="h")
+        .where(
+            ~((F.col("id") == F.col("first.id")) & (F.col("pos") == F.col("first.pos")))
+        )
+        .select("id", F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1)).alias("idxs"))
+    )
+    marked = marked_occ.groupBy("id").agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("idxs")))).alias("__marked")
+    )
+    marked_arr = F.coalesce(F.col("__marked"), F.array().cast("array<integer>"))
+    keep_idx = F.array_except(
+        F.sequence(F.lit(0), F.size(F.col("__words")) - 1), marked_arr
+    )
+    return (
+        base.join(marked, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.size("__words").cast("bigint").alias("n_words"),
+            F.coalesce(F.size("__marked"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(keep_idx, lambda i: F.element_at(F.col("__words"), i + 1)),
+            ).alias("clean_text"),
+        )
+    )

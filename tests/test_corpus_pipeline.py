@@ -190,3 +190,53 @@ def test_corpus_pipeline_quality_gate(spark, sf_dir):
     assert len(cp.results["gates"]) == 3
     with pytest.raises(ValueError, match="on_fail"):
         cp.gate([{"kind": "row_count", "low": 1.0}], on_fail="explode")
+
+
+def test_corpus_pipeline_dedup_against_previous_run(spark):
+    """Incremental ingestion: a second crawl drop through the pipeline
+    drops exact duplicates of the first run's survivors, keeps the
+    genuinely new docs, and records the funnel row."""
+    from safedata_pipeline_spark.corpus_pipeline import CorpusPipeline
+
+    first = spark.createDataFrame(
+        [(1, "the quick brown fox jumps", "a"), (2, "unique early document text", "a")],
+        "doc_id bigint, text string, source string",
+    )
+    drop2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps", "b"),   # dup of accepted corpus
+            (11, "a brand new document arrives", "b"),
+            (12, "a brand new document arrives", "b"),  # in-batch dup, min id wins
+            (13, None, "b"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    pipe = CorpusPipeline(drop2).dedup_against(first)
+    ids = {r["doc_id"] for r in pipe.df.collect()}
+    assert ids == {11}
+    assert pipe.funnel["input"] == 4
+    assert pipe.funnel["incremental_deduped"] == 1
+
+
+def test_corpus_pipeline_dedup_substrings_step(spark):
+    """Boilerplate stripping inside the pipeline: the repeated run
+    vanishes from the non-first doc, fully-boilerplate docs drop out,
+    and non-text columns ride along."""
+    from safedata_pipeline_spark.corpus_pipeline import CorpusPipeline
+
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " original tail", "a"),
+            (2, "head words " + boiler, "b"),
+            (3, boiler, "c"),  # nothing but boilerplate -> dropped
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    pipe = CorpusPipeline(docs).dedup_substrings(k=8)
+    rows = {r["doc_id"]: r for r in pipe.df.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["text"] == boiler + " original tail"
+    assert rows[2]["text"] == "head words"
+    assert rows[2]["source"] == "b"
+    assert pipe.funnel["substring_dedup"] == 2

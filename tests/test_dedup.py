@@ -354,3 +354,62 @@ def test_dedup_rate_by_source(spark):
     # source a: 4 docs, uniques = {dup, solo} + 1 null doc = 3 -> rate 0.25
     assert out["a"] == (4, 3, 0.25)
     assert out["b"] == (2, 2, 0.0)
+
+
+def test_substring_dedup_strips_repeated_runs(spark):
+    """Planted boilerplate: an 8-word run shared by three docs
+    survives only in the first (doc_id, start) occurrence; repeats
+    shorter than k words survive everywhere."""
+    from safedata_pipeline_spark.operators.dedup import substring_dedup
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique one"),
+            (2, "prefix words " + boiler + " suffix tail"),
+            (3, "totally different content with no repeats at all"),
+            (4, boiler),  # exactly the duplicated window
+            (5, "short repeat short repeat"),  # < k words repeated: kept
+            (6, ""),
+            (7, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(docs, k=8).collect()}
+    assert out[1]["clean_text"] == boiler + " unique one"  # first occurrence keeps
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "prefix words suffix tail"
+    assert out[2]["n_removed"] == 8
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 8
+    assert out[5]["n_removed"] == 0  # sub-k repeats survive
+    assert 6 not in out and 7 not in out  # blank/null dropped
+    # conservation: n_words - n_removed == words in clean_text
+    for r in out.values():
+        kept = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert r["n_words"] - r["n_removed"] == kept
+
+
+def test_substring_dedup_same_doc_repeats_and_overlap(spark):
+    """A window repeated INSIDE one document is also stripped (global
+    occurrence count, not distinct-doc count); overlapping marked
+    windows union their positions rather than double-count."""
+    from safedata_pipeline_spark.operators.dedup import substring_dedup
+
+    run = "one two three four"  # k=4 window
+    docs = spark.createDataFrame(
+        [(1, run + " " + run + " " + run)],  # 12 words, window repeated at 4 and 8
+        "doc_id bigint, text string",
+    )
+    out = substring_dedup(docs, k=4).collect()[0]
+    # first occurrence (pos 0..3) kept; positions 4..11 marked, but the
+    # intermediate bridging windows ("four one two three" etc.) also
+    # repeat at distance 4, so only the very first window survives
+    assert out["n_words"] == 12
+    assert out["clean_text"].startswith("one two three four")
+    kept = len(out["clean_text"].split())
+    assert out["n_removed"] == 12 - kept and kept >= 4
+    import pytest
+
+    with pytest.raises(ValueError):
+        substring_dedup(docs, k=1)
