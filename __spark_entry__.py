@@ -932,6 +932,19 @@ def _q_oov_rate(spark, sf):
     return TX.oov_rate(docs, TX.build_vocab(docs, top_k=50))
 
 
+def _q_encode_tokens(spark, sf):
+    # greedy maximal-munch encode against a fitted vocab (X132); the
+    # deliberately tiny vocab forces real segmentation + char fallback
+    docs = load_table(spark, sf, "documents")
+    return TX.encode_tokens(docs, TX.build_vocab(docs, top_k=10))
+
+
+def _q_token_count_vocab(spark, sf):
+    # per-doc real-tokenizer-unit counts from the same encode (X133)
+    docs = load_table(spark, sf, "documents")
+    return TX.token_count_vocab(docs, TX.build_vocab(docs, top_k=10))
+
+
 def _q_incremental_percentiles(spark, sf):
     # mergeable percentile state (X124): fixed-grid histograms of two
     # disjoint batches merged, percentile finish over ≤100 state rows
@@ -1129,12 +1142,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "column_entropy": _q_column_entropy,
         "skew_report": _q_skew_report,
-        "quantize_embeddings": _q_quantize_embeddings,
-        "source_mixture_sample": _q_source_mixture_sample,
-        # new-in-r5 operator gets its driver row in its first round
-        # (standing policy), taking the slot of minhash_threshold_curve
-        # (moved just past the window; hash-anchored locally)
+        # new-in-r5 operators get their driver rows in their first
+        # round (standing policy), taking the slots of
+        # minhash_threshold_curve / source_mixture_sample /
+        # quantize_embeddings (moved just past the window;
+        # hash-anchored locally)
         "substring_dedup": _q_substring_dedup,
+        "encode_tokens": _q_encode_tokens,
+        "token_count_vocab": _q_token_count_vocab,
         # --- past the driver's 50-row correctness window from here on.
         # Everything below except the trailing rows-only block IS
         # oracle-backed — tools/check_oracle.py runs the identical
@@ -1150,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contamination_scan is the complement of decontaminate;
         # user_sessions' SQL is embedded in session_concurrency's.
         "minhash_threshold_curve": _q_minhash_threshold_curve,
+        "source_mixture_sample": _q_source_mixture_sample,
+        "quantize_embeddings": _q_quantize_embeddings,
         "value_counts": _q_value_counts,
         "checklist_score": _q_checklist_score,
         "sdc_suppress": _q_sdc_suppress,
@@ -3120,6 +3137,53 @@ def _sql_split_leakage() -> str:
     )
 
 
+def _sql_encode_tokens(top_k: int) -> str:
+    """Mirror of text.encode_tokens: the identical maximal-munch
+    segmentation as a recursive CTE — at each position the longest
+    vocab token matching the remaining suffix (correlated scalar
+    subquery), else a single-char fallback."""
+    match_expr = (
+        "(SELECT v.token FROM vocab v WHERE substr(word, {pos}, len(v.token)) = v.token "
+        "ORDER BY len(v.token) DESC LIMIT 1)"
+    )
+    m1 = match_expr.format(pos="1")
+    mn = match_expr.format(pos="pos + len(piece)")
+    return (
+        "WITH RECURSIVE "
+        f"toks AS ({_SQL_TOKS}), "
+        "ex AS (SELECT unnest(t) AS token FROM toks), "
+        "cnt AS (SELECT token, count(*) AS n FROM ex GROUP BY token), "
+        "vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS token_id "
+        f"FROM (SELECT token, n FROM cnt ORDER BY n DESC, token ASC LIMIT {top_k})), "
+        "words AS (SELECT doc_id, CAST(s.i AS INT) AS wpos, t[s.i] AS word "
+        "FROM toks, unnest(generate_series(1, len(t))) AS s(i)), "
+        "seg AS ("
+        f"SELECT doc_id, wpos, word, 1 AS pos, 1 AS piece_no, "
+        f"coalesce({m1}, substr(word, 1, 1)) AS piece, {m1} IS NULL AS is_fallback "
+        "FROM words "
+        "UNION ALL "
+        "SELECT doc_id, wpos, word, pos + len(piece) AS pos, piece_no + 1, "
+        f"coalesce({mn}, substr(word, pos + len(piece), 1)) AS piece, "
+        f"{mn} IS NULL AS is_fallback "
+        "FROM seg WHERE pos + len(piece) <= len(word)) "
+        "SELECT s.doc_id, s.wpos, CAST(s.piece_no AS INT) AS piece_no, s.piece, "
+        "v.token_id, s.is_fallback "
+        "FROM seg s LEFT JOIN vocab v ON s.piece = v.token"
+    )
+
+
+def _sql_token_count_vocab(top_k: int) -> str:
+    return (
+        f"WITH enc AS ({_sql_encode_tokens(top_k)}), "
+        "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(CASE WHEN is_fallback THEN 1 ELSE 0 END) AS BIGINT) AS n_fallback "
+        "FROM enc GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens, "
+        "coalesce(per.n_fallback, 0) AS n_fallback "
+        "FROM documents d LEFT JOIN per USING (doc_id) WHERE d.text IS NOT NULL"
+    )
+
+
 def _sql_substring_dedup(k: int) -> str:
     """Mirror of dedup.substring_dedup: k-word window digests, global
     first-occurrence (doc_id, start) keeps, every other occurrence's
@@ -3255,6 +3319,8 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_pivot": _sql_source_lang_pivot(DOC_LANGS),
         "dedup_incremental": _sql_dedup_incremental(100),
         "substring_dedup": _sql_substring_dedup(8),
+        "encode_tokens": _sql_encode_tokens(10),
+        "token_count_vocab": _sql_token_count_vocab(10),
         "take_per_source": _sql_take_per_source(5),
         "psi_drift": _sql_psi(_SQL_DRIFT_BEFORE_PRICE, _SQL_DRIFT_AFTER_PRICE, 10),
         "correlation_matrix": _sql_correlation_matrix(CORR_COLS),

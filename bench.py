@@ -91,6 +91,8 @@ HEADLINE = [
     "source_lang_pivot",
     "dedup_incremental",
     "substring_dedup",
+    "encode_tokens",
+    "token_count_vocab",
     "take_per_source",
     "psi_drift",
     "correlation_matrix",

@@ -33,6 +33,7 @@ def pack_sequences(
     buckets: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Assign each document to a fixed-token-budget pack.
 
@@ -43,18 +44,35 @@ def pack_sequences(
     ``budget`` tokens. Documents longer than ``budget`` simply span
     multiple windows, as in real packing.
 
+    The token unit defaults to the whitespace proxy; pass a fitted
+    ``build_vocab`` table to budget in real tokenizer units instead
+    (``text.token_count_vocab`` greedy-encode counts — frequent words
+    1, rare words their piece decomposition), which adds the encode
+    pass + a doc-keyed join in front of the same packing shape.
+
     Output: (id, bucket, n_tokens, start_offset, pack_no) — one row
     per document, deterministic at any parallelism.
     """
-    t = F.col(text_col)
-    toks = F.when(F.trim(t) == "", F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(t), "\\s+")
+    bucket_expr = (
+        (md5_slot32(F.col(id_col).cast("string"), 0) % buckets).cast("bigint").alias("bucket")
     )
-    base = df.select(
-        F.col(id_col),
-        (md5_slot32(F.col(id_col).cast("string"), 0) % buckets).cast("bigint").alias("bucket"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-    )
+    if vocab is not None:
+        from safedata_pipeline_spark.operators.text import token_count_vocab
+
+        counts = token_count_vocab(df, vocab, text_col, id_col)
+        base = df.select(F.col(id_col), bucket_expr).join(
+            counts.select(id_col, "n_tokens"), on=id_col, how="inner"
+        )
+    else:
+        t = F.col(text_col)
+        toks = F.when(F.trim(t) == "", F.array().cast("array<string>")).otherwise(
+            F.split(F.trim(t), "\\s+")
+        )
+        base = df.select(
+            F.col(id_col),
+            bucket_expr,
+            F.size(toks).cast("bigint").alias("n_tokens"),
+        )
     w = (
         Window.partitionBy("bucket")
         .orderBy(id_col)

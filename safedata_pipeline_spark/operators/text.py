@@ -1117,3 +1117,134 @@ def oov_rate(
             F.round(F.try_divide(F.col("n_oov"), F.col("n_tokens")), 6).alias("oov_rate"),
         )
     )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocab-driven greedy tokenizer encode — the step that makes
+    packing budgets / OOV audits speak real tokenizer units instead of
+    whitespace proxies. Each lowercased whitespace word is segmented
+    by maximal munch against a fitted ``build_vocab`` table: at every
+    position the LONGEST vocab token matching the remaining suffix is
+    emitted; where none matches, a single-character fallback piece is
+    emitted (the byte-fallback of BPE/WordPiece-style tokenizers, so
+    every word always encodes). Frequent words cost 1 token, rare
+    words decompose — the length distribution a real tokenizer
+    produces, deterministically.
+
+    Output: one row per emitted piece —
+    ``(id, wpos, piece_no, piece, token_id, is_fallback)`` with
+    1-based word/piece positions; ``token_id`` NULL on fallbacks.
+
+    Plan shape: the vocab is a FIT ARTIFACT (≤ top_k rows) collected
+    once to the driver and closed over — O(vocab), never rows. The
+    encode itself is ONE Arrow ``mapInPandas`` pass (justified Python
+    site: maximal munch is a data-dependent per-word loop with no
+    fixed expression depth; same contract as the Aho–Corasick scan).
+    Map-only — zero shuffles; encoding 100 TB is scan-bound, and the
+    greedy dict probe is O(word_len · max_token_len) per word.
+    Deterministic and fully oracle-checkable: DuckDB reproduces the
+    identical segmentation with a recursive CTE.
+    """
+    rows = vocab.select("token", "token_id").collect()
+    vocab_map = {r["token"]: int(r["token_id"]) for r in rows}
+    max_len = max((len(t) for t in vocab_map), default=1)
+    out_schema = (
+        f"{id_col} long, wpos int, piece_no int, piece string, "
+        "token_id int, is_fallback boolean"
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, wposs, pnos, pieces, tids, fbs = [], [], [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                for wpos, word in enumerate(str(text).lower().split(), start=1):
+                    pos, piece_no = 0, 1
+                    n = len(word)
+                    while pos < n:
+                        match = None
+                        for ln in range(min(max_len, n - pos), 0, -1):
+                            cand = word[pos : pos + ln]
+                            if cand in vocab_map:
+                                match = cand
+                                break
+                        if match is None:
+                            piece, tid, fb = word[pos], None, True
+                            pos += 1
+                        else:
+                            piece, tid, fb = match, vocab_map[match], False
+                            pos += len(match)
+                        ids.append(doc_id)
+                        wposs.append(wpos)
+                        pnos.append(piece_no)
+                        pieces.append(piece)
+                        tids.append(tid)
+                        fbs.append(fb)
+                        piece_no += 1
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "wpos": pd.Series(wposs, dtype="int32"),
+                    "piece_no": pd.Series(pnos, dtype="int32"),
+                    "piece": pd.Series(pieces, dtype="object"),
+                    "token_id": pd.Series(tids, dtype="Int32"),
+                    "is_fallback": pd.Series(fbs, dtype="bool"),
+                }
+            )
+
+    return df.where(F.col(text_col).isNotNull()).select(id_col, text_col).mapInPandas(
+        encode, out_schema
+    )
+
+
+def token_count_vocab(
+    df: DataFrame,
+    vocab: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token counts in the chosen unit (the sibling of
+    the whitespace/regex ``token_count`` above). Without a vocab:
+    the whitespace proxy (map-only expression count, ``n_fallback`` 0).
+    With a fitted ``build_vocab`` table: real tokenizer units from the
+    greedy ``encode_tokens`` segmentation — frequent words count 1,
+    rare words count their piece decomposition, so packing budgets and
+    length audits reflect what a trainer actually consumes.
+
+    Output: one row per input doc with non-null text —
+    ``(id, n_tokens, n_fallback)``. Shape: map-only count without a
+    vocab; encode pass + one map-side-combinable groupBy + a doc-keyed
+    left join (docs with blank text → 0 tokens) with one."""
+    base = df.where(F.col(text_col).isNotNull())
+    if vocab is None:
+        t = F.lower(F.col(text_col))
+        return base.select(
+            id_col,
+            F.size(_ws_tokens(t)).cast("bigint").alias("n_tokens"),
+            F.lit(0).cast("bigint").alias("n_fallback"),
+        )
+    per = (
+        encode_tokens(base, vocab, text_col, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("is_fallback").cast("bigint")).cast("bigint").alias("n_fallback"),
+        )
+    )
+    return (
+        base.select(id_col)
+        .join(per, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_fallback", F.lit(0)).cast("bigint").alias("n_fallback"),
+        )
+    )

@@ -113,3 +113,25 @@ def test_pack_windows_token_conservation(spark):
             assert tok == budget, (b, w, tok)
         else:
             assert 0 < tok <= budget
+
+
+def test_pack_sequences_vocab_unit(spark):
+    """Packing budgets in real tokenizer units: with a vocab covering
+    the frequent words, per-doc n_tokens comes from the greedy encode
+    (rare words cost their piece decomposition, not 1)."""
+    from safedata_pipeline_spark.operators.pack import pack_sequences
+    from safedata_pipeline_spark.operators.text import build_vocab
+
+    docs = spark.createDataFrame(
+        [(i, "common common rareword") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    vocab = build_vocab(docs, top_k=1)  # just "common"
+    ws = {r["doc_id"]: r for r in pack_sequences(docs, budget=16).collect()}
+    enc = {r["doc_id"]: r for r in pack_sequences(docs, budget=16, vocab=vocab).collect()}
+    assert all(r["n_tokens"] == 3 for r in ws.values())
+    # "rareword" = 8 fallback chars -> 2 + 8 = 10 encode units
+    assert all(r["n_tokens"] == 10 for r in enc.values())
+    # same deterministic bucketing, offsets rescale with the unit
+    for d in ws:
+        assert ws[d]["bucket"] == enc[d]["bucket"]

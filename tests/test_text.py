@@ -479,3 +479,66 @@ def test_chunk_documents_no_contained_tail(spark):
     for doc, chunks in by_doc.items():
         ends = [s + ln for s, ln in sorted(chunks)]
         assert all(b > a for a, b in zip(ends, ends[1:]))
+
+
+def test_encode_tokens_greedy_and_conservation(spark):
+    """Maximal munch: longest vocab token wins at every position;
+    fallback is single chars; concatenating a word's pieces in
+    piece_no order reconstructs the word exactly (conservation)."""
+    from safedata_pipeline_spark.operators.text import (
+        build_vocab, encode_tokens, token_count_vocab,
+    )
+
+    vocab = spark.createDataFrame(
+        [("the", 1), ("theory", 2), ("or", 3), ("y", 4)],
+        "token string, token_id int",
+    )
+    docs = spark.createDataFrame(
+        [(1, "theory theor zzz THE"), (2, None)], "doc_id bigint, text string"
+    )
+    rows = encode_tokens(docs, vocab).collect()
+    by_word = {}
+    for r in rows:
+        by_word.setdefault((r["doc_id"], r["wpos"]), []).append(r)
+    # "theory": whole-word longest match beats "the"+"or"+"y"
+    w1 = sorted(by_word[(1, 1)], key=lambda r: r["piece_no"])
+    assert [r["piece"] for r in w1] == ["theory"] and w1[0]["token_id"] == 2
+    # "theor": greedy takes "the", then "or" (no backtrack)
+    w2 = sorted(by_word[(1, 2)], key=lambda r: r["piece_no"])
+    assert [r["piece"] for r in w2] == ["the", "or"]
+    assert [r["token_id"] for r in w2] == [1, 3]
+    # "zzz": pure char fallback, token_id NULL
+    w3 = sorted(by_word[(1, 3)], key=lambda r: r["piece_no"])
+    assert [r["piece"] for r in w3] == ["z", "z", "z"]
+    assert all(r["is_fallback"] and r["token_id"] is None for r in w3)
+    # "THE" lowercases to an exact vocab hit
+    w4 = by_word[(1, 4)]
+    assert len(w4) == 1 and w4[0]["piece"] == "the" and not w4[0]["is_fallback"]
+    # conservation: pieces concatenate back to the lowercased word
+    for (doc, wpos), pieces in by_word.items():
+        word = "theory theor zzz the".split()[wpos - 1]
+        assert "".join(
+            r["piece"] for r in sorted(pieces, key=lambda r: r["piece_no"])
+        ) == word
+    # counts agree with the piece table
+    counts = {r["doc_id"]: r for r in token_count_vocab(docs, vocab).collect()}
+    assert counts[1]["n_tokens"] == len(rows)
+    assert counts[1]["n_fallback"] == 3
+    # without a vocab: whitespace proxy, zero fallbacks
+    ws = {r["doc_id"]: r for r in token_count_vocab(docs).collect()}
+    assert ws[1]["n_tokens"] == 4 and ws[1]["n_fallback"] == 0
+    # fitted-vocab path on a real corpus: every piece re-joins its word
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta{i % 3} gamma delta common common") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    fitted = build_vocab(corpus, top_k=3)
+    enc = encode_tokens(corpus, fitted)
+    pdf = enc.toPandas()
+    rebuilt = (
+        pdf.sort_values(["doc_id", "wpos", "piece_no"])
+        .groupby(["doc_id", "wpos"])["piece"].apply("".join)
+    )
+    for (doc, wpos), word in rebuilt.items():
+        orig = f"alpha beta{doc % 3} gamma delta common common".split()[wpos - 1]
+        assert word == orig
