@@ -149,6 +149,40 @@ def ks_statistic(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
     )
 
 
+def _bounded_cum(
+    g: DataFrame, val_col: str, cols: list[str], span: int = 256
+) -> DataFrame:
+    """Parallel cumulative sums over a BOUNDED binned table (≤ bins
+    rows) with no unpartitioned window anywhere: rows split into
+    ``span``-wide blocks of the (integer) ``val_col``; per-block prefix
+    offsets come from a bounded range self-join of the block-total
+    table (≤ (bins/span)² pairs — tiny, broadcast), and the in-block
+    running sum is a window PARTITIONED by block. Integer math — bit
+    identical to the single-window form. Adds ``__cum_<col>`` columns.
+
+    This is the expression-only sibling of ``_two_phase_cum`` (which
+    handles unbounded distinct-value tables via pinned partition ids);
+    binned constructions are bounded by design, so the offsets can be
+    a join instead of a driver round-trip."""
+    gb = g.withColumn("__blk", F.floor(F.col(val_col) / F.lit(span)))
+    n = list(range(len(cols)))
+    bt = gb.groupBy("__blk").agg(*[F.sum(cols[i]).alias(f"__t{i}") for i in n])
+    bt2 = bt.select(
+        F.col("__blk").alias("__b2"), *[F.col(f"__t{i}") for i in n]
+    )
+    off = (
+        bt.select(F.col("__blk").alias("__b1"))
+        .join(F.broadcast(bt2), F.col("__b2") < F.col("__b1"), "left")
+        .groupBy("__b1")
+        .agg(*[F.coalesce(F.sum(f"__t{i}"), F.lit(0)).alias(f"__o{i}") for i in n])
+    )
+    w_in = Window.partitionBy("__blk").orderBy(val_col)
+    out = gb.join(F.broadcast(off), F.col("__blk") == F.col("__b1"))
+    for i, c in enumerate(cols):
+        out = out.withColumn(f"__cum_{c}", F.sum(c).over(w_in) + F.col(f"__o{i}"))
+    return out.drop("__blk", "__b1", *[f"__o{i}" for i in n])
+
+
 def ks_statistic_binned(df_a: DataFrame, df_b: DataFrame, col: str, bins: int = 10000) -> DataFrame:
     """100 TB path: KS over fixed-width bins — one groupBy (map-side
     combinable) + a window over ≤``bins`` rows; error ≤ max bin width of
@@ -170,13 +204,20 @@ def ks_statistic_binned(df_a: DataFrame, df_b: DataFrame, col: str, bins: int = 
         "v", F.least(F.floor((F.col("v") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
     )
     g = u.groupBy("v").agg(F.sum("ka").alias("ka"), F.sum("kb").alias("kb"))
-    w_cum = Window.orderBy("v")
-    w_all = Window.partitionBy()
-    c = g.select(
-        F.sum("ka").over(w_cum).alias("ca"),
-        F.sum("kb").over(w_cum).alias("cb"),
-        F.sum("ka").over(w_all).alias("na"),
-        F.sum("kb").over(w_all).alias("nb"),
+    # side totals as a broadcast 1-row aggregate instead of an
+    # unpartitioned total window, and the cumulative via _bounded_cum's
+    # block-partitioned windows — no WindowExec anywhere in this plan
+    # runs unpartitioned (the ≤bins-row input parallelizes per block).
+    tot = g.agg(F.sum("ka").alias("na"), F.sum("kb").alias("nb"))
+    c = (
+        _bounded_cum(g, "v", ["ka", "kb"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__cum_ka").alias("ca"),
+            F.col("__cum_kb").alias("cb"),
+            "na",
+            "nb",
+        )
     )
     return c.agg(
         F.when(
@@ -393,14 +434,16 @@ def psi_drift(
         "b", F.least(F.floor((F.col("v") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
     )
     g = u.groupBy("b").agg(F.sum("ka").alias("ca"), F.sum("kb").alias("cb"))
-    w_all = Window.partitionBy()
     # try_divide: a fully-empty side has total 0 — the guard below
-    # yields NULL psi for that case, but ANSI mode would raise first
-    p = g.select(
-        F.greatest(F.try_divide(F.col("ca"), F.sum("ca").over(w_all)), F.lit(eps)).alias("pa"),
-        F.greatest(F.try_divide(F.col("cb"), F.sum("cb").over(w_all)), F.lit(eps)).alias("pb"),
-        F.sum("ca").over(w_all).alias("na"),
-        F.sum("cb").over(w_all).alias("nb"),
+    # yields NULL psi for that case, but ANSI mode would raise first.
+    # Totals come from a broadcast 1-row aggregate, not a total window
+    # (one WindowExec + sort fewer; integer sums, so hashes unchanged).
+    tot = g.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    p = g.crossJoin(F.broadcast(tot)).select(
+        F.greatest(F.try_divide(F.col("ca"), F.col("na")), F.lit(eps)).alias("pa"),
+        F.greatest(F.try_divide(F.col("cb"), F.col("nb")), F.lit(eps)).alias("pb"),
+        "na",
+        "nb",
     )
     # per-bin contributions round to 10 decimals and sum as DECIMAL so
     # the (ln-bearing) float sum is partition-order and engine
@@ -442,12 +485,13 @@ def jsd_drift(
         "b", F.least(F.floor((F.col("v") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
     )
     g = u.groupBy("b").agg(F.sum("ka").alias("ca"), F.sum("kb").alias("cb"))
-    w_all = Window.partitionBy()
-    p = g.select(
-        F.coalesce(F.try_divide(F.col("ca"), F.sum("ca").over(w_all)), F.lit(0.0)).alias("pa"),
-        F.coalesce(F.try_divide(F.col("cb"), F.sum("cb").over(w_all)), F.lit(0.0)).alias("pb"),
-        F.sum("ca").over(w_all).alias("na"),
-        F.sum("cb").over(w_all).alias("nb"),
+    # broadcast 1-row totals instead of a total window (see psi_drift)
+    tot = g.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    p = g.crossJoin(F.broadcast(tot)).select(
+        F.coalesce(F.try_divide(F.col("ca"), F.col("na")), F.lit(0.0)).alias("pa"),
+        F.coalesce(F.try_divide(F.col("cb"), F.col("nb")), F.lit(0.0)).alias("pb"),
+        "na",
+        "nb",
     )
     m = (F.col("pa") + F.col("pb")) / 2
     kl_a = F.when(F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / m)).otherwise(F.lit(0.0))

@@ -165,12 +165,16 @@ def percentiles_from_histogram(
     cumulative window runs over ≤bins rows of state, never data."""
     from pyspark.sql import Window
 
-    w_cum = Window.orderBy("bin")
-    cum = hist.select(
-        "bin",
-        "n",
-        F.sum("n").over(w_cum).alias("cn"),
-        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    # total via a broadcast 1-row aggregate (one WindowExec fewer);
+    # the cumulative via drift._bounded_cum — block-partitioned
+    # windows over the ≤bins STATE rows, nothing unpartitioned
+    from safedata_pipeline_spark.operators.drift import _bounded_cum
+
+    tot = hist.agg(F.sum("n").alias("tot"))
+    cum = (
+        _bounded_cum(hist, "bin", ["n"])
+        .crossJoin(F.broadcast(tot))
+        .select("bin", "n", F.col("__cum_n").alias("cn"), "tot")
     )
     aggs = [F.max("tot").cast("bigint").alias("n")]
     for p in probs:
