@@ -1,0 +1,128 @@
+"""Statistical-trend artifact for the rows-only queries.
+
+Rows-only queries (randomized / approximate / engine-specific sketches)
+carry no hash signal in the correctness matrix, so a silent regression
+in LSH recall, model-utility accuracy, or HLL error would only surface
+when a loose unit-test bound finally trips. This tool records their
+statistical assertions per round the way BENCH records time:
+
+    python tools/stat_gates.py [sf_dir]     # default /root/testdata/sf0.01
+
+writes STATS_local.json ({metric: value}) and appends one line to
+STATS_history.jsonl. GATES holds the loose regression bounds;
+tests/test_stat_gates.py asserts every recorded metric against them,
+so a deliberate (or accidental) regression fails the suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# metric -> (direction, bound): "min" = value must be >= bound.
+# These are REGRESSION gates pinned (with slack) to the round-5
+# measured baselines at sf0.01 — not absolute quality targets. In
+# particular lsh_recall_at_5 measured 0.12 on the synthetic
+# embeddings: sign-pattern LSH over near-orthogonal random vectors
+# collides rarely by design (8 planes → ~(1−θ/π)⁸ per table), and the
+# operator's designed use — HIGH-cosine near-dup retrieval — is
+# separately pinned by the planted-dup tests in test_similarity.py.
+# A code change that halves any of these trips the suite.
+GATES: dict[str, tuple[str, float]] = {
+    "model_utility_acc_drop": ("max", 0.25),   # DP noise may cost ≤ 25pp accuracy
+    "model_utility_f1_drop": ("max", 0.30),
+    "lsh_recall_at_5": ("min", 0.06),          # measured 0.12 (r5 baseline)
+    "ivf_recall_at_5": ("min", 0.40),          # measured 0.66 (r5 baseline)
+    "hll_mean_rel_err": ("max", 0.15),         # measured 0.0 at fixture scale
+}
+
+
+def compute(spark, sf_dir: str) -> dict[str, float]:
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entry
+
+    from safedata_pipeline_spark.sources.tables import load_table
+
+    qs = entry.queries()
+    out: dict[str, float] = {}
+
+    # -- model utility: accuracy/F1 drop original -> protected --------
+    mu = {r["dataset"]: r for r in qs["model_utility"](spark, sf_dir).collect()}
+    out["model_utility_acc_orig"] = float(mu["original"]["acc"])
+    out["model_utility_acc_prot"] = float(mu["protected"]["acc"])
+    out["model_utility_acc_drop"] = round(
+        float(mu["original"]["acc"]) - float(mu["protected"]["acc"]), 6
+    )
+    out["model_utility_f1_drop"] = round(
+        float(mu["original"]["f1"]) - float(mu["protected"]["f1"]), 6
+    )
+
+    # -- ANN recall@k vs the exact brute-force top-k ------------------
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(qs["ann_cosine_topk"](spark, sf_dir))
+    for name, key in (("ann_cosine_topk_lsh", "lsh"), ("ann_cosine_topk_ivf", "ivf")):
+        approx = pairs(qs[name](spark, sf_dir))
+        out[f"{key}_recall_at_5"] = round(len(approx & exact) / max(len(exact), 1), 6)
+
+    # -- HLL daily rollup vs exact distinct ---------------------------
+    approx_daily = {
+        r["day_start"]: int(r["n_users_approx"])
+        for r in qs["hll_user_rollup"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact_daily = {
+        r["day_start"]: int(r["n"])
+        for r in ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day_start")
+        ).agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    errs = [
+        abs(approx_daily.get(d, 0) - n) / n for d, n in exact_daily.items() if n > 0
+    ]
+    out["hll_mean_rel_err"] = round(sum(errs) / max(len(errs), 1), 6)
+    return out
+
+
+def check(stats: dict[str, float]) -> list[str]:
+    """Gate violations ([] = all within bounds)."""
+    problems = []
+    for metric, (direction, bound) in GATES.items():
+        v = stats.get(metric)
+        if v is None:
+            problems.append(f"{metric}: missing")
+        elif direction == "min" and v < bound:
+            problems.append(f"{metric}: {v} < required {bound}")
+        elif direction == "max" and v > bound:
+            problems.append(f"{metric}: {v} > allowed {bound}")
+    return problems
+
+
+def main() -> None:
+    from safedata_pipeline_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("stat-gates")
+    spark.sparkContext.setLogLevel("ERROR")
+    stats = compute(spark, sf_dir)
+    problems = check(stats)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    payload = {"sf_dir": sf_dir, "stats": stats, "violations": problems,
+               "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
+    with open(os.path.join(root, "STATS_local.json"), "w") as f:
+        f.write(json.dumps(payload) + "\n")
+    with open(os.path.join(root, "STATS_history.jsonl"), "a") as f:
+        f.write(json.dumps(payload) + "\n")
+    print(json.dumps(payload))
+    if problems:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
