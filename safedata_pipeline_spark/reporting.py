@@ -104,6 +104,9 @@ def save_audit_report(
     quality_rules_df: DataFrame | None = None,
     iqr_outliers_df: DataFrame | None = None,
     completeness_timeline_df: DataFrame | None = None,
+    dedup_rate_df: DataFrame | None = None,
+    split_leakage_df: DataFrame | None = None,
+    curation_funnel: dict[str, int] | None = None,
 ) -> str:
     """The operator-era audit report — the numbers a privacy officer
     or pipeline operator actually reads, assembled from the round-3
@@ -139,6 +142,25 @@ def save_audit_report(
         sections.append(("Outlier Fences (IQR)", df_to_html(iqr_outliers_df)))
     if completeness_timeline_df is not None:
         sections.append(("Completeness Timeline", df_to_html(completeness_timeline_df)))
+    # -- dedup / curation KPIs (the corpus-health numbers a curation
+    # dashboard watches between runs) ---------------------------------
+    if dedup_rate_df is not None:
+        sections.append(("Duplicate Rate by Source", df_to_html(dedup_rate_df)))
+    if split_leakage_df is not None:
+        sections.append(
+            ("Split Leakage (near-dup edges crossing splits)", df_to_html(split_leakage_df))
+        )
+    if curation_funnel is not None:
+        rows = "".join(
+            f"<tr><td>{step}</td><td>{n}</td></tr>" for step, n in curation_funnel.items()
+        )
+        sections.append(
+            (
+                "Curation Funnel",
+                "<table><thead><tr><th>step</th><th>docs</th></tr></thead>"
+                f"<tbody>{rows}</tbody></table>",
+            )
+        )
     stamp = f"Generated {datetime.datetime.now(datetime.timezone.utc).isoformat()}"
     html = _html_doc("SafeData Audit Report (Spark engine)", stamp, sections)
     with open(path, "w", encoding="utf-8") as f:

@@ -190,3 +190,36 @@ def test_pipeline_enforce_anonymity_roundtrip(spark, sf_dir):
     again = p.audit_anonymity(qi, k=10)
     assert again["satisfies_k"]
     assert again["n_classes"] <= first["n_classes"] + 1
+
+
+def test_audit_report_renders_curation_kpis(spark, sf_dir, tmp_path):
+    """The dedup/curation KPI sections: per-source duplicate rate,
+    split-leakage summary, and the pipeline funnel all render; when
+    omitted they disappear."""
+    from safedata_pipeline_spark import reporting
+    from safedata_pipeline_spark.corpus_pipeline import CorpusPipeline
+    from safedata_pipeline_spark.operators import dedup as DD
+    from safedata_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pipe = CorpusPipeline(docs).filter_quality(0.8).dedup_substrings(k=8)
+    pairs = DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    asg = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 < 4, "train").otherwise("eval").alias("split"),
+    )
+    path = reporting.save_audit_report(
+        str(tmp_path / "curation.html"),
+        {"run": "unit"},
+        dedup_rate_df=DD.dedup_rate_by_source(docs),
+        split_leakage_df=DD.split_leakage_summary(asg, pairs),
+        curation_funnel=pipe.funnel_report(),
+    )
+    html = open(path, encoding="utf-8").read()
+    for heading in ("Duplicate Rate by Source", "Split Leakage", "Curation Funnel"):
+        assert heading in html, heading
+    for key in ("dup_rate", "substring_dedup", "input"):
+        assert key in html, key
+    p2 = reporting.save_audit_report(str(tmp_path / "c2.html"), {"run": "unit"})
+    h2 = open(p2, encoding="utf-8").read()
+    assert "Curation Funnel" not in h2 and "Duplicate Rate" not in h2
