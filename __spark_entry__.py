@@ -544,6 +544,15 @@ def _q_dedup_components(spark, sf):
     return DD.dedup_components(docs, pairs)
 
 
+def _q_leakage_free_split(spark, sf):
+    # split assigned per near-dup CLUSTER (X134): an md5 coin on the
+    # component id — split_leakage over this assignment is empty by
+    # construction for the same pair generator
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return DD.leakage_free_split(docs, pairs, train_fraction=0.8)
+
+
 def _q_dedup_components_star(spark, sf):
     """Large-star/small-star variant — deterministic, so it shares
     dedup_components' oracle (same (doc_id, comp_id, is_canonical)
@@ -1138,18 +1147,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "l_diversity": _q_l_diversity,
         "regional_volume": _q_regional_volume,
-        "shipping_priority": _q_shipping_priority,
         "normalize_text": _q_normalize_text,
         "column_entropy": _q_column_entropy,
         "skew_report": _q_skew_report,
         # new-in-r5 operators get their driver rows in their first
         # round (standing policy), taking the slots of
         # minhash_threshold_curve / source_mixture_sample /
-        # quantize_embeddings (moved just past the window;
-        # hash-anchored locally)
+        # quantize_embeddings / shipping_priority (moved just past the
+        # window; hash-anchored locally)
         "substring_dedup": _q_substring_dedup,
         "encode_tokens": _q_encode_tokens,
         "token_count_vocab": _q_token_count_vocab,
+        "leakage_free_split": _q_leakage_free_split,
         # --- past the driver's 50-row correctness window from here on.
         # Everything below except the trailing rows-only block IS
         # oracle-backed — tools/check_oracle.py runs the identical
@@ -1167,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_threshold_curve": _q_minhash_threshold_curve,
         "source_mixture_sample": _q_source_mixture_sample,
         "quantize_embeddings": _q_quantize_embeddings,
+        "shipping_priority": _q_shipping_priority,
         "value_counts": _q_value_counts,
         "checklist_score": _q_checklist_score,
         "sdc_suppress": _q_sdc_suppress,
@@ -3184,6 +3194,21 @@ def _sql_token_count_vocab(top_k: int) -> str:
     )
 
 
+def _sql_leakage_free_split(train_fraction: float) -> str:
+    """Mirror of dedup.leakage_free_split: components (the
+    dedup_components recursive CTE) + the md5 unit-interval coin on
+    the component id."""
+    coin = (
+        "(CAST(('0x' || substr(md5(CAST(comp_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0) "
+        "/ 4294967296.0"
+    )
+    return (
+        f"WITH comp AS ({_sql_dedup_components()}) "
+        f"SELECT doc_id, comp_id, CASE WHEN {coin} <= {train_fraction} "
+        "THEN 'train' ELSE 'eval' END AS split FROM comp"
+    )
+
+
 def _sql_substring_dedup(k: int) -> str:
     """Mirror of dedup.substring_dedup: k-word window digests, global
     first-occurrence (doc_id, start) keeps, every other occurrence's
@@ -3321,6 +3346,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _sql_substring_dedup(8),
         "encode_tokens": _sql_encode_tokens(10),
         "token_count_vocab": _sql_token_count_vocab(10),
+        "leakage_free_split": _sql_leakage_free_split(0.8),
         "take_per_source": _sql_take_per_source(5),
         "psi_drift": _sql_psi(_SQL_DRIFT_BEFORE_PRICE, _SQL_DRIFT_AFTER_PRICE, 10),
         "correlation_matrix": _sql_correlation_matrix(CORR_COLS),

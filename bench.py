@@ -93,6 +93,7 @@ HEADLINE = [
     "substring_dedup",
     "encode_tokens",
     "token_count_vocab",
+    "leakage_free_split",
     "take_per_source",
     "psi_drift",
     "correlation_matrix",

@@ -153,6 +153,7 @@ def ngram_jaccard_pairs(
 
 
 from safedata_pipeline_spark.functions.hashing import md5_slot32 as _hash_slot
+from safedata_pipeline_spark.functions.hashing import md5_unit_interval
 
 
 MINHASH_P = 4294967311  # prime > 2^32
@@ -933,4 +934,43 @@ def substring_dedup(
                 F.transform(keep_idx, lambda i: F.element_at(F.col("__words"), i + 1)),
             ).alias("clean_text"),
         )
+    )
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_fraction: float = 0.8,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train/eval split with a ZERO-leakage guarantee: the md5 coin is
+    flipped per duplicate CLUSTER, not per document, so every member
+    of a near-dup component lands on the same side and
+    ``split_leakage_pairs`` over this assignment is empty by
+    construction (for the pair generator that produced ``pairs``).
+    Per-doc random splits leak: with dup rate d, ~2·d·p·(1−p) of docs
+    have a near-twin across the boundary — the within-corpus
+    contamination that inflates eval scores.
+
+    Output: (id, comp_id, split) — one row per doc; singletons form
+    their own component (comp_id = own id), so non-duplicated docs
+    still split ~train_fraction.
+
+    Shape: ``dedup_components`` min-label propagation (O(diameter)
+    equi-join rounds) + ONE map-side md5 coin on the component id —
+    the same replayable-coin contract as ``assign_folds``, so the
+    assignment is deterministic on any engine at any parallelism, and
+    downstream incremental runs re-derive it instead of storing it.
+    """
+    if not 0.0 < train_fraction < 1.0:
+        raise ValueError("train_fraction must be in (0, 1)")
+    labels = dedup_components(docs, pairs, id_col, max_iter)
+    coin = md5_unit_interval(F.col("comp_id"))
+    return labels.select(
+        F.col(id_col),
+        "comp_id",
+        F.when(coin <= F.lit(train_fraction), F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
     )

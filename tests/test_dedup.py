@@ -413,3 +413,39 @@ def test_substring_dedup_same_doc_repeats_and_overlap(spark):
 
     with pytest.raises(ValueError):
         substring_dedup(docs, k=1)
+
+
+def test_leakage_free_split_zero_crossing_edges(spark):
+    """The guarantee: split assigned per component means NO near-dup
+    pair crosses train/eval; singletons still split by their own coin;
+    the assignment is deterministic across invocations."""
+    from safedata_pipeline_spark.operators.dedup import (
+        leakage_free_split, split_leakage_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id bigint, text string"
+    )
+    # two clusters (0-1-2 chained, 10-11) + singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    asg = leakage_free_split(docs, pairs, train_fraction=0.8)
+    rows = {r["doc_id"]: r for r in asg.collect()}
+    assert len(rows) == 40
+    # cluster members share comp_id and split
+    assert rows[0]["comp_id"] == rows[1]["comp_id"] == rows[2]["comp_id"] == 0
+    assert len({rows[i]["split"] for i in (0, 1, 2)}) == 1
+    assert len({rows[i]["split"] for i in (10, 11)}) == 1
+    # the audit over this assignment is empty by construction
+    assert split_leakage_pairs(asg, pairs).count() == 0
+    # both sides populated at this fraction, deterministic replay
+    splits = {r["split"] for r in rows.values()}
+    assert splits == {"train", "eval"}
+    again = {r["doc_id"]: r["split"] for r in
+             leakage_free_split(docs, pairs, train_fraction=0.8).collect()}
+    assert again == {d: r["split"] for d, r in rows.items()}
+    import pytest
+
+    with pytest.raises(ValueError):
+        leakage_free_split(docs, pairs, train_fraction=1.5)
