@@ -820,6 +820,25 @@ def _q_substring_dedup(spark, sf):
     return DD.substring_dedup(load_table(spark, sf, "documents"), k=8)
 
 
+def _q_dedup_incremental_near(spark, sf):
+    # incremental NEAR-dup ingestion (X135): new docs whose banded
+    # MinHash estimate vs the accepted corpus >= 0.5 are dropped
+    docs = load_table(spark, sf, "documents")
+    ref = docs.where(F.col("doc_id") < 100)
+    new = docs.where(F.col("doc_id") >= 100)
+    return DD.dedup_incremental_near(new, ref, threshold=0.5).select(
+        "doc_id", "source", "text"
+    )
+
+
+def _q_cross_source_dup_matrix(spark, sf):
+    # which feed copies from which (X136): near-dup pairs aggregated
+    # into a source×source syndication matrix
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return DD.cross_source_dup_matrix(docs, pairs)
+
+
 def _q_take_per_source(spark, sf):
     return SMP.take_per_source(load_table(spark, sf, "documents"), 5).select(
         "doc_id", "source"
@@ -1147,18 +1166,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "l_diversity": _q_l_diversity,
         "regional_volume": _q_regional_volume,
-        "normalize_text": _q_normalize_text,
         "column_entropy": _q_column_entropy,
-        "skew_report": _q_skew_report,
         # new-in-r5 operators get their driver rows in their first
         # round (standing policy), taking the slots of
         # minhash_threshold_curve / source_mixture_sample /
-        # quantize_embeddings / shipping_priority (moved just past the
-        # window; hash-anchored locally)
+        # quantize_embeddings / shipping_priority / normalize_text /
+        # skew_report (moved just past the window; hash-anchored
+        # locally)
         "substring_dedup": _q_substring_dedup,
         "encode_tokens": _q_encode_tokens,
         "token_count_vocab": _q_token_count_vocab,
         "leakage_free_split": _q_leakage_free_split,
+        "dedup_incremental_near": _q_dedup_incremental_near,
+        "cross_source_dup_matrix": _q_cross_source_dup_matrix,
         # --- past the driver's 50-row correctness window from here on.
         # Everything below except the trailing rows-only block IS
         # oracle-backed — tools/check_oracle.py runs the identical
@@ -1177,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture_sample": _q_source_mixture_sample,
         "quantize_embeddings": _q_quantize_embeddings,
         "shipping_priority": _q_shipping_priority,
+        "normalize_text": _q_normalize_text,
+        "skew_report": _q_skew_report,
         "value_counts": _q_value_counts,
         "checklist_score": _q_checklist_score,
         "sdc_suppress": _q_sdc_suppress,
@@ -1939,6 +1961,54 @@ def _sql_dedup_incremental(split_id: int) -> str:
         "surv AS (SELECT new.* FROM new WHERE d NOT IN (SELECT d FROM ref)), "
         "keep AS (SELECT d, min(doc_id) AS doc_id FROM surv GROUP BY d) "
         "SELECT s.doc_id, s.source, s.text FROM surv s JOIN keep USING (d, doc_id)"
+    )
+
+
+def _sql_dedup_incremental_near(
+    split_id: int, num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """Mirror of dedup.dedup_incremental_near: band-key equi-join
+    NEW × REF only, signature-verified estimate, anti-join."""
+    rows = num_hashes // bands
+    slot_list = ", ".join(f"mh_{i}" for i in range(num_hashes))
+    band_selects = []
+    for b in range(bands):
+        parts = " || '|' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS key FROM sig")
+    buckets = " UNION ALL ".join(band_selects)
+    return (
+        f"WITH sig AS ({_sql_minhash_signatures(num_hashes)}), "
+        f"sigarr AS (SELECT doc_id, [{slot_list}] AS s FROM sig), "
+        f"buckets AS ({buckets}), "
+        "cand AS (SELECT DISTINCT n.doc_id AS idn, r.doc_id AS idr FROM buckets n "
+        "JOIN buckets r ON n.band = r.band AND n.key = r.key "
+        f"AND n.doc_id >= {split_id} AND r.doc_id < {split_id}), "
+        "hit AS (SELECT DISTINCT c.idn FROM cand c "
+        "JOIN sigarr sa ON c.idn = sa.doc_id JOIN sigarr sb ON c.idr = sb.doc_id "
+        f"WHERE len(list_filter(range(1, {num_hashes + 1}), i -> sa.s[i] = sb.s[i])) "
+        f"/ {float(num_hashes)} >= {threshold}) "
+        f"SELECT doc_id, source, text FROM documents WHERE doc_id >= {split_id} "
+        "AND text IS NOT NULL AND doc_id NOT IN (SELECT idn FROM hit)"
+    )
+
+
+def _sql_cross_source_dup_matrix() -> str:
+    """Mirror of dedup.cross_source_dup_matrix over the ngram-Jaccard
+    pair generator (the same pairs the Spark wrapper composes)."""
+    return (
+        f"WITH pairs AS ({_sql_ngram_jaccard()}), "
+        "s AS (SELECT doc_id, source FROM documents), "
+        "tagged AS (SELECT least(a.source, b.source) AS source_a, "
+        "greatest(a.source, b.source) AS source_b, "
+        "CASE WHEN a.source <= b.source THEN p.id_a ELSE p.id_b END AS da, "
+        "CASE WHEN a.source <= b.source THEN p.id_b ELSE p.id_a END AS db "
+        "FROM pairs p JOIN s a ON p.id_a = a.doc_id JOIN s b ON p.id_b = b.doc_id) "
+        "SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs, "
+        "CAST(count(DISTINCT da) AS BIGINT) AS n_docs_a, "
+        "CAST(count(DISTINCT db) AS BIGINT) AS n_docs_b "
+        "FROM tagged GROUP BY source_a, source_b"
     )
 
 
@@ -3347,6 +3417,8 @@ def oracle_sql() -> dict[str, str]:
         "encode_tokens": _sql_encode_tokens(10),
         "token_count_vocab": _sql_token_count_vocab(10),
         "leakage_free_split": _sql_leakage_free_split(0.8),
+        "dedup_incremental_near": _sql_dedup_incremental_near(100),
+        "cross_source_dup_matrix": _sql_cross_source_dup_matrix(),
         "take_per_source": _sql_take_per_source(5),
         "psi_drift": _sql_psi(_SQL_DRIFT_BEFORE_PRICE, _SQL_DRIFT_AFTER_PRICE, 10),
         "correlation_matrix": _sql_correlation_matrix(CORR_COLS),

@@ -94,6 +94,8 @@ HEADLINE = [
     "encode_tokens",
     "token_count_vocab",
     "leakage_free_split",
+    "dedup_incremental_near",
+    "cross_source_dup_matrix",
     "take_per_source",
     "psi_drift",
     "correlation_matrix",

@@ -132,16 +132,27 @@ class CorpusPipeline:
         )
         return self._keep("decontaminated", out)
 
-    def dedup_against(self, ref_docs: DataFrame) -> "CorpusPipeline":
+    def dedup_against(
+        self, ref_docs: DataFrame, near: bool = False, threshold: float = 0.5
+    ) -> "CorpusPipeline":
         """Incremental-ingestion entry point: drop every document
-        whose exact content already exists in an accepted reference
-        corpus (the survivors of a previous pipeline run), then
-        collapse in-batch duplicates — "dedup this crawl drop against
-        the corpus". Delegates to ``dedup.dedup_incremental`` (digest
-        anti-join: only md5 digests shuffle, runtime bloom filter /
-        broadcast via AQE). Runs FIRST in an incremental pass — no
-        point scoring or near-dedup'ing documents the corpus already
-        holds."""
+        whose content already exists in an accepted reference corpus
+        (the survivors of a previous pipeline run) — "dedup this crawl
+        drop against the corpus". ``near=False`` delegates to
+        ``dedup.dedup_incremental`` (exact digest anti-join: only md5
+        digests shuffle, runtime bloom filter / broadcast via AQE) and
+        also collapses in-batch exact duplicates; ``near=True``
+        delegates to ``dedup.dedup_incremental_near`` (banded-MinHash
+        NEW × REF join at ``threshold``), leaving in-batch near-dups
+        to the regular ``dedup_near`` step. Runs FIRST in an
+        incremental pass — no point scoring or near-dedup'ing
+        documents the corpus already holds."""
+        if near:
+            out = DD.dedup_incremental_near(
+                self.df, ref_docs, text_col=self.text_col,
+                id_col=self.id_col, threshold=threshold,
+            )
+            return self._keep("incremental_near_deduped", out)
         out = DD.dedup_incremental(
             self.df, ref_docs, text_col=self.text_col, id_col=self.id_col
         )

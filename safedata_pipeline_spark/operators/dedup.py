@@ -974,3 +974,111 @@ def leakage_free_split(
         .otherwise(F.lit("eval"))
         .alias("split"),
     )
+
+
+def dedup_incremental_near(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental NEAR-dup ingestion: drop every new document whose
+    MinHash-estimated Jaccard against ANY accepted reference document
+    reaches ``threshold`` — the production crawl-drop step
+    ``dedup_incremental`` (exact digests) can't cover: re-crawls with
+    boilerplate edits, template re-renders, near-verbatim syndication.
+    In-batch near-dups among the survivors are deliberately left to
+    the regular near-dedup step (the pipeline composes both).
+
+    Output: the surviving ``new_docs`` rows, schema unchanged
+    (null-text rows dropped on both sides, ``dedup_incremental``'s
+    contract — a null text can neither match nor be matched).
+
+    Shape, in 100 TB terms: both sides reduce to (id, band, band-key,
+    signature) — text never crosses the wire. Candidates come from the
+    band-key equi-join NEW × REF only (never new×new, never ref×ref —
+    unlike the self-join in ``minhash_lsh_pairs``, cost scales with
+    the CROSS collisions), verified against the full signatures; the
+    matched-id set then drives one LEFT ANTI join (digest-narrow,
+    bloom/broadcast-optimizable). md5-deterministic end to end, so
+    even this approximate path is oracle-checkable.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+
+    def buckets(df: DataFrame, side: str) -> DataFrame:
+        sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
+        band_cols = []
+        for b in range(bands):
+            parts = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+            band_cols.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", *parts).cast("binary")).alias("key"),
+                )
+            )
+        return sig.select(
+            F.col(id_col).alias(f"id_{side}"),
+            *[F.col(f"mh_{i}").alias(f"{side}_mh_{i}") for i in range(num_hashes)],
+            F.explode(F.array(*band_cols)).alias("bk"),
+        ).select(
+            f"id_{side}", *[f"{side}_mh_{i}" for i in range(num_hashes)], "bk.band", "bk.key"
+        )
+
+    nb = buckets(new_docs.where(F.col(text_col).isNotNull()), "n")
+    rb = buckets(ref_docs.where(F.col(text_col).isNotNull()), "r")
+    agree = sum(
+        (F.col(f"n_mh_{i}") == F.col(f"r_mh_{i}")).cast("int") for i in range(num_hashes)
+    )
+    matched = (
+        nb.join(rb, on=["band", "key"])
+        .select("id_n", (agree / F.lit(float(num_hashes))).alias("est"))
+        .where(F.col("est") >= threshold)
+        .select(F.col("id_n").alias(id_col))
+        .dropDuplicates()
+    )
+    return new_docs.where(F.col(text_col).isNotNull()).join(
+        matched, on=id_col, how="left_anti"
+    )
+
+
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Which feed copies from which: near/exact-dup PAIRS aggregated
+    into a source×source matrix — ``(source_a, source_b, n_pairs,
+    n_docs_a, n_docs_b)`` with the pair ordered so source_a <=
+    source_b (one row per unordered source pair). Diagonal rows =
+    within-feed duplication; off-diagonal = syndication between feeds —
+    the matrix that tells a curator which upstream to dedup at the
+    source. Composes on any pair generator (LSH bands, shingle
+    postings, exact digests), so cost is O(|pairs|) + two id-keyed
+    joins against the narrow (id, source) projection; the groupBy key
+    space is |sources|² — dashboard-sized.
+    """
+    s = docs.select(F.col(id_col), F.col(group_col))
+    a = s.select(F.col(id_col).alias("id_a"), F.col(group_col).alias("sa"))
+    b = s.select(F.col(id_col).alias("id_b"), F.col(group_col).alias("sb"))
+    tagged = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.when(F.col("sa") <= F.col("sb"), F.col("id_a")).otherwise(F.col("id_b")).alias("da"),
+            F.when(F.col("sa") <= F.col("sb"), F.col("id_b")).otherwise(F.col("id_a")).alias("db"),
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count_distinct("da").cast("bigint").alias("n_docs_a"),
+        F.count_distinct("db").cast("bigint").alias("n_docs_b"),
+    )

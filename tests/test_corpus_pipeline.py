@@ -240,3 +240,24 @@ def test_corpus_pipeline_dedup_substrings_step(spark):
     assert rows[2]["text"] == "head words"
     assert rows[2]["source"] == "b"
     assert pipe.funnel["substring_dedup"] == 2
+
+
+def test_corpus_pipeline_dedup_against_near(spark):
+    """near=True drops light rewrites of the accepted corpus, not
+    just byte-identical content."""
+    from safedata_pipeline_spark.corpus_pipeline import CorpusPipeline
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    first = spark.createDataFrame(
+        [(1, base, "a")], "doc_id bigint, text string, source string"
+    )
+    drop2 = spark.createDataFrame(
+        [
+            (10, base + " lambda", "b"),
+            (11, "completely different words with no shared shingles here", "b"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    pipe = CorpusPipeline(drop2).dedup_against(first, near=True)
+    assert {r["doc_id"] for r in pipe.df.collect()} == {11}
+    assert pipe.funnel["incremental_near_deduped"] == 1

@@ -449,3 +449,55 @@ def test_leakage_free_split_zero_crossing_edges(spark):
 
     with pytest.raises(ValueError):
         leakage_free_split(docs, pairs, train_fraction=1.5)
+
+
+def test_dedup_incremental_near_drops_boilerplate_rewrites(spark):
+    """A new doc that is a light edit of an accepted doc (most
+    shingles shared) is dropped; a genuinely new doc survives; null
+    texts drop on both sides."""
+    from safedata_pipeline_spark.operators.dedup import dedup_incremental_near
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref = spark.createDataFrame(
+        [(1, base), (2, None)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base + " lambda"),      # near-dup of ref 1
+            (11, "completely different words with no shared shingles here"),
+            (12, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"] for r in dedup_incremental_near(new, ref, threshold=0.5).collect()}
+    assert out == {11}
+    # at threshold 1.0 only byte-identical signatures match -> the
+    # light edit survives too
+    loose = {r["doc_id"] for r in dedup_incremental_near(new, ref, threshold=1.0).collect()}
+    assert loose == {10, 11}
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup_incremental_near(new, ref, num_hashes=16, bands=5)
+
+
+def test_cross_source_dup_matrix(spark):
+    """Syndication matrix: within-feed pairs land on the diagonal,
+    cross-feed pairs on one canonical (least, greatest) row."""
+    from safedata_pipeline_spark.operators.dedup import cross_source_dup_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "a")],
+        "doc_id bigint, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 1), (4, 1), (3, 4)], "id_a bigint, id_b bigint"
+    )
+    out = {(r["source_a"], r["source_b"]): r for r in
+           cross_source_dup_matrix(docs, pairs).collect()}
+    assert out[("a", "a")]["n_pairs"] == 1
+    assert out[("b", "b")]["n_pairs"] == 1
+    ab = out[("a", "b")]
+    assert ab["n_pairs"] == 2          # (3,1) and (4,1) both cross
+    assert ab["n_docs_a"] == 1         # doc 1 on the 'a' side of both
+    assert ab["n_docs_b"] == 2         # docs 3 and 4 on the 'b' side
