@@ -344,3 +344,47 @@ def test_profile_partials_batching_invariance(spark, vals, n_splits):
     ).collect()
     b = INC.finalize_profile(INC.profile_partials(whole, ["v"])).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@_settings
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abcdef")), min_size=0, max_size=14),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_substring_dedup_matches_sequential_reference(spark, docs, k):
+    """substring_dedup == a single-threaded reference: collect every
+    k-window occurrence, keep the global (doc, pos)-first of each
+    duplicated window, mark the rest, strip marked positions."""
+    from safedata_pipeline_spark.operators.dedup import substring_dedup
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in substring_dedup(df, k=k).collect()}
+
+    # reference: first pass records first occurrence of each window
+    first: dict[tuple, tuple] = {}
+    count: dict[tuple, int] = {}
+    for i, words in enumerate(docs):
+        if not words:
+            continue
+        for p in range(len(words) - k + 1):
+            w = tuple(words[p : p + k])
+            count[w] = count.get(w, 0) + 1
+            first.setdefault(w, (i, p))
+    for i, words in enumerate(docs):
+        if not words:
+            assert i not in got  # blank text dropped
+            continue
+        marked: set[int] = set()
+        for p in range(len(words) - k + 1):
+            w = tuple(words[p : p + k])
+            if count[w] >= 2 and first[w] != (i, p):
+                marked.update(range(p, p + k))
+        kept = [w for j, w in enumerate(words) if j not in marked]
+        assert got[i].n_words == len(words)
+        assert got[i].n_removed == len(marked)
+        assert got[i].clean_text == " ".join(kept)
