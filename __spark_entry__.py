@@ -538,6 +538,12 @@ def _q_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=3, threshold=0.5)
 
 
+def _q_jaccard_prefix_join(spark, sf):
+    # exact threshold self-join via PPJoin-style prefix filtering —
+    # no posting-list caps, no false negatives (dedup.py jaccard_prefix_join)
+    return DD.jaccard_prefix_join(load_table(spark, sf, "documents"), n=2, threshold=0.6)
+
+
 def _q_dedup_components(spark, sf):
     docs = load_table(spark, sf, "documents")
     pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
@@ -1246,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "unigram_logprob": _q_unigram_logprob,
         "ngram_jaccard": _q_ngram_jaccard,
+        "jaccard_prefix_join": _q_jaccard_prefix_join,
         "dedup_components": _q_dedup_components,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_centroids": _q_embedding_centroids,
@@ -2144,6 +2151,23 @@ SQL_SHINGLES = (
     "sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS s "
     "FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i))"
 )
+
+
+def _sql_jaccard_prefix(n: int, threshold: float) -> str:
+    # oracle for jaccard_prefix_join: prefix filtering is exact (no
+    # false negatives), so the oracle is the brute-force pair set at
+    # the same (n, threshold) — parameterized shingle width.
+    return (
+        f"WITH toks AS ({SQL_TOKS}), "
+        f"sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+{n - 1}], ' ') AS s "
+        f"FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS g(i)), "
+        "sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id), "
+        "common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY a.id, b.id), "
+        "j AS (SELECT id_a, id_b, round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard "
+        "FROM common JOIN sizes sa ON common.id_a = sa.id JOIN sizes sb ON common.id_b = sb.id) "
+        f"SELECT * FROM j WHERE jaccard >= {threshold}"
+    )
 
 
 def _sql_ngram_jaccard() -> str:
@@ -3413,6 +3437,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": _sql_top_ngrams(100),
         "source_lang_pivot": _sql_source_lang_pivot(DOC_LANGS),
         "dedup_incremental": _sql_dedup_incremental(100),
+        "jaccard_prefix_join": _sql_jaccard_prefix(2, 0.6),
         "substring_dedup": _sql_substring_dedup(8),
         "encode_tokens": _sql_encode_tokens(10),
         "token_count_vocab": _sql_token_count_vocab(10),

@@ -1047,6 +1047,93 @@ def dedup_incremental_near(
     )
 
 
+def jaccard_prefix_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering (the
+    PPJoin/AllPairs family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08) — same output contract as ``ngram_jaccard_pairs`` with
+    ``max_df=None`` but WITHOUT posting-list caps and WITHOUT the
+    full inverted-index self-join: (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard ≥ threshold, no false negatives.
+
+    Why it scales where the plain inverted index doesn't: a shingle
+    with document frequency f contributes f² candidate rows to the
+    naive self-join. Prefix filtering orders every doc's shingle set
+    by GLOBAL document frequency ascending (rarest first, shingle
+    string as tiebreak) and joins only each doc's first
+    ``p = |d| - floor(threshold·|d|) + 1`` shingles: if
+    |A∩B| ≥ threshold·|A| (implied by J ≥ threshold with the size
+    filter), the two prefixes must share a shingle under any common
+    total order. Hot boilerplate shingles sort LAST, so they almost
+    never enter a prefix — the f² blowup is confined to rare
+    shingles, where f is small by definition. The size filter
+    (threshold·|A| ≤ |B| ≤ |A|/threshold, epsilon-slack so float
+    rounding can only ADD candidates) prunes cross-length pairs
+    before verification.
+
+    Shape: shingle explode → df-count join → per-doc rank window
+    (partitioned by doc — bounded rows per partition) → prefix
+    equi-join → distinct candidate pairs → exact verify with one
+    ``array_intersect`` against per-doc collected shingle sets.
+    Verification is O(|candidates| · avg_set) map-side work; every
+    shuffle is an equi-join or a doc-keyed aggregate. No caps means
+    the result is the EXACT pair set — this is the 100 TB exact
+    verifier, while ``minhash_lsh_pairs`` remains the probabilistic
+    fast path.
+    """
+    from pyspark.sql import Window
+
+    eps = 1e-9
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(_word_shingles(F.col(text_col), n)).alias("s")
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("id").orderBy("__df", "s")),
+        )
+        .join(sizes, "id")
+    )
+    prefix_len = F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")).cast("int") + F.lit(1)
+    pref = ranked.where(F.col("rk") <= prefix_len).select("id", "s", "n_sh")
+    a = pref.select(F.col("id").alias("id_a"), F.col("s"), F.col("n_sh").alias("n_a"))
+    b = pref.select(F.col("id").alias("id_b"), F.col("s"), F.col("n_sh").alias("n_b"))
+    cands = (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id_a") < F.col("b.id_b"))
+            & (F.col("b.n_b") >= F.lit(threshold) * F.col("a.n_a") - F.lit(eps))
+            & (F.col("b.n_b") <= F.col("a.n_a") / F.lit(threshold) + F.lit(eps)),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ssets = sh.groupBy("id").agg(F.collect_set("s").alias("sset"), F.count(F.lit(1)).alias("n_sh"))
+    sa = ssets.select(F.col("id").alias("id_a"), F.col("sset").alias("set_a"), F.col("n_sh").alias("n_a"))
+    sb = ssets.select(F.col("id").alias("id_b"), F.col("sset").alias("set_b"), F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / (F.col("n_a") + F.col("n_b") - inter), ROUND_N).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def cross_source_dup_matrix(
     docs: DataFrame,
     pairs: DataFrame,

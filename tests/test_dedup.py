@@ -501,3 +501,33 @@ def test_cross_source_dup_matrix(spark):
     assert ab["n_pairs"] == 2          # (3,1) and (4,1) both cross
     assert ab["n_docs_a"] == 1         # doc 1 on the 'a' side of both
     assert ab["n_docs_b"] == 2         # docs 3 and 4 on the 'b' side
+
+
+def test_jaccard_prefix_join_matches_brute_force(spark):
+    """Prefix filtering must be EXACT: same pair set + values as the
+    uncapped inverted-index verifier on a corpus with mixed sizes,
+    a hot boilerplate shingle, and cross-length near-dups."""
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (2, f"alpha beta gamma delta epsilon eta {boiler}"),      # near-dup of 1
+        (3, f"alpha beta gamma delta epsilon zeta {boiler}"),     # exact dup of 1
+        (4, f"totally different words in this row {boiler}"),     # only boilerplate shared
+        (5, "short text"),                                         # below shingle width edge
+        (6, f"alpha beta gamma delta epsilon zeta {boiler} plus extra tail words here"),  # longer superset
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for n, thr in [(3, 0.3), (3, 0.7), (2, 0.5)]:
+        brute = sorted(
+            map(tuple, DD.ngram_jaccard_pairs(df, n=n, threshold=thr, max_df=None).collect())
+        )
+        pp = sorted(map(tuple, DD.jaccard_prefix_join(df, n=n, threshold=thr).collect()))
+        assert pp == brute, f"n={n} thr={thr}"
+    # sanity on content: the exact dup pair survives at every threshold
+    high = {(r.id_a, r.id_b) for r in DD.jaccard_prefix_join(df, n=3, threshold=0.99).collect()}
+    assert (1, 3) in high
+
+
+def test_jaccard_prefix_join_empty_and_blank(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "one two")], "doc_id bigint, text string")
+    assert DD.jaccard_prefix_join(df, n=3, threshold=0.5).count() == 0
