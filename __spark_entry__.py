@@ -496,6 +496,102 @@ def _q_regional_volume(spark, sf):
     )
 
 
+def _q_nation_trade(spark, sf):
+    """TPC-H Q7 shape: bi-directional nation-pair trade volume — the
+    lineitem fact joins BOTH dimension chains (supplier→nation and
+    orders→customer→nation), pair-filtered to two nations, grouped by
+    (supp_nation, cust_nation, ship year). Both nation sides and
+    supplier/customer broadcast; the only big-big shuffle is
+    lineitem⋈orders on the order key."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .where(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(rev.cast("decimal(38,10)")).cast("double"), 2).alias("revenue"))
+    )
+
+
+def _q_priority_late_orders(spark, sf):
+    """TPC-H Q4 shape: order-priority census of orders with at least
+    one late lineitem (ship > order date + 30 days) — EXISTS rendered
+    as a left-semi join whose compound condition carries the order
+    date into the probe side. One shuffle on the order key, then a
+    tiny groupBy on priority."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-07-01 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+
+
+def _q_sole_late_supplier(spark, sf):
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier in a
+    multi-supplier finished order — EXISTS(other supplier) as a
+    left-semi self-join and NOT EXISTS(other late supplier) as a
+    left-anti self-join over the distinct (order, supplier) pair set.
+    The pair sets are distinct-projected BEFORE the self-joins, so the
+    quadratic surface is per-order supplier counts (bounded), never
+    raw lineitems. Late := ship > order date + 60 days; orders
+    restricted to status 'F'."""
+    orders = load_table(spark, sf, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    pairs = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+    )
+    late = pairs.where(F.col("late")).select("l_orderkey", "l_suppkey")
+    others = pairs.select(F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk"))
+    w1 = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_ok")) & (F.col("l_suppkey") != F.col("o_sk")),
+        "left_semi",
+    )
+    late2 = late.select(F.col("l_orderkey").alias("x_ok"), F.col("l_suppkey").alias("x_sk"))
+    w2 = w1.join(
+        late2,
+        (F.col("l_orderkey") == F.col("x_ok")) & (F.col("l_suppkey") != F.col("x_sk")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        w2.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
 def _q_contamination_scan(spark, sf):
     return TX.contamination_scan(load_table(spark, sf, "documents"), CONTAMINATION_PROBES)
 
@@ -1172,6 +1268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "l_diversity": _q_l_diversity,
         "regional_volume": _q_regional_volume,
+        "nation_trade": _q_nation_trade,
+        "priority_late_orders": _q_priority_late_orders,
+        "sole_late_supplier": _q_sole_late_supplier,
         "column_entropy": _q_column_entropy,
         # new-in-r5 operators get their driver rows in their first
         # round (standing policy), taking the slots of
@@ -1872,6 +1971,49 @@ def _sql_regional_volume() -> str:
         "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
         "AND o_orderdate < TIMESTAMP '1997-01-01' "
         "GROUP BY n_name"
+    )
+
+
+def _sql_nation_trade(n1: str, n2: str) -> str:
+    return (
+        "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+        "CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year, "
+        "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        f"WHERE (sn.n_name = '{n1}' AND cn.n_name = '{n2}') "
+        f"OR (sn.n_name = '{n2}' AND cn.n_name = '{n1}') "
+        "GROUP BY 1, 2, 3"
+    )
+
+
+def _sql_priority_late_orders() -> str:
+    return (
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) "
+        "GROUP BY o_orderpriority"
+    )
+
+
+def _sql_sole_late_supplier() -> str:
+    return (
+        "WITH pairs AS (SELECT l_orderkey, l_suppkey, "
+        "max(l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderstatus = 'F' GROUP BY l_orderkey, l_suppkey), "
+        "late AS (SELECT l_orderkey, l_suppkey FROM pairs WHERE late) "
+        "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait FROM late l1 "
+        "JOIN supplier ON l1.l_suppkey = s_suppkey "
+        "WHERE EXISTS (SELECT 1 FROM pairs l2 WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey) "
+        "GROUP BY s_name"
     )
 
 
@@ -3453,6 +3595,9 @@ def oracle_sql() -> dict[str, str]:
         "robust_stats": _sql_robust_stats(CORR_COLS),
         "shipping_priority": _sql_shipping_priority(),
         "regional_volume": _sql_regional_volume(),
+        "nation_trade": _sql_nation_trade("NATION_1", "NATION_2"),
+        "priority_late_orders": _sql_priority_late_orders(),
+        "sole_late_supplier": _sql_sole_late_supplier(),
         "quantize_embeddings": _sql_quantize_embeddings(),
         "quantization_error": _sql_quantization_error(),
         "skew_report": _sql_skew_report("orders", "o_custkey"),

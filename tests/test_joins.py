@@ -95,3 +95,49 @@ def test_salted_join_equals_plain_join(spark):
     assert a == b
     # the join key set includes the salt -> hot key spreads across tasks
     assert "__salt" not in salted.columns
+
+
+def test_sole_late_supplier_shape(spark):
+    """Q21 shape on planted data: only the sole-late supplier in a
+    multi-supplier order is counted; solo-supplier orders and orders
+    with two late suppliers are excluded."""
+    import __spark_entry__ as entry
+    import datetime as dt
+    import os, tempfile, shutil
+
+    d = tempfile.mkdtemp()
+    try:
+        od = dt.datetime(1996, 1, 1)
+        late, ok = od + dt.timedelta(days=90), od + dt.timedelta(days=5)
+        spark.createDataFrame(
+            [(1, 10, "F", 1.0, od, "P"), (2, 10, "F", 1.0, od, "P"),
+             (3, 10, "F", 1.0, od, "P"), (4, 10, "O", 1.0, od, "P")],
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.parquet(f"{d}/orders.parquet")
+        li = [
+            # order 1: supp 100 late, supp 200 on time -> supp 100 counted
+            (1, 1, 100, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+            (1, 1, 200, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ok),
+            # order 2: both supps late -> nobody counted
+            (2, 1, 100, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+            (2, 1, 200, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+            # order 3: single supplier late -> excluded (no other supplier)
+            (3, 1, 300, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+            # order 4: status 'O' -> excluded even though late + multi
+            (4, 1, 100, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+            (4, 1, 200, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ok),
+        ]
+        spark.createDataFrame(
+            li,
+            "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+            "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+        ).write.parquet(f"{d}/lineitem.parquet")
+        spark.createDataFrame(
+            [(100, "SUPP_100", 0, 1.0), (200, "SUPP_200", 0, 1.0), (300, "SUPP_300", 0, 1.0)],
+            "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double",
+        ).write.parquet(f"{d}/supplier.parquet")
+        out = {r.s_name: r.numwait for r in entry._q_sole_late_supplier(spark, d).collect()}
+        assert out == {"SUPP_100": 1}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
