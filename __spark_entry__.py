@@ -44,6 +44,7 @@ from safedata_pipeline_spark.operators import anonymity as AN
 from safedata_pipeline_spark.operators import cdc as CDC
 from safedata_pipeline_spark.operators import quality_rules as QR
 from safedata_pipeline_spark.operators import incremental as INC
+from safedata_pipeline_spark.operators import graph as GR
 from safedata_pipeline_spark.functions.hashing import md5_unit_interval as _hash01
 from safedata_pipeline_spark.streaming import corpus as SC
 from safedata_pipeline_spark.streaming import events as SE
@@ -632,6 +633,14 @@ def _q_dedup_exact(spark, sf):
 
 def _q_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=3, threshold=0.5)
+
+
+def _q_dup_graph_pagerank(spark, sf):
+    # template-hub centrality over the near-dup similarity graph:
+    # fixed-5-iteration PageRank, deterministic via per-iteration
+    # 12-dp rounding (operators/graph.py)
+    pairs = DD.ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=3, threshold=0.5)
+    return GR.pagerank(pairs, damping=0.85, iterations=5)
 
 
 def _q_jaccard_prefix_join(spark, sf):
@@ -1352,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "ngram_jaccard": _q_ngram_jaccard,
         "jaccard_prefix_join": _q_jaccard_prefix_join,
+        "dup_graph_pagerank": _q_dup_graph_pagerank,
         "dedup_components": _q_dedup_components,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_centroids": _q_embedding_centroids,
@@ -2293,6 +2303,33 @@ SQL_SHINGLES = (
     "sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS s "
     "FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i))"
 )
+
+
+def _sql_dup_graph_pagerank(damping: float = 0.85, iterations: int = 5) -> str:
+    # unrolled power iteration: rT references r(T-1); per-iteration
+    # round(…,12) mirrors operators/graph.py exactly, so the two
+    # engines' float sums cannot drift across iterations
+    one_minus = 1.0 - damping  # same Python-evaluated literal both sides
+    ctes = [
+        "und AS (SELECT id_a AS src, id_b AS dst FROM j UNION SELECT id_b, id_a FROM j)",
+        "deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM deg)",
+        "r0 AS (SELECT src, deg, round(1.0 / n_nodes, 12) AS rank FROM deg CROSS JOIN nn)",
+    ]
+    for t in range(1, iterations + 1):
+        prev = f"r{t - 1}"
+        ctes.append(
+            f"r{t} AS (SELECT d.src, d.deg, "
+            f"round({one_minus!r} / nn.n_nodes + {damping!r} * coalesce(c.c, 0), 12) AS rank "
+            f"FROM deg d CROSS JOIN nn LEFT JOIN "
+            f"(SELECT und.dst, sum(r.rank / r.deg) AS c FROM und "
+            f"JOIN {prev} r ON und.src = r.src GROUP BY und.dst) c ON d.src = c.dst)"
+        )
+    return (
+        f"WITH j AS ({_sql_ngram_jaccard()}), " + ", ".join(ctes) + " "
+        f"SELECT src AS doc_id, CAST(deg AS BIGINT) AS degree, "
+        f"round(rank, 6) AS pagerank FROM r{iterations}"
+    )
 
 
 def _sql_jaccard_prefix(n: int, threshold: float) -> str:
@@ -3580,6 +3617,7 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_pivot": _sql_source_lang_pivot(DOC_LANGS),
         "dedup_incremental": _sql_dedup_incremental(100),
         "jaccard_prefix_join": _sql_jaccard_prefix(2, 0.6),
+        "dup_graph_pagerank": _sql_dup_graph_pagerank(0.85, 5),
         "substring_dedup": _sql_substring_dedup(8),
         "encode_tokens": _sql_encode_tokens(10),
         "token_count_vocab": _sql_token_count_vocab(10),

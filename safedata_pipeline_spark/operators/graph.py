@@ -1,0 +1,111 @@
+"""Graph analytics over duplicate/similarity pair lists
+(SURVEY §2.8 extension surface; no reference counterpart).
+
+The dedup pair generators (``ngram_jaccard_pairs``, banded LSH,
+SimHash bands, exact digests) emit an undirected similarity graph.
+``dedup_components`` resolves it into keep/drop clusters; this module
+adds the *centrality* view: which documents are template HUBS —
+boilerplate that near-matches many other documents — versus leaf
+copies. Hub score drives curation policy (a hub with 500 edges is a
+site template to drop wholesale; a leaf pair is a syndicated article
+to keep once).
+
+Scale shape: classic synchronous power iteration — each of the T
+iterations is ONE equi-join (edges ⋈ ranks on src) + ONE groupBy(dst)
+shuffle, the textbook distributed PageRank. T is fixed and small, so
+the plan is T stages deep, never driver-iterative-until-convergence
+(convergence loops need a driver-side delta check; fixed-T keeps the
+operator deterministic and oracle-expressible as T unrolled CTEs).
+Ranks are rounded to 12 dp at every iteration boundary so float
+summation-order differences (≤ last-ulp per engine) cannot compound
+across iterations — the same determinism discipline as the md5-based
+MinHash family.
+
+At 100 TB: edges shuffle T times; production would localCheckpoint
+the rank table per iteration to truncate lineage (noted, not needed
+at fixture depth T=5). No driver-side row data — the only scalar is
+the node count, attached via a broadcast 1-row aggregate, not a
+collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ITER_ROUND = 12  # per-iteration rounding: kills cross-engine ulp drift
+OUT_ROUND = 6
+
+
+def undirected_edges(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Symmetrize a pair list into distinct directed edges (src, dst).
+    Pair lists are canonical (id_a < id_b, unique), so the union is
+    duplicate-free by construction; distinct() guards ad-hoc inputs."""
+    return (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+
+
+def degree_stats(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Per-node degree in the similarity graph: (doc_id, degree).
+    One symmetrize + one groupBy — the cheap hub screen before
+    PageRank."""
+    und = undirected_edges(pairs, id_a, id_b)
+    return und.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+
+
+def pagerank(
+    pairs: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected pair graph.
+
+    Output: (doc_id, degree, pagerank) for every node with ≥1 edge,
+    pagerank rounded to 6 dp. r₀ = 1/N; rₜ₊₁(v) = (1-d)/N +
+    d·Σ_{u~v} rₜ(u)/deg(u). Undirected graphs have no dangling
+    nodes (every node has degree ≥ 1), so no dangling-mass term.
+
+    Each iteration: edges ⋈ ranks (equi-join on src) → groupBy(dst)
+    partial-agg sum of rank/degree → left join back onto the node
+    table (isolated receivers keep the teleport term). The node
+    count N rides a broadcast 1-row aggregate. Deterministic across
+    engines via per-iteration 12-dp rounding.
+    """
+    und = undirected_edges(pairs, id_a, id_b)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    nodes = deg.crossJoin(F.broadcast(n))
+    ranks = nodes.select(
+        "src", "deg", "n_nodes", F.round(F.lit(1.0) / F.col("n_nodes"), ITER_ROUND).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            und.join(ranks.select("src", "deg", "rank"), "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "src", "left")
+            .select(
+                "src",
+                "deg",
+                "n_nodes",
+                F.round(
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping * F.coalesce(F.col("c"), F.lit(0.0)),
+                    ITER_ROUND,
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("src").alias("doc_id"),
+        F.col("deg").cast("bigint").alias("degree"),
+        F.round("rank", OUT_ROUND).alias("pagerank"),
+    )

@@ -1,0 +1,54 @@
+import numpy as np
+
+from safedata_pipeline_spark.operators import graph as G
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+
+
+def test_degree_stats_star(spark):
+    # star: 1 is the hub with degree 4, leaves degree 1
+    out = {r.doc_id: r.degree for r in
+           G.degree_stats(_pairs(spark, [(1, 2), (1, 3), (1, 4), (1, 5)])).collect()}
+    assert out == {1: 4, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def _reference_pagerank(edges, damping=0.85, iterations=5):
+    """Sequential twin of graph.pagerank's exact recurrence
+    (incl. the per-iteration 12-dp rounding)."""
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = [[] for _ in nodes]
+    deg = np.zeros(n)
+    for a, b in edges:
+        adj[idx[a]].append(idx[b])
+        adj[idx[b]].append(idx[a])
+        deg[idx[a]] += 1
+        deg[idx[b]] += 1
+    r = np.full(n, round(1.0 / n, 12))
+    for _ in range(iterations):
+        nxt = np.zeros(n)
+        for u in range(n):
+            for v in adj[u]:
+                nxt[v] += r[u] / deg[u]
+        r = np.round((1.0 - damping) / n + damping * nxt, 12)
+    return {v: round(float(r[idx[v]]), 6) for v in nodes}
+
+
+def test_pagerank_matches_sequential_reference(spark):
+    # star + chain + triangle, all in one graph
+    edges = [(1, 2), (1, 3), (1, 4), (1, 5), (5, 6), (6, 7), (8, 9), (9, 10), (8, 10)]
+    out = {r.doc_id: r.pagerank for r in G.pagerank(_pairs(spark, edges)).collect()}
+    assert out == _reference_pagerank(edges)
+    # the star hub dominates its own component
+    assert out[1] == max(out[k] for k in (1, 2, 3, 4, 5))
+    # triangle nodes are symmetric
+    assert out[8] == out[9] == out[10]
+
+
+def test_pagerank_mass_conservation(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    ranks = [r.pagerank for r in G.pagerank(_pairs(spark, edges)).collect()]
+    assert abs(sum(ranks) - 1.0) < 1e-5  # no dangling mass in an undirected graph
