@@ -45,6 +45,7 @@ from safedata_pipeline_spark.operators import cdc as CDC
 from safedata_pipeline_spark.operators import quality_rules as QR
 from safedata_pipeline_spark.operators import incremental as INC
 from safedata_pipeline_spark.operators import graph as GR
+from safedata_pipeline_spark.operators import bpe as BP
 from safedata_pipeline_spark.functions.hashing import md5_unit_interval as _hash01
 from safedata_pipeline_spark.streaming import corpus as SC
 from safedata_pipeline_spark.streaming import events as SE
@@ -646,7 +647,7 @@ def _q_dup_graph_pagerank(spark, sf):
 def _q_jaccard_prefix_join(spark, sf):
     # exact threshold self-join via PPJoin-style prefix filtering —
     # no posting-list caps, no false negatives (dedup.py jaccard_prefix_join)
-    return DD.jaccard_prefix_join(load_table(spark, sf, "documents"), n=2, threshold=0.6)
+    return DD.jaccard_prefix_join(load_table(spark, sf, "documents"), n=3, threshold=0.7)
 
 
 def _q_dedup_components(spark, sf):
@@ -1078,6 +1079,14 @@ def _q_encode_tokens(spark, sf):
     return TX.encode_tokens(docs, TX.build_vocab(docs, top_k=10))
 
 
+def _q_bpe_merges(spark, sf):
+    # distributed BPE merge-rule training (operators/bpe.py) — T
+    # argmax iterations on the distinct-word table; iterative
+    # algorithm → rows-only for the harness, exact-equality property
+    # test vs a sequential reference in tests/test_bpe.py
+    return BP.bpe_fit(load_table(spark, sf, "documents"), num_merges=10)
+
+
 def _q_token_count_vocab(spark, sf):
     # per-doc real-tokenizer-unit counts from the same encode (X133)
     docs = load_table(spark, sf, "documents")
@@ -1289,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally)
         "substring_dedup": _q_substring_dedup,
         "encode_tokens": _q_encode_tokens,
+        "bpe_merges": _q_bpe_merges,
         "token_count_vocab": _q_token_count_vocab,
         "leakage_free_split": _q_leakage_free_split,
         "dedup_incremental_near": _q_dedup_incremental_near,
@@ -3616,7 +3626,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": _sql_top_ngrams(100),
         "source_lang_pivot": _sql_source_lang_pivot(DOC_LANGS),
         "dedup_incremental": _sql_dedup_incremental(100),
-        "jaccard_prefix_join": _sql_jaccard_prefix(2, 0.6),
+        "jaccard_prefix_join": _sql_jaccard_prefix(3, 0.7),
         "dup_graph_pagerank": _sql_dup_graph_pagerank(0.85, 5),
         "substring_dedup": _sql_substring_dedup(8),
         "encode_tokens": _sql_encode_tokens(10),

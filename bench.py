@@ -158,6 +158,12 @@ HEADLINE = [
     "session_concurrency",
     "cohort_retention",
     "dedup_rate_by_source",
+    "jaccard_prefix_join",
+    "dup_graph_pagerank",
+    "nation_trade",
+    "priority_late_orders",
+    "sole_late_supplier",
+    "bpe_merges",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -78,7 +78,12 @@ def pagerank(
     count N rides a broadcast 1-row aggregate. Deterministic across
     engines via per-iteration 12-dp rounding.
     """
-    und = undirected_edges(pairs, id_a, id_b)
+    # the edge list is referenced once per iteration (T+1 times in the
+    # final plan); pair GENERATORS are usually expensive subtrees
+    # (shingle joins, LSH bands), so materialize the symmetrized edges
+    # once — localCheckpoint truncates lineage and auto-releases blocks
+    # with the DataFrame, mirroring bpe_fit's iteration discipline
+    und = undirected_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     nodes = deg.crossJoin(F.broadcast(n))

@@ -1,0 +1,72 @@
+from collections import Counter
+
+from safedata_pipeline_spark.operators import bpe as B
+
+
+def _ref_bpe(texts, num_merges, min_pair_count=2):
+    """Sequential reference: Sennrich et al.'s algorithm with the
+    module's exact tiebreak (max count, then lexicographic pair)."""
+    wf = Counter(w for t in texts for w in t.split())
+    syms = {w: list(w) + [B.END_OF_WORD] for w in wf}
+    rules = []
+    for step in range(1, num_merges + 1):
+        pc = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < min_pair_count:
+            break
+        rules.append((step, left, right, left + right, cnt))
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            syms[w] = out
+    return rules
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "the new low the new lower",
+    "widest wide wider the the the",
+]
+
+
+def test_bpe_fit_matches_sequential_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "doc_id bigint, text string")
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in B.bpe_fit(df, num_merges=12).orderBy("step").collect()
+    ]
+    assert got == _ref_bpe(TEXTS, 12)
+    assert len(got) > 5  # the corpus genuinely supports several merges
+
+
+def test_bpe_fit_stops_below_min_pair_count(spark):
+    df = spark.createDataFrame([(1, "ab cd ef")], "doc_id bigint, text string")
+    # every adjacent pair occurs once — nothing reaches min_pair_count=2
+    assert B.bpe_fit(df, num_merges=5).count() == 0
+
+
+def test_bpe_segment_round_trip_and_merge_effect(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "doc_id bigint, text string")
+    rules = [(r.left, r.right) for r in B.bpe_fit(df, num_merges=12).orderBy("step").collect()]
+    seg = {r.doc_id: r for r in B.bpe_segment(df, rules).collect()}
+    for i, t in enumerate(TEXTS):
+        toks = seg[i].bpe_tokens
+        # lossless: concatenating the tokens reproduces every word + marker
+        assert "".join(toks) == "".join(w + B.END_OF_WORD for w in t.split())
+        # merges actually compress vs character count
+        n_chars = sum(len(w) + 1 for w in t.split())
+        assert seg[i].n_bpe_tokens < n_chars
+    # with no rules, segmentation is plain characters
+    seg0 = B.bpe_segment(df.limit(1), []).collect()[0]
+    assert seg0.n_bpe_tokens == sum(len(w) + 1 for w in TEXTS[0].split())
