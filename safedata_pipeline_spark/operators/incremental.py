@@ -43,11 +43,11 @@ ROUND_N = 6
 _DEC = "decimal(38,6)"
 
 
-def profile_partials(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Sufficient statistics per numeric column, one aggregate pass →
-    ``(column, n, n_null, sum, sumsq, min, max)``."""
-    if not cols:
-        raise ValueError("no columns")
+def partial_agg_exprs(cols: list[str]) -> list:
+    """The sufficient-statistic aggregate expressions, exposed so the
+    STREAMING twin (streaming/profile.py) aggregates with the exact
+    same DECIMAL math — stream==batch equivalence is then structural,
+    not re-implemented."""
     aggs = []
     for c in cols:
         col = F.col(c).cast("double")
@@ -59,7 +59,12 @@ def profile_partials(df: DataFrame, cols: list[str]) -> DataFrame:
             F.min(col).alias(f"mn__{c}"),
             F.max(col).alias(f"mx__{c}"),
         ]
-    row = df.agg(*aggs)
+    return aggs
+
+
+def melt_partials(row: DataFrame, cols: list[str]) -> DataFrame:
+    """Reshape the wide 1-row aggregate into the per-column state
+    table — map-only inline over O(columns) structs."""
     structs = [
         F.struct(
             F.lit(c).alias("column"),
@@ -73,6 +78,14 @@ def profile_partials(df: DataFrame, cols: list[str]) -> DataFrame:
         for c in cols
     ]
     return row.select(F.inline(F.array(*structs)))
+
+
+def profile_partials(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Sufficient statistics per numeric column, one aggregate pass →
+    ``(column, n, n_null, sum, sumsq, min, max)``."""
+    if not cols:
+        raise ValueError("no columns")
+    return melt_partials(df.agg(*partial_agg_exprs(cols)), cols)
 
 
 def merge_partials(*parts: DataFrame) -> DataFrame:
