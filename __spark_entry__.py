@@ -46,6 +46,7 @@ from safedata_pipeline_spark.operators import quality_rules as QR
 from safedata_pipeline_spark.operators import incremental as INC
 from safedata_pipeline_spark.operators import graph as GR
 from safedata_pipeline_spark.operators import bpe as BP
+from safedata_pipeline_spark.operators import fuzzy as FZ
 from safedata_pipeline_spark.functions.hashing import md5_unit_interval as _hash01
 from safedata_pipeline_spark.streaming import corpus as SC
 from safedata_pipeline_spark.streaming import events as SE
@@ -1079,6 +1080,43 @@ def _q_encode_tokens(spark, sf):
     return TX.encode_tokens(docs, TX.build_vocab(docs, top_k=10))
 
 
+def _q_value_auc(spark, sf):
+    # exact Mann–Whitney AUC with tie correction, aggregate-first
+    # (ml_utility.binary_auc): does event value separate purchases?
+    ev = load_table(spark, sf, "events")
+    return MU.binary_auc(ev, "value", F.col("event_type") == "purchase")
+
+
+def _q_edit_distance_pairs(spark, sf):
+    # Ed-Join prefix-filtered Levenshtein-threshold self-join
+    # (operators/fuzzy.py). The mod-7 key sample keeps the brute-force
+    # DuckDB oracle tractable; the Spark side runs the full blocked
+    # algorithm either way.
+    cust = load_table(spark, sf, "customer").where(F.col("c_custkey") % 7 == 0)
+    return FZ.edit_distance_pairs(cust, "c_name", max_dist=1, q=2)
+
+
+CM_PROBE_WORDS = ["join", "hash", "row", "batch", "scan", "no_such_word_xyz"]
+CM_DEPTH, CM_WIDTH = 4, 1024
+
+
+def _q_count_min_words(spark, sf):
+    # md5-seeded Count-Min over the word stream; probe a fixed
+    # watchlist (incl. an absent word → estimate 0). Sketch state is
+    # engine-reproducible, so even the approximate counts hash-match.
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(
+            F.when(F.trim("text") == "", F.array().cast("array<string>")).otherwise(
+                F.split(F.trim("text"), "\\s+")
+            )
+        ).alias("w")
+    )
+    state = SK.count_min_state(toks, "w", depth=CM_DEPTH, width=CM_WIDTH)
+    probes = spark.createDataFrame([(w,) for w in CM_PROBE_WORDS], "value string")
+    return SK.count_min_query(state, probes, depth=CM_DEPTH, width=CM_WIDTH)
+
+
 def _q_bpe_merges(spark, sf):
     # distributed BPE merge-rule training (operators/bpe.py) — T
     # argmax iterations on the distinct-word table; iterative
@@ -1299,6 +1337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q_substring_dedup,
         "encode_tokens": _q_encode_tokens,
         "bpe_merges": _q_bpe_merges,
+        "count_min_words": _q_count_min_words,
+        "edit_distance_pairs": _q_edit_distance_pairs,
+        "value_auc": _q_value_auc,
         "token_count_vocab": _q_token_count_vocab,
         "leakage_free_split": _q_leakage_free_split,
         "dedup_incremental_near": _q_dedup_incremental_near,
@@ -2313,6 +2354,48 @@ SQL_SHINGLES = (
     "sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS s "
     "FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i))"
 )
+
+
+def _sql_value_auc() -> str:
+    return (
+        "WITH e AS (SELECT value AS s, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+        "FROM events WHERE value IS NOT NULL), "
+        "g AS (SELECT s, sum(y) AS pos, sum(1 - y) AS neg FROM e GROUP BY s), "
+        "c AS (SELECT s, pos, neg, sum(neg) OVER (ORDER BY s) - neg AS cneg FROM g) "
+        "SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg, "
+        "round(CAST(sum(2 * pos * cneg + pos * neg) AS DOUBLE) "
+        "/ (2.0 * sum(pos) * sum(neg)), 6) AS auc FROM c"
+    )
+
+
+def _sql_edit_distance_pairs(max_dist: int, mod: int) -> str:
+    return (
+        f"WITH v AS (SELECT DISTINCT c_name AS value FROM customer WHERE c_custkey % {mod} = 0) "
+        "SELECT a.value AS value_a, b.value AS value_b, "
+        "CAST(levenshtein(a.value, b.value) AS INT) AS dist "
+        "FROM v a JOIN v b ON a.value < b.value "
+        f"AND abs(length(a.value) - length(b.value)) <= {max_dist} "
+        f"WHERE levenshtein(a.value, b.value) <= {max_dist}"
+    )
+
+
+def _sql_count_min_words(probes: list[str], depth: int, width: int) -> str:
+    def slot(d: str, v: str) -> str:
+        return f"CAST(('0x' || substr(md5({d} || ':' || {v}), 1, 8)) AS UBIGINT) % {width}"
+
+    probe_vals = ", ".join(f"('{w}')" for w in probes)
+    depth_vals = ", ".join(f"({d})" for d in range(depth))
+    return (
+        f"WITH toks AS ({SQL_TOKS}), "
+        "w AS (SELECT unnest(t) AS w FROM toks), "
+        f"dd AS (SELECT * FROM (VALUES {depth_vals}) AS dv(d)), "
+        f"state AS (SELECT d, {slot('d', 'w')} AS slot, CAST(count(*) AS BIGINT) AS n "
+        "FROM w CROSS JOIN dd GROUP BY 1, 2), "
+        f"pr AS (SELECT value, d, {slot('d', 'value')} AS slot "
+        f"FROM (VALUES {probe_vals}) AS pv(value) CROSS JOIN dd) "
+        "SELECT value, CAST(min(coalesce(n, 0)) AS BIGINT) AS cm_estimate "
+        "FROM pr LEFT JOIN state USING (d, slot) GROUP BY value"
+    )
 
 
 def _sql_dup_graph_pagerank(damping: float = 0.85, iterations: int = 5) -> str:
@@ -3628,6 +3711,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _sql_dedup_incremental(100),
         "jaccard_prefix_join": _sql_jaccard_prefix(3, 0.7),
         "dup_graph_pagerank": _sql_dup_graph_pagerank(0.85, 5),
+        "count_min_words": _sql_count_min_words(CM_PROBE_WORDS, CM_DEPTH, CM_WIDTH),
+        "edit_distance_pairs": _sql_edit_distance_pairs(1, 7),
+        "value_auc": _sql_value_auc(),
         "substring_dedup": _sql_substring_dedup(8),
         "encode_tokens": _sql_encode_tokens(10),
         "token_count_vocab": _sql_token_count_vocab(10),

@@ -164,6 +164,9 @@ HEADLINE = [
     "priority_late_orders",
     "sole_late_supplier",
     "bpe_merges",
+    "count_min_words",
+    "edit_distance_pairs",
+    "value_auc",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -116,3 +116,78 @@ def model_utility_check(
     before = _evaluate_one(df_before, target, "original", seed)
     after = _evaluate_one(df_after, target, "protected", seed)
     return before.unionByName(after)
+
+
+# ---------------------------------------------------------------------------
+# Rank-based AUC (Mann–Whitney) — aggregate-first, exact, oracle-able
+# ---------------------------------------------------------------------------
+
+def _ranged_cum(g: DataFrame, val_col: str, cols: list[str]) -> DataFrame:
+    """Exact cumulative sums over an UNBOUNDED distinct-value table
+    with no single-task window: range-partition on the value, pin
+    partition ids (localCheckpoint), per-partition totals → prefix
+    offsets via a bounded broadcast self-join (≤ npart² pairs), then a
+    window PARTITIONED by pid — each task sorts only its own value
+    range. Integer math, bit-identical to the single-window form.
+    Adds ``__cum_<col>`` (inclusive). The join-offset sibling of
+    drift._two_phase_cum (which is specialized to the ECDF ka/kb
+    shape)."""
+    spark = g.sparkSession
+    npart = max(int(spark.conf.get("spark.sql.shuffle.partitions", "8")), 1)
+    g = g.persist()
+    rp = (
+        g.repartitionByRange(npart, F.col(val_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    g.unpersist()
+    n = list(range(len(cols)))
+    bt = rp.groupBy("__pid").agg(*[F.sum(cols[i]).alias(f"__t{i}") for i in n])
+    bt2 = bt.select(F.col("__pid").alias("__b2"), *[F.col(f"__t{i}") for i in n])
+    off = (
+        bt.select(F.col("__pid").alias("__b1"))
+        .join(F.broadcast(bt2), F.col("__b2") < F.col("__b1"), "left")
+        .groupBy("__b1")
+        .agg(*[F.coalesce(F.sum(f"__t{i}"), F.lit(0)).alias(f"__o{i}") for i in n])
+    )
+    w_in = Window.partitionBy("__pid").orderBy(val_col)
+    out = rp.join(F.broadcast(off), F.col("__pid") == F.col("__b1"))
+    for i, c in enumerate(cols):
+        out = out.withColumn(f"__cum_{c}", F.sum(c).over(w_in) + F.col(f"__o{i}"))
+    return out.drop("__pid", "__b1", *[f"__o{i}" for i in n])
+
+
+def binary_auc(df: DataFrame, score_col: str, label: "F.Column") -> DataFrame:
+    """Exact ROC-AUC of a score against a boolean label, by the
+    Mann–Whitney identity with tie correction:
+    AUC = [Σ_s 2·pos_s·cum_neg_below(s) + pos_s·neg_s] / (2·P·N).
+
+    Aggregate-FIRST: one groupBy(score) collapses the data to the
+    distinct-score table (pos/neg counts per score), the cumulative
+    runs over that table via ``_ranged_cum`` (range-partitioned, no
+    global sort of rows, no single-task window), and the finish is one
+    tiny aggregate. All counts integer → the result is deterministic
+    and hash-matches any engine. Output: (n_pos, n_neg, auc)."""
+    e = df.where(F.col(score_col).isNotNull()).select(
+        F.col(score_col).alias("s"), label.cast("int").alias("y")
+    ).where(F.col("y").isNotNull())
+    g = e.groupBy("s").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    c = _ranged_cum(g, "s", ["neg"])
+    num = F.sum(
+        2 * F.col("pos") * (F.col("__cum_neg") - F.col("neg")) + F.col("pos") * F.col("neg")
+    )
+    return c.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        num.alias("__num"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("__num").cast("double")
+            / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+            6,
+        ).alias("auc"),
+    )

@@ -120,3 +120,83 @@ def hll_rollup_merge(fine: DataFrame, coarse_group: Column) -> DataFrame:
         F.hll_sketch_estimate("sketch").alias("ndv_estimate"),
         "sketch",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — md5-seeded, so the
+# sketch STATE is bit-identical across engines (oracle-checkable, like
+# KMV and unlike library CM implementations with private seeds).
+# ---------------------------------------------------------------------------
+
+from safedata_pipeline_spark.functions.hashing import md5_slot32 as _slot32
+
+
+def count_min_state(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Fit a Count-Min sketch over a (possibly huge-cardinality)
+    column: state table (d, slot, n) with ≤ depth·width rows.
+
+    One pass: each value fans out to ``depth`` (row, slot) cells via
+    slot-seeded md5 — an explode of a tiny literal-built struct array,
+    then ONE groupBy with map-side partial agg, so the shuffle carries
+    at most depth·width rows per partition regardless of input size.
+    The classic 100 TB heavy-hitter screen: the state is mergeable
+    across batches/sources by ADDING cell counts
+    (``count_min_merge``), and point queries never rescan the data."""
+    if depth < 1 or width < 1:
+        raise ValueError("need depth >= 1 and width >= 1")
+    v = F.col(col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"), (_slot32(v, d) % F.lit(width)).alias("slot")
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.slot").alias("slot"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def count_min_merge(*states: DataFrame) -> DataFrame:
+    """Monoid merge: cell counts add (states must share depth/width —
+    the fit parameters, pinned like a drift reference's grid)."""
+    if not states:
+        raise ValueError("no states")
+    allp = reduce(lambda a, b: a.unionByName(b), states)
+    return allp.groupBy("d", "slot").agg(F.sum("n").cast("bigint").alias("n"))
+
+
+def count_min_query(
+    state: DataFrame,
+    probes: DataFrame,
+    probe_col: str = "value",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for a probe set: (value, cm_estimate)
+    with estimate = min over rows d of cell(d, slot_d(value)) — the
+    canonical CM upper bound (never under-counts; over-counts only on
+    collisions). The probe table is small by contract (a watchlist /
+    candidate heavy-hitter set) and broadcasts; the state is ≤
+    depth·width rows, so the join is dashboard-cheap."""
+    v = F.col(probe_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), (_slot32(v, d) % F.lit(width)).alias("slot"))
+            for d in range(depth)
+        ]
+    )
+    pr = probes.select(v.alias("value"), F.explode(cells).alias("c")).select(
+        "value", F.col("c.d").alias("d"), F.col("c.slot").alias("slot")
+    )
+    return (
+        pr.join(state, ["d", "slot"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("cm_estimate"))
+    )

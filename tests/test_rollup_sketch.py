@@ -81,3 +81,39 @@ def test_hll_rollup_accuracy_and_merge(spark):
     direct_est = direct.collect()[0]["ndv_estimate"]
     assert merged_est == direct_est  # identical sketch state, not just close
     assert abs(merged_est - 1000) / 1000 < 0.05
+
+
+def test_count_min_never_undercounts_and_is_exactish_at_low_load(spark):
+    """CM guarantees estimate >= true count; at load factor
+    n_distinct/width << 1 the estimate is exact for most values."""
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.operators import sketch as SK
+
+    rows = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5 + [(f"x{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "w string")
+    state = SK.count_min_state(df, "w", depth=4, width=256)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("absent",)], "value string")
+    est = {r.value: r.cm_estimate for r in SK.count_min_query(state, probes, depth=4, width=256).collect()}
+    true = {"a": 50, "b": 20, "c": 5, "absent": 0}
+    for k, t in true.items():
+        assert est[k] >= t
+    # 33 distinct into 4x256 cells: collisions are overwhelmingly unlikely
+    assert est["a"] == 50 and est["absent"] == 0
+
+
+def test_count_min_merge_equals_direct(spark):
+    """Monoid law: merge(state(A), state(B)) == state(A ∪ B) exactly."""
+    from safedata_pipeline_spark.operators import sketch as SK
+
+    a = spark.createDataFrame([("a",), ("b",), ("a",)], "w string")
+    b = spark.createDataFrame([("b",), ("c",)], "w string")
+    both = a.union(b)
+    merged = {
+        (r.d, r.slot): r.n
+        for r in SK.count_min_merge(
+            SK.count_min_state(a, "w", 4, 64), SK.count_min_state(b, "w", 4, 64)
+        ).collect()
+    }
+    direct = {(r.d, r.slot): r.n for r in SK.count_min_state(both, "w", 4, 64).collect()}
+    assert merged == direct
