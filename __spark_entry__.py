@@ -1080,6 +1080,18 @@ def _q_encode_tokens(spark, sf):
     return TX.encode_tokens(docs, TX.build_vocab(docs, top_k=10))
 
 
+def _q_readability(spark, sf):
+    # Flesch reading-ease screen (text.readability_scores): map-only
+    # regex counts, no shuffle
+    return TX.readability_scores(load_table(spark, sf, "documents"))
+
+
+def _q_calibration_bins(spark, sf):
+    # reliability-diagram table (ml_utility.calibration_bins)
+    ev = load_table(spark, sf, "events")
+    return MU.calibration_bins(ev, "value", F.col("event_type") == "purchase", bins=10)
+
+
 def _q_value_auc(spark, sf):
     # exact Mann–Whitney AUC with tie correction, aggregate-first
     # (ml_utility.binary_auc): does event value separate purchases?
@@ -1340,6 +1352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min_words": _q_count_min_words,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "value_auc": _q_value_auc,
+        "readability": _q_readability,
+        "calibration_bins": _q_calibration_bins,
         "token_count_vocab": _q_token_count_vocab,
         "leakage_free_split": _q_leakage_free_split,
         "dedup_incremental_near": _q_dedup_incremental_near,
@@ -2354,6 +2368,34 @@ SQL_SHINGLES = (
     "sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS s "
     "FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i))"
 )
+
+
+def _sql_readability() -> str:
+    return (
+        "WITH c AS (SELECT doc_id, "
+        "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words, "
+        "greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences, "
+        "len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables FROM documents) "
+        "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+        "CAST(n_sentences AS BIGINT) AS n_sentences, CAST(n_syllables AS BIGINT) AS n_syllables, "
+        "CASE WHEN n_words > 0 THEN round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) "
+        "- 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) END AS flesch FROM c"
+    )
+
+
+def _sql_calibration_bins(bins: int) -> str:
+    return (
+        "WITH e AS (SELECT CAST(value AS DOUBLE) AS s, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+        "FROM events WHERE value IS NOT NULL), "
+        "r AS (SELECT min(s) AS lo, CASE WHEN max(s) - min(s) = 0 THEN 1.0 "
+        f"ELSE (max(s) - min(s)) / {float(bins)} END AS w FROM e), "
+        f"b AS (SELECT least(floor((s - lo) / w), {bins - 1}) AS bin, s, y, lo, w FROM e, r) "
+        "SELECT CAST(bin AS BIGINT) AS bin, round(min(lo + w * bin), 6) AS bin_lo, "
+        "CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos, "
+        "round(CAST(sum(CAST(round(s, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS mean_score, "
+        "round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate FROM b GROUP BY bin"
+    )
 
 
 def _sql_value_auc() -> str:
@@ -3714,6 +3756,8 @@ def oracle_sql() -> dict[str, str]:
         "count_min_words": _sql_count_min_words(CM_PROBE_WORDS, CM_DEPTH, CM_WIDTH),
         "edit_distance_pairs": _sql_edit_distance_pairs(1, 7),
         "value_auc": _sql_value_auc(),
+        "readability": _sql_readability(),
+        "calibration_bins": _sql_calibration_bins(10),
         "substring_dedup": _sql_substring_dedup(8),
         "encode_tokens": _sql_encode_tokens(10),
         "token_count_vocab": _sql_token_count_vocab(10),

@@ -167,6 +167,8 @@ HEADLINE = [
     "count_min_words",
     "edit_distance_pairs",
     "value_auc",
+    "readability",
+    "calibration_bins",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -191,3 +191,42 @@ def binary_auc(df: DataFrame, score_col: str, label: "F.Column") -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+def calibration_bins(
+    df: DataFrame, score_col: str, label: "F.Column", bins: int = 10
+) -> DataFrame:
+    """Calibration table: fixed-width score bins → (bin, bin_lo, n,
+    n_pos, mean_score, pos_rate). Reads as 'when the model says ~0.7,
+    how often is it right' — the reliability-diagram input.
+
+    Aggregate-first like every drift construction: the [lo, hi] range
+    rides a broadcast 1-row aggregate, binning is a map-side
+    expression, and the single shuffle is the ≤``bins``-key groupBy.
+    The top edge clamps into the last bin; NULL scores/labels drop."""
+    e = df.select(F.col(score_col).cast("double").alias("s"), label.cast("int").alias("y"))
+    e = e.where(F.col("s").isNotNull() & F.col("y").isNotNull())
+    r = e.agg(
+        F.min("s").alias("lo"),
+        F.when(F.max("s") - F.min("s") == 0, F.lit(1.0))
+        .otherwise((F.max("s") - F.min("s")) / F.lit(float(bins)))
+        .alias("w"),
+    )
+    b = F.least(F.floor((F.col("s") - F.col("lo")) / F.col("w")), F.lit(bins - 1))
+    return (
+        e.crossJoin(F.broadcast(r))
+        .groupBy(b.cast("bigint").alias("bin"))
+        .agg(
+            F.round(F.min(F.col("lo") + F.col("w") * b), 6).alias("bin_lo"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            # DECIMAL sum → double divide: exact partial sums, so the
+            # mean is summation-order-independent (hash-stable)
+            F.round(
+                F.sum(F.round(F.col("s"), 6).cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_score"),
+            F.round(F.sum("y") / F.count(F.lit(1)), 6).alias("pos_rate"),
+        )
+    )

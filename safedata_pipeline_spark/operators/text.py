@@ -1248,3 +1248,41 @@ def token_count_vocab(
             F.coalesce("n_fallback", F.lit(0)).cast("bigint").alias("n_fallback"),
         )
     )
+
+
+def readability_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document — the classic curation screen
+    for too-simple / machine-garbled text: ``206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/words)``.
+
+    Heuristics (deterministic, regex-only, map-only JVM expressions):
+    words = whitespace tokens; sentences = runs of ``[.!?]`` (min 1 so
+    fragments score); syllables = vowel-group runs ``[aeiouy]+`` of the
+    lower-cased text (groups never span whitespace, so no word-split
+    needed). One projection, no shuffle — scan-bound at any scale.
+    Output: (id, n_words, n_sentences, n_syllables, flesch)."""
+    t = F.col(text_col)
+    toks = F.when(F.trim(t) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(t), "\\s+")
+    )
+    n_words = F.size(toks)
+    n_sent = F.greatest(F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), 0)), F.lit(1))
+    n_syl = F.size(F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), 0))
+    flesch = F.when(
+        n_words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+            - F.lit(84.6) * (n_syl.cast("double") / n_words.cast("double")),
+            4,
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syl.cast("bigint").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

@@ -71,3 +71,32 @@ def test_binary_auc_perfect_and_random(spark):
     const = [(1.0, i % 2) for i in range(50)]
     df2 = spark.createDataFrame(const, "score double, y int")
     assert MU.binary_auc(df2, "score", F.col("y") == 1).collect()[0].auc == 0.5
+
+
+def test_calibration_bins_counts_and_rates(spark):
+    data = [(float(i), int(i >= 70)) for i in range(100)]  # scores 0..99, pos above 69
+    df = spark.createDataFrame(data, "score double, y int")
+    rows = {r.bin: r for r in MU.calibration_bins(df, "score", F.col("y") == 1, bins=10).collect()}
+    assert len(rows) == 10 and sum(r.n for r in rows.values()) == 100
+    # width (99-0)/10 = 9.9 → bin 7 covers [69.3, 79.2): scores 70..79 → 10 pos of 10
+    assert rows[0].pos_rate == 0.0 and rows[9].pos_rate == 1.0
+    assert rows[7].n_pos == 10 and rows[7].pos_rate == 1.0
+    assert abs(rows[0].mean_score - 4.5) < 1e-9  # scores 0..9
+
+
+def test_readability_counts(spark):
+    from safedata_pipeline_spark.operators import text as TX
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),
+        (2, ""),
+        (3, "word"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in TX.readability_scores(df).collect()}
+    assert out[1].n_words == 6 and out[1].n_sentences == 2
+    # vowel groups: e,a,a,e,o,a → 6
+    assert out[1].n_syllables == 6
+    assert abs(out[1].flesch - round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)) < 1e-9
+    assert out[2].n_words == 0 and out[2].flesch is None and out[2].n_sentences == 1
+    assert out[3].n_words == 1 and out[3].n_syllables == 1
