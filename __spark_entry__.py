@@ -47,6 +47,7 @@ from safedata_pipeline_spark.operators import incremental as INC
 from safedata_pipeline_spark.operators import graph as GR
 from safedata_pipeline_spark.operators import bpe as BP
 from safedata_pipeline_spark.operators import fuzzy as FZ
+from safedata_pipeline_spark.operators import clustering as CL
 from safedata_pipeline_spark.functions.hashing import md5_unit_interval as _hash01
 from safedata_pipeline_spark.streaming import corpus as SC
 from safedata_pipeline_spark.streaming import events as SE
@@ -1080,6 +1081,14 @@ def _q_encode_tokens(spark, sf):
     return TX.encode_tokens(docs, TX.build_vocab(docs, top_k=10))
 
 
+def _q_kmeans_embeddings(spark, sf):
+    # deterministic distributed KMeans (operators/clustering.py):
+    # md5-seeded init, stable argmin, per-iteration 9dp DECIMAL means.
+    # Iterative → rows-only; exact-equality property test vs a
+    # sequential numpy twin in tests/test_clustering.py.
+    return CL.kmeans_fit(load_table(spark, sf, "embeddings"), k=8, iterations=5)
+
+
 def _q_readability(spark, sf):
     # Flesch reading-ease screen (text.readability_scores): map-only
     # regex counts, no shuffle
@@ -1353,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": _q_edit_distance_pairs,
         "value_auc": _q_value_auc,
         "readability": _q_readability,
+        "kmeans_embeddings": _q_kmeans_embeddings,
         "calibration_bins": _q_calibration_bins,
         "token_count_vocab": _q_token_count_vocab,
         "leakage_free_split": _q_leakage_free_split,

@@ -169,6 +169,7 @@ HEADLINE = [
     "value_auc",
     "readability",
     "calibration_bins",
+    "kmeans_embeddings",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above
