@@ -1081,6 +1081,19 @@ def _q_encode_tokens(spark, sf):
     return TX.encode_tokens(docs, TX.build_vocab(docs, top_k=10))
 
 
+def _q_benford_prices(spark, sf):
+    # Benford first-digit screen on extended price (quality_rules.py)
+    return QR.benford_screen(load_table(spark, sf, "lineitem"), "l_extendedprice")
+
+
+def _q_cusum_hourly(spark, sf):
+    # sequential CUSUM drift detector over the hourly mean grid —
+    # aggregate-first, ONE bounded expression fold (timeseries.py)
+    from safedata_pipeline_spark.operators import timeseries as TS
+
+    return TS.cusum_hourly(load_table(spark, sf, "events"), "ts", "value", k=0.5)
+
+
 def _q_kmeans_embeddings(spark, sf):
     # deterministic distributed KMeans (operators/clustering.py):
     # md5-seeded init, stable argmin, per-iteration 9dp DECIMAL means.
@@ -1363,6 +1376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_auc": _q_value_auc,
         "readability": _q_readability,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "cusum_hourly": _q_cusum_hourly,
+        "benford_prices": _q_benford_prices,
         "calibration_bins": _q_calibration_bins,
         "token_count_vocab": _q_token_count_vocab,
         "leakage_free_split": _q_leakage_free_split,
@@ -2378,6 +2393,50 @@ SQL_SHINGLES = (
     "sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS s "
     "FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i))"
 )
+
+
+def _sql_benford_prices() -> str:
+    ld = "regexp_extract(CAST(abs(l_extendedprice) AS VARCHAR), '[1-9]', 0)"
+    exp = "log10(1 + 1.0 / digit)"
+    return (
+        f"WITH g AS (SELECT CAST({ld} AS INT) AS digit, count(*) AS n FROM lineitem "
+        f"WHERE l_extendedprice IS NOT NULL AND l_extendedprice <> 0 AND {ld} <> '' "
+        "GROUP BY 1), "
+        "t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM g) "
+        "SELECT digit, CAST(n AS BIGINT) AS n, "
+        "round(CAST(n AS DOUBLE) / tot, 6) AS observed_freq, "
+        f"round({exp}, 6) AS expected_freq, "
+        f"round((CAST(n AS DOUBLE) / tot - {exp}) * (CAST(n AS DOUBLE) / tot - {exp}) "
+        f"/ {exp} * tot, 6) AS chi2_term FROM g, t"
+    )
+
+
+def _sql_cusum_hourly(k: float) -> str:
+    # recursive CTE replays the identical 9dp-rounded recurrence
+    mu = "CAST(sum(CAST(m AS DECIMAL(38,6))) AS DOUBLE) / count(*)"
+    return (
+        "WITH RECURSIVE "
+        "e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, CAST(value AS DOUBLE) AS v "
+        "FROM events WHERE value IS NOT NULL), "
+        "g AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "round(CAST(sum(CAST(round(v, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(*), 9) AS m "
+        "FROM e GROUP BY 1), "
+        f"st AS (SELECT {mu} AS mu, "
+        "sqrt(greatest(CAST(sum(CAST(round(m * m, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(*) "
+        f"- ({mu}) * ({mu}), 0)) AS sigma FROM g), "
+        "gi AS (SELECT g.hour_start, g.n, "
+        "CASE WHEN st.sigma > 0 THEN round((g.m - st.mu) / st.sigma, 9) ELSE 0.0 END AS z, "
+        "ROW_NUMBER() OVER (ORDER BY g.hour_start) AS i FROM g, st), "
+        "c AS (SELECT i, hour_start, n, z, "
+        f"round(greatest(0, z - {k}), 9) AS s_pos, round(greatest(0, -z - {k}), 9) AS s_neg "
+        "FROM gi WHERE i = 1 "
+        "UNION ALL SELECT gi.i, gi.hour_start, gi.n, gi.z, "
+        f"round(greatest(0, c.s_pos + gi.z - {k}), 9), "
+        f"round(greatest(0, c.s_neg - gi.z - {k}), 9) "
+        "FROM c JOIN gi ON gi.i = c.i + 1) "
+        "SELECT hour_start, n, z, s_pos, s_neg FROM c"
+    )
 
 
 def _sql_readability() -> str:
@@ -3767,6 +3826,8 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_pairs": _sql_edit_distance_pairs(1, 7),
         "value_auc": _sql_value_auc(),
         "readability": _sql_readability(),
+        "cusum_hourly": _sql_cusum_hourly(0.5),
+        "benford_prices": _sql_benford_prices(),
         "calibration_bins": _sql_calibration_bins(10),
         "substring_dedup": _sql_substring_dedup(8),
         "encode_tokens": _sql_encode_tokens(10),

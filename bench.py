@@ -170,6 +170,8 @@ HEADLINE = [
     "readability",
     "calibration_bins",
     "kmeans_embeddings",
+    "cusum_hourly",
+    "benford_prices",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -224,3 +224,37 @@ def referential_integrity(
         ).alias("orphan_ratio"),
         F.coalesce(F.sum(orphan.cast("bigint")) == 0, F.lit(True)).alias("ri_ok"),
     )
+
+
+def benford_screen(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit screen — the classic fabricated-data
+    / unit-mixing detector for naturally-spanning numeric columns
+    (amounts, populations): observed leading-significant-digit
+    frequencies vs log₁₀(1+1/d), with the χ² distance.
+
+    The leading digit comes from the STRING form (first [1-9] of the
+    value's decimal rendering), not from floor(x/10^floor(log10 x)) —
+    the float-log route misclassifies exact powers of ten when libm
+    returns 2.999… for log10(1000). One map-side extract + a 9-key
+    groupBy; the total rides a broadcast 1-row aggregate. Output per
+    digit: (digit, n, observed_freq, expected_freq, chi2_term)."""
+    d = F.regexp_extract(F.abs(F.col(col)).cast("string"), "[1-9]", 0)
+    g = (
+        df.where(F.col(col).isNotNull() & (F.col(col) != 0))
+        .where(d != "")
+        .groupBy(d.cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = g.agg(F.sum("n").cast("double").alias("tot"))
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    obs = F.col("n") / F.col("tot")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("observed_freq"),
+            F.round(exp, 6).alias("expected_freq"),
+            F.round((obs - exp) * (obs - exp) / exp * F.col("tot"), 6).alias("chi2_term"),
+        )
+    )

@@ -350,3 +350,91 @@ def cohort_retention(
         "n_users",
         F.round(F.col("n_users") / F.col("cohort_n"), ROUND_N).alias("retention_rate"),
     )
+
+
+def cusum_hourly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: float = 0.5,
+) -> DataFrame:
+    """Two-sided CUSUM change-point timeline over the hourly mean of a
+    metric — the sequential drift detector that fires on small
+    sustained shifts a per-hour z-test misses: S⁺ₜ = max(0, S⁺ₜ₋₁ +
+    zₜ − k), S⁻ₜ = max(0, S⁻ₜ₋₁ − zₜ − k), with zₜ the hourly mean
+    standardized against the hourly-mean population and k the
+    allowance in std units. Output: (hour_start, n, z, s_pos, s_neg)
+    — a downstream `WHERE s_pos > h` picks alarm hours for any h.
+
+    Aggregate-FIRST like every timeline operator: events collapse to
+    the hour grid in one DECIMAL-sum groupBy; mean/std of the grid
+    ride a broadcast 1-row aggregate; the inherently-sequential CUSUM
+    recursion then runs as ONE expression fold (`F.aggregate`) over
+    the sorted hour array — bounded by the grid size (dashboard-
+    scale: a year is 8760 rows), never by event rows. Each fold step
+    rounds to 9 dp, so the trajectory is engine-deterministic — the
+    oracle replays the identical recurrence as a recursive CTE.
+    """
+    dec = "decimal(38,6)"
+    g = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col(value_col).cast("double"), 6).cast(dec)).alias("s"),
+        )
+        .select(
+            "hour_start", "n", F.round(F.col("s").cast("double") / F.col("n"), 9).alias("m")
+        )
+    )
+    stats = g.agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.sum(F.col("m").cast(dec)).alias("sm"),
+        F.sum(F.round(F.col("m") * F.col("m"), 6).cast(dec)).alias("sm2"),
+    ).select(
+        (F.col("sm").cast("double") / F.col("cnt")).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.col("sm2").cast("double") / F.col("cnt")
+                - (F.col("sm").cast("double") / F.col("cnt"))
+                * (F.col("sm").cast("double") / F.col("cnt")),
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    z = F.when(F.col("sigma") > 0, F.round((F.col("m") - F.col("mu")) / F.col("sigma"), 9)).otherwise(
+        F.lit(0.0)
+    )
+    zg = g.crossJoin(F.broadcast(stats)).select("hour_start", "n", z.alias("z"))
+    row_t = "struct<hour_start:timestamp,n:bigint,z:double,s_pos:double,s_neg:double>"
+    arr = zg.agg(
+        F.array_sort(F.collect_list(F.struct("hour_start", "n", "z"))).alias("xs")
+    )
+    init = F.struct(
+        F.array().cast(f"array<{row_t}>").alias("rows"),
+        F.lit(0.0).alias("sp"),
+        F.lit(0.0).alias("sn"),
+    )
+
+    def step(acc, x):
+        sp = F.round(F.greatest(F.lit(0.0), acc["sp"] + x["z"] - F.lit(k)), 9)
+        sn = F.round(F.greatest(F.lit(0.0), acc["sn"] - x["z"] - F.lit(k)), 9)
+        row = F.struct(
+            x["hour_start"].alias("hour_start"),
+            x["n"].alias("n"),
+            x["z"].alias("z"),
+            sp.alias("s_pos"),
+            sn.alias("s_neg"),
+        )
+        return F.struct(
+            F.concat(acc["rows"], F.array(row)).alias("rows"), sp.alias("sp"), sn.alias("sn")
+        )
+
+    folded = arr.select(F.aggregate("xs", init, step).alias("acc"))
+    return folded.select(F.explode(F.col("acc.rows")).alias("r")).select(
+        F.col("r.hour_start").alias("hour_start"),
+        F.col("r.n").alias("n"),
+        F.col("r.z").alias("z"),
+        F.col("r.s_pos").alias("s_pos"),
+        F.col("r.s_neg").alias("s_neg"),
+    )

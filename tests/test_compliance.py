@@ -24,3 +24,21 @@ def test_score_partial(spark):
     row = C.checklist_score(C.default_checklist(spark, done)).collect()[0]
     assert row.n_done == 3
     assert abs(row.score - 0.25) < 1e-9
+
+
+def test_benford_screen_on_benford_and_uniform_data(spark):
+    """2^n data follows Benford (small chi2); constant-leading-digit
+    data does not (digit-1 row dominates)."""
+    from safedata_pipeline_spark.operators.quality_rules import benford_screen
+
+    benford = spark.createDataFrame([(float(2**n),) for n in range(1, 200)], "x double")
+    rows = {r.digit: r for r in benford_screen(benford, "x").collect()}
+    assert set(rows) == set(range(1, 10))
+    assert sum(r.n for r in rows.values()) == 199
+    assert sum(r.chi2_term for r in rows.values()) < 16.0  # 2^n is Benford-ish
+    # frequencies sorted descending by digit 1..9 shape
+    assert rows[1].observed_freq > rows[5].observed_freq > rows[9].observed_freq
+    # zeros/negatives handled: -200 counts as digit 2, 0 dropped
+    mixed = spark.createDataFrame([(0.0,), (-200.0,), (0.05,)], "x double")
+    out = {r.digit: r.n for r in benford_screen(mixed, "x").collect()}
+    assert out == {2: 1, 5: 1}

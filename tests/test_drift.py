@@ -243,3 +243,35 @@ def test_drift_timeline_empty_and_identical(spark):
     )
     r = D.drift_timeline(one, bins=20).collect()[0]
     assert r.ks_stat == 0.0 and r.n_rows == 50
+
+
+def test_cusum_hourly_detects_planted_shift(spark):
+    """Stable hours keep S+ at ~0; a sustained +shift accumulates."""
+    import datetime as dt
+
+    from safedata_pipeline_spark.operators.timeseries import cusum_hourly
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(48):
+        level = 10.0 if h < 40 else 20.0  # sustained shift in the last 8 hours
+        for i in range(5):
+            rows.append((base + dt.timedelta(hours=h, minutes=i), level + (i - 2) * 0.1))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r.hour_start.hour + 24 * (r.hour_start.day - 1): r for r in
+           cusum_hourly(df, "ts", "value", k=0.5).collect()}
+    assert len(out) == 48
+    # pre-shift hours: z slightly negative (mean below global), S+ stays 0
+    assert out[10].s_pos == 0.0
+    # S+ strictly accumulates across the shifted window
+    tail = [out[h].s_pos for h in range(40, 48)]
+    assert all(b > a for a, b in zip(tail, tail[1:]))
+    assert tail[-1] > 5.0
+    # sequential reference replay (same rounding discipline)
+    hours = sorted(out)
+    zs = [out[h].z for h in hours]
+    sp = sn = 0.0
+    for h, z in zip(hours, zs):
+        sp = round(max(0.0, sp + z - 0.5), 9)
+        sn = round(max(0.0, sn - z - 0.5), 9)
+        assert out[h].s_pos == sp and out[h].s_neg == sn
