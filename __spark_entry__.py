@@ -638,6 +638,12 @@ def _q_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=3, threshold=0.5)
 
 
+def _q_containment_join(spark, sf):
+    # asymmetric shingle-containment dedup (quote/subset detection) —
+    # prefix-filtered probe side, full index side (dedup.py)
+    return DD.containment_prefix_join(load_table(spark, sf, "documents"), n=3, threshold=0.8)
+
+
 def _q_dup_graph_pagerank(spark, sf):
     # template-hub centrality over the near-dup similarity graph:
     # fixed-5-iteration PageRank, deterministic via per-iteration
@@ -1081,6 +1087,15 @@ def _q_encode_tokens(spark, sf):
     return TX.encode_tokens(docs, TX.build_vocab(docs, top_k=10))
 
 
+def _q_auc_daily(spark, sf):
+    # daily AUC trend (ml_utility.auc_by_group): per-day windows over
+    # the distinct-score table, no global sort
+    ev = load_table(spark, sf, "events")
+    return MU.auc_by_group(
+        ev, F.date_trunc("day", F.col("ts")), "value", F.col("event_type") == "purchase"
+    ).withColumnRenamed("grp", "day_start")
+
+
 def _q_benford_prices(spark, sf):
     # Benford first-digit screen on extended price (quality_rules.py)
     return QR.benford_screen(load_table(spark, sf, "lineitem"), "l_extendedprice")
@@ -1378,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": _q_kmeans_embeddings,
         "cusum_hourly": _q_cusum_hourly,
         "benford_prices": _q_benford_prices,
+        "auc_daily": _q_auc_daily,
         "calibration_bins": _q_calibration_bins,
         "token_count_vocab": _q_token_count_vocab,
         "leakage_free_split": _q_leakage_free_split,
@@ -1452,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "jaccard_prefix_join": _q_jaccard_prefix_join,
         "dup_graph_pagerank": _q_dup_graph_pagerank,
+        "containment_join": _q_containment_join,
         "dedup_components": _q_dedup_components,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_centroids": _q_embedding_centroids,
@@ -2395,6 +2412,21 @@ SQL_SHINGLES = (
 )
 
 
+def _sql_auc_daily() -> str:
+    return (
+        "WITH e AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS grp, "
+        "value AS s, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+        "FROM events WHERE value IS NOT NULL), "
+        "g AS (SELECT grp, s, sum(y) AS pos, sum(1 - y) AS neg FROM e GROUP BY grp, s), "
+        "c AS (SELECT grp, pos, neg, sum(neg) OVER (PARTITION BY grp ORDER BY s) - neg AS cneg FROM g) "
+        "SELECT grp AS day_start, CAST(sum(pos) AS BIGINT) AS n_pos, "
+        "CAST(sum(neg) AS BIGINT) AS n_neg, "
+        "CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN "
+        "round(CAST(sum(2 * pos * cneg + pos * neg) AS DOUBLE) "
+        "/ (2.0 * sum(pos) * sum(neg)), 6) END AS auc FROM c GROUP BY grp"
+    )
+
+
 def _sql_benford_prices() -> str:
     ld = "regexp_extract(CAST(abs(l_extendedprice) AS VARCHAR), '[1-9]', 0)"
     exp = "log10(1 + 1.0 / digit)"
@@ -2533,6 +2565,19 @@ def _sql_dup_graph_pagerank(damping: float = 0.85, iterations: int = 5) -> str:
         f"WITH j AS ({_sql_ngram_jaccard()}), " + ", ".join(ctes) + " "
         f"SELECT src AS doc_id, CAST(deg AS BIGINT) AS degree, "
         f"round(rank, 6) AS pagerank FROM r{iterations}"
+    )
+
+
+def _sql_containment_join(threshold: float) -> str:
+    # brute containment over the same n=3 shingle CTE: C(A→B) = |A∩B|/|A|
+    return (
+        f"{SQL_SHINGLES}, "
+        "common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.id <> b.id GROUP BY 1, 2), "
+        "sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id) "
+        "SELECT id_a, id_b, round(CAST(c AS DOUBLE) / n, 6) AS containment "
+        "FROM common JOIN sizes ON common.id_a = sizes.id "
+        f"WHERE round(CAST(c AS DOUBLE) / n, 6) >= {threshold}"
     )
 
 
@@ -3821,6 +3866,7 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_pivot": _sql_source_lang_pivot(DOC_LANGS),
         "dedup_incremental": _sql_dedup_incremental(100),
         "jaccard_prefix_join": _sql_jaccard_prefix(3, 0.7),
+        "containment_join": _sql_containment_join(0.8),
         "dup_graph_pagerank": _sql_dup_graph_pagerank(0.85, 5),
         "count_min_words": _sql_count_min_words(CM_PROBE_WORDS, CM_DEPTH, CM_WIDTH),
         "edit_distance_pairs": _sql_edit_distance_pairs(1, 7),
@@ -3828,6 +3874,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": _sql_readability(),
         "cusum_hourly": _sql_cusum_hourly(0.5),
         "benford_prices": _sql_benford_prices(),
+        "auc_daily": _sql_auc_daily(),
         "calibration_bins": _sql_calibration_bins(10),
         "substring_dedup": _sql_substring_dedup(8),
         "encode_tokens": _sql_encode_tokens(10),

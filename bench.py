@@ -172,6 +172,8 @@ HEADLINE = [
     "kmeans_embeddings",
     "cusum_hourly",
     "benford_prices",
+    "containment_join",
+    "auc_daily",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

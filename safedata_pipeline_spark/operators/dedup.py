@@ -1192,3 +1192,70 @@ def cross_source_dup_matrix(
         F.count_distinct("da").cast("bigint").alias("n_docs_a"),
         F.count_distinct("db").cast("bigint").alias("n_docs_b"),
     )
+
+
+def containment_prefix_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT shingle-CONTAINMENT threshold join: pairs where
+    C(A→B) = |A∩B| / |A| ≥ threshold — the asymmetric dedup relation
+    Jaccard misses: a short document quoted wholesale inside a long
+    one has tiny Jaccard but containment ≈ 1. Output: (id_a, id_b,
+    containment) where id_a is the CONTAINED side; both directions of
+    a pair can appear (A⊂B and B⊂A both hold for near-equal sets).
+
+    Same prefix-filter machinery as ``jaccard_prefix_join`` (rarest-
+    first global shingle order), with containment's bounds: overlap
+    t ≥ ceil(τ·|A|) depends only on the contained side, so the probe
+    prefix is |A| - ceil(τ·|A|) + 1 and the INDEX side must index
+    every shingle (any superset B qualifies regardless of |B| — no
+    size filter, no index prefix; that asymmetry is inherent to
+    containment). The verify is one ``array_intersect`` against the
+    collected shingle sets. Hot shingles still stay out of probe
+    prefixes, which is where the f² blowup lived."""
+    from pyspark.sql import Window
+
+    eps = 1e-9
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(_word_shingles(F.col(text_col), n)).alias("s")
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("id").orderBy("__df", "s"))
+        )
+        .join(sizes, "id")
+    )
+    probe_len = (
+        F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh") - F.lit(eps)).cast("int") + F.lit(1)
+    )
+    probe = ranked.where(F.col("rk") <= probe_len).select(
+        F.col("id").alias("id_a"), "s"
+    )
+    index = sh.select(F.col("id").alias("id_b"), "s")
+    cands = (
+        probe.join(index, ["s"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ssets = sh.groupBy("id").agg(F.collect_set("s").alias("sset"), F.count(F.lit(1)).alias("n_sh"))
+    sa = ssets.select(F.col("id").alias("id_a"), F.col("sset").alias("set_a"), F.col("n_sh").alias("n_a"))
+    sb = ssets.select(F.col("id").alias("id_b"), F.col("sset").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.col("n_a"), ROUND_N).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

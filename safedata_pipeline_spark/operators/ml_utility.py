@@ -230,3 +230,45 @@ def calibration_bins(
             F.round(F.sum("y") / F.count(F.lit(1)), 6).alias("pos_rate"),
         )
     )
+
+
+def auc_by_group(
+    df: DataFrame, group_col: "F.Column", score_col: str, label: "F.Column"
+) -> DataFrame:
+    """Per-group Mann–Whitney AUC — the monitoring view of
+    ``binary_auc`` (daily AUC trend, per-segment discrimination):
+    (group, n_pos, n_neg, auc), NULL auc for degenerate groups
+    (single-class). Same aggregate-first construction; the cumulative
+    is a window PARTITIONED BY group over the per-group distinct-score
+    table — per-key ECDFs like the drift timeline, no single-task
+    window, no global sort."""
+    e = df.select(
+        group_col.alias("grp"), F.col(score_col).alias("s"), label.cast("int").alias("y")
+    ).where(F.col("s").isNotNull() & F.col("y").isNotNull())
+    g = e.groupBy("grp", "s").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    w = Window.partitionBy("grp").orderBy("s")
+    c = g.withColumn("cneg", F.sum("neg").over(w) - F.col("neg"))
+    num = F.sum(2 * F.col("pos") * F.col("cneg") + F.col("pos") * F.col("neg"))
+    return (
+        c.groupBy("grp")
+        .agg(
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.sum("neg").cast("bigint").alias("n_neg"),
+            num.alias("__num"),
+        )
+        .select(
+            "grp",
+            "n_pos",
+            "n_neg",
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.round(
+                    F.col("__num").cast("double")
+                    / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+                    6,
+                ),
+            ).alias("auc"),
+        )
+    )

@@ -531,3 +531,44 @@ def test_jaccard_prefix_join_matches_brute_force(spark):
 def test_jaccard_prefix_join_empty_and_blank(spark):
     df = spark.createDataFrame([(1, ""), (2, "   "), (3, "one two")], "doc_id bigint, text string")
     assert DD.jaccard_prefix_join(df, n=3, threshold=0.5).count() == 0
+
+
+def test_containment_prefix_join_finds_subset_dup(spark):
+    """A short doc quoted wholesale in a long one: containment 1.0 in
+    the contained direction only; Jaccard would miss the pair."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "intro words here alpha beta gamma delta epsilon zeta eta theta "
+            "plus a very long tail of unrelated extra content words"),
+        (3, "totally different content in this document body here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.id_a, r.id_b): r.containment for r in
+           DD.containment_prefix_join(df, n=3, threshold=0.8).collect()}
+    assert got == {(1, 2): 1.0}
+    # ... while symmetric Jaccard at the same bar sees nothing
+    assert DD.jaccard_prefix_join(df, n=3, threshold=0.8).count() == 0
+
+
+def test_containment_prefix_join_matches_brute(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate([
+        "a b c d e f g h", "x a b c d e f g h y", "a b c d e f", "p q r s t u v w",
+        "p q r s t u v w extra tail", "m n o p q r",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for thr in (0.5, 0.8, 1.0):
+        got = sorted(map(tuple, DD.containment_prefix_join(df, n=3, threshold=thr).collect()))
+        sh = df.select(F.col("doc_id").alias("id"),
+                       F.explode(DD._word_shingles(F.col("text"), 3)).alias("s"))
+        common = (sh.alias("a").join(sh.alias("b"), ["s"])
+                  .where(F.col("a.id") != F.col("b.id"))
+                  .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+                  .agg(F.count("*").alias("c")))
+        sz = sh.groupBy("id").agg(F.count("*").alias("n"))
+        brute = sorted(map(tuple, common
+            .join(sz.select(F.col("id").alias("id_a"), "n"), "id_a")
+            .select("id_a", "id_b", F.round(F.col("c") / F.col("n"), 6).alias("ct"))
+            .where(F.col("ct") >= thr).collect()))
+        assert got == brute, f"thr={thr}"

@@ -100,3 +100,17 @@ def test_readability_counts(spark):
     assert abs(out[1].flesch - round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)) < 1e-9
     assert out[2].n_words == 0 and out[2].flesch is None and out[2].n_sentences == 1
     assert out[3].n_words == 1 and out[3].n_syllables == 1
+
+
+def test_auc_by_group_matches_per_group_brute(spark):
+    data = [
+        ("a", 0.1, 0), ("a", 0.5, 1), ("a", 0.3, 0), ("a", 0.9, 1),
+        ("b", 0.2, 1), ("b", 0.8, 0), ("b", 0.5, 1), ("b", 0.5, 0),
+        ("c", 0.4, 1), ("c", 0.6, 1),  # single-class → NULL auc
+    ]
+    df = spark.createDataFrame(data, "g string, score double, y int")
+    out = {r.grp: r for r in
+           MU.auc_by_group(df, F.col("g"), "score", F.col("y") == 1).collect()}
+    assert out["a"].auc == _ref_auc([(s, y) for g, s, y in data if g == "a"])
+    assert out["b"].auc == _ref_auc([(s, y) for g, s, y in data if g == "b"])
+    assert out["c"].auc is None and out["c"].n_pos == 2 and out["c"].n_neg == 0
