@@ -1385,7 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally)
         "substring_dedup": _q_substring_dedup,
         "encode_tokens": _q_encode_tokens,
-        "bpe_merges": _q_bpe_merges,
+        "token_count_vocab": _q_token_count_vocab,
         "count_min_words": _q_count_min_words,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "value_auc": _q_value_auc,
@@ -1395,7 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_prices": _q_benford_prices,
         "auc_daily": _q_auc_daily,
         "calibration_bins": _q_calibration_bins,
-        "token_count_vocab": _q_token_count_vocab,
+        "bpe_merges": _q_bpe_merges,
         "leakage_free_split": _q_leakage_free_split,
         "dedup_incremental_near": _q_dedup_incremental_near,
         "cross_source_dup_matrix": _q_cross_source_dup_matrix,
