@@ -1166,6 +1166,21 @@ def _q_count_min_words(spark, sf):
     return SK.count_min_query(state, probes, depth=CM_DEPTH, width=CM_WIDTH)
 
 
+def _q_heavy_hitter_words(spark, sf):
+    # EXACT heavy hitters via the CM-prefilter two-pass (sketch.py):
+    # the shuffle carries only candidate values, yet the result is
+    # exactly GROUP BY ... HAVING count >= T
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(
+            F.when(F.trim("text") == "", F.array().cast("array<string>")).otherwise(
+                F.split(F.trim("text"), "\\s+")
+            )
+        ).alias("w")
+    )
+    return SK.heavy_hitters(toks, "w", min_count=500, depth=CM_DEPTH, width=CM_WIDTH)
+
+
 def _q_bpe_merges(spark, sf):
     # distributed BPE merge-rule training (operators/bpe.py) — T
     # argmax iterations on the distinct-word table; iterative
@@ -1387,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_tokens": _q_encode_tokens,
         "token_count_vocab": _q_token_count_vocab,
         "count_min_words": _q_count_min_words,
+        "heavy_hitter_words": _q_heavy_hitter_words,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "value_auc": _q_value_auc,
         "readability": _q_readability,
@@ -3869,6 +3885,11 @@ def oracle_sql() -> dict[str, str]:
         "containment_join": _sql_containment_join(0.8),
         "dup_graph_pagerank": _sql_dup_graph_pagerank(0.85, 5),
         "count_min_words": _sql_count_min_words(CM_PROBE_WORDS, CM_DEPTH, CM_WIDTH),
+        "heavy_hitter_words": (
+            f"WITH toks AS ({SQL_TOKS}) "
+            "SELECT w AS value, CAST(count(*) AS BIGINT) AS n "
+            "FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w HAVING count(*) >= 500"
+        ),
         "edit_distance_pairs": _sql_edit_distance_pairs(1, 7),
         "value_auc": _sql_value_auc(),
         "readability": _sql_readability(),

@@ -174,6 +174,7 @@ HEADLINE = [
     "benford_prices",
     "containment_join",
     "auc_daily",
+    "heavy_hitter_words",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

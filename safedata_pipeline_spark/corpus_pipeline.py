@@ -193,6 +193,49 @@ class CorpusPipeline:
         )
         return self._keep("substring_dedup", out)
 
+    def dedup_contained(self, n: int = 3, threshold: float = 0.9) -> "CorpusPipeline":
+        """Drop documents CONTAINED in another document (shingle
+        containment ≥ threshold, `dedup.containment_prefix_join`) —
+        the quote/subset duplication symmetric Jaccard misses: a press
+        release pasted wholesale into a longer article keeps only the
+        container. The contained side of every qualifying pair
+        (id_a) is removed via one broadcast-able anti-join; mutual
+        containment (near-equal sets, both directions present) keeps
+        the LOWER id so near-equal groups never annihilate."""
+        pairs = DD.containment_prefix_join(
+            self.df, self.text_col, self.id_col, n=n, threshold=threshold
+        )
+        a, b = F.col("id_a"), F.col("id_b")
+        mutual = pairs.alias("p").join(
+            pairs.select(a.alias("rb"), b.alias("ra")).alias("q"),
+            (F.col("p.id_a") == F.col("ra")) & (F.col("p.id_b") == F.col("rb")),
+            "left_semi",
+        )
+        non_mutual = pairs.join(mutual.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        drop = (
+            non_mutual.select(F.col("id_a").alias(self.id_col))
+            .union(mutual.where(a > b).select(a.alias(self.id_col)))
+            .distinct()
+        )
+        out = self.df.join(drop, on=self.id_col, how="left_anti")
+        return self._keep("containment_dedup", out)
+
+    def filter_readability(
+        self, min_flesch: float | None = 0.0, max_flesch: float | None = None
+    ) -> "CorpusPipeline":
+        """Drop documents outside a Flesch reading-ease band
+        (`text.readability_scores`): very negative scores are
+        machine-garbled run-ons, implausibly high ones are filler.
+        Map-only join on the id; empty docs (NULL flesch) drop."""
+        r = TX.readability_scores(self.df, self.text_col, self.id_col)
+        cond = F.col("flesch").isNotNull()
+        if min_flesch is not None:
+            cond = cond & (F.col("flesch") >= min_flesch)
+        if max_flesch is not None:
+            cond = cond & (F.col("flesch") <= max_flesch)
+        keep = r.where(cond).select(self.id_col)
+        return self._keep("readability", self.df.join(keep, on=self.id_col, how="left_semi"))
+
     # -- step 3: near-dup clusters, keep canonical ---------------------
     def dedup_near(
         self,

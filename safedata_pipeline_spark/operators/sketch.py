@@ -200,3 +200,46 @@ def count_min_query(
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("cm_estimate"))
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """EXACT heavy hitters — every value with true count ≥ min_count —
+    via the CM-prefilter two-pass pattern: (value, n).
+
+    Pass 1 fits the Count-Min state (≤ depth·width cells). Because CM
+    NEVER undercounts, any value whose sketch estimate is below the
+    threshold provably misses it — so pass 2 recomputes each row's
+    cells MAP-SIDE against the broadcast state (a python dict closed
+    over a pandas UDF would work, but the state is small enough for a
+    pure-expression lookup: one array literal per sketch row) and
+    keeps only candidate rows. The exact groupBy then shuffles ONLY
+    candidate values — at 100 TB with a high threshold that is a
+    vanishing fraction of the column, turning exact heavy-hitters
+    into one scan + one tiny shuffle. False positives (collision
+    inflation) die in the final HAVING; false negatives are
+    impossible, so the result is EXACTLY `GROUP BY value HAVING
+    count(*) >= min_count` — oracle-checkable despite the sketch in
+    the middle."""
+    state_rows = count_min_state(df, col, depth, width).collect()
+    cells: list[list[int]] = [[0] * width for _ in range(depth)]
+    for r in state_rows:
+        cells[r.d][r.slot] = int(r.n)
+    v = F.col(col).cast("string")
+    est = None
+    for d in range(depth):
+        arr = F.array(*[F.lit(c) for c in cells[d]])
+        cell = F.element_at(arr, (_slot32(v, d) % F.lit(width)).cast("int") + 1)
+        est = cell if est is None else F.least(est, cell)
+    return (
+        df.where(F.col(col).isNotNull())
+        .where(est >= F.lit(min_count))
+        .groupBy(v.alias("value"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .where(F.col("n") >= min_count)
+    )

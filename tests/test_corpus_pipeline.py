@@ -261,3 +261,29 @@ def test_corpus_pipeline_dedup_against_near(spark):
     pipe = CorpusPipeline(drop2).dedup_against(first, near=True)
     assert {r["doc_id"] for r in pipe.df.collect()} == {11}
     assert pipe.funnel["incremental_near_deduped"] == 1
+
+
+def test_pipeline_dedup_contained_and_readability(spark):
+    from safedata_pipeline_spark.corpus_pipeline import CorpusPipeline
+
+    core = "alpha beta gamma delta epsilon zeta eta theta. " * 2
+    rows = [
+        (1, core.strip(), "a"),                                     # contained in 2
+        (2, ("intro words here. " + core + "plus a very long tail "
+             "of unrelated extra content words here.").strip(), "a"),
+        (3, "totally different readable content. it reads fine here.", "b"),
+        (4, core.strip(), "a"),                                     # mutual with 1 → keep 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    p = CorpusPipeline(df).dedup_contained(n=3, threshold=0.9)
+    kept = {r.doc_id for r in p.df.collect()}
+    # 1 and 4 are mutually contained (identical): lower id 1 survives the
+    # mutual rule but 1 is ALSO contained in 2 (non-mutual) → dropped; 4 likewise
+    assert kept == {2, 3}
+    assert p.funnel["containment_dedup"] == 2
+
+    p2 = CorpusPipeline(df).filter_readability(min_flesch=-100.0)
+    assert p2.funnel["readability"] == 4  # all docs are in band
+    p3 = CorpusPipeline(spark.createDataFrame([(9, "", "z")],
+        "doc_id bigint, text string, source string")).filter_readability()
+    assert p3.funnel["readability"] == 0  # empty doc has NULL flesch → dropped

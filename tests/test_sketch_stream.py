@@ -1,0 +1,48 @@
+"""Stream/batch twin for the Count-Min state: draining a bounded
+source equals the batch sketch bit-for-bit; point queries run
+against the sink."""
+
+from pyspark.sql import functions as F
+
+from safedata_pipeline_spark.operators import sketch as SK
+from safedata_pipeline_spark.sources.tables import load_table
+from safedata_pipeline_spark.streaming import sketch as SSK
+
+D, W = 4, 256
+
+
+def test_stream_count_min_matches_batch(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    batch = {(r.d, r.slot): r.n for r in SK.count_min_state(ev, "event_type", D, W).collect()}
+
+    src = str(tmp_path / "ev")
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        SSK.stream_count_min_state(stream, "event_type", D, W)
+        .writeStream.format("memory")
+        .queryName("t_cm")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.d, r.slot): r.n for r in spark.table("t_cm").collect()}
+    assert got == batch and len(got) > 0
+    # batch-side point query over the sink state: exact at this load
+    true = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    probes = spark.createDataFrame([(k,) for k in true], "value string")
+    est = {r.value: r.cm_estimate
+           for r in SK.count_min_query(spark.table("t_cm"), probes, depth=D, width=W).collect()}
+    for k, t in true.items():
+        assert est[k] >= t
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    rows = [("a",)] * 40 + [("b",)] * 25 + [("c",)] * 10 + [(f"x{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "w string")
+    got = {r.value: r.n for r in SK.heavy_hitters(df, "w", min_count=10, depth=4, width=64).collect()}
+    assert got == {"a": 40, "b": 25, "c": 10}
+    # threshold above everything → empty, never a false positive
+    assert SK.heavy_hitters(df, "w", min_count=100, depth=4, width=64).count() == 0
