@@ -38,6 +38,8 @@ GATES: dict[str, tuple[str, float]] = {
     "lsh_recall_at_5": ("min", 0.06),          # measured 0.12 (r5 baseline)
     "ivf_recall_at_5": ("min", 0.40),          # measured 0.66 (r5 baseline)
     "hll_mean_rel_err": ("max", 0.15),         # measured 0.0 at fixture scale
+    "kmeans_normalized_inertia": ("max", 0.999),  # must beat the k=1 baseline
+    "bpe_compression_ratio": ("max", 0.95),    # 10 merges must compress ≥5%
 }
 
 
@@ -87,6 +89,55 @@ def compute(spark, sf_dir: str) -> dict[str, float]:
         abs(approx_daily.get(d, 0) - n) / n for d, n in exact_daily.items() if n > 0
     ]
     out["hll_mean_rel_err"] = round(sum(errs) / max(len(errs), 1), 6)
+
+    # -- KMeans clustering quality: normalized inertia ----------------
+    # mean squared distance to the assigned centroid, normalized by
+    # the mean squared distance to the GLOBAL centroid (k=1 baseline):
+    # < 1 means the clustering explains variance; a regression toward
+    # 1 means the deterministic init/update broke.
+    from safedata_pipeline_spark.operators import clustering as CL
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = qs["kmeans_embeddings"](spark, sf_dir).collect()
+    cents = [r["centroid"] for r in sorted(fit, key=lambda r: r["cluster_id"])]
+    assigned = CL.kmeans_assign(emb, cents).withColumnRenamed("cluster_id", "c")
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "c int, cent array<double>"
+    )
+    sq = F.aggregate(
+        F.zip_with("embedding", "cent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    inertia = (
+        emb.join(assigned, emb["vec_id"] == assigned["vec_id"])
+        .join(F.broadcast(cent_df), "c")
+        .agg(F.avg(sq).alias("v"))
+        .collect()[0]["v"]
+    )
+    gmean = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    ).groupBy("dim").agg(F.avg("x").alias("m")).collect()
+    gc = [0.0] * len(cents[0])
+    for r in gmean:
+        gc[r["dim"]] = float(r["m"])
+    gc_df = spark.createDataFrame([(0, gc)], "c int, cent array<double>")
+    base = (
+        emb.withColumn("c", F.lit(0))
+        .join(F.broadcast(gc_df), "c")
+        .agg(F.avg(sq).alias("v"))
+        .collect()[0]["v"]
+    )
+    out["kmeans_normalized_inertia"] = round(float(inertia) / float(base), 6)
+
+    # -- BPE: compression vs character segmentation -------------------
+    from safedata_pipeline_spark.operators import bpe as BPE
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [(r["left"], r["right"]) for r in qs["bpe_merges"](spark, sf_dir).collect()]
+    seg = BPE.bpe_segment(docs, rules).agg(F.sum("n_bpe_tokens").alias("t")).collect()[0]["t"]
+    chars = BPE.bpe_segment(docs, []).agg(F.sum("n_bpe_tokens").alias("t")).collect()[0]["t"]
+    out["bpe_compression_ratio"] = round(float(seg) / float(chars), 6)
     return out
 
 
