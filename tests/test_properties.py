@@ -388,3 +388,83 @@ def test_substring_dedup_matches_sequential_reference(spark, docs, k):
         assert got[i].n_words == len(words)
         assert got[i].n_removed == len(marked)
         assert got[i].clean_text == " ".join(kept)
+
+
+_WORD_POOL = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "the", "a"]
+_rand_docs = st.lists(
+    st.lists(st.sampled_from(_WORD_POOL), min_size=0, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+@_settings
+@given(docs=_rand_docs, thr=st.sampled_from([0.3, 0.6, 0.9]), n=st.sampled_from([2, 3]))
+def test_jaccard_prefix_join_equals_uncapped_verifier(spark, docs, thr, n):
+    """Prefix filtering is EXACT: identical pair set + values as the
+    uncapped inverted-index verifier on random tied/dup-heavy corpora."""
+    from safedata_pipeline_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id bigint, text string")
+    brute = sorted(
+        map(tuple, DD.ngram_jaccard_pairs(df, n=n, threshold=thr, max_df=None).collect())
+    )
+    pp = sorted(map(tuple, DD.jaccard_prefix_join(df, n=n, threshold=thr).collect()))
+    assert pp == brute
+
+
+@_settings
+@given(docs=_rand_docs, thr=st.sampled_from([0.5, 0.8, 1.0]))
+def test_containment_join_equals_brute_reference(spark, docs, thr):
+    """Containment candidates+verify == sequential set arithmetic."""
+    from safedata_pipeline_spark.operators import dedup as DD
+
+    def shingles(t, n=3):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id bigint, text string")
+    got = sorted(
+        map(tuple, DD.containment_prefix_join(df, n=3, threshold=thr).collect())
+    )
+    sets = {i: shingles(t) for i, t in enumerate(docs)}
+    want = sorted(
+        (a, b, round(len(sets[a] & sets[b]) / len(sets[a]), 6))
+        for a in sets
+        for b in sets
+        if a != b and sets[a] and round(len(sets[a] & sets[b]) / len(sets[a]), 6) >= thr
+    )
+    assert got == want
+
+
+@_settings
+@given(
+    vals=st.lists(
+        st.sampled_from(["cat", "cart", "care", "car", "dog", "dig", "d", "", "carting"]),
+        min_size=2,
+        max_size=9,
+        unique=True,
+    ),
+    k=st.sampled_from([1, 2]),
+)
+def test_edit_distance_pairs_equals_dp_reference(spark, vals, k):
+    from safedata_pipeline_spark.operators import fuzzy as FZ
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = sorted(map(tuple, FZ.edit_distance_pairs(df, "v", max_dist=k, q=2).collect()))
+    sv = sorted(set(vals))
+    want = sorted(
+        (a, b, lev(a, b))
+        for i, a in enumerate(sv)
+        for b in sv[i + 1 :]
+        if lev(a, b) <= k
+    )
+    assert got == want
