@@ -107,6 +107,9 @@ def save_audit_report(
     dedup_rate_df: DataFrame | None = None,
     split_leakage_df: DataFrame | None = None,
     curation_funnel: dict[str, int] | None = None,
+    benford_df: DataFrame | None = None,
+    cusum_df: DataFrame | None = None,
+    cusum_alarm: float = 4.0,
 ) -> str:
     """The operator-era audit report — the numbers a privacy officer
     or pipeline operator actually reads, assembled from the round-3
@@ -150,6 +153,19 @@ def save_audit_report(
         sections.append(
             ("Split Leakage (near-dup edges crossing splits)", df_to_html(split_leakage_df))
         )
+    if benford_df is not None:
+        sections.append(("Benford First-Digit Screen", df_to_html(benford_df)))
+    if cusum_df is not None:
+        from pyspark.sql import functions as F
+
+        alarms = cusum_df.where(
+            (F.col("s_pos") > cusum_alarm) | (F.col("s_neg") > cusum_alarm)
+        )
+        body = (
+            f"<p>Alarm threshold h = {cusum_alarm} (std units). "
+            "Hours where either CUSUM side exceeds h:</p>\n" + df_to_html(alarms)
+        )
+        sections.append(("CUSUM Change-Points", body))
     if curation_funnel is not None:
         rows = "".join(
             f"<tr><td>{step}</td><td>{n}</td></tr>" for step, n in curation_funnel.items()

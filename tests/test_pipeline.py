@@ -223,3 +223,26 @@ def test_audit_report_renders_curation_kpis(spark, sf_dir, tmp_path):
     p2 = reporting.save_audit_report(str(tmp_path / "c2.html"), {"run": "unit"})
     h2 = open(p2, encoding="utf-8").read()
     assert "Curation Funnel" not in h2 and "Duplicate Rate" not in h2
+
+
+def test_audit_report_renders_benford_and_cusum(spark, sf_dir, tmp_path):
+    from safedata_pipeline_spark import reporting
+    from safedata_pipeline_spark.operators.quality_rules import benford_screen
+    from safedata_pipeline_spark.operators.timeseries import cusum_hourly
+    from safedata_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    path = reporting.save_audit_report(
+        str(tmp_path / "screens.html"),
+        {"run": "unit"},
+        benford_df=benford_screen(li, "l_extendedprice"),
+        cusum_df=cusum_hourly(ev, "ts", "value", k=0.5),
+        cusum_alarm=4.0,
+    )
+    html = open(path, encoding="utf-8").read()
+    assert "Benford First-Digit Screen" in html and "expected_freq" in html
+    assert "CUSUM Change-Points" in html and "Alarm threshold h = 4.0" in html
+    p2 = reporting.save_audit_report(str(tmp_path / "s2.html"), {"run": "unit"})
+    h2 = open(p2, encoding="utf-8").read()
+    assert "Benford" not in h2 and "CUSUM" not in h2
