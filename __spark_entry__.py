@@ -1166,6 +1166,14 @@ def _q_count_min_words(spark, sf):
     return SK.count_min_query(state, probes, depth=CM_DEPTH, width=CM_WIDTH)
 
 
+def _q_weighted_quantiles(spark, sf):
+    # exact weighted quantiles: price distribution weighted by quantity
+    # (profile.weighted_quantiles — aggregate-first, ranged cumulative)
+    return P.weighted_quantiles(
+        load_table(spark, sf, "lineitem"), "l_extendedprice", "l_quantity"
+    )
+
+
 def _q_heavy_hitter_words(spark, sf):
     # EXACT heavy hitters via the CM-prefilter two-pass (sketch.py):
     # the shuffle carries only candidate values, yet the result is
@@ -1403,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_vocab": _q_token_count_vocab,
         "count_min_words": _q_count_min_words,
         "heavy_hitter_words": _q_heavy_hitter_words,
+        "weighted_quantiles": _q_weighted_quantiles,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "value_auc": _q_value_auc,
         "readability": _q_readability,
@@ -3885,6 +3894,18 @@ def oracle_sql() -> dict[str, str]:
         "containment_join": _sql_containment_join(0.8),
         "dup_graph_pagerank": _sql_dup_graph_pagerank(0.85, 5),
         "count_min_words": _sql_count_min_words(CM_PROBE_WORDS, CM_DEPTH, CM_WIDTH),
+        "weighted_quantiles": (
+            "WITH g AS (SELECT l_extendedprice AS v, "
+            "sum(CAST(round(CAST(l_quantity AS DOUBLE), 6) AS DECIMAL(38,6))) AS w "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity > 0 GROUP BY 1), "
+            "c AS (SELECT v, sum(w) OVER (ORDER BY v) AS cw FROM g), "
+            "t AS (SELECT CAST(sum(w) AS DOUBLE) AS tw FROM g) "
+            "SELECT round(max(t.tw), 6) AS total_weight, "
+            "min(CASE WHEN CAST(cw AS DOUBLE) >= 0.25 * t.tw THEN v END) AS p25, "
+            "min(CASE WHEN CAST(cw AS DOUBLE) >= 0.5 * t.tw THEN v END) AS p50, "
+            "min(CASE WHEN CAST(cw AS DOUBLE) >= 0.75 * t.tw THEN v END) AS p75 "
+            "FROM c, t"
+        ),
         "heavy_hitter_words": (
             f"WITH toks AS ({SQL_TOKS}) "
             "SELECT w AS value, CAST(count(*) AS BIGINT) AS n "

@@ -175,6 +175,7 @@ HEADLINE = [
     "containment_join",
     "auc_daily",
     "heavy_hitter_words",
+    "weighted_quantiles",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

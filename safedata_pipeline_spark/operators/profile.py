@@ -812,3 +812,43 @@ def schema_diff(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.sparkSession.createDataFrame(
         rows, "column string, dtype_a string, dtype_b string, status string"
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    probs: tuple = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact WEIGHTED quantiles (lower/inverse-CDF convention): the
+    smallest value v with cumweight(≤ v) ≥ p·W — what unweighted
+    percentiles become when rows represent unequal masses (tokens per
+    doc, revenue per line, sampling weights). One output row:
+    (total_weight, p25, p50, ...).
+
+    Aggregate-first: groupBy(value) collapses to the distinct-value
+    table with DECIMAL weight sums; the cumulative runs via the
+    range-partitioned ``_ranged_cum`` (no global row sort, no
+    single-task window); the pick is one tiny min(struct) aggregate.
+    Deterministic: weights are 6dp DECIMAL, so cumulative boundaries
+    are exact and any engine picks identical values. Zero/negative/
+    NULL weights drop (mass must be positive)."""
+    from safedata_pipeline_spark.operators.ml_utility import _ranged_cum
+
+    dec = "decimal(38,6)"
+    g = (
+        df.where(F.col(col).isNotNull() & (F.col(weight_col) > 0))
+        .groupBy(F.col(col).alias("v"))
+        .agg(F.sum(F.round(F.col(weight_col).cast("double"), 6).cast(dec)).alias("w"))
+    )
+    c = _ranged_cum(g, "v", ["w"])
+    tot = g.agg(F.sum("w").alias("tw"))
+    c = c.crossJoin(F.broadcast(tot))
+    aggs = [F.round(F.max("tw").cast("double"), 6).alias("total_weight")]
+    for p in probs:
+        target = F.lit(float(p)) * F.col("tw").cast("double")
+        pick = F.min(
+            F.when(F.col("__cum_w").cast("double") >= target, F.col("v"))
+        ).alias(f"p{int(round(p * 100)):02d}")
+        aggs.append(pick)
+    return c.agg(*aggs)

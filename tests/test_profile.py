@@ -351,3 +351,20 @@ def test_schema_diff_statuses(spark):
     assert out["v"] == ("double", "string", "retyped")
     assert out["gone"] == ("string", None, "removed")
     assert out["fresh"] == (None, "int", "added")
+
+
+def test_weighted_quantiles_matches_sequential_reference(spark):
+    from safedata_pipeline_spark.operators.profile import weighted_quantiles
+
+    rows = [(1.0, 1.0), (2.0, 10.0), (3.0, 1.0), (4.0, 0.0), (5.0, -2.0), (None, 5.0), (2.0, 2.0)]
+    df = spark.createDataFrame(rows, "v double, w double")
+    out = weighted_quantiles(df, "v", "w", probs=(0.25, 0.5, 0.75)).collect()[0]
+    # masses: 1→1, 2→12, 3→1; W=14; cum: 1:1, 2:13, 3:14
+    assert out.total_weight == 14.0
+    assert out.p25 == 2.0   # 0.25*14=3.5 → first v with cum≥3.5
+    assert out.p50 == 2.0
+    assert out.p75 == 2.0   # 10.5 ≤ 13
+    # equal weights degenerate to the unweighted lower quantile
+    df2 = spark.createDataFrame([(float(i), 1.0) for i in range(1, 101)], "v double, w double")
+    o2 = weighted_quantiles(df2, "v", "w").collect()[0]
+    assert (o2.p25, o2.p50, o2.p75) == (25.0, 50.0, 75.0)
