@@ -781,6 +781,18 @@ def _q_multimodal_meta(spark, sf):
     return MM.media_meta(media)
 
 
+def _q_audio_frame_features(spark, sf):
+    # audio-modality plumbing with a REAL decode (raw 16-bit LE PCM
+    # needs no codec): per-frame RMS / zero-crossing / peak. Arrow
+    # batch shape + framing are the point; payload bytes are the
+    # fixture text reinterpreted as PCM (deterministic).
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    media = MM.to_media_table(docs, "doc_id", "payload", "audio/pcm")
+    return MM.extract_audio_features(media, frame_samples=256)
+
+
 def _q_multimodal_features(spark, sf):
     docs = load_table(spark, sf, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
@@ -1412,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min_words": _q_count_min_words,
         "heavy_hitter_words": _q_heavy_hitter_words,
         "weighted_quantiles": _q_weighted_quantiles,
+        "audio_frame_features": _q_audio_frame_features,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "value_auc": _q_value_auc,
         "readability": _q_readability,
@@ -2544,6 +2557,33 @@ def _sql_edit_distance_pairs(max_dist: int, mod: int) -> str:
         "FROM v a JOIN v b ON a.value < b.value "
         f"AND abs(length(a.value) - length(b.value)) <= {max_dist} "
         f"WHERE levenshtein(a.value, b.value) <= {max_dist}"
+    )
+
+
+def _sql_audio_frame_features(frame: int) -> str:
+    # the fixture text is pure ASCII (verified: octet_length(blob) ==
+    # length for every doc), so VARCHAR char positions == byte
+    # positions and ord(substr(...)) == the payload byte. int16 LE:
+    # lo + 256·hi − 65536·(hi ≥ 128). All frame sums are INTEGER, so
+    # the float finish (divide, sqrt, round) is engine-exact.
+    b = "ord(substr(text, CAST(i AS INT), 1)) + 256 * ord(substr(text, CAST(i AS INT) + 1, 1))"
+    hi = "ord(substr(text, CAST(i AS INT) + 1, 1))"
+    return (
+        "WITH l AS (SELECT doc_id, text, (length(text) // 2) * 2 AS nb FROM documents "
+        "WHERE length(text) >= 2), "
+        "s AS (SELECT doc_id, CAST((i - 1) // 2 AS BIGINT) AS sidx, "
+        f"{b} - CASE WHEN {hi} >= 128 THEN 65536 ELSE 0 END AS x "
+        "FROM l CROSS JOIN unnest(generate_series(CAST(1 AS BIGINT), CAST(nb - 1 AS BIGINT), "
+        "CAST(2 AS BIGINT))) AS g(i)), "
+        f"f AS (SELECT doc_id, sidx, x, CAST(sidx // {frame} AS INT) AS frame_idx, "
+        f"lag(x) OVER (PARTITION BY doc_id, CAST(sidx // {frame} AS INT) ORDER BY sidx) AS px "
+        "FROM s) "
+        "SELECT doc_id AS media_id, frame_idx, CAST(count(*) AS INT) AS n_samples, "
+        "round(sqrt(CAST(sum(x * x) AS DOUBLE) / count(*)), 6) AS rms, "
+        "CASE WHEN count(*) >= 2 THEN round(CAST(sum(CASE WHEN px IS NOT NULL "
+        "AND sign(x) * sign(px) < 0 THEN 1 ELSE 0 END) AS DOUBLE) / (count(*) - 1), 6) "
+        "ELSE 0.0 END AS zcr, "
+        "CAST(max(abs(x)) AS INT) AS peak FROM f GROUP BY 1, 2"
     )
 
 
@@ -3906,6 +3946,7 @@ def oracle_sql() -> dict[str, str]:
             "min(CASE WHEN CAST(cw AS DOUBLE) >= 0.75 * t.tw THEN v END) AS p75 "
             "FROM c, t"
         ),
+        "audio_frame_features": _sql_audio_frame_features(256),
         "heavy_hitter_words": (
             f"WITH toks AS ({SQL_TOKS}) "
             "SELECT w AS value, CAST(count(*) AS BIGINT) AS n "

@@ -176,6 +176,7 @@ HEADLINE = [
     "auc_daily",
     "heavy_hitter_words",
     "weighted_quantiles",
+    "audio_frame_features",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

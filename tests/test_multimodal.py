@@ -136,3 +136,31 @@ def test_png_decoder_rejects_invalid_filter():
     )
     with pytest.raises(ValueError, match=re.escape("filter type 5")):
         MM._png_decode(bad)
+
+
+def test_audio_pcm_features_match_numpy_reference(spark):
+    import numpy as np
+
+    from safedata_pipeline_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(3)
+    wave = (rng.randn(1000) * 3000).astype("<i2")
+    silent = np.zeros(300, dtype="<i2")
+    rows = [(1, bytes(wave.tobytes())), (2, bytes(silent.tobytes())),
+            (3, b""), (4, None), (5, wave.tobytes()[:7])]  # odd tail -> 3 samples
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    media = MM.to_media_table(df, "media_id", "payload", "audio/pcm")
+    out = MM.extract_audio_features(media, frame_samples=256).collect()
+    got = {(r.media_id, r.frame_idx): r for r in out}
+    # doc 1: 1000 samples -> frames 256,256,256,232
+    f = [got[(1, i)] for i in range(4)]
+    assert [x.n_samples for x in f] == [256, 256, 256, 232]
+    w0 = wave[:256].astype(float)
+    assert abs(f[0].rms - round(float(np.sqrt(np.mean(w0 * w0))), 6)) < 1e-9
+    assert f[0].peak == int(np.max(np.abs(w0)))
+    assert 0.2 < f[0].zcr < 0.8  # white noise flips sign often
+    # doc 2: all zeros -> rms 0, zcr 0
+    assert got[(2, 0)].rms == 0.0 and got[(2, 0)].zcr == 0.0 and got[(2, 1)].n_samples == 44
+    # empty/None payloads vanish; odd 7-byte tail -> one 3-sample frame
+    assert not any(r.media_id in (3, 4) for r in out)
+    assert got[(5, 0)].n_samples == 3
