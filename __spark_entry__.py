@@ -1178,6 +1178,15 @@ def _q_count_min_words(spark, sf):
     return SK.count_min_query(state, probes, depth=CM_DEPTH, width=CM_WIDTH)
 
 
+def _q_cdc_chunks(spark, sf):
+    # content-defined chunking (text.content_defined_chunks):
+    # shift-robust boundaries from word hashes — the CDC trick at
+    # word granularity, pure DataFrame ops
+    return TX.content_defined_chunks(
+        load_table(spark, sf, "documents"), target_words=32, min_words=8
+    )
+
+
 def _q_weighted_quantiles(spark, sf):
     # exact weighted quantiles: price distribution weighted by quantity
     # (profile.weighted_quantiles — aggregate-first, ranged cumulative)
@@ -1424,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min_words": _q_count_min_words,
         "heavy_hitter_words": _q_heavy_hitter_words,
         "weighted_quantiles": _q_weighted_quantiles,
+        "cdc_chunks": _q_cdc_chunks,
         "audio_frame_features": _q_audio_frame_features,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "value_auc": _q_value_auc,
@@ -2557,6 +2567,25 @@ def _sql_edit_distance_pairs(max_dist: int, mod: int) -> str:
         "FROM v a JOIN v b ON a.value < b.value "
         f"AND abs(length(a.value) - length(b.value)) <= {max_dist} "
         f"WHERE levenshtein(a.value, b.value) <= {max_dist}"
+    )
+
+
+def _sql_cdc_chunks(target: int, min_words: int) -> str:
+    cut = f"CASE WHEN CAST(('0x' || substr(md5('0:' || w), 1, 8)) AS UBIGINT) % {target} = 0 THEN 1 ELSE 0 END"
+    return (
+        f"WITH toks AS ({SQL_TOKS}), "
+        "wds AS (SELECT doc_id AS id, t[p] AS w, p AS pos FROM toks "
+        "CROSS JOIN unnest(generate_series(1, len(t))) AS g(p)), "
+        f"m AS (SELECT id, w, pos, {cut} AS rawcut FROM wds), "
+        "r AS (SELECT *, sum(rawcut) OVER (PARTITION BY id ORDER BY pos) - rawcut AS rawchunk FROM m), "
+        "c AS (SELECT *, count(*) OVER (PARTITION BY id, rawchunk) AS chunklen FROM r), "
+        f"e AS (SELECT *, CASE WHEN rawcut = 1 AND chunklen >= {min_words} THEN 1 ELSE 0 END AS cut FROM c), "
+        "k AS (SELECT *, sum(cut) OVER (PARTITION BY id ORDER BY pos) - cut AS chunk_idx FROM e) "
+        "SELECT id AS doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, "
+        "CAST(count(*) AS BIGINT) AS n_words, "
+        "string_agg(w, ' ' ORDER BY pos) AS chunk_text, "
+        "md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5 "
+        "FROM k GROUP BY 1, 2"
     )
 
 
@@ -3947,6 +3976,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM c, t"
         ),
         "audio_frame_features": _sql_audio_frame_features(256),
+        "cdc_chunks": _sql_cdc_chunks(32, 8),
         "heavy_hitter_words": (
             f"WITH toks AS ({SQL_TOKS}) "
             "SELECT w AS value, CAST(count(*) AS BIGINT) AS n "

@@ -177,6 +177,7 @@ HEADLINE = [
     "heavy_hitter_words",
     "weighted_quantiles",
     "audio_frame_features",
+    "cdc_chunks",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -1286,3 +1286,83 @@ def readability_scores(
         n_syl.cast("bigint").alias("n_syllables"),
         flesch.alias("flesch"),
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_words: int = 32,
+    min_words: int = 8,
+) -> DataFrame:
+    """Content-defined chunking — the shift-robust alternative to
+    fixed-size ``chunk_documents``: a chunk boundary falls AFTER any
+    word whose md5 hash ≡ 0 (mod target_words), so boundaries depend
+    only on local content. Insert a paragraph at the top of a document
+    and every downstream fixed-size chunk shifts (duplicate detection
+    misses all of them); content-defined boundaries re-align
+    immediately — the CDC trick (LBFS/rsync lineage) applied at word
+    granularity, where it stays expressible as pure DataFrame ops
+    (byte-level Rabin fingerprints would force an Arrow loop).
+
+    ``min_words`` suppresses boundaries whose raw chunk is shorter
+    than the floor (runts merge forward; judged on the raw
+    segmentation so the rule is one window deep). Expected chunk
+    length ≈ target_words. Shape: posexplode words →
+    mark boundaries map-side (one md5 per word) → per-doc running
+    boundary count (window partitioned by doc — bounded rows per
+    key) → groupBy (doc, chunk) concat_ws. Deterministic and
+    oracle-expressible; chunk_md5 feeds the exact-dedup operators
+    directly. Output: (id, chunk_idx, n_words, chunk_text,
+    chunk_md5)."""
+    from pyspark.sql import Window
+
+    from safedata_pipeline_spark.functions.hashing import md5_slot32
+
+    if target_words < 1 or min_words < 0:
+        raise ValueError("need target_words >= 1 and min_words >= 0")
+    toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(F.col(text_col)), "\\s+")
+    )
+    words = df.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "w"))
+    is_cut = (md5_slot32(F.col("w"), 0) % F.lit(target_words)) == 0
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    # chunk id = running count of boundaries STRICTLY BEFORE this word,
+    # with runt suppression: a boundary only counts if at least
+    # min_words words precede it in its provisional chunk. Two passes
+    # of the same per-doc window keep it expression-only: first the
+    # raw boundary prefix count, then the runt filter re-derived from
+    # the word offset within the raw chunk.
+    marked = words.withColumn("rawcut", is_cut.cast("int")).withColumn(
+        "rawchunk", F.sum("rawcut").over(w_ord) - F.col("rawcut")
+    )
+    eff = marked.withColumn(
+        "chunklen", F.count(F.lit(1)).over(Window.partitionBy("id", "rawchunk"))
+    )
+    # runt rule (deterministic, per-RAW-chunk): a boundary whose raw
+    # chunk holds fewer than min_words words is suppressed — the runt
+    # merges into the following chunk. Suppression is judged against
+    # the raw segmentation, not the merged result, so the rule stays
+    # one window deep (no iterate-to-fixpoint) and any engine
+    # reproduces it exactly.
+    eff = eff.withColumn(
+        "cut", (F.col("rawcut") == 1).cast("int") * (F.col("chunklen") >= min_words).cast("int")
+    )
+    chunked = eff.withColumn("chunk_idx", F.sum("cut").over(w_ord) - F.col("cut"))
+    out = (
+        chunked.groupBy("id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("pos", "w"))).getField("w")).alias(
+                "chunk_text"
+            ),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            "n_words",
+            "chunk_text",
+            F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+        )
+    )
+    return out
