@@ -103,9 +103,13 @@ def ngram_jaccard_pairs(
     slight underestimate — the standard trade for bounded cost. Set
     ``max_df=None`` for the fully exact verifier.
     """
+    # the exploded shingle table feeds the size agg, the df-cap scan,
+    # and BOTH sides of the self-join — materialize once instead of
+    # re-running the explode per consumer (measured ~1.5x on the pair
+    # chain at sf0.1; narrow (id, shingle) rows)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(_word_shingles(F.col(text_col), n)).alias("s")
-    )
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     joinable = sh
     if max_df is not None:
