@@ -596,6 +596,78 @@ def _q_sole_late_supplier(spark, sf):
     )
 
 
+def _q_market_share(spark, sf):
+    """TPC-H Q8 shape: one nation's market share of PROMO-part revenue
+    inside the ASIA region, by order year — the 8-way join-reorder
+    stress (two nation chains + region + part on one fact scan), with
+    the share as a conditional-sum / sum ratio in ONE aggregate."""
+    region = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    nat = load_table(spark, sf, "nation")
+    cn = nat.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg"))
+    sn = nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    part = load_table(spark, sf, "part").where(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)")
+    target = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0).cast("decimal(38,10)"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .join(region, F.col("cn_reg") == F.col("r_regionkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("total_revenue"),
+            F.round(F.try_divide(F.sum(target).cast("double"), F.sum(rev).cast("double")), 6).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+def _q_disjunctive_revenue(spark, sf):
+    """TPC-H Q19 shape: revenue under three OR'd brand/size/quantity
+    blocks — the disjunctive-predicate pushdown test (the filter must
+    ride the part⋈lineitem join, not a post-join scan)."""
+    part = load_table(spark, sf, "part")
+    li = load_table(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+def _q_event_transitions(spark, sf):
+    # first-order Markov transitions over per-user event sequences
+    # (timeseries.transition_matrix)
+    from safedata_pipeline_spark.operators import timeseries as TS
+
+    return TS.transition_matrix(load_table(spark, sf, "events"))
+
+
 def _q_contamination_scan(spark, sf):
     return TX.contamination_scan(load_table(spark, sf, "documents"), CONTAMINATION_PROBES)
 
@@ -1434,6 +1506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_words": _q_heavy_hitter_words,
         "weighted_quantiles": _q_weighted_quantiles,
         "cdc_chunks": _q_cdc_chunks,
+        "market_share": _q_market_share,
+        "disjunctive_revenue": _q_disjunctive_revenue,
+        "event_transitions": _q_event_transitions,
         "audio_frame_features": _q_audio_frame_features,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "value_auc": _q_value_auc,
@@ -2152,6 +2227,48 @@ def _sql_nation_trade(n1: str, n2: str) -> str:
         f"WHERE (sn.n_name = '{n1}' AND cn.n_name = '{n2}') "
         f"OR (sn.n_name = '{n2}' AND cn.n_name = '{n1}') "
         "GROUP BY 1, 2, 3"
+    )
+
+
+def _sql_market_share(nation: str) -> str:
+    rev = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))"
+    return (
+        "SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year, "
+        f"round(CAST(sum({rev}) AS DOUBLE), 2) AS total_revenue, "
+        f"round(CAST(sum(CASE WHEN sn.n_name = '{nation}' THEN {rev} "
+        f"ELSE CAST(0 AS DECIMAL(38,10)) END) AS DOUBLE) "
+        f"/ nullif(CAST(sum({rev}) AS DOUBLE), 0), 6) AS mkt_share "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        "JOIN region ON cn.n_regionkey = r_regionkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "WHERE p_type = 'PROMO' AND r_name = 'ASIA' GROUP BY 1"
+    )
+
+
+def _sql_disjunctive_revenue() -> str:
+    return (
+        "SELECT CAST(count(*) AS BIGINT) AS n_lines, "
+        "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) "
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20) "
+        "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"
+    )
+
+
+def _sql_event_transitions() -> str:
+    return (
+        "WITH s AS (SELECT user_id, event_type AS next_type, "
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), "
+        "g AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n FROM s "
+        "WHERE prev_type IS NOT NULL GROUP BY 1, 2), "
+        "t AS (SELECT prev_type, sum(n) AS row_total FROM g GROUP BY 1) "
+        "SELECT g.prev_type, g.next_type, g.n, "
+        "round(CAST(g.n AS DOUBLE) / t.row_total, 6) AS prob FROM g JOIN t USING (prev_type)"
     )
 
 
@@ -4007,6 +4124,9 @@ def oracle_sql() -> dict[str, str]:
         "nation_trade": _sql_nation_trade("NATION_1", "NATION_2"),
         "priority_late_orders": _sql_priority_late_orders(),
         "sole_late_supplier": _sql_sole_late_supplier(),
+        "market_share": _sql_market_share("NATION_1"),
+        "disjunctive_revenue": _sql_disjunctive_revenue(),
+        "event_transitions": _sql_event_transitions(),
         "quantize_embeddings": _sql_quantize_embeddings(),
         "quantization_error": _sql_quantization_error(),
         "skew_report": _sql_skew_report("orders", "o_custkey"),

@@ -178,6 +178,9 @@ HEADLINE = [
     "weighted_quantiles",
     "audio_frame_features",
     "cdc_chunks",
+    "market_share",
+    "disjunctive_revenue",
+    "event_transitions",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -438,3 +438,43 @@ def cusum_hourly(
         F.col("r.s_pos").alias("s_pos"),
         F.col("r.s_neg").alias("s_neg"),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: (prev_type, next_type, n, prob) with prob normalized
+    per prev_type row — the path-analysis view behind funnel design
+    ('what actually follows a signup?') and bot detection (spikes on
+    impossible transitions).
+
+    One per-user window (lag under (ts, tiebreak) total order — the
+    tiebreak makes same-timestamp sequences deterministic) + one
+    (prev, next)-keyed groupBy; the per-row normalizer joins a tiny
+    per-prev aggregate back by broadcast. |types|² output rows —
+    dashboard-sized. Scale: windows partition by user (bounded per
+    key); no global sort."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    seq = df.select(
+        F.col(user_col),
+        F.col(type_col).alias("next_type"),
+        F.lag(F.col(type_col)).over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    g = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = g.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        g.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("row_total"), ROUND_N).alias("prob"),
+        )
+    )

@@ -141,3 +141,28 @@ def test_sole_late_supplier_shape(spark):
         assert out == {"SUPP_100": 1}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    import datetime as dt
+
+    from safedata_pipeline_spark.operators.timeseries import transition_matrix
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view -> click -> buy ; user 2: view -> view -> click
+        (1, t0, "view", 1), (1, t0 + dt.timedelta(minutes=1), "click", 2),
+        (1, t0 + dt.timedelta(minutes=2), "buy", 3),
+        (2, t0, "view", 4), (2, t0 + dt.timedelta(minutes=1), "view", 5),
+        (2, t0 + dt.timedelta(minutes=2), "click", 6),
+        # same-timestamp tie broken by event_id: view(7) then click(8)
+        (3, t0, "view", 7), (3, t0, "click", 8),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string, event_id bigint")
+    out = {(r.prev_type, r.next_type): r for r in transition_matrix(df).collect()}
+    assert out[("view", "click")].n == 3   # users 1, 2, 3
+    assert out[("view", "view")].n == 1
+    assert out[("click", "buy")].n == 1
+    assert out[("view", "click")].prob == 0.75  # 3 of 4 view-exits
+    assert out[("click", "buy")].prob == 1.0
+    assert ("buy", "view") not in out  # no cross-user transitions
