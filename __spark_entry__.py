@@ -660,6 +660,13 @@ def _q_disjunctive_revenue(spark, sf):
     )
 
 
+def _q_roc_points(spark, sf):
+    # bounded ROC curve (ml_utility.roc_points): grid thresholds,
+    # descending cumulatives over ≤100 state rows
+    ev = load_table(spark, sf, "events")
+    return MU.roc_points(ev, "value", F.col("event_type") == "purchase", max_points=100)
+
+
 def _q_event_transitions(spark, sf):
     # first-order Markov transitions over per-user event sequences
     # (timeseries.transition_matrix)
@@ -1509,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": _q_market_share,
         "disjunctive_revenue": _q_disjunctive_revenue,
         "event_transitions": _q_event_transitions,
+        "roc_points": _q_roc_points,
         "audio_frame_features": _q_audio_frame_features,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "value_auc": _q_value_auc,
@@ -2257,6 +2265,26 @@ def _sql_disjunctive_revenue() -> str:
         "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) "
         "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20) "
         "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"
+    )
+
+
+def _sql_roc_points(max_points: int) -> str:
+    return (
+        "WITH e AS (SELECT CAST(value AS DOUBLE) AS s, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
+        "FROM events WHERE value IS NOT NULL), "
+        "r AS (SELECT min(s) AS lo, CASE WHEN max(s) - min(s) = 0 THEN 1.0 "
+        f"ELSE (max(s) - min(s)) / {float(max_points)} END AS w FROM e), "
+        f"g AS (SELECT least(floor((s - lo) / w), {max_points - 1}) AS bin, "
+        "min(lo + w * least(floor((s - lo) / w), "
+        f"{max_points - 1})) AS threshold, sum(y) AS pos, sum(1 - y) AS neg "
+        "FROM e, r GROUP BY 1), "
+        "c AS (SELECT threshold, sum(pos) OVER (ORDER BY bin DESC) AS cpos, "
+        "sum(neg) OVER (ORDER BY bin DESC) AS cneg FROM g), "
+        "t AS (SELECT CAST(sum(pos) AS DOUBLE) AS P, CAST(sum(neg) AS DOUBLE) AS N FROM g) "
+        "SELECT round(threshold, 6) AS threshold, CAST(cpos + cneg AS BIGINT) AS n_ge, "
+        "round(CAST(cpos AS DOUBLE) / nullif(t.P, 0), 6) AS tpr, "
+        "round(CAST(cneg AS DOUBLE) / nullif(t.N, 0), 6) AS fpr FROM c, t"
     )
 
 
@@ -4127,6 +4155,7 @@ def oracle_sql() -> dict[str, str]:
         "market_share": _sql_market_share("NATION_1"),
         "disjunctive_revenue": _sql_disjunctive_revenue(),
         "event_transitions": _sql_event_transitions(),
+        "roc_points": _sql_roc_points(100),
         "quantize_embeddings": _sql_quantize_embeddings(),
         "quantization_error": _sql_quantization_error(),
         "skew_report": _sql_skew_report("orders", "o_custkey"),

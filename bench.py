@@ -181,6 +181,7 @@ HEADLINE = [
     "market_share",
     "disjunctive_revenue",
     "event_transitions",
+    "roc_points",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -272,3 +272,54 @@ def auc_by_group(
             ).alias("auc"),
         )
     )
+
+
+def roc_points(
+    df: DataFrame, score_col: str, label: "F.Column", max_points: int = 100
+) -> DataFrame:
+    """ROC curve points — the curve behind ``binary_auc``: for each of
+    ≤``max_points`` score thresholds, (threshold, n_ge, tpr, fpr)
+    where tpr/fpr are the positive/negative rates at score ≥
+    threshold. Thresholds come from the score's value range on a
+    fixed grid (same broadcast-range trick as ``calibration_bins``),
+    so the output is bounded and plot-ready regardless of score
+    cardinality.
+
+    Aggregate-first: one groupBy(grid cell) over the data, then the
+    ≥-threshold cumulatives run DESCENDING over the ≤max_points cell
+    table via the bounded-window machinery (no data sort). Integer
+    counts → engine-exact rates."""
+    e = df.select(F.col(score_col).cast("double").alias("s"), label.cast("int").alias("y"))
+    e = e.where(F.col("s").isNotNull() & F.col("y").isNotNull())
+    r = e.agg(
+        F.min("s").alias("lo"),
+        F.when(F.max("s") - F.min("s") == 0, F.lit(1.0))
+        .otherwise((F.max("s") - F.min("s")) / F.lit(float(max_points)))
+        .alias("w"),
+    )
+    b = F.least(F.floor((F.col("s") - F.col("lo")) / F.col("w")), F.lit(max_points - 1))
+    g = (
+        e.crossJoin(F.broadcast(r))
+        .groupBy(b.cast("bigint").alias("bin"))
+        .agg(
+            F.min(F.col("lo") + F.col("w") * b).alias("threshold"),
+            F.sum("y").alias("pos"),
+            F.sum(1 - F.col("y")).alias("neg"),
+        )
+    )
+    # ≥ threshold ⇒ cumulate from the TOP: flip the bin sign and reuse
+    # the ascending bounded cumulative over the ≤max_points state rows
+    from safedata_pipeline_spark.operators.drift import _bounded_cum
+
+    flipped = g.select((-F.col("bin")).alias("rb"), "threshold", "pos", "neg")
+    c = _bounded_cum(flipped, "rb", ["pos", "neg"])
+    tot = g.agg(F.sum("pos").alias("P"), F.sum("neg").alias("N"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.round("threshold", 6).alias("threshold"),
+            (F.col("__cum_pos") + F.col("__cum_neg")).cast("bigint").alias("n_ge"),
+            F.round(F.try_divide(F.col("__cum_pos"), F.col("P")), 6).alias("tpr"),
+            F.round(F.try_divide(F.col("__cum_neg"), F.col("N")), 6).alias("fpr"),
+        )
+    )

@@ -114,3 +114,23 @@ def test_auc_by_group_matches_per_group_brute(spark):
     assert out["a"].auc == _ref_auc([(s, y) for g, s, y in data if g == "a"])
     assert out["b"].auc == _ref_auc([(s, y) for g, s, y in data if g == "b"])
     assert out["c"].auc is None and out["c"].n_pos == 2 and out["c"].n_neg == 0
+
+
+def test_roc_points_monotone_and_consistent_with_auc(spark):
+    # classes separated by a gap (40..60) wider than the ~2-unit grid
+    # step, so some grid threshold must land inside it
+    data = [(float(i), 0) for i in range(40)] + [(float(i), 1) for i in range(60, 100)]
+    df = spark.createDataFrame(data, "score double, y int")
+    pts = sorted(
+        MU.roc_points(df, "score", F.col("y") == 1, max_points=50).collect(),
+        key=lambda r: r.threshold,
+    )
+    # rates decrease as the threshold rises; endpoints sane
+    tprs = [r.tpr for r in pts]
+    fprs = [r.fpr for r in pts]
+    assert all(a >= b for a, b in zip(tprs, tprs[1:]))
+    assert all(a >= b for a, b in zip(fprs, fprs[1:]))
+    assert pts[0].tpr == 1.0 and pts[0].fpr == 1.0  # lowest threshold captures all
+    assert pts[-1].fpr == 0.0  # top threshold above every negative
+    # perfectly-separated scores: some threshold achieves (tpr=1, fpr=0)
+    assert any(r.tpr == 1.0 and r.fpr == 0.0 for r in pts)
