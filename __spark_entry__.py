@@ -717,6 +717,13 @@ def _q_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=3, threshold=0.5)
 
 
+def _q_dup_graph_pagerank_weighted(spark, sf):
+    # weighted variant: transition mass proportional to the pair's
+    # jaccard — tight template hubs outrank loose-match stars
+    pairs = DD.ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=3, threshold=0.5)
+    return GR.pagerank(pairs, damping=0.85, iterations=5, weight_col="jaccard")
+
+
 def _q_containment_join(spark, sf):
     # asymmetric shingle-containment dedup (quote/subset detection) —
     # prefix-filtered probe side, full index side (dedup.py)
@@ -1517,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": _q_disjunctive_revenue,
         "event_transitions": _q_event_transitions,
         "roc_points": _q_roc_points,
+        "dup_graph_pagerank_weighted": _q_dup_graph_pagerank_weighted,
         "audio_frame_features": _q_audio_frame_features,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "value_auc": _q_value_auc,
@@ -2780,24 +2788,32 @@ def _sql_count_min_words(probes: list[str], depth: int, width: int) -> str:
     )
 
 
-def _sql_dup_graph_pagerank(damping: float = 0.85, iterations: int = 5) -> str:
+def _sql_dup_graph_pagerank(
+    damping: float = 0.85, iterations: int = 5, weighted: bool = False
+) -> str:
     # unrolled power iteration: rT references r(T-1); per-iteration
     # round(…,12) mirrors operators/graph.py exactly, so the two
-    # engines' float sums cannot drift across iterations
+    # engines' float sums cannot drift across iterations. weighted=True
+    # mirrors the weight_col kernel: transition mass w/strength(u).
     one_minus = 1.0 - damping  # same Python-evaluated literal both sides
+    w_sel = ", jaccard AS w" if weighted else ""
+    w_sel2 = ", jaccard" if weighted else ""
+    kernel = "r.rank * und.w / r.strength" if weighted else "r.rank / r.strength"
+    strength = "round(sum(w), 12)" if weighted else "round(sum(1.0), 12)"
     ctes = [
-        "und AS (SELECT id_a AS src, id_b AS dst FROM j UNION SELECT id_b, id_a FROM j)",
-        "deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src)",
+        f"und AS (SELECT id_a AS src, id_b AS dst{w_sel} FROM j "
+        f"UNION SELECT id_b, id_a{w_sel2} FROM j)",
+        f"deg AS (SELECT src, count(*) AS deg, {strength} AS strength FROM und GROUP BY src)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM deg)",
-        "r0 AS (SELECT src, deg, round(1.0 / n_nodes, 12) AS rank FROM deg CROSS JOIN nn)",
+        "r0 AS (SELECT src, deg, strength, round(1.0 / n_nodes, 12) AS rank FROM deg CROSS JOIN nn)",
     ]
     for t in range(1, iterations + 1):
         prev = f"r{t - 1}"
         ctes.append(
-            f"r{t} AS (SELECT d.src, d.deg, "
+            f"r{t} AS (SELECT d.src, d.deg, d.strength, "
             f"round({one_minus!r} / nn.n_nodes + {damping!r} * coalesce(c.c, 0), 12) AS rank "
             f"FROM deg d CROSS JOIN nn LEFT JOIN "
-            f"(SELECT und.dst, sum(r.rank / r.deg) AS c FROM und "
+            f"(SELECT und.dst, sum({kernel}) AS c FROM und "
             f"JOIN {prev} r ON und.src = r.src GROUP BY und.dst) c ON d.src = c.dst)"
         )
     return (
@@ -4156,6 +4172,7 @@ def oracle_sql() -> dict[str, str]:
         "disjunctive_revenue": _sql_disjunctive_revenue(),
         "event_transitions": _sql_event_transitions(),
         "roc_points": _sql_roc_points(100),
+        "dup_graph_pagerank_weighted": _sql_dup_graph_pagerank(0.85, 5, weighted=True),
         "quantize_embeddings": _sql_quantize_embeddings(),
         "quantization_error": _sql_quantization_error(),
         "skew_report": _sql_skew_report("orders", "o_custkey"),

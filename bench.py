@@ -182,6 +182,7 @@ HEADLINE = [
     "disjunctive_revenue",
     "event_transitions",
     "roc_points",
+    "dup_graph_pagerank_weighted",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

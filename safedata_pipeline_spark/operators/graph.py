@@ -37,15 +37,22 @@ ITER_ROUND = 12  # per-iteration rounding: kills cross-engine ulp drift
 OUT_ROUND = 6
 
 
-def undirected_edges(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
-    """Symmetrize a pair list into distinct directed edges (src, dst).
-    Pair lists are canonical (id_a < id_b, unique), so the union is
-    duplicate-free by construction; distinct() guards ad-hoc inputs."""
-    return (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-    )
+def undirected_edges(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Symmetrize a pair list into distinct directed edges (src, dst
+    [, w]). Pair lists are canonical (id_a < id_b, unique), so the
+    union is duplicate-free by construction; distinct() guards ad-hoc
+    inputs."""
+    cols_ab = [F.col(id_a).alias("src"), F.col(id_b).alias("dst")]
+    cols_ba = [F.col(id_b).alias("src"), F.col(id_a).alias("dst")]
+    if weight_col is not None:
+        cols_ab.append(F.col(weight_col).cast("double").alias("w"))
+        cols_ba.append(F.col(weight_col).cast("double").alias("w"))
+    return pairs.select(*cols_ab).union(pairs.select(*cols_ba)).distinct()
 
 
 def degree_stats(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
@@ -64,6 +71,7 @@ def pagerank(
     iterations: int = 5,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the undirected pair graph.
 
@@ -77,30 +85,42 @@ def pagerank(
     table (isolated receivers keep the teleport term). The node
     count N rides a broadcast 1-row aggregate. Deterministic across
     engines via per-iteration 12-dp rounding.
+
+    ``weight_col`` switches to WEIGHTED PageRank: the random surfer
+    follows edge (u,v) with probability w(u,v)/strength(u) — for
+    similarity graphs, a 0.95-jaccard duplicate pulls rank harder
+    than a borderline 0.5 match, separating tight template hubs from
+    loose-match stars. deg stays the plain edge count in the output;
+    only the transition kernel weights.
     """
     # the edge list is referenced once per iteration (T+1 times in the
     # final plan); pair GENERATORS are usually expensive subtrees
     # (shingle joins, LSH bands), so materialize the symmetrized edges
     # once — localCheckpoint truncates lineage and auto-releases blocks
     # with the DataFrame, mirroring bpe_fit's iteration discipline
-    und = undirected_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    und = undirected_edges(pairs, id_a, id_b, weight_col).localCheckpoint(eager=True)
+    wexpr = F.col("w") if weight_col is not None else F.lit(1.0)
+    deg = und.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg"), F.round(F.sum(wexpr), 12).alias("strength")
+    )
     n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     nodes = deg.crossJoin(F.broadcast(n))
     ranks = nodes.select(
-        "src", "deg", "n_nodes", F.round(F.lit(1.0) / F.col("n_nodes"), ITER_ROUND).alias("rank")
+        "src", "deg", "strength", "n_nodes",
+        F.round(F.lit(1.0) / F.col("n_nodes"), ITER_ROUND).alias("rank"),
     )
     for _ in range(iterations):
         contrib = (
-            und.join(ranks.select("src", "deg", "rank"), "src")
+            und.join(ranks.select("src", "strength", "rank"), "src")
             .groupBy(F.col("dst").alias("src"))
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+            .agg(F.sum(F.col("rank") * wexpr / F.col("strength")).alias("c"))
         )
         ranks = (
             nodes.join(contrib, "src", "left")
             .select(
                 "src",
                 "deg",
+                "strength",
                 "n_nodes",
                 F.round(
                     (1.0 - damping) / F.col("n_nodes")

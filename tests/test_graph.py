@@ -52,3 +52,22 @@ def test_pagerank_mass_conservation(spark):
     edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
     ranks = [r.pagerank for r in G.pagerank(_pairs(spark, edges)).collect()]
     assert abs(sum(ranks) - 1.0) < 1e-5  # no dangling mass in an undirected graph
+
+
+def test_weighted_pagerank_follows_heavy_edges(spark):
+    # node 1 connects to 2 (weight 0.95) and 3 (weight 0.05): the
+    # heavy neighbor receives almost all of 1's mass
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.95), (1, 3, 0.05)], "id_a bigint, id_b bigint, jaccard double"
+    )
+    out = {r.doc_id: r.pagerank for r in
+           G.pagerank(pairs, weight_col="jaccard").collect()}
+    assert out[2] > out[3]
+    assert abs(sum(out.values()) - 1.0) < 1e-5
+    # uniform weights == unweighted kernel exactly
+    uni = spark.createDataFrame(
+        [(1, 2, 0.7), (2, 3, 0.7), (1, 3, 0.7)], "id_a bigint, id_b bigint, jaccard double"
+    )
+    w = {r.doc_id: r.pagerank for r in G.pagerank(uni, weight_col="jaccard").collect()}
+    u = {r.doc_id: r.pagerank for r in G.pagerank(uni.select("id_a", "id_b")).collect()}
+    assert w == u
