@@ -36,8 +36,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from safedata_pipeline_spark.checkpoint import pin_eager, pin_lazy
+
 END_OF_WORD = "</w>"
 _CHECKPOINT_EVERY = 8
+
+
+def _codepoints(w: Column) -> Column:
+    """Split a word into CODE POINTS, not UTF-16 code units.
+    ``F.split(w, "")`` splits at every UTF-16 unit, so non-BMP
+    characters (emoji, rare CJK) would shatter into unpaired
+    surrogates and diverge from the code-point-based sequential
+    reference. Java regex ``.`` matches one code point (surrogate
+    pairs stay whole); ``(?s)`` keeps any embedded line terminators
+    matchable."""
+    return F.regexp_extract_all(w, F.lit("(?s)."), 0)
 
 
 def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -51,7 +64,7 @@ def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("word")
     )
     wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    chars = _codepoints(F.col("word"))
     return wf.select(
         "word", "freq", F.concat(chars, F.array(F.lit(END_OF_WORD))).alias("sym")
     )
@@ -100,7 +113,7 @@ def bpe_fit(
     artifact every encode/pack/OOV consumer keys off. Stops early when
     no pair reaches ``min_pair_count``."""
     spark = df.sparkSession
-    words = word_freq_table(df, text_col).localCheckpoint(eager=True)
+    words = word_freq_table(df, text_col).transform(pin_eager)
     rules: list[tuple[int, str, str, str, int]] = []
     for step in range(1, num_merges + 1):
         top = (
@@ -115,7 +128,7 @@ def bpe_fit(
         rules.append((step, left, right, left + right, cnt))
         words = words.select("word", "freq", _merge_fold(F.col("sym"), left, right).alias("sym"))
         if step % _CHECKPOINT_EVERY == 0:
-            words = words.localCheckpoint(eager=True)
+            words = words.transform(pin_eager)
     return spark.createDataFrame(
         rules, "step int, left string, right string, merged string, pair_count bigint"
     )
@@ -131,9 +144,7 @@ def bpe_segment(
     array, n_bpe_tokens). Map-only — the merge list is a fit artifact
     (≤ num_merges entries) baked into the expression as chained folds;
     encoding 100 TB is scan-bound with zero shuffles."""
-    chars_of = lambda w: F.concat(  # noqa: E731
-        F.filter(F.split(w, ""), lambda c: c != ""), F.array(F.lit(END_OF_WORD))
-    )
+    chars_of = lambda w: F.concat(_codepoints(w), F.array(F.lit(END_OF_WORD)))  # noqa: E731
     words = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(
         F.split(F.trim(F.col(text_col)), "\\s+")
     )

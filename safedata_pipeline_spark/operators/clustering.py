@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from safedata_pipeline_spark.checkpoint import pin_eager, pin_lazy
+
 ITER_ROUND = 9  # per-iteration centroid rounding: kills float drift
 _DEC = "decimal(38,9)"
 
@@ -85,7 +87,7 @@ def kmeans_fit(
     data = (
         df.where(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-        .localCheckpoint(eager=True)
+        .transform(pin_eager)
     )
     centers = _seed_centroids(data, "id", "v", k)
     counts: list[int] = [0] * k

@@ -36,6 +36,8 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from safedata_pipeline_spark.checkpoint import pin_eager, pin_lazy
+
 _LOG = logging.getLogger(__name__)
 
 ROUND_N = 6
@@ -109,7 +111,7 @@ def ngram_jaccard_pairs(
     # chain at sf0.1; narrow (id, shingle) rows)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(_word_shingles(F.col(text_col), n)).alias("s")
-    ).localCheckpoint(eager=True)
+    ).transform(pin_eager)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     joinable = sh
     if max_df is not None:
@@ -122,7 +124,7 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("__df"))
             .where(F.col("__df") > max_df)
             .select("s")
-            .localCheckpoint(eager=True)
+            .transform(pin_eager)
         )
         n_hot = hot.count()
         if n_hot:
@@ -231,7 +233,7 @@ def minhash_lsh_pairs(
     # entry per invocation in a long-lived session. (Caveat: no lineage
     # to recompute on executor loss; acceptable for a deterministic
     # single-pass signature table.)
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, n).localCheckpoint(eager=False)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n).transform(pin_lazy)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
@@ -399,7 +401,7 @@ def simhash_pairs(
     # projection and the self-join evaluates the whole signature
     # subtree on BOTH sides (measured 5.5-10s → 2.3s at sf0.1) — the
     # same discipline as dedup_incremental_near's bucket tables.
-    banded = banded.localCheckpoint(eager=True)
+    banded = banded.transform(pin_eager)
     a, b = banded.alias("a"), banded.alias("b")
     # bit_count is a JVM intrinsic (one popcount per pair); an array
     # fold over 32 masks here cost ~30x more per candidate
@@ -479,7 +481,7 @@ def dedup_components_star(
         pairs.select(F.col("id_a").cast("bigint").alias("u"), F.col("id_b").cast("bigint").alias("v"))
         .where(F.col("u") != F.col("v"))
         .dropDuplicates()
-        .localCheckpoint(eager=True)
+        .transform(pin_eager)
     )
     for _ in range(max_iter):
         # large-star: connect every neighbor v > u to m(u) = min(N(u) ∪ {u})
@@ -505,7 +507,7 @@ def dedup_components_star(
             .union(sm.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .dropDuplicates()
-            .localCheckpoint(eager=True)
+            .transform(pin_eager)
         )
         # converged when the star rounds stop rewriting the edge set
         if small.count() == e.count() and small.exceptAll(e).limit(1).count() == 0:
@@ -554,10 +556,10 @@ def dedup_components(
     # a permanent CacheManager entry behind (the old persist() did).
     sym = edges.union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).transform(pin_lazy)
     labels = docs.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(id_col).cast("bigint").alias("comp")
-    ).localCheckpoint(eager=False)
+    ).transform(pin_lazy)
     for _ in range(max_iter):
         neigh = (
             sym.alias("e")
@@ -574,7 +576,7 @@ def dedup_components(
                     F.col("l.comp"), F.coalesce(F.col("n.ncomp"), F.col("l.comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin_eager)
         )
         changed = (
             new_labels.alias("a")
@@ -1056,8 +1058,8 @@ def dedup_incremental_near(
     # planner executes ~2.5x slower than the decomposed jobs
     # (measured 14s vs 5.6s at sf0.1) — same localCheckpoint
     # discipline as the hot-shingle set and the pagerank edge list.
-    nb = buckets(new_docs.where(F.col(text_col).isNotNull()), "n").localCheckpoint(eager=True)
-    rb = buckets(ref_docs.where(F.col(text_col).isNotNull()), "r").localCheckpoint(eager=True)
+    nb = buckets(new_docs.where(F.col(text_col).isNotNull()), "n").transform(pin_eager)
+    rb = buckets(ref_docs.where(F.col(text_col).isNotNull()), "r").transform(pin_eager)
     agree = sum(
         (F.col(f"n_mh_{i}") == F.col(f"r_mh_{i}")).cast("int") for i in range(num_hashes)
     )
@@ -1068,8 +1070,14 @@ def dedup_incremental_near(
         .select(F.col("id_n").alias(id_col))
         .dropDuplicates()
     )
+    # No broadcast hint here: ``matched`` holds one row per matched NEW
+    # doc, i.e. it is proportional to the ingest batch and unbounded at
+    # 100 TB — a forced broadcast would blow the 8 GB broadcast ceiling
+    # exactly when the operator matters most. AQE broadcasts it at
+    # runtime whenever it measures small; otherwise the planner's
+    # shuffle anti-join is the correct fallback.
     return new_docs.where(F.col(text_col).isNotNull()).join(
-        F.broadcast(matched), on=id_col, how="left_anti"
+        matched, on=id_col, how="left_anti"
     )
 
 
@@ -1121,7 +1129,7 @@ def jaccard_prefix_join(
     # banded signature tables)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(_word_shingles(F.col(text_col), n)).alias("s")
-    ).localCheckpoint(eager=True)
+    ).transform(pin_eager)
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     ranked = (
@@ -1254,7 +1262,7 @@ def containment_prefix_join(
     # index side, verify sets) — materialize once
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(_word_shingles(F.col(text_col), n)).alias("s")
-    ).localCheckpoint(eager=True)
+    ).transform(pin_eager)
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     ranked = (

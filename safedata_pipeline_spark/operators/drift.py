@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from safedata_pipeline_spark.checkpoint import pin_eager, pin_lazy
 from pyspark.sql.types import NumericType
 
 ROUND_N = 6
@@ -83,7 +85,7 @@ def _two_phase_cum(
     rp = (
         g.repartitionByRange(npart, F.col(key_col), F.col(val_col))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(pin_eager)
     )
     g.unpersist()
     tot = (
@@ -545,7 +547,7 @@ def drift_timeline(
     g = (
         binned.groupBy("hour_start", "b")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(pin_eager)
     )
     # explicit hour × global-bin grid: an hour MISSING a bin still
     # advances the global cumulative there, so the grid (bounded at

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from safedata_pipeline_spark.checkpoint import pin_eager, pin_lazy
+
 ITER_ROUND = 12  # per-iteration rounding: kills cross-engine ulp drift
 OUT_ROUND = 6
 
@@ -98,7 +100,7 @@ def pagerank(
     # (shingle joins, LSH bands), so materialize the symmetrized edges
     # once — localCheckpoint truncates lineage and auto-releases blocks
     # with the DataFrame, mirroring bpe_fit's iteration discipline
-    und = undirected_edges(pairs, id_a, id_b, weight_col).localCheckpoint(eager=True)
+    und = undirected_edges(pairs, id_a, id_b, weight_col).transform(pin_eager)
     wexpr = F.col("w") if weight_col is not None else F.lit(1.0)
     deg = und.groupBy("src").agg(
         F.count(F.lit(1)).alias("deg"), F.round(F.sum(wexpr), 12).alias("strength")

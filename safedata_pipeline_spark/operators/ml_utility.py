@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from safedata_pipeline_spark.checkpoint import pin_eager, pin_lazy
 from pyspark.sql.types import NumericType
 
 STRATIFY_MAX_CLASSES = 20  # reference utility.py:137
@@ -138,7 +140,7 @@ def _ranged_cum(g: DataFrame, val_col: str, cols: list[str]) -> DataFrame:
     rp = (
         g.repartitionByRange(npart, F.col(val_col))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(pin_eager)
     )
     g.unpersist()
     n = list(range(len(cols)))

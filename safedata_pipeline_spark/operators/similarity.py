@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from safedata_pipeline_spark.checkpoint import pin_eager, pin_lazy
+
 from safedata_pipeline_spark.functions.vector import cosine as _cos
 from safedata_pipeline_spark.functions.vector import dot as _dot
 from safedata_pipeline_spark.functions.vector import norm as _norm
@@ -199,7 +201,7 @@ def cosine_topk_ivf(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    c = _unit(_prep(corpus, id_col, vec_col, "id")).localCheckpoint(eager=False)
+    c = _unit(_prep(corpus, id_col, vec_col, "id")).transform(pin_lazy)
     train = c.select(array_to_vector("u").alias("features"))
     if sample_fraction < 1.0:
         train = train.sample(fraction=sample_fraction, seed=seed)

@@ -26,6 +26,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from safedata_pipeline_spark.checkpoint import pin_eager, pin_lazy
+
 from safedata_pipeline_spark.functions.hashing import md5_unit_interval as _hash01
 
 ROUND_N = 6
@@ -225,21 +227,33 @@ def heavy_hitters(
     inflation) die in the final HAVING; false negatives are
     impossible, so the result is EXACTLY `GROUP BY value HAVING
     count(*) >= min_count` — oracle-checkable despite the sketch in
-    the middle."""
-    state_rows = count_min_state(df, col, depth, width).collect()
-    cells: list[list[int]] = [[0] * width for _ in range(depth)]
-    for r in state_rows:
-        cells[r.d][r.slot] = int(r.n)
+    the middle.
+
+    NOTE on execution semantics: building the operator EAGERLY runs
+    pass 1 (the state fit launches a Spark job via localCheckpoint) so
+    that the returned plan is a pure pass-2 lazy pipeline. The state
+    lookup is `depth` BROADCAST hash joins on the ≤width-row per-depth
+    state slices — all map-side, no shuffle, and the plan stays O(depth)
+    regardless of `width` (a 64k-wide sketch no longer inflates
+    codegen the way the former per-cell literal arrays did)."""
+    # ≤ depth·width rows; checkpoint once so the depth broadcast joins
+    # below don't each re-run the pass-1 aggregation.
+    state = count_min_state(df, col, depth, width).transform(pin_eager)
     v = F.col(col).cast("string")
-    est = None
+    out = df.where(F.col(col).isNotNull()).select(
+        v.alias("value"),
+        *[(_slot32(v, d) % F.lit(width)).alias(f"__slot_{d}") for d in range(depth)],
+    )
     for d in range(depth):
-        arr = F.array(*[F.lit(c) for c in cells[d]])
-        cell = F.element_at(arr, (_slot32(v, d) % F.lit(width)).cast("int") + 1)
-        est = cell if est is None else F.least(est, cell)
+        sd = state.where(F.col("d") == d).select(
+            F.col("slot").alias(f"__slot_{d}"), F.col("n").alias(f"__n_{d}")
+        )
+        out = out.join(F.broadcast(sd), f"__slot_{d}", "left")
+    ests = [F.coalesce(F.col(f"__n_{d}"), F.lit(0)) for d in range(depth)]
+    est = ests[0] if depth == 1 else F.least(*ests)
     return (
-        df.where(F.col(col).isNotNull())
-        .where(est >= F.lit(min_count))
-        .groupBy(v.alias("value"))
+        out.where(est >= F.lit(min_count))
+        .groupBy("value")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .where(F.col("n") >= min_count)
     )

@@ -134,7 +134,12 @@ def compute(spark, sf_dir: str) -> dict[str, float]:
     from safedata_pipeline_spark.operators import bpe as BPE
 
     docs = load_table(spark, sf_dir, "documents")
-    rules = [(r["left"], r["right"]) for r in qs["bpe_merges"](spark, sf_dir).collect()]
+    # merge rules MUST apply in training order — sort by step explicitly
+    # rather than relying on collect() happening to preserve it.
+    rules = [
+        (r["left"], r["right"])
+        for r in sorted(qs["bpe_merges"](spark, sf_dir).collect(), key=lambda r: r["step"])
+    ]
     seg = BPE.bpe_segment(docs, rules).agg(F.sum("n_bpe_tokens").alias("t")).collect()[0]["t"]
     chars = BPE.bpe_segment(docs, []).agg(F.sum("n_bpe_tokens").alias("t")).collect()[0]["t"]
     out["bpe_compression_ratio"] = round(float(seg) / float(chars), 6)
