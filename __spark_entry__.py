@@ -1434,6 +1434,103 @@ def _q_hll_user_rollup(spark, sf):
     )
 
 
+# -- X165: HTML → text extraction ------------------------------------------
+
+# Deterministic synthetic-HTML wrap of the documents fixture: head junk
+# (title/style/script), a 3-link nav row (link density 1.0 → dropped),
+# a 2-word h1 (< min_words → dropped), the document text as the body
+# paragraph (kept when ≥ 3 words), a link-farm share row (3 anchors / 5
+# words = 0.6 > 0.5 → dropped) and a 2-word footer (dropped).
+_HTML_WRAP_PRE = (
+    '<html><head><title>Doc ',
+    '</title><style>body { margin: 0; }</style><script>var n = ',
+    '; if (n > 1) { n = n - 1; }</script></head><body>'
+    '<nav><a href="/">home</a> <a href="/docs">docs</a> <a href="/about">about</a></nav>'
+    '<h1>Document ',
+    '</h1><p>',
+    '</p><div class="share">share &amp; <a href="#">tweet</a> <a href="#">post</a>'
+    ' <a href="#">mail</a></div><footer>&copy; example.com</footer></body></html>',
+)
+
+
+def _q_extract_text(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    p = _HTML_WRAP_PRE
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(p[0]), did, F.lit(p[1]), did, F.lit(p[2]), did, F.lit(p[3]),
+        F.col("text"), F.lit(p[4]),
+    )
+    wrapped = docs.select("doc_id", html.alias("html"))
+    return TX.extract_html_text(wrapped).select(
+        "doc_id", "text", "n_lines_kept", "n_lines_total"
+    )
+
+
+def _sql_extract_text() -> str:
+    p = _HTML_WRAP_PRE
+    block_re = (
+        "(?i)</?(?:p|div|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|blockquote"
+        "|section|article|aside|header|footer|nav|form|pre|hr|br)(?:\\s[^>]*)?/?>"
+    )
+    # entity decode chain, &amp; last (same one-pass order as the operator)
+    ent = "regexp_replace(line, '<[^>]*>', '', 'g')"
+    for pat, rep in [
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&"),
+    ]:
+        ent = f"regexp_replace({ent}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH wrapped AS (
+  SELECT doc_id,
+    '{p[0]}' || CAST(doc_id AS VARCHAR) || '{p[1]}' || CAST(doc_id AS VARCHAR)
+    || '{p[2]}' || CAST(doc_id AS VARCHAR) || '{p[3]}' || text || '{p[4]}' AS html
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '{block_re}', chr(10), 'g') AS c
+  FROM wrapped
+),
+lns AS (
+  SELECT t.doc_id, g.p AS pos, t.ln[g.p] AS line
+  FROM (SELECT doc_id, string_split(c, chr(10)) AS ln FROM cleaned) t
+       CROSS JOIN unnest(generate_series(1, len(t.ln))) AS g(p)
+),
+stripped AS (
+  SELECT doc_id, pos,
+    trim(regexp_replace({ent}, '\\s+', ' ', 'g')) AS t,
+    len(regexp_extract_all(line, '(?i)<a[\\s>]')) AS n_a
+  FROM lns
+),
+scored AS (
+  SELECT doc_id, pos, t, n_a,
+    CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS w
+  FROM stripped
+),
+kept AS (
+  SELECT doc_id, pos, t FROM scored
+  WHERE w >= 3 AND CAST(n_a AS DOUBLE) <= 0.5 * w
+),
+agg AS (
+  SELECT doc_id, string_agg(t, chr(10) ORDER BY pos) AS text,
+         CAST(count(*) AS BIGINT) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_total FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.text, '') AS text,
+       CAST(coalesce(a.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+       t.n_lines_total
+FROM documents d JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-5 window rotation: the driver hash-checks the FIRST 50
     # entries. All 50 r4 rows came back green, so per the standing
@@ -1538,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_free_split": _q_leakage_free_split,
         "dedup_incremental_near": _q_dedup_incremental_near,
         "cross_source_dup_matrix": _q_cross_source_dup_matrix,
+        "extract_text": _q_extract_text,
         # --- past the driver's 50-row correctness window from here on.
         # Everything below except the trailing rows-only block IS
         # oracle-backed — tools/check_oracle.py runs the identical
@@ -4177,6 +4275,7 @@ def oracle_sql() -> dict[str, str]:
         "quantization_error": _sql_quantization_error(),
         "skew_report": _sql_skew_report("orders", "o_custkey"),
         "normalize_text": _sql_normalize_text(),
+        "extract_text": _sql_extract_text(),
         "column_entropy": _sql_column_entropy("customer", ENTROPY_COLS),
         "dedup_best": _sql_dedup_best(),
         "table_diff": _sql_table_diff(),

@@ -45,6 +45,25 @@ class CorpusPipeline:
         self.funnel[step] = df.count()
         return self
 
+    # -- step -1: HTML → text extraction --------------------------------
+    def extract_html(
+        self,
+        html_col: str = "html",
+        min_words: int = 3,
+        max_link_density: float = 0.5,
+    ) -> "CorpusPipeline":
+        """Crawl entry point: the corpus starts as raw HTML, so this is
+        the FIRST step of a web pipeline — tag strip + jusText-style
+        line-density boilerplate drop (``text.extract_html_text``).
+        Replaces ``html_col`` with the extracted ``text_col``; documents
+        whose every line is boilerplate (empty extraction) drop."""
+        out = TX.extract_html_text(
+            self.df, html_col=html_col, id_col=self.id_col,
+            text_col=self.text_col, min_words=min_words,
+            max_link_density=max_link_density,
+        ).drop("n_lines_kept", "n_lines_total")
+        return self._keep("html_extract", out.where(F.col(self.text_col) != ""))
+
     # -- step 0: canonicalize text -------------------------------------
     def normalize(
         self,

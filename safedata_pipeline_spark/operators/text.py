@@ -1366,3 +1366,115 @@ def content_defined_chunks(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (jusText / trafilatura lineage) — the missing
+# FIRST stage of a crawl pipeline: every real web corpus starts as HTML.
+# ---------------------------------------------------------------------------
+
+# Block-level elements terminate a text line (their open AND close tags
+# become newlines); everything else is inline and strips to "".
+_HTML_BLOCK_TAG_RE = (
+    "(?i)</?(?:p|div|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|blockquote"
+    "|section|article|aside|header|footer|nav|form|pre|hr|br)(?:\\s[^>]*)?/?>"
+)
+# Single-pass entity decode for the HTML-escapable core; &amp; LAST so
+# "&amp;lt;" decodes to the literal "&lt;" (not to "<") — the standard
+# one-pass approximation.
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+_ANCHOR_RE = "(?i)<a[\\s>]"
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    max_link_density: float = 0.5,
+) -> DataFrame:
+    """HTML → plain-text extraction with line-level boilerplate removal
+    (the jusText/trafilatura-style density heuristic, Pomikálek 2011):
+    the first stage of any crawl-derived corpus, before normalization /
+    quality scoring / dedup ever see the text.
+
+    Fixed op order (every engine reproduces byte-identical output):
+
+      1. drop ``<script>``/``<style>`` elements and HTML comments
+         (content included — DOTALL non-greedy);
+      2. block-level tags (``p div li h1-6 tr table br …``) → newline,
+         so document line structure survives tag stripping;
+      3. per line: count anchor tags BEFORE stripping (``<a`` openers —
+         the link-density signal), strip remaining inline tags to ""
+         (inline tags never insert word breaks: ``fo<b>o</b>`` → "foo"),
+         decode the core entities (&amp; last), collapse whitespace,
+         trim;
+      4. boilerplate drop: keep a line iff it has ≥ ``min_words`` words
+         AND anchors ≤ ``max_link_density`` · words — short navigation
+         rows and link-farm lines die here (jusText's "bad block" rule
+         reduced to its two strongest features);
+      5. surviving lines re-join with newline.
+
+    Output: input columns minus ``html_col`` plus ``text_col`` (the
+    extraction; "" when nothing survives), ``n_lines_kept`` and
+    ``n_lines_total``.
+
+    Scale shape: pure array/string Column expressions over one row at a
+    time — map-only, zero shuffles, whole-stage codegen; 100 TB of HTML
+    extracts scan-bound. Regex constructs are RE2-safe (no lookaround /
+    backreferences) so the DuckDB oracle replays the identical pipeline.
+    """
+    raw = F.col(html_col)
+    cleaned = F.regexp_replace(raw, "(?is)<script[^>]*>.*?</script>", " ")
+    cleaned = F.regexp_replace(cleaned, "(?is)<style[^>]*>.*?</style>", " ")
+    cleaned = F.regexp_replace(cleaned, "(?s)<!--.*?-->", " ")
+    cleaned = F.regexp_replace(cleaned, _HTML_BLOCK_TAG_RE, "\n")
+    lines = F.split(cleaned, "\n")
+
+    def _strip(ln: Column) -> Column:
+        s = F.regexp_replace(ln, "<[^>]*>", "")
+        for ent, rep in _HTML_ENTITIES:
+            s = F.regexp_replace(s, ent, rep)
+        return F.trim(F.regexp_replace(s, "\\s+", " "))
+
+    stats = F.transform(
+        lines,
+        lambda ln: F.struct(
+            _strip(ln).alias("t"),
+            F.size(F.regexp_extract_all(ln, F.lit(_ANCHOR_RE), 0)).alias("n_a"),
+        ),
+    )
+    scored = F.transform(
+        stats,
+        lambda s: F.struct(
+            s.getField("t").alias("t"),
+            s.getField("n_a").alias("n_a"),
+            F.when(s.getField("t") == "", F.lit(0))
+            .otherwise(F.size(F.split(s.getField("t"), " ")))
+            .alias("w"),
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (s.getField("w") >= F.lit(min_words))
+        & (
+            s.getField("n_a").cast("double")
+            <= F.lit(float(max_link_density)) * s.getField("w").cast("double")
+        ),
+    )
+    return df.withColumn("__scored", scored).withColumn("__kept", kept).select(
+        *[c for c in df.columns if c not in (html_col, text_col)],
+        F.array_join(F.transform(F.col("__kept"), lambda s: s.getField("t")), "\n").alias(
+            text_col
+        ),
+        F.size("__kept").cast("bigint").alias("n_lines_kept"),
+        F.size("__scored").cast("bigint").alias("n_lines_total"),
+    )
