@@ -1531,6 +1531,62 @@ FROM documents d JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
 """
 
 
+# -- X166: semantic (embedding-cluster) dedup --------------------------------
+
+
+def _q_semantic_dedup(spark, sf):
+    # SemDeDup composition: deterministic KMeans cells -> intra-cluster
+    # cosine pairs. k/iterations small (fixture scale); threshold
+    # matches the brute cosine baseline so cell confinement is the only
+    # difference between this and embedding_cosine_dedup.
+    emb = load_table(spark, sf, "embeddings")
+    return DD.semantic_pairs(emb, k=8, iterations=3, threshold=0.4)
+
+
+def _sql_semantic_pairs(k: int = 8, iterations: int = 3, threshold: float = 0.4) -> str:
+    # the whole composition unrolled: md5-seeded init, `iterations`
+    # rounds of (rounded-distance argmin assignment -> 9dp DECIMAL
+    # centroid means), final assignment, intra-cell cosine pairs. The
+    # distance kernel -2·(v·c)+|c|² rounded to 6dp matches
+    # clustering._nearest_centroid_expr term for term.
+    dist = "round(-2 * list_dot_product(d.v, c.c) + list_dot_product(c.c, c.c), 6)"
+    parts = [
+        "data AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v "
+        "FROM embeddings WHERE embedding IS NOT NULL)",
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 "
+        f"AS INTEGER) AS cid, v AS c FROM data ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {k})",
+    ]
+    assign = (
+        "(SELECT id, v, cid FROM (SELECT d.id, d.v, c.cid, "
+        f"row_number() OVER (PARTITION BY d.id ORDER BY {dist}, c.cid) AS rn "
+        "FROM data d CROSS JOIN {prev} c) WHERE rn = 1)"
+    )
+    for t in range(1, iterations + 1):
+        parts.append(f"a{t} AS " + assign.format(prev=f"c{t - 1}"))
+        parts.append(
+            f"u{t} AS (SELECT cid, g.p - 1 AS dim, "
+            "round(CAST(sum(CAST(round(t.v[g.p], 9) AS DECIMAL(38,9))) AS DOUBLE) "
+            "/ count(*), 9) AS m "
+            f"FROM a{t} t CROSS JOIN unnest(generate_series(1, len(t.v))) AS g(p) "
+            "GROUP BY cid, g.p)"
+        )
+        parts.append(
+            f"n{t} AS (SELECT cid, list(m ORDER BY dim) AS c FROM u{t} GROUP BY cid)"
+        )
+        parts.append(
+            f"c{t} AS (SELECT p.cid, coalesce(nc.c, p.c) AS c "
+            f"FROM c{t - 1} p LEFT JOIN n{t} nc USING (cid))"
+        )
+    parts.append("af AS " + assign.format(prev=f"c{iterations}"))
+    return (
+        "WITH " + ", ".join(parts) + ", "
+        "p AS (SELECT a.id AS id_a, b.id AS id_b, a.cid AS cluster_id, "
+        f"round({SQL_COS}, 6) AS cosine "
+        "FROM af a JOIN af b ON a.cid = b.cid AND a.id < b.id) "
+        f"SELECT * FROM p WHERE cosine >= {threshold}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-5 window rotation: the driver hash-checks the FIRST 50
     # entries. All 50 r4 rows came back green, so per the standing
@@ -1636,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_near": _q_dedup_incremental_near,
         "cross_source_dup_matrix": _q_cross_source_dup_matrix,
         "extract_text": _q_extract_text,
+        "semantic_dedup": _q_semantic_dedup,
         # --- past the driver's 50-row correctness window from here on.
         # Everything below except the trailing rows-only block IS
         # oracle-backed — tools/check_oracle.py runs the identical
@@ -4276,6 +4333,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_report": _sql_skew_report("orders", "o_custkey"),
         "normalize_text": _sql_normalize_text(),
         "extract_text": _sql_extract_text(),
+        "semantic_dedup": _sql_semantic_pairs(),
         "column_entropy": _sql_column_entropy("customer", ENTROPY_COLS),
         "dedup_best": _sql_dedup_best(),
         "table_diff": _sql_table_diff(),

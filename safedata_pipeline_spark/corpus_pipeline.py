@@ -298,6 +298,34 @@ class CorpusPipeline:
         self.results["n_clusters"] = self.funnel["near_dedup"]
         return out
 
+    # -- step 3a': semantic (embedding-cluster) dedup -------------------
+    def dedup_semantic(
+        self,
+        embeddings: DataFrame,
+        vec_id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 8,
+        iterations: int = 3,
+        threshold: float = 0.9,
+    ) -> "CorpusPipeline":
+        """SemDeDup-style semantic dedup (Abbas et al. 2023): KMeans
+        cells confine the cosine pair join, connected components pick
+        one canonical doc per semantic cluster. ``embeddings`` maps the
+        pipeline's doc ids (``vec_id_col``) to vectors; documents
+        WITHOUT an embedding pass through untouched (absence of
+        evidence). Complements ``dedup_near`` (lexical MinHash): near-
+        paraphrases share embeddings but not shingles."""
+        labels = DD.semantic_dedup(
+            embeddings, id_col=vec_id_col, vec_col=vec_col, k=k,
+            iterations=iterations, threshold=threshold,
+        )
+        drop = labels.where(~F.col("is_canonical")).select(
+            F.col(vec_id_col).alias(self.id_col)
+        )
+        return self._keep(
+            "semantic_dedup", self.df.join(drop, on=self.id_col, how="left_anti")
+        )
+
     # -- step 3b: source-mixture reshaping -----------------------------
     def mix_sources(
         self, shares: dict[str, float], source_col: str = "source"

@@ -59,6 +59,32 @@ def _nearest_centroid(centers):
     return nearest
 
 
+def _nearest_centroid_expr(centers: list[list[float]], dist_round: int):
+    """Pure-expression twin of ``_nearest_centroid`` for ORACLE-PARITY
+    mode: distance = -2·(v·c) + |c|² with the dot as the sequential
+    ``functions.vector`` fold (same FP evaluation order as DuckDB's
+    ``list_dot_product``), ROUNDED to ``dist_round`` dp before the
+    argmin so both engines compare identical values; ties break to the
+    lowest centroid id via struct array_min. |c|² is a Python
+    sequential float sum over the (already 9dp-rounded) centroid — also
+    order-identical to ``list_dot_product(c, c)``. No Python rows, no
+    Arrow: whole-stage codegen, k folds per row."""
+    from safedata_pipeline_spark.functions.vector import dot as _dot
+
+    def assign(v):
+        cands = []
+        for i, c in enumerate(centers):
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            c2 = 0.0
+            for x in c:
+                c2 += float(x) * float(x)
+            d = F.round(F.lit(-2.0) * _dot(v, carr) + F.lit(c2), dist_round)
+            cands.append(F.struct(d.alias("d"), F.lit(i).cast("int").alias("cid")))
+        return F.array_min(F.array(*cands)).getField("cid")
+
+    return assign
+
+
 def _seed_centroids(df: DataFrame, id_col: str, vec_col: str, k: int) -> list[list[float]]:
     rows = (
         df.select(F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"), F.col(vec_col))
@@ -71,19 +97,23 @@ def _seed_centroids(df: DataFrame, id_col: str, vec_col: str, k: int) -> list[li
     return [[float(x) for x in r[1]] for r in rows]
 
 
-def kmeans_fit(
+def kmeans_fit_centers(
     df: DataFrame,
     k: int = 8,
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Fit deterministic KMeans; returns the centroid table
-    ``(cluster_id, n_assigned, centroid array<double>)`` after the
-    final update step."""
+    dist_round: int | None = None,
+) -> tuple[list[list[float]], list[int]]:
+    """Core Lloyd loop; returns (centers, counts) as driver-side fit
+    parameters — the form downstream compositions (``kmeans_assign``,
+    semantic dedup) consume directly. ``dist_round`` switches the
+    assignment to the pure-expression rounded-distance kernel
+    (``_nearest_centroid_expr``) whose trajectory a SQL oracle can
+    replay exactly; ``None`` keeps the Arrow GEMM kernel (fast path,
+    rows-only contract)."""
     if k < 1 or iterations < 1:
         raise ValueError("need k >= 1 and iterations >= 1")
-    spark = df.sparkSession
     data = (
         df.where(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
@@ -92,8 +122,13 @@ def kmeans_fit(
     centers = _seed_centroids(data, "id", "v", k)
     counts: list[int] = [0] * k
     for _ in range(iterations):
-        assign = _nearest_centroid(centers)
-        cells = data.select(assign("v").alias("cluster_id"), "v")
+        if dist_round is None:
+            cells = data.select(_nearest_centroid(centers)("v").alias("cluster_id"), "v")
+        else:
+            cells = data.select(
+                _nearest_centroid_expr(centers, dist_round)(F.col("v")).alias("cluster_id"),
+                "v",
+            )
         upd = (
             cells.select("cluster_id", F.posexplode("v").alias("dim", "x"))
             .groupBy("cluster_id", "dim")
@@ -115,8 +150,23 @@ def kmeans_fit(
             new[r.cluster_id][r.dim] = float(r.m)
             counts[r.cluster_id] = int(r.n)
         centers = new
+    return centers, counts
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_round: int | None = None,
+) -> DataFrame:
+    """Fit deterministic KMeans; returns the centroid table
+    ``(cluster_id, n_assigned, centroid array<double>)`` after the
+    final update step."""
+    centers, counts = kmeans_fit_centers(df, k, iterations, id_col, vec_col, dist_round)
     out = [(i, counts[i], centers[i]) for i in range(k)]
-    return spark.createDataFrame(
+    return df.sparkSession.createDataFrame(
         out, "cluster_id int, n_assigned bigint, centroid array<double>"
     )
 
@@ -126,12 +176,17 @@ def kmeans_assign(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dist_round: int | None = None,
 ) -> DataFrame:
     """Map-only cluster assignment against a fitted centroid list:
     (id, cluster_id). Scan-bound at any scale — the centroids are a
-    broadcast-by-closure fit artifact."""
-    assign = _nearest_centroid(centroids)
+    broadcast-by-closure fit artifact. ``dist_round`` selects the
+    oracle-parity expression kernel (see ``kmeans_fit_centers``)."""
+    v = F.col(vec_col).cast("array<double>")
+    if dist_round is None:
+        cid = _nearest_centroid(centroids)(v)
+    else:
+        cid = _nearest_centroid_expr(centroids, dist_round)(v)
     return df.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col),
-        assign(F.col(vec_col).cast("array<double>")).alias("cluster_id"),
+        F.col(id_col), cid.alias("cluster_id")
     )

@@ -1299,3 +1299,96 @@ def containment_prefix_join(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-cluster) dedup — SemDeDup lineage (Abbas et al.
+# 2023): KMeans cells confine the cosine pair join, exactly as IVF
+# confines the ANN probe.
+# ---------------------------------------------------------------------------
+
+
+def semantic_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    threshold: float = 0.9,
+    dist_round: int = 6,
+) -> DataFrame:
+    """Semantic near-dup candidate pairs: deterministic KMeans
+    clustering (``clustering.kmeans_fit_centers``, md5-seeded init,
+    9dp-rounded trajectory, ``dist_round``-rounded distances) followed
+    by an INTRA-CLUSTER cosine pair join at ``threshold``. Output:
+    (id_a, id_b, cluster_id, cosine) with id_a < id_b.
+
+    This is the SemDeDup move: the O(n²) cosine join runs per cell, so
+    at 100 TB the pair cost is Σ|cell|² instead of n² — the same
+    confinement IVF gives the ANN search, here applied to dedup.
+    Trade: cross-cell near-dups are missed (pairs straddling a KMeans
+    boundary); SemDeDup accepts this because embedding near-dups
+    cluster tightly relative to cell granularity.
+
+    Engine-deterministic end to end (seeded init + rounded distances +
+    rounded per-iteration centroid means + rounded cosines) — the whole
+    composition, KMeans included, is replayed by an unrolled SQL oracle
+    and hash-checked, unusual for a clustering-based operator.
+    """
+    from safedata_pipeline_spark.functions.vector import cosine as _cos
+    from safedata_pipeline_spark.functions.vector import norm as _norm
+    from safedata_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit_centers,
+    )
+
+    centers, _ = kmeans_fit_centers(
+        emb, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col,
+        dist_round=dist_round,
+    )
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), v.alias("v"), _norm(v).alias("nrm")
+    )
+    assign = kmeans_assign(
+        emb, centers, id_col=id_col, vec_col=vec_col, dist_round=dist_round
+    ).select(F.col(id_col).alias("id"), "cluster_id")
+    # cells are narrow (id, cluster) rows; the join keys the pair
+    # explosion strictly by cluster_id
+    e = base.join(assign, "id").transform(pin_lazy)
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            on=(F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.cluster_id").alias("cluster_id"),
+            F.round(
+                _cos(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")), ROUND_N
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Full semantic-dedup composition: ``semantic_pairs`` →
+    ``dedup_components`` keep/drop labels. Output: (id, comp_id,
+    is_canonical) — keep the canonical row per semantic cluster."""
+    pairs = semantic_pairs(
+        emb, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations,
+        threshold=threshold,
+    )
+    ids = emb.where(F.col(vec_col).isNotNull()).select(F.col(id_col))
+    return dedup_components(ids, pairs, id_col=id_col)
