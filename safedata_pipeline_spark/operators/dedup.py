@@ -873,16 +873,25 @@ def substring_dedup(
     operator catches repeats ANYWHERE inside running text.
 
     Spark-first reformulation (no distributed suffix array): the match
-    unit is the fixed-length k-word window. Any repeated run of
-    ≥ k words is covered by ≥ 1 repeated k-window; every NON-FIRST
-    occurrence of each duplicated window (first = smallest
-    ``(doc_id, start)``, a total order) marks its k word positions for
-    removal, and a document's cleaned text is its unmarked words
-    re-joined by single spaces. Removal boundaries are therefore
-    quantized to the k-window grid — repeats shorter than k words
-    survive, and a marked window may clip up to k-1 words adjacent to
-    the true repeat (the greedy price of not building a suffix array;
-    Lee et al.'s byte-exact boundaries need one).
+    unit is the fixed-length k-word window, slid over EVERY position.
+    Any repeated run of m ≥ k words is covered by exactly its m−k+1
+    repeated k-windows; every NON-FIRST occurrence of each duplicated
+    window (first = smallest ``(doc_id, start)``, a total order) marks
+    its k word positions for removal, and a document's cleaned text is
+    its unmarked words re-joined by single spaces.
+
+    Boundary semantics — WORD-EXACT for repeats ≥ k: because windows
+    overlap at every offset, the duplicated windows of a maximal
+    repeated run tile precisely its word span, and a window straddling
+    the run boundary is by maximality not a repeat — so no adjacent
+    word is ever clipped, in either direction (pinned by the
+    sequential-twin test
+    ``test_substring_dedup_exact_boundaries_vs_sequential_twin``).
+    Remaining deltas vs Lee et al.'s suffix-array ExactSubstr are only
+    granularity: repeats shorter than k WORDS survive (their threshold
+    counts tokens/bytes), matches are word-aligned (a repeat starting
+    mid-word is invisible), and the rebuild renders inter-word
+    whitespace as single spaces.
 
     Output per input doc (null/blank texts dropped):
     ``(id, n_words, n_removed, clean_text)``; a fully-duplicated doc

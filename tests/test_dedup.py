@@ -572,3 +572,52 @@ def test_containment_prefix_join_matches_brute(spark):
             .select("id_a", "id_b", F.round(F.col("c") / F.col("n"), 6).alias("ct"))
             .where(F.col("ct") >= thr).collect()))
         assert got == brute, f"thr={thr}"
+
+
+def test_substring_dedup_exact_boundaries_vs_sequential_twin(spark):
+    """Planted-boilerplate exactness: removal boundaries are WORD-EXACT
+    for repeats >= k — an independent sequential twin computes, for
+    every word position, whether its covering k-window occurs at any
+    strictly-earlier (doc_id, pos), and the operator must agree on
+    every document (no adjacent-word clipping in either direction)."""
+    import itertools
+
+    from safedata_pipeline_spark.operators.dedup import substring_dedup
+
+    k = 4
+    boiler = "subscribe to our newsletter for updates"  # 6 words
+    docs_py = {
+        1: f"alpha beta {boiler} gamma delta epsilon",
+        2: f"{boiler} unrelated words in the middle {boiler}",
+        3: f"prefix one two {boiler}",          # repeat flush at the end
+        4: f"{boiler} suffix three four",        # repeat flush at the start
+        5: "alpha beta gamma delta epsilon zeta",  # overlaps doc 1 (< k run at edges)
+        6: "short doc only",                      # < k words: no windows
+    }
+
+    def twin(texts: dict[int, str]) -> dict[int, str]:
+        words = {i: t.split() for i, t in texts.items()}
+        occ: dict[str, list[tuple[int, int]]] = {}
+        for i, ws in sorted(words.items()):
+            for p in range(len(ws) - k + 1):
+                occ.setdefault(" ".join(ws[p : p + k]), []).append((i, p))
+        out = {}
+        for i, ws in words.items():
+            marked = set()
+            for p in range(len(ws) - k + 1):
+                g = " ".join(ws[p : p + k])
+                if min(occ[g]) < (i, p):
+                    marked.update(range(p, p + k))
+            out[i] = " ".join(w for j, w in enumerate(ws) if j not in marked)
+        return out
+
+    docs = spark.createDataFrame(list(docs_py.items()), "doc_id bigint, text string")
+    got = {r.doc_id: r.clean_text for r in substring_dedup(docs, k=k).collect()}
+    expected = twin(docs_py)
+    assert got == expected
+    # the planted boilerplate itself is stripped exactly where repeated:
+    assert boiler not in got[2] and boiler not in got[3] and boiler not in got[4]
+    assert boiler in got[1]  # doc 1 is the first occurrence — kept intact
+    # word-exact boundaries: doc 3/4 context words survive untouched
+    assert got[3] == "prefix one two"
+    assert got[4] == "suffix three four"
