@@ -147,6 +147,39 @@ def bucket_keys_vectorized(dim: int, num_tables: int, planes: int):
     return keys
 
 
+def probe_keys_vectorized(dim: int, num_tables: int, planes: int, extra_probes: int):
+    """Pandas UDF: embedding → MULTI-PROBE bucket keys (Lv et al.,
+    "Multi-Probe LSH", VLDB'07): per table, the base key plus
+    ``extra_probes`` perturbed keys obtained by flipping the bits whose
+    hyperplane margins |w·q| are smallest — the planes most likely to
+    have put a true neighbor on the other side. ``extra_probes``
+    multiplies per-query candidate buckets by (1 + extra_probes)
+    WITHOUT growing the index (the corpus keeps one key per table) —
+    the standard recall/cost dial that beats adding tables, because
+    tables cost index space at 100 TB while probes only cost query
+    candidates. One GEMM + argsort per Arrow batch."""
+    import numpy as np
+
+    W = _hyperplane_matrix(dim, num_tables, planes)
+    pows = 1 << np.arange(planes - 1, -1, -1)
+    offs = (np.arange(num_tables) << planes).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def keys(col: pd.Series) -> pd.Series:
+        M = np.vstack(col.to_numpy())
+        proj = (M @ W.T).reshape(len(M), num_tables, planes)
+        base = (proj >= 0) @ pows + offs  # (n, tables)
+        out = [base]
+        if extra_probes:
+            order = np.argsort(np.abs(proj), axis=2, kind="stable")
+            for e in range(min(extra_probes, planes)):
+                out.append(base ^ pows[order[:, :, e]])
+        allk = np.concatenate([o[:, :, None] for o in out], axis=2).reshape(len(M), -1)
+        return pd.Series(list(allk.astype(np.int64)))
+
+    return keys
+
+
 def nearest_cells_vectorized(centers, n_probe: int):
     """Pandas UDF: unit embedding → ids of the ``n_probe`` centroids
     with the largest dot product. One GEMM + argsort per Arrow batch."""
@@ -236,13 +269,19 @@ def cosine_topk_lsh(
     dim: int = 64,
     num_tables: int = 8,
     planes: int = 8,
+    extra_probes: int = 4,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing an LSH bucket
     in at least one table. Candidates per query ≈ n/2^planes ×
-    num_tables instead of n — the 100 TB path. Approximate ⇒ validated
-    by recall tests, not the SQL oracle."""
+    num_tables × (1 + extra_probes) instead of n — the 100 TB path.
+    ``extra_probes`` enables multi-probe (query side also checks the
+    buckets reached by flipping its lowest-margin hyperplane bits —
+    see ``probe_keys_vectorized``), raising recall without touching
+    index size. Approximate ⇒ validated by recall tests, not the SQL
+    oracle."""
     bk = bucket_keys_vectorized(dim, num_tables, planes)
-    q = _prep(queries, id_col, vec_col, "query_id").withColumn("bk", F.explode(bk("v")))
+    pk = probe_keys_vectorized(dim, num_tables, planes, extra_probes)
+    q = _prep(queries, id_col, vec_col, "query_id").withColumn("bk", F.explode(pk("v")))
     c = _prep(corpus, id_col, vec_col, "id").withColumn("bk", F.explode(bk("v")))
     pairs = (
         q.alias("q")
