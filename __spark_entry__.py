@@ -1587,6 +1587,60 @@ def _sql_semantic_pairs(k: int = 8, iterations: int = 3, threshold: float = 0.4)
     )
 
 
+# -- X167: trained quality classifier (fit/apply corpus filter) -------------
+
+
+def _clf_fixture(spark, sf):
+    # labeled reference-vs-crawl fixture: an md5 coin marks half the
+    # documents as "crawl" and degrades their TEXT with SEO boilerplate
+    # (repeated junk inflates dup-word / top-bigram fractions and sinks
+    # the quality blend); the clean half is the "reference". Both the
+    # degradation and the train/test split are md5-replayable.
+    docs = load_table(spark, sf, "documents")
+    junk = " ".join(["click here buy now best price"] * 6)
+    degrade = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("qlabel|"), F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % 2 == 1
+    )
+    fixed = docs.select(
+        "doc_id",
+        F.when(degrade, F.concat(F.col("text"), F.lit(" " + junk))).otherwise(
+            F.col("text")
+        ).alias("text"),
+        (~degrade).cast("int").alias("label"),  # 1 = looks-like-reference
+    )
+    train_coin = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("clf|"), F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % 2
+    )
+    return fixed.withColumn("is_train", train_coin == 0)
+
+
+def _q_quality_classifier(spark, sf):
+    # CCNet/FineWeb-style looks-like-reference classifier: features =
+    # the engine's heuristic text scores; LR fit on the md5-train half
+    # of a planted clean-vs-degraded fixture, scores applied MAP-ONLY
+    # to every doc. Iterative solver -> rows-only; the held-out AUC is
+    # stat-gated per round (tools/stat_gates.py).
+    from safedata_pipeline_spark.operators import quality_classifier as QC
+
+    fixed = _clf_fixture(spark, sf)
+    labels = fixed.select("doc_id", "label")
+    feats = QC.text_features(fixed)
+    model = QC.classifier_fit(
+        feats.join(fixed.where("is_train").select("doc_id"), "doc_id"), labels
+    )
+    return (
+        QC.classifier_score(feats, model)
+        .join(labels, "doc_id")
+        .select("doc_id", "label", "clf_score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-5 window rotation: the driver hash-checks the FIRST 50
     # entries. All 50 r4 rows came back green, so per the standing
@@ -1802,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
         "hll_user_rollup": _q_hll_user_rollup,
+        "quality_classifier": _q_quality_classifier,
     }
 
 

@@ -132,6 +132,38 @@ class CorpusPipeline:
             "lm_filter", self.df.join(keep_ids, on=self.id_col, how="left_semi")
         )
 
+    # -- step 1c': trained quality classifier ---------------------------
+    def filter_classifier(
+        self,
+        labels: DataFrame | None = None,
+        model: dict | None = None,
+        min_score: float = 0.5,
+    ) -> "CorpusPipeline":
+        """CCNet/FineWeb-style supervised corpus filter: keep documents
+        the classifier scores ≥ ``min_score`` as looks-like-reference.
+        Pass a fit artifact (``model``, from
+        ``quality_classifier.classifier_fit``) to apply an existing
+        classifier — the production shape: fit once on the labeled
+        sample, apply map-only everywhere — or ``labels`` ((id, label))
+        to fit on the current corpus first. The fitted artifact lands
+        in ``results['classifier']`` for reuse on the next crawl."""
+        from safedata_pipeline_spark.operators import quality_classifier as QC
+
+        if (labels is None) == (model is None):
+            raise ValueError("pass exactly one of labels= or model=")
+        feats = QC.text_features(self.df, self.text_col, self.id_col)
+        if model is None:
+            model = QC.classifier_fit(feats, labels, id_col=self.id_col)
+        self.results["classifier"] = model
+        keep = (
+            QC.classifier_score(feats, model, id_col=self.id_col)
+            .where(F.col("clf_score") >= min_score)
+            .select(self.id_col)
+        )
+        return self._keep(
+            "classifier", self.df.join(keep, on=self.id_col, how="left_semi")
+        )
+
     # -- step 1d: benchmark decontamination ----------------------------
     def decontaminate(
         self, probes: list[str], method: str = "substring", n: int = 3

@@ -1,0 +1,137 @@
+"""Trained quality-classifier fit/apply for corpus filtering
+(SURVEY §2.8 extension surface; no reference counterpart).
+
+The filter real pretraining pipelines actually run (CCNet, FineWeb-Edu
+lineage): a supervised "looks-like-the-reference-corpus" classifier —
+fit once on a labeled reference-vs-crawl sample, then applied MAP-ONLY
+to the whole crawl. The heuristic scores this engine already computes
+(quality blend, LM surprise, repetition, readability) become the
+FEATURES; logistic regression turns them into one calibrated keep
+score instead of a stack of hand-tuned per-feature thresholds.
+
+Scale shape — the fit/apply split is the whole point at 100 TB:
+
+  * ``text_features``    — one row per doc; each feature column comes
+    from an existing map-only/aggregate operator, joined on the id.
+  * ``classifier_fit``   — Spark ML LogisticRegression on a labeled
+    SAMPLE (the labeled set is small by construction — someone had to
+    label it); the model collapses to O(features) driver-side floats.
+  * ``classifier_score`` — the fit artifact baked into a pure
+    sigmoid(w·x + b) Column expression: scoring 100 TB is scan-bound,
+    whole-stage codegen, zero Python, zero shuffles beyond the feature
+    joins.
+
+Randomized/iterative fit ⇒ the query is rows-only in the harness; the
+discrimination contract is stat-gated instead (held-out AUC recorded
+per round in STATS via ``tools/stat_gates.py``, floor in GATES).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROUND_N = 6
+
+FEATURE_COLS = [
+    "f_quality",
+    "f_neg_logprob",
+    "f_dup_word",
+    "f_top_bigram",
+    "f_flesch",
+    "f_ws_tokens",
+]
+
+
+def text_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document feature table (id, f_*): the engine's heuristic
+    text scores as classifier inputs. NULLs (short/degenerate docs)
+    are imputed to 0 HERE so fit and apply see identical features."""
+    from safedata_pipeline_spark.operators import text as TX
+
+    q = TX.quality_score(df, text_col, id_col).select(
+        id_col, F.col("quality").alias("f_quality")
+    )
+    lp = TX.unigram_logprob(df, text_col, id_col).select(
+        id_col, F.col("avg_neg_logprob").alias("f_neg_logprob")
+    )
+    rep = TX.repetition_stats(df, text_col, id_col).select(
+        id_col,
+        F.col("dup_word_fraction").alias("f_dup_word"),
+        F.col("top_bigram_fraction").alias("f_top_bigram"),
+    )
+    rd = TX.readability_scores(df, text_col, id_col).select(
+        id_col, F.col("flesch").alias("f_flesch")
+    )
+    tc = TX.token_count(df, text_col, id_col).select(
+        id_col, F.col("n_ws_tokens").cast("double").alias("f_ws_tokens")
+    )
+    out = q.join(lp, id_col).join(rep, id_col).join(rd, id_col).join(tc, id_col)
+    return out.select(
+        id_col, *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in FEATURE_COLS]
+    )
+
+
+def classifier_fit(
+    features: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    feature_cols: list[str] | None = None,
+    max_iter: int = 100,
+    reg_param: float = 0.01,
+) -> dict:
+    """Fit the reference-vs-crawl classifier on labeled rows
+    (``labels``: (id, label 0/1), label 1 = looks-like-reference).
+    Returns the fit ARTIFACT — a plain dict
+    ``{"intercept": float, "coef": {feature: float}}`` — not a model
+    object: O(features) floats that serialize into a config, diff in
+    code review, and bake into a scoring expression on any engine."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    cols = feature_cols or FEATURE_COLS
+    train = features.join(
+        labels.select(id_col, F.col(label_col).cast("double").alias("__y")), id_col
+    )
+    asm = VectorAssembler(inputCols=cols, outputCol="__fv")
+    lr = LogisticRegression(
+        featuresCol="__fv", labelCol="__y", maxIter=max_iter, regParam=reg_param,
+        standardization=True,
+    )
+    model = lr.fit(asm.transform(train))
+    return {
+        "intercept": float(model.intercept),
+        "coef": {c: float(w) for c, w in zip(cols, model.coefficients)},
+    }
+
+
+def classifier_score(
+    features: DataFrame, model: dict, id_col: str = "doc_id"
+) -> DataFrame:
+    """Map-only apply: (id, clf_score) with score = sigmoid(w·x + b)
+    from the fit artifact — a pure codegen expression, the 100 TB
+    scoring path."""
+    z = F.lit(float(model["intercept"]))
+    for c, w in model["coef"].items():
+        z = z + F.lit(float(w)) * F.coalesce(F.col(c), F.lit(0.0))
+    return features.select(
+        id_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), ROUND_N).alias("clf_score")
+    )
+
+
+def classifier_auc(
+    features: DataFrame, labels: DataFrame, model: dict, id_col: str = "doc_id"
+) -> float:
+    """Held-out discrimination: exact Mann–Whitney AUC of the scores
+    against the labels (``ml_utility.binary_auc``). Driver-side float —
+    the stat-gate metric."""
+    from safedata_pipeline_spark.operators.ml_utility import binary_auc
+
+    scored = classifier_score(features, model, id_col).join(
+        labels.select(id_col, "label"), id_col
+    )
+    row = binary_auc(scored, "clf_score", F.col("label")).collect()[0]
+    return float(row["auc"]) if row["auc"] is not None else float("nan")

@@ -1,0 +1,81 @@
+"""Trained quality-classifier fit/apply (X167)."""
+
+import math
+
+import pytest
+
+from safedata_pipeline_spark.operators import quality_classifier as QC
+
+
+CLEAN = "the cat and the dog sat on the mat while birds sang of spring and summer days"
+JUNK = CLEAN + " " + " ".join(["click here buy now"] * 8)
+
+
+def _docs(spark):
+    rows = []
+    for i in range(20):
+        rows.append((i, CLEAN + f" extra word {i}" if i % 2 == 0 else JUNK + f" {i}", 1 - i % 2))
+    return spark.createDataFrame(rows, "doc_id bigint, text string, label int")
+
+
+def test_features_complete_and_imputed(spark):
+    docs = _docs(spark).union(
+        spark.createDataFrame([(99, "", 0)], "doc_id bigint, text string, label int")
+    )
+    feats = QC.text_features(docs)
+    rows = {r.doc_id: r for r in feats.collect()}
+    assert set(feats.columns) == {"doc_id", *QC.FEATURE_COLS}
+    assert len(rows) == 21
+    # the empty doc's NULL-prone features are imputed, never NULL
+    assert all(rows[99][c] is not None for c in QC.FEATURE_COLS)
+
+
+def test_fit_score_separates_planted_junk(spark):
+    docs = _docs(spark)
+    feats = QC.text_features(docs)
+    model = QC.classifier_fit(feats, docs.select("doc_id", "label"))
+    assert set(model) == {"intercept", "coef"}
+    scored = {r.doc_id: r.clf_score for r in QC.classifier_score(feats, model).collect()}
+    clean_mean = sum(scored[i] for i in range(0, 20, 2)) / 10
+    junk_mean = sum(scored[i] for i in range(1, 20, 2)) / 10
+    assert clean_mean > junk_mean
+    assert QC.classifier_auc(feats, docs.select("doc_id", "label"), model) > 0.9
+
+
+def test_score_is_exact_sigmoid_of_artifact(spark):
+    docs = _docs(spark)
+    feats = QC.text_features(docs)
+    model = {"intercept": 0.5, "coef": {c: 0.1 * i for i, c in enumerate(QC.FEATURE_COLS)}}
+    got = {r.doc_id: r.clf_score for r in QC.classifier_score(feats, model).collect()}
+    for r in feats.collect():
+        z = 0.5 + sum(0.1 * i * r[c] for i, c in enumerate(QC.FEATURE_COLS))
+        assert abs(got[r.doc_id] - round(1.0 / (1.0 + math.exp(-z)), 6)) < 1e-9
+
+
+def test_pipeline_filter_classifier(spark):
+    from safedata_pipeline_spark.corpus_pipeline import CorpusPipeline
+
+    docs = _docs(spark)
+    pipe = CorpusPipeline(docs.select("doc_id", "text")).filter_classifier(
+        labels=docs.select("doc_id", "label"), min_score=0.5
+    )
+    kept = {r.doc_id for r in pipe.df.collect()}
+    assert kept == set(range(0, 20, 2))  # junk half filtered out
+    assert "classifier" in pipe.results  # fit artifact recorded for reuse
+    # production shape: apply the recorded artifact to a new crawl
+    pipe2 = CorpusPipeline(docs.select("doc_id", "text")).filter_classifier(
+        model=pipe.results["classifier"], min_score=0.5
+    )
+    assert {r.doc_id for r in pipe2.df.collect()} == kept
+
+
+def test_pipeline_filter_classifier_arg_validation(spark):
+    from safedata_pipeline_spark.corpus_pipeline import CorpusPipeline
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        CorpusPipeline(docs.select("doc_id", "text")).filter_classifier()
+    with pytest.raises(ValueError):
+        CorpusPipeline(docs.select("doc_id", "text")).filter_classifier(
+            labels=docs.select("doc_id", "label"), model={"intercept": 0, "coef": {}}
+        )

@@ -41,6 +41,7 @@ GATES: dict[str, tuple[str, float]] = {
     "hll_mean_rel_err": ("max", 0.15),         # measured 0.0 at fixture scale
     "kmeans_normalized_inertia": ("max", 0.999),  # must beat the k=1 baseline
     "bpe_compression_ratio": ("max", 0.95),    # 10 merges must compress ≥5%
+    "classifier_heldout_auc": ("min", 0.95),   # measured 1.0 (r6, planted clean-vs-degraded fixture)
 }
 
 
@@ -144,6 +145,27 @@ def compute(spark, sf_dir: str) -> dict[str, float]:
     seg = BPE.bpe_segment(docs, rules).agg(F.sum("n_bpe_tokens").alias("t")).collect()[0]["t"]
     chars = BPE.bpe_segment(docs, []).agg(F.sum("n_bpe_tokens").alias("t")).collect()[0]["t"]
     out["bpe_compression_ratio"] = round(float(seg) / float(chars), 6)
+
+    # -- quality classifier: held-out discrimination ------------------
+    # same planted clean-vs-degraded fixture and md5 train coin as the
+    # query; AUC on the held-out half — the one number that says the
+    # looks-like-reference filter still filters.
+    from safedata_pipeline_spark.operators import quality_classifier as QC
+
+    fixed = entry._clf_fixture(spark, sf_dir)
+    labels = fixed.select("doc_id", "label")
+    feats = QC.text_features(fixed)
+    model = QC.classifier_fit(
+        feats.join(fixed.where("is_train").select("doc_id"), "doc_id"), labels
+    )
+    out["classifier_heldout_auc"] = round(
+        QC.classifier_auc(
+            feats.join(fixed.where(~F.col("is_train")).select("doc_id"), "doc_id"),
+            labels,
+            model,
+        ),
+        6,
+    )
     return out
 
 
