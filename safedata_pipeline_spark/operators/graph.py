@@ -21,11 +21,13 @@ summation-order differences (≤ last-ulp per engine) cannot compound
 across iterations — the same determinism discipline as the md5-based
 MinHash family.
 
-At 100 TB: edges shuffle T times; production would localCheckpoint
-the rank table per iteration to truncate lineage (noted, not needed
-at fixture depth T=5). No driver-side row data — the only scalar is
-the node count, attached via a broadcast 1-row aggregate, not a
-collect.
+At 100 TB: edges shuffle T times; runs deeper than
+``CHECKPOINT_AFTER`` iterations pin (checkpoint) the rank table per
+round, keeping the plan O(1) deep at any T — shallow fixture runs
+keep the single fully-lazy plan (bit-identical results either way;
+pinning only truncates lineage). No driver-side row data — the only
+scalar is the node count, attached via a broadcast 1-row aggregate,
+not a collect.
 """
 
 from __future__ import annotations
@@ -65,6 +67,9 @@ def degree_stats(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> Da
     return und.groupBy(F.col("src").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )
+
+
+CHECKPOINT_AFTER = 5  # iterations beyond this pin the rank table per round
 
 
 def pagerank(
@@ -111,6 +116,12 @@ def pagerank(
         "src", "deg", "strength", "n_nodes",
         F.round(F.lit(1.0) / F.col("n_nodes"), ITER_ROUND).alias("rank"),
     )
+    # deep-T runs pin the rank table per iteration: the unrolled plan is
+    # otherwise T joins deep (28 exchanges at T=5 already), and lineage
+    # growth is what kills convergence-depth PageRank on real clusters.
+    # T ≤ CHECKPOINT_AFTER keeps the fully-lazy single plan (identical
+    # hashes either way — pinning only truncates lineage).
+    deep = iterations > CHECKPOINT_AFTER
     for _ in range(iterations):
         contrib = (
             und.join(ranks.select("src", "strength", "rank"), "src")
@@ -131,6 +142,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if deep:
+            ranks = ranks.transform(pin_eager)
     return ranks.select(
         F.col("src").alias("doc_id"),
         F.col("deg").cast("bigint").alias("degree"),

@@ -71,3 +71,30 @@ def test_weighted_pagerank_follows_heavy_edges(spark):
     w = {r.doc_id: r.pagerank for r in G.pagerank(uni, weight_col="jaccard").collect()}
     u = {r.doc_id: r.pagerank for r in G.pagerank(uni.select("id_a", "id_b")).collect()}
     assert w == u
+
+
+def test_pagerank_deep_iteration_checkpoint_is_transparent(spark):
+    """Runs past CHECKPOINT_AFTER pin the rank table per iteration;
+    pinning must only truncate lineage — values bit-identical to the
+    fully-lazy plan at the same T, and the final plan stays O(1) deep."""
+    from safedata_pipeline_spark.operators import graph as G
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (3, 4, 0.7), (1, 4, 0.6), (5, 6, 0.95), (2, 5, 0.5)],
+        "id_a bigint, id_b bigint, jaccard double",
+    )
+    t = G.CHECKPOINT_AFTER + 3
+    deep = G.pagerank(pairs, iterations=t, weight_col="jaccard")
+    got = sorted((r.doc_id, r.degree, r.pagerank) for r in deep.collect())
+    # the pinned final frame must not drag T joins of lineage
+    assert deep._jdf.queryExecution().executedPlan().toString().count("Exchange") == 0
+    old = G.CHECKPOINT_AFTER
+    try:
+        G.CHECKPOINT_AFTER = 10_000  # force the fully-lazy path at the same T
+        lazy = sorted(
+            (r.doc_id, r.degree, r.pagerank)
+            for r in G.pagerank(pairs, iterations=t, weight_col="jaccard").collect()
+        )
+    finally:
+        G.CHECKPOINT_AFTER = old
+    assert got == lazy
