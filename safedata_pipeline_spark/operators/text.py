@@ -1145,14 +1145,27 @@ def encode_tokens(
     encode itself is ONE Arrow ``mapInPandas`` pass (justified Python
     site: maximal munch is a data-dependent per-word loop with no
     fixed expression depth; same contract as the Aho–Corasick scan).
-    Map-only — zero shuffles; encoding 100 TB is scan-bound, and the
-    greedy dict probe is O(word_len · max_token_len) per word.
+    Map-only — zero shuffles; encoding 100 TB is scan-bound. Two
+    constant-factor cuts keep the munch loop off the throughput
+    critical path (identical output, pinned by the unchanged oracle
+    hash): (a) candidate lengths at each position probe ONLY the
+    lengths that exist in the vocab for that first character (a
+    per-first-char descending length list — most positions try 1–2
+    lengths instead of max_token_len), and (b) a per-executor
+    word→pieces memo exploits Heaps' law (corpus words repeat heavily;
+    each distinct word segments once per executor, bounded cache).
     Deterministic and fully oracle-checkable: DuckDB reproduces the
     identical segmentation with a recursive CTE.
     """
     rows = vocab.select("token", "token_id").collect()
     vocab_map = {r["token"]: int(r["token_id"]) for r in rows}
-    max_len = max((len(t) for t in vocab_map), default=1)
+    # per-first-char candidate lengths, longest first (maximal munch
+    # only ever needs lengths that exist for the current character)
+    first_char_lens: dict[str, list[int]] = {}
+    for t in vocab_map:
+        first_char_lens.setdefault(t[0], []).append(len(t))
+    first_char_lens = {c: sorted(set(ls), reverse=True) for c, ls in first_char_lens.items()}
+    _WORD_CACHE_MAX = 1_000_000  # bounded per-executor memo
     out_schema = (
         f"{id_col} long, wpos int, piece_no int, piece string, "
         "token_id int, is_fallback boolean"
@@ -1161,34 +1174,47 @@ def encode_tokens(
     def encode(batches):
         import pandas as pd
 
+        word_cache: dict[str, list[tuple[str, int | None, bool]]] = {}
+
+        def segment(word: str) -> list[tuple[str, int | None, bool]]:
+            hit = word_cache.get(word)
+            if hit is not None:
+                return hit
+            out = []
+            pos, n = 0, len(word)
+            while pos < n:
+                match = None
+                rest = n - pos
+                for ln in first_char_lens.get(word[pos], ()):
+                    if ln > rest:
+                        continue
+                    cand = word[pos : pos + ln]
+                    if cand in vocab_map:
+                        match = cand
+                        break
+                if match is None:
+                    out.append((word[pos], None, True))
+                    pos += 1
+                else:
+                    out.append((match, vocab_map[match], False))
+                    pos += len(match)
+            if len(word_cache) < _WORD_CACHE_MAX:
+                word_cache[word] = out
+            return out
+
         for pdf in batches:
             ids, wposs, pnos, pieces, tids, fbs = [], [], [], [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
                 for wpos, word in enumerate(str(text).lower().split(), start=1):
-                    pos, piece_no = 0, 1
-                    n = len(word)
-                    while pos < n:
-                        match = None
-                        for ln in range(min(max_len, n - pos), 0, -1):
-                            cand = word[pos : pos + ln]
-                            if cand in vocab_map:
-                                match = cand
-                                break
-                        if match is None:
-                            piece, tid, fb = word[pos], None, True
-                            pos += 1
-                        else:
-                            piece, tid, fb = match, vocab_map[match], False
-                            pos += len(match)
+                    for piece_no, (piece, tid, fb) in enumerate(segment(word), start=1):
                         ids.append(doc_id)
                         wposs.append(wpos)
                         pnos.append(piece_no)
                         pieces.append(piece)
                         tids.append(tid)
                         fbs.append(fb)
-                        piece_no += 1
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype="int64"),
