@@ -1641,6 +1641,30 @@ def _q_quality_classifier(spark, sf):
     )
 
 
+# -- X168: BPE-unit token counts (merge-rank application) --------------------
+
+
+def _q_bpe_token_count(spark, sf):
+    # real BPE semantics as the packing/count unit: apply the fitted
+    # merge rules in training order (expression-fold, map-only) and
+    # count pieces per doc. bpe_fit's iterative argmax makes the
+    # composition rows-only; exact-equality property tests vs the
+    # sequential reference pin both the fit and the segmentation
+    # (tests/test_bpe.py).
+    from safedata_pipeline_spark.operators import bpe as BPE
+
+    docs = load_table(spark, sf, "documents")
+    rules = [
+        (r["left"], r["right"])
+        for r in sorted(
+            BPE.bpe_fit(docs, num_merges=10).collect(), key=lambda r: r["step"]
+        )
+    ]
+    return BPE.bpe_segment(docs, rules).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-5 window rotation: the driver hash-checks the FIRST 50
     # entries. All 50 r4 rows came back green, so per the standing
@@ -1857,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
         "hll_user_rollup": _q_hll_user_rollup,
         "quality_classifier": _q_quality_classifier,
+        "bpe_token_count": _q_bpe_token_count,
     }
 
 

@@ -34,6 +34,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     vocab: DataFrame | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Assign each document to a fixed-token-budget pack.
 
@@ -44,15 +45,20 @@ def pack_sequences(
     ``budget`` tokens. Documents longer than ``budget`` simply span
     multiple windows, as in real packing.
 
-    The token unit defaults to the whitespace proxy; pass a fitted
-    ``build_vocab`` table to budget in real tokenizer units instead
-    (``text.token_count_vocab`` greedy-encode counts — frequent words
-    1, rare words their piece decomposition), which adds the encode
-    pass + a doc-keyed join in front of the same packing shape.
+    The token unit defaults to the whitespace proxy. Two real-unit
+    alternatives: pass a fitted ``build_vocab`` table (``vocab=``) to
+    budget in greedy-encode units (``text.token_count_vocab``), or
+    pass any precomputed ``counts=`` table ``(id, n_tokens)`` — e.g.
+    ``bpe.bpe_segment(df, merges)`` renamed, the actual
+    merge-rank BPE unit — which adds only a doc-keyed join in front of
+    the same packing shape. ``vocab`` and ``counts`` are mutually
+    exclusive.
 
     Output: (id, bucket, n_tokens, start_offset, pack_no) — one row
     per document, deterministic at any parallelism.
     """
+    if vocab is not None and counts is not None:
+        raise ValueError("pass at most one of vocab= or counts=")
     bucket_expr = (
         (md5_slot32(F.col(id_col).cast("string"), 0) % buckets).cast("bigint").alias("bucket")
     )
@@ -60,6 +66,7 @@ def pack_sequences(
         from safedata_pipeline_spark.operators.text import token_count_vocab
 
         counts = token_count_vocab(df, vocab, text_col, id_col)
+    if counts is not None:
         base = df.select(F.col(id_col), bucket_expr).join(
             counts.select(id_col, "n_tokens"), on=id_col, how="inner"
         )

@@ -1,5 +1,7 @@
 from collections import Counter
 
+from pyspark.sql import functions as F
+
 from safedata_pipeline_spark.operators import bpe as B
 
 
@@ -70,3 +72,55 @@ def test_bpe_segment_round_trip_and_merge_effect(spark):
     # with no rules, segmentation is plain characters
     seg0 = B.bpe_segment(df.limit(1), []).collect()[0]
     assert seg0.n_bpe_tokens == sum(len(w) + 1 for w in TEXTS[0].split())
+
+
+def test_bpe_token_count_unit_matches_sequential_reference(spark):
+    """X168: BPE-unit token counts (fit -> merge-rank segment -> count)
+    equal the sequential reference's piece counts per document — the
+    real-BPE alternative unit for packing budgets."""
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id bigint, text string"
+    )
+    rules = [
+        (r["left"], r["right"])
+        for r in sorted(B.bpe_fit(docs, num_merges=10).collect(), key=lambda r: r["step"])
+    ]
+    got = {r.doc_id: r.n_bpe_tokens for r in B.bpe_segment(docs, rules).collect()}
+
+    ref_rules = [(l, r) for _, l, r, _, _ in _ref_bpe(TEXTS, 10)]
+    assert [(l, r) for l, r in rules] == ref_rules
+    for i, t in enumerate(TEXTS):
+        n = 0
+        for w in t.split():
+            s = list(w) + [B.END_OF_WORD]
+            for left, right in ref_rules:
+                out = []
+                for x in s:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(x)
+                s = out
+            n += len(s)
+        assert got[i] == n
+
+
+def test_pack_sequences_with_bpe_counts(spark):
+    """pack_sequences(counts=...) budgets in the supplied unit."""
+    from safedata_pipeline_spark.operators import pack as PK
+
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id bigint, text string"
+    )
+    counts = B.bpe_segment(docs, [("l", "o")]).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    expect = {r.doc_id: r.n_tokens for r in counts.collect()}
+    packed = PK.pack_sequences(docs, budget=16, buckets=2, counts=counts)
+    rows = {r.doc_id: r for r in packed.collect()}
+    assert {i: rows[i].n_tokens for i in rows} == expect
+    assert all(r.pack_no == r.start_offset // 16 for r in rows.values())
+    import pytest
+
+    with pytest.raises(ValueError):
+        PK.pack_sequences(docs, vocab=counts, counts=counts)
