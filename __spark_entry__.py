@@ -1666,30 +1666,27 @@ def _q_bpe_token_count(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-5 window rotation: the driver hash-checks the FIRST 50
-    # entries. All 50 r4 rows came back green, so per the standing
+    # Round-6 window rotation: the driver hash-checks the FIRST 50
+    # entries. All 50 r5 rows came back green, so per the standing
     # policy (prior-round-green rows may rotate out) the window now
-    # promotes 35 queries that have NEVER had a driver row — the
-    # entire VERDICT r4 "never-driver-checked" list (mutual
-    # information, k-anonymity enforcement, IQR fences, completeness
-    # timeline, mergeable percentiles, vocab/OOV, session concurrency,
-    # cohort retention, growth accounting, trending top-k, hourly
-    # bands, PSI timeline, rolling stats/anomalies, cluster-size
-    # histogram, group quantiles, quantile rank, TPC-H Q18/orphans,
-    # grouped rule suites, RAG chunking, k-fold, weighted sampling,
-    # per-source dup KPI) plus ten more past-window rows
-    # (dedup_incremental, l_diversity, regional_volume,
-    # shipping_priority, normalize_text, column_entropy, skew_report,
-    # quantize_embeddings, source_mixture_sample,
-    # minhash_threshold_curve). Fifteen anchors stay in-window: the
-    # entry flagship (basic_stats), the exact-form oracle baselines
-    # (ks_drift, knn_linkage_join, ann_cosine_topk), the widest
-    # compositions (distribution_drift, dedup_best, decontaminate,
-    # pack_windows, incremental_profile, hypertable_rollup,
-    # latest_events, asof_last_click, embedding_cosine_dedup,
-    # pii_redact, text_profile). Every rotated-out row stays past the
-    # window and is still hash-checked locally by
-    # tools/check_oracle.py (134-query sweep, recorded per round).
+    # promotes the entire VERDICT r5 "never-driver-checked" list — the
+    # 23 round-5 operators that landed after the 50 slots filled
+    # (jaccard_prefix_join, both pageranks, count_min/heavy hitters,
+    # Ed-Join pairs, the AUC/ROC/calibration family, readability,
+    # CUSUM, Benford, containment join, weighted quantiles, audio
+    # features, CDC chunks, TPC-H Q8/Q19 shapes, Markov transitions,
+    # leakage-free split, incremental near-dup, cross-source matrix) —
+    # plus the two r6-new oracle-backed operators (extract_text,
+    # semantic_dedup) in their first round per standing policy, and
+    # re-verification slots for queries whose code this round touched
+    # (encode_tokens trie/memo rewrite + its token_count_vocab
+    # consumer; the checkpoint-helper refactor across the dedup/drift
+    # pair generators: substring_dedup, ngram_jaccard, minhash_lsh,
+    # simhash_pairs, dedup_components, dedup_incremental,
+    # ks_drift_binned, drift_timeline). Fifteen anchors stay in-window
+    # (entry flagship, exact-form baselines, widest compositions).
+    # Every rotated-out row stays past the window and is still
+    # hash-checked locally by tools/check_oracle.py each round.
     return {
         "basic_stats": _q_basic_stats,
         "ks_drift": _q_ks_drift,
@@ -1706,6 +1703,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "decontaminate": _q_decontaminate,
         "pack_windows": _q_pack_windows,
+        "jaccard_prefix_join": _q_jaccard_prefix_join,
+        "dup_graph_pagerank": _q_dup_graph_pagerank,
+        "dup_graph_pagerank_weighted": _q_dup_graph_pagerank_weighted,
+        "count_min_words": _q_count_min_words,
+        "heavy_hitter_words": _q_heavy_hitter_words,
+        "edit_distance_pairs": _q_edit_distance_pairs,
+        "value_auc": _q_value_auc,
+        "auc_daily": _q_auc_daily,
+        "roc_points": _q_roc_points,
+        "calibration_bins": _q_calibration_bins,
+        "readability": _q_readability,
+        "cusum_hourly": _q_cusum_hourly,
+        "benford_prices": _q_benford_prices,
+        "containment_join": _q_containment_join,
+        "weighted_quantiles": _q_weighted_quantiles,
+        "audio_frame_features": _q_audio_frame_features,
+        "cdc_chunks": _q_cdc_chunks,
+        "market_share": _q_market_share,
+        "disjunctive_revenue": _q_disjunctive_revenue,
+        "event_transitions": _q_event_transitions,
+        "leakage_free_split": _q_leakage_free_split,
+        "dedup_incremental_near": _q_dedup_incremental_near,
+        "cross_source_dup_matrix": _q_cross_source_dup_matrix,
+        "extract_text": _q_extract_text,
+        "semantic_dedup": _q_semantic_dedup,
+        "encode_tokens": _q_encode_tokens,
+        "token_count_vocab": _q_token_count_vocab,
+        "substring_dedup": _q_substring_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash_pairs": _q_simhash_pairs,
+        "dedup_components": _q_dedup_components,
+        "dedup_incremental": _q_dedup_incremental,
+        "ks_drift_binned": _q_ks_drift_binned,
+        "drift_timeline": _q_drift_timeline,
+        # --- past the driver's 50-row correctness window from here on.
+        # Everything below except the trailing rows-only block IS
+        # oracle-backed — tools/check_oracle.py runs the identical hash
+        # compare locally each round. A query sits past the window only
+        # when (a) its hash signal is subsumed by an in-window sibling,
+        # (b) it has been driver-verified green in a prior round (all 50
+        # r5 rows were), or (c) it arrived after the 50 slots filled.
+        # Longstanding subsumptions: chi2_drift runs per-column inside
+        # distribution_drift; minhash_signatures / simhash are CTEs
+        # inside minhash_lsh / simhash_pairs' SQL; dedup_components_star
+        # shares dedup_components' oracle SQL; linkage_risk_score is a
+        # CTE of knn_linkage_join; contamination_scan is the complement
+        # of decontaminate; user_sessions' SQL is embedded in
+        # session_concurrency's.
         "mutual_information": _q_mutual_information,
         "enforce_k_anonymity": _q_enforce_k_anonymity,
         "iqr_outliers": _q_iqr_outliers,
@@ -1731,60 +1777,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fold_assign": _q_fold_assign,
         "weighted_sample": _q_weighted_sample,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
-        "dedup_incremental": _q_dedup_incremental,
         "l_diversity": _q_l_diversity,
         "regional_volume": _q_regional_volume,
         "nation_trade": _q_nation_trade,
         "priority_late_orders": _q_priority_late_orders,
         "sole_late_supplier": _q_sole_late_supplier,
         "column_entropy": _q_column_entropy,
-        # new-in-r5 operators get their driver rows in their first
-        # round (standing policy), taking the slots of
-        # minhash_threshold_curve / source_mixture_sample /
-        # quantize_embeddings / shipping_priority / normalize_text /
-        # skew_report (moved just past the window; hash-anchored
-        # locally)
-        "substring_dedup": _q_substring_dedup,
-        "encode_tokens": _q_encode_tokens,
-        "token_count_vocab": _q_token_count_vocab,
-        "count_min_words": _q_count_min_words,
-        "heavy_hitter_words": _q_heavy_hitter_words,
-        "weighted_quantiles": _q_weighted_quantiles,
-        "cdc_chunks": _q_cdc_chunks,
-        "market_share": _q_market_share,
-        "disjunctive_revenue": _q_disjunctive_revenue,
-        "event_transitions": _q_event_transitions,
-        "roc_points": _q_roc_points,
-        "dup_graph_pagerank_weighted": _q_dup_graph_pagerank_weighted,
-        "audio_frame_features": _q_audio_frame_features,
-        "edit_distance_pairs": _q_edit_distance_pairs,
-        "value_auc": _q_value_auc,
-        "readability": _q_readability,
         "kmeans_embeddings": _q_kmeans_embeddings,
-        "cusum_hourly": _q_cusum_hourly,
-        "benford_prices": _q_benford_prices,
-        "auc_daily": _q_auc_daily,
-        "calibration_bins": _q_calibration_bins,
         "bpe_merges": _q_bpe_merges,
-        "leakage_free_split": _q_leakage_free_split,
-        "dedup_incremental_near": _q_dedup_incremental_near,
-        "cross_source_dup_matrix": _q_cross_source_dup_matrix,
-        "extract_text": _q_extract_text,
-        "semantic_dedup": _q_semantic_dedup,
-        # --- past the driver's 50-row correctness window from here on.
-        # Everything below except the trailing rows-only block IS
-        # oracle-backed — tools/check_oracle.py runs the identical
-        # hash compare locally each round. A query sits past the
-        # window only when (a) its hash signal is subsumed by an
-        # in-window sibling, (b) it has been driver-verified green in
-        # a prior round (all 50 r4 rows were), or (c) it arrived after
-        # the 50 slots filled. Longstanding subsumptions: chi2_drift
-        # runs per-column inside distribution_drift; minhash_signatures
-        # / simhash are CTEs inside minhash_lsh / simhash_pairs' SQL;
-        # dedup_components_star shares dedup_components' oracle SQL;
-        # linkage_risk_score is a CTE of knn_linkage_join;
-        # contamination_scan is the complement of decontaminate;
-        # user_sessions' SQL is embedded in session_concurrency's.
         "minhash_threshold_curve": _q_minhash_threshold_curve,
         "source_mixture_sample": _q_source_mixture_sample,
         "quantize_embeddings": _q_quantize_embeddings,
@@ -1800,7 +1800,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_trend": _q_user_value_trend,
         "psi_drift": _q_psi_drift,
         "jsd_drift": _q_jsd_drift,
-        "drift_timeline": _q_drift_timeline,
         "table_diff": _q_table_diff,
         "linkage_risk_score": _q_linkage_risk_score,
         "k_anonymity": _q_k_anonymity,
@@ -1837,12 +1836,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_hot": _q_one_hot,
         "quality_score": _q_quality_score,
         "unigram_logprob": _q_unigram_logprob,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "jaccard_prefix_join": _q_jaccard_prefix_join,
-        "dup_graph_pagerank": _q_dup_graph_pagerank,
-        "containment_join": _q_containment_join,
-        "dedup_components": _q_dedup_components,
-        "simhash_pairs": _q_simhash_pairs,
         "embedding_centroids": _q_embedding_centroids,
         "kmv_distinct": _q_kmv_distinct,
         "chi2_drift": _q_chi2_drift,
@@ -1867,12 +1860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_share": _q_source_share,
         "events_json": _q_events_json,
         "events_hourly": _q_events_hourly,
-        "minhash_lsh": _q_minhash_lsh,
         "multimodal_meta": _q_multimodal_meta,
-        "ks_drift_binned": _q_ks_drift_binned,
         "range_join_tiers": _q_range_join_tiers,
-        # --- rows-only entries (no oracle_sql) go LAST: they carry no
-        # hash signal, so oracle-backed queries must occupy the front.
         "dp_noise": _q_dp_noise,
         "synthetic_sample": _q_synthetic_sample,
         "model_utility": _q_model_utility,
