@@ -183,6 +183,10 @@ HEADLINE = [
     "event_transitions",
     "roc_points",
     "dup_graph_pagerank_weighted",
+    "extract_text",
+    "semantic_dedup",
+    "quality_classifier",
+    "bpe_token_count",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -1504,3 +1504,71 @@ def extract_html_text(
         F.size("__kept").cast("bigint").alias("n_lines_kept"),
         F.size("__scored").cast("bigint").alias("n_lines_total"),
     )
+
+
+def zipf_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ranks: int = 1000,
+) -> DataFrame:
+    """Corpus Zipf/vocabulary diagnostics in ONE summary row:
+    ``(n_tokens, n_types, type_token_ratio, top1_share, zipf_slope)``.
+
+    ``zipf_slope`` is the least-squares slope of ln(freq) on ln(rank)
+    over the ``top_ranks`` most frequent types — for natural language
+    it sits near −1 (Zipf's law); far-off slopes flag degenerate
+    corpora (template spam → much steeper; random token soup →
+    flatter), making this the one-glance "is this corpus shaped like
+    language?" screen next to the per-doc quality filters.
+
+    Scale shape, aggregate-FIRST: one explode + groupBy collapses the
+    corpus to the type-frequency table; corpus totals are one tiny agg
+    of it; the top-``top_ranks`` types come from sort+limit (Spark's
+    TakeOrdered — per-partition heaps, NO full vocabulary sort, the
+    ``vocab_top`` discipline), so ranking cost is O(|V|) map-side; the
+    rank window then runs on only the ≤``top_ranks`` surviving rows.
+    The regression uses exact DECIMAL sums of 9dp-rounded ln terms, so
+    the slope is engine-deterministic and the whole operator is
+    oracle-checkable.
+    """
+    toks = _ws_tokens(F.lower(F.col(text_col)))
+    tf = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    totals = tf.agg(
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.max("freq").cast("bigint").alias("top_freq"),
+    )
+    top = tf.orderBy(F.desc("freq"), F.asc("token")).limit(top_ranks)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    dec = "decimal(38,12)"
+    ranked = top.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rank").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 9).alias("y"),
+    )
+    fit = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("r"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    slope = (
+        F.col("r").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / F.nullif(
+        F.col("r").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double"),
+        F.lit(0.0),
+    )
+    return totals.crossJoin(F.broadcast(fit)).select(
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") / F.col("n_tokens"), ROUND_N).alias("type_token_ratio"),
+        F.round(F.col("top_freq") / F.col("n_tokens"), ROUND_N).alias("top1_share"),
+        F.round(slope, ROUND_N).alias("zipf_slope"),
+    )
