@@ -1587,6 +1587,36 @@ def _sql_semantic_pairs(k: int = 8, iterations: int = 3, threshold: float = 0.4)
     )
 
 
+# -- X169: Zipf / vocabulary-shape corpus diagnostics ------------------------
+
+
+def _q_zipf_profile(spark, sf):
+    return TX.zipf_profile(load_table(spark, sf, "documents"), top_ranks=1000)
+
+
+def _sql_zipf_profile(top_ranks: int = 1000) -> str:
+    # same recipe: type-frequency table, top-R by (freq DESC, token ASC),
+    # ln-ln regression with DECIMAL(38,12) sums of 9dp-rounded terms
+    return (
+        f"WITH toks AS ({_SQL_TOKS}), "
+        "ex AS (SELECT unnest(t) AS token FROM toks), "
+        "tf AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM ex GROUP BY token), "
+        "tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_types, CAST(max(freq) AS BIGINT) AS top_freq FROM tf), "
+        f"top AS (SELECT token, freq FROM tf ORDER BY freq DESC, token ASC LIMIT {top_ranks}), "
+        "ranked AS (SELECT round(ln(CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS DOUBLE)), 9) AS x, "
+        "round(ln(CAST(freq AS DOUBLE)), 9) AS y FROM top), "
+        "fit AS (SELECT CAST(count(*) AS BIGINT) AS r, "
+        "sum(CAST(x AS DECIMAL(38,12))) AS sx, sum(CAST(y AS DECIMAL(38,12))) AS sy, "
+        "sum(CAST(x * x AS DECIMAL(38,12))) AS sxx, sum(CAST(x * y AS DECIMAL(38,12))) AS sxy FROM ranked) "
+        "SELECT n_tokens, n_types, round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio, "
+        "round(CAST(top_freq AS DOUBLE) / n_tokens, 6) AS top1_share, "
+        "round((CAST(r AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "nullif(CAST(r AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) AS zipf_slope "
+        "FROM tot CROSS JOIN fit"
+    )
+
+
 # -- X167: trained quality classifier (fit/apply corpus filter) -------------
 
 
@@ -1737,8 +1767,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_incremental": _q_dedup_incremental,
         "ks_drift_binned": _q_ks_drift_binned,
-        "drift_timeline": _q_drift_timeline,
+        "zipf_profile": _q_zipf_profile,
         # --- past the driver's 50-row correctness window from here on.
+        # (drift_timeline yields its re-verification slot to the
+        # r6-new zipf_profile; the pin refactor it would re-verify is
+        # already covered by ks_drift_binned and the six dedup rows.)
+        "drift_timeline": _q_drift_timeline,
         # Everything below except the trailing rows-only block IS
         # oracle-backed — tools/check_oracle.py runs the identical hash
         # compare locally each round. A query sits past the window only
@@ -4402,6 +4436,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_report": _sql_skew_report("orders", "o_custkey"),
         "normalize_text": _sql_normalize_text(),
         "extract_text": _sql_extract_text(),
+        "zipf_profile": _sql_zipf_profile(),
         "semantic_dedup": _sql_semantic_pairs(),
         "column_entropy": _sql_column_entropy("customer", ENTROPY_COLS),
         "dedup_best": _sql_dedup_best(),

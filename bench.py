@@ -187,6 +187,7 @@ HEADLINE = [
     "semantic_dedup",
     "quality_classifier",
     "bpe_token_count",
+    "zipf_profile",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -542,3 +542,36 @@ def test_encode_tokens_greedy_and_conservation(spark):
     for (doc, wpos), word in rebuilt.items():
         orig = f"alpha beta{doc % 3} gamma delta common common".split()[wpos - 1]
         assert word == orig
+
+
+def test_zipf_profile_totals_and_slope(spark):
+    # 'a'x8, 'b'x4, 'c'x2, 'd'x1: perfect power law would give slope
+    # -1 on ranks {1,2,4,8}... here freqs 8,4,2,1 at ranks 1,2,3,4
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a a a b b b b c c d")], "doc_id bigint, text string"
+    )
+    row = T.zipf_profile(docs).collect()[0]
+    assert row.n_tokens == 15 and row.n_types == 4
+    assert row.top1_share == round(8 / 15, 6)
+    assert row.type_token_ratio == round(4 / 15, 6)
+    # exact least-squares slope of ln(freq) on ln(rank)
+    import math
+
+    xs = [round(math.log(r), 9) for r in (1, 2, 3, 4)]
+    ys = [round(math.log(f), 9) for f in (8, 4, 2, 1)]
+    n = 4
+    slope = (n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)) / (
+        n * sum(x * x for x in xs) - sum(xs) ** 2
+    )
+    assert abs(row.zipf_slope - round(slope, 6)) < 1e-6
+
+
+def test_zipf_profile_top_ranks_cap_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "x x y y z w")], "doc_id bigint, text string"
+    )
+    # top_ranks=2 keeps x,y only (tie between z,w broken by token asc is moot)
+    row = T.zipf_profile(docs, top_ranks=2).collect()[0]
+    assert row.n_types == 4 and row.n_tokens == 6
+    # equal freqs at both kept ranks -> flat fit, slope 0
+    assert row.zipf_slope == 0.0
