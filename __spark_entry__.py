@@ -1690,9 +1690,7 @@ def _q_bpe_token_count(spark, sf):
             BPE.bpe_fit(docs, num_merges=10).collect(), key=lambda r: r["step"]
         )
     ]
-    return BPE.bpe_segment(docs, rules).select(
-        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
-    )
+    return BPE.bpe_token_count(docs, rules)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

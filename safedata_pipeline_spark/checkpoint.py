@@ -30,9 +30,25 @@ Two execution-semantics consequences callers must know about:
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame
 
 RELIABLE_FLAG = "spark.safedata.reliableCheckpoint"
+
+# flag memo: one py4j conf round-trip per SESSION, not per pin call —
+# iterative operators pin every round, and a per-call RuntimeConfig.get
+# measurably taxes the loop (~0.5s on the dedup_best chain at sf0.1).
+_FLAG_CACHE: "WeakKeyDictionary" = WeakKeyDictionary()
+
+
+def _reliable(df: DataFrame) -> bool:
+    s = df.sparkSession
+    hit = _FLAG_CACHE.get(s)
+    if hit is None:
+        hit = (s.conf.get(RELIABLE_FLAG, "false") or "false").lower() == "true"
+        _FLAG_CACHE[s] = hit
+    return hit
 
 
 def pin(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -41,12 +57,11 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     Defaults to executor-local checkpointing (fast, auto-released on
     GC); set the ``spark.safedata.reliableCheckpoint`` session conf to
     ``true`` (with a checkpoint dir configured) for fault-tolerant
-    reliable checkpoints on long-running clusters.
+    reliable checkpoints on long-running clusters. The flag is read
+    ONCE per SparkSession and memoized — set it before the first
+    operator call (clear ``_FLAG_CACHE`` to re-read mid-session).
     """
-    reliable = (
-        df.sparkSession.conf.get(RELIABLE_FLAG, "false") or "false"
-    ).lower() == "true"
-    if reliable:
+    if _reliable(df):
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
 

@@ -161,3 +161,42 @@ def bpe_segment(
         toks.alias("bpe_tokens"),
         F.size(toks).cast("bigint").alias("n_bpe_tokens"),
     )
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token counts in REAL BPE units: (id, n_tokens).
+
+    Aggregate-FIRST twin of ``bpe_segment`` for counting: the chained
+    merge folds are expensive per evaluation (|merges| nested
+    ``F.aggregate`` passes), so they run once per DISTINCT WORD — the
+    Heaps'-law-small vocabulary table — instead of once per word
+    occurrence inside a per-document ``transform`` lambda (measured
+    ~10× at sf0.1: 18.9s → the explode+broadcast-join shape below).
+    Occurrences then join the broadcast word→n_pieces table and sum
+    per doc. Blank/empty docs keep a row with 0 tokens.
+    """
+    base = df.where(F.col(text_col).isNotNull())
+    words = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), "\\s+"))
+    occ = base.select(F.col(id_col), F.explode(words).alias("word"))
+    distinct_words = occ.select("word").distinct()
+    sym = F.concat(_codepoints(F.col("word")), F.array(F.lit(END_OF_WORD)))
+    for left, right in merges:
+        sym = _merge_fold(sym, left, right)
+    per_word = distinct_words.select("word", F.size(sym).alias("n_pieces"))
+    per_doc = (
+        occ.join(F.broadcast(per_word), "word")
+        .groupBy(id_col)
+        .agg(F.sum("n_pieces").cast("bigint").alias("n_tokens"))
+    )
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(id_col, F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"))
+    )

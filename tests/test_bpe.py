@@ -86,6 +86,9 @@ def test_bpe_token_count_unit_matches_sequential_reference(spark):
         for r in sorted(B.bpe_fit(docs, num_merges=10).collect(), key=lambda r: r["step"])
     ]
     got = {r.doc_id: r.n_bpe_tokens for r in B.bpe_segment(docs, rules).collect()}
+    # the aggregate-first count twin must agree with the full segmenter
+    fast = {r.doc_id: r.n_tokens for r in B.bpe_token_count(docs, rules).collect()}
+    assert fast == got
 
     ref_rules = [(l, r) for _, l, r, _, _ in _ref_bpe(TEXTS, 10)]
     assert [(l, r) for l, r in rules] == ref_rules
