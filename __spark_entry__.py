@@ -1587,6 +1587,64 @@ def _sql_semantic_pairs(k: int = 8, iterations: int = 3, threshold: float = 0.4)
     )
 
 
+# -- X170: interval-overlap join (grid-bucketed, dedup-free) -----------------
+
+
+def _q_shipment_month_overlap(spark, sf):
+    # big×big temporal overlap: lineitem transit intervals
+    # [shipdate, receiptdate) × calendar-month windows derived from
+    # orders — bucket-grid equi-join (interval_overlap_join), then a
+    # dashboard aggregate per (month, returnflag).
+    from safedata_pipeline_spark.operators.joins import interval_overlap_join
+
+    # the fixture's trimmed lineitem has no receiptdate — derive a
+    # deterministic 1..28-day transit span from the line number (both
+    # engines reproduce it), half-open [ship_day, ship_day + span)
+    epoch = "1970-01-01"
+    ship_day = F.datediff(F.col("l_shipdate").cast("date"), F.lit(epoch).cast("date"))
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        ship_day.alias("a_s"),
+        (ship_day + 1 + F.col("l_linenumber") % 28).alias("a_e"),
+    )
+    months = (
+        load_table(spark, sf, "orders")
+        .select(F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month_start"))
+        .distinct()
+        .select(
+            "month_start",
+            F.datediff(F.col("month_start"), F.lit(epoch).cast("date")).alias("b_s"),
+            F.datediff(
+                F.add_months(F.col("month_start"), 1), F.lit(epoch).cast("date")
+            ).alias("b_e"),
+        )
+    )
+    pairs = interval_overlap_join(li, months, "a_s", "a_e", "b_s", "b_e", bucket_width=16)
+    return (
+        pairs.groupBy(
+            F.date_format("month_start", "yyyy-MM").alias("month"), F.col("l_returnflag")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shipments"))
+    )
+
+
+def _sql_shipment_month_overlap() -> str:
+    return (
+        "WITH li AS (SELECT l_returnflag, "
+        "datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s, "
+        "datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) + 1 + l_linenumber % 28 AS e "
+        "FROM lineitem), "
+        "m AS (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start FROM orders), "
+        "mb AS (SELECT month_start, "
+        "datediff('day', DATE '1970-01-01', month_start) AS bs, "
+        "datediff('day', DATE '1970-01-01', CAST(month_start + INTERVAL 1 MONTH AS DATE)) AS be FROM m) "
+        "SELECT strftime(mb.month_start, '%Y-%m') AS month, li.l_returnflag, "
+        "CAST(count(*) AS BIGINT) AS n_shipments "
+        "FROM li JOIN mb ON li.s < mb.be AND mb.bs < li.e AND li.s < li.e "
+        "GROUP BY 1, 2"
+    )
+
+
 # -- X169: Zipf / vocabulary-shape corpus diagnostics ------------------------
 
 
@@ -1763,7 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
         "dedup_components": _q_dedup_components,
-        "dedup_incremental": _q_dedup_incremental,
+        "shipment_month_overlap": _q_shipment_month_overlap,
         "ks_drift_binned": _q_ks_drift_binned,
         "zipf_profile": _q_zipf_profile,
         # --- past the driver's 50-row correctness window from here on.
@@ -1771,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6-new zipf_profile; the pin refactor it would re-verify is
         # already covered by ks_drift_binned and the six dedup rows.)
         "drift_timeline": _q_drift_timeline,
+        "dedup_incremental": _q_dedup_incremental,
         # Everything below except the trailing rows-only block IS
         # oracle-backed — tools/check_oracle.py runs the identical hash
         # compare locally each round. A query sits past the window only
@@ -4435,6 +4494,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": _sql_normalize_text(),
         "extract_text": _sql_extract_text(),
         "zipf_profile": _sql_zipf_profile(),
+        "shipment_month_overlap": _sql_shipment_month_overlap(),
         "semantic_dedup": _sql_semantic_pairs(),
         "column_entropy": _sql_column_entropy("customer", ENTROPY_COLS),
         "dedup_best": _sql_dedup_best(),

@@ -188,6 +188,7 @@ HEADLINE = [
     "quality_classifier",
     "bpe_token_count",
     "zipf_profile",
+    "shipment_month_overlap",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

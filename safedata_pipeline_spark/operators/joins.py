@@ -159,3 +159,67 @@ def range_join_bucketed(
         & (F.col(val_col) < exploded[hi_col])
     )
     return left.join(exploded, cond, "left").drop("__bucket")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_width: float,
+) -> DataFrame:
+    """INNER join of two interval tables on OVERLAP (half-open
+    semantics: ``a_start < b_end AND b_start < a_end``) — the classic
+    big×big temporal join (sessions × incidents, shipments × promo
+    windows) that a naive planner turns into a nested loop over
+    |a|·|b| because there is no equality key.
+
+    Spark-first shape: both sides explode their interval onto a fixed
+    time grid (``floor(t / W)`` buckets, ceil(span/W)+1 rows per
+    interval), the join becomes a plain EQUI-join on the bucket id,
+    and the exact overlap predicate filters residually. Overlapping
+    pairs co-bucket at least where the later interval starts, so the
+    pair is emitted ONLY from the bucket containing
+    ``greatest(a_start, b_start)`` — each qualifying pair appears in
+    exactly one bucket, which kills duplicates WITHOUT a
+    ``dropDuplicates`` shuffle over the pair stream. Cost is
+    (rows · span/W) exploded rows per side; pick ``W`` near the median
+    interval span (degrades, never breaks, away from that). Skewed
+    hot buckets are ordinary equi-join skew — AQE splits them.
+
+    Interval columns must be numeric (cast timestamps to epoch
+    seconds / dates to epoch days first). Output: all columns of ``a``
+    then ``b`` (names must be disjoint). Empty/inverted intervals
+    (start ≥ end) never match, matching the half-open contract.
+    """
+    w = float(bucket_width)
+
+    def buckets(df, s_col, e_col):
+        s, e = F.col(s_col).cast("double"), F.col(e_col).cast("double")
+        return df.where(s < e).withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(s / w).cast("long"),
+                    F.floor((e - F.lit(1e-9)) / w).cast("long"),
+                )
+            ),
+        )
+    ae = buckets(a, a_start, a_end).alias("a")
+    be = buckets(b, b_start, b_end).alias("b")
+    later_start = F.greatest(
+        F.col(f"a.{a_start}").cast("double"), F.col(f"b.{b_start}").cast("double")
+    )
+    cond = (
+        (F.col("a.__bucket") == F.col("b.__bucket"))
+        & (F.col(f"a.{a_start}") < F.col(f"b.{b_end}"))
+        & (F.col(f"b.{b_start}") < F.col(f"a.{a_end}"))
+        # emit from exactly one bucket: the one holding the later start
+        & (F.col("a.__bucket") == F.floor(later_start / w).cast("long"))
+    )
+    return ae.join(be, cond).select(
+        *[F.col(f"a.{c}") for c in a.columns],
+        *[F.col(f"b.{c}") for c in b.columns],
+    )

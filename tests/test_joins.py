@@ -166,3 +166,40 @@ def test_transition_matrix_counts_and_probs(spark):
     assert out[("view", "click")].prob == 0.75  # 3 of 4 view-exits
     assert out[("click", "buy")].prob == 1.0
     assert ("buy", "view") not in out  # no cross-user transitions
+
+
+def test_interval_overlap_join_exact_vs_brute(spark):
+    """Grid-bucketed overlap join == brute-force inequality join, with
+    NO duplicate pairs (single-emission bucket rule), across spans
+    smaller, equal to and larger than the bucket width."""
+    from safedata_pipeline_spark.operators.joins import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0.0, 5.0), (2, 9.0, 11.0), (3, 10.0, 40.0), (4, 3.0, 3.0), (5, 7.0, 2.0)],
+        "aid bigint, s double, e double",
+    )
+    b = spark.createDataFrame(
+        [(10, 4.0, 10.0), (11, 10.0, 12.0), (12, 0.0, 100.0), (13, 39.0, 41.0)],
+        "bid bigint, lo double, hi double",
+    )
+    for w in (1.0, 5.0, 32.0):
+        got = sorted(
+            (r.aid, r.bid)
+            for r in interval_overlap_join(a, b, "s", "e", "lo", "hi", w).collect()
+        )
+        brute = sorted(
+            (ra.aid, rb.bid)
+            for ra in a.collect()
+            for rb in b.collect()
+            if ra.s < rb.hi and rb.lo < ra.e and ra.s < ra.e and rb.lo < rb.hi
+        )
+        assert got == brute, f"w={w}"
+        assert len(got) == len(set(got))  # no duplicate emissions
+    # half-open: empty (4) and inverted (5) intervals never match;
+    # touching endpoints (2 ends at 11, 11 starts at 10 -> overlap 10..11)
+    pairs = set(
+        (r.aid, r.bid)
+        for r in interval_overlap_join(a, b, "s", "e", "lo", "hi", 5.0).collect()
+    )
+    assert (2, 11) in pairs and (1, 11) not in pairs  # 1 ends at 5 < lo 10
+    assert not any(x in (4, 5) for x, _ in pairs)
