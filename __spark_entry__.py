@@ -1587,6 +1587,50 @@ def _sql_semantic_pairs(k: int = 8, iterations: int = 3, threshold: float = 0.4)
     )
 
 
+# -- X171: URL/domain curation (registered-domain stats) ---------------------
+
+
+def _q_domain_stats(spark, sf):
+    # deterministic synthetic URLs over the documents fixture
+    # (subdomain + TLD variants exercise the registered-domain logic,
+    # incl. the co.uk multi-label suffix branch)
+    docs = load_table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("blog.")),
+        F.col("source"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    return TX.domain_stats(docs.select("doc_id", url.alias("url")))
+
+
+def _sql_domain_stats() -> str:
+    from safedata_pipeline_spark.operators.text import _MULTI_SUFFIXES
+
+    suffixes = ", ".join(f"'{s}'" for s in _MULTI_SUFFIXES)
+    lab = "string_split(host, '.')"
+    return (
+        "WITH u AS (SELECT doc_id, 'https://' || "
+        "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE 'blog.' END || source || "
+        "CASE WHEN doc_id % 7 = 0 THEN '.co.uk' ELSE '.com' END || '/d/' || "
+        "CAST(doc_id AS VARCHAR) AS url FROM documents), "
+        "h AS (SELECT doc_id, nullif(regexp_extract("
+        "regexp_replace(regexp_replace(lower(trim(url)), '^[a-z][a-z0-9+.-]*://', ''), "
+        "'^[^/@?#]*@', ''), '^([a-z0-9.-]+)', 1), '') AS host FROM u), "
+        "d AS (SELECT CASE WHEN host IS NULL THEN NULL "
+        f"WHEN len({lab}) <= 1 THEN NULL "
+        f"WHEN len({lab}) = 2 THEN host "
+        f"WHEN ({lab}[-2] || '.' || {lab}[-1]) IN ({suffixes}) AND len({lab}) >= 3 "
+        f"THEN ({lab}[-3] || '.' || {lab}[-2] || '.' || {lab}[-1]) "
+        f"ELSE ({lab}[-2] || '.' || {lab}[-1]) END AS domain FROM h), "
+        "c AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs FROM d "
+        "WHERE domain IS NOT NULL GROUP BY domain) "
+        "SELECT domain, n_docs, round(n_docs / (SELECT sum(n_docs) FROM c), 6) AS share FROM c"
+    )
+
+
 # -- X170: interval-overlap join (grid-bucketed, dedup-free) -----------------
 
 
@@ -1816,7 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "encode_tokens": _q_encode_tokens,
         "token_count_vocab": _q_token_count_vocab,
-        "substring_dedup": _q_substring_dedup,
+        "domain_stats": _q_domain_stats,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
@@ -1830,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # already covered by ks_drift_binned and the six dedup rows.)
         "drift_timeline": _q_drift_timeline,
         "dedup_incremental": _q_dedup_incremental,
+        "substring_dedup": _q_substring_dedup,
         # Everything below except the trailing rows-only block IS
         # oracle-backed — tools/check_oracle.py runs the identical hash
         # compare locally each round. A query sits past the window only
@@ -4495,6 +4540,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_text": _sql_extract_text(),
         "zipf_profile": _sql_zipf_profile(),
         "shipment_month_overlap": _sql_shipment_month_overlap(),
+        "domain_stats": _sql_domain_stats(),
         "semantic_dedup": _sql_semantic_pairs(),
         "column_entropy": _sql_column_entropy("customer", ENTROPY_COLS),
         "dedup_best": _sql_dedup_best(),

@@ -189,6 +189,7 @@ HEADLINE = [
     "bpe_token_count",
     "zipf_profile",
     "shipment_month_overlap",
+    "domain_stats",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

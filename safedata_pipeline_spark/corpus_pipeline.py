@@ -64,6 +64,24 @@ class CorpusPipeline:
         ).drop("n_lines_kept", "n_lines_total")
         return self._keep("html_extract", out.where(F.col(self.text_col) != ""))
 
+    # -- step -1b: domain blocklist (provenance-level filter) -----------
+    def filter_domains(
+        self,
+        blocklist,
+        url_col: str = "url",
+        keep_unparseable: bool = True,
+    ) -> "CorpusPipeline":
+        """C4-style domain blocklist: drop documents whose REGISTERED
+        domain (subdomains collapse to their registrable owner) is
+        listed. Runs at provenance level, before any content scoring —
+        the cheapest drop in the funnel. ``blocklist``: a small list
+        (inlined ``isin``) or a ``domain``-column DataFrame (broadcast
+        anti-join, the curated-blockset path)."""
+        out = TX.filter_domains(
+            self.df, blocklist, url_col=url_col, keep_unparseable=keep_unparseable
+        )
+        return self._keep("domain_filter", out)
+
     # -- step 0: canonicalize text -------------------------------------
     def normalize(
         self,

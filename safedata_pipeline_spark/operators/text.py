@@ -1572,3 +1572,102 @@ def zipf_profile(
         F.round(F.col("top_freq") / F.col("n_tokens"), ROUND_N).alias("top1_share"),
         F.round(slope, ROUND_N).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain curation (C4 lineage: per-domain stats and blocklist
+# filtering are the first provenance-level controls a crawl pipeline
+# applies, before any content-level scoring).
+# ---------------------------------------------------------------------------
+
+# multi-label public suffixes the registered-domain heuristic must not
+# split (the common cases; a full Public Suffix List is an external
+# artifact — document the approximation, don't fetch it)
+_MULTI_SUFFIXES = [
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tr", "com.sg",
+]
+
+
+def url_host(col: Column) -> Column:
+    """Lower-cased host of a URL column: scheme, userinfo, port, path,
+    query and fragment stripped — sequential RE2-safe strips (an
+    optional-scheme group would backtrack on malformed inputs like
+    ``https:///x`` and read the scheme as the host; RE2 has no
+    lookahead to forbid that, so strip the scheme first). Map-only.
+    NULL/blank/hostless values → NULL."""
+    s = F.regexp_replace(F.lower(F.trim(col)), "^[a-z][a-z0-9+.-]*://", "")
+    s = F.regexp_replace(s, "^[^/@?#]*@", "")
+    host = F.regexp_extract(s, "^([a-z0-9.-]+)", 1)
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+
+
+def registered_domain(col: Column) -> Column:
+    """Registered (pay-level) domain of a URL column: the last two
+    host labels, or the last three when the trailing two form a known
+    multi-label public suffix (``co.uk`` etc. — the common-case
+    approximation of the Public Suffix List, documented above). Pure
+    expression over the split label array; ``www.example.co.uk`` and
+    ``a.b.example.com`` both collapse to their registrable owner, so
+    per-domain statistics aggregate sites, not subdomains. A host
+    with no dot (a bare word — "localhost", or leading text of a
+    non-URL string) has no registrable domain → NULL."""
+    h = url_host(col)
+    labels = F.split(h, "\\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    is_multi = last2.isin(*_MULTI_SUFFIXES)
+    return F.when(h.isNull() | (n <= 1), F.lit(None).cast("string")).otherwise(
+        F.when(n == 2, h).otherwise(F.when(is_multi & (n >= 3), last3).otherwise(last2))
+    )
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-registered-domain corpus composition: (domain, n_docs,
+    share) — the provenance dashboard behind domain caps (a single
+    template farm contributing 30% of a crawl is the classic failure).
+    One map-only domain parse + one combinable groupBy; share via a
+    broadcast 1-row total."""
+    d = df.select(registered_domain(F.col(url_col)).alias("domain")).where(
+        F.col("domain").isNotNull()
+    )
+    counts = d.groupBy("domain").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("__total"), ROUND_N).alias("share"),
+    )
+
+
+def filter_domains(
+    df: DataFrame,
+    blocklist: DataFrame | list[str],
+    url_col: str = "url",
+    keep_unparseable: bool = True,
+) -> DataFrame:
+    """Drop documents whose REGISTERED domain is blocklisted (C4's
+    badwords-domain move). Small lists inline as an ``isin`` filter
+    (map-only); a DataFrame blocklist (one ``domain`` column) joins
+    broadcast-anti, the 100 TB path for curated block sets. Documents
+    with no parseable host are kept or dropped per
+    ``keep_unparseable``."""
+    dom = registered_domain(F.col(url_col))
+    with_dom = df.withColumn("__domain", dom)
+    if isinstance(blocklist, list):
+        kept = with_dom.where(
+            (~F.col("__domain").isin(*blocklist))
+            | (F.col("__domain").isNull() & F.lit(keep_unparseable))
+        )
+    else:
+        bl = blocklist.select(F.col("domain").alias("__domain")).distinct()
+        kept = with_dom.join(F.broadcast(bl), "__domain", "left_anti")
+        if not keep_unparseable:
+            kept = kept.where(F.col("__domain").isNotNull())
+    return kept.drop("__domain")

@@ -1,5 +1,7 @@
 """HTML → text extraction (text.extract_html_text, X165)."""
 
+from pyspark.sql import functions as F
+
 from safedata_pipeline_spark.operators import text as T
 
 
@@ -85,3 +87,62 @@ def test_pipeline_extract_html_step(spark):
     out = pipe.df.collect()
     assert [r.doc_id for r in out] == [1]
     assert "source" in pipe.df.columns and "html" not in pipe.df.columns
+
+
+# --- URL / domain curation (X171) ------------------------------------------
+
+
+def test_registered_domain_parsing(spark):
+    from safedata_pipeline_spark.operators.text import registered_domain
+
+    rows = [
+        (1, "https://www.example.com/path?q=1"),
+        (2, "http://user:pw@blog.example.co.uk:8080/x#frag"),
+        (3, "example.org"),
+        (4, "HTTPS://A.B.Example.COM/"),
+        (5, "ftp://deep.sub.site.com.au/file"),
+        (6, ""),
+        (7, None),
+        (8, "https:///nopath"),
+        (9, "localhost"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, url string")
+    got = {
+        r.id: r.d
+        for r in df.select("id", registered_domain(F.col("url")).alias("d")).collect()
+    }
+    assert got[1] == "example.com"
+    assert got[2] == "example.co.uk"   # multi-label suffix + userinfo + port
+    assert got[3] == "example.org"     # bare host, no scheme
+    assert got[4] == "example.com"     # case folded, subdomains collapsed
+    assert got[5] == "site.com.au"
+    assert got[6] is None and got[7] is None and got[8] is None
+    assert got[9] is None  # dotless host has no registrable domain
+
+
+def test_domain_stats_and_blocklist_filter(spark):
+    from safedata_pipeline_spark.operators.text import domain_stats, filter_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.spam.com/a"),
+            (2, "https://blog.spam.com/b"),
+            (3, "https://good.org/c"),
+            (4, "not a url at all ::"),
+        ],
+        "doc_id bigint, url string",
+    )
+    stats = {r.domain: (r.n_docs, r.share) for r in domain_stats(df).collect()}
+    assert stats["spam.com"] == (2, round(2 / 3, 6))  # subdomains aggregate
+    assert stats["good.org"][0] == 1
+    kept = {r.doc_id for r in filter_domains(df, ["spam.com"]).collect()}
+    assert kept == {3, 4}  # both spam subdomains drop; unparseable kept
+    kept2 = {
+        r.doc_id
+        for r in filter_domains(df, ["spam.com"], keep_unparseable=False).collect()
+    }
+    assert kept2 == {3}
+    # DataFrame blocklist path (broadcast anti-join)
+    bl = spark.createDataFrame([("spam.com",)], "domain string")
+    kept3 = {r.doc_id for r in filter_domains(df, bl).collect()}
+    assert kept3 == {3, 4}
