@@ -63,3 +63,47 @@ def run_scored_stream_once(
     )
     q.awaitTermination()
     return spark.table(table)
+
+
+def stream_extract_html(
+    spark: SparkSession,
+    path_glob: str,
+    html_col: str = "html",
+    min_words: int = 3,
+    max_link_density: float = 0.5,
+):
+    """Streaming HTML → text extraction: ``extract_html_text`` is a
+    pure map-only projection (zero aggregates, zero state), so the
+    SAME operator runs unmodified over a file stream — extract crawl
+    snapshots as they land, feeding the stateless scorer above.
+    Documents whose every line is boilerplate (empty extraction) drop
+    in-stream."""
+    schema = spark.read.parquet(path_glob).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 4).parquet(path_glob)
+    )
+    out = TX.extract_html_text(
+        stream, html_col=html_col, min_words=min_words,
+        max_link_density=max_link_density,
+    )
+    return out.where(F.col("text") != "")
+
+
+def run_extract_stream_once(
+    spark: SparkSession,
+    path_glob: str,
+    table: str = "extracted_docs_stream",
+    html_col: str = "html",
+):
+    """Drain the current source into an in-memory table (availableNow)
+    — test harness for stream-vs-batch equality."""
+    q = (
+        stream_extract_html(spark, path_glob, html_col=html_col)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
