@@ -1587,6 +1587,156 @@ def _sql_semantic_pairs(k: int = 8, iterations: int = 3, threshold: float = 0.4)
     )
 
 
+# -- X176: per-group scaling (source-fair normalization) ---------------------
+
+
+def _q_group_scale(spark, sf):
+    # z-scale prices within their returnflag group — the two-pass
+    # fit/apply shape (one grouped agg -> broadcast join -> map-only
+    # expression) that makes one threshold mean the same thing in
+    # every group
+    li = load_table(spark, sf, "lineitem")
+    return P.group_scale(li, ["l_extendedprice"], ["l_returnflag"]).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice_scaled"
+    )
+
+
+def _sql_group_scale() -> str:
+    return (
+        "WITH fit AS (SELECT l_returnflag, round(avg(l_extendedprice), 9) AS loc, "
+        "round(stddev_samp(l_extendedprice), 9) AS spread FROM lineitem GROUP BY 1) "
+        "SELECT l_orderkey, l_linenumber, l.l_returnflag, "
+        "CASE WHEN spread > 0 THEN round((l_extendedprice - loc) / spread, 6) END "
+        "AS l_extendedprice_scaled "
+        "FROM lineitem l JOIN fit USING (l_returnflag)"
+    )
+
+
+# -- X173/X174: TPC-H Q14 / Q22 shapes ---------------------------------------
+
+
+def _q_promo_revenue(spark, sf):
+    # Q14 shape: conditional-revenue share over the part⋈lineitem join
+    # within one month — the filtered fact scan broadcast-joins the
+    # dimension, and the share is a conditional-DECIMAL-sum ratio in
+    # ONE aggregate (same discipline as market_share).
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(38,6)"))).cast("double")
+            / F.sum(rev).cast("double"),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def _sql_promo_revenue() -> str:
+    return (
+        "SELECT round(100.0 * "
+        "CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) "
+        "ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) / "
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS promo_revenue_pct "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'"
+    )
+
+
+def _q_idle_rich_customers(spark, sf):
+    # Q22 shape: scalar-average subquery + NOT EXISTS anti-join —
+    # high-balance customers in target segments with no RECENT order
+    # (the churn-risk list; an unwindowed NOT EXISTS is empty at
+    # fixture scale since order coverage is ~100%). The avg rides a
+    # broadcast 1-row aggregate; the anti-join keys on the customer id
+    # (AQE broadcasts the filtered order-key side when small).
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    segs = ["AUTOMOBILE", "FURNITURE", "MACHINERY"]
+    pos_avg = (
+        cust.where(F.col("c_mktsegment").isin(segs) & (F.col("c_acctbal") > 0))
+        .agg(F.round(F.avg("c_acctbal"), 6).alias("__avg"))
+    )
+    rich = (
+        cust.where(F.col("c_mktsegment").isin(segs))
+        .crossJoin(F.broadcast(pos_avg))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    idle = rich.join(recent, rich["c_custkey"] == F.col("o_custkey"), "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double"), 2).alias("total_acctbal"),
+    )
+
+
+def _sql_idle_rich_customers() -> str:
+    segs = "('AUTOMOBILE', 'FURNITURE', 'MACHINERY')"
+    return (
+        f"WITH avg_bal AS (SELECT round(avg(c_acctbal), 6) AS a FROM customer "
+        f"WHERE c_mktsegment IN {segs} AND c_acctbal > 0), "
+        f"rich AS (SELECT * FROM customer, avg_bal WHERE c_mktsegment IN {segs} AND c_acctbal > a), "
+        "idle AS (SELECT * FROM rich WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = rich.c_custkey "
+        "AND o_orderdate >= TIMESTAMP '2000-01-01')) "
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers, "
+        "round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_acctbal "
+        "FROM idle GROUP BY c_mktsegment"
+    )
+
+
+# -- X175: corpus overlap audit ----------------------------------------------
+
+
+def _q_corpus_overlap(spark, sf):
+    # two crawl snapshots simulated by an md5 split of the documents
+    # fixture WITH an overlapping middle band (~one third of docs land
+    # in both sides), so every output scalar is non-degenerate
+    docs = load_table(spark, sf, "documents")
+    slot = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ov|"), F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % 3
+    )
+    a = docs.where(slot <= 1)     # slots 0,1
+    b = docs.where(slot >= 1)     # slots 1,2 — slot 1 is the overlap
+    return DD.corpus_overlap(a, b, n=3)
+
+
+def _sql_corpus_overlap() -> str:
+    shingle = (
+        "SELECT DISTINCT md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h "
+        "FROM ({src}) s CROSS JOIN unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)"
+    )
+    toks = (
+        "SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END AS t "
+        "FROM documents WHERE text IS NOT NULL AND "
+        "CAST(CAST(('0x' || substr(md5('ov|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 3 {cond}"
+    )
+    da = shingle.format(src=toks.format(cond="<= 1"))
+    db = shingle.format(src=toks.format(cond=">= 1"))
+    return (
+        f"WITH da AS ({da}), db AS ({db}), "
+        "na AS (SELECT CAST(count(*) AS BIGINT) AS n_shingles_a FROM da), "
+        "nb AS (SELECT CAST(count(*) AS BIGINT) AS n_shingles_b FROM db), "
+        "nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM da JOIN db USING (h)) "
+        "SELECT n_shingles_a, n_shingles_b, n_common, "
+        "round(n_common / CAST(nullif(n_shingles_a, 0) AS DOUBLE), 6) AS containment_a_in_b, "
+        "round(n_common / CAST(nullif(n_shingles_b, 0) AS DOUBLE), 6) AS containment_b_in_a, "
+        "round(n_common / CAST(nullif(n_shingles_a + n_shingles_b - n_common, 0) AS DOUBLE), 6) AS jaccard "
+        "FROM na CROSS JOIN nb CROSS JOIN nc"
+    )
+
+
 # -- X171: URL/domain curation (registered-domain stats) ---------------------
 
 
@@ -1861,10 +2011,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_tokens": _q_encode_tokens,
         "token_count_vocab": _q_token_count_vocab,
         "domain_stats": _q_domain_stats,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_lsh": _q_minhash_lsh,
-        "simhash_pairs": _q_simhash_pairs,
-        "dedup_components": _q_dedup_components,
+        "promo_revenue": _q_promo_revenue,
+        "idle_rich_customers": _q_idle_rich_customers,
+        "corpus_overlap": _q_corpus_overlap,
+        "group_scale": _q_group_scale,
         "shipment_month_overlap": _q_shipment_month_overlap,
         "ks_drift_binned": _q_ks_drift_binned,
         "zipf_profile": _q_zipf_profile,
@@ -1875,6 +2025,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_timeline": _q_drift_timeline,
         "dedup_incremental": _q_dedup_incremental,
         "substring_dedup": _q_substring_dedup,
+        "dedup_components": _q_dedup_components,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash_pairs": _q_simhash_pairs,
         # Everything below except the trailing rows-only block IS
         # oracle-backed — tools/check_oracle.py runs the identical hash
         # compare locally each round. A query sits past the window only
@@ -4541,6 +4695,10 @@ def oracle_sql() -> dict[str, str]:
         "zipf_profile": _sql_zipf_profile(),
         "shipment_month_overlap": _sql_shipment_month_overlap(),
         "domain_stats": _sql_domain_stats(),
+        "promo_revenue": _sql_promo_revenue(),
+        "idle_rich_customers": _sql_idle_rich_customers(),
+        "corpus_overlap": _sql_corpus_overlap(),
+        "group_scale": _sql_group_scale(),
         "semantic_dedup": _sql_semantic_pairs(),
         "column_entropy": _sql_column_entropy("customer", ENTROPY_COLS),
         "dedup_best": _sql_dedup_best(),

@@ -190,6 +190,10 @@ HEADLINE = [
     "zipf_profile",
     "shipment_month_overlap",
     "domain_stats",
+    "promo_revenue",
+    "idle_rich_customers",
+    "corpus_overlap",
+    "group_scale",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -1401,3 +1401,61 @@ def semantic_dedup(
     )
     ids = emb.where(F.col(vec_col).isNotNull()).select(F.col(id_col))
     return dedup_components(ids, pairs, id_col=id_col)
+
+
+def corpus_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level n-gram overlap audit between two corpora: ONE row
+    ``(n_shingles_a, n_shingles_b, n_common, containment_a_in_b,
+    containment_b_in_a, jaccard)`` over the DISTINCT shingle sets.
+
+    The "are these two crawl snapshots basically the same data?"
+    screen — run it before paying for a full cross-corpus near-dup
+    join: high containment of A in B means ingesting A adds little.
+    Also the corpus-level contamination number (eval-suite shingles vs
+    training corpus) when ``a`` is small.
+
+    Scale shape: each side collapses to its distinct-shingle DIGEST
+    set (md5 — raw text never shuffles), the intersection is one
+    equi-join on the digest, and the output is O(1) scalars. Cost is
+    the two distinct-shuffles the audit needs anyway; no pair
+    explosion anywhere.
+    """
+    def digests(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col(text_col).isNotNull())
+            .select(F.explode(_word_shingles(F.col(text_col), n)).alias("s"))
+            .select(F.md5(F.col("s").cast("binary")).alias("h"))
+            .distinct()
+        )
+
+    da, db = digests(a), digests(b)
+    na = da.agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles_a"))
+    nb = db.agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles_b"))
+    nc = da.join(db, "h").agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_shingles_a",
+            "n_shingles_b",
+            "n_common",
+            F.round(F.col("n_common") / F.nullif(F.col("n_shingles_a"), F.lit(0)), ROUND_N)
+            .alias("containment_a_in_b"),
+            F.round(F.col("n_common") / F.nullif(F.col("n_shingles_b"), F.lit(0)), ROUND_N)
+            .alias("containment_b_in_a"),
+            F.round(
+                F.col("n_common")
+                / F.nullif(
+                    F.col("n_shingles_a") + F.col("n_shingles_b") - F.col("n_common"),
+                    F.lit(0),
+                ),
+                ROUND_N,
+            ).alias("jaccard"),
+        )
+    )

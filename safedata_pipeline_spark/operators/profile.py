@@ -852,3 +852,56 @@ def weighted_quantiles(
         ).alias(f"p{int(round(p * 100)):02d}")
         aggs.append(pick)
     return c.agg(*aggs)
+
+
+def group_scale(
+    df: DataFrame,
+    cols: list[str],
+    group_cols: list[str],
+    method: str = "zscore",
+) -> DataFrame:
+    """Per-GROUP column normalization: each value scaled against its
+    own group's statistics — ``zscore`` ((x−μ_g)/σ_g) or ``robust``
+    ((x−median_g)/IQR_g). The fairness move behind cross-source
+    filtering: a global quality threshold silently favors whichever
+    source's score distribution sits higher; scaling per source first
+    makes one threshold mean the same thing everywhere.
+
+    Output: input columns plus ``<col>_scaled`` per scaled column
+    (NULL when the group's spread is 0 or the value is NULL).
+
+    Scale shape: ONE grouped aggregate computes every group's fit
+    statistics (map-side combinable; exact percentiles for ``robust``
+    via the grouped percentile aggregate), the fit table is
+    groups×columns small and broadcast-joins back, and the scaling
+    itself is a map-only expression — two passes total for any column
+    count, the ``standard_scale`` fit/apply discipline applied
+    per-group. Statistics round to 9dp before the division so the
+    scaled values are engine-deterministic.
+    """
+    if method not in ("zscore", "robust"):
+        raise ValueError(f"method must be 'zscore' or 'robust', got {method!r}")
+    aggs = []
+    for c in cols:
+        if method == "zscore":
+            aggs += [
+                F.round(F.avg(c), 9).alias(f"__loc_{c}"),
+                F.round(F.stddev_samp(c), 9).alias(f"__spread_{c}"),
+            ]
+        else:
+            pct = F.percentile(F.col(c), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+            aggs += [
+                F.round(F.element_at(pct, 2), 9).alias(f"__loc_{c}"),
+                F.round(F.element_at(pct, 3) - F.element_at(pct, 1), 9).alias(
+                    f"__spread_{c}"
+                ),
+            ]
+    fit = df.groupBy(*group_cols).agg(*aggs)
+    out = df.join(F.broadcast(fit), on=group_cols, how="left")
+    for c in cols:
+        scaled = F.when(
+            F.col(f"__spread_{c}") > 0,
+            F.round((F.col(c) - F.col(f"__loc_{c}")) / F.col(f"__spread_{c}"), 6),
+        )
+        out = out.withColumn(f"{c}_scaled", scaled)
+    return out.drop(*[f"__loc_{c}" for c in cols], *[f"__spread_{c}" for c in cols])

@@ -621,3 +621,37 @@ def test_substring_dedup_exact_boundaries_vs_sequential_twin(spark):
     # word-exact boundaries: doc 3/4 context words survive untouched
     assert got[3] == "prefix one two"
     assert got[4] == "suffix three four"
+
+
+def test_corpus_overlap_scalars(spark):
+    """X175: corpus-level shingle overlap — exact counts on planted
+    shared/unique content; asymmetric containment."""
+    from safedata_pipeline_spark.operators.dedup import corpus_overlap
+
+    shared = "alpha beta gamma delta epsilon"        # 3 trigrams
+    a = spark.createDataFrame(
+        [(1, shared), (2, "one two three four")],     # +2 unique trigrams
+        "doc_id bigint, text string",
+    )
+    b = spark.createDataFrame(
+        [(10, shared), (11, "five six seven eight nine ten")],  # +4 unique
+        "doc_id bigint, text string",
+    )
+    r = corpus_overlap(a, b, n=3).collect()[0]
+    assert (r.n_shingles_a, r.n_shingles_b, r.n_common) == (5, 7, 3)
+    assert r.containment_a_in_b == round(3 / 5, 6)
+    assert r.containment_b_in_a == round(3 / 7, 6)
+    assert r.jaccard == round(3 / 9, 6)
+
+
+def test_corpus_overlap_disjoint_and_empty(spark):
+    from safedata_pipeline_spark.operators.dedup import corpus_overlap
+
+    a = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    b = spark.createDataFrame([(2, "x y z")], "doc_id bigint, text string")
+    r = corpus_overlap(a, b, n=3).collect()[0]
+    assert r.n_common == 0 and r.jaccard == 0.0
+    empty = spark.createDataFrame([(3, "")], "doc_id bigint, text string")
+    r2 = corpus_overlap(a, empty, n=3).collect()[0]
+    assert r2.n_shingles_b == 0
+    assert r2.containment_b_in_a is None  # 0-denominator -> NULL, not a crash

@@ -368,3 +368,35 @@ def test_weighted_quantiles_matches_sequential_reference(spark):
     df2 = spark.createDataFrame([(float(i), 1.0) for i in range(1, 101)], "v double, w double")
     o2 = weighted_quantiles(df2, "v", "w").collect()[0]
     assert (o2.p25, o2.p50, o2.p75) == (25.0, 50.0, 75.0)
+
+
+def test_group_scale_zscore_and_robust(spark):
+    """Per-group scaling: each group normalizes against its OWN stats;
+    zero-spread groups and NULLs scale to NULL."""
+    import pytest
+
+    from safedata_pipeline_spark.operators.profile import group_scale
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 100.0), ("b", 200.0), ("b", 300.0),
+            ("c", 5.0), ("c", 5.0),              # zero spread
+            ("a", None),
+        ],
+        "src string, v double",
+    )
+    z = group_scale(df, ["v"], ["src"], method="zscore").collect()
+    by = {}
+    for r in z:
+        by.setdefault(r.src, []).append((r.v, r.v_scaled))
+    # group a: mean 2, std 1 -> scaled -1, 0, 1; group b identical shape
+    assert sorted(s for v, s in by["a"] if v is not None) == [-1.0, 0.0, 1.0]
+    assert sorted(s for v, s in by["b"]) == [-1.0, 0.0, 1.0]
+    assert all(s is None for _, s in by["c"])           # zero spread
+    assert [s for v, s in by["a"] if v is None] == [None]
+    r = group_scale(df, ["v"], ["src"], method="robust").collect()
+    med = {x.src: x.v_scaled for x in r if x.v in (2.0, 200.0)}
+    assert med == {"a": 0.0, "b": 0.0}                  # median maps to 0
+    with pytest.raises(ValueError):
+        group_scale(df, ["v"], ["src"], method="minmax")
