@@ -1587,6 +1587,54 @@ def _sql_semantic_pairs(k: int = 8, iterations: int = 3, threshold: float = 0.4)
     )
 
 
+# -- X177: length-matched sampling (eval-set construction) -------------------
+
+
+def _q_length_matched_sample(spark, sf):
+    # reference = the same docs truncated to their first 120 chars (a
+    # deliberately shorter length profile); the sampler thins the full
+    # corpus to match it, md5-replayable per doc
+    from safedata_pipeline_spark.operators.sampling import length_matched_sample
+
+    docs = load_table(spark, sf, "documents")
+    ref = docs.select(F.substring(F.col("text"), 1, 120).alias("text"))
+    return length_matched_sample(docs, ref).select("doc_id", "source")
+
+
+def _sql_length_matched_sample() -> str:
+    # same fit arithmetic in SQL: w_b = ref_b/ref_total, cap =
+    # min(cur_b / w_b), rate_b = w_b * cap / cur_b — plain IEEE doubles
+    # in the same order as the driver-side fit
+    bucket = (
+        "CASE WHEN len({toks}) <= 0 THEN -1 "
+        "ELSE CAST(floor(ln(CAST(len({toks}) AS DOUBLE)) / ln(2.0)) AS INT) END"
+    )
+    toks_full = (
+        "CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
+    )
+    toks_ref = (
+        "CASE WHEN trim(substr(text, 1, 120)) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(substr(text, 1, 120)), '\\s+') END"
+    )
+    bf = bucket.format(toks=toks_full)
+    br = bucket.format(toks=toks_ref)
+    return (
+        f"WITH cur AS (SELECT {bf} AS b, CAST(count(*) AS DOUBLE) AS cnt "
+        "FROM documents WHERE text IS NOT NULL GROUP BY 1), "
+        f"ref AS (SELECT {br} AS b, CAST(count(*) AS DOUBLE) AS cnt "
+        "FROM documents WHERE text IS NOT NULL GROUP BY 1), "
+        "reft AS (SELECT sum(cnt) AS t FROM ref), "
+        "pos AS (SELECT ref.b, ref.cnt / reft.t AS w, cur.cnt AS cur_cnt "
+        "FROM ref JOIN cur ON ref.b = cur.b CROSS JOIN reft WHERE ref.cnt > 0), "
+        "cap AS (SELECT min(cur_cnt / w) AS c FROM pos), "
+        "rates AS (SELECT b, w * cap.c / cur_cnt AS rate FROM pos, cap) "
+        f"SELECT doc_id, source FROM documents JOIN rates ON {bf} = rates.b "
+        "WHERE text IS NOT NULL AND "
+        "(CAST(('0x' || substr(md5('len|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0) "
+        "/ 4294967296.0 <= rate"
+    )
+
+
 # -- X176: per-group scaling (source-fair normalization) ---------------------
 
 
@@ -2025,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_timeline": _q_drift_timeline,
         "dedup_incremental": _q_dedup_incremental,
         "substring_dedup": _q_substring_dedup,
+        "length_matched_sample": _q_length_matched_sample,
         "dedup_components": _q_dedup_components,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
@@ -4699,6 +4748,7 @@ def oracle_sql() -> dict[str, str]:
         "idle_rich_customers": _sql_idle_rich_customers(),
         "corpus_overlap": _sql_corpus_overlap(),
         "group_scale": _sql_group_scale(),
+        "length_matched_sample": _sql_length_matched_sample(),
         "semantic_dedup": _sql_semantic_pairs(),
         "column_entropy": _sql_column_entropy("customer", ENTROPY_COLS),
         "dedup_best": _sql_dedup_best(),

@@ -194,6 +194,7 @@ HEADLINE = [
     "idle_rich_customers",
     "corpus_overlap",
     "group_scale",
+    "length_matched_sample",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -268,3 +268,72 @@ def assign_folds(df: DataFrame, id_col: str, k: int = 5) -> DataFrame:
     return df.withColumn(
         "fold", (_md5_slot(F.col(id_col).cast("string"), 0) % k).cast("int")
     )
+
+
+def length_bucket(col, text_col_is_text: bool = True):
+    """Power-of-two word-count bucket of a text column (the
+    ``length_histogram`` grid): floor(log2(n_words)), empty → -1."""
+    toks = F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(col), "\\s+")
+    )
+    n = F.size(toks)
+    return F.when(n <= 0, F.lit(-1)).otherwise(
+        F.floor(F.log(2.0, n.cast("double"))).cast("int")
+    )
+
+
+def length_matched_rates(
+    df: DataFrame, reference: DataFrame, text_col: str = "text"
+) -> dict[int, float]:
+    """Per-length-bucket keep rates that reshape ``df``'s word-count
+    distribution to match ``reference``'s, keeping maximal volume —
+    the eval-set construction move (a held-out set with a different
+    length profile than the corpus it scores measures length, not
+    quality). Same maximal-N arithmetic as ``mixture_rates``, keyed by
+    the power-of-two length bucket; buckets absent from the reference
+    get rate 0. Both count tables are O(#buckets) fit parameters."""
+    def counts(d: DataFrame) -> dict[int, float]:
+        return {
+            int(r["b"]): float(r["cnt"])
+            for r in d.where(F.col(text_col).isNotNull())
+            .select(length_bucket(F.col(text_col)).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    cur, ref = counts(df), counts(reference)
+    ref_total = sum(ref.values())
+    pos = {b: ref[b] / ref_total for b in ref if b in cur and ref[b] > 0}
+    if not pos:
+        return {}
+    cap = min(cur[b] / w for b, w in pos.items())
+    return {b: w * cap / cur[b] for b, w in pos.items()}
+
+
+def length_matched_sample(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rates: dict[int, float] | None = None,
+) -> DataFrame:
+    """Deterministically thin ``df`` so the survivors' length-bucket
+    distribution matches ``reference``'s (expected counts), keeping
+    maximal volume: a row survives iff md5_unit('len|' + id) <=
+    rate(bucket). Map-side CASE + filter over fit-parameter rates —
+    replayable on any engine at any parallelism, the
+    ``source_mixture_sample`` contract keyed by length instead of
+    provenance."""
+    if rates is None:
+        rates = length_matched_rates(df, reference, text_col)
+    if not rates:
+        return df.limit(0)
+    b = length_bucket(F.col(text_col))
+    rate = None
+    for bucket, r in sorted(rates.items()):
+        clause = F.when(b == bucket, F.lit(float(r)))
+        rate = clause if rate is None else rate.when(b == bucket, F.lit(float(r)))
+    rate = rate.otherwise(F.lit(0.0))
+    u = md5_unit_interval(F.concat(F.lit("len|"), F.col(id_col).cast("string")))
+    return df.where(F.col(text_col).isNotNull()).where(u <= rate)

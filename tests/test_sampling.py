@@ -186,3 +186,46 @@ def test_assign_folds_deterministic_and_balanced(spark):
 
     with _pytest.raises(ValueError):
         assign_folds(df, "doc_id", 1)
+
+
+def test_length_matched_sample_matches_reference_profile(spark):
+    """X177: survivors' length-bucket distribution matches the
+    reference's (exact expected counts via per-bucket rates); the coin
+    is replayable, buckets absent from the reference drop entirely."""
+    from safedata_pipeline_spark.operators.sampling import (
+        length_bucket,
+        length_matched_rates,
+        length_matched_sample,
+    )
+    import pyspark.sql.functions as F
+
+    # corpus: 40 short (bucket 1), 40 long (bucket 4); reference wants
+    # 3:1 short:long
+    rows = [(i, "w1 w2 w3") for i in range(40)]
+    rows += [(100 + i, " ".join(f"x{j}" for j in range(20))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ref_rows = [(0, "a b c")] * 3 + [(1, " ".join("y" * 1 for _ in range(20)))]
+    ref = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(ref_rows)], "doc_id bigint, text string"
+    )
+    rates = length_matched_rates(df, ref)
+    # bucket 1 (3 words): rate 1.0 (the binding bucket); bucket 4: 1/3
+    assert rates[1] == 1.0 and abs(rates[4] - 1 / 3) < 1e-12
+    kept = length_matched_sample(df, ref, rates=rates)
+    by_bucket = {
+        r["b"]: r["cnt"]
+        for r in kept.select(length_bucket(F.col("text")).alias("b"))
+        .groupBy("b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert by_bucket[1] == 40                      # rate 1.0 keeps all
+    assert 0 < by_bucket.get(4, 0) < 40            # thinned by the coin
+    # determinism: the same call yields the same survivors
+    ids1 = {r.doc_id for r in kept.collect()}
+    ids2 = {r.doc_id for r in length_matched_sample(df, ref, rates=rates).collect()}
+    assert ids1 == ids2
+    # a bucket the reference lacks drops wholesale
+    extra = spark.createDataFrame(
+        [(999, " ".join(f"z{j}" for j in range(300)))], "doc_id bigint, text string"
+    )
+    kept_extra = length_matched_sample(df.union(extra), ref, rates=rates)
+    assert kept_extra.where(F.col("doc_id") == 999).count() == 0
