@@ -104,3 +104,71 @@ def skipping_stats(spark: SparkSession, path: str, col: str) -> DataFrame:
         [(len(ranges), gmin, gmax, round(avg_span, 6), round(hit, 6))],
         "n_files int, global_min double, global_max double, avg_span double, hit_fraction double",
     )
+
+
+def zorder_value(cols: list, bits: int = 16):
+    """Z-order (Morton) interleave of 2+ numeric columns as a pure
+    Column expression: each column rank-normalizes into ``bits``-bit
+    integers via the caller-supplied (lo, hi) ranges, and the bits
+    interleave round-robin into one bigint. Rows close in Z-value are
+    close in EVERY clustered dimension, so range-partitioning by
+    Z-value gives multi-dimensional data skipping — the Delta/Iceberg
+    OPTIMIZE ZORDER mechanism, reproduced with stock expressions.
+
+    ``cols``: list of (column, lo, hi) triples; values clamp into
+    [lo, hi]. 2 cols × 16 bits or 3 × 10 fit comfortably in int64.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z-order needs >= 2 columns")
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits exceeds int64")
+    scaled = []
+    for col, lo, hi in cols:
+        lo_f, hi_f = float(lo), float(hi)
+        width = hi_f - lo_f if hi_f > lo_f else 1.0
+        unit = F.least(
+            F.greatest((col.cast("double") - F.lit(lo_f)) / F.lit(width), F.lit(0.0)),
+            F.lit(1.0),
+        )
+        scaled.append(
+            F.least(
+                F.floor(unit * F.lit(float(1 << bits))).cast("long"),
+                F.lit((1 << bits) - 1),
+            )
+        )
+    z = F.lit(0).cast("long")
+    # interleave: output bit (b*n + i) takes bit b of column i
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            bit = F.shiftrightunsigned(s, b) % 2
+            z = z + F.shiftleft(bit, b * n + i)
+    return z
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    cols: list[tuple[str, float, float]],
+    n_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """Multi-dimensional clustered write: range-partition + sort on
+    the Z-order value of ``cols`` (list of (name, lo, hi)), drop the
+    helper column, write parquet. Unlike lexicographic
+    ``write_range_clustered(cols=[a, b])`` — which prunes only on the
+    leading column — every clustered dimension's footer min/max
+    tightens, so predicates on b alone skip files too."""
+    from pyspark.sql import functions as F
+
+    z = zorder_value([(F.col(c), lo, hi) for c, lo, hi in cols], bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
