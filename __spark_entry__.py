@@ -1587,6 +1587,46 @@ def _sql_semantic_pairs(k: int = 8, iterations: int = 3, threshold: float = 0.4)
     )
 
 
+# -- X179: conversion attribution (first/last touch in lookback) -------------
+
+
+def _q_conversion_attribution(spark, sf):
+    from safedata_pipeline_spark.operators import timeseries as TS
+
+    return TS.attribute_conversions(
+        load_table(spark, sf, "events"),
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        lookback_hours=24.0,
+    )
+
+
+def _sql_conversion_attribution() -> str:
+    return (
+        "WITH conv AS (SELECT event_id AS conversion_id, user_id, ts AS conversion_ts "
+        "FROM events WHERE event_type = 'purchase'), "
+        "touch AS (SELECT user_id, event_id AS touch_id, ts AS touch_ts "
+        "FROM events WHERE event_type IN ('click', 'view')), "
+        "pairs AS (SELECT c.conversion_id, t.touch_id, t.touch_ts "
+        "FROM conv c JOIN touch t ON c.user_id = t.user_id "
+        "AND t.touch_ts <= c.conversion_ts "
+        "AND t.touch_ts > c.conversion_ts - INTERVAL 24 HOURS), "
+        "ranked AS (SELECT *, "
+        "row_number() OVER (PARTITION BY conversion_id ORDER BY touch_ts ASC, touch_id ASC) AS rf, "
+        "row_number() OVER (PARTITION BY conversion_id ORDER BY touch_ts DESC, touch_id DESC) AS rl "
+        "FROM pairs), "
+        "cnt AS (SELECT conversion_id, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1) "
+        "SELECT c.conversion_id, c.user_id, c.conversion_ts, "
+        "CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_touches, "
+        "f.touch_id AS first_touch_id, f.touch_ts AS first_touch_ts, "
+        "l.touch_id AS last_touch_id, l.touch_ts AS last_touch_ts "
+        "FROM conv c "
+        "LEFT JOIN cnt USING (conversion_id) "
+        "LEFT JOIN (SELECT conversion_id, touch_id, touch_ts FROM ranked WHERE rf = 1) f USING (conversion_id) "
+        "LEFT JOIN (SELECT conversion_id, touch_id, touch_ts FROM ranked WHERE rl = 1) l USING (conversion_id)"
+    )
+
+
 # -- X177: length-matched sampling (eval-set construction) -------------------
 
 
@@ -2074,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "substring_dedup": _q_substring_dedup,
         "length_matched_sample": _q_length_matched_sample,
+        "conversion_attribution": _q_conversion_attribution,
         "dedup_components": _q_dedup_components,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
@@ -4749,6 +4790,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_overlap": _sql_corpus_overlap(),
         "group_scale": _sql_group_scale(),
         "length_matched_sample": _sql_length_matched_sample(),
+        "conversion_attribution": _sql_conversion_attribution(),
         "semantic_dedup": _sql_semantic_pairs(),
         "column_entropy": _sql_column_entropy("customer", ENTROPY_COLS),
         "dedup_best": _sql_dedup_best(),

@@ -195,6 +195,7 @@ HEADLINE = [
     "corpus_overlap",
     "group_scale",
     "length_matched_sample",
+    "conversion_attribution",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -478,3 +478,69 @@ def transition_matrix(
             F.round(F.col("n") / F.col("row_total"), ROUND_N).alias("prob"),
         )
     )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_hours: float = 24.0,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Marketing-style conversion attribution: for every conversion
+    event, the FIRST and LAST touch event of the same user inside the
+    lookback window — (conversion_id, user, conversion_ts, n_touches,
+    first_touch_id, first_touch_ts, last_touch_id, last_touch_ts);
+    conversions with no in-window touch keep a row with NULLs (they
+    are the unattributable share a dashboard must show, not hide).
+
+    Shape: candidate (conversion, touch) pairs come from ONE
+    user-keyed equi-join with the half-open window predicate
+    ``conv_ts − lookback < touch_ts ≤ conv_ts`` riding it — never a
+    time-unbounded pair stream — then one groupBy(conversion) takes
+    min/max ``(ts, id)`` structs (map-side combinable; the struct
+    tiebreak makes simultaneous touches deterministic). At 100 TB the
+    user-keyed join is the same shuffle the sessionizer pays, and AQE
+    splits hot users; pair count is bounded by touches-per-user-per-
+    window, the quantity attribution is ABOUT.
+    """
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col(id_col).alias("conversion_id"),
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("conversion_ts"),
+    )
+    touch = events.where(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("touch_ts"),
+    )
+    # fractional hours via a seconds interval (HOURS literals must be
+    # integral); make_interval keeps it a pure expression
+    win = F.make_interval(secs=F.lit(float(lookback_hours) * 3600.0))
+    pairs = conv.join(
+        touch,
+        on=[
+            conv["user_id"] == touch["user_id"],
+            touch["touch_ts"] <= conv["conversion_ts"],
+            touch["touch_ts"] > conv["conversion_ts"] - win,
+        ],
+        how="left",
+    ).select(
+        "conversion_id",
+        conv["user_id"].alias("user_id"),
+        "conversion_ts",
+        "touch_id",
+        "touch_ts",
+    )
+    first = F.min(F.when(F.col("touch_id").isNotNull(), F.struct("touch_ts", "touch_id")))
+    last = F.max(F.when(F.col("touch_id").isNotNull(), F.struct("touch_ts", "touch_id")))
+    return pairs.groupBy("conversion_id", "user_id", "conversion_ts").agg(
+        F.sum(F.col("touch_id").isNotNull().cast("bigint")).cast("bigint").alias("n_touches"),
+        first.getField("touch_id").alias("first_touch_id"),
+        first.getField("touch_ts").alias("first_touch_ts"),
+        last.getField("touch_id").alias("last_touch_id"),
+        last.getField("touch_ts").alias("last_touch_ts"),
+    )

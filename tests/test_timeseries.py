@@ -184,3 +184,45 @@ def test_cohort_retention_triangle(spark):
     assert out[(1, 2)] == (1, 0.5)   # u2 back on day 3
     assert out[(2, 0)] == (1, 1.0)
     assert (2, 1) not in out
+
+
+def test_conversion_attribution_first_last_and_nulls(spark):
+    """X179: first/last touch within the lookback; out-of-window and
+    post-conversion touches never attribute; no-touch conversions keep
+    a NULL row; simultaneous touches tiebreak by id."""
+    from datetime import datetime
+
+    from safedata_pipeline_spark.operators.timeseries import attribute_conversions
+
+    t0 = datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(h):
+        return datetime(2024, 1, 10 + (12 + h) // 24, (12 + h) % 24)
+
+    rows = [
+        # user A: touches at -30h (out), -5h, -1h; conversion at 0
+        (1, "u_a", ts(-30), "click"),
+        (2, "u_a", ts(-5), "view"),
+        (3, "u_a", ts(-1), "click"),
+        (4, "u_a", t0, "purchase"),
+        (5, "u_a", ts(1), "click"),          # after conversion: ignored
+        # user B: conversion with no touches
+        (6, "u_b", t0, "purchase"),
+        # user C: two touches at the SAME ts -> id tiebreak
+        (7, "u_c", ts(-2), "click"),
+        (8, "u_c", ts(-2), "view"),
+        (9, "u_c", t0, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id bigint, user_id string, ts timestamp, event_type string")
+    got = {
+        r.conversion_id: r
+        for r in attribute_conversions(
+            ev, "purchase", ["click", "view"], lookback_hours=24.0
+        ).collect()
+    }
+    a = got[4]
+    assert (a.n_touches, a.first_touch_id, a.last_touch_id) == (2, 2, 3)
+    b = got[6]
+    assert b.n_touches == 0 and b.first_touch_id is None and b.last_touch_ts is None
+    c = got[9]
+    assert (c.first_touch_id, c.last_touch_id) == (7, 8)  # same ts, id breaks
