@@ -196,6 +196,7 @@ HEADLINE = [
     "group_scale",
     "length_matched_sample",
     "conversion_attribution",
+    "secrets_scan",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

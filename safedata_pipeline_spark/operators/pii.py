@@ -55,3 +55,48 @@ def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     for name, pat in PII_PATTERNS.items():
         t = F.regexp_replace(t, pat, f"[{name.upper()}]")
     return df.select(id_col, t.alias(text_col))
+
+
+# Credential material in a training corpus is worse than PII: a model
+# memorizes and replays it verbatim. Same regex discipline (Java∩RE2,
+# no backrefs/lookaround); patterns target structured token FORMATS,
+# not entropy heuristics, so both engines agree exactly.
+SECRET_PATTERNS: dict[str, str] = {
+    # AWS access key id: fixed AKIA prefix + 16 uppercase base32 chars
+    "aws_key": r"\bAKIA[0-9A-Z]{16}\b",
+    # JWT: three dot-separated base64url segments, header always eyJ
+    "jwt": r"\beyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\b",
+    # GitHub personal access token (classic)
+    "github_pat": r"\bghp_[A-Za-z0-9]{36}\b",
+    # generic assigned secret: key-ish name = long opaque token
+    "assigned_secret": r"(?i)\b(?:api[_-]?key|secret|token|passwd|password)\s*[=:]\s*['\"]?[A-Za-z0-9_\-/+]{16,}",
+    # PEM private-key header
+    "pem_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+}
+
+
+def secrets_scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document credential hit counts per type + total — the
+    pre-training secret screen (memorized live credentials are a
+    disclosure incident, not a quality problem). Output:
+    (doc_id, n_aws_key, n_jwt, n_github_pat, n_assigned_secret,
+    n_pem_key, n_secrets). Map-only, codegen, zero shuffles."""
+    t = F.col(text_col)
+    cols = [F.col(id_col)]
+    total = None
+    for name, pat in SECRET_PATTERNS.items():
+        c = F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        cols.append(c.cast("bigint").alias(f"n_{name}"))
+        total = c if total is None else total + c
+    cols.append(total.cast("bigint").alias("n_secrets"))
+    return df.select(*cols)
+
+
+def secrets_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Replace every credential match with a typed placeholder
+    (``[AWS_KEY]`` …), same map-only shape as ``pii_redact``; pattern
+    order is the dict order (prefix-anchored formats don't overlap)."""
+    t = F.col(text_col)
+    for name, pat in SECRET_PATTERNS.items():
+        t = F.regexp_replace(t, pat, f"[{name.upper()}]")
+    return df.select(id_col, t.alias(text_col))
