@@ -287,3 +287,43 @@ def test_pipeline_dedup_contained_and_readability(spark):
     p3 = CorpusPipeline(spark.createDataFrame([(9, "", "z")],
         "doc_id bigint, text string, source string")).filter_readability()
     assert p3.funnel["readability"] == 0  # empty doc has NULL flesch → dropped
+
+
+def test_full_crawl_pipeline_from_html(spark):
+    """Round-6 end-to-end: the crawl entry stages (HTML extraction →
+    domain blocklist) chain into the established curation flow
+    (normalize → unit dedup → near-dup clustering → pack) with a
+    coherent funnel."""
+    body = (
+        "<p>the quick brown fox jumps over the lazy dog again and again "
+        "until everyone involved is thoroughly tired of the exercise</p>"
+    )
+    nav = '<nav><a href="/">a</a> <a href="/">b</a> <a href="/">c</a></nav>'
+    rows = [
+        (1, nav + body, "https://www.good.org/a", "crawl"),
+        (2, nav + body, "https://mirror.good.org/b", "crawl"),   # near-dup of 1
+        (3, nav + "<p>completely different sentence with plenty of fresh "
+            "readable words to keep around for the corpus</p>",
+            "https://other.net/c", "crawl"),
+        (4, nav + body, "https://www.spam.biz/x", "crawl"),      # blocked domain
+        (5, "<nav><a href='/'>only</a> <a href='/'>nav</a></nav>",
+            "https://empty.example.com/y", "crawl"),             # extracts empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, html string, url string, source string")
+    pipe = (
+        CorpusPipeline(df)
+        .extract_html()
+        .filter_domains(["spam.biz"])
+        .normalize()
+        .dedup_units()
+        .dedup_near(threshold=0.5)
+    )
+    f = pipe.funnel_report()
+    assert f["input"] == 5
+    assert f["html_extract"] == 4          # doc 5's extraction is empty
+    assert f["domain_filter"] == 3         # doc 4's domain blocked
+    assert f["near_dedup"] == 2            # docs 1/2 collapse to one
+    kept = {r.doc_id for r in pipe.df.collect()}
+    assert kept == {1, 3}
+    packed = pipe.pack(budget=16, buckets=2)
+    assert packed.count() == 2             # one assignment row per survivor
