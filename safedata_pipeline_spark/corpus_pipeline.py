@@ -357,21 +357,37 @@ class CorpusPipeline:
         k: int = 8,
         iterations: int = 3,
         threshold: float = 0.9,
+        keep: str = "min_id",
     ) -> "CorpusPipeline":
         """SemDeDup-style semantic dedup (Abbas et al. 2023): KMeans
         cells confine the cosine pair join, connected components pick
-        one canonical doc per semantic cluster. ``embeddings`` maps the
-        pipeline's doc ids (``vec_id_col``) to vectors; documents
-        WITHOUT an embedding pass through untouched (absence of
-        evidence). Complements ``dedup_near`` (lexical MinHash): near-
-        paraphrases share embeddings but not shingles."""
-        labels = DD.semantic_dedup(
+        one doc per semantic cluster — the canonical min-id doc
+        (``keep="min_id"``) or the highest-quality member
+        (``keep="best"``, scored on the pipeline's own text — the
+        curation-grade choice, mirroring ``dedup_near``). ``embeddings``
+        maps the pipeline's doc ids (``vec_id_col``) to vectors;
+        documents WITHOUT an embedding pass through untouched (absence
+        of evidence). Complements ``dedup_near`` (lexical MinHash):
+        near-paraphrases share embeddings but not shingles."""
+        if keep not in ("min_id", "best"):
+            raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
+        pairs = DD.semantic_pairs(
             embeddings, id_col=vec_id_col, vec_col=vec_col, k=k,
             iterations=iterations, threshold=threshold,
-        )
-        drop = labels.where(~F.col("is_canonical")).select(
-            F.col(vec_id_col).alias(self.id_col)
-        )
+        ).withColumnRenamed("cluster_id", "__cell")
+        ids = embeddings.select(F.col(vec_id_col).alias(self.id_col))
+        if keep == "best":
+            quality = TX.quality_score(self.df, self.text_col, self.id_col).select(
+                self.id_col, "quality"
+            )
+            pr = pairs.select(
+                F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
+            )
+            labels = DD.dedup_components_best(ids, pr, quality, id_col=self.id_col)
+            drop = labels.where(~F.col("is_kept")).select(self.id_col)
+        else:
+            labels = DD.dedup_components(ids, pairs, id_col=self.id_col)
+            drop = labels.where(~F.col("is_canonical")).select(self.id_col)
         return self._keep(
             "semantic_dedup", self.df.join(drop, on=self.id_col, how="left_anti")
         )

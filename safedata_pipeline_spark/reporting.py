@@ -110,6 +110,9 @@ def save_audit_report(
     benford_df: DataFrame | None = None,
     cusum_df: DataFrame | None = None,
     cusum_alarm: float = 4.0,
+    secrets_df: DataFrame | None = None,
+    domain_stats_df: DataFrame | None = None,
+    domain_cap: float = 0.1,
 ) -> str:
     """The operator-era audit report — the numbers a privacy officer
     or pipeline operator actually reads, assembled from the round-3
@@ -166,6 +169,28 @@ def save_audit_report(
             "Hours where either CUSUM side exceeds h:</p>\n" + df_to_html(alarms)
         )
         sections.append(("CUSUM Change-Points", body))
+    if secrets_df is not None:
+        from pyspark.sql import functions as F
+
+        hits = secrets_df.where(F.col("n_secrets") > 0)
+        n_hit = hits.count()
+        body = (
+            f"<p>Documents containing credential material: <b>{n_hit}</b> "
+            "(every one is a disclosure incident to scrub before training):</p>\n"
+            + df_to_html(hits)
+        )
+        sections.append(("Credential / Secret Scan", body))
+    if domain_stats_df is not None:
+        from pyspark.sql import functions as F
+
+        heavy = domain_stats_df.where(F.col("share") > domain_cap).orderBy(
+            F.desc("share")
+        )
+        body = (
+            f"<p>Domains above the {domain_cap:.0%} concentration cap "
+            "(single-template farms dominating the crawl):</p>\n" + df_to_html(heavy)
+        )
+        sections.append(("Domain Concentration", body))
     if curation_funnel is not None:
         rows = "".join(
             f"<tr><td>{step}</td><td>{n}</td></tr>" for step, n in curation_funnel.items()
