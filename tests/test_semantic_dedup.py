@@ -76,3 +76,35 @@ def test_pipeline_dedup_semantic_step(spark):
     # 2 and 4 drop (non-canonical near-dups); doc 7 has no embedding -> kept
     assert kept == {1, 3, 5, 6, 7}
     assert pipe.funnel["semantic_dedup"] == 5
+
+
+def test_pipeline_dedup_semantic_keep_best(spark):
+    """keep='best' keeps the highest-QUALITY member of each semantic
+    cluster instead of the lowest id."""
+    from safedata_pipeline_spark.corpus_pipeline import CorpusPipeline
+
+    # doc 2 has much richer text than its semantic twin doc 1
+    docs = spark.createDataFrame(
+        [
+            (1, "short txt"),
+            (2, "the quick brown fox jumps over the lazy dog and keeps going with many fine words"),
+            (3, "unrelated readable content about something else entirely here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    best = CorpusPipeline(docs).dedup_semantic(emb, k=2, iterations=2, threshold=0.99, keep="best")
+    assert {r.doc_id for r in best.df.collect()} == {2, 3}
+    minid = CorpusPipeline(docs).dedup_semantic(emb, k=2, iterations=2, threshold=0.99)
+    assert {r.doc_id for r in minid.df.collect()} == {1, 3}
+    import pytest
+
+    with pytest.raises(ValueError):
+        CorpusPipeline(docs).dedup_semantic(emb, keep="worst")
