@@ -1587,6 +1587,37 @@ def _sql_semantic_pairs(k: int = 8, iterations: int = 3, threshold: float = 0.4)
     )
 
 
+# -- X181: TPC-H Q6 shape (fully-pushable filtered aggregate) ----------------
+
+
+def _q_forecast_revenue(spark, sf):
+    # Q6: the purest pushdown showcase — every predicate reaches the
+    # parquet scan (PushedFilters), zero joins, one DECIMAL aggregate.
+    li = load_table(spark, sf, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,6)"))
+            .cast("double"),
+            2,
+        ).alias("revenue_effect")
+    )
+
+
+def _sql_forecast_revenue() -> str:
+    return (
+        "SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) "
+        "AS DOUBLE), 2) AS revenue_effect FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+    )
+
+
 # -- X180: credential/secret scanning ----------------------------------------
 
 # plants are assembled from fragments so no credential-SHAPED literal
@@ -2166,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_matched_sample": _q_length_matched_sample,
         "conversion_attribution": _q_conversion_attribution,
         "secrets_scan": _q_secrets_scan,
+        "forecast_revenue": _q_forecast_revenue,
         "dedup_components": _q_dedup_components,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
@@ -4843,6 +4875,7 @@ def oracle_sql() -> dict[str, str]:
         "length_matched_sample": _sql_length_matched_sample(),
         "conversion_attribution": _sql_conversion_attribution(),
         "secrets_scan": _sql_secrets_scan(),
+        "forecast_revenue": _sql_forecast_revenue(),
         "semantic_dedup": _sql_semantic_pairs(),
         "column_entropy": _sql_column_entropy("customer", ENTROPY_COLS),
         "dedup_best": _sql_dedup_best(),

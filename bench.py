@@ -197,6 +197,7 @@ HEADLINE = [
     "length_matched_sample",
     "conversion_attribution",
     "secrets_scan",
+    "forecast_revenue",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

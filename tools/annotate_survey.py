@@ -1,0 +1,74 @@
+"""Regenerate SURVEY.md §2.8 per-row Check annotations from the latest
+driver CORRECTNESS artifact + the CURRENT queries() window — the
+scripted version of the per-round regeneration VERDICT r5 asked to
+keep scripted.
+
+    python tools/annotate_survey.py CORRECTNESS_r06.json [next_round]
+
+For every X-row whose query name appears in queries(): in-window →
+"oracle (in r{next} window)" (plus "(driver rN green)" when the
+artifact already has a green row); artifact-green but rotated out →
+"oracle (driver rN green)"; otherwise keep any prior driver-history
+note or fall back to "oracle (local sweep green)". Rows-only and
+unit-only annotations are left untouched (they are hand-written
+contracts, not channel facts).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry  # noqa: E402
+
+ROW = re.compile(r"^\| (X\d+) \| (.*) \| (`[^|]*`) \| ([^|]*) \| ([^|]*) \|$")
+
+
+def main() -> None:
+    artifact = sys.argv[1] if len(sys.argv) > 1 else None
+    next_round = sys.argv[2] if len(sys.argv) > 2 else "?"
+    green: set[str] = set()
+    round_no = "?"
+    if artifact:
+        data = json.load(open(artifact))
+        green = {
+            k for k, v in data.items() if v.get("hash_match") and v.get("rows_match")
+        }
+        m = re.search(r"_r0*(\d+)", artifact)
+        round_no = m.group(1) if m else "?"
+    qs = list(entry.queries())
+    window = set(qs[:50])
+    osql = entry.oracle_sql()
+
+    lines, changed = [], 0
+    for ln in open("SURVEY.md").read().split("\n"):
+        m = ROW.match(ln)
+        if not m:
+            lines.append(ln)
+            continue
+        x, desc, mod, qcell, check = m.groups()
+        qm = re.search(r"`([a-z0-9_]+)`", qcell)
+        qname = qm.group(1) if qm else None
+        if qname and qname in qs and qname in osql:
+            if qname in window:
+                new = f"oracle (in r{next_round} window)" + (
+                    f" (driver r{round_no} green)" if qname in green else ""
+                )
+            elif qname in green:
+                new = f"oracle (driver r{round_no} green)"
+            else:
+                hist = re.search(r"driver r[0-9–r\-]+ green", check)
+                new = f"oracle ({hist.group(0)})" if hist else "oracle (local sweep green)"
+            if new != check.strip():
+                changed += 1
+            ln = f"| {x} | {desc} | {mod} | {qcell} | {new} |"
+        lines.append(ln)
+    open("SURVEY.md", "w").write("\n".join(lines))
+    print(f"annotated SURVEY.md: {changed} rows updated")
+
+
+if __name__ == "__main__":
+    main()
