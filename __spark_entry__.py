@@ -2118,24 +2118,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-6 window rotation: the driver hash-checks the FIRST 50
     # entries. All 50 r5 rows came back green, so per the standing
     # policy (prior-round-green rows may rotate out) the window now
-    # promotes the entire VERDICT r5 "never-driver-checked" list — the
-    # 23 round-5 operators that landed after the 50 slots filled
-    # (jaccard_prefix_join, both pageranks, count_min/heavy hitters,
-    # Ed-Join pairs, the AUC/ROC/calibration family, readability,
-    # CUSUM, Benford, containment join, weighted quantiles, audio
-    # features, CDC chunks, TPC-H Q8/Q19 shapes, Markov transitions,
-    # leakage-free split, incremental near-dup, cross-source matrix) —
-    # plus the two r6-new oracle-backed operators (extract_text,
-    # semantic_dedup) in their first round per standing policy, and
-    # re-verification slots for queries whose code this round touched
-    # (encode_tokens trie/memo rewrite + its token_count_vocab
-    # consumer; the checkpoint-helper refactor across the dedup/drift
-    # pair generators: substring_dedup, ngram_jaccard, minhash_lsh,
-    # simhash_pairs, dedup_components, dedup_incremental,
-    # ks_drift_binned, drift_timeline). Fifteen anchors stay in-window
-    # (entry flagship, exact-form baselines, widest compositions).
-    # Every rotated-out row stays past the window and is still
-    # hash-checked locally by tools/check_oracle.py each round.
+    # holds: the 15 standing anchors; the ENTIRE VERDICT r5
+    # never-driver-checked list (23 queries — jaccard_prefix_join,
+    # both pageranks, count_min/heavy hitters, Ed-Join pairs, the
+    # AUC/ROC/calibration family, readability, CUSUM, Benford,
+    # containment join, weighted quantiles, audio features, CDC
+    # chunks, TPC-H Q8/Q19 shapes, Markov transitions, leakage-free
+    # split, incremental near-dup, cross-source matrix); the nine
+    # r6-NEW oracle-backed operators in their first round per standing
+    # policy (extract_text, semantic_dedup, domain_stats,
+    # promo_revenue, idle_rich_customers, corpus_overlap, group_scale,
+    # shipment_month_overlap, zipf_profile); and re-verification slots
+    # for code materially changed this round (encode_tokens trie/memo
+    # rewrite + its token_count_vocab consumer, ks_drift_binned for
+    # the checkpoint-helper refactor through drift.py). The remaining
+    # r6-new oracle-backed queries (length_matched_sample,
+    # conversion_attribution, secrets_scan, forecast_revenue) landed
+    # after the 50 slots filled — they sit first past the window
+    # (locally hash-checked, next-window queue), with the
+    # substring_dedup / ngram_jaccard / minhash_lsh / simhash_pairs /
+    # dedup_components / dedup_incremental / drift_timeline rows they
+    # displaced (those stay covered: the pin refactor they would
+    # re-verify is exercised by the six changed dedup rows in-window,
+    # and substring_dedup's r6 change was docstring-only). Every
+    # rotated-out row is still hash-checked by the local full-sweep
+    # check_oracle.py run each round.
     return {
         "basic_stats": _q_basic_stats,
         "ks_drift": _q_ks_drift,
