@@ -230,7 +230,17 @@ def main() -> None:
     # by the median whenever the steady state is faster.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    import gc
+
     for name in names:
+        # measurement hygiene: the 160+ preceding queries leave
+        # localCheckpoint blocks alive until their Python DataFrames
+        # are collected and py4j's cleanup thread drops the JVM refs.
+        # Collecting before each query's rep loop stops block-manager
+        # pressure from earlier (unrelated) queries bleeding into this
+        # query's median (r6 saw 30-49% swings on late-order dedup
+        # queries that bisect to identical code).
+        gc.collect()
         samples = []
         for _ in range(reps):
             t0 = time.time()

@@ -25,7 +25,8 @@ Two execution-semantics consequences callers must know about:
 
    and ``pin`` routes to reliable ``DataFrame.checkpoint`` (HDFS/object
    store backed, recomputable-free AND loss-tolerant) instead. The flag
-   is read per call, so one session can mix modes.
+   is memoized per session; call ``refresh_reliable_flag(spark)`` after
+   flipping it mid-session.
 """
 
 from __future__ import annotations
@@ -51,6 +52,20 @@ def _reliable(df: DataFrame) -> bool:
     return hit
 
 
+def refresh_reliable_flag(spark) -> bool:
+    """Re-read ``spark.safedata.reliableCheckpoint`` for ``spark``.
+
+    The flag is memoized per SparkSession (iterative operators pin
+    every round and a per-call conf round-trip measurably taxes the
+    loop), so flipping the conf mid-session is invisible to ``pin``
+    until this is called. Call it right after ``spark.conf.set(...)``
+    on a long-running session; returns the newly-effective value.
+    """
+    val = (spark.conf.get(RELIABLE_FLAG, "false") or "false").lower() == "true"
+    _FLAG_CACHE[spark] = val
+    return val
+
+
 def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     """Truncate ``df``'s lineage by materializing it (see module doc).
 
@@ -58,8 +73,10 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     GC); set the ``spark.safedata.reliableCheckpoint`` session conf to
     ``true`` (with a checkpoint dir configured) for fault-tolerant
     reliable checkpoints on long-running clusters. The flag is read
-    ONCE per SparkSession and memoized — set it before the first
-    operator call (clear ``_FLAG_CACHE`` to re-read mid-session).
+    ONCE per SparkSession and memoized — set it BEFORE the first
+    operator call, or call ``refresh_reliable_flag(spark)`` after
+    flipping it mid-session (the memo otherwise keeps the stale
+    value silently).
     """
     if _reliable(df):
         return df.checkpoint(eager=eager)

@@ -538,28 +538,41 @@ def dedup_components(
     representative. Output: (doc_id, comp_id, is_canonical) — keep the
     canonical rows, drop the rest.
 
-    Iterative min-label propagation: each round every vertex takes the
-    min of its own and its neighbors' labels; converges in O(component
-    diameter) rounds (web-corpus dup clusters are near-cliques ⇒ 2–3
-    rounds). Per round: one equi-join edges⋈labels + one groupBy min —
-    both map-side combinable; the edge list is persisted once so the
-    (possibly expensive) pair generator runs a single time. At 100 TB
-    the same loop holds; if diameters grow, switch to the large-star/
-    small-star alternation, which squares label reach per round.
-    Labels only ever decrease, so the convergence check (count of
-    changed labels) is exact.
+    Iterative min-label propagation **restricted to the edge-vertex
+    set**: a doc that appears in no near-dup pair can never change
+    label, so the loop runs only over docs that occur in at least one
+    edge (at 100 TB this is the small duplicated fraction of the
+    corpus, not the corpus), and the full-corpus frame is touched
+    exactly once — a final left join that defaults every untouched doc
+    to its own id. Each round every edge-vertex takes the min of its
+    own and its neighbors' labels; converges in O(component diameter)
+    rounds (web-corpus dup clusters are near-cliques ⇒ 2–3 rounds).
+    Per round: one equi-join edges⋈labels + one groupBy min — both
+    map-side combinable — and the convergence check reads the changed
+    count off the just-pinned frame's carried ``prev`` column (no extra
+    join job). If diameters grow, switch to the large-star/small-star
+    alternation, which squares label reach per round. Labels only ever
+    decrease, so the changed-count convergence check is exact.
     """
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = pairs.select(
+        F.col("id_a").cast("bigint").alias("src"), F.col("id_b").cast("bigint").alias("dst")
+    )
     # localCheckpoint throughout the loop: materializes each round's
     # labels, truncates the otherwise round-deep lineage, and the blocks
     # are auto-released on GC — the final labels frame no longer leaves
     # a permanent CacheManager entry behind (the old persist() did).
     sym = edges.union(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).transform(pin_lazy)
-    labels = docs.select(
-        F.col(id_col).cast("bigint").alias("id"), F.col(id_col).cast("bigint").alias("comp")
-    ).transform(pin_lazy)
+    # symmetric edge set ⇒ every edge-vertex appears as src, so the
+    # vertex table and the per-round neighbor agg both cover exactly
+    # the propagation domain (inner joins below are loss-free)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .dropDuplicates()
+        .select("id", F.col("id").alias("comp"))
+        .transform(pin_lazy)
+    )
     for _ in range(max_iter):
         neigh = (
             sym.alias("e")
@@ -568,29 +581,26 @@ def dedup_components(
             .agg(F.min("l.comp").alias("ncomp"))
         )
         new_labels = (
-            labels.alias("l")
-            .join(neigh.alias("n"), F.col("l.id") == F.col("n.id"), "left")
+            labels.join(neigh, "id")
             .select(
-                F.col("l.id").alias("id"),
-                F.least(
-                    F.col("l.comp"), F.coalesce(F.col("n.ncomp"), F.col("l.comp"))
-                ).alias("comp"),
+                "id",
+                F.least(F.col("comp"), F.col("ncomp")).alias("comp"),
+                F.col("comp").alias("prev"),
             )
             .transform(pin_eager)
         )
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), F.col("a.id") == F.col("b.id"))
-            .where(F.col("a.comp") != F.col("b.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("comp") != F.col("prev")).count()
+        labels = new_labels.drop("prev")
         if changed == 0:
             break
-    return labels.select(
-        F.col("id").alias(id_col),
-        F.col("comp").alias("comp_id"),
-        (F.col("comp") == F.col("id")).alias("is_canonical"),
+    return (
+        docs.select(F.col(id_col).cast("bigint").alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("comp", F.col("id")).alias("comp_id"),
+            (F.coalesce("comp", F.col("id")) == F.col("id")).alias("is_canonical"),
+        )
     )
 
 
