@@ -1538,12 +1538,17 @@ def _q_semantic_dedup(spark, sf):
     # SemDeDup composition: deterministic KMeans cells -> intra-cluster
     # cosine pairs. k/iterations small (fixture scale); threshold
     # matches the brute cosine baseline so cell confinement is the only
-    # difference between this and embedding_cosine_dedup.
+    # difference between this and embedding_cosine_dedup. cell_cap=64
+    # exercises the skew guard: cells above 64 members split into
+    # md5-salted sub-buckets (ceil(|cell|/64) of them), bounding the
+    # per-cell pair blowup even when KMeans lands skewed cells.
     emb = load_table(spark, sf, "embeddings")
-    return DD.semantic_pairs(emb, k=8, iterations=3, threshold=0.4)
+    return DD.semantic_pairs(emb, k=8, iterations=3, threshold=0.4, cell_cap=64)
 
 
-def _sql_semantic_pairs(k: int = 8, iterations: int = 3, threshold: float = 0.4) -> str:
+def _sql_semantic_pairs(
+    k: int = 8, iterations: int = 3, threshold: float = 0.4, cell_cap: int = 64
+) -> str:
     # the whole composition unrolled: md5-seeded init, `iterations`
     # rounds of (rounded-distance argmin assignment -> 9dp DECIMAL
     # centroid means), final assignment, intra-cell cosine pairs. The
@@ -1578,11 +1583,21 @@ def _sql_semantic_pairs(k: int = 8, iterations: int = 3, threshold: float = 0.4)
             f"FROM c{t - 1} p LEFT JOIN n{t} nc USING (cid))"
         )
     parts.append("af AS " + assign.format(prev=f"c{iterations}"))
+    # cell-cap skew guard, mirrored: per-cell population -> n_sub =
+    # ceil(cn / cap) -> md5-salted slice id (salt 7 = the operator's
+    # SEMANTIC_SUB_SALT) -> pairs keyed on (cid, sub)
+    parts.append("sz AS (SELECT cid, count(*) AS cn FROM af GROUP BY cid)")
+    parts.append(
+        "sb AS (SELECT af.id, af.v, af.cid, "
+        "CAST(CAST(('0x' || substr(md5('7:' || CAST(af.id AS VARCHAR)), 1, 8)) AS UBIGINT) "
+        f"% CAST(ceil(CAST(cn AS DOUBLE) / {float(cell_cap)}) AS BIGINT) AS BIGINT) AS sub "
+        "FROM af JOIN sz USING (cid))"
+    )
     return (
         "WITH " + ", ".join(parts) + ", "
         "p AS (SELECT a.id AS id_a, b.id AS id_b, a.cid AS cluster_id, "
         f"round({SQL_COS}, 6) AS cosine "
-        "FROM af a JOIN af b ON a.cid = b.cid AND a.id < b.id) "
+        "FROM sb a JOIN sb b ON a.cid = b.cid AND a.sub = b.sub AND a.id < b.id) "
         f"SELECT * FROM p WHERE cosine >= {threshold}"
     )
 

@@ -358,6 +358,7 @@ class CorpusPipeline:
         iterations: int = 3,
         threshold: float = 0.9,
         keep: str = "min_id",
+        cell_cap: int | None = None,
     ) -> "CorpusPipeline":
         """SemDeDup-style semantic dedup (Abbas et al. 2023): KMeans
         cells confine the cosine pair join, connected components pick
@@ -368,14 +369,26 @@ class CorpusPipeline:
         maps the pipeline's doc ids (``vec_id_col``) to vectors;
         documents WITHOUT an embedding pass through untouched (absence
         of evidence). Complements ``dedup_near`` (lexical MinHash):
-        near-paraphrases share embeddings but not shingles."""
+        near-paraphrases share embeddings but not shingles.
+
+        Clustering runs on the embeddings of docs STILL IN the
+        pipeline (semi-join first): embeddings are naturally computed
+        on the raw corpus, and electing a canonical member that an
+        earlier step already dropped would anti-join away every
+        surviving copy of that content. ``cell_cap`` forwards to the
+        ``semantic_pairs`` skew guard."""
         if keep not in ("min_id", "best"):
             raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
+        live = embeddings.join(
+            self.df.select(F.col(self.id_col).alias("__live_id")).dropDuplicates(),
+            on=F.col(vec_id_col) == F.col("__live_id"),
+            how="left_semi",
+        )
         pairs = DD.semantic_pairs(
-            embeddings, id_col=vec_id_col, vec_col=vec_col, k=k,
-            iterations=iterations, threshold=threshold,
+            live, id_col=vec_id_col, vec_col=vec_col, k=k,
+            iterations=iterations, threshold=threshold, cell_cap=cell_cap,
         ).withColumnRenamed("cluster_id", "__cell")
-        ids = embeddings.select(F.col(vec_id_col).alias(self.id_col))
+        ids = live.select(F.col(vec_id_col).alias(self.id_col))
         if keep == "best":
             quality = TX.quality_score(self.df, self.text_col, self.id_col).select(
                 self.id_col, "quality"

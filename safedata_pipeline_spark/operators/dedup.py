@@ -1327,6 +1327,9 @@ def containment_prefix_join(
 # ---------------------------------------------------------------------------
 
 
+SEMANTIC_SUB_SALT = 7  # md5 slot seed for cell-cap sub-bucketing
+
+
 def semantic_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -1335,6 +1338,7 @@ def semantic_pairs(
     iterations: int = 3,
     threshold: float = 0.9,
     dist_round: int = 6,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Semantic near-dup candidate pairs: deterministic KMeans
     clustering (``clustering.kmeans_fit_centers``, md5-seeded init,
@@ -1348,6 +1352,19 @@ def semantic_pairs(
     Trade: cross-cell near-dups are missed (pairs straddling a KMeans
     boundary); SemDeDup accepts this because embedding near-dups
     cluster tightly relative to cell granularity.
+
+    ``cell_cap`` is the skew guard: Σ|cell|² only helps if no single
+    cell degenerates toward n (one dense region + md5-seeded init can
+    do that), so any cell whose population exceeds ``cell_cap`` is
+    sub-bucketed into ``ceil(|cell| / cell_cap)`` md5-salted slices
+    and pairs are generated within (cell, slice). Expected slice size
+    is ≈ ``cell_cap`` regardless of how skewed the cells are, so the
+    per-task pair cost is bounded by ~``cell_cap``²/2 everywhere.
+    Pairs straddling a slice boundary are missed — the SAME contract
+    as the cross-cell misses already accepted above, now also
+    guaranteed under skew. Sub-bucketing is md5-deterministic
+    (``md5_slot32(id, 7) % n_sub``), so the oracle SQL replays it
+    bit-for-bit. ``None`` disables the guard (exact intra-cell join).
 
     Engine-deterministic end to end (seeded init + rounded distances +
     rounded per-iteration centroid means + rounded cosines) — the whole
@@ -1373,15 +1390,33 @@ def semantic_pairs(
         emb, centers, id_col=id_col, vec_col=vec_col, dist_round=dist_round
     ).select(F.col(id_col).alias("id"), "cluster_id")
     # cells are narrow (id, cluster) rows; the join keys the pair
-    # explosion strictly by cluster_id
-    e = base.join(assign, "id").transform(pin_lazy)
+    # explosion strictly by cluster_id (and, under cell_cap, the
+    # md5 sub-bucket)
+    e = base.join(assign, "id")
+    key = (F.col("a.cluster_id") == F.col("b.cluster_id")) & (
+        F.col("a.id") < F.col("b.id")
+    )
+    if cell_cap is not None:
+        if cell_cap < 1:
+            raise ValueError("cell_cap must be >= 1")
+        sizes = assign.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__cn"))
+        n_sub = F.ceil(F.col("__cn") / F.lit(float(cell_cap))).cast("bigint")
+        # sizes is O(k) rows — broadcast; the slice id is a pure
+        # md5 expression so both engines reproduce it
+        e = e.join(F.broadcast(sizes), "cluster_id").select(
+            "id",
+            "v",
+            "nrm",
+            "cluster_id",
+            (_hash_slot(F.col("id").cast("string"), SEMANTIC_SUB_SALT) % n_sub).alias(
+                "__sub"
+            ),
+        )
+        key = key & (F.col("a.__sub") == F.col("b.__sub"))
+    e = e.transform(pin_lazy)
     a, b = e.alias("a"), e.alias("b")
     return (
-        a.join(
-            b,
-            on=(F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, on=key)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -1401,13 +1436,14 @@ def semantic_dedup(
     k: int = 8,
     iterations: int = 3,
     threshold: float = 0.9,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Full semantic-dedup composition: ``semantic_pairs`` →
     ``dedup_components`` keep/drop labels. Output: (id, comp_id,
     is_canonical) — keep the canonical row per semantic cluster."""
     pairs = semantic_pairs(
         emb, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations,
-        threshold=threshold,
+        threshold=threshold, cell_cap=cell_cap,
     )
     ids = emb.where(F.col(vec_col).isNotNull()).select(F.col(id_col))
     return dedup_components(ids, pairs, id_col=id_col)

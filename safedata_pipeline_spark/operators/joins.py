@@ -146,9 +146,14 @@ def range_join_bucketed(
         F.explode(
             F.sequence(
                 F.floor(lo / w).cast("long"),
-                # hi is exclusive: a range ending exactly on a bucket
-                # boundary does not reach into the next bucket
-                F.floor((hi - F.lit(1e-9)) / w).cast("long"),
+                # floor(hi/w) with NO exclusive-end epsilon: when hi
+                # sits exactly on a bucket boundary this explodes one
+                # bucket the half-open range doesn't occupy (the
+                # residual val < hi check discards it), but an epsilon
+                # subtraction can cut the bucket of a val within 1e-9
+                # of hi at fine granularities — dropping a qualifying
+                # match. One spare row per range is the safe price.
+                F.floor(hi / w).cast("long"),
             )
         ),
     )
@@ -198,12 +203,23 @@ def interval_overlap_join(
 
     def buckets(df, s_col, e_col):
         s, e = F.col(s_col).cast("double"), F.col(e_col).cast("double")
+        # last bucket is floor(e/w) with NO exclusive-end adjustment:
+        # when e sits exactly on a bucket boundary this explodes one
+        # bucket the half-open interval doesn't truly occupy (the
+        # residual predicate discards it), but it guarantees the
+        # single-emission bucket floor(later_start/w) — later_start < e
+        # ⇒ floor(later_start/w) ≤ floor(e/w) — is ALWAYS covered, at
+        # every numeric granularity. An epsilon subtraction here
+        # (floor((e-1e-9)/w)) is wrong twice over: below one ulp of
+        # epoch-scale doubles it no-ops, and at sub-1e-9 granularity it
+        # can cut the emission bucket and silently drop a qualifying
+        # pair.
         return df.where(s < e).withColumn(
             "__bucket",
             F.explode(
                 F.sequence(
                     F.floor(s / w).cast("long"),
-                    F.floor((e - F.lit(1e-9)) / w).cast("long"),
+                    F.floor(e / w).cast("long"),
                 )
             ),
         )

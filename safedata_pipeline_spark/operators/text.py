@@ -1119,6 +1119,25 @@ def oov_rate(
     )
 
 
+# Per-EXECUTOR-PROCESS word→pieces memos for encode_tokens, keyed by
+# vocab fingerprint. Module state in the Python worker persists across
+# the tasks that worker runs (Spark reuses workers), which is what
+# makes the Heaps'-law reuse cross-partition, not per-task. At most a
+# handful of distinct vocabs are live at once; evict wholesale beyond
+# that rather than tracking LRU.
+_ENCODE_WORD_CACHES: dict = {}
+_ENCODE_CACHES_MAX = 4
+
+
+def _encode_word_cache(vocab_key: str) -> dict:
+    cache = _ENCODE_WORD_CACHES.get(vocab_key)
+    if cache is None:
+        if len(_ENCODE_WORD_CACHES) >= _ENCODE_CACHES_MAX:
+            _ENCODE_WORD_CACHES.clear()
+        cache = _ENCODE_WORD_CACHES[vocab_key] = {}
+    return cache
+
+
 def encode_tokens(
     df: DataFrame,
     vocab: DataFrame,
@@ -1151,14 +1170,23 @@ def encode_tokens(
     hash): (a) candidate lengths at each position probe ONLY the
     lengths that exist in the vocab for that first character (a
     per-first-char descending length list — most positions try 1–2
-    lengths instead of max_token_len), and (b) a per-executor
-    word→pieces memo exploits Heaps' law (corpus words repeat heavily;
-    each distinct word segments once per executor, bounded cache).
-    Deterministic and fully oracle-checkable: DuckDB reproduces the
-    identical segmentation with a recursive CTE.
+    lengths instead of max_token_len), and (b) a word→pieces memo
+    exploiting Heaps' law (corpus words repeat heavily). The memo
+    lives at MODULE level in the executor's Python worker process,
+    keyed by a driver-computed vocab fingerprint, so it is shared
+    across the tasks a worker runs — each distinct word segments
+    ~once per executor process, not once per partition (bounded
+    cache; a different vocab gets a different key, never stale
+    pieces). Deterministic and fully oracle-checkable: DuckDB
+    reproduces the identical segmentation with a recursive CTE.
     """
+    import hashlib
+
     rows = vocab.select("token", "token_id").collect()
     vocab_map = {r["token"]: int(r["token_id"]) for r in rows}
+    vocab_key = hashlib.md5(
+        repr(sorted(vocab_map.items())).encode("utf-8")
+    ).hexdigest()
     # per-first-char candidate lengths, longest first (maximal munch
     # only ever needs lengths that exist for the current character)
     first_char_lens: dict[str, list[int]] = {}
@@ -1174,7 +1202,7 @@ def encode_tokens(
     def encode(batches):
         import pandas as pd
 
-        word_cache: dict[str, list[tuple[str, int | None, bool]]] = {}
+        word_cache = _encode_word_cache(vocab_key)
 
         def segment(word: str) -> list[tuple[str, int | None, bool]]:
             hit = word_cache.get(word)
