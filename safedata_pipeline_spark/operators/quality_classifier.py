@@ -48,27 +48,84 @@ def text_features(
 ) -> DataFrame:
     """Per-document feature table (id, f_*): the engine's heuristic
     text scores as classifier inputs. NULLs (short/degenerate docs)
-    are imputed to 0 HERE so fit and apply see identical features."""
-    from safedata_pipeline_spark.operators import text as TX
+    are imputed to 0 HERE so fit and apply see identical features.
 
-    q = TX.quality_score(df, text_col, id_col).select(
-        id_col, F.col("quality").alias("f_quality")
+    FUSED single-scan shape (the X37 ``text_profile`` discipline): the
+    corpus text is read ONCE — a first projection computes every
+    map-only feature (quality blend, dup-word fraction, Flesch, token
+    count) AND the lowered token array, pinned so the two aggregate
+    feature paths (corpus-unigram surprise, per-doc bigram mode) read
+    the narrow pinned table instead of re-scanning and re-tokenizing
+    the corpus. 2 id-joins reassemble (down from 5 scans + 4 joins).
+    Values are bit-identical to the standalone operators — the
+    aggregate paths run through the SAME helpers
+    (``text._unigram_neg_logprob_per_doc``, ``text._top_bigram_per_doc``)
+    and the map expressions mirror ``quality_score`` /
+    ``repetition_stats`` / ``readability_scores`` / ``token_count``
+    term for term (equality-pinned by
+    ``test_text_features_equals_standalone_ops``)."""
+    from safedata_pipeline_spark.checkpoint import pin_lazy
+    from safedata_pipeline_spark.operators.text import (
+        STOPWORDS_EN,
+        _count_in,
+        _top_bigram_per_doc,
+        _unigram_neg_logprob_per_doc,
+        _ws_tokens,
     )
-    lp = TX.unigram_logprob(df, text_col, id_col).select(
+
+    t = F.col(text_col)
+    toks = _ws_tokens(t)  # original case: quality's stopword count
+    tk_low = _ws_tokens(F.lower(t))
+    n_tok = F.size(toks)
+    # quality_score's blend, term for term
+    n_stop = _count_in(toks, STOPWORDS_EN)
+    length = F.length(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9\\s]"), F.lit(0)))
+    len_score = F.least(length / F.lit(500.0), F.lit(1.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(length > 0, n_punct / length).otherwise(F.lit(0.0))
+    quality = F.round(
+        F.lit(0.4) * len_score
+        + F.lit(0.4) * F.least(F.lit(5.0) * stop_ratio, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio),
+        ROUND_N,
+    )
+    # repetition_stats' dup-word fraction (lowered tokens)
+    n_w = F.size(F.col("__tk"))
+    n_wd = F.size(F.array_distinct(F.col("__tk")))
+    dup_word = F.when(n_w > 0, F.round(F.lit(1.0) - n_wd / n_w, ROUND_N))
+    # readability_scores' Flesch, term for term
+    n_sent = F.greatest(F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), 0)), F.lit(1))
+    n_syl = F.size(F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), 0))
+    flesch = F.when(
+        n_tok > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (n_tok.cast("double") / n_sent.cast("double"))
+            - F.lit(84.6) * (n_syl.cast("double") / n_tok.cast("double")),
+            4,
+        ),
+    )
+    # ONE corpus scan: all map-only features + the lowered token array,
+    # pinned so the two aggregate paths below don't re-read the corpus
+    staged = df.select(
+        F.col(id_col),
+        tk_low.alias("__tk"),
+        quality.alias("f_quality"),
+        flesch.alias("f_flesch"),
+        n_tok.cast("double").alias("f_ws_tokens"),
+    ).select(
+        id_col, "__tk", "f_quality", dup_word.alias("f_dup_word"),
+        "f_flesch", "f_ws_tokens",
+    ).transform(pin_lazy)
+    ex = staged.select(F.col(id_col), F.explode("__tk").alias("tok"))
+    lp = _unigram_neg_logprob_per_doc(ex, id_col).select(
         id_col, F.col("avg_neg_logprob").alias("f_neg_logprob")
     )
-    rep = TX.repetition_stats(df, text_col, id_col).select(
-        id_col,
-        F.col("dup_word_fraction").alias("f_dup_word"),
-        F.col("top_bigram_fraction").alias("f_top_bigram"),
+    bg = _top_bigram_per_doc(staged, id_col, tk_col="__tk").select(
+        id_col, F.col("top_bigram_fraction").alias("f_top_bigram")
     )
-    rd = TX.readability_scores(df, text_col, id_col).select(
-        id_col, F.col("flesch").alias("f_flesch")
-    )
-    tc = TX.token_count(df, text_col, id_col).select(
-        id_col, F.col("n_ws_tokens").cast("double").alias("f_ws_tokens")
-    )
-    out = q.join(lp, id_col).join(rep, id_col).join(rd, id_col).join(tc, id_col)
+    out = staged.drop("__tk").join(lp, id_col, "left").join(bg, id_col, "left")
     return out.select(
         id_col, *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in FEATURE_COLS]
     )

@@ -121,6 +121,35 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _unigram_neg_logprob_per_doc(ex: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc add-one-smoothed unigram surprise from an exploded
+    ``(id, tok)`` frame: (id, n_tokens, avg_neg_logprob). Shared by
+    ``unigram_logprob`` and the fused ``quality_classifier``
+    feature scan so both produce bit-identical scores."""
+    counts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    neg_lp = F.round(
+        -F.log((F.col("c") + 1.0) / (F.col("total") + F.col("vocab"))), ROUND_N
+    )
+    scored = (
+        ex.join(counts, on="tok")
+        .join(F.broadcast(totals))
+        .select(F.col(id_col), neg_lp.cast("decimal(38,6)").alias("nlp"))
+    )
+    # explicit half-up snap instead of round(): the decimal-sum ÷ n
+    # quotient CAN land exactly on a x.xxxxxx5 tie (sum has 6dp, n is
+    # an integer), and round() half-up (Spark) vs half-even (DuckDB)
+    # then differ by 1e-6 — floor(x·1e6 + 0.5)/1e6 is the same double
+    # op on every engine (caught by an sf0.1 sweep; see protect._snap2)
+    avg = F.sum("nlp").cast("double") / F.count(F.lit(1))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        (F.floor(avg * 1e6 + F.lit(0.5)) / 1e6).alias("avg_neg_logprob"),
+    )
+
+
 def unigram_logprob(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -146,28 +175,7 @@ def unigram_logprob(
         F.col(id_col), _ws_tokens(F.lower(F.col(text_col))).alias("__tk")
     )
     ex = staged.select(F.col(id_col), F.explode("__tk").alias("tok"))
-    counts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    totals = counts.agg(
-        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
-    )
-    neg_lp = F.round(
-        -F.log((F.col("c") + 1.0) / (F.col("total") + F.col("vocab"))), ROUND_N
-    )
-    scored = (
-        ex.join(counts, on="tok")
-        .join(F.broadcast(totals))
-        .select(F.col(id_col), neg_lp.cast("decimal(38,6)").alias("nlp"))
-    )
-    # explicit half-up snap instead of round(): the decimal-sum ÷ n
-    # quotient CAN land exactly on a x.xxxxxx5 tie (sum has 6dp, n is
-    # an integer), and round() half-up (Spark) vs half-even (DuckDB)
-    # then differ by 1e-6 — floor(x·1e6 + 0.5)/1e6 is the same double
-    # op on every engine (caught by an sf0.1 sweep; see protect._snap2)
-    avg = F.sum("nlp").cast("double") / F.count(F.lit(1))
-    per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        (F.floor(avg * 1e6 + F.lit(0.5)) / 1e6).alias("avg_neg_logprob"),
-    )
+    per_doc = _unigram_neg_logprob_per_doc(ex, id_col)
     # docs with no tokens keep a row (null score), like the other ops
     base = staged.select(F.col(id_col))
     return (
@@ -628,9 +636,23 @@ def repetition_stats(
         F.when(n_l > 0, F.round(F.lit(1.0) - n_ld / n_l, ROUND_N)).alias("dup_line_fraction"),
         F.when(n_w > 0, F.round(sum_len / n_w, ROUND_N)).alias("mean_word_length"),
     )
-    # bigrams as zip_with over two shifted slices — the slices are
-    # top-level args (evaluated once per row), nothing array-indexed
-    # inside the lambda
+    top = _top_bigram_per_doc(with_tk, id_col, tk_col="__tk")
+    return base.join(top, on=id_col, how="left")
+
+
+def _top_bigram_per_doc(
+    with_tk: DataFrame, id_col: str, tk_col: str = "__tk"
+) -> DataFrame:
+    """Per-doc deterministic bigram mode from a frame carrying a token
+    array column: (id, top_bigram, top_bigram_count,
+    top_bigram_fraction). Shared by ``repetition_stats`` and the fused
+    ``quality_classifier`` feature scan (bit-identical values).
+
+    Bigrams as zip_with over two shifted slices — the slices are
+    top-level args (evaluated once per row), nothing array-indexed
+    inside the lambda."""
+    tk = F.col(tk_col)
+    n_w = F.size(tk)
     bigrams = F.when(
         n_w >= 2,
         F.zip_with(
@@ -646,7 +668,7 @@ def repetition_stats(
     )
     # deterministic mode: min over (-cnt, bigram) — largest count, then
     # lexicographically smallest bigram (same trick as profile.top_freq)
-    top = (
+    return (
         cnt.groupBy(id_col)
         .agg(
             F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("bg"))).alias("m"),
@@ -659,7 +681,6 @@ def repetition_stats(
             F.round((-F.col("m.neg")) / F.col("total"), ROUND_N).alias("top_bigram_fraction"),
         )
     )
-    return base.join(top, on=id_col, how="left")
 
 
 def text_profile(

@@ -79,3 +79,40 @@ def test_pipeline_filter_classifier_arg_validation(spark):
         CorpusPipeline(docs.select("doc_id", "text")).filter_classifier(
             labels=docs.select("doc_id", "label"), model={"intercept": 0, "coef": {}}
         )
+
+
+def test_text_features_equals_standalone_ops(spark):
+    """The fused single-scan feature projection must be bit-identical
+    to the composition of the five standalone operators it replaced
+    (r6 judge finding: 5 scans + 4 joins -> 1 scan + 2 joins)."""
+    from pyspark.sql import functions as F
+    from safedata_pipeline_spark.operators import text as TX
+
+    df = _docs(spark)
+    fused = {r["doc_id"]: r.asDict() for r in QC.text_features(df).collect()}
+
+    q = TX.quality_score(df).select("doc_id", F.col("quality").alias("f_quality"))
+    lp = TX.unigram_logprob(df).select(
+        "doc_id", F.col("avg_neg_logprob").alias("f_neg_logprob")
+    )
+    rep = TX.repetition_stats(df).select(
+        "doc_id",
+        F.col("dup_word_fraction").alias("f_dup_word"),
+        F.col("top_bigram_fraction").alias("f_top_bigram"),
+    )
+    rd = TX.readability_scores(df).select("doc_id", F.col("flesch").alias("f_flesch"))
+    tc = TX.token_count(df).select(
+        "doc_id", F.col("n_ws_tokens").cast("double").alias("f_ws_tokens")
+    )
+    legacy = (
+        q.join(lp, "doc_id").join(rep, "doc_id").join(rd, "doc_id").join(tc, "doc_id")
+        .select(
+            "doc_id",
+            *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in QC.FEATURE_COLS],
+        )
+    )
+    expected = {r["doc_id"]: r.asDict() for r in legacy.collect()}
+    assert fused.keys() == expected.keys()
+    for k in expected:
+        for c in QC.FEATURE_COLS:
+            assert fused[k][c] == expected[k][c], (k, c, fused[k][c], expected[k][c])
