@@ -24,19 +24,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # metric -> (direction, bound): "min" = value must be >= bound.
-# These are REGRESSION gates pinned (with slack) to the round-5
-# measured baselines at sf0.01 — not absolute quality targets. In
-# particular lsh_recall_at_5 measured 0.48 at r6 (multi-probe, 4
-# extra low-margin bit flips per table — up from 0.12 single-probe):
-# sign-pattern LSH over near-orthogonal random vectors collides
-# rarely by design (8 planes → ~(1−θ/π)⁸ per table), and the
-# operator's designed use — HIGH-cosine near-dup retrieval — is
-# separately pinned by the planted-dup tests in test_similarity.py.
-# A code change that halves any of these trips the suite.
+# These are REGRESSION gates pinned (with slack) to measured
+# baselines at sf0.01 — not absolute quality targets. In particular
+# lsh_recall_at_5 measured 0.83 at r7 (full Lv-et-al perturbation
+# SEQUENCES — ascending-cost subsets of the 5 lowest-margin planes,
+# 16 probes/table; was 0.48 with single-bit flips at r6, 0.12
+# single-probe at r5) over near-orthogonal random vectors — the
+# hardest case for sign-pattern LSH (8 planes → ~(1−θ/π)⁸ per
+# table). The operator's designed use — HIGH-cosine near-dup
+# retrieval — is separately pinned by the planted-dup tests in
+# test_similarity.py. A code change that halves any of these trips
+# the suite.
 GATES: dict[str, tuple[str, float]] = {
     "model_utility_acc_drop": ("max", 0.25),   # DP noise may cost ≤ 25pp accuracy
     "model_utility_f1_drop": ("max", 0.30),
-    "lsh_recall_at_5": ("min", 0.30),          # measured 0.48 (r6, multi-probe)
+    "lsh_recall_at_5": ("min", 0.60),          # measured 0.83 (r7, probe sequences)
     "ivf_recall_at_5": ("min", 0.40),          # measured 0.66 (r5 baseline)
     "hll_mean_rel_err": ("max", 0.15),         # measured 0.0 at fixture scale
     "kmeans_normalized_inertia": ("max", 0.999),  # must beat the k=1 baseline
