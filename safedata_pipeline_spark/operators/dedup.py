@@ -557,6 +557,16 @@ def dedup_components(
     edges = pairs.select(
         F.col("id_a").cast("bigint").alias("src"), F.col("id_b").cast("bigint").alias("dst")
     )
+    # Guard the pairs-ids ⊆ docs-ids precondition: a stray edge id that
+    # is absent from docs could otherwise win the min-label election and
+    # leave its whole component without a canonical doc row. Two
+    # left-semi joins on the pre-symmetrized edge set (half the edges,
+    # one bigint column from docs) drop such edges before propagation.
+    doc_ids = docs.select(F.col(id_col).cast("bigint").alias("id")).dropDuplicates()
+    edges = (
+        edges.join(doc_ids, edges.src == doc_ids.id, "left_semi")
+        .join(doc_ids, edges.dst == doc_ids.id, "left_semi")
+    )
     # localCheckpoint throughout the loop: materializes each round's
     # labels, truncates the otherwise round-deep lineage, and the blocks
     # are auto-released on GC — the final labels frame no longer leaves

@@ -73,9 +73,17 @@ def text_features(
         _ws_tokens,
     )
 
-    t = F.col(text_col)
-    toks = _ws_tokens(t)  # original case: quality's stopword count
-    tk_low = _ws_tokens(F.lower(t))
+    # Tokens materialize FIRST (quality_score's two-step shape: token
+    # counts over a captured split re-tokenize per use — measured 3×
+    # slower), then every feature reads the materialized arrays.
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        _ws_tokens(F.col(text_col)).alias("__toks"),  # original case
+        _ws_tokens(F.lower(F.col(text_col))).alias("__tk"),  # lowered
+    )
+    t = F.col("__t")
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     # quality_score's blend, term for term
     n_stop = _count_in(toks, STOPWORDS_EN)
@@ -108,15 +116,13 @@ def text_features(
     )
     # ONE corpus scan: all map-only features + the lowered token array,
     # pinned so the two aggregate paths below don't re-read the corpus
-    staged = df.select(
+    staged = base.select(
         F.col(id_col),
-        tk_low.alias("__tk"),
+        F.col("__tk"),
         quality.alias("f_quality"),
+        dup_word.alias("f_dup_word"),
         flesch.alias("f_flesch"),
         n_tok.cast("double").alias("f_ws_tokens"),
-    ).select(
-        id_col, "__tk", "f_quality", dup_word.alias("f_dup_word"),
-        "f_flesch", "f_ws_tokens",
     ).transform(pin_lazy)
     ex = staged.select(F.col(id_col), F.explode("__tk").alias("tok"))
     lp = _unigram_neg_logprob_per_doc(ex, id_col).select(

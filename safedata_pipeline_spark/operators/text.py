@@ -1145,7 +1145,10 @@ def oov_rate(
 # the tasks that worker runs (Spark reuses workers), which is what
 # makes the Heaps'-law reuse cross-partition, not per-task. At most a
 # handful of distinct vocabs are live at once; evict wholesale beyond
-# that rather than tracking LRU.
+# that rather than tracking LRU. Each inner cache is ALSO bounded:
+# encode_tokens clears it wholesale when it reaches _WORD_CACHE_MAX
+# entries (see the insert site), so a long-lived worker's memory stays
+# capped even as the corpus-wide distinct-word set keeps growing.
 _ENCODE_WORD_CACHES: dict = {}
 _ENCODE_CACHES_MAX = 4
 
@@ -1247,8 +1250,13 @@ def encode_tokens(
                 else:
                     out.append((match, vocab_map[match], False))
                     pos += len(match)
-            if len(word_cache) < _WORD_CACHE_MAX:
-                word_cache[word] = out
+            # clear-on-full rather than stop-inserting: segmentation is
+            # cheap to redo, and a reset lets the memo re-adapt to the
+            # current hot word set instead of freezing whatever mix of
+            # frequent and one-off words arrived first
+            if len(word_cache) >= _WORD_CACHE_MAX:
+                word_cache.clear()
+            word_cache[word] = out
             return out
 
         for pdf in batches:

@@ -147,6 +147,19 @@ def test_dedup_components_chain_and_isolated(spark):
     assert [got[i].is_canonical for i in range(1, 7)] == [True, False, False, True, False, True]
 
 
+def test_dedup_components_ignores_foreign_edge_ids(spark):
+    # an edge endpoint absent from docs (id 0, lower than every doc id)
+    # must NOT win the min-label election: without the semi-join guard,
+    # comp_id 0 would leave component {1,2} with no canonical doc row
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (0, 1, 0.8)], "id_a bigint, id_b bigint, jaccard double"
+    )
+    got = {r.doc_id: r for r in DD.dedup_components(docs, pairs).collect()}
+    assert [got[i].comp_id for i in (1, 2, 3)] == [1, 1, 3]
+    assert [got[i].is_canonical for i in (1, 2, 3)] == [True, False, True]
+
+
 def test_paragraph_dedup_global_first_occurrence(spark):
     from safedata_pipeline_spark.operators.dedup import paragraph_dedup
 
