@@ -2130,33 +2130,23 @@ def _q_bpe_token_count(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-6 window rotation: the driver hash-checks the FIRST 50
-    # entries. All 50 r5 rows came back green, so per the standing
+    # Round-8 window rotation: the driver hash-checks the FIRST 50
+    # entries. All 50 r7 rows came back green, so per the standing
     # policy (prior-round-green rows may rotate out) the window now
-    # holds: the 15 standing anchors; the ENTIRE VERDICT r5
-    # never-driver-checked list (23 queries — jaccard_prefix_join,
-    # both pageranks, count_min/heavy hitters, Ed-Join pairs, the
-    # AUC/ROC/calibration family, readability, CUSUM, Benford,
-    # containment join, weighted quantiles, audio features, CDC
-    # chunks, TPC-H Q8/Q19 shapes, Markov transitions, leakage-free
-    # split, incremental near-dup, cross-source matrix); the nine
-    # r6-NEW oracle-backed operators in their first round per standing
-    # policy (extract_text, semantic_dedup, domain_stats,
-    # promo_revenue, idle_rich_customers, corpus_overlap, group_scale,
-    # shipment_month_overlap, zipf_profile); and re-verification slots
-    # for code materially changed this round (encode_tokens trie/memo
-    # rewrite + its token_count_vocab consumer, ks_drift_binned for
-    # the checkpoint-helper refactor through drift.py). The remaining
-    # r6-new oracle-backed queries (length_matched_sample,
-    # conversion_attribution, secrets_scan, forecast_revenue) landed
-    # after the 50 slots filled — they sit first past the window
-    # (locally hash-checked, next-window queue), with the
-    # substring_dedup / ngram_jaccard / minhash_lsh / simhash_pairs /
-    # dedup_components / dedup_incremental / drift_timeline rows they
-    # displaced (those stay covered: the pin refactor they would
-    # re-verify is exercised by the six changed dedup rows in-window,
-    # and substring_dedup's r6 change was docstring-only). Every
-    # rotated-out row is still hash-checked by the local full-sweep
+    # holds: the 15 standing anchors; the ENTIRE never-driver-checked
+    # oracle-backed backlog (26 queries — the four r6 late arrivals
+    # length_matched_sample / conversion_attribution / secrets_scan /
+    # forecast_revenue plus the r3-r4-vintage tail from quality_deciles
+    # through pack_stats, VERDICT r6 "What's missing #1" list in full);
+    # re-verification slots for code materially changed THIS round
+    # (dedup_components for the foreign-edge-id semi-join guard,
+    # encode_tokens + its token_count_vocab consumer for the
+    # clear-on-full memo change); and six r5-green dedup/drift rows
+    # displaced in r6 rotating back in to refresh their signal
+    # (minhash_lsh, simhash_pairs, ngram_jaccard, substring_dedup,
+    # drift_timeline, dedup_incremental). Displaced out: the 32 r6/r7
+    # rows that are now double-green (r6 AND r7 driver rows) — every
+    # one is still hash-checked by the local full-sweep
     # check_oracle.py run each round.
     return {
         "basic_stats": _q_basic_stats,
@@ -2174,6 +2164,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "decontaminate": _q_decontaminate,
         "pack_windows": _q_pack_windows,
+        "length_matched_sample": _q_length_matched_sample,
+        "conversion_attribution": _q_conversion_attribution,
+        "secrets_scan": _q_secrets_scan,
+        "forecast_revenue": _q_forecast_revenue,
+        "quality_deciles": _q_quality_deciles,
+        "scored_documents": _q_scored_documents,
+        "top_ngrams": _q_top_ngrams,
+        "normalize_text": _q_normalize_text,
+        "length_histogram": _q_length_histogram,
+        "skew_report": _q_skew_report,
+        "contamination_ngram": _q_contamination_ngram,
+        "contamination_scan_many": _q_contamination_scan_many,
+        "kmv_distinct_prefilter": _q_kmv_distinct_prefilter,
+        "minhash_threshold_curve": _q_minhash_threshold_curve,
+        "source_mixture_sample": _q_source_mixture_sample,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "quantization_error": _q_quantization_error,
+        "shipping_priority": _q_shipping_priority,
+        "source_lang_pivot": _q_source_lang_pivot,
+        "take_per_source": _q_take_per_source,
+        "corpus_cube": _q_corpus_cube,
+        "events_sliding": _q_events_sliding,
+        "events_hourly_users": _q_events_hourly_users,
+        "source_share": _q_source_share,
+        "k_anonymity_violations": _q_k_anonymity_violations,
+        "pack_stats": _q_pack_stats,
+        "dedup_components": _q_dedup_components,
+        "encode_tokens": _q_encode_tokens,
+        "token_count_vocab": _q_token_count_vocab,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "substring_dedup": _q_substring_dedup,
+        "drift_timeline": _q_drift_timeline,
+        "dedup_incremental": _q_dedup_incremental,
+        # --- past the driver's 50-row correctness window from here on.
+        # Everything below except the trailing rows-only block IS
+        # oracle-backed — tools/check_oracle.py runs the identical hash
+        # compare locally each round. A query sits past the window only
+        # when (a) its hash signal is subsumed by an in-window sibling,
+        # (b) it has been driver-verified green in a prior round, or
+        # (c) it arrived after the 50 slots filled. Longstanding
+        # subsumptions: chi2_drift runs per-column inside
+        # distribution_drift; minhash_signatures / simhash are CTEs
+        # inside minhash_lsh / simhash_pairs' SQL; dedup_components_star
+        # shares dedup_components' oracle SQL; linkage_risk_score is a
+        # CTE of knn_linkage_join; contamination_scan is the complement
+        # of decontaminate; user_sessions' SQL is embedded in
+        # session_concurrency's.
         "jaccard_prefix_join": _q_jaccard_prefix_join,
         "dup_graph_pagerank": _q_dup_graph_pagerank,
         "dup_graph_pagerank_weighted": _q_dup_graph_pagerank_weighted,
@@ -2199,8 +2238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dup_matrix": _q_cross_source_dup_matrix,
         "extract_text": _q_extract_text,
         "semantic_dedup": _q_semantic_dedup,
-        "encode_tokens": _q_encode_tokens,
-        "token_count_vocab": _q_token_count_vocab,
         "domain_stats": _q_domain_stats,
         "promo_revenue": _q_promo_revenue,
         "idle_rich_customers": _q_idle_rich_customers,
@@ -2209,34 +2246,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipment_month_overlap": _q_shipment_month_overlap,
         "ks_drift_binned": _q_ks_drift_binned,
         "zipf_profile": _q_zipf_profile,
-        # --- past the driver's 50-row correctness window from here on.
-        # (drift_timeline yields its re-verification slot to the
-        # r6-new zipf_profile; the pin refactor it would re-verify is
-        # already covered by ks_drift_binned and the six dedup rows.)
-        "drift_timeline": _q_drift_timeline,
-        "dedup_incremental": _q_dedup_incremental,
-        "substring_dedup": _q_substring_dedup,
-        "length_matched_sample": _q_length_matched_sample,
-        "conversion_attribution": _q_conversion_attribution,
-        "secrets_scan": _q_secrets_scan,
-        "forecast_revenue": _q_forecast_revenue,
-        "dedup_components": _q_dedup_components,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_lsh": _q_minhash_lsh,
-        "simhash_pairs": _q_simhash_pairs,
-        # Everything below except the trailing rows-only block IS
-        # oracle-backed — tools/check_oracle.py runs the identical hash
-        # compare locally each round. A query sits past the window only
-        # when (a) its hash signal is subsumed by an in-window sibling,
-        # (b) it has been driver-verified green in a prior round (all 50
-        # r5 rows were), or (c) it arrived after the 50 slots filled.
-        # Longstanding subsumptions: chi2_drift runs per-column inside
-        # distribution_drift; minhash_signatures / simhash are CTEs
-        # inside minhash_lsh / simhash_pairs' SQL; dedup_components_star
-        # shares dedup_components' oracle SQL; linkage_risk_score is a
-        # CTE of knn_linkage_join; contamination_scan is the complement
-        # of decontaminate; user_sessions' SQL is embedded in
-        # session_concurrency's.
         "mutual_information": _q_mutual_information,
         "enforce_k_anonymity": _q_enforce_k_anonymity,
         "iqr_outliers": _q_iqr_outliers,
@@ -2270,12 +2279,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy": _q_column_entropy,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "bpe_merges": _q_bpe_merges,
-        "minhash_threshold_curve": _q_minhash_threshold_curve,
-        "source_mixture_sample": _q_source_mixture_sample,
-        "quantize_embeddings": _q_quantize_embeddings,
-        "shipping_priority": _q_shipping_priority,
-        "normalize_text": _q_normalize_text,
-        "skew_report": _q_skew_report,
         "value_counts": _q_value_counts,
         "checklist_score": _q_checklist_score,
         "sdc_suppress": _q_sdc_suppress,
@@ -2327,22 +2330,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "minhash_signatures": _q_minhash_signatures,
         "dedup_components_star": _q_dedup_components_star,
-        "contamination_ngram": _q_contamination_ngram,
-        "contamination_scan_many": _q_contamination_scan_many,
-        "kmv_distinct_prefilter": _q_kmv_distinct_prefilter,
-        "length_histogram": _q_length_histogram,
-        "quality_deciles": _q_quality_deciles,
-        "scored_documents": _q_scored_documents,
-        "top_ngrams": _q_top_ngrams,
-        "source_lang_pivot": _q_source_lang_pivot,
-        "take_per_source": _q_take_per_source,
-        "corpus_cube": _q_corpus_cube,
-        "events_sliding": _q_events_sliding,
-        "quantization_error": _q_quantization_error,
-        "k_anonymity_violations": _q_k_anonymity_violations,
-        "pack_stats": _q_pack_stats,
-        "events_hourly_users": _q_events_hourly_users,
-        "source_share": _q_source_share,
         "events_json": _q_events_json,
         "events_hourly": _q_events_hourly,
         "multimodal_meta": _q_multimodal_meta,
