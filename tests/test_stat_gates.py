@@ -21,3 +21,17 @@ def test_stat_gates_within_bounds(spark, sf_dir):
     for metric, (direction, bound) in GATES.items():
         degraded[metric] = bound - 0.01 if direction == "min" else bound + 0.01
     assert len(check(degraded)) == len(GATES)
+
+
+def test_slope_gate_logic():
+    # the timing itself runs per-round in stat_gates.main() (sf0.01 vs
+    # sf0.1 fixtures); here we pin the gate LOGIC: a linear-looking
+    # ratio passes, a quadratic-looking one trips, a missing metric
+    # reports as missing
+    from tools.stat_gates import SLOPE_GATES, SLOPE_QUERIES, check
+
+    linear = {f"slope_{q}": 8.0 for q in SLOPE_QUERIES}
+    assert check(linear, SLOPE_GATES) == []
+    quadratic = dict(linear, **{f"slope_{SLOPE_QUERIES[0]}": 60.0})
+    assert len(check(quadratic, SLOPE_GATES)) == 1
+    assert any("missing" in p for p in check({}, SLOPE_GATES))

@@ -46,6 +46,61 @@ GATES: dict[str, tuple[str, float]] = {
     "classifier_heldout_auc": ("min", 0.95),   # measured 1.0 (r6, planted clean-vs-degraded fixture)
 }
 
+# Scaling-slope gates for the pair-GENERATOR family — the operator
+# class whose failure mode is super-linear pair blowup (all-pairs
+# sneaking past the bucketing). Each query is timed at sf0.01 and
+# sf0.1 (10x the data) and the wall-clock ratio is gated: a linear
+# operator with fixed JVM/plan overhead lands well under 10x (the
+# overhead inflates the small-scale denominator), a quadratic one
+# lands near 100x on the data-driven part and trips. 25x allows
+# 10x data + shuffle log factors + timing noise. Computed in main()
+# only (per-round artifact, like BENCH) — not in compute(), so the
+# pytest-suite recompute stays sf0.001-fast; the suite covers the
+# gate LOGIC via the degrade-and-trip loop instead.
+SLOPE_QUERIES = [
+    "jaccard_prefix_join",
+    "containment_join",
+    "edit_distance_pairs",
+    "semantic_dedup",
+    "substring_dedup",
+]
+SLOPE_GATES: dict[str, tuple[str, float]] = {
+    f"slope_{q}": ("max", 25.0) for q in SLOPE_QUERIES
+}
+
+
+def compute_slopes(
+    spark, lo_dir: str = "/root/testdata/sf0.01", hi_dir: str = "/root/testdata/sf0.1"
+) -> dict[str, float]:
+    """Median-of-3 wall-clock at two scale factors -> ratio per query.
+
+    Returns {} when either fixture directory is missing so the tool
+    still runs on boxes that only carry one scale."""
+    if not (os.path.isdir(lo_dir) and os.path.isdir(hi_dir)):
+        return {}
+    import statistics
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out: dict[str, float] = {}
+    # one warm-up query so JVM/codegen startup doesn't land in the
+    # first timed run (same discipline as bench.py)
+    qs[SLOPE_QUERIES[0]](spark, lo_dir).count()
+    for name in SLOPE_QUERIES:
+        med = {}
+        for tag, d in (("lo", lo_dir), ("hi", hi_dir)):
+            ts = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                qs[name](spark, d).count()
+                ts.append(time.monotonic() - t0)
+            med[tag] = statistics.median(ts)
+        out[f"t_sf0.01_{name}"] = round(med["lo"], 3)
+        out[f"t_sf0.1_{name}"] = round(med["hi"], 3)
+        out[f"slope_{name}"] = round(med["hi"] / max(med["lo"], 0.05), 3)
+    return out
+
 
 def compute(spark, sf_dir: str) -> dict[str, float]:
     import pyspark.sql.functions as F
@@ -171,10 +226,12 @@ def compute(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def check(stats: dict[str, float]) -> list[str]:
+def check(
+    stats: dict[str, float], gates: dict[str, tuple[str, float]] | None = None
+) -> list[str]:
     """Gate violations ([] = all within bounds)."""
     problems = []
-    for metric, (direction, bound) in GATES.items():
+    for metric, (direction, bound) in (gates or GATES).items():
         v = stats.get(metric)
         if v is None:
             problems.append(f"{metric}: missing")
@@ -192,7 +249,11 @@ def main() -> None:
     spark = get_spark("stat-gates")
     spark.sparkContext.setLogLevel("ERROR")
     stats = compute(spark, sf_dir)
+    slopes = compute_slopes(spark)
+    stats.update(slopes)
     problems = check(stats)
+    if slopes:
+        problems += check(slopes, SLOPE_GATES)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     payload = {"sf_dir": sf_dir, "stats": stats, "violations": problems,
                "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
