@@ -2107,6 +2107,83 @@ def _q_quality_classifier(spark, sf):
     )
 
 
+# -- X182: trained char-n-gram language ID (NB fit -> argmax score) ----------
+
+# per-language marker stopwords planted into the fixture (the synthetic
+# corpus shares one vocabulary across lang labels, so the learnable
+# signal is planted the same way _clf_fixture plants its quality
+# signal). Real multilingual function words — the features a char-3gram
+# model actually keys on in production language ID.
+_LANGID_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "und", "nicht", "das", "ich", "sie", "mit", "ein"],
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that"],
+    "es": ["el", "y", "los", "una", "que", "para", "con", "las"],
+    "fr": ["le", "et", "les", "des", "une", "dans", "est", "pour"],
+    "zh": ["的", "是", "不", "我", "了", "人", "在", "有"],
+}
+_LANGID_K = 6  # markers appended per document
+
+
+def _langid_fixture(spark, sf):
+    # labeled multilingual fixture: append _LANGID_K md5-selected
+    # marker words of the doc's labeled language; md5 train coin.
+    # Both choices are md5-replayable, so the whole fit->score
+    # composition stays oracle-checkable.
+    docs = load_table(spark, sf, "documents")
+
+    def mdint(tag):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag + "|"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    marker_cols = []
+    for j in range(_LANGID_K):
+        pos = (mdint(f"lid{j}") % 8).cast("int") + 1
+        chain = None
+        for lang, words in _LANGID_MARKERS.items():
+            pick = F.element_at(F.array(*[F.lit(w) for w in words]), pos)
+            cond = F.col("lang") == lang
+            chain = F.when(cond, pick) if chain is None else chain.when(cond, pick)
+        marker_cols.append(chain)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.concat_ws(" ", F.col("text"), *marker_cols).alias("text"),
+        (mdint("lidtrain") % 2 == 0).alias("is_train"),
+    )
+
+
+def _q_lang_id_trained(spark, sf):
+    # trained language ID (fastText/Cavnar-Trenkle lineage): char-3gram
+    # multinomial NB fit on the md5-train half of the planted fixture,
+    # argmax score applied to EVERY doc via a broadcast model join.
+    # Fully deterministic (add-one smoothing, 6dp log-probs, exact
+    # DECIMAL sums) -> oracle-backed despite being a trained model;
+    # held-out accuracy is additionally stat-gated per round.
+    from safedata_pipeline_spark.checkpoint import pin_lazy
+    from safedata_pipeline_spark.operators import langid as LI
+
+    fixed = _langid_fixture(spark, sf)
+    # the model is a few-thousand-row table consumed twice inside
+    # langid_score (per-gram rows + per-lang floors) — pin it so the
+    # fit's corpus scan runs once, not once per consumer
+    model = LI.langid_fit(fixed.where("is_train")).transform(pin_lazy)
+    return (
+        LI.langid_score(fixed, model)
+        .join(
+            fixed.select(
+                "doc_id", F.col("lang").alias("lang_true"), "is_train"
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "lang_true", "is_train", "lang_pred", "score")
+    )
+
+
 # -- X168: BPE-unit token counts (merge-rank application) --------------------
 
 
@@ -2198,8 +2275,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "substring_dedup": _q_substring_dedup,
         "drift_timeline": _q_drift_timeline,
-        "dedup_incremental": _q_dedup_incremental,
+        # r8-NEW oracle-backed operator, in-window first round per
+        # standing policy (displaces dedup_incremental, which keeps its
+        # r5 driver green + local hash coverage just past the window):
+        "lang_id_trained": _q_lang_id_trained,
         # --- past the driver's 50-row correctness window from here on.
+        "dedup_incremental": _q_dedup_incremental,
         # Everything below except the trailing rows-only block IS
         # oracle-backed — tools/check_oracle.py runs the identical hash
         # compare locally each round. A query sits past the window only
@@ -4713,6 +4794,70 @@ def _sql_substring_dedup(k: int) -> str:
     )
 
 
+def _sql_lang_id_trained() -> str:
+    """DuckDB twin of the char-3gram NB fit->score composition: the
+    fixture (md5-selected markers + md5 train coin), the smoothed
+    (lang, ngram) log-prob table, and the exact-DECIMAL argmax scoring
+    are all unrolled as CTEs — a trained classifier with a hash-checked
+    oracle, same discipline as the KMeans semantic-dedup oracle."""
+
+    def mdint(tag_expr: str) -> str:
+        return (
+            f"CAST(CAST(('0x' || substr(md5({tag_expr}), 1, 8)) AS UBIGINT) AS BIGINT)"
+        )
+
+    marker_exprs = []
+    for j in range(_LANGID_K):
+        tag = "'lid" + str(j) + "|' || CAST(doc_id AS VARCHAR)"
+        idx = f"({mdint(tag)} % 8)"
+        arms = " ".join(
+            "WHEN '{l}' THEN list_extract([{ws}], 1 + {i})".format(
+                l=lang, ws=", ".join(f"'{w}'" for w in words), i=idx
+            )
+            for lang, words in _LANGID_MARKERS.items()
+        )
+        marker_exprs.append(f"CASE lang {arms} END")
+    markers = ", ".join(marker_exprs)
+    train_coin = mdint("'lidtrain|' || CAST(doc_id AS VARCHAR)")
+    return (
+        "WITH base AS (SELECT doc_id, lang, "
+        f"lower(concat_ws(' ', text, {markers})) AS t, "
+        f"({train_coin} % 2 = 0) AS is_train FROM documents), "
+        # sliding char-3grams; generate_series(1,0) is empty in DuckDB
+        # so sub-3-char docs contribute no grams (Spark guards the same)
+        "tg AS (SELECT b.lang, substr(b.t, CAST(g.p AS INT), 3) AS ng "
+        "FROM base b, unnest(generate_series(1, CAST(greatest(length(b.t) - 2, 0) AS BIGINT))) AS g(p) "
+        "WHERE b.is_train), "
+        "counts AS (SELECT lang, ng, count(*) AS c FROM tg GROUP BY 1, 2), "
+        "totals AS (SELECT lang, CAST(sum(c) AS BIGINT) AS total FROM counts GROUP BY 1), "
+        "vocab AS (SELECT CAST(count(DISTINCT ng) AS BIGINT) AS v FROM tg), "
+        "model AS (SELECT c.lang, c.ng, "
+        "CAST(round(ln((c.c + 1.0) / (t.total + vv.v)), 6) AS DECIMAL(38,6)) AS logp "
+        "FROM counts c JOIN totals t USING (lang) CROSS JOIN vocab vv), "
+        "floors AS (SELECT t.lang, "
+        "CAST(round(ln(1.0 / (t.total + vv.v)), 6) AS DECIMAL(38,6)) AS fl "
+        "FROM totals t CROSS JOIN vocab vv), "
+        "dg AS (SELECT b.doc_id, substr(b.t, CAST(g.p AS INT), 3) AS ng "
+        "FROM base b, unnest(generate_series(1, CAST(greatest(length(b.t) - 2, 0) AS BIGINT))) AS g(p)), "
+        "m AS (SELECT b.doc_id, coalesce(c.m, 0) AS m FROM base b LEFT JOIN "
+        "(SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM dg GROUP BY 1) c USING (doc_id)), "
+        "matched AS (SELECT d.doc_id, mo.lang, "
+        "CAST(sum(mo.logp) AS DECIMAL(38,6)) AS s, CAST(count(*) AS BIGINT) AS mc "
+        "FROM dg d JOIN model mo ON d.ng = mo.ng GROUP BY 1, 2), "
+        "scored AS (SELECT m.doc_id, f.lang, "
+        "CAST(coalesce(ma.s, CAST(0 AS DECIMAL(38,6))) "
+        "+ (m.m - coalesce(ma.mc, 0)) * f.fl AS DECIMAL(38,6)) AS score "
+        "FROM m CROSS JOIN floors f "
+        "LEFT JOIN matched ma ON ma.doc_id = m.doc_id AND ma.lang = f.lang), "
+        "pred AS (SELECT doc_id, lang, score, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn "
+        "FROM scored) "
+        "SELECT b.doc_id, b.lang AS lang_true, b.is_train, "
+        "p.lang AS lang_pred, CAST(p.score AS DOUBLE) AS score "
+        "FROM base b JOIN pred p ON b.doc_id = p.doc_id AND p.rn = 1"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "limit_preview": (
@@ -4849,6 +4994,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _sql_substring_dedup(8),
         "encode_tokens": _sql_encode_tokens(10),
         "token_count_vocab": _sql_token_count_vocab(10),
+        "lang_id_trained": _sql_lang_id_trained(),
         "leakage_free_split": _sql_leakage_free_split(0.8),
         "dedup_incremental_near": _sql_dedup_incremental_near(100),
         "cross_source_dup_matrix": _sql_cross_source_dup_matrix(),

@@ -1,0 +1,153 @@
+"""Trained character-n-gram language identification.
+
+Multinomial Naive Bayes over sliding character n-grams — the public
+Cavnar & Trenkle (1994) n-gram text-categorization construction, the
+same feature family fastText-style language identifiers use. Unlike
+the marker-stopword heuristic (``text.lang_id``), the model is FIT
+from labeled data, so it adapts to whatever languages the labels
+carry, and scoring stays a pure column-expression pipeline.
+
+Everything is deterministic (counts + add-one smoothing + fixed
+rounding), so fit→score compositions are oracle-checkable end to end
+— no rows-only channel needed despite this being a trained model.
+
+100 TB shape:
+- ``langid_fit`` runs on the LABELED SAMPLE only (labeled corpora are
+  thousands-to-millions of docs, not the 100 TB corpus): two shuffles
+  — (lang, ngram) counts and per-lang totals — both map-side
+  combinable.
+- The fitted model is a few-thousand-row table: ``langid_score``
+  BROADCASTS it, so the apply pass over the full corpus is one
+  map-only n-gram explode + broadcast join + one (doc, lang) groupBy
+  + one per-doc window; the corpus shuffles once on doc_id, text
+  never shuffles at all (only n-gram rows, which die in the
+  aggregation).
+- Per-n-gram log-probs are fixed to 6 decimals and summed as
+  DECIMAL(38,6) (exact, order-independent), the same discipline as
+  ``text._unigram_neg_logprob_per_doc`` — double-sum ulp drift cannot
+  split the argmax across engines.
+
+No reference counterpart (the reference has no language handling);
+extension operator in the SURVEY §2.8 inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+ROUND_N = 6
+
+
+def _char_ngrams(col, n: int):
+    """Array of all length-n sliding substrings of ``col`` (empty when
+    the string is shorter than n). Pure expressions — no UDF."""
+    cnt = F.length(col) - (n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(F.sequence(F.lit(1), cnt), lambda i: F.substr(col, i, F.lit(n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def langid_fit(
+    labeled: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n: int = 3,
+) -> DataFrame:
+    """Fit the n-gram NB model from ``(text, lang)`` rows.
+
+    Returns one frame carrying both kinds of parameters:
+    ``(lang, ngram, logp)`` — per-(lang, n-gram) smoothed log-prob
+    ``round(ln((c+1)/(total_l+V)), 6)`` for observed n-grams, plus one
+    floor row per language with ``ngram = NULL`` and
+    ``logp = round(ln(1/(total_l+V)), 6)`` — the add-one probability
+    of any n-gram UNSEEN for that language. V is the train-corpus
+    distinct-n-gram count (shared smoothing denominator)."""
+    ex = labeled.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(_char_ngrams(F.lower(F.col(text_col)), n)).alias("ngram"),
+    )
+    counts = ex.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("total"))
+    vocab = counts.select("ngram").distinct().agg(F.count(F.lit(1)).alias("v"))
+    model = (
+        counts.join(totals, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "ngram",
+            F.round(F.log((F.col("c") + 1.0) / (F.col("total") + F.col("v"))), ROUND_N)
+            .cast("decimal(38,6)")
+            .alias("logp"),
+        )
+    )
+    floors = (
+        totals.crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            F.lit(None).cast("string").alias("ngram"),
+            F.round(F.log(1.0 / (F.col("total") + F.col("v"))), ROUND_N)
+            .cast("decimal(38,6)")
+            .alias("logp"),
+        )
+    )
+    return model.unionByName(floors)
+
+
+def langid_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Score every document against the fitted model and pick the
+    argmax language. Output: ``(id, lang_pred, score)`` with
+    ``score = Σ_observed logp + (m − matched)·floor_l`` summed as
+    exact DECIMAL(38,6); ties break on ascending language code (a
+    zero-gram doc ties every language at 0 and predicts the first)."""
+    grams = df.select(
+        F.col(id_col), F.explode(_char_ngrams(F.lower(F.col(text_col)), n)).alias("g")
+    )
+    # total gram count per doc is just max(len−(n−1), 0) — a column
+    # expression, no second explode-aggregate over the corpus
+    m = df.select(
+        F.col(id_col),
+        F.greatest(F.length(F.col(text_col)) - (n - 1), F.lit(0))
+        .cast("bigint")
+        .alias("m"),
+    )
+    floors = model.where(F.col("ngram").isNull()).select(
+        "lang", F.col("logp").alias("floor_logp")
+    )
+    mt = model.where(F.col("ngram").isNotNull())
+    matched = (
+        grams.join(F.broadcast(mt), grams.g == mt.ngram)
+        .groupBy(id_col, "lang")
+        .agg(F.sum("logp").alias("s"), F.count(F.lit(1)).cast("bigint").alias("mc"))
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    scored = (
+        m.crossJoin(F.broadcast(floors))
+        .join(matched, [id_col, "lang"], "left")
+        .select(
+            id_col,
+            "lang",
+            (
+                F.coalesce("s", zero)
+                + (F.col("m") - F.coalesce("mc", F.lit(0))) * F.col("floor_logp")
+            ).cast("decimal(38,6)").alias("score"),
+        )
+    )
+    # argmax as a hash-aggregate struct-min (no per-doc sort): smallest
+    # (−score, lang) == highest score, ties broken on ascending lang
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("lang").alias("l"))).alias(
+            "b"
+        )
+    )
+    return best.select(
+        id_col,
+        F.col("b.l").alias("lang_pred"),
+        (-F.col("b.ns")).cast("double").alias("score"),
+    )

@@ -1,0 +1,75 @@
+"""Trained char-n-gram language ID (operators/langid.py): NB fit/score
+semantics on planted frames — smoothing math, unseen-gram floors,
+short-doc edges, deterministic tiebreak."""
+
+import math
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from safedata_pipeline_spark.operators import langid as LI
+
+
+def _fit_score(spark, train_rows, score_rows, n=3):
+    train = spark.createDataFrame(train_rows, "doc_id bigint, text string, lang string")
+    score = spark.createDataFrame(score_rows, "doc_id bigint, text string")
+    model = LI.langid_fit(train, n=n)
+    return model, LI.langid_score(score, model, n=n)
+
+
+def test_langid_separates_planted_languages(spark):
+    # two "languages" with disjoint character inventories
+    train = [(i, "aaa bbb aab aba bab", "aa") for i in range(4)] + [
+        (10 + i, "xxx yyy xxy xyx yxy", "xx") for i in range(4)
+    ]
+    score = [(100, "aab aba aaa"), (101, "xyx yyy xxx"), (102, "bbb bab")]
+    _, out = _fit_score(spark, train, score)
+    got = {r.doc_id: r.lang_pred for r in out.collect()}
+    assert got == {100: "aa", 101: "xx", 102: "aa"}
+
+
+def test_langid_model_smoothing_math(spark):
+    # one lang, one doc "abcd" -> trigrams abc, bcd: total=2, V=2
+    train = [(1, "abcd", "en")]
+    model, _ = _fit_score(spark, train, [(9, "abc")])
+    rows = {(r.lang, r.ngram): float(r.logp) for r in model.collect()}
+    # observed: ln((1+1)/(2+2)) = ln(0.5); floor: ln(1/(2+2)) = ln(0.25)
+    assert abs(rows[("en", "abc")] - round(math.log(0.5), 6)) < 1e-9
+    assert abs(rows[("en", "bcd")] - round(math.log(0.5), 6)) < 1e-9
+    assert abs(rows[("en", None)] - round(math.log(0.25), 6)) < 1e-9
+
+
+def test_langid_score_uses_floor_for_unseen_grams(spark):
+    train = [(1, "abcd", "en")]
+    _, out = _fit_score(spark, train, [(9, "abcz")])  # grams abc (seen), bcz (unseen)
+    r = out.collect()[0]
+    expect = round(math.log(0.5), 6) + round(math.log(0.25), 6)
+    assert r.lang_pred == "en"
+    assert abs(r.score - expect) < 1e-9
+
+
+def test_langid_short_doc_ties_break_on_lang_asc(spark):
+    # doc shorter than n has zero grams -> score 0 for every language
+    # -> deterministic prediction = first language code ascending
+    train = [(1, "aaa aaa", "bb"), (2, "zzz zzz", "aa")]
+    _, out = _fit_score(spark, train, [(9, "xy")])
+    r = out.collect()[0]
+    assert r.lang_pred == "aa"
+    assert r.score == 0.0
+
+
+def test_langid_case_insensitive(spark):
+    train = [(1, "AAA AAA AAA", "aa"), (2, "zzz zzz zzz", "zz")]
+    _, out = _fit_score(spark, train, [(9, "aaa AAA")])
+    assert out.collect()[0].lang_pred == "aa"
+
+
+def test_langid_score_plan_broadcasts_model(spark):
+    # the corpus-side apply must broadcast the model, never shuffle it
+    train = [(1, "aaa bbb", "aa"), (2, "xxx yyy", "xx")]
+    df = spark.createDataFrame([(9, "aaa xxx")], "doc_id bigint, text string")
+    model = LI.langid_fit(spark.createDataFrame(train, "doc_id bigint, text string, lang string"))
+    plan = LI.langid_score(df, model)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -44,6 +44,7 @@ GATES: dict[str, tuple[str, float]] = {
     "kmeans_normalized_inertia": ("max", 0.999),  # must beat the k=1 baseline
     "bpe_compression_ratio": ("max", 0.95),    # 10 merges must compress ≥5%
     "classifier_heldout_auc": ("min", 0.95),   # measured 1.0 (r6, planted clean-vs-degraded fixture)
+    "langid_heldout_acc": ("min", 0.90),       # measured 1.0 (r8, planted marker fixture)
 }
 
 # Scaling-slope gates for the pair-GENERATOR family — the operator
@@ -223,6 +224,16 @@ def compute(spark, sf_dir: str) -> dict[str, float]:
         ),
         6,
     )
+
+    # -- trained language ID: held-out accuracy ------------------------
+    # the query itself is oracle-backed (deterministic NB); this gate
+    # additionally pins that the model DISCRIMINATES — an oracle match
+    # on a degenerate always-'de' predictor would still hash green.
+    lid = qs["lang_id_trained"](spark, sf_dir).where(~F.col("is_train"))
+    agg = lid.agg(
+        F.avg((F.col("lang_true") == F.col("lang_pred")).cast("double")).alias("acc")
+    ).collect()[0]
+    out["langid_heldout_acc"] = round(float(agg["acc"]), 6)
     return out
 
 
