@@ -887,6 +887,20 @@ def _q_multimodal_features(spark, sf):
     return MM.extract_image_features(media)
 
 
+def _q_image_pixel_stats(spark, sf):
+    # X183: image modality with a REAL codec round-trip, oracle-backed
+    # (the audio X158 discipline applied to images): fixture text bytes
+    # become genuine spec-conformant PNGs (IHDR/IDAT/IEND, CRCs, zlib),
+    # the stdlib decoder inflates + unfilters them back, and the
+    # integer-exact pixel sums hash-match a SQL oracle computed from
+    # the ORIGINAL bytes — decode∘encode must be the identity.
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    media = MM.encode_png_media(docs, "doc_id", "payload", width=64)
+    return MM.image_pixel_stats(media)
+
+
 def _q_events_hourly(spark, sf):
     return SE.hourly_event_profile(load_table(spark, sf, "events"))
 
@@ -2274,12 +2288,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "substring_dedup": _q_substring_dedup,
-        "drift_timeline": _q_drift_timeline,
-        # r8-NEW oracle-backed operator, in-window first round per
-        # standing policy (displaces dedup_incremental, which keeps its
-        # r5 driver green + local hash coverage just past the window):
+        # r8-NEW oracle-backed operators, in-window first round per
+        # standing policy (they displace drift_timeline and
+        # dedup_incremental, which keep their r5 driver greens + local
+        # hash coverage just past the window):
         "lang_id_trained": _q_lang_id_trained,
+        "image_pixel_stats": _q_image_pixel_stats,
         # --- past the driver's 50-row correctness window from here on.
+        "drift_timeline": _q_drift_timeline,
         "dedup_incremental": _q_dedup_incremental,
         # Everything below except the trailing rows-only block IS
         # oracle-backed — tools/check_oracle.py runs the identical hash
@@ -4794,6 +4810,23 @@ def _sql_substring_dedup(k: int) -> str:
     )
 
 
+def _sql_image_pixel_stats(width: int) -> str:
+    """Oracle from the ORIGINAL text bytes: the engine's value is only
+    equal if encode->PNG->decode round-trips exactly. ASCII fixture
+    (octet_length == length, verified for the audio oracle) makes
+    ord(substr(...)) the payload byte; integer sums, floor-snap mean."""
+    return (
+        f"WITH l AS (SELECT doc_id, text, (length(text) // {width}) * {width} AS n "
+        f"FROM documents WHERE length(text) >= {width}), "
+        "s AS (SELECT doc_id, CAST(sum(ord(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS ps, "
+        "CAST(count(*) AS INT) AS n_pixels FROM l, "
+        "unnest(generate_series(CAST(1 AS BIGINT), CAST(n AS BIGINT))) AS g(i) GROUP BY doc_id) "
+        f"SELECT doc_id AS media_id, CAST({width} AS INT) AS width, "
+        f"CAST(n_pixels // {width} AS INT) AS height, n_pixels, ps AS pixel_sum, "
+        "floor(CAST(ps AS DOUBLE) / n_pixels * 1e6 + 0.5) / 1e6 AS mean_pixel FROM s"
+    )
+
+
 def _sql_lang_id_trained() -> str:
     """DuckDB twin of the char-3gram NB fit->score composition: the
     fixture (md5-selected markers + md5 train coin), the smoothed
@@ -4995,6 +5028,7 @@ def oracle_sql() -> dict[str, str]:
         "encode_tokens": _sql_encode_tokens(10),
         "token_count_vocab": _sql_token_count_vocab(10),
         "lang_id_trained": _sql_lang_id_trained(),
+        "image_pixel_stats": _sql_image_pixel_stats(64),
         "leakage_free_split": _sql_leakage_free_split(0.8),
         "dedup_incremental_near": _sql_dedup_incremental_near(100),
         "cross_source_dup_matrix": _sql_cross_source_dup_matrix(),

@@ -96,12 +96,14 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def _png_decode(payload: bytes) -> tuple[float, int]:
+def _png_decode_sums(payload: bytes) -> tuple[int, int, int, int]:
     """Minimal stdlib PNG decoder (public spec, RFC 2083): 8-bit
     gray/RGB/gray+alpha/RGBA, non-interlaced. Parses IHDR, inflates the
     IDAT stream, reverses the per-scanline filters (None/Sub/Up/
-    Average/Paeth), and returns (mean sample value, total samples =
-    w·h·channels). The fallback 'real' codec when Pillow is absent."""
+    Average/Paeth), and returns EXACT integer totals
+    ``(sample_sum, n_samples, width, height)`` — the integer-exact
+    contract that lets image stats ride the hash-checked oracle
+    channel (same discipline as the audio frame sums, X158)."""
     import struct
     import zlib
 
@@ -151,6 +153,13 @@ def _png_decode(payload: bytes) -> tuple[float, int]:
         total += sum(line)
         prev = line
     n = width * height * channels
+    return (total, n, width, height)
+
+
+def _png_decode(payload: bytes) -> tuple[float, int]:
+    """(mean sample value, total samples) — the ``_fake_decode``
+    contract, derived from the exact sums."""
+    total, n, _, _ = _png_decode_sums(payload)
     return (total / n if n else 0.0, n)
 
 
@@ -168,6 +177,104 @@ def _real_decode(payload: bytes) -> tuple[float, int]:
         return (float(arr.mean()), int(arr.size))
     except ImportError:
         return _png_decode(payload)
+
+
+def png_encode_gray(pixels: bytes, width: int) -> bytes:
+    """Encode raw 8-bit grayscale pixels as a REAL, spec-conformant
+    PNG (RFC 2083: IHDR + one zlib IDAT of filter-0 scanlines + IEND,
+    CRCs included). ``len(pixels)`` must be a multiple of ``width``.
+    Any standards-compliant viewer opens the result; round-tripping
+    through ``_png_decode_sums`` recovers the pixel bytes exactly."""
+    import struct
+    import zlib
+
+    if width <= 0 or len(pixels) % width:
+        raise ValueError("pixel buffer must be a positive multiple of width")
+    height = len(pixels) // width
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(
+        b"\x00" + pixels[r * width : (r + 1) * width] for r in range(height)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_media(
+    df: DataFrame, id_col: str, bytes_col: str, width: int = 64
+) -> DataFrame:
+    """Build a real-PNG media table from a binary column: each row's
+    first ``width·⌊len/width⌋`` bytes become a width-wide grayscale
+    image (rows shorter than one scanline are dropped). Arrow-batched
+    — the codec is the one genuinely Python step; everything around
+    it stays in the JVM."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, b in zip(pdf[id_col], pdf[bytes_col]):
+                if b is None:
+                    continue
+                b = bytes(b)
+                n = (len(b) // width) * width
+                if n == 0:
+                    continue
+                ids.append(mid)
+                payloads.append(png_encode_gray(b[:n], width))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        batches, "media_id long, payload binary"
+    )
+
+
+IMAGE_PIXEL_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_pixels int, "
+    "pixel_sum bigint, mean_pixel double"
+)
+
+
+def image_pixel_stats(df: DataFrame) -> DataFrame:
+    """Decode real PNG payloads (stdlib decoder — IDAT inflate +
+    scanline unfilter) and emit INTEGER-EXACT pixel statistics:
+    (media_id, width, height, n_pixels, pixel_sum, mean_pixel).
+    Because the sums are integers and the mean uses the engine-stable
+    floor-snap (``floor(x·1e6 + 0.5)/1e6``), the whole decode is
+    hash-checkable against a SQL oracle computing the same stats from
+    the source bytes — decode∘encode must be the identity."""
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None or len(b) == 0:
+                    continue
+                total, n, w, h = _png_decode_sums(bytes(b))
+                mean = math.floor(total / n * 1e6 + 0.5) / 1e6 if n else 0.0
+                rows.append((mid, w, h, n, total, mean))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels", "pixel_sum", "mean_pixel",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, IMAGE_PIXEL_STATS_SCHEMA
+    )
 
 
 def extract_image_features(df: DataFrame, decode: str = "fake") -> DataFrame:

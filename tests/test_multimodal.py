@@ -164,3 +164,41 @@ def test_audio_pcm_features_match_numpy_reference(spark):
     # empty/None payloads vanish; odd 7-byte tail -> one 3-sample frame
     assert not any(r.media_id in (3, 4) for r in out)
     assert got[(5, 0)].n_samples == 3
+
+
+def test_png_encode_gray_roundtrip_exact():
+    # encoder -> stdlib decoder must be the identity on pixel sums
+    pixels = bytes(range(256)) * 4  # 1024 bytes
+    png = MM.png_encode_gray(pixels, width=64)
+    total, n, w, h = MM._png_decode_sums(png)
+    assert (w, h, n) == (64, 16, 1024)
+    assert total == sum(pixels)
+
+
+def test_png_encode_gray_rejects_ragged_buffer():
+    import pytest
+
+    with pytest.raises(ValueError):
+        MM.png_encode_gray(b"abc", width=2)
+    with pytest.raises(ValueError):
+        MM.png_encode_gray(b"abcd", width=0)
+
+
+def test_image_pixel_stats_matches_source_bytes(spark):
+    import math
+
+    texts = [(1, b"a" * 130), (2, bytes(range(64, 192))), (3, b"xy")]  # 3: < 1 scanline
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in texts], "doc_id long, payload binary"
+    )
+    media = MM.encode_png_media(df, "doc_id", "payload", width=64)
+    got = {r.media_id: r for r in MM.image_pixel_stats(media).collect()}
+    assert set(got) == {1, 2}  # doc 3 dropped: shorter than one scanline
+    # doc 1: 130 -> truncated to 128 bytes of 'a' (97)
+    assert (got[1].width, got[1].height, got[1].n_pixels) == (64, 2, 128)
+    assert got[1].pixel_sum == 97 * 128
+    assert got[1].mean_pixel == 97.0
+    # doc 2: 128 exact bytes 64..191
+    s = sum(range(64, 192))
+    assert got[2].pixel_sum == s
+    assert got[2].mean_pixel == math.floor(s / 128 * 1e6 + 0.5) / 1e6
