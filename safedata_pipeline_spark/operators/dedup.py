@@ -557,16 +557,6 @@ def dedup_components(
     edges = pairs.select(
         F.col("id_a").cast("bigint").alias("src"), F.col("id_b").cast("bigint").alias("dst")
     )
-    # Guard the pairs-ids ⊆ docs-ids precondition: a stray edge id that
-    # is absent from docs could otherwise win the min-label election and
-    # leave its whole component without a canonical doc row. Two
-    # left-semi joins on the pre-symmetrized edge set (half the edges,
-    # one bigint column from docs) drop such edges before propagation.
-    doc_ids = docs.select(F.col(id_col).cast("bigint").alias("id")).dropDuplicates()
-    edges = (
-        edges.join(doc_ids, edges.src == doc_ids.id, "left_semi")
-        .join(doc_ids, edges.dst == doc_ids.id, "left_semi")
-    )
     # localCheckpoint throughout the loop: materializes each round's
     # labels, truncates the otherwise round-deep lineage, and the blocks
     # are auto-released on GC — the final labels frame no longer leaves
@@ -576,10 +566,19 @@ def dedup_components(
     ).transform(pin_lazy)
     # symmetric edge set ⇒ every edge-vertex appears as src, so the
     # vertex table and the per-round neighbor agg both cover exactly
-    # the propagation domain (inner joins below are loss-free)
+    # the propagation domain (inner joins below are loss-free).
+    # The semi-join guards the pairs-ids ⊆ docs-ids precondition: a
+    # stray edge id absent from docs gets NO label row, so it can
+    # neither transmit a label (neighbor join on dst is inner against
+    # labels) nor receive one (per-round labels join is inner) — it
+    # cannot win the min-label election and strand a component without
+    # a canonical doc. Guarding the DEDUPLICATED vertex table costs one
+    # |V|-sized semi-join instead of two |E|-sized ones.
+    doc_ids = docs.select(F.col(id_col).cast("bigint").alias("id")).dropDuplicates()
     labels = (
         sym.select(F.col("src").alias("id"))
         .dropDuplicates()
+        .join(doc_ids, "id", "left_semi")
         .select("id", F.col("id").alias("comp"))
         .transform(pin_lazy)
     )

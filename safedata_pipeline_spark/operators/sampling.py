@@ -104,7 +104,11 @@ def quality_decile_edges(
     """Equal-frequency bucket edges of the per-doc quality score at
     i/buckets, i=0..buckets, duplicate edges dropped (qcut-style).
     ``exact=False`` switches to approxQuantile for the 100 TB path."""
-    scores = df.select(_quality_expr(F.col(text_col)).alias("q"))
+    # tokens materialize first (the captured split otherwise
+    # re-evaluates per sub-term — text.quality_score's measured 3×)
+    scores = df.select(
+        F.col(text_col).alias("__t"), _ws_tokens(F.col(text_col)).alias("__wt")
+    ).select(_quality_expr(F.col("__t"), toks=F.col("__wt")).alias("q"))
     probs = [i / buckets for i in range(buckets + 1)]
     if exact:
         arr = scores.agg(
@@ -150,10 +154,12 @@ def quality_deciles(
             "bucket bigint, lo double, hi double, n_docs bigint, "
             "total_ws_tokens bigint, avg_quality double",
         )
-    t = F.col(text_col)
     base = df.select(
-        _ws_tokens(t).alias("__wt"), _quality_expr(t, toks=None).alias("q")
-    ).select(F.size("__wt").cast("bigint").alias("n_toks"), "q")
+        F.col(text_col).alias("__t"), _ws_tokens(F.col(text_col)).alias("__wt")
+    ).select(
+        F.size("__wt").cast("bigint").alias("n_toks"),
+        _quality_expr(F.col("__t"), toks=F.col("__wt")).alias("q"),
+    )
     expr = None
     for i in range(len(edges) - 1):
         lo, hi = edges[i], edges[i + 1]
