@@ -2121,6 +2121,45 @@ def _q_quality_classifier(spark, sf):
     )
 
 
+# -- X184: Gopher repetition/format quality screen ---------------------------
+
+
+def _gopher_fixture(spark, sf):
+    # the fixture text is single-line, so reflow it into 8-word lines
+    # (pure expressions) and plant line-level signals by doc_id modulo:
+    # %3==0 duplicate boilerplate lines, %5==1 bullet lines, %7==2 an
+    # ellipsis line — every branch mirrored verbatim in the oracle SQL
+    docs = load_table(spark, sf, "documents")
+    tk = TX._ws_tokens(F.col("text"))
+    nc = F.ceil(F.size(tk) / F.lit(8.0)).cast("int")
+    body = F.when(
+        F.size(tk) > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), nc - 1),
+                lambda i: F.array_join(F.slice(tk, i * 8 + 1, F.lit(8)), " "),
+            ),
+            "\n",
+        ),
+    ).otherwise(F.lit(""))
+    dup_plant = "\nclick here to subscribe now\nclick here to subscribe now"
+    bullet_plant = "\n- special offer today\n- special offer today"
+    ellip_plant = "\nto be continued..."
+    text = F.concat(
+        body,
+        F.when(F.col("doc_id") % 3 == 0, F.lit(dup_plant)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 1, F.lit(bullet_plant)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 2, F.lit(ellip_plant)).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+def _q_gopher_quality(spark, sf):
+    # Gopher Table-A1 screen (Rae et al. 2021): repetition + format
+    # signals and the pass verdict, one map-only scan, zero shuffles
+    return TX.gopher_quality_filters(_gopher_fixture(spark, sf))
+
+
 # -- X182: trained char-n-gram language ID (NB fit -> argmax score) ----------
 
 # per-language marker stopwords planted into the fixture (the synthetic
@@ -2286,7 +2325,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_vocab": _q_token_count_vocab,
         "minhash_lsh": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
-        "ngram_jaccard": _q_ngram_jaccard,
         "substring_dedup": _q_substring_dedup,
         # r8-NEW oracle-backed operators, in-window first round per
         # standing policy (they displace drift_timeline and
@@ -2294,7 +2332,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash coverage just past the window):
         "lang_id_trained": _q_lang_id_trained,
         "image_pixel_stats": _q_image_pixel_stats,
+        "gopher_quality": _q_gopher_quality,
         # --- past the driver's 50-row correctness window from here on.
+        # (ngram_jaccard yields its refresh slot to gopher_quality;
+        # its pair generator still runs in-window inside
+        # dedup_components and leakage_free_split.)
+        "ngram_jaccard": _q_ngram_jaccard,
         "drift_timeline": _q_drift_timeline,
         "dedup_incremental": _q_dedup_incremental,
         # Everything below except the trailing rows-only block IS
@@ -4810,6 +4853,69 @@ def _sql_substring_dedup(k: int) -> str:
     )
 
 
+def _sql_gopher_quality() -> str:
+    """DuckDB twin of fixture reflow + the Gopher screen. The
+    duplicate-line character fraction runs as an unnest/groupBy CTE
+    (same numbers as the engine's in-array nested filter); every
+    fraction is an int/int divide with the shared floor-snap."""
+    from safedata_pipeline_spark.operators.text import GOPHER_BOUNDS, GOPHER_STOPWORDS
+
+    b = GOPHER_BOUNDS
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    snap = "floor(CAST({num} AS DOUBLE) / {den} * 1e6 + 0.5) / 1e6"
+    mean_wl = snap.format(num="w.charsum", den="w.n_words")
+    f_dup = snap.format(num="l.dupchars", den="l.totchars")
+    f_bul = snap.format(num="l.n_bullet", den="l.n_lines")
+    f_ell = snap.format(num="l.n_ellip", den="l.n_lines")
+    f_sym = snap.format(num="w.n_sym", den="w.n_words")
+    return (
+        f"WITH tk AS ({SQL_TOKS}), "
+        "ref AS (SELECT doc_id, string_agg(array_to_string(t[(i*8+1):((i+1)*8)], ' '), "
+        "chr(10) ORDER BY i) AS body FROM tk, "
+        "unnest(generate_series(CAST(0 AS BIGINT), CAST(ceil(len(t) / 8.0) AS BIGINT) - 1)) AS g(i) "
+        "GROUP BY doc_id), "
+        "fx AS (SELECT doc_id, body "
+        "|| CASE WHEN doc_id % 3 = 0 THEN chr(10)||'click here to subscribe now'"
+        "||chr(10)||'click here to subscribe now' ELSE '' END "
+        "|| CASE WHEN doc_id % 5 = 1 THEN chr(10)||'- special offer today'"
+        "||chr(10)||'- special offer today' ELSE '' END "
+        "|| CASE WHEN doc_id % 7 = 2 THEN chr(10)||'to be continued...' ELSE '' END AS text "
+        "FROM ref), "
+        "ftk AS (SELECT doc_id, text, CASE WHEN trim(text) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END AS t FROM fx), "
+        "ln0 AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM fx), "
+        "ln AS (SELECT doc_id, line FROM ln0 WHERE length(line) > 0), "
+        "lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS w FROM ln GROUP BY 1, 2), "
+        "ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines, "
+        "CAST(sum(CASE WHEN c >= 2 THEN c * w ELSE 0 END) AS BIGINT) AS dupchars, "
+        "CAST(sum(c * w) AS BIGINT) AS totchars, "
+        "CAST(sum(CASE WHEN line LIKE '- %' OR line LIKE '* %' THEN c ELSE 0 END) AS BIGINT) AS n_bullet, "
+        "CAST(sum(CASE WHEN line LIKE '%...' THEN c ELSE 0 END) AS BIGINT) AS n_ellip "
+        "FROM lc GROUP BY 1), "
+        "ws AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words, "
+        "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS charsum, "
+        f"CAST(len(list_intersect(list_distinct(t), [{stops}])) AS INT) AS n_stop, "
+        "CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_sym FROM ftk), "
+        "o AS (SELECT w.doc_id, w.n_words, coalesce(l.n_lines, 0) AS n_lines, "
+        f"CASE WHEN w.n_words > 0 THEN {mean_wl} ELSE 0.0 END AS mean_word_len, "
+        f"CASE WHEN l.totchars > 0 THEN {f_dup} ELSE 0.0 END AS frac_chars_dup_lines, "
+        f"CASE WHEN l.n_lines > 0 THEN {f_bul} ELSE 0.0 END AS frac_bullet_lines, "
+        f"CASE WHEN l.n_lines > 0 THEN {f_ell} ELSE 0.0 END AS frac_ellipsis_lines, "
+        f"CASE WHEN w.n_words > 0 THEN {f_sym} ELSE 0.0 END AS symbol_word_ratio, "
+        "w.n_stop AS n_stop_types "
+        "FROM ws w LEFT JOIN ls l USING (doc_id)) "
+        "SELECT *, ("
+        f"n_words >= {b['min_words']} AND n_words <= {b['max_words']} "
+        f"AND mean_word_len >= {b['min_mean_word_len']} AND mean_word_len <= {b['max_mean_word_len']} "
+        f"AND symbol_word_ratio <= {b['max_symbol_word_ratio']} "
+        f"AND n_stop_types >= {b['min_stop_types']} "
+        f"AND frac_bullet_lines <= {b['max_frac_bullet_lines']} "
+        f"AND frac_ellipsis_lines <= {b['max_frac_ellipsis_lines']} "
+        f"AND frac_chars_dup_lines <= {b['max_frac_chars_dup_lines']}"
+        ") AS passes FROM o"
+    )
+
+
 def _sql_image_pixel_stats(width: int) -> str:
     """Oracle from the ORIGINAL text bytes: the engine's value is only
     equal if encode->PNG->decode round-trips exactly. ASCII fixture
@@ -5029,6 +5135,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_vocab": _sql_token_count_vocab(10),
         "lang_id_trained": _sql_lang_id_trained(),
         "image_pixel_stats": _sql_image_pixel_stats(64),
+        "gopher_quality": _sql_gopher_quality(),
         "leakage_free_split": _sql_leakage_free_split(0.8),
         "dedup_incremental_near": _sql_dedup_incremental_near(100),
         "cross_source_dup_matrix": _sql_cross_source_dup_matrix(),

@@ -1728,3 +1728,108 @@ def filter_domains(
         if not keep_unparseable:
             kept = kept.where(F.col("__domain").isNotNull())
     return kept.drop("__domain")
+
+
+# Gopher repetition/format quality screen (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", Table A1 — public paper; no reference
+# counterpart). Thresholds below are the paper's.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_BOUNDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "min_stop_types": 2,
+    "max_frac_bullet_lines": 0.9,
+    "max_frac_ellipsis_lines": 0.3,
+    "max_frac_chars_dup_lines": 0.2,
+}
+
+
+def gopher_quality_filters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality screen: repetition and format
+    signals plus the pass verdict, per document.
+
+    Output: ``(id, n_words, n_lines, mean_word_len,
+    frac_chars_dup_lines, frac_bullet_lines, frac_ellipsis_lines,
+    symbol_word_ratio, n_stop_types, passes)``.
+
+    EVERYTHING is a column expression over the split-line / token
+    arrays — one map-only corpus scan, zero shuffles, zero Python.
+    The duplicate-line character fraction (the classic boilerplate
+    tell) counts, per line INSTANCE, the characters of lines whose
+    text occurs ≥ 2 times in the same document, via a nested
+    higher-order filter (O(lines²) per doc; docs have tens of lines,
+    and the work stays inside whole-stage codegen). Fractions are
+    exact int/int divides snapped half-up to 6dp, so the whole screen
+    hash-matches a SQL oracle.
+    """
+    t = F.col("__t")
+    snap = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        _ws_tokens(F.col(text_col)).alias("__wt"),
+        F.filter(
+            F.split(F.col(text_col), "\n"), lambda l: F.length(l) > 0
+        ).alias("__ln"),
+    )
+    toks, lines = F.col("__wt"), F.col("__ln")
+    n_words = F.size(toks).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    # token char total without a lambda: strip ALL whitespace
+    charsum = F.length(F.regexp_replace(t, "\\s+", ""))
+    mean_wl = F.when(n_words > 0, snap(charsum / n_words)).otherwise(F.lit(0.0))
+    zero_l = F.lit(0).cast("bigint")
+    dup_chars = F.aggregate(
+        lines,
+        zero_l,
+        lambda acc, l: acc
+        + F.when(
+            F.size(F.filter(lines, lambda x: x == l)) >= 2, F.length(l).cast("bigint")
+        ).otherwise(zero_l),
+    )
+    tot_chars = F.aggregate(
+        lines, zero_l, lambda acc, l: acc + F.length(l).cast("bigint")
+    )
+    frac_dup = F.when(tot_chars > 0, snap(dup_chars / tot_chars)).otherwise(F.lit(0.0))
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.startswith("- ") | l.startswith("* "))
+    ).cast("bigint")
+    n_ellip = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("bigint")
+    frac_bullet = F.when(n_lines > 0, snap(n_bullet / n_lines)).otherwise(F.lit(0.0))
+    frac_ellip = F.when(n_lines > 0, snap(n_ellip / n_lines)).otherwise(F.lit(0.0))
+    n_sym = F.size(F.regexp_extract_all(t, F.lit("#|\\.\\.\\."), F.lit(0))).cast("bigint")
+    sym_ratio = F.when(n_words > 0, snap(n_sym / n_words)).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    ).cast("int")
+    b = GOPHER_BOUNDS
+    out = base.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        mean_wl.alias("mean_word_len"),
+        frac_dup.alias("frac_chars_dup_lines"),
+        frac_bullet.alias("frac_bullet_lines"),
+        frac_ellip.alias("frac_ellipsis_lines"),
+        sym_ratio.alias("symbol_word_ratio"),
+        n_stop.alias("n_stop_types"),
+    )
+    passes = (
+        (F.col("n_words") >= b["min_words"])
+        & (F.col("n_words") <= b["max_words"])
+        & (F.col("mean_word_len") >= b["min_mean_word_len"])
+        & (F.col("mean_word_len") <= b["max_mean_word_len"])
+        & (F.col("symbol_word_ratio") <= b["max_symbol_word_ratio"])
+        & (F.col("n_stop_types") >= b["min_stop_types"])
+        & (F.col("frac_bullet_lines") <= b["max_frac_bullet_lines"])
+        & (F.col("frac_ellipsis_lines") <= b["max_frac_ellipsis_lines"])
+        & (F.col("frac_chars_dup_lines") <= b["max_frac_chars_dup_lines"])
+    )
+    return out.select("*", passes.alias("passes"))

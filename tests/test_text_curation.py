@@ -1,0 +1,86 @@
+"""Gopher-style quality screen (text.gopher_quality_filters): metric
+math on planted docs, threshold verdicts, degenerate-input edges."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from safedata_pipeline_spark.operators.text import (
+    GOPHER_BOUNDS,
+    gopher_quality_filters,
+)
+
+
+def _gq(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return {r.doc_id: r for r in gopher_quality_filters(df).collect()}
+
+
+def _clean_doc() -> str:
+    # 60 DISTINCT-ish words (no repeated lines), two stopword types,
+    # 3-10 mean word length, no plants
+    words = ["the", "and"] + [f"word{i:03d}" for i in range(58)]
+    return "\n".join(" ".join(words[i : i + 8]) for i in range(0, len(words), 8))
+
+
+def test_gopher_clean_doc_passes(spark):
+    got = _gq(spark, [(1, _clean_doc())])[1]
+    assert got.passes
+    assert got.n_words == 60
+    assert got.frac_chars_dup_lines == 0.0  # every line distinct
+    assert got.n_stop_types == 2
+
+
+def test_gopher_duplicate_lines_fraction(spark):
+    text = "alpha beta\nalpha beta\ngamma delta"
+    got = _gq(spark, [(2, text)])[2]
+    # two dup lines of 10 chars each over 31 total line chars
+    assert got.n_lines == 3
+    assert abs(got.frac_chars_dup_lines - round(20 / 31, 6)) < 2e-6
+    assert not got.passes  # dup fraction 0.645 > 0.2 (and word count < 50)
+
+
+def test_gopher_bullet_and_ellipsis_lines(spark):
+    text = "- one two\n* three four\nfive six...\nseven eight"
+    got = _gq(spark, [(3, text)])[3]
+    assert got.frac_bullet_lines == 0.5
+    assert got.frac_ellipsis_lines == 0.25
+
+
+def test_gopher_symbol_ratio_and_stopwords(spark):
+    text = "# # # the of cat"
+    got = _gq(spark, [(4, text)])[4]
+    assert got.n_words == 6
+    assert got.symbol_word_ratio == 0.5
+    assert got.n_stop_types == 2
+
+
+def test_gopher_empty_and_blank_text(spark):
+    got = _gq(spark, [(5, ""), (6, "   ")])
+    assert got[5].n_lines == 0
+    assert got[6].n_lines == 1  # a whitespace-only line still counts as a line
+    for i in (5, 6):
+        assert got[i].n_words == 0
+        assert got[i].mean_word_len == 0.0
+        assert got[i].frac_chars_dup_lines == 0.0
+        assert not got[i].passes
+
+
+def test_gopher_word_count_bounds(spark):
+    few = "the of " * 10  # 20 words < 50
+    got = _gq(spark, [(7, few.strip())])[7]
+    assert not got.passes
+    ok = ("the of cat dog " * 15).strip()  # 60 words
+    got = _gq(spark, [(8, ok)])[8]
+    assert got.n_words == 60
+    assert got.passes == (
+        got.mean_word_len >= GOPHER_BOUNDS["min_mean_word_len"]
+        and got.frac_chars_dup_lines <= GOPHER_BOUNDS["max_frac_chars_dup_lines"]
+    )
+
+
+def test_gopher_single_scan_no_shuffle(spark):
+    # the whole screen must stay map-only: no Exchange in the plan
+    df = spark.createDataFrame([(1, _clean_doc())], "doc_id bigint, text string")
+    plan = gopher_quality_filters(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
