@@ -2160,6 +2160,35 @@ def _q_gopher_quality(spark, sf):
     return TX.gopher_quality_filters(_gopher_fixture(spark, sf))
 
 
+# -- X185: URL canonicalization + provenance-level dedup ---------------------
+
+
+def _q_url_dedup(spark, sf):
+    # synthetic crawl URLs with planted variant noise by doc_id modulo:
+    # %4==1 utm/gclid tracking params, %4==2 fragment, %4==3 uppercase
+    # host + default port + trailing slash. site/path repeat with
+    # period 100, so every canonical URL collects the variant spellings
+    # — the C4-style same-page collapse the canonicalizer exists for.
+    docs = load_table(spark, sf, "documents")
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://"),
+        F.when(d % 4 == 3, F.lit("WWW.Site")).otherwise(F.lit("www.site")),
+        (d % 50).cast("string"),
+        F.lit(".example.com"),
+        F.when(d % 4 == 3, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/path/"),
+        (d % 20).cast("string"),
+        F.when(d % 4 == 1, F.lit("?utm_source=feed&utm_campaign=x&gclid=abc")).otherwise(
+            F.when(d % 4 == 2, F.lit("#section-2")).otherwise(
+                F.when(d % 4 == 3, F.lit("/")).otherwise(F.lit(""))
+            )
+        ),
+    )
+    urls = docs.select("doc_id", base.alias("url"))
+    return TX.url_dedup(urls)
+
+
 # -- X182: trained char-n-gram language ID (NB fit -> argmax score) ----------
 
 # per-language marker stopwords planted into the fixture (the synthetic
@@ -2325,7 +2354,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_vocab": _q_token_count_vocab,
         "minhash_lsh": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
-        "substring_dedup": _q_substring_dedup,
         # r8-NEW oracle-backed operators, in-window first round per
         # standing policy (they displace drift_timeline and
         # dedup_incremental, which keep their r5 driver greens + local
@@ -2333,11 +2361,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_trained": _q_lang_id_trained,
         "image_pixel_stats": _q_image_pixel_stats,
         "gopher_quality": _q_gopher_quality,
+        "url_dedup": _q_url_dedup,
         # --- past the driver's 50-row correctness window from here on.
+        # (substring_dedup yields its refresh slot to url_dedup — its
+        # r5 driver green + this round's local hash check stand.)
         # (ngram_jaccard yields its refresh slot to gopher_quality;
         # its pair generator still runs in-window inside
         # dedup_components and leakage_free_split.)
         "ngram_jaccard": _q_ngram_jaccard,
+        "substring_dedup": _q_substring_dedup,
         "drift_timeline": _q_drift_timeline,
         "dedup_incremental": _q_dedup_incremental,
         # Everything below except the trailing rows-only block IS
@@ -4853,6 +4885,38 @@ def _sql_substring_dedup(k: int) -> str:
     )
 
 
+def _sql_url_dedup() -> str:
+    # canonicalization steps mirror text.canonicalize_url term for term
+    # (DuckDB regexp_replace needs the explicit 'g' flag and \\2-style
+    # backreferences where Spark defaults to global and uses $2)
+    e = "trim(url)"
+    e = f"regexp_replace({e}, '#.*$', '', 'g')"
+    e = f"regexp_replace({e}, '[?&](utm_[a-z_]+|gclid|fbclid)=[^&#]*', '', 'g')"
+    e = f"regexp_replace({e}, '\\?&', '?', 'g')"
+    e = f"regexp_replace({e}, '^([^?&]*)&', '\\1?')"  # first match only (no g)
+    e = f"regexp_replace({e}, '[?&]+$', '', 'g')"
+    return (
+        "WITH u0 AS (SELECT doc_id, 'https://' "
+        "|| CASE WHEN doc_id % 4 = 3 THEN 'WWW.Site' ELSE 'www.site' END "
+        "|| CAST(doc_id % 50 AS VARCHAR) || '.example.com' "
+        "|| CASE WHEN doc_id % 4 = 3 THEN ':443' ELSE '' END "
+        "|| '/path/' || CAST(doc_id % 20 AS VARCHAR) "
+        "|| CASE WHEN doc_id % 4 = 1 THEN '?utm_source=feed&utm_campaign=x&gclid=abc' "
+        "WHEN doc_id % 4 = 2 THEN '#section-2' "
+        "WHEN doc_id % 4 = 3 THEN '/' ELSE '' END AS url FROM documents), "
+        f"s1 AS (SELECT doc_id, url, {e} AS v FROM u0), "
+        "s2 AS (SELECT doc_id, url, CASE WHEN regexp_extract(v, '^(https?://[^/?]*)', 1) = '' "
+        "THEN v ELSE lower(regexp_extract(v, '^(https?://[^/?]*)', 1)) "
+        "|| regexp_replace(v, '^https?://[^/?]*', '') END AS v FROM s1), "
+        "s3 AS (SELECT doc_id, url, regexp_replace(regexp_replace(regexp_replace(v, "
+        "'(:80|:443)(/|$)', '\\2', 'g'), '/+\\?', '?', 'g'), '/+$', '', 'g') AS canon_url FROM s2), "
+        "g AS (SELECT canon_url, min(doc_id) AS k, CAST(count(*) AS BIGINT) AS n_variants "
+        "FROM s3 GROUP BY 1) "
+        "SELECT s.doc_id, s.url, s.canon_url, s.doc_id = g.k AS is_canonical, g.n_variants "
+        "FROM s3 s JOIN g USING (canon_url)"
+    )
+
+
 def _sql_gopher_quality() -> str:
     """DuckDB twin of fixture reflow + the Gopher screen. The
     duplicate-line character fraction runs as an unnest/groupBy CTE
@@ -5136,6 +5200,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_trained": _sql_lang_id_trained(),
         "image_pixel_stats": _sql_image_pixel_stats(64),
         "gopher_quality": _sql_gopher_quality(),
+        "url_dedup": _sql_url_dedup(),
         "leakage_free_split": _sql_leakage_free_split(0.8),
         "dedup_incremental_near": _sql_dedup_incremental_near(100),
         "cross_source_dup_matrix": _sql_cross_source_dup_matrix(),

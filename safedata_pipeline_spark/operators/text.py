@@ -1833,3 +1833,51 @@ def gopher_quality_filters(
         & (F.col("frac_chars_dup_lines") <= b["max_frac_chars_dup_lines"])
     )
     return out.select("*", passes.alias("passes"))
+
+
+def canonicalize_url(url) -> Column:
+    """Canonical URL form for provenance-level dedup (the C4/CCNet
+    "same page, different query string" collapse — public pipeline
+    practice): drop the fragment, strip tracking parameters
+    (utm_*, gclid, fbclid), lowercase scheme+host, drop default ports,
+    and trim trailing slashes. Pure regex expressions — map-only, and
+    each rewrite is mirrored term for term in the SQL oracle."""
+    u = F.trim(url)
+    u = F.regexp_replace(u, "#.*$", "")  # fragment
+    u = F.regexp_replace(u, "[?&](utm_[a-z_]+|gclid|fbclid)=[^&#]*", "")  # trackers
+    # separator repair after removals: a leading tracker takes its '?'
+    # with it, leaving '&rest' (promote the first '&' to '?') or a
+    # mid-query '?&' seam
+    u = F.regexp_replace(u, "\\?&", "?")
+    u = F.regexp_replace(u, "^([^?&]*)&", "$1?")
+    u = F.regexp_replace(u, "[?&]+$", "")  # dangling separators
+    head = F.lower(F.regexp_extract(u, "^(https?://[^/?]*)", 1))
+    tail = F.regexp_replace(u, "^https?://[^/?]*", "")
+    u = F.when(head == "", u).otherwise(F.concat(head, tail))
+    u = F.regexp_replace(u, "(:80|:443)(/|$)", "$2")  # default ports
+    u = F.regexp_replace(u, "/+\\?", "?")  # slash-before-query
+    return F.regexp_replace(u, "/+$", "")  # trailing slashes
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup at the CANONICAL-URL level: every doc gets its
+    canonical form, the group's keeper (min id — deterministic), the
+    keep verdict, and the group size. One map-only canonicalization +
+    one groupBy(canon) min/count + one broadcast-eligible equi-join
+    back — the same aggregate-then-join shape as digest-based exact
+    dedup; raw URLs shuffle only as (canon, id) pairs."""
+    canon = df.select(
+        F.col(id_col), F.col(url_col), canonicalize_url(F.col(url_col)).alias("canon_url")
+    )
+    groups = canon.groupBy("canon_url").agg(
+        F.min(id_col).alias("__keep"), F.count(F.lit(1)).cast("bigint").alias("n_variants")
+    )
+    return canon.join(groups, "canon_url").select(
+        id_col,
+        url_col,
+        "canon_url",
+        (F.col(id_col) == F.col("__keep")).alias("is_canonical"),
+        "n_variants",
+    )

@@ -84,3 +84,39 @@ def test_gopher_single_scan_no_shuffle(spark):
     df = spark.createDataFrame([(1, _clean_doc())], "doc_id bigint, text string")
     plan = gopher_quality_filters(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_canonicalize_url_rewrites(spark):
+    from safedata_pipeline_spark.operators.text import canonicalize_url
+    import pyspark.sql.functions as F
+
+    cases = [
+        # (input, expected canonical)
+        ("https://WWW.Ex.COM:443/a/?utm_source=x&id=7#frag", "https://www.ex.com/a?id=7"),
+        ("http://ex.com:80/path/", "http://ex.com/path"),
+        ("https://ex.com/p?gclid=z", "https://ex.com/p"),
+        ("https://ex.com/p?a=1&fbclid=q&b=2", "https://ex.com/p?a=1&b=2"),
+        ("https://ex.com/CaseSensitive/Path", "https://ex.com/CaseSensitive/Path"),
+        ("not a url at all", "not a url at all"),
+        ("https://ex.com", "https://ex.com"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, url string")
+    got = {r.i: r.c for r in df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_dedup_groups_variants(spark):
+    from safedata_pipeline_spark.operators.text import url_dedup
+
+    rows = [
+        (1, "https://ex.com/a"),
+        (2, "https://EX.com/a/"),
+        (3, "https://ex.com/a?utm_source=m"),
+        (4, "https://ex.com/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = {r.doc_id: r for r in url_dedup(df).collect()}
+    assert all(got[i].canon_url == "https://ex.com/a" for i in (1, 2, 3))
+    assert [got[i].is_canonical for i in (1, 2, 3, 4)] == [True, False, False, True]
+    assert got[1].n_variants == 3 and got[4].n_variants == 1
