@@ -2160,6 +2160,43 @@ def _q_gopher_quality(spark, sf):
     return TX.gopher_quality_filters(_gopher_fixture(spark, sf))
 
 
+# -- X187: alpha-smoothed mixture sampling (XLM-R temperature rebalance) -----
+
+
+def _q_alpha_mixture(spark, sf):
+    # α = 0.5 exponentiated source smoothing: keep rate sqrt(n_min/n_s)
+    # per source (closed form — one correctly-rounded sqrt of an
+    # integer ratio, so the kept SET is engine-exact), md5 coin per doc.
+    # The fixture's sources are uniform (rate would be 1 everywhere),
+    # so the query derives a Zipf-ish 8:4:2:1:1 bucket from doc_id —
+    # the head bucket keeps ~sqrt(1/8) of its docs, the tail all.
+    d = F.col("doc_id") % 16
+    bucket = (
+        F.when(d < 8, F.lit("g0"))
+        .when(d < 12, F.lit("g1"))
+        .when(d < 14, F.lit("g2"))
+        .when(d < 15, F.lit("g3"))
+        .otherwise(F.lit("g4"))
+    )
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", bucket.alias("source")
+    )
+    return SMP.alpha_mixture_sample(docs)
+
+
+# -- X186: winnowing fingerprints (MOSS local fingerprinting) ----------------
+
+
+def _q_winnowing(spark, sf):
+    # Schleimer-Wilkerson-Aiken winnowing over the documents fixture:
+    # word-5gram md5 hashes, window-4 rightmost-minimum selection —
+    # the guaranteed-recall substring-level fingerprint family
+    # (shares ≥ w+k−1 words ⇒ shares ≥ 1 fingerprint)
+    return DD.winnowing_fingerprints(
+        load_table(spark, sf, "documents"), k=5, w=4
+    )
+
+
 # -- X185: URL canonicalization + provenance-level dedup ---------------------
 
 
@@ -2352,8 +2389,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "encode_tokens": _q_encode_tokens,
         "token_count_vocab": _q_token_count_vocab,
-        "minhash_lsh": _q_minhash_lsh,
-        "simhash_pairs": _q_simhash_pairs,
         # r8-NEW oracle-backed operators, in-window first round per
         # standing policy (they displace drift_timeline and
         # dedup_incremental, which keep their r5 driver greens + local
@@ -2362,13 +2397,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixel_stats": _q_image_pixel_stats,
         "gopher_quality": _q_gopher_quality,
         "url_dedup": _q_url_dedup,
+        "winnowing": _q_winnowing,
+        "alpha_mixture": _q_alpha_mixture,
         # --- past the driver's 50-row correctness window from here on.
-        # (substring_dedup yields its refresh slot to url_dedup — its
-        # r5 driver green + this round's local hash check stand.)
+        # (substring_dedup and simhash_pairs yield their refresh slots
+        # to url_dedup and winnowing — their r5 driver greens + this
+        # round's local hash checks stand.)
         # (ngram_jaccard yields its refresh slot to gopher_quality;
         # its pair generator still runs in-window inside
         # dedup_components and leakage_free_split.)
         "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash_pairs": _q_simhash_pairs,
         "substring_dedup": _q_substring_dedup,
         "drift_timeline": _q_drift_timeline,
         "dedup_incremental": _q_dedup_incremental,
@@ -4885,6 +4925,49 @@ def _sql_substring_dedup(k: int) -> str:
     )
 
 
+def _sql_alpha_mixture(salt: str) -> str:
+    coin = (
+        "(CAST(CAST(('0x' || substr(md5('" + salt + "|' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "AS UBIGINT) AS BIGINT) + 1.0) / 4294967296.0"
+    )
+    return (
+        "WITH b AS (SELECT doc_id, CASE WHEN doc_id % 16 < 8 THEN 'g0' "
+        "WHEN doc_id % 16 < 12 THEN 'g1' WHEN doc_id % 16 < 14 THEN 'g2' "
+        "WHEN doc_id % 16 < 15 THEN 'g3' ELSE 'g4' END AS source FROM documents), "
+        "c AS (SELECT source, count(*) AS n FROM b GROUP BY 1), "
+        "mn AS (SELECT min(n) AS nmin FROM c), "
+        "r AS (SELECT source, sqrt(CAST(nmin AS DOUBLE) / n) AS rate FROM c CROSS JOIN mn) "
+        "SELECT d.doc_id, d.source, round(r.rate, 6) AS rate "
+        "FROM b d JOIN r USING (source) "
+        f"WHERE {coin} <= r.rate"
+    )
+
+
+def _sql_winnowing(k: int, w: int) -> str:
+    """DuckDB twin of winnowing: same md5 k-gram hashes, per-window
+    frame minimum, then the rightmost-min tiebreak as a join back to
+    the gram table (the engine does it in one max(struct) window; the
+    numbers are identical)."""
+    h = (
+        "CAST(CAST(('0x' || substr(md5(array_to_string(t[CAST(i AS INT):CAST(i AS INT) + "
+        f"{k - 1}], ' ')), 1, 8)) AS UBIGINT) AS BIGINT)"
+    )
+    return (
+        "WITH tk AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t FROM documents), "
+        f"g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, {h} AS h, "
+        f"CAST(len(t) - {k - 1} AS BIGINT) AS m FROM tk, "
+        f"unnest(generate_series(CAST(1 AS BIGINT), CAST(greatest(len(t) - {k - 1}, 0) AS BIGINT))) AS s(i)), "
+        "c1 AS (SELECT doc_id, pos, m, min(h) OVER (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS minh FROM g), "
+        f"st AS (SELECT doc_id, pos AS wstart, minh FROM c1 WHERE pos <= greatest(m - {w - 1}, 1)), "
+        "sel AS (SELECT s.doc_id, s.wstart, s.minh, max(t2.pos) AS selpos FROM st s "
+        "JOIN g t2 ON t2.doc_id = s.doc_id AND t2.pos BETWEEN s.wstart AND s.wstart + "
+        f"{w - 1} AND t2.h = s.minh GROUP BY 1, 2, 3) "
+        "SELECT DISTINCT doc_id, selpos AS pos, minh AS fingerprint FROM sel"
+    )
+
+
 def _sql_url_dedup() -> str:
     # canonicalization steps mirror text.canonicalize_url term for term
     # (DuckDB regexp_replace needs the explicit 'g' flag and \\2-style
@@ -5201,6 +5284,8 @@ def oracle_sql() -> dict[str, str]:
         "image_pixel_stats": _sql_image_pixel_stats(64),
         "gopher_quality": _sql_gopher_quality(),
         "url_dedup": _sql_url_dedup(),
+        "winnowing": _sql_winnowing(5, 4),
+        "alpha_mixture": _sql_alpha_mixture("alpha"),
         "leakage_free_split": _sql_leakage_free_split(0.8),
         "dedup_incremental_near": _sql_dedup_incremental_near(100),
         "cross_source_dup_matrix": _sql_cross_source_dup_matrix(),

@@ -1514,3 +1514,81 @@ def corpus_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints — the MOSS local fingerprinting
+    algorithm (Schleimer, Wilkerson & Aiken, SIGMOD 2003; public).
+    Hash every word ``k``-gram, slide a window of ``w`` consecutive
+    hashes, and select each window's MINIMUM hash (ties → rightmost
+    position). Output: distinct ``(id, pos, fingerprint)``.
+
+    The winnowing guarantee: two documents sharing any word run of at
+    least ``w + k − 1`` words share at least one fingerprint, while
+    only ~``2/(w+1)`` of all k-gram hashes are kept — the
+    position-aware, guaranteed-recall alternative to MinHash for
+    substring-level matching (MinHash bounds whole-set resemblance,
+    not local overlaps).
+
+    Plan shape: one token explode (pos, md5-derived 32-bit hash) and
+    ONE doc-keyed window pass — the rightmost-minimum is a single
+    ``max(struct(−h, pos))`` aggregate over a ``[CURRENT, w−1
+    FOLLOWING]`` frame, so no self-join and no second shuffle; the
+    trailing DISTINCT collapses cross-window duplicates on the same partitioning.
+    Docs with fewer than ``w`` k-grams winnow their single truncated
+    window (one fingerprint), matching the oracle. md5 hashing keeps
+    every fingerprint engine-reproducible (functions/hashing.py
+    contract)."""
+    from pyspark.sql import Window
+
+    from safedata_pipeline_spark.operators.text import _ws_tokens
+
+    tk = df.select(
+        F.col(id_col), _ws_tokens(F.lower(F.col(text_col))).alias("__tk")
+    ).select(
+        F.col(id_col),
+        F.col("__tk"),
+        (F.size("__tk") - (k - 1)).cast("int").alias("m"),
+    )
+    grams = tk.where(F.col("m") >= 1).select(
+        F.col(id_col),
+        F.col("m"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("m")),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.array_join(F.slice("__tk", i, F.lit(k)), " ").cast(
+                                "binary"
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ).alias("p0", "h"),
+    ).select(id_col, "m", (F.col("p0") + 1).alias("pos"), "h")
+    frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    best = F.max(F.struct((-F.col("h")).alias("nh"), F.col("pos").alias("p"))).over(
+        frame
+    )
+    starts = grams.select(
+        F.col(id_col), "m", "pos", best.alias("b")
+    ).where(F.col("pos") <= F.greatest(F.col("m") - (w - 1), F.lit(1)))
+    return starts.select(
+        F.col(id_col),
+        F.col("b.p").alias("pos"),
+        (-F.col("b.nh")).alias("fingerprint"),
+    ).dropDuplicates()

@@ -343,3 +343,47 @@ def length_matched_sample(
     rate = rate.otherwise(F.lit(0.0))
     u = md5_unit_interval(F.concat(F.lit("len|"), F.col(id_col).cast("string")))
     return df.where(F.col(text_col).isNotNull()).where(u <= rate)
+
+
+def alpha_mixture_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "alpha",
+) -> DataFrame:
+    """Temperature-smoothed source rebalance — the exponentiated
+    sampling multilingual/multi-source corpora use to keep head
+    sources from drowning the tail (public: the α-smoothing of
+    mBERT / XLM-R, α = 0.5). Target share ∝ p_s^α ⇒ per-source keep
+    rate ∝ p_s^(α−1); normalizing the largest rate to 1 gives, for
+    α = ½, the closed form
+
+        rate_s = sqrt(n_min / n_s)
+
+    — a single IEEE-correctly-rounded sqrt of an integer ratio, so
+    the whole sampler (rates AND kept set) is engine-exact and
+    oracle-checkable with no float-sum caveats. The smallest source
+    is kept whole; a source 4× larger keeps half its docs.
+
+    Plan: one grouped count (map-side combinable), a 1-row global min
+    broadcast onto the O(sources) rate table, the rate table broadcast
+    onto the corpus, and the md5-replayable coin filter — the corpus
+    itself never shuffles. Output: kept rows
+    ``(id, source, rate)``."""
+    from safedata_pipeline_spark.functions.hashing import md5_unit_interval
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    nmin = counts.agg(F.min("n").alias("nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        source_col,
+        F.sqrt(F.col("nmin").cast("double") / F.col("n")).alias("rate"),
+    )
+    coin = md5_unit_interval(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+    )
+    return (
+        df.select(id_col, source_col)
+        .join(F.broadcast(rates), source_col)
+        .where(coin <= F.col("rate"))
+        .select(id_col, source_col, F.round("rate", 6).alias("rate"))
+    )

@@ -668,3 +668,59 @@ def test_corpus_overlap_disjoint_and_empty(spark):
     r2 = corpus_overlap(a, empty, n=3).collect()[0]
     assert r2.n_shingles_b == 0
     assert r2.containment_b_in_a is None  # 0-denominator -> NULL, not a crash
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    # two docs share a 10-word run; w+k-1 = 8 <= 10 => they MUST share
+    # at least one fingerprint (the winnowing guarantee)
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, "prefix words here " + shared + " alpha beta"),
+        (2, "totally different opening " + shared + " omega"),
+        (3, "no overlap with anything else at all whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fp = DD.winnowing_fingerprints(df, k=5, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared 10-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_density_and_positions(spark):
+    # ~2/(w+1) of k-gram hashes selected; positions within [1, m]
+    words = " ".join(f"w{i}" for i in range(200))
+    df = spark.createDataFrame([(1, words)], "doc_id bigint, text string")
+    rows = DD.winnowing_fingerprints(df, k=5, w=4).collect()
+    m = 200 - 4
+    assert all(1 <= r.pos <= m for r in rows)
+    # window count m-w+1=193; selected distinct fingerprints should be
+    # far fewer (winnowing keeps ~2/(w+1) ~ 40% here) but more than m/w
+    assert m / 4 <= len(rows) <= 0.6 * m
+
+
+def test_winnowing_short_doc_single_window(spark):
+    # 6 words, k=5 -> m=2 grams < w=4: one truncated window, one fp
+    df = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id bigint, text string"
+    )
+    rows = DD.winnowing_fingerprints(df, k=5, w=4).collect()
+    assert len(rows) == 1
+    # and sub-k docs yield nothing
+    df2 = spark.createDataFrame([(2, "a b c")], "doc_id bigint, text string")
+    assert DD.winnowing_fingerprints(df2, k=5, w=4).count() == 0
+
+
+def test_winnowing_rightmost_min_tiebreak(spark):
+    # identical repeated text => all gram hashes equal => every window's
+    # min ties and the RIGHTMOST position must win: selected positions
+    # are the window ends, i.e. pos = start + w - 1
+    df = spark.createDataFrame(
+        [(1, " ".join(["same"] * 12))], "doc_id bigint, text string"
+    )
+    rows = DD.winnowing_fingerprints(df, k=5, w=4).collect()
+    m = 12 - 4  # 8 grams, all identical
+    starts = m - 4 + 1  # 5 windows
+    assert sorted(r.pos for r in rows) == [s + 3 for s in range(1, starts + 1)]

@@ -229,3 +229,39 @@ def test_length_matched_sample_matches_reference_profile(spark):
     )
     kept_extra = length_matched_sample(df.union(extra), ref, rates=rates)
     assert kept_extra.where(F.col("doc_id") == 999).count() == 0
+
+
+def test_alpha_mixture_rates_closed_form(spark):
+    from safedata_pipeline_spark.operators.sampling import alpha_mixture_sample
+    import math
+
+    # sources with 64 / 16 / 4 docs: rates sqrt(4/64)=0.25,
+    # sqrt(4/16)=0.5, 1.0 — smallest source kept whole
+    rows = (
+        [(i, "big") for i in range(64)]
+        + [(100 + i, "mid") for i in range(16)]
+        + [(200 + i, "small") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = alpha_mixture_sample(df).collect()
+    rates = {r.source: r.rate for r in got}
+    assert rates["small"] == 1.0
+    assert abs(rates["mid"] - 0.5) < 1e-9
+    assert abs(rates["big"] - 0.25) < 1e-9
+    kept = {}
+    for r in got:
+        kept[r.source] = kept.get(r.source, 0) + 1
+    assert kept["small"] == 4  # rate 1: everything survives
+    # md5 coin keeps roughly rate*count of the others (loose bounds)
+    assert 8 <= kept["big"] <= 28
+    assert 3 <= kept["mid"] <= 13
+
+
+def test_alpha_mixture_deterministic_across_runs(spark):
+    from safedata_pipeline_spark.operators.sampling import alpha_mixture_sample
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    a = {r.doc_id for r in alpha_mixture_sample(df).collect()}
+    b = {r.doc_id for r in alpha_mixture_sample(df).collect()}
+    assert a == b and len(a) > 0
