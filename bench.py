@@ -198,6 +198,13 @@ HEADLINE = [
     "conversion_attribution",
     "secrets_scan",
     "forecast_revenue",
+    # round-8 additions
+    "lang_id_trained",
+    "image_pixel_stats",
+    "gopher_quality",
+    "url_dedup",
+    "winnowing",
+    "alpha_mixture",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -63,11 +63,23 @@ def langid_fit(
     ``logp = round(ln(1/(total_l+V)), 6)`` — the add-one probability
     of any n-gram UNSEEN for that language. V is the train-corpus
     distinct-n-gram count (shared smoothing denominator)."""
-    ex = labeled.select(
+    from safedata_pipeline_spark.checkpoint import pin_lazy
+
+    # spread the gram explode across cores: a small labeled sample
+    # often arrives as a handful of input splits, and the explode
+    # multiplies each row ~len(text)-fold — without this the md5 work
+    # runs on however few partitions the scan produced
+    par = labeled.sparkSession.sparkContext.defaultParallelism
+    ex = labeled.repartition(par).select(
         F.col(lang_col).alias("lang"),
         F.explode(_char_ngrams(F.lower(F.col(text_col)), n)).alias("ngram"),
     )
-    counts = ex.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("c"))
+    # the (lang, ngram) count table feeds THREE consumers (totals,
+    # vocab size, the log-prob join) — pin it so the corpus-side gram
+    # explode+shuffle runs once, not once per consumer
+    counts = (
+        ex.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("c")).transform(pin_lazy)
+    )
     totals = counts.groupBy("lang").agg(F.sum("c").alias("total"))
     vocab = counts.select("ngram").distinct().agg(F.count(F.lit(1)).alias("v"))
     model = (
@@ -106,7 +118,10 @@ def langid_score(
     ``score = Σ_observed logp + (m − matched)·floor_l`` summed as
     exact DECIMAL(38,6); ties break on ascending language code (a
     zero-gram doc ties every language at 0 and predicts the first)."""
-    grams = df.select(
+    # same explode-fanout spread as the fit side (scan splits of a
+    # small fixture underestimate the post-explode row count)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    grams = df.repartition(par).select(
         F.col(id_col), F.explode(_char_ngrams(F.lower(F.col(text_col)), n)).alias("g")
     )
     # total gram count per doc is just max(len−(n−1), 0) — a column
