@@ -39,6 +39,22 @@ def main() -> None:
         }
         m = re.search(r"_r0*(\d+)", artifact)
         round_no = m.group(1) if m else "?"
+    # driver-green HISTORY from the union of every recorded artifact:
+    # a rotated-out row keeps its strongest channel fact ("driver rN
+    # green") instead of degrading to "local sweep green"
+    import glob as _glob
+    last_green: dict[str, str] = {}
+    for path in sorted(_glob.glob("CORRECTNESS_r*.json")):
+        mm = re.search(r"_r0*(\d+)", path)
+        if not mm:
+            continue
+        try:
+            art = json.load(open(path))
+        except Exception:
+            continue
+        for k, v in art.items():
+            if v.get("hash_match") and v.get("rows_match"):
+                last_green[k] = mm.group(1)
     qs = list(entry.queries())
     window = set(qs[:50])
     osql = entry.oracle_sql()
@@ -57,8 +73,8 @@ def main() -> None:
                 new = f"oracle (in r{next_round} window)" + (
                     f" (driver r{round_no} green)" if qname in green else ""
                 )
-            elif qname in green:
-                new = f"oracle (driver r{round_no} green)"
+            elif qname in last_green:
+                new = f"oracle (driver r{last_green[qname]} green; local sweep green)"
             else:
                 hist = re.search(r"driver r[0-9–r\-]+ green", check)
                 new = f"oracle ({hist.group(0)})" if hist else "oracle (local sweep green)"
