@@ -383,6 +383,107 @@ def _q_large_orders(spark, sf):
     )
 
 
+def _q_customer_order_histogram(spark, sf):
+    """TPC-H Q13 shape: the order-count distribution INCLUDING the
+    zero bucket — a left join from customer (so order-less customers
+    survive with count 0) feeding two stacked aggregations. Count
+    rides count(o_orderkey) (nulls don't count); both groupBys are
+    map-side combinable and the second one is O(distinct counts)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+def _q_top_supplier(spark, sf):
+    """TPC-H Q15 shape: top-revenue supplier — grouped quarterly
+    revenue (DECIMAL sums) + the global max via a broadcast 1-row
+    aggregate join (the view + scalar-subquery form, no window over
+    the whole table). Ties all surface, like the spec requires."""
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("__rev")
+        )
+    )
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    sup = load_table(spark, sf, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("__rev") == F.col("__mx"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("__rev").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+def _q_small_qty_revenue(spark, sf):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — the
+    correlated per-part scalar (0.2·avg quantity) becomes a grouped
+    aggregate broadcast-joined back to the brand-filtered fact scan;
+    the avg rides a DECIMAL sum / count so the 0.2·avg threshold is
+    the identical double on both engines."""
+    part = load_table(spark, sf, "part").where(F.col("p_brand") == "Brand#13")
+    li = load_table(spark, sf, "lineitem")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    avg_q = j.groupBy("p_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg")
+    )
+    return (
+        j.join(F.broadcast(avg_q), "p_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("__avg"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+                / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def _q_priority_lines(spark, sf):
+    """TPC-H Q12 shape (adapted: the slim fixture has no l_shipmode,
+    so returnflag plays the two-class group): per returnflag within
+    one shipdate year, how many lines belong to HIGH-priority orders
+    vs not — the conditional two-count aggregate over the fact⋈orders
+    join, both counts in ONE pass."""
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf, "orders")
+    hi = F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi.cast("bigint")).cast("bigint").alias("high_line_count"),
+            F.sum((~hi).cast("bigint")).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
 def _q_rolling_user_stats(spark, sf):
     from safedata_pipeline_spark.operators import timeseries as TS
 
@@ -2400,6 +2501,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": _q_winnowing,
         "alpha_mixture": _q_alpha_mixture,
         # --- past the driver's 50-row correctness window from here on.
+        # r8 late arrivals (slots filled) — next-window queue, locally
+        # hash-checked this round:
+        "customer_order_histogram": _q_customer_order_histogram,
+        "top_supplier": _q_top_supplier,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "priority_lines": _q_priority_lines,
         # (substring_dedup and simhash_pairs yield their refresh slots
         # to url_dedup and winnowing — their r5 driver greens + this
         # round's local hash checks stand.)
@@ -4925,6 +5032,50 @@ def _sql_substring_dedup(k: int) -> str:
     )
 
 
+def _sql_customer_order_histogram() -> str:
+    return (
+        "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM "
+        "(SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) "
+        "GROUP BY c_count"
+    )
+
+
+def _sql_top_supplier() -> str:
+    return (
+        "WITH rev AS (SELECT l_suppkey, "
+        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS r "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
+        "SELECT s_suppkey, s_name, round(CAST(r AS DOUBLE), 2) AS total_revenue "
+        "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE r = (SELECT max(r) FROM rev)"
+    )
+
+
+def _sql_small_qty_revenue() -> str:
+    return (
+        "WITH j AS (SELECT l_partkey AS p_partkey, l_quantity, l_extendedprice "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#13'), "
+        "a AS (SELECT p_partkey, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avgq "
+        "FROM j GROUP BY 1) "
+        "SELECT round(CAST(sum(CAST(j.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0, 4) "
+        "AS avg_yearly FROM j JOIN a USING (p_partkey) WHERE j.l_quantity < 0.2 * a.avgq"
+    )
+
+
+def _sql_priority_lines() -> str:
+    return (
+        "SELECT l_returnflag, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY l_returnflag"
+    )
+
+
 def _sql_alpha_mixture(salt: str) -> str:
     coin = (
         "(CAST(CAST(('0x' || substr(md5('" + salt + "|' || CAST(doc_id AS VARCHAR)), 1, 8)) "
@@ -5286,6 +5437,10 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _sql_url_dedup(),
         "winnowing": _sql_winnowing(5, 4),
         "alpha_mixture": _sql_alpha_mixture("alpha"),
+        "customer_order_histogram": _sql_customer_order_histogram(),
+        "top_supplier": _sql_top_supplier(),
+        "small_qty_revenue": _sql_small_qty_revenue(),
+        "priority_lines": _sql_priority_lines(),
         "leakage_free_split": _sql_leakage_free_split(0.8),
         "dedup_incremental_near": _sql_dedup_incremental_near(100),
         "cross_source_dup_matrix": _sql_cross_source_dup_matrix(),

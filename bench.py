@@ -205,6 +205,10 @@ HEADLINE = [
     "url_dedup",
     "winnowing",
     "alpha_mixture",
+    "customer_order_histogram",
+    "top_supplier",
+    "small_qty_revenue",
+    "priority_lines",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above
