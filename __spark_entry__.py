@@ -2261,6 +2261,25 @@ def _q_gopher_quality(spark, sf):
     return TX.gopher_quality_filters(_gopher_fixture(spark, sf))
 
 
+# -- X193: Bloom-filter dedup prefilter (mergeable md5 bitset state) ---------
+
+
+def _q_bloom_prefilter(spark, sf):
+    # build a Bloom filter over the REFERENCE corpus's content digests
+    # (doc_id % 3 != 0), probe the NEW batch (doc_id % 3 == 0): every
+    # true duplicate flags maybe_present (no false negatives), absent
+    # content flags at the small false-positive rate. The bitset state
+    # is md5-derived, so the WHOLE filter (bits and verdicts) is
+    # hash-checked against the oracle.
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("digest")
+    )
+    ref = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    bloom = SK.bloom_build(ref, "digest")
+    return SK.bloom_probe(new, "digest", bloom, "doc_id")
+
+
 # -- X187: alpha-smoothed mixture sampling (XLM-R temperature rebalance) -----
 
 
@@ -2507,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": _q_top_supplier,
         "small_qty_revenue": _q_small_qty_revenue,
         "priority_lines": _q_priority_lines,
+        "bloom_prefilter": _q_bloom_prefilter,
         # (substring_dedup and simhash_pairs yield their refresh slots
         # to url_dedup and winnowing — their r5 driver greens + this
         # round's local hash checks stand.)
@@ -5032,6 +5052,29 @@ def _sql_substring_dedup(k: int) -> str:
     )
 
 
+def _sql_bloom_prefilter(m_bits: int, k: int) -> str:
+    def slot(s: int) -> str:
+        return (
+            f"CAST(CAST(('0x' || substr(md5('{s}:' || d), 1, 8)) AS UBIGINT) AS BIGINT) % {m_bits}"
+        )
+
+    slots = ", ".join(slot(s) for s in range(k))
+    return (
+        "WITH refd AS (SELECT md5(text) AS d FROM documents WHERE doc_id % 3 <> 0), "
+        "newd AS (SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id % 3 = 0), "
+        f"rpos AS (SELECT unnest([{slots}]) AS p FROM refd), "
+        "words AS (SELECT CAST(p // 32 AS INT) AS word_idx, "
+        "bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits FROM rpos GROUP BY 1), "
+        f"npos AS (SELECT doc_id, unnest([{slots}]) AS p FROM newd), "
+        "hits AS (SELECT n.doc_id, count(*) AS c FROM "
+        "(SELECT doc_id, CAST(p // 32 AS INT) AS w, CAST(p % 32 AS INT) AS b FROM npos) n "
+        "JOIN words ON n.w = words.word_idx "
+        "AND (words.bits & (CAST(1 AS BIGINT) << n.b)) <> 0 GROUP BY 1) "
+        f"SELECT nd.doc_id, coalesce(h.c, 0) = {k} AS maybe_present "
+        "FROM (SELECT doc_id FROM newd) nd LEFT JOIN hits h USING (doc_id)"
+    )
+
+
 def _sql_customer_order_histogram() -> str:
     return (
         "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM "
@@ -5441,6 +5484,7 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier": _sql_top_supplier(),
         "small_qty_revenue": _sql_small_qty_revenue(),
         "priority_lines": _sql_priority_lines(),
+        "bloom_prefilter": _sql_bloom_prefilter(4096, 3),
         "leakage_free_split": _sql_leakage_free_split(0.8),
         "dedup_incremental_near": _sql_dedup_incremental_near(100),
         "cross_source_dup_matrix": _sql_cross_source_dup_matrix(),

@@ -209,6 +209,7 @@ HEADLINE = [
     "top_supplier",
     "small_qty_revenue",
     "priority_lines",
+    "bloom_prefilter",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -257,3 +257,70 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .where(F.col("n") >= min_count)
     )
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """Bloom filter over a column as MERGEABLE, engine-reproducible
+    state (public Bloom 1970 construction): ``k`` md5-slot-seeded bit
+    positions per value, packed into 32-bit words stored as BIGINT
+    rows ``(word_idx, bits)``.
+
+    Design notes:
+      * md5-derived positions (``functions/hashing.py`` contract) ⇒
+        the state itself hash-checks against a SQL oracle.
+      * 32-bit words (not 64) keep every word value non-negative, so
+        no engine disagrees about sign bits or shift overflow
+        (DuckDB range-checks ``1::BIGINT << 63``).
+      * ``bit_or`` aggregation is map-side combinable and associative:
+        partial filters from any partitioning — or from separate
+        corpora — merge by the same groupBy(word_idx)+bit_or, the
+        union-of-sets property real dedup prefilters rely on.
+    At the defaults (m=4096, k=3) a ~900-distinct-value set sits near
+    the classic 1.5%-false-positive regime; size m per corpus."""
+    pos = F.explode(
+        F.array(*[(_slot32(F.col(col).cast("string"), s) % m_bits) for s in range(k)])
+    ).alias("p")
+    ex = df.where(F.col(col).isNotNull()).select(pos)
+    return (
+        ex.select(
+            (F.col("p") / 32).cast("int").alias("word_idx"),
+            (F.col("p") % 32).cast("int").alias("__bit"),
+        )
+        .select("word_idx", F.expr("shiftleft(CAST(1 AS BIGINT), __bit)").alias("__w"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("__w").cast("bigint").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    id_col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Probe a built Bloom filter: ``(id, maybe_present)`` per row,
+    with the Bloom guarantee — ``maybe_present`` is TRUE for every
+    value that was in the build set (no false negatives), and true
+    for a small false-positive fraction of absent values. The filter
+    state broadcasts (m/32 rows); the probe is one explode + broadcast
+    join + per-id count — the cheap pre-screen that keeps exact dedup
+    joins from shuffling the 100 TB clean majority."""
+    pos = F.explode(
+        F.array(*[(_slot32(F.col(col).cast("string"), s) % m_bits) for s in range(k)])
+    ).alias("p")
+    probes = df.select(F.col(id_col), pos).select(
+        id_col,
+        (F.col("p") / 32).cast("int").alias("word_idx"),
+        (F.col("p") % 32).cast("int").alias("__bit"),
+    )
+    hit = probes.join(F.broadcast(bloom), "word_idx").where(
+        F.expr("(bits & shiftleft(CAST(1 AS BIGINT), __bit)) != 0")
+    )
+    agg = hit.groupBy(id_col).agg(F.count(F.lit(1)).alias("__hits"))
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col, (F.coalesce("__hits", F.lit(0)) == k).alias("maybe_present")
+    )
