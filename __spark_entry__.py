@@ -2317,6 +2317,18 @@ def _q_winnowing(spark, sf):
     )
 
 
+# -- X194: winnowing substring-overlap pair join -----------------------------
+
+
+def _q_winnowing_overlap(spark, sf):
+    # the MOSS pair generator over the documents fixture: docs sharing
+    # >= 2 distinct winnowing fingerprints (df-capped posting lists,
+    # fingerprint-keyed equi-join — never all-pairs)
+    return DD.winnowing_overlap_join(
+        load_table(spark, sf, "documents"), k=5, w=4, min_shared=2, max_df=50
+    )
+
+
 # -- X185: URL canonicalization + provenance-level dedup ---------------------
 
 
@@ -2527,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": _q_small_qty_revenue,
         "priority_lines": _q_priority_lines,
         "bloom_prefilter": _q_bloom_prefilter,
+        "winnowing_overlap": _q_winnowing_overlap,
         # (substring_dedup and simhash_pairs yield their refresh slots
         # to url_dedup and winnowing — their r5 driver greens + this
         # round's local hash checks stand.)
@@ -5052,6 +5065,18 @@ def _sql_substring_dedup(k: int) -> str:
     )
 
 
+def _sql_winnowing_overlap(k: int, w: int, min_shared: int, max_df: int) -> str:
+    return (
+        f"WITH wn AS ({_sql_winnowing(k, w)}), "
+        "d AS (SELECT DISTINCT doc_id AS id, fingerprint FROM wn), "
+        f"ok AS (SELECT fingerprint FROM d GROUP BY 1 HAVING count(*) <= {max_df}), "
+        "dd AS (SELECT d.id, d.fingerprint FROM d JOIN ok USING (fingerprint)) "
+        "SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM dd a JOIN dd b ON a.fingerprint = b.fingerprint AND a.id < b.id "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_shared}"
+    )
+
+
 def _sql_bloom_prefilter(m_bits: int, k: int) -> str:
     def slot(s: int) -> str:
         return (
@@ -5485,6 +5510,7 @@ def oracle_sql() -> dict[str, str]:
         "small_qty_revenue": _sql_small_qty_revenue(),
         "priority_lines": _sql_priority_lines(),
         "bloom_prefilter": _sql_bloom_prefilter(4096, 3),
+        "winnowing_overlap": _sql_winnowing_overlap(5, 4, 2, 50),
         "leakage_free_split": _sql_leakage_free_split(0.8),
         "dedup_incremental_near": _sql_dedup_incremental_near(100),
         "cross_source_dup_matrix": _sql_cross_source_dup_matrix(),

@@ -210,6 +210,7 @@ HEADLINE = [
     "small_qty_revenue",
     "priority_lines",
     "bloom_prefilter",
+    "winnowing_overlap",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -1592,3 +1592,52 @@ def winnowing_fingerprints(
         F.col("b.p").alias("pos"),
         (-F.col("b.nh")).alias("fingerprint"),
     ).dropDuplicates()
+
+
+def winnowing_overlap_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """Substring-overlap candidate pairs via shared winnowing
+    fingerprints — the MOSS pair generator: documents sharing at least
+    ``min_shared`` DISTINCT fingerprints are candidates, and the
+    winnowing guarantee makes recall structural (any shared run of
+    ≥ w+k−1 words contributes a shared fingerprint — this join finds
+    quote/boilerplate overlap that whole-set MinHash dilutes away on
+    long documents).
+
+    Plan shape is the banded-LSH discipline: per-doc DISTINCT
+    fingerprints form the posting table, ``max_df`` drops stop
+    fingerprints (ubiquitous boilerplate would otherwise quadratically
+    explode the hottest posting lists — same trade as
+    ``ngram_jaccard_pairs``' df cap, documented miss class), and the
+    pair stream is a fingerprint-keyed equi-join + one (a, b) count.
+    No all-pairs join exists at any stage. Output:
+    ``(id_a, id_b, n_shared)``."""
+    fp = winnowing_fingerprints(df, text_col, id_col, k, w).select(
+        F.col(id_col).alias("id"), "fingerprint"
+    ).dropDuplicates()
+    if max_df is not None:
+        ok = (
+            fp.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("fingerprint")
+        )
+        fp = fp.join(ok, "fingerprint", "left_semi")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

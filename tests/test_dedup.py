@@ -724,3 +724,30 @@ def test_winnowing_rightmost_min_tiebreak(spark):
     m = 12 - 4  # 8 grams, all identical
     starts = m - 4 + 1  # 5 windows
     assert sorted(r.pos for r in rows) == [s + 3 for s in range(1, starts + 1)]
+
+
+def test_winnowing_overlap_join_finds_shared_runs(spark):
+    shared = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, "intro passage " + shared + " closing alpha"),
+        (2, "other beginning words " + shared + " tail omega"),
+        (3, "entirely different content with no common run anywhere here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r.id_a, r.id_b): r.n_shared for r in DD.winnowing_overlap_join(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnowing_overlap_max_df_drops_stop_fingerprints(spark):
+    # six IDENTICAL docs: every selected fingerprint has df=6, so with
+    # max_df=3 the posting lists all drop and NO pairs emerge; without
+    # the cap the full 15-pair clique comes back
+    text = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(i, text) for i in range(1, 7)], "doc_id bigint, text string"
+    )
+    capped = DD.winnowing_overlap_join(df, min_shared=1, max_df=3).collect()
+    assert capped == []
+    full = DD.winnowing_overlap_join(df, min_shared=1, max_df=None).collect()
+    assert len(full) == 15
