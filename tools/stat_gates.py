@@ -40,6 +40,8 @@ GATES: dict[str, tuple[str, float]] = {
     "model_utility_f1_drop": ("max", 0.30),
     "lsh_recall_at_5": ("min", 0.60),          # measured 0.83 (r7, probe sequences)
     "ivf_recall_at_5": ("min", 0.40),          # measured 0.66 (r5 baseline)
+    "lsh_mrr": ("min", 0.70),                  # measured 1.0 (r8: true NN ranks first when found)
+    "ivf_mrr": ("min", 0.40),                  # measured 0.70 (r8)
     "hll_mean_rel_err": ("max", 0.15),         # measured 0.0 at fixture scale
     "kmeans_normalized_inertia": ("max", 0.999),  # must beat the k=1 baseline
     "bpe_compression_ratio": ("max", 0.95),    # 10 merges must compress ≥5%
@@ -64,6 +66,7 @@ SLOPE_QUERIES = [
     "edit_distance_pairs",
     "semantic_dedup",
     "substring_dedup",
+    "winnowing_overlap",
 ]
 SLOPE_GATES: dict[str, tuple[str, float]] = {
     f"slope_{q}": ("max", 25.0) for q in SLOPE_QUERIES
@@ -124,14 +127,28 @@ def compute(spark, sf_dir: str) -> dict[str, float]:
         float(mu["original"]["f1"]) - float(mu["protected"]["f1"]), 6
     )
 
-    # -- ANN recall@k vs the exact brute-force top-k ------------------
-    def pairs(df):
-        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+    # -- ANN recall@k + MRR vs the exact brute-force top-k ------------
+    def ranked(df):
+        by_q: dict = {}
+        for r in df.collect():
+            by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+        return {q: [n for _, n in sorted(v)] for q, v in by_q.items()}
 
-    exact = pairs(qs["ann_cosine_topk"](spark, sf_dir))
+    exact_r = ranked(qs["ann_cosine_topk"](spark, sf_dir))
+    exact = {(q, n) for q, ns in exact_r.items() for n in ns}
     for name, key in (("ann_cosine_topk_lsh", "lsh"), ("ann_cosine_topk_ivf", "ivf")):
-        approx = pairs(qs[name](spark, sf_dir))
+        approx_r = ranked(qs[name](spark, sf_dir))
+        approx = {(q, n) for q, ns in approx_r.items() for n in ns}
         out[f"{key}_recall_at_5"] = round(len(approx & exact) / max(len(exact), 1), 6)
+        # MRR of the TRUE nearest neighbor inside the approx ranking:
+        # recall treats all 5 slots equally; MRR catches an index that
+        # still finds the neighbors but ranks the best one at the tail
+        rrs = []
+        for q, ns in exact_r.items():
+            best = ns[0]
+            al = approx_r.get(q, [])
+            rrs.append(1.0 / (al.index(best) + 1) if best in al else 0.0)
+        out[f"{key}_mrr"] = round(sum(rrs) / max(len(rrs), 1), 6)
 
     # -- HLL daily rollup vs exact distinct ---------------------------
     approx_daily = {
