@@ -120,3 +120,32 @@ def test_url_dedup_groups_variants(spark):
     assert all(got[i].canon_url == "https://ex.com/a" for i in (1, 2, 3))
     assert [got[i].is_canonical for i in (1, 2, 3, 4)] == [True, False, False, True]
     assert got[1].n_variants == 3 and got[4].n_variants == 1
+
+
+def test_canonicalize_url_idempotent_property(spark):
+    # canonicalization must be a projection: applying it twice equals
+    # applying it once, over a fuzzed URL corpus (hypothesis strategies
+    # drive the generator; evaluation is one batched Spark pass)
+    import pyspark.sql.functions as F
+    from hypothesis import strategies as st
+    from safedata_pipeline_spark.operators.text import canonicalize_url
+
+    seg = st.text(
+        alphabet="abcXYZ019-._~%", min_size=0, max_size=8
+    )
+    urls = st.builds(
+        lambda h, p, q, f: f"https://{h}.example.com/{p}?{q}#{f}",
+        seg, seg, seg, seg
+    )
+    sample = [urls.example() for _ in range(60)] + [
+        "http://A.B:80/", "https://x.y:443", "", "   ", "no scheme here",
+        "https://ex.com/p?utm_a=1&utm_b=2&gclid=3", "https://ex.com/////",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(sample)], "i int, url string")
+    once = canonicalize_url(F.col("url"))
+    got = df.select(
+        "i",
+        once.alias("c1"),
+    ).select("i", "c1", canonicalize_url(F.col("c1")).alias("c2")).collect()
+    for r in got:
+        assert r.c1 == r.c2, (r.i, r.c1, r.c2)
