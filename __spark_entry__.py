@@ -2317,6 +2317,16 @@ def _q_winnowing(spark, sf):
     )
 
 
+# -- X195: Gopher repeated-n-gram character fractions ------------------------
+
+
+def _q_repeated_ngrams(spark, sf):
+    # the remaining Gopher Table-A1 repetition metrics: top-{2,3,4}-gram
+    # and duplicated-{5..10}-gram character fractions, one explode of
+    # all nine gram streams + two doc-keyed shuffles
+    return TX.repeated_ngram_fractions(load_table(spark, sf, "documents"))
+
+
 # -- X194: winnowing substring-overlap pair join -----------------------------
 
 
@@ -2540,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_lines": _q_priority_lines,
         "bloom_prefilter": _q_bloom_prefilter,
         "winnowing_overlap": _q_winnowing_overlap,
+        "repeated_ngrams": _q_repeated_ngrams,
         # (substring_dedup and simhash_pairs yield their refresh slots
         # to url_dedup and winnowing — their r5 driver greens + this
         # round's local hash checks stand.)
@@ -5065,6 +5076,49 @@ def _sql_substring_dedup(k: int) -> str:
     )
 
 
+def _sql_repeated_ngrams() -> str:
+    snap = "floor({x} * 1e6 + 0.5) / 1e6"
+    tops = ", ".join(
+        "CASE WHEN ch.charsum > 0 THEN "
+        + snap.format(
+            x=f"least(coalesce(max(CASE WHEN p.n = {n} THEN p.topchars END), 0) "
+            "/ CAST(ch.charsum AS DOUBLE), 1.0)"
+        )
+        + f" ELSE 0.0 END AS top_{n}gram_frac"
+        for n in (2, 3, 4)
+    )
+    dups = ", ".join(
+        "CASE WHEN ch.charsum > 0 THEN "
+        + snap.format(
+            x=f"least(coalesce(max(CASE WHEN p.n = {n} THEN p.dupchars END), 0) "
+            "/ CAST(ch.charsum AS DOUBLE), 1.0)"
+        )
+        + f" ELSE 0.0 END AS dup_{n}gram_frac"
+        for n in range(5, 11)
+    )
+    return (
+        "WITH tk AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t, "
+        "CAST(length(regexp_replace(lower(text), '\\s+', '', 'g')) AS BIGINT) AS charsum "
+        "FROM documents), "
+        "g AS (SELECT doc_id, CAST(nn.n AS INT) AS n, "
+        "array_to_string(t[CAST(i AS INT):CAST(i AS INT) + CAST(nn.n AS INT) - 1], ' ') AS gram "
+        "FROM tk, unnest(generate_series(CAST(2 AS BIGINT), CAST(10 AS BIGINT))) AS nn(n), "
+        "unnest(generate_series(CAST(1 AS BIGINT), CAST(greatest(len(t) - nn.n + 1, 0) AS BIGINT))) AS s(i)), "
+        "c AS (SELECT doc_id, n, gram, count(*) AS c, "
+        "CAST(length(gram) - (n - 1) AS BIGINT) AS clen FROM g GROUP BY 1, 2, 3), "
+        "top AS (SELECT doc_id, n, CAST(c * clen AS BIGINT) AS topchars FROM c "
+        "QUALIFY row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram ASC) = 1), "
+        "dup AS (SELECT doc_id, n, CAST(sum(CASE WHEN c >= 2 THEN c * clen ELSE 0 END) AS BIGINT) "
+        "AS dupchars FROM c GROUP BY 1, 2), "
+        "p AS (SELECT coalesce(t.doc_id, d.doc_id) AS doc_id, coalesce(t.n, d.n) AS n, "
+        "t.topchars, d.dupchars FROM top t FULL JOIN dup d ON t.doc_id = d.doc_id AND t.n = d.n) "
+        f"SELECT ch.doc_id, {tops}, {dups} "
+        "FROM tk ch LEFT JOIN p ON p.doc_id = ch.doc_id "
+        "GROUP BY ch.doc_id, ch.charsum"
+    )
+
+
 def _sql_winnowing_overlap(k: int, w: int, min_shared: int, max_df: int) -> str:
     return (
         f"WITH wn AS ({_sql_winnowing(k, w)}), "
@@ -5511,6 +5565,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_lines": _sql_priority_lines(),
         "bloom_prefilter": _sql_bloom_prefilter(4096, 3),
         "winnowing_overlap": _sql_winnowing_overlap(5, 4, 2, 50),
+        "repeated_ngrams": _sql_repeated_ngrams(),
         "leakage_free_split": _sql_leakage_free_split(0.8),
         "dedup_incremental_near": _sql_dedup_incremental_near(100),
         "cross_source_dup_matrix": _sql_cross_source_dup_matrix(),

@@ -211,6 +211,7 @@ HEADLINE = [
     "priority_lines",
     "bloom_prefilter",
     "winnowing_overlap",
+    "repeated_ngrams",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

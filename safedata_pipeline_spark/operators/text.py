@@ -1881,3 +1881,94 @@ def url_dedup(
         (F.col(id_col) == F.col("__keep")).alias("is_canonical"),
         "n_variants",
     )
+
+
+def repeated_ngram_fractions(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The remaining Gopher Table-A1 repetition signals (Rae et al.
+    2021, public; same family FineWeb/Dolma apply): per document, the
+    character fraction covered by the MOST FREQUENT word n-gram for
+    n ∈ {2,3,4}, and by ALL duplicated word n-grams for n ∈ {5..10}.
+
+    Definitions (deterministic, oracle-mirrored): a gram's character
+    weight is its non-space length; ``top_frac_n = c_top·chars(g_top)
+    / word_chars`` (ties → lexicographically smallest gram) and
+    ``dup_frac_n = Σ_{c≥2} c·chars(g) / word_chars``, capped at 1
+    (overlapping occurrences can over-count — the cap matches the
+    public implementations' clamp). Fractions snap half-up to 6dp.
+
+    Plan: ONE token materialization, one explode of all nine gram
+    streams (Σ ≈ 9·len rows per doc), one (doc, n, gram) count, one
+    (doc, n) aggregate carrying both the struct-min top and the dup
+    sum, then a 9-slot conditional-aggregation pivot back to one row
+    per doc — two shuffles on the doc key regardless of n range."""
+    snap = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    base = df.select(
+        F.col(id_col),
+        _ws_tokens(F.lower(F.col(text_col))).alias("__tk"),
+        F.length(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", "")).cast(
+            "bigint"
+        ).alias("__chars"),
+    )
+    tk = F.col("__tk")
+    # NB: the transform lambda must take exactly ONE parameter — a
+    # second parameter would be bound to the ARRAY INDEX by Spark's
+    # (element, index) overload, silently shadowing a captured default
+    def _gram_stream(n: int):
+        def lam(i):
+            return F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice(tk, i, F.lit(n)), " ").alias("g"),
+            )
+
+        m = F.size(tk) - (n - 1)
+        return F.when(m >= 1, F.transform(F.sequence(F.lit(1), m), lam)).otherwise(
+            F.array().cast("array<struct<n:int,g:string>>")
+        )
+
+    streams = [_gram_stream(n) for n in range(2, 11)]
+    grams = base.select(
+        F.col(id_col), F.explode(F.concat(*streams)).alias("s")
+    ).select(id_col, F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+    counts = grams.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    clen = (F.length("g") - (F.col("n") - 1)).cast("bigint")
+    pern = counts.groupBy(id_col, "n").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("g").alias("g"))).alias("top"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * clen).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("dupchars"),
+    ).select(
+        id_col,
+        "n",
+        ((-F.col("top.nc")) * (F.length("top.g") - (F.col("n") - 1))).cast("bigint")
+        .alias("topchars"),
+        "dupchars",
+    )
+    slots = []
+    for n in (2, 3, 4):
+        slots.append(
+            F.max(F.when(F.col("n") == n, F.col("topchars"))).alias(f"__t{n}")
+        )
+    for n in range(5, 11):
+        slots.append(
+            F.max(F.when(F.col("n") == n, F.col("dupchars"))).alias(f"__d{n}")
+        )
+    wide = pern.groupBy(id_col).agg(*slots)
+    out = base.select(id_col, "__chars").join(wide, id_col, "left")
+    cols = [F.col(id_col)]
+    for n in (2, 3, 4):
+        frac = F.least(F.coalesce(F.col(f"__t{n}"), F.lit(0)) / F.col("__chars"), F.lit(1.0))
+        cols.append(
+            F.when(F.col("__chars") > 0, snap(frac)).otherwise(F.lit(0.0)).alias(
+                f"top_{n}gram_frac"
+            )
+        )
+    for n in range(5, 11):
+        frac = F.least(F.coalesce(F.col(f"__d{n}"), F.lit(0)) / F.col("__chars"), F.lit(1.0))
+        cols.append(
+            F.when(F.col("__chars") > 0, snap(frac)).otherwise(F.lit(0.0)).alias(
+                f"dup_{n}gram_frac"
+            )
+        )
+    return out.select(*cols)

@@ -149,3 +149,43 @@ def test_canonicalize_url_idempotent_property(spark):
     ).select("i", "c1", canonicalize_url(F.col("c1")).alias("c2")).collect()
     for r in got:
         assert r.c1 == r.c2, (r.i, r.c1, r.c2)
+
+
+def test_repeated_ngram_fractions_math(spark):
+    from safedata_pipeline_spark.operators.text import repeated_ngram_fractions
+
+    # "a b a b c": charsum=5; top 2-gram "a b" (c=2, chars 2) -> 0.8;
+    # top 3-gram ties at c=1 -> lex smallest "a b a" (chars 3) -> 0.6;
+    # no word 5-gram repeats -> dup fractions 0
+    df = spark.createDataFrame([(1, "a b a b c")], "doc_id bigint, text string")
+    r = repeated_ngram_fractions(df).collect()[0]
+    assert (r.top_2gram_frac, r.top_3gram_frac, r.top_4gram_frac) == (0.8, 0.6, 0.8)
+    assert r.dup_5gram_frac == 0.0
+
+
+def test_repeated_ngram_dup_fraction_and_cap(spark):
+    from safedata_pipeline_spark.operators.text import repeated_ngram_fractions
+
+    # a 5-word phrase repeated 3 times: every 5-gram inside the repeats
+    # duplicates; overlap over-counting must clamp at 1.0
+    phrase = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [(1, " ".join([phrase] * 3)), (2, "unique words only here now")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in repeated_ngram_fractions(df).collect()}
+    assert got[1].dup_5gram_frac == 1.0  # clamped
+    assert got[2].dup_5gram_frac == 0.0
+    assert got[2].top_2gram_frac > 0  # ties still produce a top gram
+
+
+def test_repeated_ngram_short_and_empty_docs(spark):
+    from safedata_pipeline_spark.operators.text import repeated_ngram_fractions
+
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two words")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in repeated_ngram_fractions(df).collect()}
+    assert got[1].top_2gram_frac == 0.0  # no 2-gram exists
+    assert got[2].top_2gram_frac == 0.0 and got[2].dup_10gram_frac == 0.0
+    assert got[3].top_2gram_frac == 1.0  # the only 2-gram covers all chars
