@@ -1928,7 +1928,11 @@ def repeated_ngram_fractions(
         )
 
     streams = [_gram_stream(n) for n in range(2, 11)]
-    grams = base.select(
+    # the nine streams multiply each row ~9·len-fold — spread across
+    # cores before exploding (scan splits of a small input under-
+    # estimate the post-explode volume; same fix as langid)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    grams = base.repartition(par).select(
         F.col(id_col), F.explode(F.concat(*streams)).alias("s")
     ).select(id_col, F.col("s.n").alias("n"), F.col("s.g").alias("g"))
     counts = grams.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
