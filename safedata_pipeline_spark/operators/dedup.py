@@ -1154,8 +1154,11 @@ def jaccard_prefix_join(
     # the exploded shingle table feeds THREE consumers (df counts, the
     # rank window, the verify sets) — materialize it once instead of
     # re-running the explode per consumer (same discipline as the
-    # banded signature tables)
-    sh = df.select(
+    # banded signature tables). Repartition first: the explode
+    # multiplies each row ~len-fold, so scan splits of a small input
+    # leave the whole shingle materialization on one core.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par).select(
         F.col(id_col).alias("id"), F.explode(_word_shingles(F.col(text_col), n)).alias("s")
     ).transform(pin_eager)
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
@@ -1287,8 +1290,10 @@ def containment_prefix_join(
 
     eps = 1e-9
     # four consumers of the exploded shingles (df counts, rank window,
-    # index side, verify sets) — materialize once
-    sh = df.select(
+    # index side, verify sets) — materialize once; repartition first so
+    # the len-fold explode doesn't run on the scan's few splits
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par).select(
         F.col(id_col).alias("id"), F.explode(_word_shingles(F.col(text_col), n)).alias("s")
     ).transform(pin_eager)
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
