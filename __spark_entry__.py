@@ -2317,6 +2317,17 @@ def _q_winnowing(spark, sf):
     )
 
 
+# -- X196: PMI top collocations ----------------------------------------------
+
+
+def _q_pmi_pairs(spark, sf):
+    # Church-Hanks adjacent-word PMI with a min-count floor: one token
+    # explode feeds both count tables, totals broadcast, TakeOrdered
+    return TX.pmi_top_pairs(
+        load_table(spark, sf, "documents"), min_count=5, topk=50
+    )
+
+
 # -- X195: Gopher repeated-n-gram character fractions ------------------------
 
 
@@ -2551,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter": _q_bloom_prefilter,
         "winnowing_overlap": _q_winnowing_overlap,
         "repeated_ngrams": _q_repeated_ngrams,
+        "pmi_pairs": _q_pmi_pairs,
         # (substring_dedup and simhash_pairs yield their refresh slots
         # to url_dedup and winnowing — their r5 driver greens + this
         # round's local hash checks stand.)
@@ -5076,6 +5088,27 @@ def _sql_substring_dedup(k: int) -> str:
     )
 
 
+def _sql_pmi_pairs(min_count: int, topk: int) -> str:
+    return (
+        "WITH tk AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t FROM documents), "
+        "w AS (SELECT unnest(t) AS w FROM tk), "
+        "uni AS (SELECT w, count(*) AS c FROM w GROUP BY 1), "
+        "bg AS (SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2 FROM tk, "
+        "unnest(generate_series(CAST(1 AS BIGINT), CAST(greatest(len(t) - 1, 0) AS BIGINT))) AS s(i)), "
+        f"pairs AS (SELECT w1, w2, count(*) AS c_pair FROM bg GROUP BY 1, 2 HAVING count(*) >= {min_count}), "
+        "tu AS (SELECT CAST(sum(c) AS BIGINT) AS T FROM uni), "
+        "tb AS (SELECT CAST(sum(c_pair) AS BIGINT) AS B FROM pairs) "
+        "SELECT p.w1, p.w2, CAST(p.c_pair AS BIGINT) AS c_pair, "
+        "CAST(u1.c AS BIGINT) AS c_w1, CAST(u2.c AS BIGINT) AS c_w2, "
+        "round(ln((CAST(p.c_pair AS DOUBLE) / tb.B) / "
+        "((CAST(u1.c AS DOUBLE) / tu.T) * (CAST(u2.c AS DOUBLE) / tu.T))), 6) AS pmi "
+        "FROM pairs p JOIN uni u1 ON p.w1 = u1.w JOIN uni u2 ON p.w2 = u2.w "
+        "CROSS JOIN tu CROSS JOIN tb "
+        f"ORDER BY pmi DESC, p.w1 ASC, p.w2 ASC LIMIT {topk}"
+    )
+
+
 def _sql_repeated_ngrams() -> str:
     snap = "floor({x} * 1e6 + 0.5) / 1e6"
     tops = ", ".join(
@@ -5566,6 +5599,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prefilter": _sql_bloom_prefilter(4096, 3),
         "winnowing_overlap": _sql_winnowing_overlap(5, 4, 2, 50),
         "repeated_ngrams": _sql_repeated_ngrams(),
+        "pmi_pairs": _sql_pmi_pairs(5, 50),
         "leakage_free_split": _sql_leakage_free_split(0.8),
         "dedup_incremental_near": _sql_dedup_incremental_near(100),
         "cross_source_dup_matrix": _sql_cross_source_dup_matrix(),

@@ -212,6 +212,7 @@ HEADLINE = [
     "bloom_prefilter",
     "winnowing_overlap",
     "repeated_ngrams",
+    "pmi_pairs",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

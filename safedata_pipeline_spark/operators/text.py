@@ -1976,3 +1976,77 @@ def repeated_ngram_fractions(
             )
         )
     return out.select(*cols)
+
+
+def pmi_top_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    topk: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual
+    information (Church & Hanks 1990 — public): PMI(a,b) =
+    ln( (c_ab/B) / ((c_a/T)·(c_b/T)) ) over corpus-wide unigram and
+    adjacent-bigram counts, with a ``min_count`` bigram floor (rare
+    pairs otherwise dominate PMI — the classic correction). Ties
+    break on ascending (w1, w2). Output:
+    ``(w1, w2, c_pair, c_w1, c_w2, pmi)``.
+
+    Shape: one token explode feeds BOTH count tables (bigrams from a
+    zip of the array with its tail — no second scan), scalar totals
+    ride broadcast 1-row aggregates, the unigram join keys on the
+    word, and the top-k is a TakeOrdered over the floored pair table —
+    no global sort. All inputs to the ln() are exact integers, so the
+    6dp-rounded PMI is engine-stable (ulp precedent: the unigram
+    surprise oracle)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(par).select(
+        _ws_tokens(F.lower(F.col(text_col))).alias("__tk")
+    )
+    uni = (
+        base.select(F.explode("__tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        base.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("__tk", 1, F.greatest(F.size("__tk") - 1, F.lit(0))),
+                    F.slice("__tk", 2, F.greatest(F.size("__tk") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .where(F.col("c_pair") >= min_count)
+    )
+    tot_u = uni.agg(F.sum("c").alias("T"))
+    tot_b = pairs.agg(F.sum("c_pair").alias("B"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_w2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_pair") / F.col("B"))
+            / ((F.col("c_w1") / F.col("T")) * (F.col("c_w2") / F.col("T")))
+        ),
+        ROUND_N,
+    )
+    scored = (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_pair").cast("bigint").alias("c_pair"),
+            F.col("c_w1").cast("bigint").alias("c_w1"),
+            F.col("c_w2").cast("bigint").alias("c_w2"),
+            pmi.alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(topk)

@@ -189,3 +189,28 @@ def test_repeated_ngram_short_and_empty_docs(spark):
     assert got[1].top_2gram_frac == 0.0  # no 2-gram exists
     assert got[2].top_2gram_frac == 0.0 and got[2].dup_10gram_frac == 0.0
     assert got[3].top_2gram_frac == 1.0  # the only 2-gram covers all chars
+
+
+def test_pmi_ranks_planted_collocation_first(spark):
+    from safedata_pipeline_spark.operators.text import pmi_top_pairs
+
+    # "kuala lumpur" only ever occur together; filler words co-occur
+    # with everything -> the planted collocation tops the PMI ranking
+    filler = "the a of and data table row value"
+    rows = [(i, f"{filler} kuala lumpur {filler}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    top = pmi_top_pairs(df, min_count=5, topk=3).collect()
+    assert (top[0].w1, top[0].w2) == ("kuala", "lumpur")
+    assert top[0].c_pair == 6 and top[0].c_w1 == 6
+    assert top[0].pmi > top[-1].pmi or len(top) == 1
+
+
+def test_pmi_min_count_floor(spark):
+    from safedata_pipeline_spark.operators.text import pmi_top_pairs
+
+    df = spark.createDataFrame(
+        [(1, "rare pair rare pair unique once")], "doc_id bigint, text string"
+    )
+    got = {(r.w1, r.w2) for r in pmi_top_pairs(df, min_count=2, topk=10).collect()}
+    assert ("rare", "pair") in got
+    assert ("unique", "once") not in got  # below the floor
