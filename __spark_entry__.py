@@ -2456,6 +2456,21 @@ def _q_lang_id_trained(spark, sf):
     )
 
 
+# -- X197: language-ID prediction margin (code-switching flag) ---------------
+
+
+def _q_lang_id_margin(spark, sf):
+    # top-vs-runner-up score gap per doc — the confidence threshold
+    # production lang-ID applies; exact DECIMAL difference, same
+    # fixture and model as lang_id_trained
+    from safedata_pipeline_spark.checkpoint import pin_lazy
+    from safedata_pipeline_spark.operators import langid as LI
+
+    fixed = _langid_fixture(spark, sf)
+    model = LI.langid_fit(fixed.where("is_train")).transform(pin_lazy)
+    return LI.langid_margin(fixed, model)
+
+
 # -- X168: BPE-unit token counts (merge-rank application) --------------------
 
 
@@ -2563,6 +2578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_overlap": _q_winnowing_overlap,
         "repeated_ngrams": _q_repeated_ngrams,
         "pmi_pairs": _q_pmi_pairs,
+        "lang_id_margin": _q_lang_id_margin,
         # (substring_dedup and simhash_pairs yield their refresh slots
         # to url_dedup and winnowing — their r5 driver greens + this
         # round's local hash checks stand.)
@@ -5386,12 +5402,12 @@ def _sql_image_pixel_stats(width: int) -> str:
     )
 
 
-def _sql_lang_id_trained() -> str:
-    """DuckDB twin of the char-3gram NB fit->score composition: the
-    fixture (md5-selected markers + md5 train coin), the smoothed
-    (lang, ngram) log-prob table, and the exact-DECIMAL argmax scoring
-    are all unrolled as CTEs — a trained classifier with a hash-checked
-    oracle, same discipline as the KMeans semantic-dedup oracle."""
+def _sql_langid_ctes() -> str:
+    """Shared CTE prefix for the langid oracles: the fixture
+    (md5-selected markers + md5 train coin), the smoothed (lang,
+    ngram) log-prob table, and the exact-DECIMAL scored grid ranked
+    per doc — a trained classifier unrolled for the hash channel,
+    same discipline as the KMeans semantic-dedup oracle."""
 
     def mdint(tag_expr: str) -> str:
         return (
@@ -5443,10 +5459,29 @@ def _sql_lang_id_trained() -> str:
         "LEFT JOIN matched ma ON ma.doc_id = m.doc_id AND ma.lang = f.lang), "
         "pred AS (SELECT doc_id, lang, score, "
         "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn "
-        "FROM scored) "
-        "SELECT b.doc_id, b.lang AS lang_true, b.is_train, "
+        "FROM scored)"
+    )
+
+
+def _sql_lang_id_trained() -> str:
+    """DuckDB twin of the char-3gram NB fit->score composition (CTEs
+    shared with the margin query via _sql_langid_ctes)."""
+    return (
+        _sql_langid_ctes()
+        + " SELECT b.doc_id, b.lang AS lang_true, b.is_train, "
         "p.lang AS lang_pred, CAST(p.score AS DOUBLE) AS score "
         "FROM base b JOIN pred p ON b.doc_id = p.doc_id AND p.rn = 1"
+    )
+
+
+def _sql_lang_id_margin() -> str:
+    return (
+        _sql_langid_ctes()
+        + " SELECT doc_id, max(CASE WHEN rn = 1 THEN lang END) AS lang_pred, "
+        "max(CASE WHEN rn = 2 THEN lang END) AS lang_second, "
+        "coalesce(CAST(max(CASE WHEN rn = 1 THEN score END) "
+        "- max(CASE WHEN rn = 2 THEN score END) AS DOUBLE), 0.0) AS margin "
+        "FROM pred WHERE rn <= 2 GROUP BY doc_id"
     )
 
 
@@ -5600,6 +5635,7 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_overlap": _sql_winnowing_overlap(5, 4, 2, 50),
         "repeated_ngrams": _sql_repeated_ngrams(),
         "pmi_pairs": _sql_pmi_pairs(5, 50),
+        "lang_id_margin": _sql_lang_id_margin(),
         "leakage_free_split": _sql_leakage_free_split(0.8),
         "dedup_incremental_near": _sql_dedup_incremental_near(100),
         "cross_source_dup_matrix": _sql_cross_source_dup_matrix(),

@@ -213,6 +213,7 @@ HEADLINE = [
     "winnowing_overlap",
     "repeated_ngrams",
     "pmi_pairs",
+    "lang_id_margin",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -166,3 +166,73 @@ def langid_score(
         F.col("b.l").alias("lang_pred"),
         (-F.col("b.ns")).cast("double").alias("score"),
     )
+
+
+def langid_margin(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Prediction margin per document: the top language's score minus
+    the runner-up's — the ambiguity/code-switching signal production
+    language ID pipelines threshold on (a confident monolingual doc
+    has a wide margin; mixed-language or too-short docs sit near 0).
+    Exact DECIMAL difference of the two scores, so the margin is as
+    engine-stable as the argmax itself. Output:
+    ``(id, lang_pred, lang_second, margin)``; a single-language model
+    yields margin 0 with a NULL runner-up.
+
+    Same plan as ``langid_score`` plus one tiny per-doc array sort:
+    the per-(doc, lang) score grid is |langs| rows per doc, so the
+    top-2 selection is a collect_list + array_sort over ≤ |langs|
+    elements inside the existing doc-keyed aggregate — no extra
+    shuffle, no window."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    grams = df.repartition(par).select(
+        F.col(id_col), F.explode(_char_ngrams(F.lower(F.col(text_col)), n)).alias("g")
+    )
+    m = df.select(
+        F.col(id_col),
+        F.greatest(F.length(F.col(text_col)) - (n - 1), F.lit(0))
+        .cast("bigint")
+        .alias("m"),
+    )
+    floors = model.where(F.col("ngram").isNull()).select(
+        "lang", F.col("logp").alias("floor_logp")
+    )
+    mt = model.where(F.col("ngram").isNotNull())
+    matched = (
+        grams.join(F.broadcast(mt), grams.g == mt.ngram)
+        .groupBy(id_col, "lang")
+        .agg(F.sum("logp").alias("s"), F.count(F.lit(1)).cast("bigint").alias("mc"))
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    scored = (
+        m.crossJoin(F.broadcast(floors))
+        .join(matched, [id_col, "lang"], "left")
+        .select(
+            id_col,
+            "lang",
+            (
+                F.coalesce("s", zero)
+                + (F.col("m") - F.coalesce("mc", F.lit(0))) * F.col("floor_logp")
+            ).cast("decimal(38,6)").alias("score"),
+        )
+    )
+    ranked = scored.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("score")).alias("ns"), F.col("lang").alias("l")))
+        ).alias("r")
+    )
+    best = F.col("r")[0]
+    second = F.when(F.size("r") >= 2, F.col("r")[1])
+    return ranked.select(
+        id_col,
+        best.getField("l").alias("lang_pred"),
+        second.getField("l").alias("lang_second"),
+        F.coalesce(
+            (second.getField("ns") - best.getField("ns")).cast("double"), F.lit(0.0)
+        ).alias("margin"),
+    )

@@ -73,3 +73,23 @@ def test_langid_score_plan_broadcasts_model(spark):
     model = LI.langid_fit(spark.createDataFrame(train, "doc_id bigint, text string, lang string"))
     plan = LI.langid_score(df, model)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_langid_margin_semantics(spark):
+    # clear-cut doc has a wide margin; a doc mixing both languages'
+    # inventories sits near zero; ordering fields are consistent
+    train = [(1, "aaa bbb aab aba bab aaa", "aa"), (2, "xxx yyy xxy xyx yxy xxx", "xx")]
+    tr = spark.createDataFrame(train, "doc_id bigint, text string, lang string")
+    model = LI.langid_fit(tr)
+    score_df = spark.createDataFrame(
+        [(10, "aaa aab aba"), (11, "aaa xxx aab xxy"), (12, "xy")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in LI.langid_margin(score_df, model).collect()}
+    pred = {r.doc_id: r for r in LI.langid_score(score_df, model).collect()}
+    for i in (10, 11, 12):
+        assert got[i].lang_pred == pred[i].lang_pred  # argmax agrees
+        assert got[i].margin >= 0
+    assert got[10].lang_pred == "aa"
+    assert got[10].margin > got[11].margin  # mixed doc is less confident
+    assert got[12].margin == 0.0  # zero-gram doc ties everything
