@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from safedata_pipeline_spark.checkpoint import pin_eager, pin_lazy
+from safedata_pipeline_spark.partitioning import spread_small
 
 _LOG = logging.getLogger(__name__)
 
@@ -440,8 +441,9 @@ def embedding_cosine_pairs(
 
     v = F.col(vec_col).cast("array<double>")
     e = df.select(F.col(id_col).alias("id"), v.alias("v"), _norm(v).alias("nrm"))
-    par = df.sparkSession.sparkContext.defaultParallelism
-    a, b = e.repartition(par).alias("a"), e.alias("b")
+    # spread the probe side of the broadcast NLJ across cores when the
+    # scan is a handful of splits; no-op (and no shuffle) at scale
+    a, b = spread_small(e).alias("a"), e.alias("b")
     return (
         a.join(F.broadcast(b), on=F.col("a.id") < F.col("b.id"))
         .select(
@@ -1154,11 +1156,12 @@ def jaccard_prefix_join(
     # the exploded shingle table feeds THREE consumers (df counts, the
     # rank window, the verify sets) — materialize it once instead of
     # re-running the explode per consumer (same discipline as the
-    # banded signature tables). Repartition first: the explode
-    # multiplies each row ~len-fold, so scan splits of a small input
-    # leave the whole shingle materialization on one core.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(par).select(
+    # banded signature tables). Spread first: the explode multiplies
+    # each row ~len-fold, so scan splits of a small input leave the
+    # whole shingle materialization on one core; spread_small is a
+    # no-op (no shuffle, no coalesce) once the scan already exceeds
+    # defaultParallelism splits.
+    sh = spread_small(df).select(
         F.col(id_col).alias("id"), F.explode(_word_shingles(F.col(text_col), n)).alias("s")
     ).transform(pin_eager)
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
@@ -1290,10 +1293,11 @@ def containment_prefix_join(
 
     eps = 1e-9
     # four consumers of the exploded shingles (df counts, rank window,
-    # index side, verify sets) — materialize once; repartition first so
-    # the len-fold explode doesn't run on the scan's few splits
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(par).select(
+    # index side, verify sets) — materialize once; spread first so the
+    # len-fold explode doesn't run on the scan's few splits (no-op at
+    # scale — spread_small never coalesces or adds a shuffle when the
+    # scan already has enough splits)
+    sh = spread_small(df).select(
         F.col(id_col).alias("id"), F.explode(_word_shingles(F.col(text_col), n)).alias("s")
     ).transform(pin_eager)
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))

@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from safedata_pipeline_spark.partitioning import spread_small
+
 ROUND_N = 6
 
 
@@ -67,10 +69,9 @@ def langid_fit(
 
     # spread the gram explode across cores: a small labeled sample
     # often arrives as a handful of input splits, and the explode
-    # multiplies each row ~len(text)-fold — without this the md5 work
-    # runs on however few partitions the scan produced
-    par = labeled.sparkSession.sparkContext.defaultParallelism
-    ex = labeled.repartition(par).select(
+    # multiplies each row ~len(text)-fold (no-op once the scan already
+    # has >= defaultParallelism splits — never coalesces at scale)
+    ex = spread_small(labeled).select(
         F.col(lang_col).alias("lang"),
         F.explode(_char_ngrams(F.lower(F.col(text_col)), n)).alias("ngram"),
     )
@@ -106,22 +107,22 @@ def langid_fit(
     return model.unionByName(floors)
 
 
-def langid_score(
+def _scored_grid(
     df: DataFrame,
     model: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
+    text_col: str,
+    id_col: str,
+    n: int,
 ) -> DataFrame:
-    """Score every document against the fitted model and pick the
-    argmax language. Output: ``(id, lang_pred, score)`` with
-    ``score = Σ_observed logp + (m − matched)·floor_l`` summed as
-    exact DECIMAL(38,6); ties break on ascending language code (a
-    zero-gram doc ties every language at 0 and predicts the first)."""
-    # same explode-fanout spread as the fit side (scan splits of a
-    # small fixture underestimate the post-explode row count)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    grams = df.repartition(par).select(
+    """The shared per-(doc, lang) score grid both ``langid_score`` and
+    ``langid_margin`` aggregate over: gram explode → broadcast model
+    join → (doc, lang) partial sums → floor fill-in for the unseen
+    grams. One place, so a scoring fix can never silently split the
+    argmax from the margin. Output: ``(id, lang, score DECIMAL(38,6))``
+    — exactly |langs| rows per input doc."""
+    # spread the explode fan-out across cores (scan splits of a small
+    # fixture underestimate the post-explode row count); no-op at scale
+    grams = spread_small(df).select(
         F.col(id_col), F.explode(_char_ngrams(F.lower(F.col(text_col)), n)).alias("g")
     )
     # total gram count per doc is just max(len−(n−1), 0) — a column
@@ -142,7 +143,7 @@ def langid_score(
         .agg(F.sum("logp").alias("s"), F.count(F.lit(1)).cast("bigint").alias("mc"))
     )
     zero = F.lit(0).cast("decimal(38,6)")
-    scored = (
+    return (
         m.crossJoin(F.broadcast(floors))
         .join(matched, [id_col, "lang"], "left")
         .select(
@@ -154,6 +155,21 @@ def langid_score(
             ).cast("decimal(38,6)").alias("score"),
         )
     )
+
+
+def langid_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Score every document against the fitted model and pick the
+    argmax language. Output: ``(id, lang_pred, score)`` with
+    ``score = Σ_observed logp + (m − matched)·floor_l`` summed as
+    exact DECIMAL(38,6); ties break on ascending language code (a
+    zero-gram doc ties every language at 0 and predicts the first)."""
+    scored = _scored_grid(df, model, text_col, id_col, n)
     # argmax as a hash-aggregate struct-min (no per-doc sort): smallest
     # (−score, lang) == highest score, ties broken on ascending lang
     best = scored.groupBy(id_col).agg(
@@ -184,43 +200,12 @@ def langid_margin(
     ``(id, lang_pred, lang_second, margin)``; a single-language model
     yields margin 0 with a NULL runner-up.
 
-    Same plan as ``langid_score`` plus one tiny per-doc array sort:
-    the per-(doc, lang) score grid is |langs| rows per doc, so the
-    top-2 selection is a collect_list + array_sort over ≤ |langs|
-    elements inside the existing doc-keyed aggregate — no extra
-    shuffle, no window."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    grams = df.repartition(par).select(
-        F.col(id_col), F.explode(_char_ngrams(F.lower(F.col(text_col)), n)).alias("g")
-    )
-    m = df.select(
-        F.col(id_col),
-        F.greatest(F.length(F.col(text_col)) - (n - 1), F.lit(0))
-        .cast("bigint")
-        .alias("m"),
-    )
-    floors = model.where(F.col("ngram").isNull()).select(
-        "lang", F.col("logp").alias("floor_logp")
-    )
-    mt = model.where(F.col("ngram").isNotNull())
-    matched = (
-        grams.join(F.broadcast(mt), grams.g == mt.ngram)
-        .groupBy(id_col, "lang")
-        .agg(F.sum("logp").alias("s"), F.count(F.lit(1)).cast("bigint").alias("mc"))
-    )
-    zero = F.lit(0).cast("decimal(38,6)")
-    scored = (
-        m.crossJoin(F.broadcast(floors))
-        .join(matched, [id_col, "lang"], "left")
-        .select(
-            id_col,
-            "lang",
-            (
-                F.coalesce("s", zero)
-                + (F.col("m") - F.coalesce("mc", F.lit(0))) * F.col("floor_logp")
-            ).cast("decimal(38,6)").alias("score"),
-        )
-    )
+    Same grid as ``langid_score`` (shared ``_scored_grid`` builder)
+    plus one tiny per-doc array sort: the per-(doc, lang) score grid
+    is |langs| rows per doc, so the top-2 selection is a collect_list
+    + array_sort over ≤ |langs| elements inside the existing doc-keyed
+    aggregate — no extra shuffle, no window."""
+    scored = _scored_grid(df, model, text_col, id_col, n)
     ranked = scored.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(F.struct((-F.col("score")).alias("ns"), F.col("lang").alias("l")))

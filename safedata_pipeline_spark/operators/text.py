@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from safedata_pipeline_spark.partitioning import spread_small
+
 ROUND_N = 6
 
 # BPE-ish surface tokens: letter runs, digit runs, single non-space symbol
@@ -1844,7 +1846,10 @@ def canonicalize_url(url) -> Column:
     each rewrite is mirrored term for term in the SQL oracle."""
     u = F.trim(url)
     u = F.regexp_replace(u, "#.*$", "")  # fragment
-    u = F.regexp_replace(u, "[?&](utm_[a-z_]+|gclid|fbclid)=[^&#]*", "")  # trackers
+    # trackers match case-insensitively ('?UTM_SOURCE=x' is the same
+    # tracking param as '?utm_source=x' — parameter names are
+    # conventionally case-insensitive in these trackers' ecosystems)
+    u = F.regexp_replace(u, "(?i)[?&](utm_[a-z_]+|gclid|fbclid)=[^&#]*", "")
     # separator repair after removals: a leading tracker takes its '?'
     # with it, leaving '&rest' (promote the first '&' to '?') or a
     # mid-query '?&' seam
@@ -1854,7 +1859,9 @@ def canonicalize_url(url) -> Column:
     head = F.lower(F.regexp_extract(u, "^(https?://[^/?]*)", 1))
     tail = F.regexp_replace(u, "^https?://[^/?]*", "")
     u = F.when(head == "", u).otherwise(F.concat(head, tail))
-    u = F.regexp_replace(u, "(:80|:443)(/|$)", "$2")  # default ports
+    # default ports strip before a path, a query, or end-of-string
+    # ('host:443?a=1' is the same page as 'host?a=1')
+    u = F.regexp_replace(u, "(:80|:443)([/?]|$)", "$2")
     u = F.regexp_replace(u, "/+\\?", "?")  # slash-before-query
     return F.regexp_replace(u, "/+$", "")  # trailing slashes
 
@@ -1930,9 +1937,9 @@ def repeated_ngram_fractions(
     streams = [_gram_stream(n) for n in range(2, 11)]
     # the nine streams multiply each row ~9·len-fold — spread across
     # cores before exploding (scan splits of a small input under-
-    # estimate the post-explode volume; same fix as langid)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    grams = base.repartition(par).select(
+    # estimate the post-explode volume; same fix as langid). No-op at
+    # scale: spread_small never coalesces or shuffles a big scan.
+    grams = spread_small(base).select(
         F.col(id_col), F.explode(F.concat(*streams)).alias("s")
     ).select(id_col, F.col("s.n").alias("n"), F.col("s.g").alias("g"))
     counts = grams.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
@@ -2000,8 +2007,7 @@ def pmi_top_pairs(
     no global sort. All inputs to the ln() are exact integers, so the
     6dp-rounded PMI is engine-stable (ulp precedent: the unigram
     surprise oracle)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    base = df.repartition(par).select(
+    base = spread_small(df).select(
         _ws_tokens(F.lower(F.col(text_col))).alias("__tk")
     )
     uni = (
