@@ -909,8 +909,13 @@ def _q_ann_cosine_topk_lsh(spark, sf):
 
 
 def _q_ann_cosine_topk_ivf(spark, sf):
+    # (64 cells, 16 probes, 2-cell multiple assignment) holds the
+    # >=0.8 recall@5 stat gate on the near-orthogonal fixture at ~43%
+    # candidates per query — see cosine_topk_ivf's dial rationale
     emb = load_table(spark, sf, "embeddings")
-    return SIM.cosine_topk_ivf(emb.where(F.col("vec_id") < 10), emb, k=5, num_cells=16, n_probe=4)
+    return SIM.cosine_topk_ivf(
+        emb.where(F.col("vec_id") < 10), emb, k=5, num_cells=64, n_probe=16, index_assign=2
+    )
 
 
 def _q_asof_last_click(spark, sf):
