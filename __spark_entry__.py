@@ -986,11 +986,17 @@ def _q_audio_frame_features(spark, sf):
 
 
 def _q_multimodal_features(spark, sf):
+    # X18, oracle-backed since r9: REAL codec end to end — fixture
+    # bytes encode to spec-conformant PNGs, the stdlib decoder
+    # round-trips them, and the decoded-content features (pixel
+    # sha256 fingerprint + integer-exact stats) hash-match an oracle
+    # computed from the ORIGINAL bytes. The former fake-codec default
+    # is retired to a unit-test hook (decode='fake').
     docs = load_table(spark, sf, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    media = MM.to_media_table(docs, "doc_id", "payload", "text/plain")
-    return MM.extract_image_features(media)
+    media = MM.encode_png_media(docs, "doc_id", "payload", width=64)
+    return MM.extract_image_features(media, decode="real")
 
 
 def _q_image_pixel_stats(spark, sf):
@@ -5431,6 +5437,28 @@ def _sql_image_pixel_stats(width: int) -> str:
     )
 
 
+def _sql_multimodal_features(width: int) -> str:
+    """Oracle from the ORIGINAL text bytes: the engine's pixel digest
+    and stats only match if encode→PNG→decode is byte-identical.
+    DuckDB sha256(substr(text,...)) hashes the UTF-8 bytes, which ARE
+    the payload bytes on the pure-ASCII fixture (octet_length ==
+    length, the audio/image-oracle precondition)."""
+    return (
+        f"WITH l AS (SELECT doc_id, text, (length(text) // {width}) * {width} AS n "
+        f"FROM documents WHERE length(text) >= {width}), "
+        "s AS (SELECT doc_id, CAST(sum(ord(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS ps, "
+        "CAST(count(*) AS BIGINT) AS n_samples FROM l, "
+        "unnest(generate_series(CAST(1 AS BIGINT), CAST(n AS BIGINT))) AS g(i) GROUP BY doc_id) "
+        "SELECT l.doc_id AS media_id, "
+        "sha256(substr(l.text, 1, CAST(l.n AS INT))) AS pixel_sha256, "
+        "floor(CAST(s.ps AS DOUBLE) / s.n_samples * 1e6 + 0.5) / 1e6 AS mean_pixel, "
+        "s.n_samples, "
+        f"CAST({width} AS BIGINT) AS width, "
+        f"CAST(s.n_samples // {width} AS BIGINT) AS height "
+        "FROM l JOIN s USING (doc_id)"
+    )
+
+
 def _sql_langid_ctes() -> str:
     """Shared CTE prefix for the langid oracles: the fixture
     (md5-selected markers + md5 train coin), the smoothed (lang,
@@ -5730,7 +5758,9 @@ def oracle_sql() -> dict[str, str]:
         "group_quantiles": _sql_group_quantiles((0.25, 0.5, 0.75)),
         "enforce_k_anonymity": _sql_enforce_k_anonymity(10),
         "multimodal_meta": _sql_multimodal_meta(),
-        # multimodal_features runs the stubbed decode path → rows-only
+        # oracle-backed since r9: real PNG round-trip, decoded-content
+        # digest + integer-exact stats checked against the source bytes
+        "multimodal_features": _sql_multimodal_features(64),
         "events_hourly": _sql_events_hourly(),
         "events_json": _sql_events_json(),
         "user_sessions": _sql_user_sessions(30),

@@ -4,13 +4,16 @@ extension surface).
 Media payloads are opaque ``binary`` columns + a typed metadata struct;
 all Spark-side plumbing (schemas, batch iteration, partitioning,
 output shapes) is real and tested. Codec tiers:
-  * ``decode="fake"`` (default) — deterministic features straight from
-    the raw bytes; exercises every stage with no image library.
-  * ``decode="real"`` — Pillow when importable (any format), else a
-    minimal stdlib PNG decoder (8-bit gray/RGB/±alpha, non-interlaced;
-    public PNG spec) so the real path stays testable in containers
-    without Pillow. Audio/video codecs (ffmpeg/torchvision) remain
-    out of scope for this container.
+  * ``decode="real"`` (default) — Pillow when importable (any format),
+    else a minimal stdlib PNG decoder (8-bit gray/RGB/±alpha,
+    non-interlaced; public PNG spec) so the real path stays testable
+    in containers without Pillow. The default since r9: the decoder is
+    oracle-certified (decode∘encode == identity, hash-checked), so
+    nothing justifies shipping placeholder values.
+  * ``decode="fake"`` — identity 'codec' (the payload bytes ARE the
+    1×N image); a unit-test hook exercising every stage around the
+    codec with no image container at all. Audio/video codecs
+    (ffmpeg/torchvision) remain out of scope for this container.
 
 Why mapInPandas: codecs are per-record Python/C work on big blobs —
 exactly the case where Arrow-batched pandas iteration beats both
@@ -47,13 +50,19 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
+# decoded-CONTENT features: the pixel digest is computed on the
+# decoded sample buffer, not the container bytes, so the same image
+# re-encoded (different zlib level, different container) keeps the
+# same fingerprint — content-addressed image dedup. Payload-level
+# n_bytes/sha256 live in ``media_meta`` (the JVM-side pass).
 IMAGE_FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
-        StructField("n_bytes", LongType(), True),
-        StructField("sha256", StringType(), True),
-        StructField("mean_byte", DoubleType(), True),
-        StructField("feature_dim", LongType(), True),
+        StructField("pixel_sha256", StringType(), True),
+        StructField("mean_pixel", DoubleType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
     ]
 )
 
@@ -81,13 +90,11 @@ def media_meta(df: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes | None) -> tuple[float, int]:
-    """Deterministic stand-in for a codec: mean byte value + a fixed
-    'feature dimension'. Exercises every stage around the codec without
-    needing an image library."""
-    if payload is None or len(payload) == 0:
-        return (0.0, 0)
-    return (sum(payload) / len(payload), 16)
+def _fake_decode(payload: bytes) -> tuple[bytes, int, int]:
+    """Identity 'codec' (unit-test hook): the payload bytes are the
+    decoded 1×N sample buffer. Exercises every stage around the codec
+    without needing an image container."""
+    return (payload, len(payload), 1)
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -96,14 +103,15 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def _png_decode_sums(payload: bytes) -> tuple[int, int, int, int]:
+def _png_decode_pixels(payload: bytes) -> tuple[bytes, int, int]:
     """Minimal stdlib PNG decoder (public spec, RFC 2083): 8-bit
     gray/RGB/gray+alpha/RGBA, non-interlaced. Parses IHDR, inflates the
     IDAT stream, reverses the per-scanline filters (None/Sub/Up/
-    Average/Paeth), and returns EXACT integer totals
-    ``(sample_sum, n_samples, width, height)`` — the integer-exact
-    contract that lets image stats ride the hash-checked oracle
-    channel (same discipline as the audio frame sums, X158)."""
+    Average/Paeth), and returns the EXACT decoded sample buffer
+    ``(pixels, width, height)`` in row-major sample order — the
+    byte-exact contract that lets image stats AND the content digest
+    ride the hash-checked oracle channel (same discipline as the audio
+    frame sums, X158)."""
     import struct
     import zlib
 
@@ -129,7 +137,7 @@ def _png_decode_sums(payload: bytes) -> tuple[int, int, int, int]:
     raw = zlib.decompress(b"".join(idat))
     stride = width * channels
     prev = bytearray(stride)
-    total = 0
+    out = bytearray()
     for row in range(height):
         off = row * (stride + 1)
         ftype, line = raw[off], bytearray(raw[off + 1 : off + 1 + stride])
@@ -150,23 +158,30 @@ def _png_decode_sums(payload: bytes) -> tuple[int, int, int, int]:
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 line[i] = (line[i] + pred) & 0xFF
-        total += sum(line)
+        out += line
         prev = line
-    n = width * height * channels
-    return (total, n, width, height)
+    return (bytes(out), width, height)
+
+
+def _png_decode_sums(payload: bytes) -> tuple[int, int, int, int]:
+    """EXACT integer totals ``(sample_sum, n_samples, width, height)``
+    from the decoded buffer — the hash-channel contract
+    ``image_pixel_stats`` aggregates on."""
+    px, width, height = _png_decode_pixels(payload)
+    return (sum(px), len(px), width, height)
 
 
 def _png_decode(payload: bytes) -> tuple[float, int]:
-    """(mean sample value, total samples) — the ``_fake_decode``
-    contract, derived from the exact sums."""
+    """(mean sample value, total samples), derived from the exact
+    sums."""
     total, n, _, _ = _png_decode_sums(payload)
     return (total / n if n else 0.0, n)
 
 
-def _real_decode(payload: bytes) -> tuple[float, int]:
+def _real_decode(payload: bytes) -> tuple[bytes, int, int]:
     """Genuine image decode: Pillow when importable (any format it
     knows), else the stdlib PNG decoder. Same output contract as
-    ``_fake_decode``: (mean decoded sample value, decoded length)."""
+    ``_fake_decode``: (decoded sample buffer, width, height)."""
     try:
         import io
 
@@ -174,9 +189,10 @@ def _real_decode(payload: bytes) -> tuple[float, int]:
         from PIL import Image  # type: ignore[import-not-found]
 
         arr = np.asarray(Image.open(io.BytesIO(payload)))
-        return (float(arr.mean()), int(arr.size))
+        h, w = (arr.shape + (1, 1))[:2]
+        return (arr.astype(np.uint8).tobytes(), int(w), int(h))
     except ImportError:
-        return _png_decode(payload)
+        return _png_decode_pixels(payload)
 
 
 def png_encode_gray(pixels: bytes, width: int) -> bytes:
@@ -277,13 +293,24 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
     )
 
 
-def extract_image_features(df: DataFrame, decode: str = "fake") -> DataFrame:
-    """Feature extraction over media payloads via Arrow-batched
-    ``mapInPandas``. ``decode='real'`` runs a genuine decoder (Pillow
-    if installed, else the built-in PNG path) — mean_byte is then the
-    mean decoded PIXEL value and feature_dim the decoded sample count;
-    the 'fake' default derives both purely from the raw bytes, keeping
-    the plumbing testable with no image library at all."""
+def extract_image_features(df: DataFrame, decode: str = "real") -> DataFrame:
+    """Decoded-content feature extraction over media payloads via
+    Arrow-batched ``mapInPandas``: per media row the decoded sample
+    buffer's sha256 (content-addressed fingerprint — survives
+    re-encoding, the image analogue of text's content_md5), its
+    integer-exact mean sample value (floor-snapped to 6dp, the shared
+    hash-channel discipline), the sample count, and the decoded
+    dimensions.
+
+    ``decode='real'`` (default) runs a genuine decoder — Pillow if
+    installed, else the built-in spec-conformant PNG path whose
+    decode∘encode identity is oracle-certified; ``decode='fake'`` is
+    the identity codec (payload bytes = the 1×N image), a unit-test
+    hook keeping the plumbing testable with no image container.
+    NULL/empty payloads keep their row with NULL fingerprint and
+    0 samples (the metadata join stays total)."""
+    import math
+
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
 
@@ -292,23 +319,21 @@ def extract_image_features(df: DataFrame, decode: str = "fake") -> DataFrame:
 
         decoder = _real_decode if decode == "real" else _fake_decode
         for pdf in it:
-            out = pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": [0 if b is None else len(b) for b in pdf["payload"]],
-                    "sha256": [
-                        None if b is None else hashlib.sha256(bytes(b)).hexdigest()
-                        for b in pdf["payload"]
-                    ],
-                }
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None or len(b) == 0:
+                    rows.append((mid, None, 0.0, 0, None, None))
+                    continue
+                px, w, h = decoder(bytes(b))
+                n = len(px)
+                mean = math.floor(sum(px) / n * 1e6 + 0.5) / 1e6 if n else 0.0
+                rows.append((mid, hashlib.sha256(px).hexdigest(), mean, n, w, h))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "pixel_sha256", "mean_pixel", "n_samples", "width", "height",
+                ],
             )
-            decoded = [
-                (0.0, 0) if b is None or len(b) == 0 else decoder(bytes(b))
-                for b in pdf["payload"]
-            ]
-            out["mean_byte"] = [d[0] for d in decoded]
-            out["feature_dim"] = [d[1] for d in decoded]
-            yield out
 
     return df.select("media_id", "payload").mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 

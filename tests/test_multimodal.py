@@ -31,11 +31,15 @@ def test_media_meta_jvm_side(spark):
 
 
 def test_fake_decode_features(spark):
-    got = {r.media_id: r for r in MM.extract_image_features(_media(spark)).collect()}
-    assert got[2].mean_byte == 255.0
-    assert got[1].feature_dim == 16
-    assert got[3].feature_dim == 0 and got[3].sha256 is None
-    assert got[1].sha256 == hashlib.sha256(b"\x00\x01\x02\x03" * 40).hexdigest()
+    got = {
+        r.media_id: r
+        for r in MM.extract_image_features(_media(spark), decode="fake").collect()
+    }
+    # identity codec: payload bytes are the 1xN decoded buffer
+    assert got[2].mean_pixel == 255.0
+    assert (got[1].n_samples, got[1].width, got[1].height) == (160, 160, 1)
+    assert got[3].n_samples == 0 and got[3].pixel_sha256 is None
+    assert got[1].pixel_sha256 == hashlib.sha256(b"\x00\x01\x02\x03" * 40).hexdigest()
 
 
 def _make_png(pixels, channels=3):
@@ -86,10 +90,39 @@ def test_real_decode_runs_on_png(spark):
     png = _make_png([[(0, 0, 0), (255, 255, 255)]])
     df = spark.createDataFrame([(1, bytearray(png))], "media_id long, payload binary")
     media = MM.to_media_table(df, "media_id", "payload", "image/png")
-    got = MM.extract_image_features(media, decode="real").collect()[0]
-    assert got.feature_dim == 6
-    assert got.mean_byte == 127.5
-    assert got.n_bytes == len(png)
+    got = MM.extract_image_features(media).collect()[0]  # decode='real' default
+    assert (got.n_samples, got.width, got.height) == (6, 2, 1)
+    assert got.mean_pixel == 127.5
+    # content-addressed: digest of the DECODED buffer, not the container
+    assert got.pixel_sha256 == hashlib.sha256(bytes([0, 0, 0, 255, 255, 255])).hexdigest()
+
+
+def test_pixel_digest_survives_reencoding():
+    """The same pixels under different zlib levels (different PNG
+    container bytes) must keep one content fingerprint — the dedup
+    property the decoded-content digest exists for."""
+    import struct
+    import zlib
+
+    pixels = bytes(range(128)) * 2
+    a = MM.png_encode_gray(pixels, width=64)
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", 64, 4, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[r * 64 : (r + 1) * 64] for r in range(4))
+    b = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, level=9))
+        + chunk(b"IEND", b"")
+    )
+    assert a != b  # genuinely different container bytes
+    pa, wa, ha = MM._png_decode_pixels(a)
+    pb, wb, hb = MM._png_decode_pixels(b)
+    assert pa == pb == pixels and (wa, ha) == (wb, hb) == (64, 4)
 
 
 def test_real_decode_non_png_raises(spark):
