@@ -246,8 +246,11 @@ def main() -> None:
     # by the median whenever the steady state is faster.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     import gc
 
+    load_start = list(os.getloadavg())
+    t_run0 = time.time()
     for name in names:
         # measurement hygiene: the 160+ preceding queries leave
         # localCheckpoint blocks alive until their Python DataFrames
@@ -263,6 +266,7 @@ def main() -> None:
             force(qs[name](spark, sf_dir))
             samples.append(time.time() - t0)
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
     total = round(sum(timings.values()), 3)
     payload = json.dumps(
@@ -272,6 +276,21 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            # run-condition markers: per-query [min, max] over the reps
+            # plus the box's 1/5/15-min load averages before and after.
+            # A genuine code regression moves the MEDIAN with a tight
+            # spread on an idle box; concurrent-load contention shows
+            # up as wide spreads + elevated loadavg (r8's 221s-vs-257s
+            # driver/builder delta was exactly this, indistinguishable
+            # without the markers).
+            "rep_spread": spread,
+            "reps": reps,
+            "load": {
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "cpus": os.cpu_count(),
+                "wall_sec": round(time.time() - t_run0, 1),
+            },
         }
     )
     # stdout line is the driver contract; the file copy survives any
