@@ -48,6 +48,7 @@ from safedata_pipeline_spark.operators import graph as GR
 from safedata_pipeline_spark.operators import bpe as BP
 from safedata_pipeline_spark.operators import fuzzy as FZ
 from safedata_pipeline_spark.operators import clustering as CL
+from safedata_pipeline_spark.operators import compression as CMP
 from safedata_pipeline_spark.functions.hashing import md5_unit_interval as _hash01
 from safedata_pipeline_spark.streaming import corpus as SC
 from safedata_pipeline_spark.streaming import events as SE
@@ -2496,6 +2497,26 @@ def _q_lang_id_margin(spark, sf):
     return LI.langid_margin(fixed, model)
 
 
+# -- X198/X199: compressibility quality signals -------------------------------
+
+
+def _q_compression_entropy(spark, sf):
+    # order-0 byte entropy + the ideal compressed fraction it implies
+    # (Shannon bound) per document — the hash-checkable face of the
+    # DataComp-LM/Dolma compressibility screen; exact-integer counts,
+    # 6dp-ln DECIMAL sums, floor-snapped finish
+    return CMP.compression_entropy(load_table(spark, sf, "documents"))
+
+
+def _q_zlib_ratio(spark, sf):
+    # the REAL deflate ratio (stdlib zlib level 6) — the repetition
+    # detector the entropy bound can't be (LZ77 window vs order-0
+    # alphabet skew). Deterministic per zlib build but not
+    # SQL-reproducible -> rows-only; pinned by determinism/monotone
+    # tests and the zlib-vs-entropy correlation stat gate.
+    return CMP.zlib_signal(load_table(spark, sf, "documents"))
+
+
 # -- X168: BPE-unit token counts (merge-rank application) --------------------
 
 
@@ -2592,6 +2613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "winnowing": _q_winnowing,
         "alpha_mixture": _q_alpha_mixture,
+        # r9-NEW operators, in-window first round per standing policy:
+        "compression_entropy": _q_compression_entropy,
         # --- past the driver's 50-row correctness window from here on.
         # r8 late arrivals (slots filled) — next-window queue, locally
         # hash-checked this round:
@@ -2759,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_user_rollup": _q_hll_user_rollup,
         "quality_classifier": _q_quality_classifier,
         "bpe_token_count": _q_bpe_token_count,
+        "zlib_ratio": _q_zlib_ratio,
     }
 
 
@@ -5437,6 +5461,32 @@ def _sql_image_pixel_stats(width: int) -> str:
     )
 
 
+def _sql_compression_entropy() -> str:
+    """DuckDB twin of the order-0 byte-entropy bound: same char
+    enumeration (generate_series + substr — char == byte on the ASCII
+    fixture), same exact DECIMAL(12,0)×DECIMAL(20,6) ln-term products,
+    same double finishing divides and 6dp floor-snaps."""
+    return (
+        "WITH ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS b "
+        "FROM documents, "
+        "unnest(generate_series(CAST(1 AS BIGINT), CAST(length(text) AS BIGINT))) AS g(i)), "
+        "cnt AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2), "
+        "pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bytes, "
+        "CAST(count(*) AS BIGINT) AS n_distinct_bytes, "
+        "CAST(sum(CAST(CAST(c AS DECIMAL(12,0)) * CAST(round(ln(c), 6) AS DECIMAL(20,6)) "
+        "AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS s FROM cnt GROUP BY 1), "
+        "h AS (SELECT doc_id, n_bytes, n_distinct_bytes, "
+        "floor(CAST(CAST(CAST(n_bytes AS DECIMAL(12,0)) * CAST(round(ln(CAST(n_bytes AS DOUBLE)), 6) "
+        "AS DECIMAL(20,6)) AS DECIMAL(38,6)) - s AS DOUBLE) / n_bytes / 0.6931471805599453 "
+        "* 1e6 + 0.5) / 1e6 AS entropy_bits_per_byte FROM pd) "
+        "SELECT d.doc_id, coalesce(h.n_bytes, 0) AS n_bytes, "
+        "coalesce(h.n_distinct_bytes, 0) AS n_distinct_bytes, "
+        "coalesce(h.entropy_bits_per_byte, 0.0) AS entropy_bits_per_byte, "
+        "floor(coalesce(h.entropy_bits_per_byte, 0.0) / 8 * 1e6 + 0.5) / 1e6 AS ideal_ratio "
+        "FROM documents d LEFT JOIN h USING (doc_id)"
+    )
+
+
 def _sql_multimodal_features(width: int) -> str:
     """Oracle from the ORIGINAL text bytes: the engine's pixel digest
     and stats only match if encode→PNG→decode is byte-identical.
@@ -5761,6 +5811,9 @@ def oracle_sql() -> dict[str, str]:
         # oracle-backed since r9: real PNG round-trip, decoded-content
         # digest + integer-exact stats checked against the source bytes
         "multimodal_features": _sql_multimodal_features(64),
+        "compression_entropy": _sql_compression_entropy(),
+        # zlib_ratio: deflate output size is zlib-build-specific, not
+        # SQL-reproducible -> rows-only (stat-gated vs the entropy bound)
         "events_hourly": _sql_events_hourly(),
         "events_json": _sql_events_json(),
         "user_sessions": _sql_user_sessions(30),

@@ -214,6 +214,9 @@ HEADLINE = [
     "repeated_ngrams",
     "pmi_pairs",
     "lang_id_margin",
+    # round-9 additions
+    "compression_entropy",
+    "zlib_ratio",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

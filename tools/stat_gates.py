@@ -47,6 +47,8 @@ GATES: dict[str, tuple[str, float]] = {
     "bpe_compression_ratio": ("max", 0.95),    # 10 merges must compress ≥5%
     "classifier_heldout_auc": ("min", 0.95),   # measured 1.0 (r6, planted clean-vs-degraded fixture)
     "langid_heldout_acc": ("min", 0.90),       # measured 1.0 (r8, planted marker fixture)
+    "zlib_ratio_max": ("max", 1.05),           # deflate ≤ raw + framing overhead
+    "zlib_dup_cost": ("max", 1.15),            # doubled text must compress ~free (LZ window alive)
 }
 
 # Scaling-slope gates for the pair-GENERATOR family — the operator
@@ -251,6 +253,36 @@ def compute(spark, sf_dir: str) -> dict[str, float]:
         F.avg((F.col("lang_true") == F.col("lang_pred")).cast("double")).alias("acc")
     ).collect()[0]
     out["langid_heldout_acc"] = round(float(agg["acc"]), 6)
+
+    # -- zlib compressibility: codec sanity gates -----------------------
+    # the deflate ratio is rows-only (no SQL deflate exists). Raw
+    # correlation with the entropy bound is confounded by doc length
+    # (short docs pay deflate overhead AND measure lower order-0
+    # entropy — measured r ≈ −0.63 on the fixture), so the gates pin
+    # two sharp invariants of a working LZ codec instead:
+    # (a) range — deflate never exceeds raw size by more than framing
+    #     overhead on real docs;
+    # (b) duplication response — doubling a doc's text (an exact
+    #     repeat inside the 32 KB window) must barely grow its deflate
+    #     size. A codec path that lost the LZ window (or hashes junk)
+    #     fails (b) immediately; a ratio computed on the wrong bytes
+    #     fails (a).
+    zr = qs["zlib_ratio"](spark, sf_dir)
+    out["zlib_ratio_max"] = round(
+        float(zr.agg(F.max("zlib_ratio").alias("m")).collect()[0]["m"]), 6
+    )
+    from safedata_pipeline_spark.operators import compression as CMP
+
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") >= 64)
+    single = {r["doc_id"]: r["zlib_len"] for r in CMP.zlib_signal(docs).collect()}
+    doubled = {
+        r["doc_id"]: r["zlib_len"]
+        for r in CMP.zlib_signal(
+            docs.select("doc_id", F.concat("text", "text").alias("text"))
+        ).collect()
+    }
+    costs = [doubled[d] / single[d] for d in single if single[d] > 0]
+    out["zlib_dup_cost"] = round(sum(costs) / len(costs), 6)
     return out
 
 
