@@ -1205,7 +1205,10 @@ def _q_events_json(spark, sf):
 
 
 def _q_user_sessions(spark, sf):
-    return SS.user_sessions(load_table(spark, sf, "events"), gap_minutes=30)
+    # built-in session_window path since r9 (JVM-side merge in one hash
+    # aggregate; row-for-row equal to the lag+cumsum twin, which remains
+    # the kernel for custom state) — same oracle SQL
+    return SS.user_sessions_native(load_table(spark, sf, "events"), gap_minutes=30)
 
 
 def _q_impute(spark, sf):

@@ -6,12 +6,21 @@ counterpart; built on pure Structured Streaming idioms).
 one window partitioned by user (parallel across users, no global
 sort). Fully SQL-expressible → oracle-checked.
 
+``user_sessions_native`` / ``stream_user_sessions_native``: the same
+gap-based sessions through Spark's BUILT-IN ``session_window``
+aggregate — fully JVM-side (no Python in the loop), one shuffle, and
+on streams the state store handles merge/expiry natively. Preferred
+whenever plain gap sessions are all that's needed; boundary semantics
+verified identical to the window twin (an event exactly ``gap`` after
+the previous one MERGES on both paths).
+
 ``stream_user_sessions``: the same semantics as an unbounded stateful
 stream via ``applyInPandasWithState`` — per-user state holds only the
 open session (bounded state); closed sessions emit downstream. This is
-the (b)-tier custom operator from the build rules: built-ins can't
-express cross-batch session state, so an Arrow-batched stateful UDF
-carries exactly the open-session struct and nothing else.
+the (b)-tier custom operator from the build rules kept for CUSTOM
+state the built-in can't express: the globally-unique per-user session
+NUMBERING it carries across batches (a stream can't row_number), and
+any richer open-session payload a derived pipeline needs.
 """
 
 from __future__ import annotations
@@ -86,6 +95,68 @@ def user_sessions(events: DataFrame, gap_minutes: int = DEFAULT_GAP_MIN) -> Data
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
+    )
+
+
+def _native_session_agg(events: DataFrame, gap_minutes: int) -> DataFrame:
+    """One ``session_window`` hash aggregate: the JVM state-merge form
+    of gap sessionization, shared by the batch and stream native
+    paths (and by consumers like ``session_concurrency`` that don't
+    need the per-user numbering)."""
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", f"{gap_minutes} minutes").alias("__w")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .drop("__w")
+    )
+
+
+def user_sessions_native(
+    events: DataFrame, gap_minutes: int = DEFAULT_GAP_MIN
+) -> DataFrame:
+    """Batch sessionization via the built-in ``session_window``
+    aggregate — same output contract as ``user_sessions`` (verified
+    equal row-for-row, including the exactly-at-gap merge boundary),
+    but the session merge runs inside one JVM hash aggregate instead
+    of a per-user sort window + second aggregate. The per-user
+    ``session_id`` numbering is restored with one window over the
+    SESSION rows (a few per user — dashboard-sized), keyed by
+    session_start with the same total order the event-time numbering
+    produces."""
+    agg = _native_session_agg(events, gap_minutes)
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return agg.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "sum_value",
+    )
+
+
+def stream_user_sessions_native(
+    events_stream: DataFrame,
+    gap_minutes: int = DEFAULT_GAP_MIN,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization on the built-in ``session_window``
+    state: the state store merges/extends sessions and emits each one
+    when the watermark passes its close — no Python in the loop, no
+    custom state schema. Emits WITHOUT the per-user session counter
+    (a stream has no total order to number by; use the
+    ``applyInPandasWithState`` kernel when numbering matters)."""
+    return _native_session_agg(
+        events_stream.select("user_id", "ts", "value").withWatermark(
+            "ts", watermark_delay
+        ),
+        gap_minutes,
     )
 
 
@@ -263,12 +334,13 @@ def session_concurrency(
     points the level is constant (the standard sweep-line encoding).
 
     Shape: sessions themselves are the one event-row pass
-    (``user_sessions``); the delta union + groupBy + cumulative
-    window all run on the HOUR GRID (≤ thousands of rows at any
-    horizon) — same dashboard-sized-window discipline as
-    ``value_counts``. All-integer deltas, engine-exact.
+    (the native ``session_window`` aggregate — numbering isn't needed
+    here, so the row_number window is skipped entirely); the delta
+    union + groupBy + cumulative window all run on the HOUR GRID
+    (≤ thousands of rows at any horizon) — same dashboard-sized-window
+    discipline as ``value_counts``. All-integer deltas, engine-exact.
     """
-    s = user_sessions(events, gap_minutes)
+    s = _native_session_agg(events, gap_minutes)
     start_h = F.date_trunc("hour", F.col("session_start"))
     end_h = F.date_trunc("hour", F.col("session_end")) + F.expr("INTERVAL 1 HOUR")
     deltas = s.select(start_h.alias("h"), F.lit(1).alias("d")).unionByName(

@@ -152,6 +152,69 @@ def test_stream_sessions_match_batch_exactly(spark, sf_dir, tmp_path):
     assert len(got) > 0
 
 
+def test_native_batch_matches_window_twin(spark, sf_dir):
+    """The built-in session_window path must reproduce the lag+cumsum
+    twin row for row — session numbering, boundaries, exact sums."""
+    key = lambda r: (  # noqa: E731
+        r.user_id, r.session_id, r.session_start, r.session_end, r.n_events, r.sum_value,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    a = sorted(map(key, SS.user_sessions(ev).collect()))
+    b = sorted(map(key, SS.user_sessions_native(ev).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_native_gap_boundary_matches_twin(spark):
+    # exactly-at-gap merges on BOTH paths; one microsecond past splits
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + datetime.timedelta(minutes=30), 1.0),  # == gap → merge
+        (1, t0 + datetime.timedelta(minutes=60, microseconds=1), 1.0),  # > gap → new
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    out = SS.user_sessions_native(df, gap_minutes=30).collect()
+    assert len(out) == 2
+    assert sorted(r.n_events for r in out) == [1, 2]
+
+
+def test_native_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Built-in session_window state on a stream == the batch native
+    path (no session numbering on the stream — a stream has no total
+    order to number by)."""
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in SS.user_sessions_native(load_table(spark, sf_dir, "events")).collect()
+    }
+    raw = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + datetime.timedelta(days=10), 0.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    src = str(tmp_path / "ev_native")
+    raw.unionByName(sentinel).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    if dict(stream.dtypes).get("ts") != "timestamp":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        SS.stream_user_sessions_native(stream)
+        .writeStream.format("memory")
+        .queryName("t_sessions_native")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.table("t_sessions_native").collect()
+        if r.user_id != -1
+    }
+    assert got == batch and len(got) > 0
+
+
 def test_kernel_timeout_flush_preserves_session_counter():
     import pandas as pd
 
