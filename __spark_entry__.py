@@ -1165,6 +1165,12 @@ def _q_substring_dedup(spark, sf):
     return DD.substring_dedup(load_table(spark, sf, "documents"), k=8)
 
 
+def _q_substring_dedup_chars(spark, sf):
+    # X200: the CHAR-granular ExactSubstr sibling (repeats >= 40 chars,
+    # word alignment not required; word-snap removal — the safe default)
+    return DD.substring_dedup_chars(load_table(spark, sf, "documents"), k=40)
+
+
 def _q_dedup_incremental_near(spark, sf):
     # incremental NEAR-dup ingestion (X135): new docs whose banded
     # MinHash estimate vs the accepted corpus >= 0.5 are dropped
@@ -2618,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alpha_mixture": _q_alpha_mixture,
         # r9-NEW operators, in-window first round per standing policy:
         "compression_entropy": _q_compression_entropy,
+        "substring_dedup_chars": _q_substring_dedup_chars,
         # --- past the driver's 50-row correctness window from here on.
         # r8 late arrivals (slots filled) — next-window queue, locally
         # hash-checked this round:
@@ -5156,6 +5163,44 @@ def _sql_substring_dedup(k: int) -> str:
     )
 
 
+def _sql_substring_dedup_chars(k: int) -> str:
+    """Mirror of dedup.substring_dedup_chars (snap='word'): k-CHAR
+    window digests over whitespace-normalized text, global
+    first-occurrence keeps, marked char positions, word removed iff
+    fully covered, text rebuilt space-joined."""
+    return (
+        "WITH base AS (SELECT doc_id AS id, "
+        "array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ') AS t "
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), "
+        f"occ AS (SELECT id, CAST(s.i AS INT) AS pos, md5(substr(t, CAST(s.i AS INT), {k})) AS h "
+        "FROM base, unnest(generate_series(CAST(1 AS BIGINT), "
+        f"CAST(length(t) - {k - 1} AS BIGINT))) AS s(i) WHERE length(t) >= {k}), "
+        "ranked AS (SELECT id, pos, "
+        "row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn, "
+        "count(*) OVER (PARTITION BY h) AS cnt FROM occ), "
+        "markedocc AS (SELECT id, pos FROM ranked WHERE cnt >= 2 AND rn > 1), "
+        "marked AS (SELECT DISTINCT id, CAST(u.i AS INT) AS cidx FROM markedocc, "
+        f"unnest(generate_series(CAST(pos AS BIGINT), CAST(pos + {k - 1} AS BIGINT))) AS u(i)), "
+        "counts AS (SELECT id, CAST(count(*) AS BIGINT) AS n_marked FROM marked GROUP BY id), "
+        "wl AS (SELECT id, string_split(t, ' ') AS ws FROM base), "
+        "wd AS (SELECT id, CAST(s.i AS INT) AS widx, list_extract(ws, CAST(s.i AS INT)) AS w "
+        "FROM wl, unnest(generate_series(CAST(1 AS BIGINT), CAST(len(ws) AS BIGINT))) AS s(i)), "
+        "sp AS (SELECT id, widx, w, CAST(coalesce(sum(length(w) + 1) OVER "
+        "(PARTITION BY id ORDER BY widx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS INT) AS s "
+        "FROM wd), "
+        "cov AS (SELECT sp.id, sp.widx, sp.w, count(m.cidx) AS c FROM sp "
+        "LEFT JOIN marked m ON m.id = sp.id AND m.cidx BETWEEN sp.s AND sp.s + length(sp.w) - 1 "
+        "GROUP BY 1, 2, 3), "
+        "clean AS (SELECT id, string_agg(w, ' ' ORDER BY widx) AS clean_text "
+        "FROM cov WHERE c < length(w) GROUP BY id) "
+        "SELECT b.id AS doc_id, CAST(length(b.t) AS BIGINT) AS n_chars, "
+        "coalesce(c.n_marked, 0) AS n_marked_chars, "
+        "coalesce(cl.clean_text, '') AS clean_text "
+        "FROM base b LEFT JOIN counts c ON b.id = c.id "
+        "LEFT JOIN clean cl ON b.id = cl.id"
+    )
+
+
 def _sql_pmi_pairs(min_count: int, topk: int) -> str:
     return (
         "WITH tk AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
@@ -5729,6 +5774,7 @@ def oracle_sql() -> dict[str, str]:
         "auc_daily": _sql_auc_daily(),
         "calibration_bins": _sql_calibration_bins(10),
         "substring_dedup": _sql_substring_dedup(8),
+        "substring_dedup_chars": _sql_substring_dedup_chars(40),
         "encode_tokens": _sql_encode_tokens(10),
         "token_count_vocab": _sql_token_count_vocab(10),
         "lang_id_trained": _sql_lang_id_trained(),

@@ -217,6 +217,7 @@ HEADLINE = [
     # round-9 additions
     "compression_entropy",
     "zlib_ratio",
+    "substring_dedup_chars",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

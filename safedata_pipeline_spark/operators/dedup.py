@@ -980,6 +980,155 @@ def substring_dedup(
     )
 
 
+def substring_dedup_chars(
+    df: DataFrame,
+    k: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    snap: str = "word",
+) -> DataFrame:
+    """CHARACTER-granular ExactSubstr dedup — the tightened sibling of
+    word-window ``substring_dedup``, closing most of the granularity
+    gap to Lee et al. 2022's suffix-array formulation (their threshold
+    counts ~50 BPE tokens of raw bytes; here: any repeated run of
+    ≥ k CHARACTERS, word alignment NOT required — a repeat starting
+    mid-word is now visible).
+
+    Construction (same covering argument as the word form, at char
+    offsets): the match unit is the k-char window slid over every
+    position of the whitespace-NORMALIZED text (words joined by single
+    spaces — the word form's rebuild convention, applied up front so
+    char offsets are engine-reproducible); a maximal repeated run of
+    m ≥ k chars is tiled exactly by its m−k+1 duplicated windows, so
+    marked chars cover precisely the repeated span — CHAR-EXACT
+    boundaries, pinned by the char-level sequential twin test.
+    Every non-first occurrence (first = min (doc_id, pos)) marks its k
+    char positions.
+
+    Removal modes:
+      * ``snap='word'`` (default, conservative): a word is removed iff
+        EVERY one of its characters is marked — partially-duplicated
+        boundary words survive intact (under-removal bounded by one
+        word per run edge), and the output never contains word
+        fragments. The safe default for corpus curation.
+      * ``snap='none'``: exact char splice (Lee et al. semantics on
+        the normalized text) — keeps every unmarked char, fragments
+        and all.
+
+    Output per surviving doc: ``(id, n_chars, n_marked_chars,
+    clean_text)``; fully-duplicated docs keep their row with
+    ``clean_text = ''``.
+
+    100 TB shape: identical skeleton to ``substring_dedup`` — digests
+    shuffle, text doesn't; the char grid multiplies the occurrence
+    table ~6× over the word grid (the honest cost of char exactness —
+    run the word form first as the cheap pass, this one on survivors).
+    The word-snap coverage check is an in-row nested higher-order
+    filter (O(words × marked) per doc worst case; bounded because
+    marked spans are capped by doc length).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if snap not in ("word", "none"):
+        raise ValueError("snap must be 'word' or 'none'")
+    norm = F.concat_ws(" ", F.split(F.trim(F.col(text_col)), "\\s+"))
+    base = (
+        df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col).alias("id"), norm.alias("__t"))
+    )
+    n = F.length("__t")
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.md5(F.substr(F.col("__t"), i, F.lit(k)).cast("binary")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    # spread before the ~len-fold char-window explode (no-op at scale)
+    occ = spread_small(base).select("id", F.explode(grams).alias("g")).select(
+        "id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+    )
+    dup = (
+        occ.groupBy("h")
+        .agg(
+            F.min(F.struct(F.col("id"), F.col("pos"))).alias("first"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .where(F.col("cnt") >= 2)
+        .select("h", "first")
+    )
+    marked_occ = (
+        occ.join(dup, on="h")
+        .where(
+            ~((F.col("id") == F.col("first.id")) & (F.col("pos") == F.col("first.pos")))
+        )
+        .select("id", F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1)).alias("idxs"))
+    )
+    marked = marked_occ.groupBy("id").agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("idxs")))).alias("__marked")
+    )
+    joined = base.join(marked, on="id", how="left")
+    marked_arr = F.coalesce(F.col("__marked"), F.array().cast("array<integer>"))
+    if snap == "none":
+        keep_idx = F.array_except(F.sequence(F.lit(1), n), marked_arr)
+        clean = F.concat_ws(
+            "", F.transform(keep_idx, lambda i: F.substr(F.col("__t"), i, F.lit(1)))
+        )
+    else:
+        ws = F.split(F.col("__t"), " ")
+        # word char spans [s, e] (1-based) by an expression fold: the
+        # normalized text is single-space joined, so next start is
+        # previous end + 2
+        spans = F.aggregate(
+            ws,
+            F.array().cast("array<struct<s:int,e:int>>"),
+            lambda acc, w: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        F.coalesce(
+                            F.try_element_at(acc, F.lit(-1)).getField("e") + 2, F.lit(1)
+                        ).alias("s"),
+                        (
+                            F.coalesce(
+                                F.try_element_at(acc, F.lit(-1)).getField("e") + 2, F.lit(1)
+                            )
+                            + F.length(w)
+                            - 1
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        )
+        tagged = F.zip_with(
+            ws,
+            spans,
+            lambda w, sp: F.struct(
+                w.alias("w"), sp.getField("s").alias("s"), sp.getField("e").alias("e")
+            ),
+        )
+        kept = F.filter(
+            tagged,
+            lambda x: F.size(
+                F.filter(
+                    marked_arr,
+                    lambda p: (p >= x.getField("s")) & (p <= x.getField("e")),
+                )
+            )
+            < (x.getField("e") - x.getField("s") + 1),
+        )
+        clean = F.concat_ws(" ", F.transform(kept, lambda x: x.getField("w")))
+    return joined.select(
+        F.col("id").alias(id_col),
+        n.cast("bigint").alias("n_chars"),
+        F.coalesce(F.size("__marked"), F.lit(0)).cast("bigint").alias("n_marked_chars"),
+        clean.alias("clean_text"),
+    )
+
+
 def leakage_free_split(
     docs: DataFrame,
     pairs: DataFrame,

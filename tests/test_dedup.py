@@ -636,6 +636,69 @@ def test_substring_dedup_exact_boundaries_vs_sequential_twin(spark):
     assert got[4] == "suffix three four"
 
 
+def test_substring_dedup_chars_vs_sequential_twin(spark):
+    """Char-granular ExactSubstr: an independent sequential twin marks,
+    for every char position, whether its covering k-char window occurs
+    at any strictly-earlier (doc_id, pos); the operator must agree on
+    every document in BOTH removal modes — including a repeat that
+    starts mid-word (invisible to the word-window form)."""
+    from safedata_pipeline_spark.operators.dedup import substring_dedup_chars
+
+    k = 12
+    boiler = "click here to unsubscribe"
+    docs_py = {
+        1: f"alpha beta {boiler} gamma",
+        2: f"intro text {boiler} outro",
+        # mid-word-start repeat: 'scribe now please join' repeats the
+        # tail of 'unsubscribe' — word windows can't see this
+        3: "unsubscribe now please join us today",
+        4: "resubscribe now please join us tomorrow",
+        5: "tiny",
+    }
+    norm = {i: " ".join(t.split()) for i, t in docs_py.items()}
+
+    def twin_marked(texts):
+        occ = {}
+        for i, t in sorted(texts.items()):
+            for p in range(len(t) - k + 1):
+                occ.setdefault(t[p : p + k], []).append((i, p))
+        out = {}
+        for i, t in texts.items():
+            m = set()
+            for p in range(len(t) - k + 1):
+                if min(occ[t[p : p + k]]) < (i, p):
+                    m.update(range(p, p + k))
+            out[i] = m
+        return out
+
+    tm = twin_marked(norm)
+    df = spark.createDataFrame(list(docs_py.items()), "doc_id bigint, text string")
+
+    # snap='none': exact char splice
+    got = {r.doc_id: r for r in substring_dedup_chars(df, k=k, snap="none").collect()}
+    for i, t in norm.items():
+        expected = "".join(c for j, c in enumerate(t) if j not in tm[i])
+        assert got[i].clean_text == expected, i
+        assert got[i].n_marked_chars == len(tm[i])
+        assert got[i].n_chars == len(t)
+
+    # snap='word': a word goes iff ALL its chars are marked
+    got_w = {
+        r.doc_id: r.clean_text
+        for r in substring_dedup_chars(df, k=k, snap="word").collect()
+    }
+    for i, t in norm.items():
+        words, out, pos = t.split(" "), [], 0
+        for w in words:
+            span = range(pos, pos + len(w))
+            if not all(j in tm[i] for j in span):
+                out.append(w)
+            pos += len(w) + 1
+        assert got_w[i] == " ".join(out), i
+    # the mid-word repeat was detected (doc 4 lost its shared tail run)
+    assert got_w[3] != norm[3] or got_w[4] != norm[4]
+
+
 def test_corpus_overlap_scalars(spark):
     """X175: corpus-level shingle overlap — exact counts on planted
     shared/unique content; asymmetric containment."""

@@ -69,6 +69,13 @@ SLOPE_QUERIES = [
     "semantic_dedup",
     "substring_dedup",
     "winnowing_overlap",
+    # iterative operators (cost = rounds × per-pass): their failure
+    # mode is a per-iteration lineage/plan blowup (each round paying
+    # more than the last) or an accidental data-dependent round count —
+    # either shows up as a super-linear wall-clock slope at 10x data
+    "kmeans_embeddings",
+    "bpe_merges",
+    "dup_graph_pagerank",
 ]
 SLOPE_GATES: dict[str, tuple[str, float]] = {
     f"slope_{q}": ("max", 25.0) for q in SLOPE_QUERIES
