@@ -2526,6 +2526,27 @@ def _q_zlib_ratio(spark, sf):
     return CMP.zlib_signal(load_table(spark, sf, "documents"))
 
 
+# -- X201: md5-register HLL — approximate distinct in the ORACLE channel ------
+
+
+def _q_hll_daily_users(spark, sf):
+    # daily distinct-user ESTIMATE built the mergeable way: hourly md5
+    # register partials -> max() merge to day -> harmonic finish. The
+    # oracle computes the DAY-DIRECT registers from raw rows, so the
+    # hash match certifies determinism AND merge(partials) == direct
+    # in one row set — an approximate operator in the exact channel
+    # (Datasketches hll_user_rollup stays the rows-only industrial twin).
+    ev = load_table(spark, sf, "events")
+    tagged = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day_start"),
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_start"),
+        "user_id",
+    )
+    hourly = SK.hll_md5_registers(tagged, "user_id", ["day_start", "hour_start"])
+    daily = hourly.groupBy("day_start", "bucket").agg(F.max("r").alias("r"))
+    return SK.hll_md5_estimate(daily, ["day_start"])
+
+
 # -- X168: BPE-unit token counts (merge-rank application) --------------------
 
 
@@ -2633,7 +2654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "contamination_scan": _q_contamination_scan,
         "corpus_stats": _q_corpus_stats,
-        "repetition_stats": _q_repetition_stats,
+        # (r9-new) md5-register HLL: approximate distinct, oracle channel
+        "hll_daily_users": _q_hll_daily_users,
         # --- past the driver's 50-row correctness window from here on.
         # Everything below except the trailing rows-only block IS
         # oracle-backed — tools/check_oracle.py runs the identical hash
@@ -2647,7 +2669,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_components' oracle SQL; linkage_risk_score is a CTE of
         # knn_linkage_join; contamination_scan is the complement of
         # decontaminate; user_sessions' SQL is embedded in
-        # session_concurrency's.
+        # session_concurrency's. repetition_stats yielded its refresh
+        # slot to the r9-new hll_daily_users (r4 driver green stands).
+        "repetition_stats": _q_repetition_stats,
         "length_matched_sample": _q_length_matched_sample,
         "conversion_attribution": _q_conversion_attribution,
         "secrets_scan": _q_secrets_scan,
@@ -5538,6 +5562,26 @@ def _sql_compression_entropy() -> str:
     )
 
 
+def _sql_hll_daily_users() -> str:
+    """Day-DIRECT md5 HLL registers + harmonic/linear-counting finish —
+    matching the engine's hour-partials-merged-to-day value certifies
+    both engine determinism and max()-mergeability in one hash."""
+    raw = "(47072.71267120224 / (sp + (256 - present)))"
+    return (
+        "WITH h AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day_start, "
+        "md5(CAST(user_id AS VARCHAR)) AS h FROM events WHERE user_id IS NOT NULL), "
+        "br AS (SELECT day_start, CAST(('0x' || substr(h, 1, 2)) AS INT) AS bucket, "
+        "CAST(('0x' || substr(h, 3, 8)) AS UBIGINT) AS w FROM h), "
+        "rr AS (SELECT day_start, bucket, max(33 - (CAST(w >= 1 AS INT) + CAST(w >= 2 AS INT) + CAST(w >= 4 AS INT) + CAST(w >= 8 AS INT) + CAST(w >= 16 AS INT) + CAST(w >= 32 AS INT) + CAST(w >= 64 AS INT) + CAST(w >= 128 AS INT) + CAST(w >= 256 AS INT) + CAST(w >= 512 AS INT) + CAST(w >= 1024 AS INT) + CAST(w >= 2048 AS INT) + CAST(w >= 4096 AS INT) + CAST(w >= 8192 AS INT) + CAST(w >= 16384 AS INT) + CAST(w >= 32768 AS INT) + CAST(w >= 65536 AS INT) + CAST(w >= 131072 AS INT) + CAST(w >= 262144 AS INT) + CAST(w >= 524288 AS INT) + CAST(w >= 1048576 AS INT) + CAST(w >= 2097152 AS INT) + CAST(w >= 4194304 AS INT) + CAST(w >= 8388608 AS INT) + CAST(w >= 16777216 AS INT) + CAST(w >= 33554432 AS INT) + CAST(w >= 67108864 AS INT) + CAST(w >= 134217728 AS INT) + CAST(w >= 268435456 AS INT) + CAST(w >= 536870912 AS INT) + CAST(w >= 1073741824 AS INT) + CAST(w >= 2147483648 AS INT))) AS r FROM br GROUP BY 1, 2), "
+        "ag AS (SELECT day_start, CAST(count(*) AS BIGINT) AS present, "
+        "sum(power(0.5, r)) AS sp FROM rr GROUP BY 1) "
+        "SELECT day_start, present AS n_registers, "
+        "floor((CASE WHEN " + raw + " <= 640.0 AND present < 256 "
+        "THEN 256.0 * ln(256.0 / (256 - present)) ELSE " + raw + " END) * 1e4 + 0.5) / 1e4 "
+        "AS ndv_estimate FROM ag"
+    )
+
+
 def _sql_multimodal_features(width: int) -> str:
     """Oracle from the ORIGINAL text bytes: the engine's pixel digest
     and stats only match if encode→PNG→decode is byte-identical.
@@ -5778,6 +5822,7 @@ def oracle_sql() -> dict[str, str]:
         "calibration_bins": _sql_calibration_bins(10),
         "substring_dedup": _sql_substring_dedup(8),
         "substring_dedup_chars": _sql_substring_dedup_chars(40),
+        "hll_daily_users": _sql_hll_daily_users(),
         "encode_tokens": _sql_encode_tokens(10),
         "token_count_vocab": _sql_token_count_vocab(10),
         "lang_id_trained": _sql_lang_id_trained(),

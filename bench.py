@@ -218,6 +218,7 @@ HEADLINE = [
     "compression_entropy",
     "zlib_ratio",
     "substring_dedup_chars",
+    "hll_daily_users",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

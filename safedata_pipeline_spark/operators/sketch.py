@@ -324,3 +324,77 @@ def bloom_probe(
     return df.select(id_col).join(agg, id_col, "left").select(
         id_col, (F.coalesce("__hits", F.lit(0)) == k).alias("maybe_present")
     )
+
+
+# ---------------------------------------------------------------------------
+# md5-register HyperLogLog (Flajolet et al. 2007) — unlike the
+# Datasketches-backed hll_rollup (engine-specific binary, rows-only),
+# every piece here is engine-recomputable: the register table derives
+# from md5 (bucket = first b hash bits, rank = leading zeros of the
+# next 32 + 1), the harmonic sum Σ2^(−rank) is EXACTLY representable
+# in a double (≤256 terms, each a power of two ≥ 2^−33 → 41 bits of
+# span < 53), and the bias constant / linear-counting branch are the
+# published formulas. An APPROXIMATE distinct count whose value
+# hash-matches a SQL oracle — and whose partials merge with plain
+# max(), so merge(hour registers) == day-direct is certified by the
+# same hash.
+# ---------------------------------------------------------------------------
+
+HLL_B = 8  # 2^8 = 256 registers, ~6.5% relative error
+
+
+def hll_md5_registers(
+    df: DataFrame, value_col: str, group_cols: list[str], b: int = HLL_B
+) -> DataFrame:
+    """Per-group HLL register table ``(*group_cols, bucket, r)`` from
+    md5 bits: bucket = first b bits (b ∈ {4,8,12,...} — hex-aligned),
+    r = leading-zero rank of the next 32 bits (1..33). Registers are
+    the MERGEABLE state: coarser grains take max(r) per bucket, and
+    because md5 is engine-shared the state is bit-identical anywhere.
+    One map pass + one (group, bucket) max aggregate — map-side
+    combinable, ≤ 2^b surviving rows per group."""
+    if b % 4:
+        raise ValueError("b must be a multiple of 4 (hex-aligned)")
+    h = F.md5(F.col(value_col).cast("string").cast("binary"))
+    bucket = F.conv(F.substring(h, 1, b // 4), 16, 10).cast("int")
+    w = F.conv(F.substring(h, 1 + b // 4, 8), 16, 10).cast("bigint")
+    # bit_length(w) as a sum of 32 exact integer comparisons (float
+    # log2 would mis-round near powers of two); rank = 33 − bit_length
+    bl = None
+    for k in range(32):
+        ind = (w >= F.lit(1 << k)).cast("int")
+        bl = ind if bl is None else bl + ind
+    rank = (F.lit(33) - bl).cast("int")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols, bucket.alias("bucket"), rank.alias("r")
+    )
+    return base.groupBy(*group_cols, "bucket").agg(F.max("r").alias("r"))
+
+
+def hll_md5_estimate(
+    registers: DataFrame, group_cols: list[str], b: int = HLL_B
+) -> DataFrame:
+    """Finish a register table into ``(*group_cols, n_registers,
+    ndv_estimate)``: harmonic-mean raw estimate α_m·m²/Σ2^(−M_j)
+    (empty registers contribute 2^0 = 1) with the standard
+    linear-counting switch for the small range (E ≤ 2.5m and zero
+    registers remain). The finish runs on ≤ 2^b rows per group;
+    every float step is either exact (powers of two, exact sums) or
+    snapped (4dp floor-snap on the estimate), so the number is
+    engine-stable."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(0.5), F.col("r"))).alias("sp"),
+        F.count(F.lit(1)).cast("bigint").alias("present"),
+    )
+    s = F.col("sp") + (F.lit(m) - F.col("present"))
+    raw = F.lit(alpha * m * m) / s
+    zeros = F.lit(m) - F.col("present")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lc).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.col("present").alias("n_registers"),
+        (F.floor(est * 1e4 + F.lit(0.5)) / 1e4).alias("ndv_estimate"),
+    )

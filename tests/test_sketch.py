@@ -38,3 +38,48 @@ def test_bloom_null_values_ignored(spark):
 
     df = spark.createDataFrame([(1, "x"), (2, None)], "doc_id bigint, v string")
     assert bloom_build(df, "v").count() <= 3  # only doc 1's k positions
+
+
+def test_hll_md5_registers_accuracy_and_merge(spark):
+    """X201: md5-register HLL — estimate within HLL's error envelope
+    on a known cardinality, and max()-merged partials equal the
+    direct register table bit for bit."""
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.operators import sketch as SK
+
+    n = 5000
+    df = spark.range(n).select(
+        (F.col("id") % 2).alias("part"), F.col("id").alias("v")
+    )
+    direct = SK.hll_md5_registers(df.select(F.lit(1).alias("g"), "v"), "v", ["g"])
+    est = SK.hll_md5_estimate(direct, ["g"]).collect()[0]
+    # 256 registers -> ~6.5% std error; allow 4 sigma
+    assert abs(est.ndv_estimate - n) / n < 0.26
+    assert est.n_registers <= 256
+
+    # mergeability: per-part registers max-merged == direct registers
+    parts = SK.hll_md5_registers(df.select("part", "v"), "v", ["part"])
+    merged = parts.groupBy("bucket").agg(F.max("r").alias("r"))
+    d = {(r.bucket, r.r) for r in direct.select("bucket", "r").collect()}
+    m = {(r.bucket, r.r) for r in merged.collect()}
+    assert d == m
+
+    # estimate from merged partials == estimate from direct
+    est_m = SK.hll_md5_estimate(
+        merged.select(F.lit(1).alias("g"), "bucket", "r"), ["g"]
+    ).collect()[0]
+    assert est_m.ndv_estimate == est.ndv_estimate
+
+
+def test_hll_md5_linear_counting_small_range(spark):
+    """Small cardinalities ride the linear-counting branch and stay
+    tight (HLL raw would be biased here)."""
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.operators import sketch as SK
+
+    df = spark.range(40).select(F.lit(1).alias("g"), F.col("id").alias("v"))
+    regs = SK.hll_md5_registers(df, "v", ["g"])
+    est = SK.hll_md5_estimate(regs, ["g"]).collect()[0]
+    assert abs(est.ndv_estimate - 40) / 40 < 0.15
