@@ -2526,6 +2526,32 @@ def _q_zlib_ratio(spark, sf):
     return CMP.zlib_signal(load_table(spark, sf, "documents"))
 
 
+# -- X202: hybrid search — reciprocal-rank fusion of lexical + vector legs ----
+
+
+def _q_hybrid_search(spark, sf):
+    # the standard RAG retrieval combiner (Cormack et al. RRF): exact
+    # token-set-Jaccard top-20 (lexical leg) fused with exact cosine
+    # top-20 (vector leg, ids shared between the documents and
+    # embeddings fixtures) -> top-10 per query. DECIMAL(20,9)
+    # contribution sums make the fused ORDER engine-stable, so the
+    # whole two-leg retrieval stack is hash-checked end to end.
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    lex = SIM.lexical_jaccard_topk(docs.where(F.col("doc_id") < 10), docs, k=20)
+    vec = SIM.cosine_topk(emb.where(F.col("vec_id") < 10), emb, k=20).select(
+        "query_id", "rank", F.col("neighbor_id").alias("item_id")
+    )
+    return SIM.rrf_fuse(
+        [
+            lex.select("query_id", "item_id", "rank"),
+            vec.select("query_id", "item_id", "rank"),
+        ],
+        k_rrf=60,
+        top_n=10,
+    )
+
+
 # -- X201: md5-register HLL — approximate distinct in the ORACLE channel ------
 
 
@@ -2653,9 +2679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "pack_sequences": _q_pack_sequences,
         "contamination_scan": _q_contamination_scan,
-        "corpus_stats": _q_corpus_stats,
-        # (r9-new) md5-register HLL: approximate distinct, oracle channel
+        # (r9-new) md5-register HLL + hybrid search, oracle channel
         "hll_daily_users": _q_hll_daily_users,
+        "hybrid_search": _q_hybrid_search,
         # --- past the driver's 50-row correctness window from here on.
         # Everything below except the trailing rows-only block IS
         # oracle-backed — tools/check_oracle.py runs the identical hash
@@ -2669,9 +2695,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_components' oracle SQL; linkage_risk_score is a CTE of
         # knn_linkage_join; contamination_scan is the complement of
         # decontaminate; user_sessions' SQL is embedded in
-        # session_concurrency's. repetition_stats yielded its refresh
-        # slot to the r9-new hll_daily_users (r4 driver green stands).
+        # session_concurrency's. repetition_stats and corpus_stats
+        # yielded their refresh slots to the r9-new hll_daily_users and
+        # hybrid_search (their r4 driver greens stand).
         "repetition_stats": _q_repetition_stats,
+        "corpus_stats": _q_corpus_stats,
         "length_matched_sample": _q_length_matched_sample,
         "conversion_attribution": _q_conversion_attribution,
         "secrets_scan": _q_secrets_scan,
@@ -5562,6 +5590,46 @@ def _sql_compression_entropy() -> str:
     )
 
 
+def _sql_hybrid_search() -> str:
+    """Both retrieval legs + the RRF combine, unrolled: exact cosine
+    top-20 (the ann CTE), token-set-Jaccard top-20, per-leg
+    1/(60+rank) contributions as DECIMAL(20,9), fused order (score
+    desc, item asc) -> top-10 per query."""
+    cos = (
+        "CASE WHEN list_dot_product(q.qv, q.qv) > 0 AND list_dot_product(e.v, e.v) > 0 "
+        "THEN list_dot_product(q.qv, e.v) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) "
+        "ELSE NULL END"
+    )
+    return (
+        f"WITH e AS ({SQL_EMB}), "
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10), "
+        f"vs AS (SELECT q.query_id, e.vec_id AS item_id, {cos} AS cosine "
+        "FROM q CROSS JOIN e WHERE q.query_id <> e.vec_id), "
+        "vr AS (SELECT query_id, item_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rank "
+        "FROM vs WHERE cosine IS NOT NULL), "
+        "tk AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+        "ELSE list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS t "
+        "FROM documents WHERE text IS NOT NULL), "
+        "qe AS (SELECT doc_id AS query_id, len(t) AS nq, unnest(t) AS tok FROM tk WHERE doc_id < 10), "
+        "ce AS (SELECT doc_id AS item_id, len(t) AS nc, unnest(t) AS tok FROM tk), "
+        "inter AS (SELECT query_id, item_id, count(*) AS i, any_value(nq) AS nq, any_value(nc) AS nc "
+        "FROM qe JOIN ce USING (tok) WHERE query_id <> item_id GROUP BY 1, 2), "
+        "lr AS (SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY CAST(i AS DOUBLE) / (nq + nc - i) DESC, item_id ASC) AS rank FROM inter), "
+        "allc AS (SELECT query_id, item_id, CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(20,9)) AS c "
+        "FROM lr WHERE rank <= 20 "
+        "UNION ALL SELECT query_id, item_id, CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(20,9)) AS c "
+        "FROM vr WHERE rank <= 20), "
+        "sc AS (SELECT query_id, item_id, CAST(sum(c) AS DECIMAL(20,9)) AS s FROM allc GROUP BY 1, 2), "
+        "rk AS (SELECT query_id, item_id, s, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY s DESC, item_id ASC) AS rank FROM sc) "
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, item_id, CAST(s AS DOUBLE) AS rrf_score "
+        "FROM rk WHERE rank <= 10"
+    )
+
+
 def _sql_hll_daily_users() -> str:
     """Day-DIRECT md5 HLL registers + harmonic/linear-counting finish —
     matching the engine's hour-partials-merged-to-day value certifies
@@ -5823,6 +5891,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _sql_substring_dedup(8),
         "substring_dedup_chars": _sql_substring_dedup_chars(40),
         "hll_daily_users": _sql_hll_daily_users(),
+        "hybrid_search": _sql_hybrid_search(),
         "encode_tokens": _sql_encode_tokens(10),
         "token_count_vocab": _sql_token_count_vocab(10),
         "lang_id_trained": _sql_lang_id_trained(),

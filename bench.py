@@ -219,6 +219,7 @@ HEADLINE = [
     "zlib_ratio",
     "substring_dedup_chars",
     "hll_daily_users",
+    "hybrid_search",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

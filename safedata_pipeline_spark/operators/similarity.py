@@ -468,3 +468,95 @@ def quantization_error(
         (F.floor(avg * 1e6 + F.lit(0.5)) / 1e6).alias("mean_abs_err"),
         F.round(F.max("e"), ROUND_N).alias("max_abs_err"),
     )
+
+
+def lexical_jaccard_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact token-set-Jaccard top-k retrieval — the LEXICAL leg of
+    hybrid search (the BM25-family role, in its simplest exact form).
+    One distinct-token explode per side + one token equi-join + a
+    per-query window over the candidate set; self-matches excluded.
+    Output: (query_id, rank, item_id, jaccard). Ties break on item id
+    so the ranking is engine-deterministic."""
+    from pyspark.sql import Window
+
+    def toks(col):
+        return F.when(
+            F.trim(col) == "", F.array().cast("array<string>")
+        ).otherwise(F.array_distinct(F.split(F.lower(F.trim(col)), "\\s+")))
+
+    q = queries.select(
+        F.col(query_id_col or id_col).alias("query_id"),
+        toks(F.col(text_col)).alias("qt"),
+    )
+    c = corpus.select(F.col(id_col).alias("item_id"), toks(F.col(text_col)).alias("ct"))
+    qe = q.select("query_id", F.size("qt").alias("nq"), F.explode("qt").alias("t"))
+    ce = c.select("item_id", F.size("ct").alias("nc"), F.explode("ct").alias("t"))
+    inter = (
+        qe.join(ce, "t")
+        .where(F.col("query_id") != F.col("item_id"))
+        .groupBy("query_id", "item_id")
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.first("nq").alias("nq"),
+            F.first("nc").alias("nc"),
+        )
+    )
+    jac = F.col("i") / (F.col("nq") + F.col("nc") - F.col("i"))
+    w = Window.partitionBy("query_id").orderBy(jac.desc(), F.col("item_id"))
+    return (
+        inter.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "item_id",
+            F.round(jac, ROUND_N).alias("jaccard"),
+        )
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k_rrf: int = 60, top_n: int = 10
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009 —
+    public; the standard hybrid-search combiner): each input carries
+    (query_id, item_id, rank), an item's fused score is
+    Σ_lists 1/(k_rrf + rank), and the fused ranking takes the top_n by
+    (score desc, item_id). Per-list contributions are rounded to 9dp
+    and summed as DECIMAL(20,9) — exact and order-independent, so the
+    fused ORDER is engine-stable (the float-sum tie ambiguity RRF
+    implementations usually tolerate would break the oracle hash).
+    Missing-from-a-list items simply contribute nothing — RRF's
+    built-in handling of disjoint candidate sets."""
+    from functools import reduce as _reduce
+
+    contrib = F.round(F.lit(1.0) / (F.lit(k_rrf) + F.col("rank")), 9).cast(
+        "decimal(20,9)"
+    )
+    tagged = [
+        r.select("query_id", "item_id", contrib.alias("c")) for r in rankings
+    ]
+    allc = _reduce(lambda a, b: a.unionByName(b), tagged)
+    scores = allc.groupBy("query_id", "item_id").agg(F.sum("c").alias("s"))
+    packed = scores.select(
+        "query_id",
+        F.struct(
+            (-F.col("s")).alias("ns"), F.col("item_id").alias("item_id"), F.col("s").alias("s")
+        ).alias("cand"),
+    )
+    agg = packed.groupBy("query_id").agg(
+        F.slice(F.sort_array(F.collect_list("cand")), 1, top_n).alias("top")
+    )
+    return agg.select("query_id", F.posexplode("top").alias("rank0", "cand")).select(
+        "query_id",
+        (F.col("rank0") + 1).cast("bigint").alias("rank"),
+        F.col("cand.item_id").alias("item_id"),
+        F.col("cand.s").cast("double").alias("rrf_score"),
+    )

@@ -144,3 +144,47 @@ def test_quantization_error_bounded(spark, sf_dir):
         f"SELECT max(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))) FROM '{sf_dir}/embeddings.parquet'"
     ).fetchone()[0]
     assert r.max_abs_err <= amax / 254 + 1e-9
+
+
+def test_rrf_fuse_known_ordering(spark):
+    """X202: RRF on two hand-built rankings — fused scores match the
+    published formula exactly and ties break on item id."""
+    from safedata_pipeline_spark.operators import similarity as S
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id long, item_id long, rank long"
+    )
+    vec = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)], "query_id long, item_id long, rank long"
+    )
+    out = {r.item_id: r for r in S.rrf_fuse([lex, vec], k_rrf=60, top_n=10).collect()}
+    r9 = lambda x: round(x, 9)  # noqa: E731
+    assert out[11].rrf_score == r9(1 / 62) + r9(1 / 61)   # best: 2nd + 1st
+    assert out[10].rrf_score == r9(1 / 61) + r9(1 / 63)
+    assert out[12].rrf_score == r9(1 / 63)                 # lexical-only
+    assert out[13].rrf_score == r9(1 / 62)                 # vector-only
+    order = sorted(out.values(), key=lambda r: r.rank)
+    assert [r.item_id for r in order] == [11, 10, 13, 12]
+
+
+def test_lexical_jaccard_topk_exact(spark):
+    from safedata_pipeline_spark.operators import similarity as S
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta delta"),       # J(1,2) = 2/4
+            (3, "alpha zeta"),             # J(1,3) = 1/4
+            (4, "omega psi chi"),          # J(1,4) = 0 -> absent
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.item_id: r
+        for r in S.lexical_jaccard_topk(
+            docs.where("doc_id = 1"), docs, k=10
+        ).collect()
+    }
+    assert set(got) == {2, 3}
+    assert got[2].jaccard == 0.5 and got[2].rank == 1
+    assert got[3].jaccard == 0.25 and got[3].rank == 2
