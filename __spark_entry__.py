@@ -2617,12 +2617,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     built-in session_window swap), jaccard_prefix_join +
     #     containment_join (spread_small guard at the shingle explodes;
     #     embedding_cosine_dedup's guard is covered by its anchor row);
-    # (5) 16 refresh slots for the STALEST driver greens (r3/r4
+    # (5) 14 refresh slots for the STALEST driver greens (r3/r4
     #     vintage): events_hourly/json, multimodal_meta, kmv_distinct,
     #     range_join_tiers, quality_score, dedup_exact, pricing_summary,
     #     pii_scan, quality_filter, tfidf_top_terms, paragraph_dedup,
-    #     pack_sequences, contamination_scan, corpus_stats,
-    #     repetition_stats.
+    #     pack_sequences, contamination_scan (corpus_stats and
+    #     repetition_stats yielded their slots to the late r9-new
+    #     hll_daily_users and hybrid_search; their r4 greens stand).
     # Displaced out: the r7/r8 double-green rows (each keeps its local
     # full-sweep hash check via tools/check_oracle.py every round).
     return {
