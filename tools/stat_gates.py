@@ -274,9 +274,13 @@ def compute(spark, sf_dir: str) -> dict[str, float]:
     #     size. A codec path that lost the LZ window (or hashes junk)
     #     fails (b) immediately; a ratio computed on the wrong bytes
     #     fails (a).
-    zr = qs["zlib_ratio"](spark, sf_dir)
+    # range check over docs long enough to amortize deflate framing
+    # (~11 bytes of header/checksum — a 50-byte incompressible doc
+    # legitimately lands at ratio ~1.2, which says nothing about the
+    # codec path)
+    zr = qs["zlib_ratio"](spark, sf_dir).where(F.col("n_bytes") >= 512)
     out["zlib_ratio_max"] = round(
-        float(zr.agg(F.max("zlib_ratio").alias("m")).collect()[0]["m"]), 6
+        float(zr.agg(F.max("zlib_ratio").alias("m")).collect()[0]["m"] or 0.0), 6
     )
     from safedata_pipeline_spark.operators import compression as CMP
 
