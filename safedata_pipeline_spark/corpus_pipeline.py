@@ -23,6 +23,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
 
+from safedata_pipeline_spark.operators import compression as CMP
 from safedata_pipeline_spark.operators import dedup as DD
 from safedata_pipeline_spark.operators import pack as PK
 from safedata_pipeline_spark.operators import sampling as SMP
@@ -261,6 +262,57 @@ class CorpusPipeline:
             .drop("n_removed", "n_words")
         )
         return self._keep("substring_dedup", out)
+
+    def dedup_substrings_chars(
+        self, k: int = 40, snap: str = "word"
+    ) -> "CorpusPipeline":
+        """Character-granular ExactSubstr pass
+        (`dedup.substring_dedup_chars`): repeats of ≥ k CHARS anywhere
+        — including starts mid-word, invisible to the word-window pass
+        — are stripped (word-snap removal by default). Intended
+        staging: run `dedup_substrings` (cheaper word grid) first,
+        this on the survivors. Documents left empty drop."""
+        cleaned = DD.substring_dedup_chars(
+            self.df, k=k, text_col=self.text_col, id_col=self.id_col, snap=snap
+        )
+        out = (
+            self.df.drop(self.text_col)
+            .join(
+                cleaned.select(self.id_col, "clean_text", "n_marked_chars", "n_chars"),
+                on=self.id_col,
+            )
+            .where(F.length("clean_text") > 0)
+            .withColumnRenamed("clean_text", self.text_col)
+            .drop("n_marked_chars", "n_chars")
+        )
+        return self._keep("substring_dedup_chars", out)
+
+    def filter_compressibility(
+        self,
+        min_zlib_ratio: float = 0.1,
+        max_zlib_ratio: float | None = None,
+        min_entropy_bits: float | None = None,
+    ) -> "CorpusPipeline":
+        """Drop documents outside a compressibility band — the
+        DataComp-LM/Dolma screen: deflate ratio far BELOW normal prose
+        means template/repeated boilerplate (LZ77 collapses it); an
+        optional order-0 entropy floor additionally catches
+        single-symbol/degenerate alphabets the ratio alone can miss on
+        short docs. One Arrow map pass (+ the entropy aggregate only
+        when a floor is set); filters join back on the id."""
+        z = CMP.zlib_signal(self.df, self.text_col, self.id_col)
+        cond = F.col("zlib_ratio") >= min_zlib_ratio
+        if max_zlib_ratio is not None:
+            cond = cond & (F.col("zlib_ratio") <= max_zlib_ratio)
+        keep = z.where(cond).select(self.id_col)
+        out = self.df.join(keep, on=self.id_col, how="left_semi")
+        if min_entropy_bits is not None:
+            e = CMP.compression_entropy(out, self.text_col, self.id_col)
+            keep_e = e.where(
+                F.col("entropy_bits_per_byte") >= min_entropy_bits
+            ).select(self.id_col)
+            out = out.join(keep_e, on=self.id_col, how="left_semi")
+        return self._keep("compressibility", out)
 
     def dedup_contained(self, n: int = 3, threshold: float = 0.9) -> "CorpusPipeline":
         """Drop documents CONTAINED in another document (shingle

@@ -327,3 +327,38 @@ def test_full_crawl_pipeline_from_html(spark):
     assert kept == {1, 3}
     packed = pipe.pack(budget=16, buckets=2)
     assert packed.count() == 2             # one assignment row per survivor
+
+
+def test_corpus_pipeline_compressibility_and_char_dedup(spark):
+    """r9 steps: the compressibility band drops template/boilerplate
+    (deflate ratio collapses on repeats) and the char-granular
+    ExactSubstr pass strips a shared mid-text run the word pass at the
+    same char budget would only catch word-aligned."""
+    from safedata_pipeline_spark.corpus_pipeline import CorpusPipeline
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "jubilant researchers measure entropy gradients across wildly "
+        "varied corpora documents every afternoon "
+    )
+    boiler = "click here subscribe now " * 40     # deflate collapses this
+    rows = [
+        (1, prose + "alpha variant one of the corpus body text"),
+        (2, prose + "beta variant two with different tail content"),
+        (3, boiler),
+        (4, "zz " * 3),                            # tiny; survives band
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = CorpusPipeline(df).filter_compressibility(min_zlib_ratio=0.3)
+    kept = {r.doc_id for r in p.df.collect()}
+    assert 3 not in kept and {1, 2} <= kept
+    assert p.funnel["compressibility"] == len(kept)
+
+    p = p.dedup_substrings_chars(k=40)
+    out = {r.doc_id: r.text for r in p.df.collect()}
+    # doc 1 keeps the shared prose (first occurrence); doc 2 loses it
+    assert prose.strip().split(" ")[0] in out[1]
+    assert "quick brown fox" in out[1]
+    assert "quick brown fox" not in out[2]
+    assert "beta variant two" in out[2]
+    assert p.funnel["substring_dedup_chars"] == len(out)
