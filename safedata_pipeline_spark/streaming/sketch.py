@@ -47,3 +47,23 @@ def stream_count_min_state(
         .groupBy(F.col("c.d").alias("d"), F.col("c.slot").alias("slot"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def stream_hll_registers(
+    stream: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    b: int = 8,
+) -> DataFrame:
+    """Streaming twin of the md5-register HLL (X201): the register
+    table (group, bucket, max rank) is a BUILT-IN streaming aggregation
+    — max() is the HLL merge operator, so micro-batch boundaries cannot
+    change the state, and draining a bounded source equals the batch
+    register table bit for bit. Write with ``outputMode("complete")``;
+    finish estimates batch-side with ``sketch.hll_md5_estimate`` on the
+    sink (the CM twin's point-query discipline). State is ≤ 2^b rows
+    per group forever — a live distinct-users-today dashboard at any
+    stream rate."""
+    from safedata_pipeline_spark.operators.sketch import hll_md5_registers
+
+    return hll_md5_registers(stream, value_col, group_cols, b)

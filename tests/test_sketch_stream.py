@@ -46,3 +46,48 @@ def test_heavy_hitters_exact_vs_groupby(spark):
     assert got == {"a": 40, "b": 25, "c": 10}
     # threshold above everything → empty, never a false positive
     assert SK.heavy_hitters(df, "w", min_count=100, depth=4, width=64).count() == 0
+
+
+def test_stream_hll_registers_equal_batch(spark, sf_dir, tmp_path):
+    """Draining the events fixture through the streaming HLL register
+    aggregate must equal the batch register table bit for bit, and the
+    finished estimates must match exactly."""
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.operators.sketch import (
+        hll_md5_estimate,
+        hll_md5_registers,
+    )
+    from safedata_pipeline_spark.sources.tables import load_table
+    from safedata_pipeline_spark.streaming.sketch import stream_hll_registers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day_start"), "user_id"
+    )
+    batch = hll_md5_registers(ev, "user_id", ["day_start"])
+    src = str(tmp_path / "ev_hll")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        stream_hll_registers(stream, "user_id", ["day_start"])
+        .writeStream.format("memory")
+        .queryName("t_hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.day_start, r.bucket, r.r) for r in spark.table("t_hll_regs").collect()
+    }
+    want = {(r.day_start, r.bucket, r.r) for r in batch.collect()}
+    assert got == want and len(got) > 0
+    est_b = {
+        (r.day_start, r.ndv_estimate)
+        for r in hll_md5_estimate(batch, ["day_start"]).collect()
+    }
+    est_s = {
+        (r.day_start, r.ndv_estimate)
+        for r in hll_md5_estimate(spark.table("t_hll_regs"), ["day_start"]).collect()
+    }
+    assert est_s == est_b
