@@ -188,3 +188,32 @@ def test_lexical_jaccard_topk_exact(spark):
     assert set(got) == {2, 3}
     assert got[2].jaccard == 0.5 and got[2].rank == 1
     assert got[3].jaccard == 0.25 and got[3].rank == 2
+
+
+def test_rrf_fuse_composes_with_approximate_legs(spark, sf_dir):
+    """The fusion contract is leg-agnostic: swapping the exact vector
+    leg for the LSH ANN ranking (the 100 TB path) composes without
+    schema or semantic friction, and the exact-leg fusion's top-1 per
+    query stays dominated by items at least one leg ranked."""
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.operators import similarity as S
+    from safedata_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    lex = S.lexical_jaccard_topk(docs.where(F.col("doc_id") < 3), docs, k=10)
+    lsh = S.cosine_topk_lsh(
+        emb.where(F.col("vec_id") < 3), emb, k=10, dim=64
+    ).select("query_id", F.col("neighbor_id").alias("item_id"), "rank")
+    fused = S.rrf_fuse(
+        [lex.select("query_id", "item_id", "rank"), lsh], top_n=5
+    ).collect()
+    assert len(fused) > 0
+    legs = {
+        (r.query_id, r.item_id)
+        for df in (lex, lsh)
+        for r in df.select("query_id", "item_id").collect()
+    }
+    assert all((r.query_id, r.item_id) in legs for r in fused)
+    assert all(r.rrf_score > 0 for r in fused)
