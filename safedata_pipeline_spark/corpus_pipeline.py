@@ -314,6 +314,72 @@ class CorpusPipeline:
             out = out.join(keep_e, on=self.id_col, how="left_semi")
         return self._keep("compressibility", out)
 
+    def scrub_pii(
+        self,
+        max_pii_hits: int | None = None,
+        redact: bool = True,
+        drop_secrets: bool = True,
+    ) -> "CorpusPipeline":
+        """PII/credential hygiene as a funnel step: documents with more
+        than ``max_pii_hits`` PII matches are QUARANTINED (dropped —
+        a form-like page of emails/phones is not trainable prose), any
+        document carrying credential material drops when
+        ``drop_secrets`` (a model memorizes and replays live keys), and
+        the survivors' residual PII is replaced with typed placeholders
+        when ``redact``. Map-only regex passes + id semi-joins."""
+        from safedata_pipeline_spark.operators import pii as PIIOPS
+
+        out = self.df
+        if max_pii_hits is not None:
+            keep = (
+                PIIOPS.pii_scan(out, self.text_col, self.id_col)
+                .where(F.col("n_pii") <= max_pii_hits)
+                .select(self.id_col)
+            )
+            out = out.join(keep, on=self.id_col, how="left_semi")
+        if drop_secrets:
+            clean = (
+                PIIOPS.secrets_scan(out, self.text_col, self.id_col)
+                .where(F.col("n_secrets") == 0)
+                .select(self.id_col)
+            )
+            out = out.join(clean, on=self.id_col, how="left_semi")
+        if redact:
+            red = PIIOPS.pii_redact(out, self.text_col, self.id_col)
+            out = out.drop(self.text_col).join(red, on=self.id_col)
+        return self._keep("pii_scrub", out)
+
+    def filter_language(
+        self,
+        labeled: DataFrame,
+        keep_langs: list[str],
+        min_margin: float | None = None,
+        n: int = 3,
+    ) -> "CorpusPipeline":
+        """Language gate on the TRAINED char-n-gram NB model
+        (`langid.langid_fit` on ``labeled`` (text, lang) rows →
+        broadcast-model map-only apply): keep documents whose predicted
+        language is in ``keep_langs``; with ``min_margin``, also drop
+        low-confidence/code-switched docs (top-vs-runner-up score gap
+        below the threshold). The model artifact lands in
+        ``results['langid_model']`` for reuse on the next crawl."""
+        from safedata_pipeline_spark.checkpoint import pin_lazy
+        from safedata_pipeline_spark.operators import langid as LI
+
+        model = LI.langid_fit(labeled, self.text_col, n=n).transform(pin_lazy)
+        self.results["langid_model"] = model
+        if min_margin is not None:
+            scored = LI.langid_margin(self.df, model, self.text_col, self.id_col, n)
+            keep = scored.where(
+                F.col("lang_pred").isin(keep_langs) & (F.col("margin") >= min_margin)
+            ).select(self.id_col)
+        else:
+            scored = LI.langid_score(self.df, model, self.text_col, self.id_col, n)
+            keep = scored.where(F.col("lang_pred").isin(keep_langs)).select(self.id_col)
+        return self._keep(
+            "language", self.df.join(keep, on=self.id_col, how="left_semi")
+        )
+
     def dedup_contained(self, n: int = 3, threshold: float = 0.9) -> "CorpusPipeline":
         """Drop documents CONTAINED in another document (shingle
         containment ≥ threshold, `dedup.containment_prefix_join`) —

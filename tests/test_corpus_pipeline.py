@@ -362,3 +362,46 @@ def test_corpus_pipeline_compressibility_and_char_dedup(spark):
     assert "quick brown fox" not in out[2]
     assert "beta variant two" in out[2]
     assert p.funnel["substring_dedup_chars"] == len(out)
+
+
+def test_corpus_pipeline_pii_scrub_step(spark):
+    from safedata_pipeline_spark.corpus_pipeline import CorpusPipeline
+
+    rows = [
+        (1, "normal prose about weather and hiking trails today"),
+        (2, "contact a@b.com or c@d.org or e@f.net or g@h.io now"),  # PII-dense
+        (3, "deploy with api_key = 'AbCdEfGhIjKlMnOp1234' tonight"),  # secret
+        (4, "write to alice@example.com for the schedule details"),  # 1 hit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = CorpusPipeline(df).scrub_pii(max_pii_hits=2)
+    out = {r.doc_id: r.text for r in p.df.collect()}
+    assert set(out) == {1, 4}          # 2 quarantined (4 emails), 3 dropped (secret)
+    assert "[EMAIL]" in out[4] and "alice@example.com" not in out[4]
+    assert p.funnel["pii_scrub"] == 2
+
+
+def test_corpus_pipeline_language_filter_step(spark):
+    from safedata_pipeline_spark.corpus_pipeline import CorpusPipeline
+
+    labeled = spark.createDataFrame(
+        [
+            ("the cat and the dog sat in the house with the mouse", "en"),
+            ("it is the best of the rest and the test of the nest", "en"),
+            ("der hund und die katze sind nicht in dem haus mit der maus", "de"),
+            ("ich bin mit der bahn und dem bus nicht in der stadt", "de"),
+        ],
+        "text string, lang string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the bird and the fish are in the house with the cat"),
+            (2, "der vogel und der fisch sind nicht in dem haus"),
+            (3, "the dog ist nicht in the haus und the maus"),  # mixed
+        ],
+        "doc_id long, text string",
+    )
+    p = CorpusPipeline(corpus).filter_language(labeled, keep_langs=["en"])
+    kept = {r.doc_id for r in p.df.collect()}
+    assert 1 in kept and 2 not in kept
+    assert "langid_model" in p.results
