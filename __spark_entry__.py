@@ -2552,6 +2552,48 @@ def _q_hybrid_search(spark, sf):
     )
 
 
+# -- X204: two-table fuzzy record linkage (Ed-Join across tables) -------------
+
+
+def _q_record_linkage(spark, sf):
+    # entity resolution across a clean roster and a dirty one: per
+    # customer an md5-derived 16-char identity token (near-unique
+    # strings — the regime record linkage actually runs in; sequential
+    # c_name-style IDs are the documented adversarial case where ANY
+    # gram scheme degenerates) vs a roster where every third token has
+    # one md5-positioned character DELETED (the fat-finger). The engine
+    # runs the shared-global-prefix Ed-Join; the ORACLE brute-forces
+    # the full cross join with levenshtein — the hash match therefore
+    # certifies the prefix filter's COMPLETENESS (no missed pair), not
+    # just value agreement.
+    cust = load_table(spark, sf, "customer")
+    tok = F.substring(
+        F.md5(F.concat(F.lit("id|"), F.col("c_custkey").cast("string")).cast("binary")),
+        1,
+        16,
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("rl|"), F.col("c_custkey").cast("string")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pos = (h % F.lit(16)).cast("int")  # 0-based deletion index
+    variant = F.when(
+        F.col("c_custkey") % 3 == 0,
+        F.concat(F.substr(tok, F.lit(1), pos), F.substr(tok, pos + F.lit(2), F.lit(16))),
+    ).otherwise(tok)
+    left = cust.select(tok.alias("id_token"))
+    right = cust.select(variant.alias("v_token"))
+    # q=4 on the 16-hex-char alphabet: 65k possible 4-grams vs 256
+    # bigrams — gram selectivity is what bounds candidates (measured
+    # 84s -> 4s at sf0.1 going q=2 -> q=4 on this fixture)
+    return FZ.edit_distance_join(left, right, "id_token", "v_token", max_dist=1, q=4)
+
+
 # -- X201: md5-register HLL — approximate distinct in the ORACLE channel ------
 
 
@@ -2701,6 +2743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hybrid_search (their r4 driver greens stand).
         "repetition_stats": _q_repetition_stats,
         "corpus_stats": _q_corpus_stats,
+        # r9 late arrival (slots filled) — next-window queue, locally
+        # hash-checked this round:
+        "record_linkage": _q_record_linkage,
         "length_matched_sample": _q_length_matched_sample,
         "conversion_attribution": _q_conversion_attribution,
         "secrets_scan": _q_secrets_scan,
@@ -5631,6 +5676,25 @@ def _sql_hybrid_search() -> str:
     )
 
 
+def _sql_record_linkage() -> str:
+    """BRUTE-FORCE oracle for the cross-table Ed-Join: every (left,
+    right) pair levenshtein-verified over the full cross join — a hash
+    match certifies the engine's prefix filter misses NO pair."""
+    pos = "CAST(hv % 16 AS INT)"
+    return (
+        "WITH h AS (SELECT c_custkey, "
+        "substr(md5('id|' || CAST(c_custkey AS VARCHAR)), 1, 16) AS tok, "
+        "CAST(CAST(('0x' || substr(md5('rl|' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) AS hv "
+        "FROM customer), "
+        "v AS (SELECT DISTINCT CASE WHEN c_custkey % 3 = 0 "
+        f"THEN substr(tok, 1, {pos}) || substr(tok, {pos} + 2) "
+        "ELSE tok END AS value_r FROM h), "
+        "l AS (SELECT DISTINCT tok AS value_l FROM h) "
+        "SELECT value_l, value_r, CAST(levenshtein(value_l, value_r) AS INT) AS dist "
+        "FROM l CROSS JOIN v WHERE levenshtein(value_l, value_r) <= 1"
+    )
+
+
 def _sql_hll_daily_users() -> str:
     """Day-DIRECT md5 HLL registers + harmonic/linear-counting finish —
     matching the engine's hour-partials-merged-to-day value certifies
@@ -5892,6 +5956,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _sql_substring_dedup(8),
         "substring_dedup_chars": _sql_substring_dedup_chars(40),
         "hll_daily_users": _sql_hll_daily_users(),
+        "record_linkage": _sql_record_linkage(),
         "hybrid_search": _sql_hybrid_search(),
         "encode_tokens": _sql_encode_tokens(10),
         "token_count_vocab": _sql_token_count_vocab(10),

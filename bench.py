@@ -220,6 +220,7 @@ HEADLINE = [
     "substring_dedup_chars",
     "hll_daily_users",
     "hybrid_search",
+    "record_linkage",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from safedata_pipeline_spark.partitioning import spread_small
+
 
 def edit_distance_pairs(
     df: DataFrame,
@@ -62,8 +64,12 @@ def edit_distance_pairs(
         .select("value", F.length("value").alias("len"))
     )
     long_vals = vals.where(F.col("len") >= short_cut)
+    # spread before the ~len-fold gram explode: the distinct-value
+    # table often compiles to a handful of partitions (single scan
+    # split upstream), single-coring the explode+md5-free gram work
+    # and everything that inherits its partitioning. No-op at scale.
     grams = (
-        long_vals.select(
+        spread_small(long_vals).select(
             "value",
             "len",
             F.explode(F.sequence(F.lit(1), F.col("len") - F.lit(q - 1))).alias("pos"),
@@ -111,6 +117,112 @@ def edit_distance_pairs(
             F.col("va").alias("value_a"),
             F.col("vb").alias("value_b"),
             F.levenshtein("va", "vb").cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= k)
+    )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """TWO-TABLE fuzzy record linkage: all (value_l, value_r) pairs
+    across the tables with levenshtein ≤ max_dist — the dirty-roster ↔
+    clean-roster entity-resolution join, without the cross join.
+
+    Same Ed-Join prefix machinery as ``edit_distance_pairs`` with one
+    cross-table requirement: BOTH sides rank their grams in one GLOBAL
+    document-frequency order (df computed over the union of both
+    sides' distinct (value, gram) sets) — the aligned-surviving-gram
+    argument needs a common order to bound the prefix on each side.
+    Short values (prefix argument vacuous) route through the bounded
+    short-bucket cross join; both routes end in the same JVM
+    ``levenshtein`` verify. Output: (value_l, value_r, dist) over
+    DISTINCT values per side — callers join ids back.
+    """
+    if max_dist < 1 or q < 1:
+        raise ValueError("need max_dist >= 1 and q >= 1")
+    from pyspark.sql import Window
+
+    k = max_dist
+    prefix = q * k + 1
+    short_cut = q * (k + 1)
+
+    def _vals(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.where(F.col(col).isNotNull())
+            .select(F.col(col).cast("string").alias("value"))
+            .distinct()
+            .select("value", F.length("value").alias("len"))
+        )
+
+    def _grams(vals: DataFrame) -> DataFrame:
+        # spread before the gram explode (see edit_distance_pairs)
+        return (
+            spread_small(vals.where(F.col("len") >= short_cut))
+            .select(
+                "value",
+                "len",
+                F.explode(F.sequence(F.lit(1), F.col("len") - F.lit(q - 1))).alias("pos"),
+            )
+            .select(
+                "value", "len", F.substr("value", F.col("pos"), F.lit(q)).alias("gram")
+            )
+            .distinct()
+        )
+
+    lv, rv = _vals(left, left_col), _vals(right, right_col)
+    lg, rg = _grams(lv), _grams(rv)
+    # ONE global df order across both sides: per-side frequencies would
+    # rank grams differently and break the shared-prefix completeness
+    dfreq = (
+        lg.select("gram").unionByName(rg.select("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+
+    def _prefix(g: DataFrame) -> DataFrame:
+        return (
+            g.join(dfreq, "gram")
+            .withColumn(
+                "rk",
+                F.row_number().over(Window.partitionBy("value").orderBy("__df", "gram")),
+            )
+            .where(F.col("rk") <= prefix)
+            .select("value", "len", "gram")
+        )
+
+    a = _prefix(lg).select(F.col("value").alias("vl"), F.col("len").alias("ll"), "gram")
+    b = _prefix(rg).select(F.col("value").alias("vr"), F.col("len").alias("lr"), "gram")
+    cands = (
+        a.join(b, (a["gram"] == b["gram"]) & (F.abs(F.col("ll") - F.col("lr")) <= k))
+        .select("vl", "vr")
+        .distinct()
+    )
+    # short bucket: either side under the prefix threshold pairs with
+    # partners within k length — both sides bounded-short
+    sl = lv.where(F.col("len") < short_cut + k).select(
+        F.col("value").alias("vl"), F.col("len").alias("ll")
+    )
+    sr = rv.where(F.col("len") < short_cut + k).select(
+        F.col("value").alias("vr"), F.col("len").alias("lr")
+    )
+    shorts = sl.join(
+        sr,
+        (F.abs(F.col("ll") - F.col("lr")) <= k)
+        & ((F.col("ll") < short_cut) | (F.col("lr") < short_cut)),
+    ).select("vl", "vr")
+    return (
+        cands.union(shorts)
+        .distinct()
+        .select(
+            F.col("vl").alias("value_l"),
+            F.col("vr").alias("value_r"),
+            F.levenshtein("vl", "vr").cast("int").alias("dist"),
         )
         .where(F.col("dist") <= k)
     )

@@ -69,6 +69,7 @@ SLOPE_QUERIES = [
     "semantic_dedup",
     "substring_dedup",
     "winnowing_overlap",
+    "record_linkage",
     # iterative operators (cost = rounds × per-pass): their failure
     # mode is a per-iteration lineage/plan blowup (each round paying
     # more than the last) or an accidental data-dependent round count —
