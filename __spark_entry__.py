@@ -2552,6 +2552,30 @@ def _q_hybrid_search(spark, sf):
     )
 
 
+# -- X206: per-document contamination coverage --------------------------------
+
+
+def _q_contamination_fraction(spark, sf):
+    # the graded per-doc signal behind the binary decontaminate drop:
+    # what fraction of each doc's distinct 3-grams sits in the probe set
+    return TX.contamination_fraction(
+        load_table(spark, sf, "documents"), CONTAMINATION_PROBES, n=3
+    )
+
+
+# -- X205: deterministic stratified split --------------------------------------
+
+
+def _q_stratified_split(spark, sf):
+    # exact per-class (source) 80/20 quotas under the md5 rank order —
+    # the class-balanced eval carve randomSplit can only approximate
+    return SMP.stratified_split(
+        load_table(spark, sf, "documents").select("doc_id", "source"),
+        label_col="source",
+        train_pct=80,
+    )
+
+
 # -- X204: two-table fuzzy record linkage (Ed-Join across tables) -------------
 
 
@@ -2746,6 +2770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9 late arrival (slots filled) — next-window queue, locally
         # hash-checked this round:
         "record_linkage": _q_record_linkage,
+        "stratified_split": _q_stratified_split,
+        "contamination_fraction": _q_contamination_fraction,
         "length_matched_sample": _q_length_matched_sample,
         "conversion_attribution": _q_conversion_attribution,
         "secrets_scan": _q_secrets_scan,
@@ -5676,6 +5702,40 @@ def _sql_hybrid_search() -> str:
     )
 
 
+def _sql_contamination_fraction(probes: list[str]) -> str:
+    values = ", ".join(f"('{p}')" for p in probes)
+    return (
+        f"{SQL_SHINGLES}, "
+        f"probes(probe) AS (VALUES {values}), "
+        "ptoks AS (SELECT probe, CASE WHEN trim(probe) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(probe), '\\s+') END AS t FROM probes), "
+        "psh AS (SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS s "
+        "FROM ptoks CROSS JOIN unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)), "
+        "tot AS (SELECT id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY id), "
+        "nh AS (SELECT sh.id, CAST(count(*) AS BIGINT) AS n_contaminated "
+        "FROM sh JOIN psh USING (s) GROUP BY sh.id) "
+        "SELECT d.doc_id, coalesce(t.n_shingles, 0) AS n_shingles, "
+        "coalesce(nh.n_contaminated, 0) AS n_contaminated, "
+        "CASE WHEN coalesce(t.n_shingles, 0) > 0 THEN "
+        "round(CAST(coalesce(nh.n_contaminated, 0) AS DOUBLE) / t.n_shingles, 6) END "
+        "AS contaminated_frac "
+        "FROM documents d LEFT JOIN tot t ON d.doc_id = t.id "
+        "LEFT JOIN nh ON d.doc_id = nh.id"
+    )
+
+
+def _sql_stratified_split(train_pct: int) -> str:
+    return (
+        "WITH r AS (SELECT doc_id, source, "
+        "row_number() OVER (PARTITION BY source ORDER BY "
+        "(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE) + 1.0) / 4294967296.0 ASC, "
+        "doc_id ASC) AS rn, "
+        "CAST(floor((count(*) OVER (PARTITION BY source) * "
+        f"{train_pct} + 99) / 100.0) AS BIGINT) AS q FROM documents) "
+        "SELECT doc_id, source, CASE WHEN rn <= q THEN 'train' ELSE 'eval' END AS split FROM r"
+    )
+
+
 def _sql_record_linkage() -> str:
     """BRUTE-FORCE oracle for the cross-table Ed-Join: every (left,
     right) pair levenshtein-verified over the full cross join — a hash
@@ -5957,6 +6017,8 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup_chars": _sql_substring_dedup_chars(40),
         "hll_daily_users": _sql_hll_daily_users(),
         "record_linkage": _sql_record_linkage(),
+        "stratified_split": _sql_stratified_split(80),
+        "contamination_fraction": _sql_contamination_fraction(CONTAMINATION_PROBES),
         "hybrid_search": _sql_hybrid_search(),
         "encode_tokens": _sql_encode_tokens(10),
         "token_count_vocab": _sql_token_count_vocab(10),

@@ -221,6 +221,8 @@ HEADLINE = [
     "hll_daily_users",
     "hybrid_search",
     "record_linkage",
+    "stratified_split",
+    "contamination_fraction",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above

@@ -387,3 +387,45 @@ def alpha_mixture_sample(
         .where(coin <= F.col("rate"))
         .select(id_col, source_col, F.round("rate", 6).alias("rate"))
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    label_col: str,
+    train_pct: int = 80,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic STRATIFIED train/eval split with EXACT per-class
+    quotas: within every label class, rows rank by (md5_unit(id), id)
+    and the first ``ceil(n_class · train_pct / 100)`` go to train —
+    so each class's train share is exact to the row, not Bernoulli
+    (`randomSplit`'s per-class share wobbles ±√n, which skews rare
+    classes badly). The percentage is INTEGER so the quota is pure
+    integer arithmetic — ``(n·pct + 99) div 100`` — identical in any
+    engine (a float fraction like 0.8 has no exact binary form and
+    turns the quota into an ulp coin-flip at multiples of 5).
+
+    Shape: one per-class window (classes sort in parallel) + a count
+    join; map-only otherwise. md5 ranking is replayable and stable
+    under repartitioning — the same rows split the same way forever,
+    and ``split_leakage_pairs`` can audit the assignment. Output: the
+    input plus a ``split`` column ('train' / 'eval')."""
+    if not (0 < train_pct < 100):
+        raise ValueError("train_pct must be in (0, 100)")
+    from pyspark.sql import Window
+
+    u = md5_unit_interval(F.col(id_col))
+    w = Window.partitionBy(label_col).orderBy(u.asc(), F.col(id_col).asc())
+    counts = Window.partitionBy(label_col)
+    quota = (F.count(F.lit(1)).over(counts) * train_pct + 99) / 100
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__q", F.floor(quota).cast("bigint"))
+        .select(
+            "*",
+            F.when(F.col("__rn") <= F.col("__q"), F.lit("train"))
+            .otherwise(F.lit("eval"))
+            .alias("split"),
+        )
+        .drop("__rn", "__q")
+    )

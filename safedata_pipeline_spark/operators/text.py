@@ -2056,3 +2056,56 @@ def pmi_top_pairs(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(topk)
+
+
+def contamination_fraction(
+    df: DataFrame,
+    probes: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-DOCUMENT contamination coverage: the fraction of each
+    document's DISTINCT word n-grams that appear in the probe
+    (eval-set) shingle set — the GRADED signal a curation run
+    thresholds on instead of the binary drop (`decontaminate` removes
+    any hit; real pipelines keep a doc that merely quotes one
+    benchmark line and drop the one that IS the benchmark).
+
+    Shape: probe shingles broadcast (eval sets are KBs); one corpus
+    distinct-shingle explode + broadcast semi join + one
+    doc-keyed aggregate — one corpus pass, text never shuffles.
+    Docs shorter than n words carry NULL fraction ("no evidence").
+    Output: (doc_id, n_shingles, n_contaminated, contaminated_frac).
+    """
+    from safedata_pipeline_spark.operators.dedup import _word_shingles
+
+    spark = df.sparkSession
+    psh = (
+        spark.createDataFrame([(p,) for p in probes], "probe string")
+        .select(F.explode(_word_shingles(F.col("probe"), n)).alias("s"))
+        .distinct()
+    )
+    csh = spread_small(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_shingles(F.col(text_col), n)).alias("s"),
+    )
+    hit = csh.join(F.broadcast(psh), on="s", how="left_semi")
+    tot = csh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    nh = hit.groupBy("id").agg(F.count(F.lit(1)).alias("n_contaminated"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(tot, "id", "left")
+        .join(nh, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias("n_contaminated"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_contaminated", F.lit(0)) / F.col("n_shingles"), 6
+                ),
+            ).alias("contaminated_frac"),
+        )
+    )

@@ -265,3 +265,29 @@ def test_alpha_mixture_deterministic_across_runs(spark):
     a = {r.doc_id for r in alpha_mixture_sample(df).collect()}
     b = {r.doc_id for r in alpha_mixture_sample(df).collect()}
     assert a == b and len(a) > 0
+
+
+def test_stratified_split_exact_quotas(spark):
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.operators.sampling import stratified_split
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "rare") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, label string")
+    out = stratified_split(df, "label", train_pct=80)
+    counts = {
+        (r.label, r.split): r.n
+        for r in out.groupBy("label", "split").agg(F.count("*").alias("n")).collect()
+    }
+    # exact to the row: ceil(100*0.8)=80, ceil(5*0.8)=4
+    assert counts[("big", "train")] == 80 and counts[("big", "eval")] == 20
+    assert counts[("rare", "train")] == 4 and counts[("rare", "eval")] == 1
+    # deterministic: identical assignment across runs
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {(r.doc_id, r.split) for r in stratified_split(df, "label", 80).collect()}
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        stratified_split(df, "label", train_pct=0)

@@ -214,3 +214,23 @@ def test_pmi_min_count_floor(spark):
     got = {(r.w1, r.w2) for r in pmi_top_pairs(df, min_count=2, topk=10).collect()}
     assert ("rare", "pair") in got
     assert ("unique", "once") not in got  # below the floor
+
+
+def test_contamination_fraction_graded_signal(spark):
+    from safedata_pipeline_spark.operators.text import contamination_fraction
+
+    probe = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, probe),                                   # IS the benchmark
+        (2, "intro words then " + probe + " and an original closing thought here"),
+        (3, "entirely unrelated text about gardening and astronomy topics"),
+        (4, "too short"),                             # < n words -> NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in contamination_fraction(df, [probe], n=3).collect()}
+    assert got[1].contaminated_frac == 1.0
+    assert 0.0 < got[2].contaminated_frac < 1.0
+    assert got[3].contaminated_frac == 0.0
+    assert got[4].contaminated_frac is None and got[4].n_shingles == 0
+    # the graded ordering a threshold would use
+    assert got[1].contaminated_frac > got[2].contaminated_frac > got[3].contaminated_frac
