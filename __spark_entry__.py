@@ -2552,6 +2552,28 @@ def _q_hybrid_search(spark, sf):
     )
 
 
+# -- X31 (promoted r9): salted skew join, oracle channel -----------------------
+
+
+def _q_salted_segment_revenue(spark, sf):
+    # the extreme-skew join path in the hash-checked channel: the salt
+    # is a partitioning artifact (row set identical to the plain join,
+    # which is exactly what the oracle computes), so revenue per market
+    # segment through the salted path must hash-match a plain SQL join.
+    # DECIMAL sums keep the aggregate partition-order independent.
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = JN.salted_join(orders, cust, key="c_custkey", salt=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double"), 2
+        ).alias("revenue"),
+    )
+
+
 # -- X206: per-document contamination coverage --------------------------------
 
 
@@ -2772,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": _q_record_linkage,
         "stratified_split": _q_stratified_split,
         "contamination_fraction": _q_contamination_fraction,
+        "salted_segment_revenue": _q_salted_segment_revenue,
         "length_matched_sample": _q_length_matched_sample,
         "conversion_attribution": _q_conversion_attribution,
         "secrets_scan": _q_secrets_scan,
@@ -5702,6 +5725,16 @@ def _sql_hybrid_search() -> str:
     )
 
 
+def _sql_salted_segment_revenue() -> str:
+    # the PLAIN join — certifying the salted path is a pure
+    # partitioning artifact
+    return (
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+    )
+
+
 def _sql_contamination_fraction(probes: list[str]) -> str:
     values = ", ".join(f"('{p}')" for p in probes)
     return (
@@ -6018,6 +6051,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_daily_users": _sql_hll_daily_users(),
         "record_linkage": _sql_record_linkage(),
         "stratified_split": _sql_stratified_split(80),
+        "salted_segment_revenue": _sql_salted_segment_revenue(),
         "contamination_fraction": _sql_contamination_fraction(CONTAMINATION_PROBES),
         "hybrid_search": _sql_hybrid_search(),
         "encode_tokens": _sql_encode_tokens(10),
