@@ -223,6 +223,7 @@ HEADLINE = [
     "record_linkage",
     "stratified_split",
     "contamination_fraction",
+    "salted_segment_revenue",
 ]
 
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above
