@@ -5660,14 +5660,17 @@ def _sql_image_pixel_stats(width: int) -> str:
 
 
 def _sql_compression_entropy() -> str:
-    """DuckDB twin of the order-0 byte-entropy bound: same char
-    enumeration (generate_series + substr — char == byte on the ASCII
-    fixture), same exact DECIMAL(12,0)×DECIMAL(20,6) ln-term products,
-    same double finishing divides and 6dp floor-snaps."""
+    """DuckDB twin of the order-0 byte-entropy bound: the same TRUE
+    UTF-8 byte enumeration as the engine — hex(encode(text)) turns the
+    byte string into a hex string whose (2i−1, 2)-substrings are the
+    individual byte values (é → C3, A9), so multi-byte text counts per
+    BYTE, consistent with zlib_signal's n_bytes — then the same exact
+    DECIMAL(12,0)×DECIMAL(20,6) ln-term products, double finishing
+    divides, and 6dp floor-snaps."""
     return (
-        "WITH ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS b "
+        "WITH ch AS (SELECT doc_id, substr(hex(encode(text)), CAST(i * 2 - 1 AS INT), 2) AS b "
         "FROM documents, "
-        "unnest(generate_series(CAST(1 AS BIGINT), CAST(length(text) AS BIGINT))) AS g(i)), "
+        "unnest(generate_series(CAST(1 AS BIGINT), CAST(octet_length(encode(text)) AS BIGINT))) AS g(i)), "
         "cnt AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2), "
         "pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bytes, "
         "CAST(count(*) AS BIGINT) AS n_distinct_bytes, "

@@ -51,12 +51,22 @@ from safedata_pipeline_spark.partitioning import spread_small
 LN2 = 0.6931471805599453  # double literal mirrored in the oracle SQL
 
 
-def _chars(col):
-    """Array of the single characters of ``col`` (empty for '')."""
-    n = F.length(col)
+def _hex_bytes(col):
+    """Array of the UTF-8 BYTES of ``col``, each as a 2-char hex pair
+    (empty array for ''). ``hex(encode(col,'utf-8'))`` turns the byte
+    string into a hex string whose (2i−1, 2)-substrings are the
+    individual byte values — true bytes, not characters, so multi-byte
+    text (é = 0xC3 0xA9) counts per BYTE exactly like ``zlib_signal``
+    does. Stays JVM-side; DuckDB mirrors it with the same
+    hex(encode(..)) pairing."""
+    hexed = F.hex(F.encode(col, "UTF-8"))
+    n = F.octet_length(col)
     return F.when(
         n >= 1,
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(col, i, F.lit(1))),
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.substr(hexed, i * 2 - 1, F.lit(2)),
+        ),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -77,7 +87,7 @@ def compression_entropy(
     keep their row with 0 bytes / 0.0 entropy."""
     zero6 = F.lit(0).cast("decimal(38,6)")
     ex = spread_small(df).select(
-        F.col(id_col), F.explode(_chars(F.col(text_col))).alias("b")
+        F.col(id_col), F.explode(_hex_bytes(F.col(text_col))).alias("b")
     )
     counts = ex.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
     # count × 6dp-ln as a DECIMAL(12,0) × DECIMAL(20,6) multiply: the
@@ -118,9 +128,6 @@ def compression_entropy(
     return base.select("*", ratio.alias("ideal_ratio"))
 
 
-ZLIB_SCHEMA = "doc_id long, n_bytes long, zlib_len long, zlib_ratio double"
-
-
 def zlib_signal(
     df: DataFrame,
     text_col: str = "text",
@@ -131,9 +138,18 @@ def zlib_signal(
     ``zlib.compress(..., level)`` output size, and their ratio
     (floor-snapped to 6dp). Ratio is 0.0 for empty docs. LZ77's window
     makes this a REPETITION detector, not just an alphabet-skew one —
-    the signal the public gzip/zstd screens threshold on."""
+    the signal the public gzip/zstd screens threshold on.
+
+    The output id column keeps the CALLER's name and type — the
+    ``mapInPandas`` schema is built from ``id_col`` and the input
+    column's actual dtype, so a string/int id or a non-default column
+    name round-trips (``CorpusPipeline.filter_compressibility`` selects
+    back by ``self.id_col``)."""
     import math
     import zlib
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"`{id_col}` {id_type}, n_bytes long, zlib_len long, zlib_ratio double"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -145,7 +161,7 @@ def zlib_signal(
                 ratio = math.floor(zl / n * 1e6 + 0.5) / 1e6 if n else 0.0
                 rows.append((did, n, zl, ratio))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "n_bytes", "zlib_len", "zlib_ratio"]
+                rows, columns=[id_col, "n_bytes", "zlib_len", "zlib_ratio"]
             )
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(batches, ZLIB_SCHEMA)
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(batches, schema)

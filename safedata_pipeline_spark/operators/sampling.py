@@ -400,10 +400,16 @@ def stratified_split(
     and the first ``ceil(n_class · train_pct / 100)`` go to train —
     so each class's train share is exact to the row, not Bernoulli
     (`randomSplit`'s per-class share wobbles ±√n, which skews rare
-    classes badly). The percentage is INTEGER so the quota is pure
-    integer arithmetic — ``(n·pct + 99) div 100`` — identical in any
-    engine (a float fraction like 0.8 has no exact binary form and
-    turns the quota into an ulp coin-flip at multiples of 5).
+    classes badly). The percentage is INTEGER and the quota is
+    ``floor((n·pct + 99) / 100)`` computed as floor of a DOUBLE
+    division — deliberately so, and matched term-for-term by the
+    DuckDB oracle's ``/100.0``: the dividend ``n·pct + 99`` is an
+    exact integer < 2^53, and a correctly-rounded double division of
+    such an integer by 100 can never land on the wrong side of an
+    integer boundary, so the floor equals the pure integer
+    ``(n·pct + 99) div 100`` on every input. Keep the float divide —
+    "fixing" it to integer ``div`` on one side only would desync
+    engine and oracle.
 
     Shape: one per-class window (classes sort in parallel) + a count
     join; map-only otherwise. md5 ranking is replayable and stable

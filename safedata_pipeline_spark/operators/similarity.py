@@ -477,13 +477,23 @@ def lexical_jaccard_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     query_id_col: str | None = None,
+    exclude_self: bool | None = None,
 ) -> DataFrame:
     """Exact token-set-Jaccard top-k retrieval — the LEXICAL leg of
     hybrid search (the BM25-family role, in its simplest exact form).
     One distinct-token explode per side + one token equi-join + a
-    per-query window over the candidate set; self-matches excluded.
-    Output: (query_id, rank, item_id, jaccard). Ties break on item id
-    so the ranking is engine-deterministic."""
+    per-query window over the candidate set. Output:
+    (query_id, rank, item_id, jaccard). Ties break on item id so the
+    ranking is engine-deterministic.
+
+    ``exclude_self`` drops candidates with ``query_id == item_id``; it
+    defaults to True only when the query ids live in the CORPUS id
+    space (``query_id_col`` is None — queries are corpus rows), and to
+    False when ``query_id_col`` names a separate query-table id whose
+    values are unrelated to corpus ids (an id collision there is a
+    legitimate candidate, not a self-match)."""
+    if exclude_self is None:
+        exclude_self = query_id_col is None
     from pyspark.sql import Window
 
     def toks(col):
@@ -498,10 +508,11 @@ def lexical_jaccard_topk(
     c = corpus.select(F.col(id_col).alias("item_id"), toks(F.col(text_col)).alias("ct"))
     qe = q.select("query_id", F.size("qt").alias("nq"), F.explode("qt").alias("t"))
     ce = c.select("item_id", F.size("ct").alias("nc"), F.explode("ct").alias("t"))
+    joined = qe.join(ce, "t")
+    if exclude_self:
+        joined = joined.where(F.col("query_id") != F.col("item_id"))
     inter = (
-        qe.join(ce, "t")
-        .where(F.col("query_id") != F.col("item_id"))
-        .groupBy("query_id", "item_id")
+        joined.groupBy("query_id", "item_id")
         .agg(
             F.count(F.lit(1)).alias("i"),
             F.first("nq").alias("nq"),

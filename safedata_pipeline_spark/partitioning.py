@@ -29,11 +29,39 @@ def spread_small(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Round-robin repartition ``df`` UP to ``min_factor ×
     defaultParallelism`` partitions — never down.
 
-    Reads the compiled plan's current partition count (plan-time
-    metadata — no job runs) and returns ``df`` unchanged when it
-    already meets the target, so at scale this is free.
+    Two-step gate, both steps job-free:
+
+    1. If the plan already contains an Exchange (checked on the INITIAL
+       physical plan, ``queryExecution().sparkPlan()`` — compiled but
+       never executed, so under AQE no upstream shuffle stage runs),
+       return ``df`` unchanged: downstream width is already governed by
+       ``spark.sql.shuffle.partitions``, and a second repartition would
+       only add a shuffle of the very rows we're about to explode.
+       (The old form asked ``df.rdd.getNumPartitions()`` first, which
+       on an AQE plan forces ``getFinalPhysicalPlan`` and EXECUTES the
+       upstream shuffle stages once at plan-build time and again in the
+       real action — duplicated computation at exactly the scale this
+       helper protects.)
+    2. Only on a shuffle-FREE (pure scan-stage) plan read
+       ``df.rdd.getNumPartitions()`` — with no exchanges there is no
+       query stage to materialize, so this is genuine plan-time
+       metadata — and repartition up only when the scan yields fewer
+       splits than the target. Physical-plan compilation in step 1 is
+       cached on the Dataset's QueryExecution, so the later action
+       reuses it.
     """
+    import re
+
     target = min_factor * df.sparkSession.sparkContext.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        # a SHUFFLE exchange sets downstream width; a BroadcastExchange
+        # does not (the probe side keeps its scan splits), so only the
+        # former short-circuits
+        if re.search(r"(?<!Broadcast)Exchange", plan):
+            return df
+    except Exception:  # pragma: no cover - connect/classic API drift
+        pass
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -51,6 +51,38 @@ def test_entropy_skewed_matches_formula(spark):
     assert got.entropy_bits_per_byte == h
 
 
+def test_entropy_counts_true_utf8_bytes(spark):
+    # 'éé' is 4 UTF-8 bytes (C3 A9 C3 A9): 2 distinct byte values each
+    # appearing twice -> exactly the 'abab' distribution, NOT the
+    # 1-symbol/0-bit result a per-CHARACTER count would give. This pins
+    # the ADVICE r9 fix: entropy is over bytes, consistent with
+    # zlib_signal's n_bytes.
+    out = {
+        r.doc_id: r
+        for r in CMP.compression_entropy(
+            _docs(spark, [(1, "éé"), (2, "héllo")])
+        ).collect()
+    }
+    assert (out[1].n_bytes, out[1].n_distinct_bytes) == (4, 2)
+    assert out[1].entropy_bits_per_byte == _h6([2, 2])
+    # 'héllo' = 68 C3 A9 6C 6C 6F: 6 bytes, 5 distinct, counts [1,1,1,2,1]
+    assert (out[2].n_bytes, out[2].n_distinct_bytes) == (6, 5)
+    assert out[2].entropy_bits_per_byte == _h6([1, 1, 1, 2, 1])
+    # and n_bytes now agrees with the zlib side on multilingual text
+    zl = CMP.zlib_signal(_docs(spark, [(1, "éé")])).collect()[0]
+    assert zl.n_bytes == out[1].n_bytes == 4
+
+
+def test_zlib_custom_id_column_name_and_type(spark):
+    # ADVICE r9: the output id column keeps the caller's name and type
+    df = spark.createDataFrame(
+        [("d-1", "hello world"), ("d-2", "")], "uid string, body string"
+    )
+    out = {r.uid: r for r in CMP.zlib_signal(df, "body", "uid").collect()}
+    assert set(out) == {"d-1", "d-2"}
+    assert out["d-1"].n_bytes == 11 and out["d-2"].zlib_ratio == 0.0
+
+
 def test_zlib_detects_repetition_beyond_entropy(spark):
     # 'ab'*500 has 1 bit/byte of order-0 entropy (ideal_ratio 0.125)
     # but deflate's LZ77 window collapses the repeats far below that —
