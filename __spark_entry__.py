@@ -2474,7 +2474,13 @@ def _q_lang_id_trained(spark, sf):
     from safedata_pipeline_spark.checkpoint import pin_lazy
     from safedata_pipeline_spark.operators import langid as LI
 
-    fixed = _langid_fixture(spark, sf)
+    # pin the labeled fixture once: FOUR consumers scan it (fit, gram
+    # explode, per-doc gram totals, the truth join-back), and each
+    # re-scan would recompute + re-codegen the md5 marker CASE chains
+    # (measured ~1s of Janino per consumer cold). The fixture is the
+    # LABELED-corpus role — small by the langid contract — so the pin
+    # is O(labeled sample), not O(corpus)
+    fixed = _langid_fixture(spark, sf).transform(pin_lazy)
     # the model is a few-thousand-row table consumed twice inside
     # langid_score (per-gram rows + per-lang floors) — pin it so the
     # fit's corpus scan runs once, not once per consumer
@@ -2501,7 +2507,9 @@ def _q_lang_id_margin(spark, sf):
     from safedata_pipeline_spark.checkpoint import pin_lazy
     from safedata_pipeline_spark.operators import langid as LI
 
-    fixed = _langid_fixture(spark, sf)
+    # same fixture pin as lang_id_trained: one materialization feeds
+    # the fit + both grid scans instead of three md5-chain recomputes
+    fixed = _langid_fixture(spark, sf).transform(pin_lazy)
     model = LI.langid_fit(fixed.where("is_train")).transform(pin_lazy)
     return LI.langid_margin(fixed, model)
 

@@ -42,19 +42,28 @@ def spread_small(df: DataFrame, min_factor: int = 1) -> DataFrame:
        upstream shuffle stages once at plan-build time and again in the
        real action — duplicated computation at exactly the scale this
        helper protects.)
-    2. Only on a shuffle-FREE (pure scan-stage) plan read
-       ``df.rdd.getNumPartitions()`` — with no exchanges there is no
-       query stage to materialize, so this is genuine plan-time
-       metadata — and repartition up only when the scan yields fewer
-       splits than the target. Physical-plan compilation in step 1 is
-       cached on the Dataset's QueryExecution, so the later action
-       reuses it.
+    2. Only on a shuffle-FREE (pure scan-stage) plan read the partition
+       count — with no exchanges there is no query stage to
+       materialize, so this is genuine plan-time metadata — and
+       repartition up only when the scan yields fewer splits than the
+       target. Both steps run on a column-pruned ``select(lit(1))``
+       twin of ``df`` (same split count, trivial codegen), so the probe
+       never compiles the real plan's expression trees.
     """
     import re
 
+    from pyspark.sql import functions as F
+
     target = min_factor * df.sparkSession.sparkContext.defaultParallelism
+    # Probe a column-PRUNED twin, not df itself: partition count is
+    # column-independent, so select(lit(1)) sees the same splits while
+    # Catalyst prunes every projection expression away — the probe's
+    # codegen is a constant projection instead of the real plan's
+    # (possibly huge) expression trees, which .rdd would otherwise
+    # Janino-compile once here and again at the real action.
+    probe = df.select(F.lit(1).alias("__spread_probe"))
     try:
-        plan = df._jdf.queryExecution().sparkPlan().toString()
+        plan = probe._jdf.queryExecution().sparkPlan().toString()
         # a SHUFFLE exchange sets downstream width; a BroadcastExchange
         # does not (the probe side keeps its scan splits), so only the
         # former short-circuits
@@ -62,6 +71,6 @@ def spread_small(df: DataFrame, min_factor: int = 1) -> DataFrame:
             return df
     except Exception:  # pragma: no cover - connect/classic API drift
         pass
-    if df.rdd.getNumPartitions() >= target:
+    if probe.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
