@@ -1682,14 +1682,16 @@ def _q_semantic_dedup(spark, sf):
     return DD.semantic_pairs(emb, k=8, iterations=3, threshold=0.4, cell_cap=64)
 
 
-def _sql_semantic_pairs(
-    k: int = 8, iterations: int = 3, threshold: float = 0.4, cell_cap: int = 64
-) -> str:
-    # the whole composition unrolled: md5-seeded init, `iterations`
-    # rounds of (rounded-distance argmin assignment -> 9dp DECIMAL
-    # centroid means), final assignment, intra-cell cosine pairs. The
-    # distance kernel -2·(v·c)+|c|² rounded to 6dp matches
-    # clustering._nearest_centroid_expr term for term.
+def _sql_kmeans_parts(k: int, iterations: int) -> tuple[list, str]:
+    """Shared unrolled-CTE prefix replaying clustering.kmeans_fit_centers
+    exactly: md5-seeded init (c0), `iterations` rounds of
+    (rounded-distance argmin assignment a{t} -> 9dp DECIMAL centroid
+    means u{t}/n{t}/c{t}), and the final assignment `af(id, v, cid)`.
+    The distance kernel -2·(v·c)+|c|² rounded to 6dp matches
+    clustering._nearest_centroid_expr term for term. Returns
+    (parts, dist) so compositions (semantic_dedup's intra-cell pair
+    join, the exact-cells IVF probe) can extend the chain with the
+    same kernel."""
     dist = "round(-2 * list_dot_product(d.v, c.c) + list_dot_product(c.c, c.c), 6)"
     parts = [
         "data AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v "
@@ -1719,6 +1721,16 @@ def _sql_semantic_pairs(
             f"FROM c{t - 1} p LEFT JOIN n{t} nc USING (cid))"
         )
     parts.append("af AS " + assign.format(prev=f"c{iterations}"))
+    return parts, dist
+
+
+def _sql_semantic_pairs(
+    k: int = 8, iterations: int = 3, threshold: float = 0.4, cell_cap: int = 64
+) -> str:
+    # the whole composition unrolled: the shared KMeans CTE chain
+    # (_sql_kmeans_parts) + intra-cell cosine pairs under the cell_cap
+    # skew guard
+    parts, _ = _sql_kmeans_parts(k, iterations)
     # cell-cap skew guard, mirrored: per-cell population -> n_sub =
     # ceil(cn / cap) -> md5-salted slice id (salt 7 = the operator's
     # SEMANTIC_SUB_SALT) -> pairs keyed on (cid, sub)
@@ -1735,6 +1747,62 @@ def _sql_semantic_pairs(
         f"round({SQL_COS}, 6) AS cosine "
         "FROM sb a JOIN sb b ON a.cid = b.cid AND a.sub = b.sub AND a.id < b.id) "
         f"SELECT * FROM p WHERE cosine >= {threshold}"
+    )
+
+
+# -- X207: oracle-checkable IVF ANN (exact-cells scale path) ------------------
+
+
+def _q_ann_cosine_topk_ivf_exactcells(spark, sf):
+    # the IVF SCALE path under the hash check (VERDICT r9 #2): the
+    # deterministic-KMeans coarse quantizer (X166 discipline) + a
+    # 2-of-8-cell probe + exact per-cell cosine top-5. Complements the
+    # rows-only recall-gated fast twin (ann_cosine_topk_ivf): this form
+    # proves the candidate-confinement composition itself is correct,
+    # that one measures its recall against the brute-force truth.
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.cosine_topk_ivf_exact(
+        emb.where(F.col("vec_id") < 10), emb, k=5, num_cells=8, iterations=3, n_probe=2
+    )
+
+
+def _sql_ann_ivf_exactcells(
+    k: int = 5, num_cells: int = 8, iterations: int = 3, n_probe: int = 2
+) -> str:
+    """The whole IVF composition unrolled: the shared deterministic-
+    KMeans CTE chain (md5-seeded init, rounded-distance assignments,
+    9dp centroid means — _sql_kmeans_parts), then the query-side
+    n_probe-cell expansion by the SAME rounded kernel, an equi-join on
+    the cell id against the final assignment `af`, exact cosine, and
+    the (cosine desc, id asc) top-k — mirroring similarity._topk's
+    NULL-cosine drop."""
+    parts, dist = _sql_kmeans_parts(num_cells, iterations)
+    parts.append(
+        "qp AS (SELECT id AS query_id, v AS qv, cid FROM "
+        "(SELECT d.id, d.v, c.cid, "
+        f"row_number() OVER (PARTITION BY d.id ORDER BY {dist}, c.cid) AS rn "
+        f"FROM data d CROSS JOIN c{iterations} c WHERE d.id < 10) "
+        f"WHERE rn <= {n_probe})"
+    )
+    cos = (
+        "CASE WHEN list_dot_product(q.qv, q.qv) > 0 AND list_dot_product(a.v, a.v) > 0 "
+        "THEN list_dot_product(q.qv, a.v) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))) "
+        "ELSE NULL END"
+    )
+    parts.append(
+        f"scored AS (SELECT q.query_id, a.id, {cos} AS cosine "
+        "FROM qp q JOIN af a ON q.cid = a.cid AND q.query_id <> a.id)"
+    )
+    parts.append(
+        "r AS (SELECT query_id, id, cosine, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn "
+        "FROM scored WHERE cosine IS NOT NULL)"
+    )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT query_id, CAST(rn AS BIGINT) AS rank, id AS neighbor_id, "
+        f"round(cosine, 6) AS cosine FROM r WHERE rn <= {k}"
     )
 
 
@@ -2692,35 +2760,39 @@ def _q_bpe_token_count(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-9 window rotation: the driver hash-checks the FIRST 50
-    # entries. All 50 r8 rows came back green (8th consecutive all-green
-    # round), so per the standing policy the window now holds:
+    # Round-10 window rotation: the driver hash-checks the FIRST 50
+    # entries. All 50 r9 rows came back green (9th consecutive
+    # all-green round), so per the standing policy the window now
+    # holds:
     # (1) the 15 standing anchors;
-    # (2) the LAST 9 never-driver-checked oracle-backed queries (the r8
-    #     late arrivals: 4 TPC-H shapes, bloom_prefilter,
-    #     winnowing_overlap, repeated_ngrams, pmi_pairs, lang_id_margin)
-    #     — after this round every oracle-backed query in the engine has
-    #     at least one driver-green row and the rotation treadmill ends;
-    # (3) the 3 r9-new oracle-backed queries (compression_entropy,
-    #     substring_dedup_chars, and multimodal_features — newly
-    #     PROMOTED from rows-only to the oracle channel via the real
-    #     PNG round-trip);
+    # (2) the LAST 4 never-driver-checked oracle-backed queries (the
+    #     r9 late arrivals record_linkage, stratified_split,
+    #     contamination_fraction, salted_segment_revenue) — after this
+    #     round EVERY oracle-backed query in the engine has at least
+    #     one driver-green row and the rotation treadmill ends for
+    #     good (VERDICT r9 #1);
+    # (3) the r10-new oracle-backed query: ann_cosine_topk_ivf_exactcells
+    #     (the IVF ANN scale path PROMOTED into the hash channel via
+    #     the semantic-dedup deterministic-KMeans discipline — VERDICT
+    #     r9 #2);
     # (4) re-verification slots for every oracle query whose code round
-    #     9 touched: url_dedup (canonicalizer port/tracker fix),
-    #     gopher_quality (oracle empty-doc fix), lang_id_trained (the
-    #     shared _scored_grid refactor; lang_id_margin doubles as its
-    #     twin in group 2), user_sessions + session_concurrency (the
-    #     built-in session_window swap), jaccard_prefix_join +
-    #     containment_join (spread_small guard at the shingle explodes;
-    #     embedding_cosine_dedup's guard is covered by its anchor row);
-    # (5) 14 refresh slots for the STALEST driver greens (r3/r4
-    #     vintage): events_hourly/json, multimodal_meta, kmv_distinct,
-    #     range_join_tiers, quality_score, dedup_exact, pricing_summary,
-    #     pii_scan, quality_filter, tfidf_top_terms, paragraph_dedup,
-    #     pack_sequences, contamination_scan (corpus_stats and
-    #     repetition_stats yielded their slots to the late r9-new
-    #     hll_daily_users and hybrid_search; their r4 greens stand).
-    # Displaced out: the r7/r8 double-green rows (each keeps its local
+    #     10 touched: compression_entropy (true-UTF-8-byte fix, ADVICE
+    #     r9), lang_id_trained + lang_id_margin (fixture pin + the
+    #     spread_small probe change), hybrid_search (lexical leg's
+    #     exclude_self default), semantic_dedup (oracle-SQL CTE
+    #     factoring), multimodal_features (JPEG second-codec work), and
+    #     the spread_small-consuming explode operators
+    #     substring_dedup_chars, jaccard_prefix_join, containment_join,
+    #     edit_distance_pairs, ngram_jaccard, simhash_pairs,
+    #     winnowing_overlap;
+    # (5) 17 refresh slots for the STALEST driver greens (r1-r4
+    #     vintage): the P/A profile rows (row_count, limit_preview,
+    #     project_quasi_ids, null_profile, distinct_count,
+    #     numeric_profile, top_freq, value_counts), the protect family
+    #     (sdc_suppress, generalize_numeric, smart_suggest, impute),
+    #     checklist_score, chi2_drift, k_anonymity, and corpus_stats +
+    #     repetition_stats (r4 greens, yielded their r9 slots).
+    # Displaced out: the r8/r9 double-green rows (each keeps its local
     # full-sweep hash check via tools/check_oracle.py every round).
     return {
         # -- (1) anchors ---------------------------------------------------
@@ -2739,29 +2811,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "decontaminate": _q_decontaminate,
         "pack_windows": _q_pack_windows,
-        # -- (2) last never-driver-checked backlog -------------------------
+        # -- (2) last never-driver-checked backlog (ends the treadmill) ----
+        "record_linkage": _q_record_linkage,
+        "stratified_split": _q_stratified_split,
+        "contamination_fraction": _q_contamination_fraction,
+        "salted_segment_revenue": _q_salted_segment_revenue,
+        # -- (3) r10-new oracle-backed ---------------------------------------
+        "ann_cosine_topk_ivf_exactcells": _q_ann_cosine_topk_ivf_exactcells,
+        # -- (4) r10-touched re-verification ---------------------------------
+        "compression_entropy": _q_compression_entropy,
+        "lang_id_trained": _q_lang_id_trained,
+        "lang_id_margin": _q_lang_id_margin,
+        "hybrid_search": _q_hybrid_search,
+        "semantic_dedup": _q_semantic_dedup,
+        "multimodal_features": _q_multimodal_features,
+        "substring_dedup_chars": _q_substring_dedup_chars,
+        "jaccard_prefix_join": _q_jaccard_prefix_join,
+        "containment_join": _q_containment_join,
+        "edit_distance_pairs": _q_edit_distance_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash_pairs": _q_simhash_pairs,
+        "winnowing_overlap": _q_winnowing_overlap,
+        # -- (5) stalest-green refresh (r1-r4 vintage) ------------------------
+        "row_count": _q_row_count,
+        "limit_preview": _q_limit_preview,
+        "project_quasi_ids": _q_project_quasi_ids,
+        "null_profile": _q_null_profile,
+        "distinct_count": _q_distinct_count,
+        "numeric_profile": _q_numeric_profile,
+        "top_freq": _q_top_freq,
+        "value_counts": _q_value_counts,
+        "sdc_suppress": _q_sdc_suppress,
+        "generalize_numeric": _q_generalize_numeric,
+        "smart_suggest": _q_smart_suggest,
+        "impute": _q_impute,
+        "checklist_score": _q_checklist_score,
+        "chi2_drift": _q_chi2_drift,
+        "k_anonymity": _q_k_anonymity,
+        "corpus_stats": _q_corpus_stats,
+        "repetition_stats": _q_repetition_stats,
+        # --- past the driver's 50-row correctness window from here on.
+        # Everything below except the trailing rows-only block IS
+        # oracle-backed — tools/check_oracle.py runs the identical hash
+        # compare locally each round. As of r10 every oracle-backed
+        # query has at least one driver-green row (the group-2 rotation
+        # above closes the last 4), so placement past the window means
+        # only: (a) its hash signal is subsumed by an in-window
+        # sibling, (b) it holds a prior-round driver green, or (c) it
+        # is declared rows-only. Longstanding subsumptions:
+        # chi2_drift runs per-column inside distribution_drift;
+        # minhash_signatures / simhash are CTEs inside minhash_lsh /
+        # simhash_pairs' SQL; dedup_components_star shares
+        # dedup_components' oracle SQL; linkage_risk_score is a CTE of
+        # knn_linkage_join; contamination_scan is the complement of
+        # decontaminate; user_sessions' SQL is embedded in
+        # session_concurrency's.
         "customer_order_histogram": _q_customer_order_histogram,
         "top_supplier": _q_top_supplier,
         "small_qty_revenue": _q_small_qty_revenue,
         "priority_lines": _q_priority_lines,
         "bloom_prefilter": _q_bloom_prefilter,
-        "winnowing_overlap": _q_winnowing_overlap,
         "repeated_ngrams": _q_repeated_ngrams,
         "pmi_pairs": _q_pmi_pairs,
-        "lang_id_margin": _q_lang_id_margin,
-        # -- (3) r9-new oracle-backed --------------------------------------
-        "compression_entropy": _q_compression_entropy,
-        "substring_dedup_chars": _q_substring_dedup_chars,
-        "multimodal_features": _q_multimodal_features,
-        # -- (4) r9-touched re-verification --------------------------------
         "url_dedup": _q_url_dedup,
         "gopher_quality": _q_gopher_quality,
-        "lang_id_trained": _q_lang_id_trained,
         "user_sessions": _q_user_sessions,
         "session_concurrency": _q_session_concurrency,
-        "jaccard_prefix_join": _q_jaccard_prefix_join,
-        "containment_join": _q_containment_join,
-        # -- (5) stalest-green refresh (r3/r4 vintage) ---------------------
         "events_hourly": _q_events_hourly,
         "events_json": _q_events_json,
         "multimodal_meta": _q_multimodal_meta,
@@ -2776,33 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "pack_sequences": _q_pack_sequences,
         "contamination_scan": _q_contamination_scan,
-        # (r9-new) md5-register HLL + hybrid search, oracle channel
         "hll_daily_users": _q_hll_daily_users,
-        "hybrid_search": _q_hybrid_search,
-        # --- past the driver's 50-row correctness window from here on.
-        # Everything below except the trailing rows-only block IS
-        # oracle-backed — tools/check_oracle.py runs the identical hash
-        # compare locally each round. A query sits past the window only
-        # when (a) its hash signal is subsumed by an in-window sibling,
-        # (b) it has been driver-verified green in a prior round, or
-        # (c) it is declared rows-only. Longstanding subsumptions:
-        # chi2_drift runs per-column inside distribution_drift;
-        # minhash_signatures / simhash are CTEs inside minhash_lsh /
-        # simhash_pairs' SQL; dedup_components_star shares
-        # dedup_components' oracle SQL; linkage_risk_score is a CTE of
-        # knn_linkage_join; contamination_scan is the complement of
-        # decontaminate; user_sessions' SQL is embedded in
-        # session_concurrency's. repetition_stats and corpus_stats
-        # yielded their refresh slots to the r9-new hll_daily_users and
-        # hybrid_search (their r4 driver greens stand).
-        "repetition_stats": _q_repetition_stats,
-        "corpus_stats": _q_corpus_stats,
-        # r9 late arrival (slots filled) — next-window queue, locally
-        # hash-checked this round:
-        "record_linkage": _q_record_linkage,
-        "stratified_split": _q_stratified_split,
-        "contamination_fraction": _q_contamination_fraction,
-        "salted_segment_revenue": _q_salted_segment_revenue,
         "length_matched_sample": _q_length_matched_sample,
         "conversion_attribution": _q_conversion_attribution,
         "secrets_scan": _q_secrets_scan,
@@ -6012,6 +6101,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_ngram": _sql_contamination_ngram(CONTAMINATION_PROBES),
         "embedding_cosine_dedup": _sql_embedding_cosine_dedup(0.4),
         "ann_cosine_topk": _sql_ann_cosine_topk(5),
+        "ann_cosine_topk_ivf_exactcells": _sql_ann_ivf_exactcells(),
         "asof_last_click": _sql_asof_last_click(),
         "range_join_tiers": _sql_range_join_tiers(),
         "hypertable_rollup": _sql_hypertable_rollup(),

@@ -1,8 +1,13 @@
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line:
+"""Benchmark harness: runs EVERY `queries()` entry at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
    "queries": {name: sec}, "sf": 0.1}
+
+"Headline = everything" (VERDICT r9 #4): the bench set is the
+queries() dict itself — oracle-backed and rows-only alike — so a new
+query can never be silently unbenched; the script asserts the count
+matches the registry.
 
 Big results are forced with the no-op writer (all partitions
 materialize, nothing collected to the driver); tiny aggregates use
@@ -23,209 +28,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry
 from safedata_pipeline_spark.session import get_spark
 
-# headline set: one per operator family (profiling, protect, drift,
-# linkage, plus extensions as they land)
-HEADLINE = [
-    "basic_stats",
-    "pricing_summary",
-    "value_counts",
-    "numeric_profile",
-    "sdc_suppress",
-    "generalize_numeric",
-    "dp_noise",
-    "smart_suggest",
-    # exact ks_drift is correctness-only (driver window row): its cost
-    # is per-query codegen JIT on an unpartitioned ECDF sort that the
-    # 100 TB path never runs. The binned form below is the
-    # representative drift cost (VERDICT r4 #6).
-    "ks_drift_binned",
-    "chi2_drift",
-    "distribution_drift",
-    "standard_scale",
-    "one_hot",
-    "knn_linkage_join",
-    "linkage_risk_score",
-    "synthetic_sample",
-    "text_profile",
-    "quality_score",
-    "length_histogram",
-    "unigram_logprob",
-    "repetition_stats",
-    "corpus_stats",
-    "tfidf_top_terms",
-    "quality_filter",
-    "paragraph_dedup",
-    "pack_sequences",
-    "contamination_scan",
-    "contamination_ngram",
-    "pii_scan",
-    "pii_redact",
-    "dedup_exact",
-    "ngram_jaccard",
-    "dedup_components",
-    "minhash_signatures",
-    "minhash_lsh",
-    "simhash",
-    "simhash_pairs",
-    "embedding_cosine_dedup",
-    "embedding_centroids",
-    "ann_cosine_topk",
-    "ann_cosine_topk_lsh",
-    "ann_cosine_topk_ivf",
-    "multimodal_meta",
-    "multimodal_features",
-    "asof_last_click",
-    "range_join_tiers",
-    "hypertable_rollup",
-    "kmv_distinct",
-    "events_hourly",
-    "events_json",
-    "user_sessions",
-    "impute",
-    "model_utility",
-    "source_mixture_sample",
-    "quality_deciles",
-    "k_anonymity",
-    "l_diversity",
-    "top_ngrams",
-    "source_lang_pivot",
-    "dedup_incremental",
-    "substring_dedup",
-    "encode_tokens",
-    "token_count_vocab",
-    "leakage_free_split",
-    "dedup_incremental_near",
-    "cross_source_dup_matrix",
-    "take_per_source",
-    "psi_drift",
-    "correlation_matrix",
-    "corpus_cube",
-    "events_sliding",
-    "winsorize",
-    "robust_stats",
-    "shipping_priority",
-    "regional_volume",
-    "quantize_embeddings",
-    "quantization_error",
-    "skew_report",
-    "normalize_text",
-    "column_entropy",
-    "dedup_best",
-    "table_diff",
-    "bigram_logprob",
-    "jsd_drift",
-    "k_anonymity_violations",
-    "pack_stats",
-    "drift_timeline",
-    "events_hourly_users",
-    "decontaminate",
-    "pack_windows",
-    "returned_revenue",
-    "large_orders",
-    "t_closeness",
-    "mutual_information",
-    "rolling_user_stats",
-    "weighted_sample",
-    "cluster_size_histogram",
-    "rolling_anomalies",
-    "session_funnel",
-    "hourly_retention",
-    "drift_timeline_psi",
-    "source_share",
-    "minhash_threshold_curve",
-    "quantile_rank",
-    "group_quantiles",
-    "enforce_k_anonymity",
-    "quality_rules",
-    "latest_events",
-    "split_leakage",
-    "hll_user_rollup",
-    "rules_by_source",
-    "orphan_orders",
-    "incremental_profile",
-    "user_value_trend",
-    "hourly_value_bands",
-    "orders_join_audit",
-    "chunk_documents",
-    "fold_assign",
-    "user_growth",
-    "trending_hourly",
-    "iqr_outliers",
-    "completeness_timeline",
-    "incremental_percentiles",
-    "vocab_top",
-    "oov_rate",
-    "session_concurrency",
-    "cohort_retention",
-    "dedup_rate_by_source",
-    "jaccard_prefix_join",
-    "dup_graph_pagerank",
-    "nation_trade",
-    "priority_late_orders",
-    "sole_late_supplier",
-    "bpe_merges",
-    "count_min_words",
-    "edit_distance_pairs",
-    "value_auc",
-    "readability",
-    "calibration_bins",
-    "kmeans_embeddings",
-    "cusum_hourly",
-    "benford_prices",
-    "containment_join",
-    "auc_daily",
-    "heavy_hitter_words",
-    "weighted_quantiles",
-    "audio_frame_features",
-    "cdc_chunks",
-    "market_share",
-    "disjunctive_revenue",
-    "event_transitions",
-    "roc_points",
-    "dup_graph_pagerank_weighted",
-    "extract_text",
-    "semantic_dedup",
-    "quality_classifier",
-    "bpe_token_count",
-    "zipf_profile",
-    "shipment_month_overlap",
-    "domain_stats",
-    "promo_revenue",
-    "idle_rich_customers",
-    "corpus_overlap",
-    "group_scale",
-    "length_matched_sample",
-    "conversion_attribution",
-    "secrets_scan",
-    "forecast_revenue",
-    # round-8 additions
-    "lang_id_trained",
-    "image_pixel_stats",
-    "gopher_quality",
-    "url_dedup",
-    "winnowing",
-    "alpha_mixture",
-    "customer_order_histogram",
-    "top_supplier",
-    "small_qty_revenue",
-    "priority_lines",
-    "bloom_prefilter",
-    "winnowing_overlap",
-    "repeated_ngrams",
-    "pmi_pairs",
-    "lang_id_margin",
-    # round-9 additions
-    "compression_entropy",
-    "zlib_ratio",
-    "substring_dedup_chars",
-    "hll_daily_users",
-    "hybrid_search",
-    "record_linkage",
-    "stratified_split",
-    "contamination_fraction",
-    "salted_segment_revenue",
-]
-
 SMALL_RESULT_ROWS = 10000  # collect() below this, noop-write above
 
 
@@ -243,7 +45,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()
-    names = [n for n in HEADLINE if n in qs]
+    # the bench set IS the registry: every queries() entry, in dict
+    # order (the driver-window 50 first). Asserted so a future query
+    # cannot land unbenched.
+    names = list(qs)
+    assert len(names) == len(qs) and len(set(names)) == len(names)
 
     # warm-up (JVM, codegen, parquet footer caches)
     qs["value_counts"](spark, sf_dir).collect()
@@ -279,13 +85,19 @@ def main() -> None:
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
     total = round(sum(timings.values()), 3)
+    # key order is deliberate, cheapest-to-lose LAST: the driver's
+    # BENCH_r{N} copy has shipped tail-truncated three rounds running
+    # (r7-r9, `parsed: null`), so the essentials (total, sf, count,
+    # per-query medians) lead the line and the bulky diagnostics
+    # (rep_spread, load) trail it — a tail cut now costs only markers.
     payload = json.dumps(
         {
             "metric": "safedata-pipeline-spark headline queries, total wall sec",
             "value": total,
             "unit": "sec",
-            "queries": timings,
             "sf": sf,
+            "n_queries": len(names),
+            "queries": timings,
             # run-condition markers: per-query [min, max] over the reps
             # plus the box's 1/5/15-min load averages before and after.
             # A genuine code regression moves the MEDIAN with a tight
@@ -305,8 +117,22 @@ def main() -> None:
     )
     # stdout line is the driver contract; the file copy survives any
     # stdout-tail truncation (r3's BENCH artifact lost its headline)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_local.json"), "w") as f:
         f.write(payload + "\n")
+    # compact sidecar (VERDICT r9 #9): name->median only, sorted, one
+    # short line — the committed record a truncated driver copy can
+    # always be reconciled against
+    compact = json.dumps(
+        {
+            "value": total,
+            "sf": sf,
+            "n_queries": len(names),
+            "q": {k: timings[k] for k in sorted(timings)},
+        }
+    )
+    with open(os.path.join(here, "BENCH_local_compact.json"), "w") as f:
+        f.write(compact + "\n")
     print(payload)
 
 

@@ -85,6 +85,32 @@ def _nearest_centroid_expr(centers: list[list[float]], dist_round: int):
     return assign
 
 
+def probe_cells_expr(centers: list[list[float]], n_probe: int, dist_round: int):
+    """Pure-expression TOP-``n_probe`` nearest centroids — the
+    query-side twin of ``_nearest_centroid_expr``'s argmin, for the
+    oracle-parity IVF probe. Same rounded distance kernel
+    (−2·(v·c)+|c|², sequential-fold dot, ``dist_round`` dp), ties to
+    the lowest centroid id; returns an ``array<int>`` of cell ids in
+    ascending (distance, cid) order via one struct array_sort + slice.
+    A SQL oracle replays it as a row_number() over the same rounded
+    distance. No Python rows, no Arrow — whole-stage codegen."""
+    from safedata_pipeline_spark.functions.vector import dot as _dot
+
+    def probes(v):
+        cands = []
+        for i, c in enumerate(centers):
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            c2 = 0.0
+            for x in c:
+                c2 += float(x) * float(x)
+            d = F.round(F.lit(-2.0) * _dot(v, carr) + F.lit(c2), dist_round)
+            cands.append(F.struct(d.alias("d"), F.lit(i).cast("int").alias("cid")))
+        ranked = F.slice(F.sort_array(F.array(*cands)), 1, n_probe)
+        return F.transform(ranked, lambda s: s.getField("cid"))
+
+    return probes
+
+
 def _seed_centroids(df: DataFrame, id_col: str, vec_col: str, k: int) -> list[list[float]]:
     rows = (
         df.select(F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"), F.col(vec_col))

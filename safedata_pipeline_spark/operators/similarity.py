@@ -311,6 +311,82 @@ def cosine_topk_ivf(
     return _topk(pairs, k)
 
 
+def cosine_topk_ivf_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 8,
+    iterations: int = 3,
+    n_probe: int = 2,
+    dist_round: int = 6,
+) -> DataFrame:
+    """ORACLE-CHECKABLE IVF ANN — the scale-path composition under the
+    hash check, not just the brute-force exact form.
+
+    Same IVF shape as ``cosine_topk_ivf`` (coarse quantizer confines
+    the search; queries scan only ``n_probe`` of ``num_cells`` cells ≈
+    an ``n_probe/num_cells`` candidate fraction), but every stage is
+    engine-deterministic via the semantic-dedup (X166) discipline:
+
+    * quantizer — ``clustering.kmeans_fit_centers`` with the
+      md5-seeded init, 9dp-rounded per-iteration centroid means, and
+      the ``dist_round``-rounded pure-expression distance kernel, so a
+      SQL oracle replays the exact centroid trajectory;
+    * index — each corpus vector posts to its single argmin cell
+      (rounded distance, ties to lowest cid — ``kmeans_assign``);
+    * probe — each query expands to its ``n_probe`` nearest cells by
+      the SAME rounded kernel (``clustering.probe_cells_expr``);
+    * scoring — exact cosine over the probed cells' members, top-k by
+      (cosine desc, id asc) — identical ranking to ``cosine_topk``.
+
+    100 TB shape: fit iterations are map+combine passes with O(k·dim)
+    driver traffic; assignment and probing are map-only codegen'd
+    expressions; the candidate generation is an equi-join on the cell
+    id (shuffle keyed by cell, AQE splits skewed cells); nothing is
+    all-pairs. Cross-cell true neighbors are missed — the accepted IVF
+    trade, here *measurable* because the recall-gated fast twin
+    (``cosine_topk_ivf``) and the exact form share the fixture.
+    Output: (query_id, rank, neighbor_id, cosine)."""
+    from safedata_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit_centers,
+        probe_cells_expr,
+    )
+
+    centers, _ = kmeans_fit_centers(
+        corpus, k=num_cells, iterations=iterations, id_col=id_col,
+        vec_col=vec_col, dist_round=dist_round,
+    )
+    c = _prep(corpus.where(F.col(vec_col).isNotNull()), id_col, vec_col, "id")
+    cells = kmeans_assign(
+        corpus, centers, id_col=id_col, vec_col=vec_col, dist_round=dist_round
+    ).select(F.col(id_col).alias("id"), F.col("cluster_id").alias("cell"))
+    c_cells = c.join(cells, "id")
+    q = _prep(queries.where(F.col(vec_col).isNotNull()), id_col, vec_col, "query_id")
+    probe = probe_cells_expr(centers, n_probe, dist_round)
+    q_cells = q.withColumn("cell", F.explode(probe(F.col("v"))))
+    pairs = (
+        q_cells.alias("q")
+        .join(
+            c_cells.alias("c"),
+            on=(F.col("q.cell") == F.col("c.cell"))
+            & (F.col("q.query_id") != F.col("c.id")),
+        )
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("c.id").alias("id"),
+            _cos(F.col("q.v"), F.col("c.v"), F.col("q.nrm"), F.col("c.nrm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    # single-cell indexing + distinct probed cells -> a (query, id)
+    # pair arises at most once; no dedup shuffle needed
+    return _topk(pairs, k)
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,

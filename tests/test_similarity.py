@@ -217,3 +217,78 @@ def test_rrf_fuse_composes_with_approximate_legs(spark, sf_dir):
     }
     assert all((r.query_id, r.item_id) in legs for r in fused)
     assert all(r.rrf_score > 0 for r in fused)
+
+
+def test_ivf_exact_confined_and_deterministic(spark, sf_dir):
+    """cosine_topk_ivf_exact: every reported neighbor sits in one of
+    the query's n_probe nearest cells (candidate confinement is real),
+    reported cosines equal the exact pairwise cosine, and two runs are
+    row-identical (the deterministic-KMeans discipline)."""
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.operators import similarity as S
+    from safedata_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit_centers,
+        probe_cells_expr,
+    )
+    from safedata_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    a = S.cosine_topk_ivf_exact(q, emb, k=5, num_cells=8, iterations=2, n_probe=2)
+    b = S.cosine_topk_ivf_exact(q, emb, k=5, num_cells=8, iterations=2, n_probe=2)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and len(rows_a) > 0
+
+    # replay the quantizer: the neighbor's cell must be probed by its query
+    centers, _ = kmeans_fit_centers(emb, k=8, iterations=2, dist_round=6)
+    cells = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_assign(emb, centers, dist_round=6).collect()
+    }
+    probes = {
+        r.vec_id: list(r.p)
+        for r in q.select(
+            "vec_id",
+            probe_cells_expr(centers, 2, 6)(
+                F.col("embedding").cast("array<double>")
+            ).alias("p"),
+        ).collect()
+    }
+    for qid, rank, nid, _cos in rows_a:
+        assert cells[nid] in probes[qid]
+
+    # reported cosine == exact cosine for the same pair
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in S.cosine_topk(q, emb, k=2000).collect()
+    }
+    for qid, rank, nid, cos in rows_a:
+        assert abs(exact[(qid, nid)] - cos) < 1e-9
+
+
+def test_probe_cells_expr_orders_by_distance(spark):
+    """probe_cells_expr returns cell ids in ascending (rounded
+    distance, cid) order — verified against a numpy replay."""
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.operators.clustering import probe_cells_expr
+
+    centers = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.7, 0.7]]
+    df = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.0, -1.0]), (3, [0.5, 0.5])],
+        "vec_id long, v array<double>",
+    )
+    got = {
+        r.vec_id: list(r.p)
+        for r in df.select(
+            "vec_id", probe_cells_expr(centers, 3, 6)(F.col("v")).alias("p")
+        ).collect()
+    }
+    C = np.asarray(centers)
+    for vid, v in [(1, [0.9, 0.1]), (2, [0.0, -1.0]), (3, [0.5, 0.5])]:
+        d = np.round(-2.0 * (np.asarray(v) @ C.T) + (C * C).sum(axis=1), 6)
+        want = list(np.lexsort((np.arange(len(centers)), d))[:3])
+        assert got[vid] == want, (vid, got[vid], want)
