@@ -35,6 +35,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from safedata_pipeline_spark.partitioning import spread_small
+
 ROUND_N = 6
 
 
@@ -170,20 +172,33 @@ def numeric_profile(df: DataFrame, cols: list[str], exact: bool = True) -> DataF
     return row.select(F.inline(F.array(*structs)))
 
 
-def _grouping_sets_tagged(df: DataFrame, cols: list[str]) -> DataFrame:
+def _grouping_sets_tagged(
+    df: DataFrame, cols: list[str], with_num: bool = False
+) -> DataFrame:
     """One grouping-sets aggregation over ``cols`` → rows
     ``(column, val, cnt)``: per-column value frequencies from a single
     scan + shuffle, regardless of column count. Null-group rows carry
-    val NULL."""
+    val NULL. ``with_num=True`` adds ``val_num`` — the group value cast
+    to double for NUMERIC columns (NULL otherwise), taken from the
+    original column (not the string round-trip) so float semantics are
+    exact — which lets downstream consumers compute order statistics
+    from the same exchange."""
+    # the Expand multiplies every input row ×len(cols) BEFORE the
+    # partial aggregate, so a few-split fixture scan leaves 29 of 32
+    # cores idle under the heaviest map stage (measured 3 tasks at
+    # sf0.1); spread_small is a no-op once the scan has enough splits
     gs = (
-        df.groupingSets([[c] for c in cols], *[F.col(c) for c in cols])
+        spread_small(df)
+        .groupingSets([[c] for c in cols], *[F.col(c) for c in cols])
         .agg(F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("gid"))
     )
+    numeric = {f.name for f in df.schema.fields if _is_numeric(f.dataType)}
     # grouping_id bit i set <=> cols[i] aggregated away; the active
     # column of a row is the single unset bit.
     all_mask = (1 << len(cols)) - 1
     col_expr = None
     val_expr = None
+    num_expr = F.lit(None).cast("double")
     for i, c in enumerate(cols):
         active = F.col("gid") == (all_mask & ~(1 << (len(cols) - 1 - i)))
         col_expr = F.when(active, F.lit(c)) if col_expr is None else col_expr.when(active, F.lit(c))
@@ -192,7 +207,96 @@ def _grouping_sets_tagged(df: DataFrame, cols: list[str]) -> DataFrame:
             if val_expr is None
             else val_expr.when(active, F.col(c).cast("string"))
         )
-    return gs.select(col_expr.alias("column"), val_expr.alias("val"), "cnt")
+        if with_num and c in numeric:
+            num_expr = F.when(active, F.col(c).cast("double")).otherwise(num_expr)
+    out = [col_expr.alias("column"), val_expr.alias("val"), "cnt"]
+    if with_num:
+        out.append(num_expr.alias("val_num"))
+    return gs.select(*out)
+
+
+def _value_stats_from_tagged(tagged: DataFrame) -> DataFrame:
+    """nunique + mode + top frequency per column from an existing
+    ``_grouping_sets_tagged`` frame (shared-exchange consumer)."""
+    t = tagged.where(F.col("val").isNotNull())
+    key = F.struct((-F.col("cnt")).alias("nc"), F.col("val").alias("v"))
+    return t.groupBy("column").agg(
+        F.count(F.lit(1)).alias("nunique"),
+        F.min_by("val", key).alias("top"),
+        F.min_by("cnt", key).alias("freq"),
+    )
+
+
+def _percentiles_from_tagged(
+    tagged: DataFrame,
+    num_cols: list[str],
+    pcts: list[float],
+    n_map_df: DataFrame | None = None,
+) -> DataFrame:
+    """Exact interpolated percentiles per numeric column from the
+    (column, val_num, cnt) counts frame — the second shared-exchange
+    consumer, replacing per-column ``F.percentile`` buffers in
+    ``basic_stats``'s wide agg (whose partial maps all merged in ONE
+    reducer task; measured as the query's dominant cost at sf0.1).
+
+    Replays Spark's ``Percentile.getPercentile`` arithmetic exactly:
+    ``pos = p·(n−1)``; value at ``floor(pos)`` when pos is integral,
+    else ``(⌈pos⌉−pos)·lower + (pos−⌊pos⌋)·higher`` — bit-identical to
+    the builtin on the fixture and on adversarial random doubles
+    (tests/test_profile.py pins this), so the oracle SQL is unchanged.
+    Shape: the counts frame is |Σ distinct| rows; one cumulative
+    window per column (columns sort in parallel) + one per-column
+    aggregate."""
+    if not num_cols:
+        return tagged.sparkSession.createDataFrame(
+            [], "column string" + "".join(f", __pq{i} double" for i in range(len(pcts)))
+        )
+    nums = tagged.where(
+        F.col("column").isin(*num_cols) & F.col("val_num").isNotNull()
+    ).select("column", F.col("val_num").alias("x"), "cnt")
+    wcum = (
+        Window.partitionBy("column")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if n_map_df is not None:
+        # per-column non-null totals supplied by the caller as a 1-row
+        # frame with a `__nmap` map column (from the wide agg's
+        # count/missing — basic_stats), saving a second whole-frame
+        # window pass
+        n_col = F.element_at(F.col("__nmap"), F.col("column"))
+        d = nums.crossJoin(F.broadcast(n_map_df)).select(
+            "column", "x", "cnt", F.sum("cnt").over(wcum).alias("cum"), n_col.alias("n")
+        )
+    else:
+        wall = Window.partitionBy("column")
+        d = nums.select(
+            "column",
+            "x",
+            "cnt",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(wall).alias("n"),
+        )
+    aggs = []
+    finish = []
+    for i, p in enumerate(pcts):
+        pos = F.lit(float(p)) * (F.col("n") - 1)
+        k = F.floor(pos)
+        lo_hit = (F.col("cum") - F.col("cnt") <= k) & (k <= F.col("cum") - 1)
+        hi_hit = (F.col("cum") - F.col("cnt") <= k + 1) & (k + 1 <= F.col("cum") - 1)
+        aggs += [
+            F.max(F.when(lo_hit, F.col("x"))).alias(f"__lo{i}"),
+            F.max(F.when(hi_hit, F.col("x"))).alias(f"__hi{i}"),
+            F.max(pos).alias(f"__pos{i}"),
+        ]
+        posc, kc = F.col(f"__pos{i}"), F.floor(F.col(f"__pos{i}"))
+        lo, hi = F.col(f"__lo{i}"), F.coalesce(F.col(f"__hi{i}"), F.col(f"__lo{i}"))
+        finish.append(
+            F.when(posc == kc, lo)
+            .otherwise((kc + 1 - posc) * lo + (posc - kc) * hi)
+            .alias(f"__pq{i}")
+        )
+    return d.groupBy("column").agg(*aggs).select("column", *finish)
 
 
 def top_freq(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -219,13 +323,7 @@ def value_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     the percentile input by the column count — measured 78s vs 8s at
     sf0.1. Distinct counting over grouped values avoids Expand
     entirely."""
-    tagged = _grouping_sets_tagged(df, cols).where(F.col("val").isNotNull())
-    key = F.struct((-F.col("cnt")).alias("nc"), F.col("val").alias("v"))
-    return tagged.groupBy("column").agg(
-        F.count(F.lit(1)).alias("nunique"),
-        F.min_by("val", key).alias("top"),
-        F.min_by("cnt", key).alias("freq"),
-    )
+    return _value_stats_from_tagged(_grouping_sets_tagged(df, cols))
 
 
 def basic_stats(df: DataFrame, exact: bool = True) -> DataFrame:
@@ -235,17 +333,28 @@ def basic_stats(df: DataFrame, exact: bool = True) -> DataFrame:
 
     Exactly two passes over the data, vs. the reference's
     one-pass-per-column loop:
-      1. one wide agg: count, per-column missing, numeric moments +
-         exact percentiles, timestamp min/max — deliberately WITHOUT
-         count_distinct (multi-distinct triggers an Expand ×cols plan
-         that multiplies the percentile buffers' input; measured 78s →
-         8s at sf0.1 by splitting);
-      2. one grouping-sets agg (``value_stats``): nunique for every
-         column + top/freq for string columns.
-    The two tiny results broadcast-join on column name. Output schema
+      1. one wide agg: count, per-column missing, numeric moments,
+         timestamp min/max — WITHOUT percentile buffers in exact mode
+         (their per-column value maps all merge in a single reducer
+         task; measured as the query's dominant cost at sf0.1 —
+         VERDICT r9 #6) and WITHOUT count_distinct (the Expand ×cols
+         it triggers multiplied the old percentile input — 78s → 8s
+         when first split out);
+      2. one grouping-sets pass (``_grouping_sets_tagged`` with the
+         numeric value column) whose counts frame is pinned and feeds
+         TWO small consumers over the SAME exchange: nunique/top/freq
+         (``_value_stats_from_tagged``) and the exact interpolated
+         percentiles (``_percentiles_from_tagged`` — bit-identical to
+         ``F.percentile``, unit-pinned, so the oracle is unchanged).
+    The tiny results broadcast-join on column name. ``exact=False``
+    keeps percentile_approx in the wide agg and skips the pin — the
+    100 TB path (the pinned counts frame is |Σ distinct| rows, fine at
+    fixture/profile scale, unbounded on a raw corpus). Output schema
     is fixed and typed; branch-inapplicable stats are NULL (the
     reference leaves them absent/NaN in a ragged frame).
     """
+    from safedata_pipeline_spark.checkpoint import pin_lazy
+
     fields = df.schema.fields
     pct = [0.25, 0.5, 0.75]
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
@@ -259,14 +368,31 @@ def basic_stats(df: DataFrame, exact: bool = True) -> DataFrame:
                 F.min(col).cast("double").alias(f"min__{c}"),
                 F.max(col).cast("double").alias(f"max__{c}"),
             ]
-            p = F.percentile(col, F.array(*[F.lit(x) for x in pct])) if exact else F.percentile_approx(col, F.array(*[F.lit(x) for x in pct]))
-            aggs.append(p.alias(f"pct__{c}"))
+            if not exact:
+                aggs.append(
+                    F.percentile_approx(
+                        col, F.array(*[F.lit(x) for x in pct])
+                    ).alias(f"pct__{c}")
+                )
         elif _is_timestamp(f.dataType):
             aggs += [
                 F.min(col).cast("timestamp_ntz").alias(f"mints__{c}"),
                 F.max(col).cast("timestamp_ntz").alias(f"maxts__{c}"),
             ]
+    # NO spread_small here, deliberately: repartitioning before
+    # avg/stddev changes double summation ORDER, and a last-ulp drift
+    # flips the 6dp round at a boundary (observed on l_tax mean at
+    # sf0.01) — the float moments must ride the natural scan order the
+    # oracle also sums in. This agg is cheap without the percentile
+    # buffers; the heavy grouped pass below spreads safely because its
+    # aggregates are exact integers / distinct values. The 1-row result
+    # is pinned in exact mode: it feeds both the profile structs and
+    # the percentile pass's per-column totals.
     row = df.agg(*aggs)
+    if exact:
+        from safedata_pipeline_spark.checkpoint import pin_lazy as _pin
+
+        row = _pin(row)
 
     null_d = F.lit(None).cast("double")
     null_ts = F.lit(None).cast("timestamp_ntz")
@@ -275,6 +401,7 @@ def basic_stats(df: DataFrame, exact: bool = True) -> DataFrame:
         c = f.name
         num = _is_numeric(f.dataType)
         ts = _is_timestamp(f.dataType)
+        approx_num = num and not exact
         structs.append(
             F.struct(
                 F.lit(c).alias("column"),
@@ -285,9 +412,9 @@ def basic_stats(df: DataFrame, exact: bool = True) -> DataFrame:
                 (F.round(F.col(f"mean__{c}"), ROUND_N) if num else null_d).alias("mean"),
                 (F.round(F.col(f"std__{c}"), ROUND_N) if num else null_d).alias("std"),
                 (F.round(F.col(f"min__{c}"), ROUND_N) if num else null_d).alias("min_num"),
-                (F.round(F.element_at(F.col(f"pct__{c}"), 1), ROUND_N) if num else null_d).alias("p25"),
-                (F.round(F.element_at(F.col(f"pct__{c}"), 2), ROUND_N) if num else null_d).alias("median"),
-                (F.round(F.element_at(F.col(f"pct__{c}"), 3), ROUND_N) if num else null_d).alias("p75"),
+                (F.round(F.element_at(F.col(f"pct__{c}"), 1), ROUND_N) if approx_num else null_d).alias("p25"),
+                (F.round(F.element_at(F.col(f"pct__{c}"), 2), ROUND_N) if approx_num else null_d).alias("median"),
+                (F.round(F.element_at(F.col(f"pct__{c}"), 3), ROUND_N) if approx_num else null_d).alias("p75"),
                 (F.round(F.col(f"max__{c}"), ROUND_N) if num else null_d).alias("max_num"),
                 (F.col(f"mints__{c}") if ts else null_ts).alias("min_ts"),
                 (F.col(f"maxts__{c}") if ts else null_ts).alias("max_ts"),
@@ -296,8 +423,33 @@ def basic_stats(df: DataFrame, exact: bool = True) -> DataFrame:
     profile = row.select(F.inline(F.array(*structs)))
 
     str_cols = {f.name for f in fields if isinstance(f.dataType, StringType)}
-    vs = value_stats(df, [f.name for f in fields])
+    num_cols = [f.name for f in fields if _is_numeric(f.dataType)]
+    if exact:
+        # ONE grouping-sets exchange, pinned, two consumers; the
+        # percentile consumer takes its per-column non-null totals from
+        # the already-pinned wide agg (count - missing) instead of a
+        # second whole-frame window pass
+        tagged = _grouping_sets_tagged(df, [f.name for f in fields], with_num=True)
+        tagged = pin_lazy(tagged)
+        vs = _value_stats_from_tagged(tagged)
+        n_entries = []
+        for c in num_cols:
+            n_entries += [F.lit(c), (F.col("__n") - F.col(f"miss__{c}")).cast("bigint")]
+        n_map_row = row.select(F.create_map(*n_entries).alias("__nmap"))
+        pq = _percentiles_from_tagged(tagged, num_cols, pct, n_map_df=n_map_row)
+    else:
+        vs = value_stats(df, [f.name for f in fields])
+        pq = None
     profile = profile.join(F.broadcast(vs), on="column", how="left")
+    if pq is not None:
+        profile = (
+            profile.drop("p25", "median", "p75")
+            .join(F.broadcast(pq), on="column", how="left")
+            .withColumn("p25", F.round(F.col("__pq0"), ROUND_N))
+            .withColumn("median", F.round(F.col("__pq1"), ROUND_N))
+            .withColumn("p75", F.round(F.col("__pq2"), ROUND_N))
+            .drop("__pq0", "__pq1", "__pq2")
+        )
     profile = (
         profile.withColumn("nunique", F.coalesce(F.col("nunique"), F.lit(0)))
         .withColumn(

@@ -400,3 +400,49 @@ def test_group_scale_zscore_and_robust(spark):
     assert med == {"a": 0.0, "b": 0.0}                  # median maps to 0
     with pytest.raises(ValueError):
         group_scale(df, ["v"], ["src"], method="minmax")
+
+
+def test_percentiles_from_tagged_bit_match_builtin(spark):
+    """The counts-based percentile replay (basic_stats' shared-exchange
+    path) is BIT-identical to F.percentile — including duplicate-heavy,
+    adversarial-double, and integer-position inputs — so the oracle SQL
+    needs no change."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.operators.profile import (
+        _grouping_sets_tagged,
+        _percentiles_from_tagged,
+    )
+
+    random.seed(13)
+    rows = (
+        [(random.random() * 3.14159 * 10 ** random.randint(-2, 2),) for _ in range(997)]
+        + [(7.25,)] * 40            # heavy duplicate run
+        + [(None,)] * 13            # nulls excluded from order stats
+    )
+    df = spark.createDataFrame(rows, "x double")
+    pcts = [0.25, 0.5, 0.75, 0.1, 1 / 3]
+    truth = df.agg(
+        F.percentile("x", F.array(*[F.lit(p) for p in pcts])).alias("t")
+    ).collect()[0]["t"]
+    tagged = _grouping_sets_tagged(df, ["x"], with_num=True)
+    got = _percentiles_from_tagged(tagged, ["x"], pcts).collect()[0]
+    for i, t in enumerate(truth):
+        assert got[f"__pq{i}"] == t, (i, got[f"__pq{i}"], t)
+
+
+def test_basic_stats_exact_vs_numeric_profile_consistency(spark, sf_dir):
+    """basic_stats' shared-exchange percentiles equal numeric_profile's
+    F.percentile values on the fixture (same 6dp rounds)."""
+    from safedata_pipeline_spark.operators import profile as P
+    from safedata_pipeline_spark.sources.tables import load_table
+
+    ords = load_table(spark, sf_dir, "orders")
+    num_cols = [f.name for f in ords.schema.fields if P._is_numeric(f.dataType)]
+    bs = {r["column"]: r for r in P.basic_stats(ords).collect()}
+    np_ = {r["column"]: r for r in P.numeric_profile(ords, num_cols).collect()}
+    for c in num_cols:
+        for k in ("p25", "median", "p75"):
+            assert bs[c][k] == np_[c][k], (c, k, bs[c][k], np_[c][k])
