@@ -178,10 +178,23 @@ def _png_decode(payload: bytes) -> tuple[float, int]:
     return (total / n if n else 0.0, n)
 
 
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
 def _real_decode(payload: bytes) -> tuple[bytes, int, int]:
     """Genuine image decode: Pillow when importable (any format it
-    knows), else the stdlib PNG decoder. Same output contract as
-    ``_fake_decode``: (decoded sample buffer, width, height)."""
+    knows — the JPEG second-codec path), else the stdlib PNG decoder.
+    Same output contract as ``_fake_decode``: (decoded sample buffer,
+    width, height).
+
+    Format gating without Pillow is explicit, not accidental: a JPEG
+    payload (FF D8 FF magic) raises ``NotImplementedError`` naming the
+    missing dependency — the stub contract for codecs this container
+    can't run — instead of the PNG decoder's misleading "not a PNG".
+    The stdlib PNG path remains the ORACLE anchor either way (Pillow
+    and the spec decoder return byte-identical sample buffers for the
+    8-bit non-interlaced PNGs the fixture plants — pinned by
+    tests/test_multimodal.py's fake-PIL dispatch test)."""
     try:
         import io
 
@@ -192,6 +205,11 @@ def _real_decode(payload: bytes) -> tuple[bytes, int, int]:
         h, w = (arr.shape + (1, 1))[:2]
         return (arr.astype(np.uint8).tobytes(), int(w), int(h))
     except ImportError:
+        if payload.startswith(_JPEG_MAGIC):
+            raise NotImplementedError(
+                "JPEG decode requires Pillow (pip install Pillow); the "
+                "stdlib fallback only decodes 8-bit non-interlaced PNG"
+            ) from None
         return _png_decode_pixels(payload)
 
 

@@ -235,3 +235,70 @@ def test_image_pixel_stats_matches_source_bytes(spark):
     s = sum(range(64, 192))
     assert got[2].pixel_sum == s
     assert got[2].mean_pixel == math.floor(s / 128 * 1e6 + 0.5) / 1e6
+
+
+def test_jpeg_without_pillow_raises_named_dependency():
+    """A JPEG payload in a Pillow-less environment must fail with the
+    NotImplementedError naming the missing codec dependency (the stub
+    contract), not the PNG decoder's 'not a PNG'."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("Pillow installed: the gate never fires")
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32 + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        MM._real_decode(jpeg_ish)
+
+
+def test_jpeg_roundtrip_with_pillow():
+    """With Pillow present, _real_decode handles the JPEG second
+    codec: encode a gray gradient losslessly-enough (quality=100 keeps
+    a flat image intact), decode, and check shape + digest stability
+    across two encodes of the same pixels."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    img = Image.new("L", (8, 4), color=200)
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=100)
+    payload = buf.getvalue()
+    assert payload.startswith(b"\xff\xd8\xff")
+    px, w, h = MM._real_decode(payload)
+    assert (w, h) == (8, 4) and len(px) == 32
+    # flat image survives JPEG: every sample equals the fill value
+    assert set(px) == {200}
+
+
+def test_pillow_dispatch_preferred_and_png_parity(monkeypatch):
+    """When a 'PIL' module is importable, _real_decode routes through
+    it — and for the fixture's 8-bit PNGs the Pillow route must return
+    the SAME sample buffer as the stdlib spec decoder (the oracle
+    anchor). Proven here with a fake PIL whose Image.open delegates to
+    an independent decode, mirroring Pillow's array contract."""
+    import io
+    import sys
+    import types
+
+    import numpy as np
+
+    png = _make_png([[(0, 0, 0), (255, 255, 255)]])
+    want_px, want_w, want_h = MM._png_decode_pixels(png)
+
+    class _FakeImg:
+        def __init__(self, data):
+            px, w, h = MM._png_decode_pixels(data)
+            self._arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+
+        def __array__(self, dtype=None, copy=None):
+            return self._arr
+
+    fake_pil = types.ModuleType("PIL")
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda fh: _FakeImg(fh.read())
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+    px, w, h = MM._real_decode(png)
+    assert (px, w, h) == (want_px, want_w, want_h)
