@@ -41,6 +41,52 @@ from pyspark.sql import functions as F
 from safedata_pipeline_spark.partitioning import spread_small
 
 
+def _deletion_variants(value, length):
+    """k=1 deletion neighborhood of ``value`` as a deduped array: the
+    string itself plus every single-character deletion (FastSS /
+    Bocek et al. 2007; the SymSpell family — public). Two distinct
+    strings are within Levenshtein distance 1 IFF their neighborhoods
+    intersect (substitution → delete the differing position on both
+    sides; insertion/deletion → the shorter string IS a variant of the
+    longer), so an equi-join on the variant is a COMPLETE candidate
+    set with per-variant posting lists of O(true neighbors) — no df²
+    blowup when the gram vocabulary saturates."""
+    dels = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda i: F.concat(
+            F.substr(value, F.lit(1), i - 1), F.substr(value, i + 1, length)
+        ),
+    )
+    return F.when(
+        length >= 1, F.array_union(F.array(value), dels)
+    ).otherwise(F.array(value))
+
+
+def _deletion_candidate_pairs(vals: DataFrame) -> DataFrame:
+    """(va, vb) candidates for max_dist=1 via the deletion-neighborhood
+    equi-join; ``vals`` carries (value, len)."""
+    var = (
+        spread_small(vals)
+        .select(
+            "value",
+            "len",
+            F.explode(_deletion_variants(F.col("value"), F.col("len"))).alias("v"),
+        )
+    )
+    a = var.select(F.col("value").alias("va"), F.col("len").alias("la"), "v")
+    b = var.select(F.col("value").alias("vb"), F.col("len").alias("lb"), "v")
+    return (
+        a.join(
+            b,
+            (a["v"] == b["v"])
+            & (F.col("va") < F.col("vb"))
+            & (F.abs(F.col("la") - F.col("lb")) <= 1),
+        )
+        .select("va", "vb")
+        .distinct()
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     col: str,
@@ -48,12 +94,42 @@ def edit_distance_pairs(
     q: int = 2,
 ) -> DataFrame:
     """All distinct-value pairs with levenshtein ≤ max_dist:
-    (value_a, value_b, dist), value_a < value_b."""
+    (value_a, value_b, dist), value_a < value_b.
+
+    Candidate generation is adaptive, both routes published:
+
+    * ``max_dist == 1`` — FastSS deletion neighborhoods
+      (``_deletion_candidate_pairs``): every string emits len+1 exact
+      variant keys, candidates are variant-key equi-join groups.
+      LINEAR in the data for fixed string length — the r10 scale-decade
+      gate caught the q-gram prefix route going ~40x wall at 10x data
+      on sequential-ID domains (constant gram vocabulary ⇒ posting
+      lists grow with n ⇒ df² candidates), while deletion postings stay
+      O(true neighbors) there.
+    * ``max_dist >= 2`` — Ed-Join q-gram prefix filtering (the
+      deletion neighborhood's variant count is C(len, k)-combinatorial
+      beyond k=1, Ed-Join's prefix stays q·k+1)."""
     if max_dist < 1 or q < 1:
         raise ValueError("need max_dist >= 1 and q >= 1")
     from pyspark.sql import Window
 
     k = max_dist
+    if k == 1:
+        vals = (
+            df.where(F.col(col).isNotNull())
+            .select(F.col(col).cast("string").alias("value"))
+            .distinct()
+            .select("value", F.length("value").alias("len"))
+        )
+        return (
+            _deletion_candidate_pairs(vals)
+            .select(
+                F.col("va").alias("value_a"),
+                F.col("vb").alias("value_b"),
+                F.levenshtein("va", "vb").cast("int").alias("dist"),
+            )
+            .where(F.col("dist") <= k)
+        )
     prefix = q * k + 1
     short_cut = q * (k + 1)  # below this the prefix argument is vacuous
 

@@ -82,6 +82,31 @@ SLOPE_GATES: dict[str, tuple[str, float]] = {
     f"slope_{q}": ("max", 25.0) for q in SLOPE_QUERIES
 }
 
+# SECOND scale decade (VERDICT r9 #5): sf0.1 -> a locally-synthesized
+# ~10x "sf1-equivalent" fixture (tools/make_scale10.py — tile-based,
+# pair-density-preserving, so a linear operator measures ~flat and a
+# quadratic one measures ~10x). At this decade the fixed JVM/plan
+# overhead no longer pads the denominator, so the gate is the tight
+# 4x-per-decade bound the r9 brief asked for. This decade already paid
+# for itself: the q-gram prefix route of edit_distance_pairs measured
+# 39x here (constant gram vocabulary -> df^2 candidate blowup on
+# sequential-ID domains) and was replaced by the FastSS deletion-
+# neighborhood generator (slope 1.44 after).
+DECADE2_QUERIES = [
+    "jaccard_prefix_join",
+    "containment_join",
+    "edit_distance_pairs",
+    "semantic_dedup",
+    "substring_dedup",
+    "winnowing_overlap",
+    "record_linkage",
+    "substring_dedup_chars",
+]
+DECADE2_GATES: dict[str, tuple[str, float]] = {
+    f"slope10_{q}": ("max", 4.0) for q in DECADE2_QUERIES
+}
+SCALE10_DIR = os.environ.get("SAFEDATA_SCALE10_DIR", "/root/repo/.scale10")
+
 
 def compute_slopes(
     spark, lo_dir: str = "/root/testdata/sf0.01", hi_dir: str = "/root/testdata/sf0.1"
@@ -113,6 +138,41 @@ def compute_slopes(
         out[f"t_sf0.01_{name}"] = round(med["lo"], 3)
         out[f"t_sf0.1_{name}"] = round(med["hi"], 3)
         out[f"slope_{name}"] = round(med["hi"] / max(med["lo"], 0.05), 3)
+    return out
+
+
+def compute_slopes_decade2(
+    spark, lo_dir: str = "/root/testdata/sf0.1", hi_dir: str | None = None
+) -> dict[str, float]:
+    """sf0.1 -> sf1-equivalent wall-clock ratios for the pair-join
+    families. Builds the synthetic fixture on first use (deterministic
+    generator); returns {} when sf0.1 itself is absent."""
+    hi_dir = hi_dir or SCALE10_DIR
+    if not os.path.isdir(lo_dir):
+        return {}
+    if not os.path.isdir(hi_dir):
+        from tools.make_scale10 import build
+
+        build(spark, lo_dir, hi_dir)
+    import statistics
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out: dict[str, float] = {}
+    qs[DECADE2_QUERIES[0]](spark, lo_dir).count()
+    for name in DECADE2_QUERIES:
+        med = {}
+        for tag, d in (("lo", lo_dir), ("hi", hi_dir)):
+            ts = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                qs[name](spark, d).count()
+                ts.append(time.monotonic() - t0)
+            med[tag] = statistics.median(ts)
+        out[f"t_sf0.1d2_{name}"] = round(med["lo"], 3)
+        out[f"t_sf1eq_{name}"] = round(med["hi"], 3)
+        out[f"slope10_{name}"] = round(med["hi"] / max(med["lo"], 0.05), 3)
     return out
 
 
@@ -323,9 +383,13 @@ def main() -> None:
     stats = compute(spark, sf_dir)
     slopes = compute_slopes(spark)
     stats.update(slopes)
+    slopes2 = compute_slopes_decade2(spark)
+    stats.update(slopes2)
     problems = check(stats)
     if slopes:
         problems += check(slopes, SLOPE_GATES)
+    if slopes2:
+        problems += check(slopes2, DECADE2_GATES)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     payload = {"sf_dir": sf_dir, "stats": stats, "violations": problems,
                "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
