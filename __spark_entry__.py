@@ -811,6 +811,57 @@ def _q_pii_redact(spark, sf):
     return PII.pii_redact(load_table(spark, sf, "documents"))
 
 
+# -- X208: Luhn-validated card detection --------------------------------------
+
+# the classic public test numbers: first passes the mod-10 check,
+# second (same digits, last bumped) fails it
+_CARD_VALID = "4111111111111111"
+_CARD_INVALID = "4111111111111112"
+
+
+def _card_luhn_fixture(spark, sf):
+    # plant one deterministic candidate per residue class so BOTH
+    # branches of the checksum fire at every sf: doc_id%7==3 gets a
+    # Luhn-valid card, %7==5 a same-shape invalid one (the bare regex
+    # counts both; only the checksum separates them)
+    docs = load_table(spark, sf, "documents")
+    plant = (
+        F.when(F.col("doc_id") % 7 == 3, F.lit(f"pay {_CARD_VALID} now"))
+        .when(F.col("doc_id") % 7 == 5, F.lit(f"ref {_CARD_INVALID} held"))
+        .otherwise(F.lit(""))
+    )
+    return docs.select("doc_id", F.concat_ws(" ", F.col("text"), plant).alias("text"))
+
+
+def _q_card_luhn_scan(spark, sf):
+    return PII.card_luhn_scan(_card_luhn_fixture(spark, sf))
+
+
+def _sql_card_luhn_scan() -> str:
+    """Mirror of pii.card_luhn_scan over the planted fixture: same
+    16-digit candidate regex, same Luhn fold (right-position doubling,
+    subtract 9 over 9, sum % 10 == 0) as a list_transform/list_sum."""
+    luhn = (
+        "list_sum(list_transform(generate_series(1, 16), "
+        "i -> CASE WHEN (16 - i + 1) % 2 = 0 "
+        "THEN CASE WHEN 2 * CAST(substring(c, CAST(i AS INT), 1) AS INT) > 9 "
+        "THEN 2 * CAST(substring(c, CAST(i AS INT), 1) AS INT) - 9 "
+        "ELSE 2 * CAST(substring(c, CAST(i AS INT), 1) AS INT) END "
+        "ELSE CAST(substring(c, CAST(i AS INT), 1) AS INT) END)) % 10 = 0"
+    )
+    return (
+        "WITH planted AS (SELECT doc_id, concat_ws(' ', text, "
+        f"CASE WHEN doc_id % 7 = 3 THEN 'pay {_CARD_VALID} now' "
+        f"WHEN doc_id % 7 = 5 THEN 'ref {_CARD_INVALID} held' "
+        "ELSE '' END) AS text FROM documents), "
+        "c AS (SELECT doc_id, regexp_extract_all(text, '\\b\\d{16}\\b') AS cands "
+        "FROM planted) "
+        "SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_card_candidates, "
+        f"CAST(len(list_filter(cands, c -> {luhn})) AS BIGINT) AS n_card_luhn_valid "
+        "FROM c"
+    )
+
+
 def _q_dedup_exact(spark, sf):
     return DD.dedup_exact(load_table(spark, sf, "documents"))
 
@@ -2852,7 +2903,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_drift": _q_chi2_drift,
         "k_anonymity": _q_k_anonymity,
         "corpus_stats": _q_corpus_stats,
-        "repetition_stats": _q_repetition_stats,
+        # (r10-new) X208 Luhn-validated card detection — in-window on
+        # arrival so it is driver-checked in its landing round (no new
+        # treadmill); repetition_stats yielded the slot (its r4 green
+        # stands, local sweep continues)
+        "card_luhn_scan": _q_card_luhn_scan,
         # --- past the driver's 50-row correctness window from here on.
         # Everything below except the trailing rows-only block IS
         # oracle-backed — tools/check_oracle.py runs the identical hash
@@ -2869,6 +2924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # knn_linkage_join; contamination_scan is the complement of
         # decontaminate; user_sessions' SQL is embedded in
         # session_concurrency's.
+        "repetition_stats": _q_repetition_stats,
         "customer_order_histogram": _q_customer_order_histogram,
         "top_supplier": _q_top_supplier,
         "small_qty_revenue": _q_small_qty_revenue,
@@ -6087,6 +6143,7 @@ def oracle_sql() -> dict[str, str]:
         # the Aho–Corasick path computes the identical result; same oracle
         "contamination_scan_many": _sql_contamination_scan(),
         "pii_scan": _sql_pii_scan(),
+        "card_luhn_scan": _sql_card_luhn_scan(),
         "pii_redact": _sql_pii_redact(),
         "dedup_exact": _sql_dedup_exact(),
         "ngram_jaccard": _sql_ngram_jaccard(),

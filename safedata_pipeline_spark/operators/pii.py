@@ -100,3 +100,48 @@ def secrets_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     for name, pat in SECRET_PATTERNS.items():
         t = F.regexp_replace(t, pat, f"[{name.upper()}]")
     return df.select(id_col, t.alias(text_col))
+
+
+def luhn_valid(col):
+    """Luhn mod-10 checksum predicate over a digit string (ISO/IEC
+    7812 — the public card-number check digit). From the RIGHT, every
+    second digit doubles (subtract 9 when the double exceeds 9); the
+    string validates iff the digit sum is ≡ 0 (mod 10). Pure
+    ``F.aggregate`` fold — JVM-side, codegen, no UDF — and the same
+    arithmetic is a ``list_transform``/``list_sum`` in the DuckDB
+    oracle."""
+    n = F.length(col)
+
+    def term(acc, i):
+        d = F.substr(col, i, F.lit(1)).cast("int")
+        dd = d * 2
+        doubled = F.when(dd > 9, dd - 9).otherwise(dd)
+        # position from the right is n - i + 1; doubled when even
+        return acc + F.when(((n - i + 1) % 2) == 0, doubled).otherwise(d)
+
+    total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term)
+    return (n > 0) & (total % 10 == 0)
+
+
+def card_luhn_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Checksum-VALIDATED card detection (X208): the bare 16-digit
+    regex of ``pii_scan`` over-fires on order ids, hashes, and phone
+    blobs — a 16-digit run is only card-shaped if its Luhn check digit
+    holds (~10% of random digit runs pass, so validation cuts the
+    false-positive rate ~10×, the published screen every DLP scanner
+    applies). Output per document:
+    ``(doc_id, n_card_candidates, n_card_luhn_valid)``.
+
+    Map-only over documents (regexp_extract_all + an array filter whose
+    predicate is the ``luhn_valid`` fold) — no shuffle, no Python; the
+    scale profile of the rest of the PII family."""
+    t = F.col(text_col)
+    cands = F.regexp_extract_all(t, F.lit(PII_PATTERNS["card16"]), F.lit(0))
+    valid = F.filter(cands, lambda c: luhn_valid(c))
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("bigint").alias("n_card_candidates"),
+        F.size(valid).cast("bigint").alias("n_card_luhn_valid"),
+    )

@@ -231,7 +231,6 @@ def _percentiles_from_tagged(
     tagged: DataFrame,
     num_cols: list[str],
     pcts: list[float],
-    n_map_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact interpolated percentiles per numeric column from the
     (column, val_num, cnt) counts frame — the second shared-exchange
@@ -259,24 +258,13 @@ def _percentiles_from_tagged(
         .orderBy("x")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    if n_map_df is not None:
-        # per-column non-null totals supplied by the caller as a 1-row
-        # frame with a `__nmap` map column (from the wide agg's
-        # count/missing — basic_stats), saving a second whole-frame
-        # window pass
-        n_col = F.element_at(F.col("__nmap"), F.col("column"))
-        d = nums.crossJoin(F.broadcast(n_map_df)).select(
-            "column", "x", "cnt", F.sum("cnt").over(wcum).alias("cum"), n_col.alias("n")
-        )
-    else:
-        wall = Window.partitionBy("column")
-        d = nums.select(
-            "column",
-            "x",
-            "cnt",
-            F.sum("cnt").over(wcum).alias("cum"),
-            F.sum("cnt").over(wall).alias("n"),
-        )
+    # per-column non-null totals via a small agg + broadcast join — a
+    # parallel hash aggregate over the counts frame instead of a second
+    # whole-frame WindowExec pass
+    totals = nums.groupBy("column").agg(F.sum("cnt").alias("n"))
+    d = nums.join(F.broadcast(totals), "column").select(
+        "column", "x", "cnt", F.sum("cnt").over(wcum).alias("cum"), "n"
+    )
     aggs = []
     finish = []
     for i, p in enumerate(pcts):
@@ -385,14 +373,8 @@ def basic_stats(df: DataFrame, exact: bool = True) -> DataFrame:
     # sf0.01) — the float moments must ride the natural scan order the
     # oracle also sums in. This agg is cheap without the percentile
     # buffers; the heavy grouped pass below spreads safely because its
-    # aggregates are exact integers / distinct values. The 1-row result
-    # is pinned in exact mode: it feeds both the profile structs and
-    # the percentile pass's per-column totals.
+    # aggregates are exact integers / distinct values.
     row = df.agg(*aggs)
-    if exact:
-        from safedata_pipeline_spark.checkpoint import pin_lazy as _pin
-
-        row = _pin(row)
 
     null_d = F.lit(None).cast("double")
     null_ts = F.lit(None).cast("timestamp_ntz")
@@ -425,18 +407,11 @@ def basic_stats(df: DataFrame, exact: bool = True) -> DataFrame:
     str_cols = {f.name for f in fields if isinstance(f.dataType, StringType)}
     num_cols = [f.name for f in fields if _is_numeric(f.dataType)]
     if exact:
-        # ONE grouping-sets exchange, pinned, two consumers; the
-        # percentile consumer takes its per-column non-null totals from
-        # the already-pinned wide agg (count - missing) instead of a
-        # second whole-frame window pass
+        # ONE grouping-sets exchange, pinned, two consumers
         tagged = _grouping_sets_tagged(df, [f.name for f in fields], with_num=True)
         tagged = pin_lazy(tagged)
         vs = _value_stats_from_tagged(tagged)
-        n_entries = []
-        for c in num_cols:
-            n_entries += [F.lit(c), (F.col("__n") - F.col(f"miss__{c}")).cast("bigint")]
-        n_map_row = row.select(F.create_map(*n_entries).alias("__nmap"))
-        pq = _percentiles_from_tagged(tagged, num_cols, pct, n_map_df=n_map_row)
+        pq = _percentiles_from_tagged(tagged, num_cols, pct)
     else:
         vs = value_stats(df, [f.name for f in fields])
         pq = None
@@ -519,38 +494,45 @@ def robust_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     median absolute deviation (median of |x − median|), the robust
     stddev stand-in (σ ≈ 1.4826·MAD under normality).
 
-    Two passes by necessity (MAD nests a median inside a median): pass
-    1 is one wide exact-percentile aggregate (O(columns) collected
-    doubles); pass 2 melts all columns into one frame and computes each
-    column's deviation median in a single grouped percentile aggregate
-    — 2 scans total regardless of column count. ``percentile_approx``
-    is the drop-in at 100 TB (same shape, bounded error).
+    ONE corpus scan (was 2 + a single-reducer percentile-buffer merge):
+    the per-column value-counts frame (``_grouping_sets_tagged``,
+    pinned) feeds BOTH medians/quartiles (``_percentiles_from_tagged``
+    — the bit-exact F.percentile replay) and, after the medians come
+    back as O(columns) fit parameters, the MAD as a WEIGHTED median
+    over the same counts: dev = |val − med_c| per distinct value with
+    its count, re-grouped (two values can share a dev) and replayed
+    through the same interpolation — the multiset of devs is identical
+    to the row-wise computation, so the result is bit-equal to the old
+    melted F.percentile pass. ``percentile_approx`` over raw rows is
+    the drop-in at 100 TB (the counts frame is |Σ distinct| rows).
     """
-    row = df.agg(
-        *[
-            F.percentile(F.col(c), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(c)
-            for c in cols
-        ]
-    ).collect()[0]
-    quart = {c: row[c] for c in cols}
-    structs = []
-    for c in cols:
-        if quart[c] is None:
-            continue
-        med = float(quart[c][1])
-        structs.append(
-            F.struct(
-                F.lit(c).alias("column"),
-                F.abs(F.col(c).cast("double") - F.lit(med)).alias("dev"),
-            )
-        )
-    if not structs:
+    from safedata_pipeline_spark.checkpoint import pin_lazy
+
+    tagged = pin_lazy(_grouping_sets_tagged(df, cols, with_num=True))
+    pq = _percentiles_from_tagged(tagged, cols, [0.25, 0.5, 0.75]).collect()
+    quart = {r["column"]: (r["__pq0"], r["__pq1"], r["__pq2"]) for r in pq}
+    live = [c for c in cols if quart.get(c) is not None and quart[c][1] is not None]
+    if not live:
         return df.sparkSession.createDataFrame(
             [], "column string, median double, p25 double, p75 double, iqr double, mad double"
         )
-    melted = df.select(F.inline(F.array(*structs))).where(F.col("dev").isNotNull())
-    mads = melted.groupBy("column").agg(
-        F.round(F.percentile(F.col("dev"), F.lit(0.5)), ROUND_N).alias("mad")
+    med_map = F.create_map(
+        *[x for c in live for x in (F.lit(c), F.lit(float(quart[c][1])))]
+    )
+    dev_counts = (
+        tagged.where(F.col("column").isin(*live) & F.col("val_num").isNotNull())
+        .select(
+            "column",
+            F.abs(F.col("val_num") - F.element_at(med_map, F.col("column"))).alias(
+                "val_num"
+            ),
+            "cnt",
+        )
+        .groupBy("column", "val_num")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mads = _percentiles_from_tagged(dev_counts, live, [0.5]).select(
+        "column", F.round(F.col("__pq0"), ROUND_N).alias("mad")
     )
     spark = df.sparkSession
 
@@ -568,8 +550,7 @@ def robust_stats(df: DataFrame, cols: list[str]) -> DataFrame:
             _r6(float(quart[c][2])),
             _r6(float(quart[c][2]) - float(quart[c][0])),
         )
-        for c in cols
-        if quart[c] is not None
+        for c in live
     ]
     qdf = spark.createDataFrame(
         qrows, "column string, median double, p25 double, p75 double, iqr double"

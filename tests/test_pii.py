@@ -70,3 +70,38 @@ def test_secrets_redact_placeholders(spark):
     out = secrets_redact(df).collect()[0].text
     assert "[AWS_KEY]" in out and "[ASSIGNED_SECRET]" in out
     assert ("AKIA" + "ABCDEFGHIJKLMNOP") not in out and "ABCDEFGHIJKLMNOPQRST" not in out
+
+
+def test_luhn_valid_known_numbers(spark):
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.operators.pii import luhn_valid
+
+    rows = [
+        ("4111111111111111", True),    # classic Visa test number
+        ("4111111111111112", False),   # check digit bumped
+        ("5500005555555559", True),    # public MC test number
+        ("1234567812345678", False),
+        ("0000000000000000", True),    # degenerate but mod-10 valid
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "s string")
+    got = {r.s: r.v for r in df.select("s", luhn_valid(F.col("s")).alias("v")).collect()}
+    for s, want in rows:
+        assert got[s] == want, (s, got[s], want)
+
+
+def test_card_luhn_scan_counts(spark):
+    from safedata_pipeline_spark.operators.pii import card_luhn_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay 4111111111111111 or 4111111111111112 today"),
+            (2, "no cards here, just 123-45-6789"),
+            (3, "double 4111111111111111 and 5500005555555559 hit"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in card_luhn_scan(df).collect()}
+    assert (got[1].n_card_candidates, got[1].n_card_luhn_valid) == (2, 1)
+    assert (got[2].n_card_candidates, got[2].n_card_luhn_valid) == (0, 0)
+    assert (got[3].n_card_candidates, got[3].n_card_luhn_valid) == (2, 2)

@@ -24,10 +24,20 @@ def test_projection_prunes_read_schema(spark, sf_dir):
 def test_basic_stats_reads_each_column_once_per_pass(spark, sf_dir):
     import re
 
-    df = P.basic_stats(load_table(spark, sf_dir, "lineitem"))
-    plan = plans.formatted_plan(df)
-    # exactly two scan nodes: the moments agg + the grouping-sets agg
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    li = load_table(spark, sf_dir, "lineitem")
+    # exact mode (r10): ONE visible parquet scan (the moments agg);
+    # the grouping-sets counts frame is pinned (localCheckpoint), so
+    # its single corpus scan happens once at materialization and every
+    # downstream consumer (nunique/top/freq + percentiles + totals)
+    # reads the in-memory blocks — "Scan ExistingRDD" nodes, not
+    # additional parquet scans. Corpus reads total: exactly 2.
+    plan = plans.formatted_plan(P.basic_stats(li))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Scan ExistingRDD" in plan
+    # approx (100 TB) mode: no pin — exactly the two corpus scans
+    plan2 = plans.formatted_plan(P.basic_stats(li, exact=False))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan2)) == 2
+    assert "Scan ExistingRDD" not in plan2
 
 
 def test_protect_chain_stays_codegen(spark, sf_dir):

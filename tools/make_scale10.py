@@ -22,7 +22,12 @@ instead:
   sign mask s_t (md5-derived; s_0 = identity). cos(s_t*x, s_t*y) =
   cos(x, y) exactly (s_i^2 = 1), so intra-tile cosine structure is
   bit-preserved; cross-tile cosines are sign-scrambled dot products
-  concentrating near 0 (well under every pairing threshold).
+  concentrating near 0 with std ~ d^(-1/2) (≈0.125 at d=64). A small
+  tail therefore leaks past low pairing thresholds — unavoidable for
+  ANY orthogonal decorrelation without growing the dimension — so
+  embedding pair counts scale linearly PLUS a bounded cross-tile tail
+  (tests pin exact intra-tile replication and bound the leakage); the
+  slope gates measure wall-clock, where the tail is noise.
 * customer — keys offset per tile; c_name keeps the ORIGINAL 9-digit
   key but gets a doubled tile marker spliced into the constant prefix
   ("Cust{t}{t}omer#%09d"): within a tile the name neighborhood
