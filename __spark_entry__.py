@@ -2900,7 +2900,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smart_suggest": _q_smart_suggest,
         "impute": _q_impute,
         "checklist_score": _q_checklist_score,
-        "chi2_drift": _q_chi2_drift,
+        # robust_stats re-enters per the touched-operator rule (r10
+        # moved it onto the shared counts frame); chi2_drift yields —
+        # its hash signal runs per-column inside the in-window anchor
+        # distribution_drift (documented subsumption)
+        "robust_stats": _q_robust_stats,
         "k_anonymity": _q_k_anonymity,
         "corpus_stats": _q_corpus_stats,
         # (r10-new) X208 Luhn-validated card detection — in-window on
@@ -2925,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontaminate; user_sessions' SQL is embedded in
         # session_concurrency's.
         "repetition_stats": _q_repetition_stats,
+        "chi2_drift": _q_chi2_drift,
         "customer_order_histogram": _q_customer_order_histogram,
         "top_supplier": _q_top_supplier,
         "small_qty_revenue": _q_small_qty_revenue,
@@ -3066,7 +3071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": _q_k_anonymity,
         "winsorize": _q_winsorize,
         "correlation_matrix": _q_correlation_matrix,
-        "robust_stats": _q_robust_stats,
         "bigram_logprob": _q_bigram_logprob,
         "split_leakage": _q_split_leakage,
         "orders_join_audit": _q_orders_join_audit,

@@ -108,7 +108,14 @@ def edit_distance_pairs(
       O(true neighbors) there.
     * ``max_dist >= 2`` — Ed-Join q-gram prefix filtering (the
       deletion neighborhood's variant count is C(len, k)-combinatorial
-      beyond k=1, Ed-Join's prefix stays q·k+1)."""
+      beyond k=1, Ed-Join's prefix stays q·k+1).
+
+    Domain note: deletion variants materialize len+1 strings of ~len
+    chars per value — O(len²) bytes — which is the right trade for the
+    SHORT keys fuzzy matching runs on (names, codes, titles; ≤ a few
+    hundred chars). For edit-threshold joins over long free text,
+    n-gram Jaccard (``jaccard_prefix_join``) is the appropriate
+    operator family, not character edit distance."""
     if max_dist < 1 or q < 1:
         raise ValueError("need max_dist >= 1 and q >= 1")
     from pyspark.sql import Window

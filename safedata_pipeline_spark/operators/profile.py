@@ -494,66 +494,52 @@ def robust_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     median absolute deviation (median of |x − median|), the robust
     stddev stand-in (σ ≈ 1.4826·MAD under normality).
 
-    ONE corpus scan (was 2 + a single-reducer percentile-buffer merge):
-    the per-column value-counts frame (``_grouping_sets_tagged``,
-    pinned) feeds BOTH medians/quartiles (``_percentiles_from_tagged``
-    — the bit-exact F.percentile replay) and, after the medians come
-    back as O(columns) fit parameters, the MAD as a WEIGHTED median
-    over the same counts: dev = |val − med_c| per distinct value with
-    its count, re-grouped (two values can share a dev) and replayed
-    through the same interpolation — the multiset of devs is identical
-    to the row-wise computation, so the result is bit-equal to the old
-    melted F.percentile pass. ``percentile_approx`` over raw rows is
-    the drop-in at 100 TB (the counts frame is |Σ distinct| rows).
+    ONE corpus scan and ONE job (was 2 scans + a driver-collect
+    barrier between them): the per-column value-counts frame
+    (``_grouping_sets_tagged``, pinned) feeds quartiles/medians
+    (``_percentiles_from_tagged`` — the bit-exact F.percentile replay)
+    and the MAD as a WEIGHTED median over the same counts — dev =
+    |val − med_c| per distinct value with its count (the median rides
+    a broadcast join, not a collected literal, so nothing blocks the
+    pipeline), re-grouped (two values can share a dev) and replayed
+    through the same interpolation. The dev multiset is identical to
+    the row-wise computation, so the result is bit-equal to a melted
+    F.percentile pass. ``percentile_approx`` over raw rows is the
+    drop-in at 100 TB (the counts frame is |Σ distinct| rows).
     """
     from safedata_pipeline_spark.checkpoint import pin_lazy
 
     tagged = pin_lazy(_grouping_sets_tagged(df, cols, with_num=True))
-    pq = _percentiles_from_tagged(tagged, cols, [0.25, 0.5, 0.75]).collect()
-    quart = {r["column"]: (r["__pq0"], r["__pq1"], r["__pq2"]) for r in pq}
-    live = [c for c in cols if quart.get(c) is not None and quart[c][1] is not None]
-    if not live:
-        return df.sparkSession.createDataFrame(
-            [], "column string, median double, p25 double, p75 double, iqr double, mad double"
-        )
-    med_map = F.create_map(
-        *[x for c in live for x in (F.lit(c), F.lit(float(quart[c][1])))]
-    )
+    # the quartile frame is O(columns) rows with TWO consumers (the
+    # MAD's median broadcast + the final projection) — pin it so the
+    # percentile chain over the counts frame runs once
+    quarts = pin_lazy(_percentiles_from_tagged(tagged, cols, [0.25, 0.5, 0.75]))
+    med = quarts.select("column", F.col("__pq1").alias("__med"))
     dev_counts = (
-        tagged.where(F.col("column").isin(*live) & F.col("val_num").isNotNull())
+        tagged.join(F.broadcast(med), "column")
+        .where(F.col("val_num").isNotNull())
         .select(
             "column",
-            F.abs(F.col("val_num") - F.element_at(med_map, F.col("column"))).alias(
-                "val_num"
-            ),
+            F.abs(F.col("val_num") - F.col("__med")).alias("val_num"),
             "cnt",
         )
         .groupBy("column", "val_num")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    mads = _percentiles_from_tagged(dev_counts, live, [0.5]).select(
+    mads = _percentiles_from_tagged(dev_counts, cols, [0.5]).select(
         "column", F.round(F.col("__pq0"), ROUND_N).alias("mad")
     )
-    spark = df.sparkSession
 
-    def _r6(x: float) -> float:
-        # half-up snap (python round() is half-even; SQL round() is not)
-        import math
+    def _r6(c):
+        # half-up snap (SQL round(); matches the engine's float snaps)
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
 
-        return math.floor(x * 1e6 + 0.5) / 1e6
-
-    qrows = [
-        (
-            c,
-            _r6(float(quart[c][1])),
-            _r6(float(quart[c][0])),
-            _r6(float(quart[c][2])),
-            _r6(float(quart[c][2]) - float(quart[c][0])),
-        )
-        for c in live
-    ]
-    qdf = spark.createDataFrame(
-        qrows, "column string, median double, p25 double, p75 double, iqr double"
+    qdf = quarts.where(F.col("__pq1").isNotNull()).select(
+        "column",
+        _r6(F.col("__pq1")).alias("median"),
+        _r6(F.col("__pq0")).alias("p25"),
+        _r6(F.col("__pq2")).alias("p75"),
+        _r6(F.col("__pq2") - F.col("__pq0")).alias("iqr"),
     )
     return qdf.join(mads, on="column", how="left")
 
