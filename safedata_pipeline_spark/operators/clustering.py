@@ -140,9 +140,18 @@ def kmeans_fit_centers(
     rows-only contract)."""
     if k < 1 or iterations < 1:
         raise ValueError("need k >= 1 and iterations >= 1")
+    from safedata_pipeline_spark.partitioning import spread_small
+
+    # spread BEFORE the eager pin: the checkpoint freezes partitioning,
+    # so a 1-3-split fixture scan would otherwise run every assignment
+    # + update pass of every iteration nearly single-core. Hash-safe
+    # here (unlike float-moment aggs): the update sums are
+    # DECIMAL(38,9) of 9dp-rounded values — exact, order-independent —
+    # and the assignment/argmin is per-row. No-op on a many-split scan.
     data = (
         df.where(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .transform(spread_small)
         .transform(pin_eager)
     )
     centers = _seed_centroids(data, "id", "v", k)

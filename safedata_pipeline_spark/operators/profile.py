@@ -463,6 +463,12 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
             [], "col_a string, col_b string, corr double"
         )
     d = df.select(*[F.col(c).cast("double").alias(c) for c in cols]).dropna()
+    # spread-safe, unlike the float moments in basic_stats: every sum
+    # below is a DECIMAL(38,12) of a per-row value — exact and
+    # partition-order independent — so unlocking all cores under the
+    # k²/2 moment expressions cannot move any output bit (no-op on a
+    # many-split corpus scan)
+    d = spread_small(d)
     dec = lambda c: c.cast("decimal(38,12)")
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cols:
