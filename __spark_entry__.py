@@ -2898,7 +2898,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sdc_suppress": _q_sdc_suppress,
         "generalize_numeric": _q_generalize_numeric,
         "smart_suggest": _q_smart_suggest,
-        "impute": _q_impute,
+        # correlation_matrix re-enters per the touched-operator rule
+        # (r10 spread its DECIMAL moment aggregate); impute's r4 green
+        # stands and it keeps the local full-sweep hash check
+        "correlation_matrix": _q_correlation_matrix,
         "checklist_score": _q_checklist_score,
         # robust_stats re-enters per the touched-operator rule (r10
         # moved it onto the shared counts frame); chi2_drift yields —
@@ -3062,6 +3065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sdc_suppress": _q_sdc_suppress,
         "generalize_numeric": _q_generalize_numeric,
         "smart_suggest": _q_smart_suggest,
+        # correlation_matrix re-enters per the touched-operator rule
+        # (r10 spread its DECIMAL moment aggregate); impute's r4 green
+        # stands and it keeps the local full-sweep hash check
+        "correlation_matrix": _q_correlation_matrix,
         "impute": _q_impute,
         "user_value_trend": _q_user_value_trend,
         "psi_drift": _q_psi_drift,
@@ -3070,7 +3077,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_risk_score": _q_linkage_risk_score,
         "k_anonymity": _q_k_anonymity,
         "winsorize": _q_winsorize,
-        "correlation_matrix": _q_correlation_matrix,
         "bigram_logprob": _q_bigram_logprob,
         "split_leakage": _q_split_leakage,
         "orders_join_audit": _q_orders_join_audit,
