@@ -173,7 +173,10 @@ def numeric_profile(df: DataFrame, cols: list[str], exact: bool = True) -> DataF
 
 
 def _grouping_sets_tagged(
-    df: DataFrame, cols: list[str], with_num: bool = False
+    df: DataFrame,
+    cols: list[str],
+    with_num: bool = False,
+    skip_val_for_numeric: bool = False,
 ) -> DataFrame:
     """One grouping-sets aggregation over ``cols`` → rows
     ``(column, val, cnt)``: per-column value frequencies from a single
@@ -182,7 +185,14 @@ def _grouping_sets_tagged(
     to double for NUMERIC columns (NULL otherwise), taken from the
     original column (not the string round-trip) so float semantics are
     exact — which lets downstream consumers compute order statistics
-    from the same exchange."""
+    from the same exchange.
+
+    ``skip_val_for_numeric=True`` leaves ``val`` NULL on numeric
+    columns (their presence/ordering lives in ``val_num``): in
+    basic_stats the string form of a numeric value is dead weight —
+    top/freq is NULL-masked for non-string columns anyway, and
+    stringifying the near-unique double columns was the Expand's
+    biggest allocation (GC-bimodal medians). Requires ``with_num``."""
     # the Expand multiplies every input row ×len(cols) BEFORE the
     # partial aggregate, so a few-split fixture scan leaves 29 of 32
     # cores idle under the heaviest map stage (measured 3 tasks at
@@ -197,16 +207,13 @@ def _grouping_sets_tagged(
     # column of a row is the single unset bit.
     all_mask = (1 << len(cols)) - 1
     col_expr = None
-    val_expr = None
+    val_expr = F.lit(None).cast("string")
     num_expr = F.lit(None).cast("double")
     for i, c in enumerate(cols):
         active = F.col("gid") == (all_mask & ~(1 << (len(cols) - 1 - i)))
         col_expr = F.when(active, F.lit(c)) if col_expr is None else col_expr.when(active, F.lit(c))
-        val_expr = (
-            F.when(active, F.col(c).cast("string"))
-            if val_expr is None
-            else val_expr.when(active, F.col(c).cast("string"))
-        )
+        if not (skip_val_for_numeric and c in numeric):
+            val_expr = F.when(active, F.col(c).cast("string")).otherwise(val_expr)
         if with_num and c in numeric:
             num_expr = F.when(active, F.col(c).cast("double")).otherwise(num_expr)
     out = [col_expr.alias("column"), val_expr.alias("val"), "cnt"]
@@ -217,8 +224,15 @@ def _grouping_sets_tagged(
 
 def _value_stats_from_tagged(tagged: DataFrame) -> DataFrame:
     """nunique + mode + top frequency per column from an existing
-    ``_grouping_sets_tagged`` frame (shared-exchange consumer)."""
-    t = tagged.where(F.col("val").isNotNull())
+    ``_grouping_sets_tagged`` frame (shared-exchange consumer). A
+    non-null group is one whose val OR val_num is present (numeric
+    columns may carry only val_num under ``skip_val_for_numeric``;
+    their top/freq come back NULL, which basic_stats NULL-masks for
+    non-string columns regardless)."""
+    present = F.col("val").isNotNull()
+    if "val_num" in tagged.columns:
+        present = present | F.col("val_num").isNotNull()
+    t = tagged.where(present)
     key = F.struct((-F.col("cnt")).alias("nc"), F.col("val").alias("v"))
     return t.groupBy("column").agg(
         F.count(F.lit(1)).alias("nunique"),
@@ -407,8 +421,12 @@ def basic_stats(df: DataFrame, exact: bool = True) -> DataFrame:
     str_cols = {f.name for f in fields if isinstance(f.dataType, StringType)}
     num_cols = [f.name for f in fields if _is_numeric(f.dataType)]
     if exact:
-        # ONE grouping-sets exchange, pinned, two consumers
-        tagged = _grouping_sets_tagged(df, [f.name for f in fields], with_num=True)
+        # ONE grouping-sets exchange, pinned, two consumers; numeric
+        # columns skip the dead string cast (top/freq is NULL-masked
+        # for them anyway — val_num carries presence and ordering)
+        tagged = _grouping_sets_tagged(
+            df, [f.name for f in fields], with_num=True, skip_val_for_numeric=True
+        )
         tagged = pin_lazy(tagged)
         vs = _value_stats_from_tagged(tagged)
         pq = _percentiles_from_tagged(tagged, num_cols, pct)
