@@ -1820,6 +1820,76 @@ def _q_ann_cosine_topk_ivf_exactcells(spark, sf):
     )
 
 
+def _q_ann_cosine_topk_lsh_exactbuckets(spark, sf):
+    # the LSH SCALE path under the hash check (VERDICT r10 #2 — the
+    # last rows-only asymmetry in the similarity stack): md5-derived
+    # ±1 hyperplanes, the 6dp-rounded pure-expression sign kernel,
+    # base-bucket candidate join, exact cosine top-5. Complements the
+    # recall-gated multi-probe GEMM twin (ann_cosine_topk_lsh): this
+    # form proves WHICH pairs collide; that one measures recall.
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.cosine_topk_lsh_exact(
+        emb.where(F.col("vec_id") < 10), emb, k=5, num_tables=4, planes=6
+    )
+
+
+def _sql_ann_lsh_exactbuckets(
+    k: int = 5,
+    num_tables: int = 4,
+    planes: int = 6,
+    dim: int = 64,
+    proj_round: int = 6,
+) -> str:
+    """The LSH composition unrolled for DuckDB: per (table, plane) the
+    md5-derived ±1 hyperplane as a DOUBLE[] literal, sign bit =
+    ``round(list_dot_product(v, w), 6) >= 0`` (the same 6dp snap the
+    Spark kernel takes BEFORE comparing, so fold-order ulp drift can't
+    flip a bit), packed key ``t·2^planes + Σ bit·2^(planes-1-p)``,
+    candidates = DISTINCT shared-bucket pairs, exact cosine, (cosine
+    desc, id asc) top-k — mirroring similarity._topk's NULL-drop."""
+    from safedata_pipeline_spark.operators.similarity import _hyperplane
+
+    keys = []
+    for t in range(num_tables):
+        terms = [str(t << planes)]
+        for p in range(planes):
+            w = _hyperplane(dim, t, p)
+            lit = (
+                "CAST(["
+                + ",".join("1.0" if x > 0 else "-1.0" for x in w)
+                + "] AS DOUBLE[])"
+            )
+            terms.append(
+                f"(CASE WHEN round(list_dot_product(v, {lit}), "
+                f"{proj_round}) >= 0 THEN {1 << (planes - 1 - p)} "
+                "ELSE 0 END)"
+            )
+        keys.append("(" + " + ".join(terms) + ")")
+    keys_arr = "[" + ", ".join(keys) + "]"
+    cos = (
+        "CASE WHEN list_dot_product(q.qv, q.qv) > 0 AND "
+        "list_dot_product(c.v, c.v) > 0 "
+        "THEN list_dot_product(q.qv, c.v) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * "
+        "sqrt(list_dot_product(c.v, c.v))) ELSE NULL END"
+    )
+    return (
+        "WITH data AS (SELECT vec_id AS id, "
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+        "WHERE embedding IS NOT NULL), "
+        f"keyed AS (SELECT id, v, unnest({keys_arr}) AS bk FROM data), "
+        "qk AS (SELECT id AS query_id, v AS qv, bk FROM keyed "
+        "WHERE id < 10), "
+        f"scored AS (SELECT DISTINCT q.query_id, c.id, {cos} AS cosine "
+        "FROM qk q JOIN keyed c ON q.bk = c.bk AND q.query_id <> c.id), "
+        "r AS (SELECT query_id, id, cosine, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn "
+        "FROM scored WHERE cosine IS NOT NULL) "
+        "SELECT query_id, CAST(rn AS BIGINT) AS rank, id AS neighbor_id, "
+        f"round(cosine, 6) AS cosine FROM r WHERE rn <= {k}"
+    )
+
+
 def _sql_ann_ivf_exactcells(
     k: int = 5, num_cells: int = 8, iterations: int = 3, n_probe: int = 2
 ) -> str:
@@ -2872,6 +2942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_segment_revenue": _q_salted_segment_revenue,
         # -- (3) r10-new oracle-backed ---------------------------------------
         "ann_cosine_topk_ivf_exactcells": _q_ann_cosine_topk_ivf_exactcells,
+        # (r11-new) X209 LSH ANN exact-buckets form — in-window on
+        # arrival so it is driver-checked in its landing round
+        "ann_cosine_topk_lsh_exactbuckets": _q_ann_cosine_topk_lsh_exactbuckets,
         # -- (4) r10-touched re-verification ---------------------------------
         "compression_entropy": _q_compression_entropy,
         "lang_id_trained": _q_lang_id_trained,
@@ -2991,9 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixel_stats": _q_image_pixel_stats,
         "winnowing": _q_winnowing,
         "alpha_mixture": _q_alpha_mixture,
-        "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
-        "simhash_pairs": _q_simhash_pairs,
         "substring_dedup": _q_substring_dedup,
         "drift_timeline": _q_drift_timeline,
         "dedup_incremental": _q_dedup_incremental,
@@ -3001,7 +3072,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_graph_pagerank_weighted": _q_dup_graph_pagerank_weighted,
         "count_min_words": _q_count_min_words,
         "heavy_hitter_words": _q_heavy_hitter_words,
-        "edit_distance_pairs": _q_edit_distance_pairs,
         "value_auc": _q_value_auc,
         "auc_daily": _q_auc_daily,
         "roc_points": _q_roc_points,
@@ -3019,7 +3089,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_near": _q_dedup_incremental_near,
         "cross_source_dup_matrix": _q_cross_source_dup_matrix,
         "extract_text": _q_extract_text,
-        "semantic_dedup": _q_semantic_dedup,
         "domain_stats": _q_domain_stats,
         "promo_revenue": _q_promo_revenue,
         "idle_rich_customers": _q_idle_rich_customers,
@@ -3060,22 +3129,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy": _q_column_entropy,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "bpe_merges": _q_bpe_merges,
-        "value_counts": _q_value_counts,
-        "checklist_score": _q_checklist_score,
-        "sdc_suppress": _q_sdc_suppress,
-        "generalize_numeric": _q_generalize_numeric,
-        "smart_suggest": _q_smart_suggest,
-        # correlation_matrix re-enters per the touched-operator rule
-        # (r10 spread its DECIMAL moment aggregate); impute's r4 green
-        # stands and it keeps the local full-sweep hash check
-        "correlation_matrix": _q_correlation_matrix,
         "impute": _q_impute,
         "user_value_trend": _q_user_value_trend,
         "psi_drift": _q_psi_drift,
         "jsd_drift": _q_jsd_drift,
         "table_diff": _q_table_diff,
         "linkage_risk_score": _q_linkage_risk_score,
-        "k_anonymity": _q_k_anonymity,
         "winsorize": _q_winsorize,
         "bigram_logprob": _q_bigram_logprob,
         "split_leakage": _q_split_leakage,
@@ -3085,18 +3144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_funnel": _q_session_funnel,
         "hourly_retention": _q_hourly_retention,
         "returned_revenue": _q_returned_revenue,
-        "limit_preview": _q_limit_preview,
-        "project_quasi_ids": _q_project_quasi_ids,
-        "row_count": _q_row_count,
-        "null_profile": _q_null_profile,
-        "distinct_count": _q_distinct_count,
-        "numeric_profile": _q_numeric_profile,
-        "top_freq": _q_top_freq,
         "standard_scale": _q_standard_scale,
         "one_hot": _q_one_hot,
         "unigram_logprob": _q_unigram_logprob,
         "embedding_centroids": _q_embedding_centroids,
-        "chi2_drift": _q_chi2_drift,
         "simhash": _q_simhash,
         "minhash_signatures": _q_minhash_signatures,
         "dedup_components_star": _q_dedup_components_star,
@@ -6164,7 +6215,9 @@ def oracle_sql() -> dict[str, str]:
         # even though it's the "approximate" path
         "minhash_lsh": _sql_minhash_lsh(16, 4, 0.5),
         # ann_cosine_topk_lsh/_ivf stay rows-only: float GEMM sign/argmin
-        # ordering is not reproducible across engines
+        # ordering is not reproducible across engines — their
+        # hash-checked siblings are the *_exactcells/*_exactbuckets
+        # forms below (rounded pure-expression kernels)
         "simhash": _sql_simhash(32),
         "simhash_pairs": _sql_simhash_pairs(32, 4, 3),
         "embedding_centroids": _sql_embedding_centroids(),
@@ -6172,6 +6225,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_dedup": _sql_embedding_cosine_dedup(0.4),
         "ann_cosine_topk": _sql_ann_cosine_topk(5),
         "ann_cosine_topk_ivf_exactcells": _sql_ann_ivf_exactcells(),
+        "ann_cosine_topk_lsh_exactbuckets": _sql_ann_lsh_exactbuckets(),
         "asof_last_click": _sql_asof_last_click(),
         "range_join_tiers": _sql_range_join_tiers(),
         "hypertable_rollup": _sql_hypertable_rollup(),

@@ -37,6 +37,27 @@ def force(df) -> int:
     return -1
 
 
+def _registry_key_literals() -> list:
+    """Independent count of queries(): the dict-key string literals in
+    the function's source, via ast. Catches duplicate literals (which
+    dict construction silently collapses) and any drift between source
+    and the returned mapping."""
+    import ast
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = open(os.path.join(here, "__spark_entry__.py")).read()
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.FunctionDef) and node.name == "queries":
+            for n in ast.walk(node):
+                if isinstance(n, ast.Dict):
+                    return [
+                        k.value
+                        for k in n.keys
+                        if isinstance(k, ast.Constant)
+                    ]
+    raise AssertionError("queries() dict literal not found")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -46,10 +67,19 @@ def main() -> None:
 
     qs = entry.queries()
     # the bench set IS the registry: every queries() entry, in dict
-    # order (the driver-window 50 first). Asserted so a future query
-    # cannot land unbenched.
+    # order (the driver-window 50 first). The count is asserted
+    # against an INDEPENDENT tally — the dict-key string literals in
+    # __spark_entry__.py's queries() source (ADVICE r10: comparing a
+    # dict to itself was vacuous and could not catch duplicate key
+    # literals, which silently collapse).
     names = list(qs)
-    assert len(names) == len(qs) and len(set(names)) == len(names)
+    key_literals = _registry_key_literals()
+    dup = sorted({k for k in key_literals if key_literals.count(k) > 1})
+    assert not dup, f"duplicate key literals in queries(): {dup}"
+    assert len(names) == len(key_literals), (
+        f"queries() returned {len(names)} entries but its source has "
+        f"{len(key_literals)} key literals"
+    )
 
     # warm-up (JVM, codegen, parquet footer caches)
     qs["value_counts"](spark, sf_dir).collect()
@@ -85,8 +115,15 @@ def main() -> None:
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
     total = round(sum(timings.values()), 3)
-    # key order is deliberate, cheapest-to-lose LAST: the driver's
-    # BENCH_r{N} copy has shipped tail-truncated three rounds running
+    # The driver's BENCH_r{N} copy keeps only the LAST 2000 bytes of
+    # stdout (BENCH_r10.json: tail len 2000, `parsed: null` four
+    # rounds running because the full 206-query line is ~12 KB — its
+    # HEAD, with metric/value, is what got cut). The stdout contract
+    # line must therefore fit inside that window: the full payload
+    # goes to BENCH_local.json, and stdout carries a compact line
+    # (headline totals + as many per-query medians as fit,
+    # slowest-first so the informative entries survive, plus an
+    # explicit queries_omitted count and file pointer).
     # (r7-r9, `parsed: null`), so the essentials (total, sf, count,
     # per-query medians) lead the line and the bulky diagnostics
     # (rep_spread, load) trail it — a tail cut now costs only markers.
@@ -133,7 +170,36 @@ def main() -> None:
     )
     with open(os.path.join(here, "BENCH_local_compact.json"), "w") as f:
         f.write(compact + "\n")
-    print(payload)
+
+    # stdout contract line, sized to the driver's 2000-byte tail
+    # capture. Budget 1900 bytes incl. newline for safety margin.
+    STDOUT_BUDGET = 1900
+    base = {
+        "metric": "safedata-pipeline-spark headline queries, total wall sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(names),
+        "queries": {},
+        "queries_omitted": len(names),
+        "queries_full": "BENCH_local.json",
+        "reps": reps,
+        "wall_sec": round(time.time() - t_run0, 1),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
+    # slowest-first: the entries that dominate `value` survive the cut
+    by_cost = sorted(timings, key=lambda k: -timings[k])
+    line = json.dumps(base)
+    for name in by_cost:
+        base["queries"][name] = timings[name]
+        base["queries_omitted"] = len(names) - len(base["queries"])
+        cand = json.dumps(base)
+        if len(cand) + 1 > STDOUT_BUDGET:
+            del base["queries"][name]
+            base["queries_omitted"] = len(names) - len(base["queries"])
+            break
+        line = cand
+    print(line)
 
 
 if __name__ == "__main__":

@@ -533,6 +533,18 @@ def robust_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     from safedata_pipeline_spark.checkpoint import pin_lazy
 
+    # Loud-failure contract (ADVICE r10): the shared counts frame only
+    # populates val_num for schema-numeric columns, so a misspelled or
+    # string-typed column would silently VANISH from the output where
+    # the old F.percentile path raised. Validate up front instead.
+    numeric = {f.name for f in df.schema.fields if _is_numeric(f.dataType)}
+    bad = [c for c in cols if c not in numeric]
+    if bad:
+        raise ValueError(
+            f"robust_stats requires numeric columns; not numeric in "
+            f"schema (or absent): {bad}"
+        )
+
     tagged = pin_lazy(_grouping_sets_tagged(df, cols, with_num=True))
     # the quartile frame is O(columns) rows with TWO consumers (the
     # MAD's median broadcast + the final projection) — pin it so the

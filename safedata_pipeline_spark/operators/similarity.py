@@ -427,6 +427,104 @@ def cosine_topk_lsh(
     return _topk(pairs, k)
 
 
+def lsh_bucket_keys_expr(
+    dim: int, num_tables: int, planes: int, proj_round: int = 6
+):
+    """PURE-EXPRESSION LSH table keys (the oracle-checkable kernel):
+    given an ``array<double>`` column, returns an ``array<bigint>`` of
+    ``num_tables`` packed keys ``(t << planes) | sign_bits`` computed
+    entirely in Catalyst expressions — no Python, replayable in SQL.
+
+    Each sign bit is ``round(v · w, proj_round) >= 0`` with ``w`` the
+    md5-derived ±1 hyperplane (``_hyperplane`` — the same planes the
+    GEMM twin ``bucket_keys_vectorized`` uses). Rounding the projection
+    BEFORE the sign comparison is the X166/X207 discipline: both
+    engines compare the same 6dp number, so last-ulp summation drift
+    (Spark's sequential fold vs DuckDB's ``list_dot_product``) cannot
+    flip a bucket bit unless the true projection sits within ~1e-15 of
+    a rounding boundary. Used by ``cosine_topk_lsh_exact``; the
+    vectorized GEMM UDF stays the 100 TB indexing path (identical keys
+    when projections are off-boundary, per test)."""
+
+    def keys(vcol):
+        out = []
+        for t in range(num_tables):
+            key = F.lit(t << planes).cast("long")
+            for p in range(planes):
+                w = _hyperplane(dim, t, p)
+                warr = F.array(*[F.lit(x) for x in w])
+                bit = (
+                    F.round(_dot(vcol, warr), proj_round) >= 0
+                ).cast("long")
+                key = key + bit * F.lit(1 << (planes - 1 - p))
+            out.append(key)
+        return F.array(*out)
+
+    return keys
+
+
+def cosine_topk_lsh_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_tables: int = 4,
+    planes: int = 6,
+    proj_round: int = 6,
+) -> DataFrame:
+    """ORACLE-CHECKABLE LSH ANN — the random-hyperplane scale path
+    under the hash check (VERDICT r10 #2: the last rows-only asymmetry
+    in the similarity stack; the IVF sibling was promoted in r10 as
+    X207).
+
+    Same composition as ``cosine_topk_lsh`` — candidates are only the
+    pairs sharing a bucket in ≥1 table — but every stage is
+    engine-deterministic: md5-derived ±1 hyperplanes, the
+    ``proj_round``-rounded pure-expression sign kernel
+    (``lsh_bucket_keys_expr``), base buckets only (no multi-probe:
+    probe perturbation order depends on float margin sorts, which a
+    SQL oracle cannot replay ulp-safely), exact cosine over
+    candidates, (cosine desc, id asc) top-k. The hash match therefore
+    certifies candidate GENERATION itself — which pairs collide — not
+    just scoring. ``cosine_topk_lsh`` remains the recall-gated
+    production twin (GEMM indexing + multi-probe recall dial).
+
+    100 TB shape: key computation is a map-only pass (the fold kernel
+    here; the Arrow GEMM twin at real scale), candidates arise from an
+    equi-join on the packed bucket key (shuffle keyed by bucket; AQE
+    splits hot buckets), and per-pair work is one cosine — nothing
+    all-pairs. Expected candidates per query ≈ num_tables ×
+    n/2^planes. Output: (query_id, rank, neighbor_id, cosine)."""
+    keys = lsh_bucket_keys_expr(dim, num_tables, planes, proj_round)
+    q = _prep(
+        queries.where(F.col(vec_col).isNotNull()), id_col, vec_col, "query_id"
+    ).withColumn("bk", F.explode(keys(F.col("v"))))
+    c = _prep(
+        corpus.where(F.col(vec_col).isNotNull()), id_col, vec_col, "id"
+    ).withColumn("bk", F.explode(keys(F.col("v"))))
+    pairs = (
+        q.alias("q")
+        .join(
+            c.alias("c"),
+            on=(F.col("q.bk") == F.col("c.bk"))
+            & (F.col("q.query_id") != F.col("c.id")),
+        )
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("c.id").alias("id"),
+            _cos(
+                F.col("q.v"), F.col("c.v"), F.col("q.nrm"), F.col("c.nrm")
+            ).alias("cosine"),
+        )
+        # a pair can collide in several tables; cosine is a pure
+        # function of the pair, so keeping any one row is exact
+        .dropDuplicates(["query_id", "id"])
+    )
+    return _topk(pairs, k)
+
+
 def embedding_centroids(
     df: DataFrame,
     label_col: str = "label",

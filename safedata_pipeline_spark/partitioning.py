@@ -50,8 +50,6 @@ def spread_small(df: DataFrame, min_factor: int = 1) -> DataFrame:
        twin of ``df`` (same split count, trivial codegen), so the probe
        never compiles the real plan's expression trees.
     """
-    import re
-
     from pyspark.sql import functions as F
 
     target = min_factor * df.sparkSession.sparkContext.defaultParallelism
@@ -63,14 +61,54 @@ def spread_small(df: DataFrame, min_factor: int = 1) -> DataFrame:
     # Janino-compile once here and again at the real action.
     probe = df.select(F.lit(1).alias("__spread_probe"))
     try:
-        plan = probe._jdf.queryExecution().sparkPlan().toString()
         # a SHUFFLE exchange sets downstream width; a BroadcastExchange
         # does not (the probe side keeps its scan splits), so only the
-        # former short-circuits
-        if re.search(r"(?<!Broadcast)Exchange", plan):
+        # former short-circuits. Matched STRUCTURALLY on the plan tree
+        # (node class names), not on plan text — ADVICE r10: a text
+        # regex also hits ReusedExchange-over-broadcast and any future
+        # node whose name merely contains "Exchange". Probed on the
+        # AQE INITIAL plan, not sparkPlan(): EnsureRequirements runs in
+        # the preparations phase, so requirement-inserted exchanges
+        # (groupBy/join shuffles — the common case) are INVISIBLE in
+        # sparkPlan() and the r10 gate fell through to .rdd on exactly
+        # the plans it meant to protect. Building executedPlan under
+        # AQE only constructs AdaptiveSparkPlanExec — no query stage
+        # materializes (verified: zero jobs submitted).
+        ep = probe._jdf.queryExecution().executedPlan()
+        root = (
+            ep.initialPlan()
+            if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec"
+            else ep
+        )
+        if _has_shuffle_exchange(root):
             return df
+        n_parts = probe.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - connect/classic API drift
-        pass
-    if probe.rdd.getNumPartitions() >= target:
+        # Conservative no-op: falling through to .rdd on an
+        # AQE-with-exchanges plan would re-execute upstream shuffle
+        # stages — the exact duplicated computation this gate exists
+        # to avoid (ADVICE r10).
+        return df
+    if n_parts >= target:
         return df
     return df.repartition(target)
+
+
+def _has_shuffle_exchange(jplan) -> bool:
+    """True if the JVM physical-plan tree contains a shuffle exchange.
+
+    Walks node CLASS names (``ShuffleExchangeExec``; a
+    ``ReusedExchangeExec`` counts only when it wraps one) instead of
+    regexing ``toString()`` output, so broadcast exchanges and
+    incidental "Exchange" substrings never match.
+    """
+    name = jplan.getClass().getSimpleName()
+    if name.startswith("ShuffleExchange"):
+        return True
+    if name.startswith("ReusedExchange"):
+        return _has_shuffle_exchange(jplan.child())
+    children = jplan.children()
+    return any(
+        _has_shuffle_exchange(children.apply(i))
+        for i in range(children.size())
+    )

@@ -141,6 +141,19 @@ def test_robust_stats_known_values(spark):
     assert r.iqr == 50.0 and r.mad == 25.0
 
 
+def test_robust_stats_rejects_non_numeric_and_unknown_columns(spark):
+    # loud-failure contract (ADVICE r10): the shared counts frame only
+    # carries val_num for schema-numeric columns, so without the
+    # up-front check a string or misspelled column silently vanished
+    import pytest
+
+    df = spark.createDataFrame([(1.0, "a")], "x double, s string")
+    with pytest.raises(ValueError, match="s"):
+        P.robust_stats(df, ["x", "s"])
+    with pytest.raises(ValueError, match="nope"):
+        P.robust_stats(df, ["nope"])
+
+
 def test_robust_stats_outlier_resistant(spark):
     base = [(float(i),) for i in range(1, 100)]
     with_outlier = base + [(1e9,)]

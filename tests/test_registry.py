@@ -1,0 +1,79 @@
+"""Registry hygiene: the queries()/oracle_sql() mapping in
+__spark_entry__.py is the driver's correctness contract — lint it.
+
+ADVICE r10: 19 key literals appeared twice in the queries() dict
+source; dict construction silently collapses duplicates (last one
+wins), which misdocuments window placement and can silently swap a
+query's implementation if anyone edits the stale occurrence. These
+tests make a duplicate literal a hard failure, and pin the
+source-literal count to the runtime registry so the two can't drift.
+"""
+
+import ast
+import os
+import sys
+from collections import Counter
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import __spark_entry__ as entry  # noqa: E402
+from bench import _registry_key_literals  # noqa: E402
+
+
+def _dict_key_literals(func_name: str) -> list:
+    src = open(os.path.join(HERE, "__spark_entry__.py")).read()
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.FunctionDef) and node.name == func_name:
+            for n in ast.walk(node):
+                if isinstance(n, ast.Dict):
+                    return [
+                        k.value for k in n.keys if isinstance(k, ast.Constant)
+                    ]
+    raise AssertionError(f"{func_name}() dict literal not found")
+
+
+def test_queries_has_no_duplicate_key_literals():
+    lits = _dict_key_literals("queries")
+    dup = sorted(k for k, v in Counter(lits).items() if v > 1)
+    assert not dup, f"duplicate queries() key literals: {dup}"
+
+
+def test_queries_literal_count_matches_runtime_registry():
+    assert len(_dict_key_literals("queries")) == len(entry.queries())
+
+
+def test_bench_registry_helper_agrees():
+    # bench.py's independent tally is the same ast scan — keep them
+    # honest against each other so the bench-time assert can't rot
+    assert _registry_key_literals() == _dict_key_literals("queries")
+
+
+def test_oracle_sql_has_no_duplicate_key_literals():
+    lits = _dict_key_literals("oracle_sql")
+    dup = sorted(k for k, v in Counter(lits).items() if v > 1)
+    assert not dup, f"duplicate oracle_sql() key literals: {dup}"
+
+
+def test_oracle_keys_are_registered_queries():
+    qs = set(entry.queries())
+    osql = entry.oracle_sql()
+    assert set(osql) <= qs
+    # the rows-only remainder is a declared, finite list — additions
+    # to it should be deliberate (each needs a stat gate), so pin it
+    rows_only = sorted(qs - set(osql))
+    assert rows_only == sorted(
+        [
+            "ann_cosine_topk_lsh",
+            "bpe_merges",
+            "bpe_token_count",
+            "dp_noise",
+            "hll_user_rollup",
+            "kmeans_embeddings",
+            "model_utility",
+            "quality_classifier",
+            "synthetic_sample",
+            "zlib_ratio",
+            "ann_cosine_topk_ivf",
+        ]
+    ), f"rows-only set changed: {rows_only}"

@@ -292,3 +292,52 @@ def test_probe_cells_expr_orders_by_distance(spark):
         d = np.round(-2.0 * (np.asarray(v) @ C.T) + (C * C).sum(axis=1), 6)
         want = list(np.lexsort((np.arange(len(centers)), d))[:3])
         assert got[vid] == want, (vid, got[vid], want)
+
+
+def test_lsh_exact_buckets_deterministic_and_confined(spark):
+    """cosine_topk_lsh_exact (X209): two runs are row-identical, every
+    reported neighbor shares >=1 bucket with its query under the same
+    pure-expression key kernel, and reported cosines equal the exact
+    pairwise cosine."""
+    from pyspark.sql import functions as F
+
+    df, rows = _emb(spark, n=60, dim=16)
+    q = df.where("vec_id < 5")
+    a = S.cosine_topk_lsh_exact(q, df, k=5, dim=16, num_tables=4, planes=3)
+    b = S.cosine_topk_lsh_exact(q, df, k=5, dim=16, num_tables=4, planes=3)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
+
+    keys = S.lsh_bucket_keys_expr(16, 4, 3)
+    kmap = {
+        r.vec_id: set(r.bk)
+        for r in df.select(
+            "vec_id", keys(F.col("embedding").cast("array<double>")).alias("bk")
+        ).collect()
+    }
+    by_id = dict(rows)
+    for qid, rank, nid, cos in ra:
+        assert kmap[qid] & kmap[nid], (qid, nid)  # bucket collision is real
+        qa, na = np.array(by_id[qid]), np.array(by_id[nid])
+        exact = float(qa @ na / (np.linalg.norm(qa) * np.linalg.norm(na)))
+        assert abs(cos - exact) < 1e-6
+
+
+def test_lsh_expr_keys_agree_with_gemm_twin(spark):
+    """The pure-expression kernel and the Arrow GEMM indexer produce
+    IDENTICAL packed keys off the rounding boundary (same md5 planes;
+    the expr form adds only the 6dp snap before the sign compare)."""
+    from pyspark.sql import functions as F
+
+    df, _ = _emb(spark, n=80, dim=16, seed=7)
+    expr_keys = S.lsh_bucket_keys_expr(16, 4, 3)
+    gemm_keys = S.bucket_keys_vectorized(16, 4, 3)
+    got = df.select(
+        "vec_id",
+        expr_keys(F.col("embedding").cast("array<double>")).alias("e"),
+        gemm_keys(F.col("embedding").cast("array<double>")).alias("g"),
+    ).collect()
+    assert len(got) == 81
+    for r in got:
+        assert list(r.e) == list(r.g), r.vec_id
