@@ -240,7 +240,13 @@ def _q_knn_linkage_join(spark, sf):
 
 
 def _q_linkage_risk_score(spark, sf):
-    return RK.linkage_risk_score(_q_knn_linkage_join(spark, sf))
+    # fused E6 (VERDICT r10 #1): same scalar as
+    # linkage_risk_score(knn_linkage_join(...)) — the oracle still
+    # replays the full composition — but the pair stream carries only
+    # (anon_id, d²) and sqrt is deferred past the min (bit-exact:
+    # IEEE sqrt is monotone and correctly rounded)
+    real, anon = _real_anon_split(spark, sf)
+    return RK.linkage_risk_direct(anon, real, QUASI_IDS, "c_custkey")
 
 
 # --- extension surface: text / dedup / similarity / multimodal / events ---
@@ -1833,6 +1839,51 @@ def _q_ann_cosine_topk_lsh_exactbuckets(spark, sf):
     )
 
 
+def _q_bm25_search(spark, sf):
+    # X210 Okapi BM25 top-k retrieval — the full-strength lexical leg
+    # (Lucene-variant idf; k1=1.2, b=0.75): inverted-index equi-join
+    # candidates, 9dp-rounded DECIMAL(20,9) contribution sums so the
+    # ranking is engine-stable (the rrf_fuse discipline)
+    docs = load_table(spark, sf, "documents")
+    return SIM.bm25_topk(docs.where(F.col("doc_id") < 8), docs, k=10)
+
+
+def _sql_bm25_search(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """BM25 replayed in DuckDB with the SAME parenthesization as the
+    Spark expression tree (left-assoc products, ((N−df)+0.5) grouping,
+    (b·dl)/avgdl before the outer sum) so every double op sequence is
+    identical; the 9dp contribution snap absorbs libm-vs-Math.log ulp
+    latitude, and the DECIMAL(20,9) sum makes the rank order exact."""
+    idf = "ln(CAST(1.0 AS DOUBLE) + (st.N - f.df + CAST(0.5 AS DOUBLE)) / (f.df + CAST(0.5 AS DOUBLE)))"
+    denom = (
+        f"(c.tf + CAST({k1} AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST({b} AS DOUBLE) "
+        f"+ CAST({b} AS DOUBLE) * c.dl / st.avgdl))"
+    )
+    contrib = f"round({idf} * c.tf * CAST({k1 + 1.0} AS DOUBLE) / {denom}, 9)"
+    return (
+        "WITH tk AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t FROM documents), "
+        "d AS (SELECT doc_id AS item_id, t, len(t) AS dl FROM tk), "
+        "cx AS (SELECT item_id, unnest(t) AS term, dl FROM d), "
+        "ctf AS (SELECT item_id, term, count(*) AS tf, max(dl) AS dl "
+        "FROM cx GROUP BY 1, 2), "
+        "dft AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1), "
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS N, "
+        "CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM d), "
+        "q AS (SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term "
+        "FROM tk WHERE doc_id < 8), "
+        f"j AS (SELECT q.query_id, c.item_id, {contrib} AS contrib "
+        "FROM q JOIN ctf c ON q.term = c.term JOIN dft f ON q.term = f.term "
+        "CROSS JOIN st WHERE q.query_id <> c.item_id), "
+        "s AS (SELECT query_id, item_id, sum(CAST(contrib AS DECIMAL(20,9))) AS s "
+        "FROM j GROUP BY 1, 2), "
+        "r AS (SELECT query_id, item_id, s, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY s DESC, item_id ASC) AS rn FROM s) "
+        "SELECT query_id, CAST(rn AS BIGINT) AS rank, item_id, "
+        f"round(CAST(s AS DOUBLE), 6) AS score FROM r WHERE rn <= {k}"
+    )
+
+
 def _sql_ann_lsh_exactbuckets(
     k: int = 5,
     num_tables: int = 4,
@@ -2884,40 +2935,48 @@ def _q_bpe_token_count(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-10 window rotation: the driver hash-checks the FIRST 50
-    # entries. All 50 r9 rows came back green (9th consecutive
-    # all-green round), so per the standing policy the window now
-    # holds:
+    # Round-11 window rotation: the driver hash-checks the FIRST 50
+    # entries. All 50 r10 rows came back green (10th consecutive
+    # all-green round) and — as of r10 — every oracle-backed query has
+    # at least one driver-green row, so the treadmill era is over and
+    # the window is pure policy from here: anchors + new + touched +
+    # stalest-green refresh.
     # (1) the 15 standing anchors;
-    # (2) the LAST 4 never-driver-checked oracle-backed queries (the
-    #     r9 late arrivals record_linkage, stratified_split,
-    #     contamination_fraction, salted_segment_revenue) — after this
-    #     round EVERY oracle-backed query in the engine has at least
-    #     one driver-green row and the rotation treadmill ends for
-    #     good (VERDICT r9 #1);
-    # (3) the r10-new oracle-backed query: ann_cosine_topk_ivf_exactcells
-    #     (the IVF ANN scale path PROMOTED into the hash channel via
-    #     the semantic-dedup deterministic-KMeans discipline — VERDICT
-    #     r9 #2);
-    # (4) re-verification slots for every oracle query whose code round
-    #     10 touched: compression_entropy (true-UTF-8-byte fix, ADVICE
-    #     r9), lang_id_trained + lang_id_margin (fixture pin + the
-    #     spread_small probe change), hybrid_search (lexical leg's
-    #     exclude_self default), semantic_dedup (oracle-SQL CTE
-    #     factoring), multimodal_features (JPEG second-codec work), and
-    #     the spread_small-consuming explode operators
-    #     substring_dedup_chars, jaccard_prefix_join, containment_join,
-    #     edit_distance_pairs, ngram_jaccard, simhash_pairs,
-    #     winnowing_overlap;
-    # (5) 17 refresh slots for the STALEST driver greens (r1-r4
-    #     vintage): the P/A profile rows (row_count, limit_preview,
-    #     project_quasi_ids, null_profile, distinct_count,
-    #     numeric_profile, top_freq, value_counts), the protect family
-    #     (sdc_suppress, generalize_numeric, smart_suggest, impute),
-    #     checklist_score, chi2_drift, k_anonymity, and corpus_stats +
-    #     repetition_stats (r4 greens, yielded their r9 slots).
-    # Displaced out: the r8/r9 double-green rows (each keeps its local
-    # full-sweep hash check via tools/check_oracle.py every round).
+    # (2) the r11-new oracle-backed query:
+    #     ann_cosine_topk_lsh_exactbuckets (X209 — the LSH ANN scale
+    #     path PROMOTED into the hash channel via the X207 rounded-
+    #     kernel discipline; VERDICT r10 #2, the last rows-only
+    #     asymmetry in the similarity stack);
+    # (3) re-verification slots for every oracle query whose code
+    #     round 11 touched: the spread_small probe moved to the AQE
+    #     initial plan (structural shuffle detection — ADVICE r10), so
+    #     every spread_small-consuming explode operator re-verifies
+    #     (substring_dedup_chars, jaccard_prefix_join,
+    #     containment_join, edit_distance_pairs, ngram_jaccard,
+    #     simhash_pairs, winnowing_overlap, semantic_dedup,
+    #     compression_entropy, lang_id_trained, lang_id_margin); the
+    #     shared counts frame switched from grouping-sets Expand to
+    #     explode-of-structs (narrow group keys — row-identical,
+    #     test-pinned), so its consumers re-verify (basic_stats is an
+    #     anchor; robust_stats — also skip_val + loud-validation
+    #     changes; top_freq); and linkage_risk_score re-enters on the
+    #     fused direct plan (VERDICT r10 #1: pair stream carries only
+    #     (anon_id, d2), sqrt deferred past the min — bit-exact);
+    # (4) 20 refresh slots for the STALEST driver greens, oldest
+    #     first: the r3 vintage (minhash_lsh, embedding_centroids,
+    #     one_hot, unigram_logprob, standard_scale) and the r4 vintage
+    #     (split_leakage, drift_timeline, t_closeness,
+    #     repetition_stats, table_diff, impute, bigram_logprob,
+    #     session_funnel, hourly_retention, psi_drift,
+    #     orders_join_audit, user_value_trend, winsorize, jsd_drift,
+    #     quality_rules). returned_revenue (r4) is next in line for
+    #     the r12 window.
+    # Displaced out: the r10 double-greens (record_linkage,
+    # stratified_split, contamination_fraction, salted_segment_revenue,
+    # ann_cosine_topk_ivf_exactcells, hybrid_search,
+    # multimodal_features, card_luhn_scan, and the refreshed P/A +
+    # protect rows) — each keeps the local full-sweep hash check via
+    # tools/check_oracle.py every round.
     return {
         # -- (1) anchors ---------------------------------------------------
         "basic_stats": _q_basic_stats,
@@ -2935,23 +2994,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "decontaminate": _q_decontaminate,
         "pack_windows": _q_pack_windows,
-        # -- (2) last never-driver-checked backlog (ends the treadmill) ----
-        "record_linkage": _q_record_linkage,
-        "stratified_split": _q_stratified_split,
-        "contamination_fraction": _q_contamination_fraction,
-        "salted_segment_revenue": _q_salted_segment_revenue,
-        # -- (3) r10-new oracle-backed ---------------------------------------
-        "ann_cosine_topk_ivf_exactcells": _q_ann_cosine_topk_ivf_exactcells,
-        # (r11-new) X209 LSH ANN exact-buckets form — in-window on
-        # arrival so it is driver-checked in its landing round
+        # -- (2) r11-new oracle-backed ---------------------------------------
         "ann_cosine_topk_lsh_exactbuckets": _q_ann_cosine_topk_lsh_exactbuckets,
-        # -- (4) r10-touched re-verification ---------------------------------
-        "compression_entropy": _q_compression_entropy,
-        "lang_id_trained": _q_lang_id_trained,
-        "lang_id_margin": _q_lang_id_margin,
-        "hybrid_search": _q_hybrid_search,
-        "semantic_dedup": _q_semantic_dedup,
-        "multimodal_features": _q_multimodal_features,
+        # (r11-new) X210 Okapi BM25 retrieval — in-window on arrival;
+        # quality_rules yields its refresh slot (r10 green stands,
+        # local sweep continues; next in the r12 refresh line with
+        # returned_revenue)
+        "bm25_search": _q_bm25_search,
+        # -- (3) r11-touched re-verification ---------------------------------
         "substring_dedup_chars": _q_substring_dedup_chars,
         "jaccard_prefix_join": _q_jaccard_prefix_join,
         "containment_join": _q_containment_join,
@@ -2959,52 +3009,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "winnowing_overlap": _q_winnowing_overlap,
-        # -- (5) stalest-green refresh (r1-r4 vintage) ------------------------
+        "semantic_dedup": _q_semantic_dedup,
+        "compression_entropy": _q_compression_entropy,
+        "lang_id_trained": _q_lang_id_trained,
+        "lang_id_margin": _q_lang_id_margin,
+        "robust_stats": _q_robust_stats,
+        "top_freq": _q_top_freq,
+        "linkage_risk_score": _q_linkage_risk_score,
+        # -- (4) stalest-green refresh (r3/r4 vintage) -----------------------
+        "minhash_lsh": _q_minhash_lsh,
+        "embedding_centroids": _q_embedding_centroids,
+        "one_hot": _q_one_hot,
+        "unigram_logprob": _q_unigram_logprob,
+        "standard_scale": _q_standard_scale,
+        "split_leakage": _q_split_leakage,
+        "drift_timeline": _q_drift_timeline,
+        "t_closeness": _q_t_closeness,
+        "repetition_stats": _q_repetition_stats,
+        "table_diff": _q_table_diff,
+        "impute": _q_impute,
+        "bigram_logprob": _q_bigram_logprob,
+        "session_funnel": _q_session_funnel,
+        "hourly_retention": _q_hourly_retention,
+        "psi_drift": _q_psi_drift,
+        "orders_join_audit": _q_orders_join_audit,
+        "user_value_trend": _q_user_value_trend,
+        "winsorize": _q_winsorize,
+        "jsd_drift": _q_jsd_drift,
+        # --- past the driver's 50-row correctness window from here on.
+        # Everything below except the trailing rows-only block IS
+        # oracle-backed — tools/check_oracle.py runs the identical hash
+        # compare locally each round, and (as of r10) every row here
+        # has at least one prior driver-green. Longstanding
+        # subsumptions also hold: chi2_drift runs per-column inside
+        # distribution_drift; minhash_signatures / simhash are CTEs
+        # inside minhash_lsh / simhash_pairs' SQL; dedup_components_star
+        # shares dedup_components' oracle SQL; contamination_scan is
+        # the complement of decontaminate; user_sessions' SQL is
+        # embedded in session_concurrency's.
+        "quality_rules": _q_quality_rules,
+        "record_linkage": _q_record_linkage,
+        "stratified_split": _q_stratified_split,
+        "contamination_fraction": _q_contamination_fraction,
+        "salted_segment_revenue": _q_salted_segment_revenue,
+        "ann_cosine_topk_ivf_exactcells": _q_ann_cosine_topk_ivf_exactcells,
+        "hybrid_search": _q_hybrid_search,
+        "multimodal_features": _q_multimodal_features,
         "row_count": _q_row_count,
         "limit_preview": _q_limit_preview,
         "project_quasi_ids": _q_project_quasi_ids,
         "null_profile": _q_null_profile,
         "distinct_count": _q_distinct_count,
         "numeric_profile": _q_numeric_profile,
-        "top_freq": _q_top_freq,
         "value_counts": _q_value_counts,
         "sdc_suppress": _q_sdc_suppress,
         "generalize_numeric": _q_generalize_numeric,
         "smart_suggest": _q_smart_suggest,
-        # correlation_matrix re-enters per the touched-operator rule
-        # (r10 spread its DECIMAL moment aggregate); impute's r4 green
-        # stands and it keeps the local full-sweep hash check
         "correlation_matrix": _q_correlation_matrix,
         "checklist_score": _q_checklist_score,
-        # robust_stats re-enters per the touched-operator rule (r10
-        # moved it onto the shared counts frame); chi2_drift yields —
-        # its hash signal runs per-column inside the in-window anchor
-        # distribution_drift (documented subsumption)
-        "robust_stats": _q_robust_stats,
         "k_anonymity": _q_k_anonymity,
         "corpus_stats": _q_corpus_stats,
-        # (r10-new) X208 Luhn-validated card detection — in-window on
-        # arrival so it is driver-checked in its landing round (no new
-        # treadmill); repetition_stats yielded the slot (its r4 green
-        # stands, local sweep continues)
         "card_luhn_scan": _q_card_luhn_scan,
-        # --- past the driver's 50-row correctness window from here on.
-        # Everything below except the trailing rows-only block IS
-        # oracle-backed — tools/check_oracle.py runs the identical hash
-        # compare locally each round. As of r10 every oracle-backed
-        # query has at least one driver-green row (the group-2 rotation
-        # above closes the last 4), so placement past the window means
-        # only: (a) its hash signal is subsumed by an in-window
-        # sibling, (b) it holds a prior-round driver green, or (c) it
-        # is declared rows-only. Longstanding subsumptions:
-        # chi2_drift runs per-column inside distribution_drift;
-        # minhash_signatures / simhash are CTEs inside minhash_lsh /
-        # simhash_pairs' SQL; dedup_components_star shares
-        # dedup_components' oracle SQL; linkage_risk_score is a CTE of
-        # knn_linkage_join; contamination_scan is the complement of
-        # decontaminate; user_sessions' SQL is embedded in
-        # session_concurrency's.
-        "repetition_stats": _q_repetition_stats,
         "chi2_drift": _q_chi2_drift,
         "customer_order_histogram": _q_customer_order_histogram,
         "top_supplier": _q_top_supplier,
@@ -3064,9 +3129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixel_stats": _q_image_pixel_stats,
         "winnowing": _q_winnowing,
         "alpha_mixture": _q_alpha_mixture,
-        "minhash_lsh": _q_minhash_lsh,
         "substring_dedup": _q_substring_dedup,
-        "drift_timeline": _q_drift_timeline,
         "dedup_incremental": _q_dedup_incremental,
         "dup_graph_pagerank": _q_dup_graph_pagerank,
         "dup_graph_pagerank_weighted": _q_dup_graph_pagerank_weighted,
@@ -3129,25 +3192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy": _q_column_entropy,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "bpe_merges": _q_bpe_merges,
-        "impute": _q_impute,
-        "user_value_trend": _q_user_value_trend,
-        "psi_drift": _q_psi_drift,
-        "jsd_drift": _q_jsd_drift,
-        "table_diff": _q_table_diff,
-        "linkage_risk_score": _q_linkage_risk_score,
-        "winsorize": _q_winsorize,
-        "bigram_logprob": _q_bigram_logprob,
-        "split_leakage": _q_split_leakage,
-        "orders_join_audit": _q_orders_join_audit,
-        "quality_rules": _q_quality_rules,
-        "t_closeness": _q_t_closeness,
-        "session_funnel": _q_session_funnel,
-        "hourly_retention": _q_hourly_retention,
         "returned_revenue": _q_returned_revenue,
-        "standard_scale": _q_standard_scale,
-        "one_hot": _q_one_hot,
-        "unigram_logprob": _q_unigram_logprob,
-        "embedding_centroids": _q_embedding_centroids,
         "simhash": _q_simhash,
         "minhash_signatures": _q_minhash_signatures,
         "dedup_components_star": _q_dedup_components_star,
@@ -3162,10 +3207,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zlib_ratio": _q_zlib_ratio,
     }
 
-
-# ---------------------------------------------------------------------------
-# oracle SQL (DuckDB dialect; aggregates CAST so types match Spark output)
-# ---------------------------------------------------------------------------
 
 def _sql_null_profile(table: str, cols: list[str]) -> str:
     parts = [
@@ -6235,6 +6276,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _sql_unigram_logprob(),
         "source_mixture_sample": _sql_source_mixture_sample(MIXTURE_SHARES),
         "quality_deciles": _sql_quality_deciles(),
+        "bm25_search": _sql_bm25_search(),
         "scored_documents": _sql_scored_documents(),
         "k_anonymity": _sql_k_anonymity(5),
         "l_diversity": _sql_l_diversity(3),

@@ -219,6 +219,64 @@ def row_risk_scores(nn: DataFrame) -> DataFrame:
     )
 
 
+def linkage_risk_direct(
+    anon: DataFrame,
+    real: DataFrame,
+    quasi_ids: list[str],
+    anon_id: str,
+) -> DataFrame:
+    """E6 FUSED: the overall risk scalar without materializing the
+    argmin neighbor id (VERDICT r10 #1: composing
+    ``linkage_risk_score(knn_linkage_join(...))`` pays the whole
+    |anon|×|real| nested loop carrying (real_id, sqrt) per pair just to
+    average one number).
+
+    Same value as the composition, bit-exactly: the score needs only
+    each anon row's MINIMUM distance, so the pair stream carries just
+    (anon_id, squared distance) — no id projection, no struct
+    comparator — and the per-pair ``sqrt`` is deferred past the min
+    (IEEE sqrt is correctly rounded and monotone, so
+    ``sqrt(min(S)) == min(sqrt(S))`` exactly; only the argmin ID could
+    diverge under sqrt collisions, and this form never reports one).
+    The oracle SQL is unchanged — it still replays the full composition.
+
+    100 TB shape: identical to ``knn_linkage_join`` (broadcast nested
+    loop at fixture scale, LSH twin at scale) but with a cheaper pair
+    row and a plain double min as the map-side partial aggregate."""
+    params = fit_encoder(anon, quasi_ids)
+    anon_enc, feats = encode_features(anon, params, keep=[anon_id])
+    real_enc, _ = encode_features(real, params, keep=[])
+    par = 4 * anon.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        anon_enc.repartition(par)
+        .alias("a")
+        .crossJoin(F.broadcast(real_enc.alias("r")))
+    )
+    best = (
+        pairs.select(
+            F.col(f"a.{anon_id}").alias("anon_id"),
+            squared_distance(feats).alias("d2"),
+        )
+        .groupBy("anon_id")
+        .agg(F.min("d2").alias("d2"))
+    )
+    # replay the composed form's arithmetic exactly: dist is rounded to
+    # ROUND_N by knn_linkage_join BEFORE the score transform
+    scores = best.select(
+        (
+            F.lit(1.0)
+            - F.round(F.sqrt("d2"), ROUND_N)
+            / (F.round(F.sqrt("d2"), ROUND_N) + F.lit(1e-9))
+        ).alias("s")
+    )
+    return scores.agg(
+        F.round(
+            F.least(F.greatest(F.avg("s"), F.lit(0.0)), F.lit(1.0)), ROUND_N
+        ).alias("overall_risk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def linkage_risk_score(nn: DataFrame) -> DataFrame:
     """E6: overall risk = clip(mean(row_scores), 0, 1) (risk.py:34),
     plus supporting counts. One row."""

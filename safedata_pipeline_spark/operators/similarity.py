@@ -707,6 +707,106 @@ def lexical_jaccard_topk(
     )
 
 
+def bm25_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str | None = None,
+    exclude_self: bool | None = None,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval (Robertson & Spärck Jones; the
+    Lucene-variant idf ``ln(1 + (N − df + 0.5)/(df + 0.5))``, which
+    stays positive for df > N/2) — the full-strength lexical leg next
+    to ``lexical_jaccard_topk``'s set-overlap form; both plug into
+    ``rrf_fuse``.
+
+    score(q, d) = Σ_{t ∈ distinct(q)} idf(t) ·
+                  tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Engine-determinism discipline: every per-term contribution is
+    computed from exact integers (tf, df, N, dl) plus avgdl (one
+    double division of exact ints — correctly rounded, identical
+    everywhere), rounded to 9dp and summed as DECIMAL(20,9) — exact
+    and order-independent, so the ranking (score desc, item id) is
+    engine-stable and the whole leg sits in the hash channel (same
+    discipline as ``rrf_fuse``; the 9dp snap also absorbs the 1-ulp
+    latitude libm/Math.log implementations have on ``ln``).
+
+    100 TB shape: term frequencies and document frequencies are
+    groupBys keyed by token (shuffle by token; AQE splits hot terms);
+    candidates arise from the classic inverted-index equi-join of
+    query terms against posting lists — work is
+    O(Σ_t qdf(t)·df(t)), never all-pairs; N/avgdl ride a broadcast
+    1-row aggregate; per-query top-k is a window over candidates only.
+
+    ``exclude_self`` defaults like ``lexical_jaccard_topk``: True when
+    queries are corpus rows (shared id space), False when
+    ``query_id_col`` names a separate query-table id.
+    Output: (query_id, rank, item_id, score)."""
+    if exclude_self is None:
+        exclude_self = query_id_col is None
+    from pyspark.sql import Window
+
+    def toks(col):
+        return F.when(
+            F.trim(col) == "", F.array().cast("array<string>")
+        ).otherwise(F.split(F.lower(F.trim(col)), "\\s+"))
+
+    # corpus: per-(doc, term) tf + doc length (with duplicates)
+    c = corpus.select(
+        F.col(id_col).alias("item_id"), toks(F.col(text_col)).alias("ct")
+    )
+    ctf = (
+        c.select("item_id", F.size("ct").alias("dl"), F.explode("ct").alias("t"))
+        .groupBy("item_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    # document frequency per term: (item_id, t) rows are unique post-agg
+    dft = ctf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    # corpus scalars: N docs, average doc length (one broadcast row)
+    stats = c.agg(
+        F.count(F.lit(1)).alias("N"),
+        (F.sum(F.size("ct")) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    q = queries.select(
+        F.col(query_id_col or id_col).alias("query_id"),
+        F.explode(F.array_distinct(toks(F.col(text_col)))).alias("t"),
+    )
+    joined = q.join(ctf, "t").join(dft, "t").crossJoin(F.broadcast(stats))
+    if exclude_self:
+        joined = joined.where(F.col("query_id") != F.col("item_id"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("N") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = F.round(
+        idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 9
+    ).cast("decimal(20,9)")
+    scored = joined.groupBy("query_id", "item_id").agg(
+        F.sum(contrib).alias("s")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("item_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "item_id",
+            F.round(F.col("s").cast("double"), ROUND_N).alias("score"),
+        )
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame], k_rrf: int = 60, top_n: int = 10
 ) -> DataFrame:

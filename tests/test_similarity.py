@@ -341,3 +341,62 @@ def test_lsh_expr_keys_agree_with_gemm_twin(spark):
     assert len(got) == 81
     for r in got:
         assert list(r.e) == list(r.g), r.vec_id
+
+
+def test_bm25_matches_sequential_reference(spark):
+    """bm25_topk (X210) equals a straightforward single-process Okapi
+    BM25 (Lucene-variant idf) computed in Python on the same corpus —
+    scores to 6dp and the full ranking."""
+    import math
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox"),
+        (2, "lazy dogs sleep all day the the the"),
+        (3, "quick quick quick brown foxes"),
+        (4, "an unrelated document about spark and parquet"),
+        (5, "dog dog dog dog"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = S.bm25_topk(df.where("doc_id < 2"), df, k=10)
+    rows = {(r.query_id, r.item_id): (r.rank, r.score) for r in got.collect()}
+
+    toks = {i: t.lower().split() if t.strip() else [] for i, t in docs}
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    dfreq = {}
+    for t in toks.values():
+        for w in set(t):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    k1, b = 1.2, 0.75
+    for qid in (0, 1):
+        scores = {}
+        for did, t in toks.items():
+            if did == qid or not t:
+                continue
+            s = 0.0
+            for w in set(toks[qid]):
+                tf = t.count(w)
+                if not tf:
+                    continue
+                idf = math.log(1.0 + (N - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+                contrib = idf * tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * len(t) / avgdl)
+                )
+                s += round(contrib, 9)
+            if s > 0:
+                scores[did] = s
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank0, (did, s) in enumerate(want):
+            assert rows[(qid, did)] == (rank0 + 1, round(s, 6)), (qid, did)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """A candidate matching the query's RARE term must outscore one
+    matching only the corpus-wide common term (the idf property)."""
+    rows = [(0, "zebra the")] + [(i, "the filler text number %d" % i) for i in range(1, 9)]
+    rows.append((9, "zebra appears here"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = S.bm25_topk(df.where("doc_id = 0"), df, k=3).collect()
+    assert got[0].item_id == 9  # the zebra doc wins

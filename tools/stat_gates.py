@@ -105,6 +105,18 @@ DECADE2_QUERIES = [
     "winnowing_overlap",
     "record_linkage",
     "substring_dedup_chars",
+    # iterative/graph family (VERDICT r10 #4: first-decade gates only
+    # until r11). The tiled fixture preserves their linearity premises:
+    # disjoint per-tile token maps keep the near-dup pair graph and the
+    # distinct-word table scaling x10 with no cross-tile edges
+    # (dup_graph_pagerank, bpe_merges); the Rademacher sign masks keep
+    # intra-tile cosine structure bit-exact (kmeans_embeddings).
+    # Failure mode gated here: per-iteration lineage/plan growth whose
+    # constant is data-dependent — invisible at decade 1 where JVM
+    # overhead pads the denominator.
+    "dup_graph_pagerank",
+    "kmeans_embeddings",
+    "bpe_merges",
 ]
 DECADE2_GATES: dict[str, tuple[str, float]] = {
     f"slope10_{q}": ("max", 4.0) for q in DECADE2_QUERIES
