@@ -2962,16 +2962,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     changes; top_freq); and linkage_risk_score re-enters on the
     #     fused direct plan (VERDICT r10 #1: pair stream carries only
     #     (anon_id, d2), sqrt deferred past the min — bit-exact);
-    # (4) 20 refresh slots for the STALEST driver greens, oldest
+    # (4) 18 refresh slots for the STALEST driver greens, oldest
     #     first: the r3 vintage (minhash_lsh, embedding_centroids,
     #     one_hot, unigram_logprob, standard_scale) and the r4 vintage
     #     (split_leakage, drift_timeline, t_closeness,
     #     repetition_stats, table_diff, impute, bigram_logprob,
     #     session_funnel, hourly_retention, psi_drift,
-    #     orders_join_audit, user_value_trend, winsorize, jsd_drift,
-    #     quality_rules). returned_revenue (r4) is next in line for
-    #     the r12 window.
-    # Displaced out: the r10 double-greens (record_linkage,
+    #     orders_join_audit, user_value_trend). quality_rules,
+    #     jsd_drift and winsorize yielded their slots to the three
+    #     r11-new oracle rows and record_linkage's touched-rule
+    #     re-entry; with returned_revenue (r4) they head the r12
+    #     refresh line.
+    # Displaced out: the r10 double-greens (
     # stratified_split, contamination_fraction, salted_segment_revenue,
     # ann_cosine_topk_ivf_exactcells, hybrid_search,
     # multimodal_features, card_luhn_scan, and the refreshed P/A +
@@ -3001,6 +3003,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local sweep continues; next in the r12 refresh line with
         # returned_revenue)
         "bm25_search": _q_bm25_search,
+        # (r11-new) X211 three-leg hybrid retrieval (BM25 + Jaccard +
+        # vector, RRF-fused) — in-window on arrival; jsd_drift yields
+        # its refresh slot (r10 green stands; r12 refresh line)
+        "hybrid_search_trio": _q_hybrid_search_trio,
         # -- (3) r11-touched re-verification ---------------------------------
         "substring_dedup_chars": _q_substring_dedup_chars,
         "jaccard_prefix_join": _q_jaccard_prefix_join,
@@ -3034,8 +3040,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": _q_psi_drift,
         "orders_join_audit": _q_orders_join_audit,
         "user_value_trend": _q_user_value_trend,
-        "winsorize": _q_winsorize,
-        "jsd_drift": _q_jsd_drift,
+        # record_linkage re-enters per the touched-operator rule (the
+        # r11 spread_small_pinned switch in fuzzy.py); winsorize yields
+        # its refresh slot (r4 green stands; r12 refresh line)
+        "record_linkage": _q_record_linkage,
         # --- past the driver's 50-row correctness window from here on.
         # Everything below except the trailing rows-only block IS
         # oracle-backed — tools/check_oracle.py runs the identical hash
@@ -3048,7 +3056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the complement of decontaminate; user_sessions' SQL is
         # embedded in session_concurrency's.
         "quality_rules": _q_quality_rules,
-        "record_linkage": _q_record_linkage,
+        "jsd_drift": _q_jsd_drift,
+        "winsorize": _q_winsorize,
         "stratified_split": _q_stratified_split,
         "contamination_fraction": _q_contamination_fraction,
         "salted_segment_revenue": _q_salted_segment_revenue,
@@ -5986,6 +5995,95 @@ def _sql_hybrid_search() -> str:
     )
 
 
+def _q_hybrid_search_trio(spark, sf):
+    # the full three-leg retrieval stack (X211): Okapi BM25 top-20 +
+    # token-set-Jaccard top-20 (lexical) + exact cosine top-20
+    # (vector), RRF-fused to top-10 per query — every leg and the
+    # combine in the hash channel (the X202 discipline with X210's
+    # BM25 slotting in as a third leg unchanged)
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    lex = SIM.lexical_jaccard_topk(docs.where(F.col("doc_id") < 10), docs, k=20)
+    bm = SIM.bm25_topk(docs.where(F.col("doc_id") < 10), docs, k=20)
+    vec = SIM.cosine_topk(emb.where(F.col("vec_id") < 10), emb, k=20).select(
+        "query_id", "rank", F.col("neighbor_id").alias("item_id")
+    )
+    return SIM.rrf_fuse(
+        [
+            lex.select("query_id", "item_id", "rank"),
+            bm.select("query_id", "item_id", "rank"),
+            vec.select("query_id", "item_id", "rank"),
+        ],
+        k_rrf=60,
+        top_n=10,
+    )
+
+
+def _sql_hybrid_search_trio(k1: float = 1.2, b: float = 0.75) -> str:
+    """Three legs + RRF, unrolled: the X202 cosine and Jaccard CTEs,
+    the X210 BM25 CTEs (identical parenthesization/9dp discipline),
+    per-leg 1/(60+rank) contributions as DECIMAL(20,9), fused order
+    (score desc, item asc) -> top-10 per query."""
+    cos = (
+        "CASE WHEN list_dot_product(q.qv, q.qv) > 0 AND list_dot_product(e.v, e.v) > 0 "
+        "THEN list_dot_product(q.qv, e.v) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) "
+        "ELSE NULL END"
+    )
+    idf = "ln(CAST(1.0 AS DOUBLE) + (st.N - f.df + CAST(0.5 AS DOUBLE)) / (f.df + CAST(0.5 AS DOUBLE)))"
+    denom = (
+        f"(c.tf + CAST({k1} AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST({b} AS DOUBLE) "
+        f"+ CAST({b} AS DOUBLE) * c.dl / st.avgdl))"
+    )
+    contrib = f"round({idf} * c.tf * CAST({k1 + 1.0} AS DOUBLE) / {denom}, 9)"
+    rrf_c = "CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(20,9))"
+    return (
+        f"WITH e AS ({SQL_EMB}), "
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10), "
+        f"vs AS (SELECT q.query_id, e.vec_id AS item_id, {cos} AS cosine "
+        "FROM q CROSS JOIN e WHERE q.query_id <> e.vec_id), "
+        "vr AS (SELECT query_id, item_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rank "
+        "FROM vs WHERE cosine IS NOT NULL), "
+        # lexical Jaccard leg (distinct token sets)
+        "tk AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+        "ELSE list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS t "
+        "FROM documents WHERE text IS NOT NULL), "
+        "qe AS (SELECT doc_id AS query_id, len(t) AS nq, unnest(t) AS tok FROM tk WHERE doc_id < 10), "
+        "ce AS (SELECT doc_id AS item_id, len(t) AS nc, unnest(t) AS tok FROM tk), "
+        "inter AS (SELECT query_id, item_id, count(*) AS i, any_value(nq) AS nq, any_value(nc) AS nc "
+        "FROM qe JOIN ce USING (tok) WHERE query_id <> item_id GROUP BY 1, 2), "
+        "lr AS (SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY CAST(i AS DOUBLE) / (nq + nc - i) DESC, item_id ASC) AS rank FROM inter), "
+        # BM25 leg (bag-of-words tf; X210 CTE chain)
+        "btk AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t FROM documents), "
+        "bd AS (SELECT doc_id AS item_id, t, len(t) AS dl FROM btk), "
+        "bcx AS (SELECT item_id, unnest(t) AS term, dl FROM bd), "
+        "bctf AS (SELECT item_id, term, count(*) AS tf, max(dl) AS dl FROM bcx GROUP BY 1, 2), "
+        "bdft AS (SELECT term, count(*) AS df FROM bctf GROUP BY 1), "
+        "bst AS (SELECT CAST(count(*) AS BIGINT) AS N, "
+        "CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM bd), "
+        "bq AS (SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term FROM btk WHERE doc_id < 10), "
+        f"bj AS (SELECT bq.query_id, c.item_id, {contrib} AS contrib "
+        "FROM bq JOIN bctf c ON bq.term = c.term JOIN bdft f ON bq.term = f.term "
+        "CROSS JOIN bst st WHERE bq.query_id <> c.item_id), "
+        "bs AS (SELECT query_id, item_id, sum(CAST(contrib AS DECIMAL(20,9))) AS s "
+        "FROM bj GROUP BY 1, 2), "
+        "br AS (SELECT query_id, item_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY s DESC, item_id ASC) AS rank FROM bs), "
+        # RRF combine over the three legs
+        f"allc AS (SELECT query_id, item_id, {rrf_c} AS c FROM lr WHERE rank <= 20 "
+        f"UNION ALL SELECT query_id, item_id, {rrf_c} AS c FROM br WHERE rank <= 20 "
+        f"UNION ALL SELECT query_id, item_id, {rrf_c} AS c FROM vr WHERE rank <= 20), "
+        "sc AS (SELECT query_id, item_id, CAST(sum(c) AS DECIMAL(20,9)) AS s FROM allc GROUP BY 1, 2), "
+        "rk AS (SELECT query_id, item_id, s, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY s DESC, item_id ASC) AS rank FROM sc) "
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, item_id, CAST(s AS DOUBLE) AS rrf_score "
+        "FROM rk WHERE rank <= 10"
+    )
+
+
 def _sql_salted_segment_revenue() -> str:
     # the PLAIN join — certifying the salted path is a pure
     # partitioning artifact
@@ -6277,6 +6375,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mixture_sample": _sql_source_mixture_sample(MIXTURE_SHARES),
         "quality_deciles": _sql_quality_deciles(),
         "bm25_search": _sql_bm25_search(),
+        "hybrid_search_trio": _sql_hybrid_search_trio(),
         "scored_documents": _sql_scored_documents(),
         "k_anonymity": _sql_k_anonymity(5),
         "l_diversity": _sql_l_diversity(3),

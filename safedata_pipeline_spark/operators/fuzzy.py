@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from safedata_pipeline_spark.partitioning import spread_small
+from safedata_pipeline_spark.partitioning import spread_small_pinned
 
 
 def _deletion_variants(value, length):
@@ -66,7 +66,7 @@ def _deletion_candidate_pairs(vals: DataFrame) -> DataFrame:
     """(va, vb) candidates for max_dist=1 via the deletion-neighborhood
     equi-join; ``vals`` carries (value, len)."""
     var = (
-        spread_small(vals)
+        spread_small_pinned(vals)
         .select(
             "value",
             "len",
@@ -152,7 +152,7 @@ def edit_distance_pairs(
     # split upstream), single-coring the explode+md5-free gram work
     # and everything that inherits its partitioning. No-op at scale.
     grams = (
-        spread_small(long_vals).select(
+        spread_small_pinned(long_vals).select(
             "value",
             "len",
             F.explode(F.sequence(F.lit(1), F.col("len") - F.lit(q - 1))).alias("pos"),
@@ -246,7 +246,7 @@ def edit_distance_join(
     def _grams(vals: DataFrame) -> DataFrame:
         # spread before the gram explode (see edit_distance_pairs)
         return (
-            spread_small(vals.where(F.col("len") >= short_cut))
+            spread_small_pinned(vals.where(F.col("len") >= short_cut))
             .select(
                 "value",
                 "len",

@@ -94,6 +94,40 @@ def spread_small(df: DataFrame, min_factor: int = 1) -> DataFrame:
     return df.repartition(target)
 
 
+def spread_small_pinned(df: DataFrame, min_factor: int = 1) -> DataFrame:
+    """Width floor for an explode input that sits AFTER a shuffle
+    (``.distinct()``/groupBy upstream) — the case ``spread_small``
+    deliberately no-ops on.
+
+    Post-shuffle width is unknowable at plan time: AQE's partition
+    coalescing sizes it by BYTES (``parallelismFirst`` floors at
+    ``minPartitionSize`` = 1 MB), so a small-but-explode-heavy frame —
+    a distinct value table whose grams multiply work ~len-fold —
+    lands on ONE partition at fixture scale and the whole gram stage
+    runs single-core (r11 decade-2 gates caught exactly this:
+    record_linkage 11.6×/decade, edit_distance_pairs 4.9×, after the
+    plan-probe gate stopped falling through to the old double-execute
+    path). The byte heuristic is the wrong signal when downstream work
+    per byte is ~len-fold, and no job-free probe can see runtime
+    width.
+
+    So: materialize ONCE via an eager localCheckpoint — every caller
+    of this helper has ≥2 downstream consumers of the frame (gram
+    explode + short bucket; self-join a/b sides), so the pin replaces
+    exchange-reuse rather than adding a pass — then read the now-free
+    runtime width and round-robin UP only. At 100 TB the pinned frame
+    is the distinct-value table (|values| ≪ corpus) and AQE keeps it
+    ≥ parallelism anyway, so the repartition is a fixture-scale-only
+    shuffle of a small frame."""
+    from safedata_pipeline_spark.checkpoint import pin_eager
+
+    target = min_factor * df.sparkSession.sparkContext.defaultParallelism
+    pinned = pin_eager(df)
+    if pinned.rdd.getNumPartitions() >= target:
+        return pinned
+    return pinned.repartition(target)
+
+
 def _has_shuffle_exchange(jplan) -> bool:
     """True if the JVM physical-plan tree contains a shuffle exchange.
 

@@ -62,3 +62,26 @@ def test_spread_small_broadcast_join_still_spreads_narrow_scan(spark):
         out.rdd.getNumPartitions()
         >= spark.sparkContext.defaultParallelism
     )
+
+
+def test_spread_small_pinned_floors_post_shuffle_width(spark):
+    """A tiny post-distinct frame AQE-coalesces to ~1 partition and
+    spread_small (correctly) no-ops on it; spread_small_pinned must
+    floor the width at defaultParallelism — the r11 decade-2 gates
+    measured the gram explode going single-core exactly here."""
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.partitioning import spread_small_pinned
+
+    d = (
+        spark.range(0, 5000, 1, 4)
+        .select((F.col("id") % 2000).alias("v"))
+        .distinct()
+    )
+    out = spread_small_pinned(d)
+    assert (
+        out.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
+    # values survive the pin + repartition intact
+    assert out.count() == 2000
