@@ -2962,15 +2962,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     changes; top_freq); and linkage_risk_score re-enters on the
     #     fused direct plan (VERDICT r10 #1: pair stream carries only
     #     (anon_id, d2), sqrt deferred past the min — bit-exact);
-    # (4) 18 refresh slots for the STALEST driver greens, oldest
+    # (4) 17 refresh slots for the STALEST driver greens, oldest
     #     first: the r3 vintage (minhash_lsh, embedding_centroids,
     #     one_hot, unigram_logprob, standard_scale) and the r4 vintage
     #     (split_leakage, drift_timeline, t_closeness,
     #     repetition_stats, table_diff, impute, bigram_logprob,
     #     session_funnel, hourly_retention, psi_drift,
-    #     orders_join_audit, user_value_trend). quality_rules,
-    #     jsd_drift and winsorize yielded their slots to the three
-    #     r11-new oracle rows and record_linkage's touched-rule
+    #     orders_join_audit). quality_rules, jsd_drift,
+    #     user_value_trend and winsorize yielded their slots to the
+    #     four r11-new oracle rows and record_linkage's touched-rule
     #     re-entry; with returned_revenue (r4) they head the r12
     #     refresh line.
     # Displaced out: the r10 double-greens (
@@ -3007,6 +3007,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vector, RRF-fused) — in-window on arrival; jsd_drift yields
         # its refresh slot (r10 green stands; r12 refresh line)
         "hybrid_search_trio": _q_hybrid_search_trio,
+        # (r11-new) X212 perceptual image near-dup (dHash) — in-window
+        # on arrival; user_value_trend yields its refresh slot (r10
+        # green stands; r12 refresh line)
+        "image_dhash_pairs": _q_image_dhash_pairs,
         # -- (3) r11-touched re-verification ---------------------------------
         "substring_dedup_chars": _q_substring_dedup_chars,
         "jaccard_prefix_join": _q_jaccard_prefix_join,
@@ -3039,7 +3043,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_retention": _q_hourly_retention,
         "psi_drift": _q_psi_drift,
         "orders_join_audit": _q_orders_join_audit,
-        "user_value_trend": _q_user_value_trend,
         # record_linkage re-enters per the touched-operator rule (the
         # r11 spread_small_pinned switch in fuzzy.py); winsorize yields
         # its refresh slot (r4 green stands; r12 refresh line)
@@ -3058,6 +3061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rules": _q_quality_rules,
         "jsd_drift": _q_jsd_drift,
         "winsorize": _q_winsorize,
+        "user_value_trend": _q_user_value_trend,
         "stratified_split": _q_stratified_split,
         "contamination_fraction": _q_contamination_fraction,
         "salted_segment_revenue": _q_salted_segment_revenue,
@@ -6167,6 +6171,62 @@ def _sql_hll_daily_users() -> str:
     )
 
 
+def _q_image_dhash_pairs(spark, sf):
+    # X212 perceptual near-dup for the image modality: real-codec
+    # round-trip -> integer-exact dHash (8x9 block grid, cross-
+    # multiplied mean comparisons, two sign-safe 32-bit words) ->
+    # pigeonhole-banded pair join with exact Hamming verify. The
+    # oracle replays hash construction AND banding from the ORIGINAL
+    # bytes (decode∘encode identity, the X183 image discipline).
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    # width=32: the 8-scanline minimum then needs only 256 bytes, so
+    # the fixture's shorter planted duplicates participate (12 pairs
+    # at sf0.01 vs 1 at width=64)
+    media = MM.encode_png_media(docs, "doc_id", "payload", width=32)
+    return MM.dhash_pairs(MM.image_dhash(media), max_hamming=3)
+
+
+def _sql_image_dhash_pairs(width: int = 32, max_hamming: int = 3) -> str:
+    """The dHash pipeline from the original bytes: pixel (r, c) =
+    byte r·width+c of the length-truncated text (pure-ASCII fixture:
+    UTF-8 bytes == payload bytes), floor-division 8×9 block grid,
+    integer cross-multiplied gradient bits, two 32-bit words, 4
+    pigeonhole bands, xor+bit_count Hamming — every step integer."""
+    return (
+        f"WITH l AS (SELECT doc_id, text, (length(text) // {width}) * {width} AS n, "
+        f"(length(text) // {width}) AS h FROM documents "
+        f"WHERE length(text) // {width} >= 8), "
+        f"g AS (SELECT doc_id, h, (i - 1) // {width} AS r, (i - 1) % {width} AS c, "
+        "ord(substr(text, CAST(i AS INT), 1)) AS p FROM l, "
+        "unnest(generate_series(CAST(1 AS BIGINT), CAST(n AS BIGINT))) AS t(i)), "
+        f"blk AS (SELECT doc_id, (r * 8) // h AS rb, (c * 9) // {width} AS cb, "
+        "CAST(sum(p) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM g GROUP BY 1, 2, 3), "
+        "bits AS (SELECT a.doc_id, a.rb, a.cb, "
+        "CASE WHEN a.s * b2.cnt > b2.s * a.cnt THEN 1 ELSE 0 END AS bit "
+        "FROM blk a JOIN blk b2 ON a.doc_id = b2.doc_id AND a.rb = b2.rb "
+        "AND b2.cb = a.cb + 1 WHERE a.cb < 8), "
+        "words AS (SELECT doc_id, "
+        "CAST(sum(CASE WHEN rb < 4 THEN bit * (CAST(1 AS BIGINT) << (rb * 8 + cb)) "
+        "ELSE 0 END) AS BIGINT) AS w0, "
+        "CAST(sum(CASE WHEN rb >= 4 THEN bit * (CAST(1 AS BIGINT) << ((rb - 4) * 8 + cb)) "
+        "ELSE 0 END) AS BIGINT) AS w1 FROM bits GROUP BY 1), "
+        "bands AS (SELECT doc_id, w0, w1, unnest([0 * 65536 + w0 // 65536, "
+        "1 * 65536 + w0 % 65536, 2 * 65536 + w1 // 65536, "
+        "3 * 65536 + w1 % 65536]) AS bk FROM words), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id) "
+        "SELECT c.id_a, c.id_b, "
+        "CAST(bit_count(xor(wa.w0, wb.w0)) + bit_count(xor(wa.w1, wb.w1)) AS BIGINT) AS hamming "
+        "FROM cand c JOIN words wa ON c.id_a = wa.doc_id "
+        "JOIN words wb ON c.id_b = wb.doc_id "
+        "WHERE bit_count(xor(wa.w0, wb.w0)) + bit_count(xor(wa.w1, wb.w1)) "
+        f"<= {max_hamming}"
+    )
+
+
 def _sql_multimodal_features(width: int) -> str:
     """Oracle from the ORIGINAL text bytes: the engine's pixel digest
     and stats only match if encode→PNG→decode is byte-identical.
@@ -6375,6 +6435,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mixture_sample": _sql_source_mixture_sample(MIXTURE_SHARES),
         "quality_deciles": _sql_quality_deciles(),
         "bm25_search": _sql_bm25_search(),
+        "image_dhash_pairs": _sql_image_dhash_pairs(),
         "hybrid_search_trio": _sql_hybrid_search_trio(),
         "scored_documents": _sql_scored_documents(),
         "k_anonymity": _sql_k_anonymity(5),

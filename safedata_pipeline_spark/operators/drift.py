@@ -88,27 +88,27 @@ def _two_phase_cum(
         .transform(pin_eager)
     )
     g.unpersist()
-    tot = (
-        rp.groupBy(key_col, "__pid")
-        .agg(F.sum("ka").alias("tka"), F.sum("kb").alias("tkb"))
-        .collect()
+    # prefix offsets per (key, pid) as a WINDOW over the tiny totals
+    # frame (O(partitions × keys) rows) instead of a driver collect +
+    # createDataFrame round-trip — one less blocking barrier per use
+    # (ks_drift pays this chain every run); integers throughout, so
+    # results stay bit-identical to the collected form
+    tot = rp.groupBy(key_col, "__pid").agg(
+        F.sum("ka").alias("tka"), F.sum("kb").alias("tkb")
     )
-    per_key: dict[str, list] = {}
-    for r in tot:
-        per_key.setdefault(r[key_col], []).append(r)
-    rows = []
-    for k, rs in per_key.items():
-        rs.sort(key=lambda r: r["__pid"])
-        na = sum(r["tka"] for r in rs)
-        nb = sum(r["tkb"] for r in rs)
-        offa = offb = 0
-        for r in rs:
-            rows.append((k, r["__pid"], offa, offb, na, nb))
-            offa += r["tka"]
-            offb += r["tkb"]
-    off = spark.createDataFrame(
-        rows,
-        f"{key_col} string, __pid int, offa bigint, offb bigint, na bigint, nb bigint",
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(key_col)
+    off = tot.select(
+        key_col,
+        "__pid",
+        F.coalesce(F.sum("tka").over(w_prev), F.lit(0)).alias("offa"),
+        F.coalesce(F.sum("tkb").over(w_prev), F.lit(0)).alias("offb"),
+        F.sum("tka").over(w_all).alias("na"),
+        F.sum("tkb").over(w_all).alias("nb"),
     )
     w_local = Window.partitionBy(key_col, "__pid").orderBy(val_col)
     # keep_val lets callers join the cumulative counts back by value

@@ -463,6 +463,39 @@ def lsh_bucket_keys_expr(
     return keys
 
 
+def bucket_keys_snapped_vectorized(
+    dim: int, num_tables: int, planes: int, proj_round: int = 6
+):
+    """Arrow GEMM twin of ``lsh_bucket_keys_expr``: identical packed
+    keys — same md5 planes, same ``round(proj, proj_round) >= 0`` sign
+    rule — at one matrix multiply per batch instead of an interpreted
+    per-row fold. ``cosine_topk_lsh_exact`` uses THIS kernel engine-side
+    (the pure-expression form costs ~4-5s of driver-side plan analysis
+    alone: 24 planes × 64-element array literals = ~1.5k Literal nodes;
+    measured constant across sf0.01/sf0.1, i.e. pure plan overhead)
+    while the SQL oracle replays the expression form — equality of the
+    two kernels off the rounding boundary is pinned by test. np.round
+    half-even vs SQL half-away differs only exactly ON a .5×10^-6
+    boundary, and the sign compare only cares about the region around
+    0 — the same measure-zero latitude every rounded kernel here
+    accepts."""
+    import numpy as np
+
+    W = _hyperplane_matrix(dim, num_tables, planes)
+    pows = 1 << np.arange(planes - 1, -1, -1)
+    offs = (np.arange(num_tables) << planes).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def keys(col: pd.Series) -> pd.Series:
+        M = np.vstack(col.to_numpy())
+        proj = np.round(M @ W.T, proj_round)
+        bits = (proj >= 0).reshape(len(M), num_tables, planes)
+        packed = bits @ pows + offs
+        return pd.Series(list(packed.astype(np.int64)))
+
+    return keys
+
+
 def cosine_topk_lsh_exact(
     queries: DataFrame,
     corpus: DataFrame,
@@ -497,7 +530,7 @@ def cosine_topk_lsh_exact(
     splits hot buckets), and per-pair work is one cosine — nothing
     all-pairs. Expected candidates per query ≈ num_tables ×
     n/2^planes. Output: (query_id, rank, neighbor_id, cosine)."""
-    keys = lsh_bucket_keys_expr(dim, num_tables, planes, proj_round)
+    keys = bucket_keys_snapped_vectorized(dim, num_tables, planes, proj_round)
     q = _prep(
         queries.where(F.col(vec_col).isNotNull()), id_col, vec_col, "query_id"
     ).withColumn("bk", F.explode(keys(F.col("v"))))

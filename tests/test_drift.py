@@ -111,9 +111,14 @@ def test_distribution_drift_exact_flag_same_columns(spark):
 
 
 def test_ks_two_phase_no_single_task_window(spark):
-    """Scale guarantee: every cumulative-ECDF window is partitioned by
-    (key, range-partition id) — no windowspec without __pid anywhere in
-    the exact-KS plan."""
+    """Scale guarantee: every cumulative-ECDF window ORDERED BY THE
+    VALUE COLUMN is partitioned by (key, range-partition id) — the
+    per-value cumsum is the frame that scales with |distinct values|,
+    so a value-ordered windowspec without __pid would be a single-task
+    whole-column sort. Windows over the O(keys × partitions) totals
+    frame (ordered by __pid, or unordered per-key sums — the r11
+    collect-free offset computation) are exempt: their input is
+    fit-parameter sized by construction."""
     import re
 
     from safedata_pipeline_spark import plans
@@ -131,7 +136,13 @@ def test_ks_two_phase_no_single_task_window(spark):
             plan = plans.formatted_plan(df)
             specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
             assert specs, "expected a window in the KS plan"
-            assert all("__pid" in s for s in specs), specs
+            value_ordered = [
+                s
+                for s in specs
+                if re.search(r"\bv(?:num)?#\d+ ASC", s)
+            ]
+            assert value_ordered, f"expected a value-ordered window: {specs}"
+            assert all("__pid" in s for s in value_ordered), specs
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 

@@ -302,3 +302,41 @@ def test_pillow_dispatch_preferred_and_png_parity(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
     px, w, h = MM._real_decode(png)
     assert (px, w, h) == (want_px, want_w, want_h)
+
+
+def test_image_dhash_identical_and_shifted_images(spark):
+    """image_dhash (X212): byte-identical images share both words; a
+    brightness-shifted copy (monotone per-pixel transform that
+    preserves gradient signs) keeps the same dHash; a reversed image
+    does not. dhash_pairs finds the planted dup at hamming 0."""
+    from safedata_pipeline_spark.operators import multimodal as MM
+
+    base = bytes(range(256)) * 4  # 1024 bytes -> 32x32 image
+    shifted = bytes(min(255, b + 1) for b in base)
+    rows = [
+        (1, base),
+        (2, base),                  # exact dup
+        (3, shifted),               # gradient-preserving shift
+        (4, bytes(reversed(base))), # gradients flipped
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    media = MM.encode_png_media(df, "doc_id", "payload", width=32)
+    h = {r.media_id: (r.w0, r.w1) for r in MM.image_dhash(media).collect()}
+    assert h[1] == h[2] == h[3]
+    assert h[1] != h[4]
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in MM.dhash_pairs(MM.image_dhash(media), max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
+    assert (1, 4) not in pairs
+
+
+def test_image_dhash_drops_images_without_grid(spark):
+    from safedata_pipeline_spark.operators import multimodal as MM
+
+    rows = [(1, bytes(200)), (2, bytes(range(256)) * 4)]  # 200 bytes < 8 rows of 32
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    media = MM.encode_png_media(df, "doc_id", "payload", width=32)
+    got = {r.media_id for r in MM.image_dhash(media).collect()}
+    assert got == {2}

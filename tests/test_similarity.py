@@ -333,14 +333,18 @@ def test_lsh_expr_keys_agree_with_gemm_twin(spark):
     df, _ = _emb(spark, n=80, dim=16, seed=7)
     expr_keys = S.lsh_bucket_keys_expr(16, 4, 3)
     gemm_keys = S.bucket_keys_vectorized(16, 4, 3)
+    snap_keys = S.bucket_keys_snapped_vectorized(16, 4, 3)
     got = df.select(
         "vec_id",
         expr_keys(F.col("embedding").cast("array<double>")).alias("e"),
         gemm_keys(F.col("embedding").cast("array<double>")).alias("g"),
+        snap_keys(F.col("embedding").cast("array<double>")).alias("s"),
     ).collect()
     assert len(got) == 81
     for r in got:
-        assert list(r.e) == list(r.g), r.vec_id
+        # expr (the oracle-replayed spec), unsnapped GEMM, and the
+        # snapped GEMM cosine_topk_lsh_exact runs engine-side all agree
+        assert list(r.e) == list(r.g) == list(r.s), r.vec_id
 
 
 def test_bm25_matches_sequential_reference(spark):
