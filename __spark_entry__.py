@@ -2962,17 +2962,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     changes; top_freq); and linkage_risk_score re-enters on the
     #     fused direct plan (VERDICT r10 #1: pair stream carries only
     #     (anon_id, d2), sqrt deferred past the min — bit-exact);
-    # (4) 17 refresh slots for the STALEST driver greens, oldest
+    # (4) 16 refresh slots for the STALEST driver greens, oldest
     #     first: the r3 vintage (minhash_lsh, embedding_centroids,
     #     one_hot, unigram_logprob, standard_scale) and the r4 vintage
     #     (split_leakage, drift_timeline, t_closeness,
     #     repetition_stats, table_diff, impute, bigram_logprob,
     #     session_funnel, hourly_retention, psi_drift,
-    #     orders_join_audit). quality_rules, jsd_drift,
-    #     user_value_trend and winsorize yielded their slots to the
-    #     four r11-new oracle rows and record_linkage's touched-rule
-    #     re-entry; with returned_revenue (r4) they head the r12
-    #     refresh line.
+    #     orders_join_audit — the last of which then yielded with
+    #     quality_rules, jsd_drift, user_value_trend and winsorize to
+    #     the FIVE r11-new oracle rows and record_linkage's
+    #     touched-rule re-entry; with returned_revenue (r4) they head
+    #     the r12 refresh line.
     # Displaced out: the r10 double-greens (
     # stratified_split, contamination_fraction, salted_segment_revenue,
     # ann_cosine_topk_ivf_exactcells, hybrid_search,
@@ -3011,6 +3011,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on arrival; user_value_trend yields its refresh slot (r10
         # green stands; r12 refresh line)
         "image_dhash_pairs": _q_image_dhash_pairs,
+        # (r11-new) X213 perceptual audio near-dup (energy-delta
+        # fingerprint) — in-window on arrival; orders_join_audit
+        # yields its refresh slot (r10 green stands; r12 refresh line)
+        "audio_fingerprint_pairs": _q_audio_fingerprint_pairs,
         # -- (3) r11-touched re-verification ---------------------------------
         "substring_dedup_chars": _q_substring_dedup_chars,
         "jaccard_prefix_join": _q_jaccard_prefix_join,
@@ -3042,7 +3046,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_funnel": _q_session_funnel,
         "hourly_retention": _q_hourly_retention,
         "psi_drift": _q_psi_drift,
-        "orders_join_audit": _q_orders_join_audit,
         # record_linkage re-enters per the touched-operator rule (the
         # r11 spread_small_pinned switch in fuzzy.py); winsorize yields
         # its refresh slot (r4 green stands; r12 refresh line)
@@ -3062,6 +3065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_drift": _q_jsd_drift,
         "winsorize": _q_winsorize,
         "user_value_trend": _q_user_value_trend,
+        "orders_join_audit": _q_orders_join_audit,
         "stratified_split": _q_stratified_split,
         "contamination_fraction": _q_contamination_fraction,
         "salted_segment_revenue": _q_salted_segment_revenue,
@@ -4333,6 +4337,59 @@ def _sql_audio_frame_features(frame: int) -> str:
         "AND sign(x) * sign(px) < 0 THEN 1 ELSE 0 END) AS DOUBLE) / (count(*) - 1), 6) "
         "ELSE 0.0 END AS zcr, "
         "CAST(max(abs(x)) AS INT) AS peak FROM f GROUP BY 1, 2"
+    )
+
+
+def _q_audio_fingerprint_pairs(spark, sf):
+    # X213 perceptual audio near-dup: int16-LE PCM (real decode, no
+    # codec) -> integer-exact energy-delta fingerprint (33-frame
+    # floor-division grid, cross-multiplied mean-energy bits, one
+    # sign-safe 32-bit word) -> pigeonhole-banded pair join + exact
+    # Hamming verify. The oracle replays fingerprint AND banding from
+    # the original bytes (the X158 audio discipline).
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    media = MM.to_media_table(docs, "doc_id", "payload", "audio/pcm")
+    return MM.audio_fingerprint_pairs(
+        MM.audio_energy_fingerprint(media, frames=32), max_hamming=3
+    )
+
+
+def _sql_audio_fingerprint_pairs(frames: int = 32, max_hamming: int = 3) -> str:
+    """The fingerprint pipeline from the original bytes: int16-LE
+    samples from char pairs (pure-ASCII fixture), ``frames+1``
+    floor-division frames, integer energy sums, cross-multiplied
+    delta bits, 4×8-bit pigeonhole bands, xor+bit_count Hamming."""
+    b = "ord(substr(text, CAST(i AS INT), 1)) + 256 * ord(substr(text, CAST(i AS INT) + 1, 1))"
+    hi = "ord(substr(text, CAST(i AS INT) + 1, 1))"
+    g = frames + 1
+    return (
+        "WITH l AS (SELECT doc_id, text, (length(text) // 2) * 2 AS nb, "
+        f"length(text) // 2 AS n FROM documents WHERE length(text) // 2 >= {g}), "
+        "s AS (SELECT doc_id, n, CAST((i - 1) // 2 AS BIGINT) AS sidx, "
+        f"{b} - CASE WHEN {hi} >= 128 THEN 65536 ELSE 0 END AS x "
+        "FROM l CROSS JOIN unnest(generate_series(CAST(1 AS BIGINT), "
+        "CAST(nb - 1 AS BIGINT), CAST(2 AS BIGINT))) AS g(i)), "
+        f"e AS (SELECT doc_id, (sidx * {g}) // n AS fb, "
+        "CAST(sum(x * x) AS BIGINT) AS en, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM s GROUP BY 1, 2), "
+        "bits AS (SELECT a.doc_id, a.fb, "
+        "CASE WHEN a.en * b2.cnt > b2.en * a.cnt THEN 1 ELSE 0 END AS bit "
+        "FROM e a JOIN e b2 ON a.doc_id = b2.doc_id AND b2.fb = a.fb + 1 "
+        f"WHERE a.fb < {frames}), "
+        "words AS (SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << fb)) "
+        "AS BIGINT) AS fp FROM bits GROUP BY 1), "
+        "bands AS (SELECT doc_id, fp, unnest([0 * 256 + (fp // 1) % 256, "
+        "1 * 256 + (fp // 256) % 256, 2 * 256 + (fp // 65536) % 256, "
+        "3 * 256 + (fp // 16777216) % 256]) AS bk FROM words), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id) "
+        "SELECT c.id_a, c.id_b, "
+        "CAST(bit_count(xor(wa.fp, wb.fp)) AS BIGINT) AS hamming "
+        "FROM cand c JOIN words wa ON c.id_a = wa.doc_id "
+        "JOIN words wb ON c.id_b = wb.doc_id "
+        f"WHERE bit_count(xor(wa.fp, wb.fp)) <= {max_hamming}"
     )
 
 
@@ -6436,6 +6493,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_deciles": _sql_quality_deciles(),
         "bm25_search": _sql_bm25_search(),
         "image_dhash_pairs": _sql_image_dhash_pairs(),
+        "audio_fingerprint_pairs": _sql_audio_fingerprint_pairs(),
         "hybrid_search_trio": _sql_hybrid_search_trio(),
         "scored_documents": _sql_scored_documents(),
         "k_anonymity": _sql_k_anonymity(5),

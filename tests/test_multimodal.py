@@ -340,3 +340,46 @@ def test_image_dhash_drops_images_without_grid(spark):
     media = MM.encode_png_media(df, "doc_id", "payload", width=32)
     got = {r.media_id for r in MM.image_dhash(media).collect()}
     assert got == {2}
+
+
+def test_audio_fingerprint_level_invariance_and_pairs(spark):
+    """audio_energy_fingerprint (X213): an exact PCM copy and a
+    half-amplitude copy share the fingerprint (per-frame energies
+    scale uniformly, preserving every cross-multiplied comparison); a
+    time-reversed clip flips the energy profile. Pairs verify at
+    hamming 0."""
+    import struct
+
+    from safedata_pipeline_spark.operators import multimodal as MM
+
+    samples = [int(1000 * ((i * 37) % 50 - 25)) for i in range(400)]
+    pcm = struct.pack("<400h", *samples)
+    half = struct.pack("<400h", *[s // 2 for s in samples])
+    rev = struct.pack("<400h", *samples[::-1])
+    df = spark.createDataFrame(
+        [(1, pcm), (2, pcm), (3, half), (4, rev)],
+        "doc_id bigint, payload binary",
+    )
+    media = MM.to_media_table(df, "doc_id", "payload", "audio/pcm")
+    fp = {r.media_id: r.fp for r in MM.audio_energy_fingerprint(media).collect()}
+    assert fp[1] == fp[2] == fp[3]
+    assert fp[1] != fp[4]
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in MM.audio_fingerprint_pairs(
+            MM.audio_energy_fingerprint(media), max_hamming=3
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+
+
+def test_audio_fingerprint_drops_short_clips(spark):
+    from safedata_pipeline_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, bytes(40)), (2, bytes(range(256)) * 2)],  # 20 < 33 samples; 256 ok
+        "doc_id bigint, payload binary",
+    )
+    media = MM.to_media_table(df, "doc_id", "payload", "audio/pcm")
+    got = {r.media_id for r in MM.audio_energy_fingerprint(media).collect()}
+    assert got == {2}

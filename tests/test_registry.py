@@ -77,3 +77,41 @@ def test_oracle_keys_are_registered_queries():
             "ann_cosine_topk_ivf",
         ]
     ), f"rows-only set changed: {rows_only}"
+
+
+def test_bench_stdout_line_fits_driver_capture():
+    """The driver records only the LAST 2000 bytes of bench.py stdout;
+    simulate the stdout-line construction with worst-case timings
+    (1000.0s per query — widest plausible float rendering) and assert
+    the line parses and fits the budget."""
+    import json
+
+    names = list(entry.queries())
+    timings = {k: 1000.123 for k in names}
+    total = round(sum(timings.values()), 3)
+    base = {
+        "metric": "safedata-pipeline-spark headline queries, total wall sec",
+        "value": total,
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": len(names),
+        "queries": {},
+        "queries_omitted": len(names),
+        "queries_full": "BENCH_local.json",
+        "reps": 3,
+        "wall_sec": 99999.9,
+        "loadavg": [99.99, 99.99, 99.99],
+    }
+    by_cost = sorted(timings, key=lambda k: -timings[k])
+    line = json.dumps(base)
+    for name in by_cost:
+        base["queries"][name] = timings[name]
+        base["queries_omitted"] = len(names) - len(base["queries"])
+        cand = json.dumps(base)
+        if len(cand) + 1 > 1900:
+            break
+        line = cand
+    assert len(line) + 1 <= 1900
+    parsed = json.loads(line)
+    assert parsed["value"] == total and parsed["n_queries"] == len(names)
+    assert parsed["queries"]  # at least some per-query medians survive
