@@ -48,14 +48,19 @@ def _registry_key_literals() -> list:
     src = open(os.path.join(here, "__spark_entry__.py")).read()
     for node in ast.walk(ast.parse(src)):
         if isinstance(node, ast.FunctionDef) and node.name == "queries":
+            # Anchor the scan to the RETURNED dict (ADVICE r11: the
+            # first ast.Dict in the body could be an unrelated helper
+            # mapping and would silently become the tally).
             for n in ast.walk(node):
-                if isinstance(n, ast.Dict):
+                if isinstance(n, ast.Return) and isinstance(
+                    n.value, ast.Dict
+                ):
                     return [
                         k.value
-                        for k in n.keys
+                        for k in n.value.keys
                         if isinstance(k, ast.Constant)
                     ]
-    raise AssertionError("queries() dict literal not found")
+    raise AssertionError("queries() returned dict literal not found")
 
 
 def main() -> None:

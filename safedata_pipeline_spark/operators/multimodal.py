@@ -465,6 +465,16 @@ def image_dhash(df: DataFrame, grid_rows: int = 8, grid_cols: int = 8) -> DataFr
     import numpy as np
 
     gr, gc = grid_rows, grid_cols
+    # Each packed word must hold its half-grid's bits below bit 32 —
+    # the sign-safe invariant dhash_pairs' 4x16-bit band math (and the
+    # SQL oracle's // 65536 extraction) depends on. Mirror the
+    # frames <= 32 validation in audio_energy_fingerprint (ADVICE
+    # r11: grid_cols=16 would set bit 63 into the BIGINT sign bit).
+    if (gr - gr // 2) * gc > 32 or (gr // 2) * gc > 32:
+        raise ValueError(
+            "dhash grid packs (grid_rows - grid_rows//2) * grid_cols "
+            "bits per 32-bit word; got %dx%d (> 32 bits/word)" % (gr, gc)
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -704,8 +704,12 @@ def lexical_jaccard_topk(
     from pyspark.sql import Window
 
     def toks(col):
+        # NULL text -> empty token array (not a NULL array): keeps
+        # size()/sum() on the Spark side and len()/sum() on the DuckDB
+        # oracle side in lockstep regardless of sizeOfNull semantics.
         return F.when(
-            F.trim(col) == "", F.array().cast("array<string>")
+            col.isNull() | (F.trim(col) == ""),
+            F.array().cast("array<string>"),
         ).otherwise(F.array_distinct(F.split(F.lower(F.trim(col)), "\\s+")))
 
     q = queries.select(
@@ -785,8 +789,13 @@ def bm25_topk(
     from pyspark.sql import Window
 
     def toks(col):
+        # NULL text -> empty token array so N counts the doc but avgdl
+        # adds 0 (ADVICE r11: with legacy sizeOfNull, size(NULL) = -1
+        # would SUBTRACT from the length sum while the oracle skips
+        # NULLs — coalescing makes both sides agree by construction).
         return F.when(
-            F.trim(col) == "", F.array().cast("array<string>")
+            col.isNull() | (F.trim(col) == ""),
+            F.array().cast("array<string>"),
         ).otherwise(F.split(F.lower(F.trim(col)), "\\s+"))
 
     # corpus: per-(doc, term) tf + doc length (with duplicates)

@@ -383,3 +383,18 @@ def test_audio_fingerprint_drops_short_clips(spark):
     media = MM.to_media_table(df, "doc_id", "payload", "audio/pcm")
     got = {r.media_id for r in MM.audio_energy_fingerprint(media).collect()}
     assert got == {2}
+
+
+def test_image_dhash_rejects_grids_wider_than_32_bits_per_word(spark):
+    """ADVICE r11: grid shapes whose half-grid exceeds 32 bits would
+    push gradient bits into (or past) the BIGINT sign bit and break
+    dhash_pairs' 4x16-bit band math — reject them up front, like the
+    frames <= 32 check in audio_energy_fingerprint."""
+    import pytest
+
+    df = spark.createDataFrame([(1, bytearray(b""))], "media_id long, payload binary")
+    for gr, gc in [(8, 16), (16, 8), (9, 8)]:
+        with pytest.raises(ValueError, match="32 bits"):
+            MM.image_dhash(df, grid_rows=gr, grid_cols=gc)
+    # the standard 8x8 grid (32 bits/word exactly) stays accepted
+    MM.image_dhash(df, grid_rows=8, grid_cols=8)

@@ -404,3 +404,26 @@ def test_bm25_rare_term_outranks_common(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = S.bm25_topk(df.where("doc_id = 0"), df, k=3).collect()
     assert got[0].item_id == 9  # the zebra doc wins
+
+
+def test_bm25_null_text_counts_as_empty_doc(spark):
+    """ADVICE r11: a NULL text row must behave exactly like an
+    empty-string row — N counts it, avgdl adds 0 — on every
+    sizeOfNull setting (legacy size(NULL) = -1 would silently shrink
+    the corpus length sum while the oracle skips NULLs)."""
+    docs = [
+        (0, "the quick brown fox"),
+        (1, "lazy dogs sleep"),
+        (2, "quick brown dogs"),
+    ]
+    base = docs + [(3, "")]
+    withnull = docs + [(3, None)]
+    d1 = spark.createDataFrame(base, "doc_id bigint, text string")
+    d2 = spark.createDataFrame(withnull, "doc_id bigint, text string")
+    r1 = sorted(
+        map(tuple, S.bm25_topk(d1.where("doc_id = 0"), d1, k=5).collect())
+    )
+    r2 = sorted(
+        map(tuple, S.bm25_topk(d2.where("doc_id = 0"), d2, k=5).collect())
+    )
+    assert r1 == r2 and len(r1) > 0
