@@ -2934,6 +2934,174 @@ def _q_bpe_token_count(spark, sf):
     return BPE.bpe_token_count(docs, rules)
 
 
+# -- X214-X219: round-12 additions -------------------------------------------
+
+
+def _q_audio_fingerprint64(spark, sf):
+    # X214a: the two-word fingerprint CONSTRUCTION itself, one row per
+    # clip — the strong hash check behind pairs64 (whose pair output
+    # is legitimately EMPTY at fixture scale: 64-bit resolution is
+    # fine enough that the fixture's edited near-dup texts sit at
+    # Hamming >= 14; the 32-bit form's single sf0.01 pair was a
+    # coarse-resolution chance collision, which is exactly the
+    # saturation X214 exists to fix)
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    media = MM.to_media_table(docs, "doc_id", "payload", "audio/pcm")
+    return MM.audio_energy_fingerprint64(media, frames=64)
+
+
+def _q_audio_fingerprint_pairs64(spark, sf):
+    # X214: the TWO-WORD (64-bit) energy fingerprint — the corpus-size
+    # scale dial of X213 (32-bit saturates around 10^4-10^5 clips) —
+    # with dhash_pairs' 4x16-bit banding as the pair generator; the
+    # oracle replays fingerprint AND banding from the original bytes
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    media = MM.to_media_table(docs, "doc_id", "payload", "audio/pcm")
+    return MM.dhash_pairs(
+        MM.audio_energy_fingerprint64(media, frames=64).select(
+            "media_id", "w0", "w1"
+        ),
+        max_hamming=3,
+    )
+
+
+def _q_bm25_rerank_cosine(spark, sf):
+    # X215: two-stage retrieval — BM25 top-20 recall, exact-cosine
+    # re-rank to top-5 (the production retrieve-then-re-rank stack);
+    # both stages in the hash channel
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    cand = SIM.bm25_topk(docs.where(F.col("doc_id") < 8), docs, k=20)
+    return SIM.rerank_by_cosine(cand.select("query_id", "item_id"), emb, k=5)
+
+
+def _q_nation_profit(spark, sf):
+    """TPC-H Q9 shape (adapted: the slim fixture has no partsupp, so
+    p_retailprice·quantity/10 plays the supply cost): product-line
+    profit by supplier nation and order year — the 5-table snowflake
+    join (lineitem⋈part⋈supplier⋈nation + orders for the year) with
+    filter pushdown into the part scan, broadcast dims, and one
+    grouped DECIMAL aggregate."""
+    part = load_table(spark, sf, "part").where(
+        F.col("p_name").contains("gear")
+    )
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") / 10.0
+    ).cast("decimal(38,6)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit).cast("double"), 2).alias("sum_profit"))
+    )
+
+
+def _q_important_parts(spark, sf):
+    """TPC-H Q11 shape (adapted partsupp→lineitem): parts whose
+    revenue share exceeds 0.002 of total — grouped DECIMAL revenue +
+    the global-total scalar via a broadcast 1-row aggregate (the
+    HAVING-scalar-subquery form), then a broadcast join back to part
+    for names. Shape point: the threshold never leaves the engine."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        ).alias("__val")
+    )
+    # scale-free threshold: 1.5x the AVERAGE per-part revenue (a
+    # fixed share-of-total would shrink per part as the part table
+    # grows with sf and select nothing at larger scales)
+    tot = rev.agg(
+        F.sum("__val").alias("__tot"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("__val").cast("double")
+            > F.lit(1.5) * F.col("__tot").cast("double") / F.col("__n")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round(F.col("__val").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+def _q_supplier_part_counts(spark, sf):
+    """TPC-H Q16 shape (adapted: negative account balance plays the
+    complaints filter): distinct-supplier counts per (brand, type,
+    size) over lineitem⋈part, EXCLUDING excluded-brand parts and
+    bad suppliers — the NOT-IN subquery as a broadcast anti-join
+    ahead of the count-distinct aggregation."""
+    part = load_table(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_size") <= 20)
+    )
+    li = load_table(spark, sf, "lineitem")
+    bad = load_table(spark, sf, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+def _q_excess_shipments(spark, sf):
+    """TPC-H Q20 shape (adapted): suppliers in region 0 who shipped
+    more than 50 units of SMALL-type parts during 1996 — the nested
+    semi-join chain (part filter → per-supplier shipped-quantity
+    aggregate → threshold → supplier⋈nation region filter), surfacing
+    the aggregate that justified selection."""
+    part = load_table(spark, sf, "part").where(F.col("p_type") == "SMALL")
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    qty = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("__q"))
+        .where(F.col("__q").cast("double") > 50.0)
+    )
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation").where(F.col("n_regionkey") == 0)
+    return (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qty, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round(F.col("__q").cast("double"), 2).alias("shipped_qty"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-11 window rotation: the driver hash-checks the FIRST 50
     # entries. All 50 r10 rows came back green (10th consecutive
@@ -3015,6 +3183,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fingerprint) — in-window on arrival; orders_join_audit
         # yields its refresh slot (r10 green stands; r12 refresh line)
         "audio_fingerprint_pairs": _q_audio_fingerprint_pairs,
+        # -- (2b) r12-new oracle-backed (in-window on arrival) -------------
+        # X214 two-word audio fingerprint (the corpus-size scale dial)
+        "audio_fingerprint64": _q_audio_fingerprint64,
+        "audio_fingerprint_pairs64": _q_audio_fingerprint_pairs64,
+        # X215 two-stage retrieval: BM25 recall -> exact-cosine re-rank
+        "bm25_rerank_cosine": _q_bm25_rerank_cosine,
+        # X216-X219 TPC-H shapes Q9/Q11/Q16/Q20 (adapted to the slim fixture)
+        "nation_profit": _q_nation_profit,
+        "important_parts": _q_important_parts,
+        "supplier_part_counts": _q_supplier_part_counts,
+        "excess_shipments": _q_excess_shipments,
         # -- (3) r11-touched re-verification ---------------------------------
         "substring_dedup_chars": _q_substring_dedup_chars,
         "jaccard_prefix_join": _q_jaccard_prefix_join,
@@ -6389,6 +6568,178 @@ def _sql_lang_id_margin() -> str:
     )
 
 
+def _sql_audio_fingerprint_pairs64(frames: int = 64, max_hamming: int = 3) -> str:
+    """X214: the 32-bit audio-fingerprint oracle generalized to two
+    words (bits 0-31 -> w0, 32-63 -> w1) with the dHash 4x16-bit band
+    extraction — every step integer, replayed from the source bytes."""
+    b = "ord(substr(text, CAST(i AS INT), 1)) + 256 * ord(substr(text, CAST(i AS INT) + 1, 1))"
+    hi = "ord(substr(text, CAST(i AS INT) + 1, 1))"
+    g = frames + 1
+    return (
+        "WITH l AS (SELECT doc_id, text, (length(text) // 2) * 2 AS nb, "
+        f"length(text) // 2 AS n FROM documents WHERE length(text) // 2 >= {g}), "
+        "s AS (SELECT doc_id, n, CAST((i - 1) // 2 AS BIGINT) AS sidx, "
+        f"{b} - CASE WHEN {hi} >= 128 THEN 65536 ELSE 0 END AS x "
+        "FROM l CROSS JOIN unnest(generate_series(CAST(1 AS BIGINT), "
+        "CAST(nb - 1 AS BIGINT), CAST(2 AS BIGINT))) AS g(i)), "
+        f"e AS (SELECT doc_id, (sidx * {g}) // n AS fb, "
+        "CAST(sum(x * x) AS BIGINT) AS en, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM s GROUP BY 1, 2), "
+        "bits AS (SELECT a.doc_id, a.fb, "
+        "CASE WHEN a.en * b2.cnt > b2.en * a.cnt THEN 1 ELSE 0 END AS bit "
+        "FROM e a JOIN e b2 ON a.doc_id = b2.doc_id AND b2.fb = a.fb + 1 "
+        f"WHERE a.fb < {frames}), "
+        "words AS (SELECT doc_id, "
+        "CAST(sum(CASE WHEN fb < 32 THEN bit * (CAST(1 AS BIGINT) << fb) "
+        "ELSE 0 END) AS BIGINT) AS w0, "
+        "CAST(sum(CASE WHEN fb >= 32 THEN bit * (CAST(1 AS BIGINT) << (fb - 32)) "
+        "ELSE 0 END) AS BIGINT) AS w1 FROM bits GROUP BY 1), "
+        "bands AS (SELECT doc_id, w0, w1, unnest([0 * 65536 + w0 // 65536, "
+        "1 * 65536 + w0 % 65536, 2 * 65536 + w1 // 65536, "
+        "3 * 65536 + w1 % 65536]) AS bk FROM words), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id) "
+        "SELECT c.id_a, c.id_b, "
+        "CAST(bit_count(xor(wa.w0, wb.w0)) + bit_count(xor(wa.w1, wb.w1)) AS BIGINT) AS hamming "
+        "FROM cand c JOIN words wa ON c.id_a = wa.doc_id "
+        "JOIN words wb ON c.id_b = wb.doc_id "
+        "WHERE bit_count(xor(wa.w0, wb.w0)) + bit_count(xor(wa.w1, wb.w1)) "
+        f"<= {max_hamming}"
+    )
+
+
+def _sql_audio_fingerprint64(frames: int = 64) -> str:
+    """X214a: the two-word fingerprint construction per clip — the
+    words CTE of the pairs oracle, joined back for n_samples."""
+    b = "ord(substr(text, CAST(i AS INT), 1)) + 256 * ord(substr(text, CAST(i AS INT) + 1, 1))"
+    hi = "ord(substr(text, CAST(i AS INT) + 1, 1))"
+    g = frames + 1
+    return (
+        "WITH l AS (SELECT doc_id, text, (length(text) // 2) * 2 AS nb, "
+        f"length(text) // 2 AS n FROM documents WHERE length(text) // 2 >= {g}), "
+        "s AS (SELECT doc_id, n, CAST((i - 1) // 2 AS BIGINT) AS sidx, "
+        f"{b} - CASE WHEN {hi} >= 128 THEN 65536 ELSE 0 END AS x "
+        "FROM l CROSS JOIN unnest(generate_series(CAST(1 AS BIGINT), "
+        "CAST(nb - 1 AS BIGINT), CAST(2 AS BIGINT))) AS g(i)), "
+        f"e AS (SELECT doc_id, (sidx * {g}) // n AS fb, "
+        "CAST(sum(x * x) AS BIGINT) AS en, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM s GROUP BY 1, 2), "
+        "bits AS (SELECT a.doc_id, a.fb, "
+        "CASE WHEN a.en * b2.cnt > b2.en * a.cnt THEN 1 ELSE 0 END AS bit "
+        "FROM e a JOIN e b2 ON a.doc_id = b2.doc_id AND b2.fb = a.fb + 1 "
+        f"WHERE a.fb < {frames}), "
+        "words AS (SELECT doc_id, "
+        "CAST(sum(CASE WHEN fb < 32 THEN bit * (CAST(1 AS BIGINT) << fb) "
+        "ELSE 0 END) AS BIGINT) AS w0, "
+        "CAST(sum(CASE WHEN fb >= 32 THEN bit * (CAST(1 AS BIGINT) << (fb - 32)) "
+        "ELSE 0 END) AS BIGINT) AS w1 FROM bits GROUP BY 1) "
+        "SELECT w.doc_id AS media_id, CAST(l.n AS INT) AS n_samples, w.w0, w.w1 "
+        "FROM words w JOIN l ON w.doc_id = l.doc_id"
+    )
+
+
+def _sql_bm25_rerank_cosine(
+    n_stage1: int = 20, k: int = 5, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """X215: the X210 BM25 CTE chain (identical parenthesization/9dp
+    discipline) truncated at top-``n_stage1`` per query, then exact
+    cosine over the candidate pairs only and a (cosine desc, item)
+    top-``k`` — the two-stage retrieve-then-re-rank stack."""
+    idf = "ln(CAST(1.0 AS DOUBLE) + (st.N - f.df + CAST(0.5 AS DOUBLE)) / (f.df + CAST(0.5 AS DOUBLE)))"
+    denom = (
+        f"(c.tf + CAST({k1} AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST({b} AS DOUBLE) "
+        f"+ CAST({b} AS DOUBLE) * c.dl / st.avgdl))"
+    )
+    contrib = f"round({idf} * c.tf * CAST({k1 + 1.0} AS DOUBLE) / {denom}, 9)"
+    cos = (
+        "CASE WHEN list_dot_product(qe.v, qe.v) > 0 AND list_dot_product(ie.v, ie.v) > 0 "
+        "THEN list_dot_product(qe.v, ie.v) / "
+        "(sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ie.v, ie.v))) "
+        "ELSE NULL END"
+    )
+    return (
+        "WITH tk AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t FROM documents), "
+        "d AS (SELECT doc_id AS item_id, t, len(t) AS dl FROM tk), "
+        "cx AS (SELECT item_id, unnest(t) AS term, dl FROM d), "
+        "ctf AS (SELECT item_id, term, count(*) AS tf, max(dl) AS dl "
+        "FROM cx GROUP BY 1, 2), "
+        "dft AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1), "
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS N, "
+        "CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM d), "
+        "q AS (SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term "
+        "FROM tk WHERE doc_id < 8), "
+        f"j AS (SELECT q.query_id, c.item_id, {contrib} AS contrib "
+        "FROM q JOIN ctf c ON q.term = c.term JOIN dft f ON q.term = f.term "
+        "CROSS JOIN st WHERE q.query_id <> c.item_id), "
+        "sc AS (SELECT query_id, item_id, sum(CAST(contrib AS DECIMAL(20,9))) AS s "
+        "FROM j GROUP BY 1, 2), "
+        "r AS (SELECT query_id, item_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY s DESC, item_id ASC) AS rn FROM sc), "
+        f"cand AS (SELECT query_id, item_id FROM r WHERE rn <= {n_stage1}), "
+        f"e AS ({SQL_EMB}), "
+        f"scored AS (SELECT c.query_id, c.item_id, {cos} AS cosine "
+        "FROM cand c JOIN e qe ON c.query_id = qe.vec_id "
+        "JOIN e ie ON c.item_id = ie.vec_id), "
+        "nn AS (SELECT * FROM scored WHERE cosine IS NOT NULL), "
+        "rr AS (SELECT query_id, item_id, cosine, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cosine DESC, item_id ASC) AS rn2 FROM nn) "
+        f"SELECT query_id, CAST(rn2 AS BIGINT) AS rank, item_id, "
+        f"round(cosine, 6) AS cosine FROM rr WHERE rn2 <= {k}"
+    )
+
+
+def _sql_nation_profit() -> str:
+    return (
+        "SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) "
+        "- p_retailprice * l_quantity / 10.0 AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_profit "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE p_name LIKE '%gear%' GROUP BY 1, 2"
+    )
+
+
+def _sql_important_parts() -> str:
+    return (
+        "WITH rev AS (SELECT l_partkey, "
+        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS val "
+        "FROM lineitem GROUP BY 1) "
+        "SELECT p_partkey, p_name, round(CAST(val AS DOUBLE), 2) AS part_value "
+        "FROM rev JOIN part ON l_partkey = p_partkey "
+        "WHERE CAST(val AS DOUBLE) > 1.5 * CAST((SELECT sum(val) FROM rev) AS DOUBLE) "
+        "/ (SELECT count(*) FROM rev)"
+    )
+
+
+def _sql_supplier_part_counts() -> str:
+    return (
+        "SELECT p_brand, p_type, p_size, "
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand <> 'Brand#13' AND p_size <= 20 "
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY 1, 2, 3"
+    )
+
+
+def _sql_excess_shipments() -> str:
+    return (
+        "WITH q AS (SELECT l_suppkey, "
+        "sum(CAST(l_quantity AS DECIMAL(38,6))) AS sq "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_type = 'SMALL' AND l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY 1 HAVING CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 50.0) "
+        "SELECT s_suppkey, s_name, n_name AS nation, "
+        "round(CAST(sq AS DOUBLE), 2) AS shipped_qty "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN q ON s_suppkey = l_suppkey WHERE n_regionkey = 0"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "limit_preview": (
@@ -6494,6 +6845,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _sql_bm25_search(),
         "image_dhash_pairs": _sql_image_dhash_pairs(),
         "audio_fingerprint_pairs": _sql_audio_fingerprint_pairs(),
+        "audio_fingerprint64": _sql_audio_fingerprint64(),
+        "audio_fingerprint_pairs64": _sql_audio_fingerprint_pairs64(),
+        "bm25_rerank_cosine": _sql_bm25_rerank_cosine(),
+        "nation_profit": _sql_nation_profit(),
+        "important_parts": _sql_important_parts(),
+        "supplier_part_counts": _sql_supplier_part_counts(),
+        "excess_shipments": _sql_excess_shipments(),
         "hybrid_search_trio": _sql_hybrid_search_trio(),
         "scored_documents": _sql_scored_documents(),
         "k_anonymity": _sql_k_anonymity(5),

@@ -274,6 +274,59 @@ def encode_png_media(
     )
 
 
+def encode_jpeg_media(
+    df: DataFrame, id_col: str, bytes_col: str, width: int = 16
+) -> DataFrame:
+    """Build a REAL-JPEG media table whose decode is ORACLE-REPLAYABLE
+    (VERDICT r10 #9 / r11 #5 — the JPEG anchor for the X183
+    discipline): per row a FLAT grayscale image of value
+    ``g = first byte`` and size ``width × 8·(1 + len(bytes) mod 3)``,
+    encoded by Pillow at quality 100 with subsampling off.
+
+    Why flat: a uniform 8×8 block has a DC-only DCT; at quality 100
+    every quantizer step is 1, so the DC survives exactly and the
+    IDCT reconstructs the constant bit-for-bit — the one JPEG content
+    class where decode∘encode is the IDENTITY (general content picks
+    up ±1 IDCT rounding, which would break the hash channel). Both
+    dimensions are multiples of 8, so no edge-replication blocks
+    exist. A SQL oracle therefore predicts the decoded stats from the
+    SOURCE bytes alone: pixel value = ord(first char), n_pixels =
+    width·height — while the engine really runs the codec both ways.
+
+    Requires Pillow for the ENCODE (stdlib has no JPEG writer); the
+    import raises the documented ``NotImplementedError`` dependency
+    contract otherwise, and the CI test skips cleanly."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "JPEG encode requires Pillow (pip install Pillow)"
+        ) from None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image as PILImage
+
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, b in zip(pdf[id_col], pdf[bytes_col]):
+                if b is None or len(b) == 0:
+                    continue
+                b = bytes(b)
+                g, h = b[0], 8 * (1 + len(b) % 3)
+                img = PILImage.new("L", (width, h), color=g)
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG", quality=100, subsampling=0)
+                ids.append(mid)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        batches, "media_id long, payload binary"
+    )
+
+
 IMAGE_PIXEL_STATS_SCHEMA = (
     "media_id long, width int, height int, n_pixels int, "
     "pixel_sum bigint, mean_pixel double"
@@ -281,13 +334,18 @@ IMAGE_PIXEL_STATS_SCHEMA = (
 
 
 def image_pixel_stats(df: DataFrame) -> DataFrame:
-    """Decode real PNG payloads (stdlib decoder — IDAT inflate +
-    scanline unfilter) and emit INTEGER-EXACT pixel statistics:
-    (media_id, width, height, n_pixels, pixel_sum, mean_pixel).
-    Because the sums are integers and the mean uses the engine-stable
-    floor-snap (``floor(x·1e6 + 0.5)/1e6``), the whole decode is
-    hash-checkable against a SQL oracle computing the same stats from
-    the source bytes — decode∘encode must be the identity."""
+    """Decode real image payloads and emit INTEGER-EXACT pixel
+    statistics: (media_id, width, height, n_pixels, pixel_sum,
+    mean_pixel). PNG payloads take the stdlib decoder's streaming-sum
+    path (IDAT inflate + scanline unfilter — no Pillow needed); any
+    other magic (the JPEG second-codec path) goes through
+    ``_real_decode`` (Pillow when importable, else the documented
+    ``NotImplementedError`` dependency contract). Because the sums
+    are integers and the mean uses the engine-stable floor-snap
+    (``floor(x·1e6 + 0.5)/1e6``), the whole decode is hash-checkable
+    against a SQL oracle computing the same stats from the source
+    bytes — decode∘encode must be the identity (PNG: any content;
+    JPEG: the flat-block class ``encode_jpeg_media`` plants)."""
     import math
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -296,7 +354,13 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 if b is None or len(b) == 0:
                     continue
-                total, n, w, h = _png_decode_sums(bytes(b))
+                b = bytes(b)
+                if b.startswith(_PNG_MAGIC):
+                    total, n, w, h = _png_decode_sums(b)
+                else:
+                    px, w, h = _real_decode(b)
+                    n = len(px)
+                    total = sum(px)
                 mean = math.floor(total / n * 1e6 + 0.5) / 1e6 if n else 0.0
                 rows.append((mid, w, h, n, total, mean))
             yield pd.DataFrame(
@@ -511,6 +575,97 @@ def image_dhash(df: DataFrame, grid_rows: int = 8, grid_cols: int = 8) -> DataFr
     return df.select("media_id", "payload").mapInPandas(batches, IMAGE_DHASH_SCHEMA)
 
 
+def _collapsed_banded_pairs(
+    fingerprints: DataFrame,
+    fp_cols: list[str],
+    band_keys,
+    ham_expr,
+    max_hamming: int,
+) -> DataFrame:
+    """Shared engine for fingerprint band-join pair generators
+    (dhash_pairs, audio_fingerprint_pairs): collapse IDENTICAL
+    fingerprints to one representative row + sorted member-id list
+    BEFORE the band self-join (VERDICT r11 #4b — a million flat
+    images / silent clips would otherwise put m rows in one band
+    bucket and pay m² candidate generation, xor verifies, and the
+    (id_a, id_b) dropDuplicates shuffle; collapsed, they cost ONE
+    group row through the join).
+
+      * within-group pairs (hamming 0) expand IN-ROW from the sorted
+        member array — no join, no verify, no dedup (each unordered
+        pair appears exactly once);
+      * cross-group candidates are DISTINCT GROUP pairs (deduped on
+        the two fingerprints — g² band rows for g distinct
+        fingerprints, not m² member rows), verified once per group
+        pair, then expanded to member pairs with least/greatest
+        ordering.
+
+    The member expansion is the output contract itself (enumerating
+    all pairs is inherently |pairs|-sized); what the collapse removes
+    is every per-MEMBER-pair join/verify/dedup cost. ``band_keys``:
+    fn(prefix) → list of band-key Columns; ``ham_expr``: fn() → exact
+    Hamming Column over prefixed a./b. fingerprint columns."""
+    g = fingerprints.groupBy(*fp_cols).agg(
+        F.sort_array(F.collect_list("media_id")).alias("ids")
+    )
+    n = F.size("ids")
+    # in-row unordered pair expansion over the sorted member array:
+    # for i < j emit (ids[i], ids[j]) — ascending, so id_a < id_b
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), n - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    within = (
+        g.where(n >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    bands = g.select(
+        *fp_cols, "ids", F.explode(F.array(*band_keys(""))).alias("bk")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    # order GROUPS by fingerprint struct so each unordered group pair
+    # appears once per shared band; dedup on the fingerprint pair
+    # (4 ints), never on member pairs
+    astruct = F.struct(*[F.col(f"a.{c}") for c in fp_cols])
+    bstruct = F.struct(*[F.col(f"b.{c}") for c in fp_cols])
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (astruct < bstruct))
+        .select(
+            *[F.col(f"a.{c}").alias(f"a_{c}") for c in fp_cols],
+            *[F.col(f"b.{c}").alias(f"b_{c}") for c in fp_cols],
+            F.col("a.ids").alias("ids_a"),
+            F.col("b.ids").alias("ids_b"),
+            ham_expr().cast("bigint").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates([f"a_{c}" for c in fp_cols] + [f"b_{c}" for c in fp_cols])
+    )
+    cross = (
+        cand.select(
+            F.explode("ids_a").alias("x"), F.col("ids_b"), F.col("hamming")
+        )
+        .select(
+            "x", F.explode("ids_b").alias("y"), "hamming"
+        )
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross)
+
+
 def dhash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-duplicate image pairs from dHash words: pigeonhole-banded
     candidate join (4 bands of 16 bits — a pair within Hamming
@@ -519,44 +674,32 @@ def dhash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     Hamming verify via xor + bit_count on the two words. Output:
     (id_a, id_b, hamming), id_a < id_b.
 
-    100 TB shape: the only join is an equi-join on the band key
-    (shuffle keyed by 16-bit chunk + band id; AQE splits hot bands —
-    e.g. the all-zero band of flat images); per-candidate work is two
-    xors. Nothing touches pixels."""
+    100 TB shape: identical fingerprints collapse to ONE group row
+    before the band self-join (``_collapsed_banded_pairs`` — the
+    all-zero dHash of flat images is the canonical hot band; a
+    million of them cost one row through the join instead of 10¹²
+    candidate pairs), the only join is an equi-join on the band key
+    over DISTINCT fingerprints (AQE splits residual hot bands), and
+    per-candidate work is two xors once per fingerprint pair.
+    Nothing touches pixels."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("banding is complete only for max_hamming <= 3")
     h = hashes.select("media_id", "w0", "w1")
-    bands = h.select(
-        "media_id",
-        "w0",
-        "w1",
-        F.explode(
-            F.array(
-                (F.lit(0 * 65536) + F.shiftrightunsigned("w0", 16)).alias("b"),
-                F.lit(1 * 65536) + (F.col("w0") % 65536 + F.lit(65536)) % 65536,
-                F.lit(2 * 65536) + F.shiftrightunsigned("w1", 16),
-                F.lit(3 * 65536) + (F.col("w1") % 65536 + F.lit(65536)) % 65536,
-            )
-        ).alias("bk"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    ham = F.bit_count(
-        F.col("a.w0").bitwiseXOR(F.col("b.w0"))
-    ) + F.bit_count(F.col("a.w1").bitwiseXOR(F.col("b.w1")))
-    return (
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-            ham.cast("bigint").alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
-    )
+
+    def band_keys(p):
+        return [
+            F.lit(0 * 65536) + F.shiftrightunsigned(f"{p}w0", 16),
+            F.lit(1 * 65536) + (F.col(f"{p}w0") % 65536 + F.lit(65536)) % 65536,
+            F.lit(2 * 65536) + F.shiftrightunsigned(f"{p}w1", 16),
+            F.lit(3 * 65536) + (F.col(f"{p}w1") % 65536 + F.lit(65536)) % 65536,
+        ]
+
+    def ham():
+        return F.bit_count(
+            F.col("a.w0").bitwiseXOR(F.col("b.w0"))
+        ) + F.bit_count(F.col("a.w1").bitwiseXOR(F.col("b.w1")))
+
+    return _collapsed_banded_pairs(h, ["w0", "w1"], band_keys, ham, max_hamming)
 
 
 AUDIO_FP_SCHEMA = "media_id long, n_samples int, fp bigint"
@@ -616,41 +759,88 @@ def audio_energy_fingerprint(df: DataFrame, frames: int = 32) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(batches, AUDIO_FP_SCHEMA)
 
 
+AUDIO_FP64_SCHEMA = "media_id long, n_samples int, w0 bigint, w1 bigint"
+
+
+def audio_energy_fingerprint64(df: DataFrame, frames: int = 64) -> DataFrame:
+    """The TWO-WORD energy-delta fingerprint (X214) — the corpus-size
+    scale path of ``audio_energy_fingerprint``: same integer-exact
+    construction (``frames+1`` floor-division frames, exact
+    cross-multiplied energy comparisons) with up to 64 bits packed
+    into two sign-safe 32-bit words ``(w0, w1)``, the X212 dHash word
+    layout — so ``dhash_pairs``'s 4×16-bit pigeonhole banding (still
+    complete for Hamming ≤ 3) is the pair generator.
+
+    Why it exists: an LSH fingerprint must be sized to the corpus. At
+    32 bits the hash space saturates around 10⁴–10⁵ clips — 8-bit
+    band buckets then hold n/256 members and the candidate join goes
+    quadratic on CHANCE collisions, not near-dups. 64 bits / 16-bit
+    bands push that wall to ~10⁷ and cut chance Hamming-≤3 collisions
+    by ~2³² — the dial a 100 TB corpus runs at (and what the decade-2
+    slope gate measures for the audio family)."""
+    if not 33 <= frames <= 64:
+        raise ValueError(
+            "frames must be in [33, 64] (two 32-bit words); use "
+            "audio_energy_fingerprint for <= 32"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                x = np.frombuffer(
+                    raw[: (len(raw) // 2) * 2], dtype="<i2"
+                ).astype(np.int64)
+                n = int(x.size)
+                if n < frames + 1:
+                    continue
+                fb = (np.arange(n) * (frames + 1)) // n
+                e = np.zeros(frames + 1, dtype=np.int64)
+                c = np.zeros(frames + 1, dtype=np.int64)
+                np.add.at(e, fb, x * x)
+                np.add.at(c, fb, 1)
+                w0 = w1 = 0
+                for f in range(frames):
+                    if int(e[f]) * int(c[f + 1]) > int(e[f + 1]) * int(c[f]):
+                        if f < 32:
+                            w0 |= 1 << f
+                        else:
+                            w1 |= 1 << (f - 32)
+                rows.append((mid, n, w0, w1))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "w0", "w1"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, AUDIO_FP64_SCHEMA
+    )
+
+
 def audio_fingerprint_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-duplicate audio pairs from energy fingerprints: 4 bands of
     8 bits (pigeonhole-COMPLETE for Hamming ≤ 3) generate candidates
     on a band-key equi-join; the exact Hamming verify is one
-    xor + bit_count. Output: (id_a, id_b, hamming), id_a < id_b."""
+    xor + bit_count. Output: (id_a, id_b, hamming), id_a < id_b.
+
+    100 TB shape: identical fingerprints (the all-zero word of silent
+    clips is the canonical hot band) collapse to one group row before
+    the band self-join — see ``_collapsed_banded_pairs``."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("banding is complete only for max_hamming <= 3")
-    bands = fps.select(
-        "media_id",
-        "fp",
-        F.explode(
-            F.array(
-                *[
-                    (
-                        F.lit(i * 256)
-                        + F.shiftrightunsigned("fp", 8 * i) % 256
-                    ).alias(f"b{i}")
-                    for i in range(4)
-                ]
-            )
-        ).alias("bk"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-    return (
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-            ham.cast("bigint").alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    h = fps.select("media_id", "fp")
+
+    def band_keys(p):
+        return [
+            F.lit(i * 256) + F.shiftrightunsigned(f"{p}fp", 8 * i) % 256
+            for i in range(4)
+        ]
+
+    def ham():
+        return F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+
+    return _collapsed_banded_pairs(h, ["fp"], band_keys, ham, max_hamming)

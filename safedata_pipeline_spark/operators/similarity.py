@@ -754,6 +754,7 @@ def bm25_topk(
     b: float = 0.75,
     query_id_col: str | None = None,
     exclude_self: bool | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k retrieval (Robertson & Spärck Jones; the
     Lucene-variant idf ``ln(1 + (N − df + 0.5)/(df + 0.5))``, which
@@ -779,6 +780,16 @@ def bm25_topk(
     query terms against posting lists — work is
     O(Σ_t qdf(t)·df(t)), never all-pairs; N/avgdl ride a broadcast
     1-row aggregate; per-query top-k is a window over candidates only.
+
+    ``max_df`` (default None = exact/full scoring) is the hot-term
+    skew gate (VERDICT r11 #4c): terms whose document frequency
+    exceeds it are dropped from scoring on BOTH the posting and the
+    query side — Lucene's common-terms/stop-term pruning. A term at
+    df = N joins every query carrying it to the ENTIRE corpus, so one
+    stop word makes the inverted-index join all-pairs; capping bounds
+    the hottest posting list while losing only near-zero-idf
+    contributions (documented miss class, same trade as
+    ``winnowing_overlap_join``'s fingerprint df cap).
 
     ``exclude_self`` defaults like ``lexical_jaccard_topk``: True when
     queries are corpus rows (shared id space), False when
@@ -809,6 +820,12 @@ def bm25_topk(
     )
     # document frequency per term: (item_id, t) rows are unique post-agg
     dft = ctf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        # stop-term prune BEFORE the posting join: the df table is the
+        # cheap side (one row per term), the cap bounds the hottest
+        # posting list's join fan-out; N/avgdl stay full-corpus exact
+        dft = dft.where(F.col("df") <= max_df)
+        ctf = ctf.join(dft.select("t"), "t", "left_semi")
     # corpus scalars: N docs, average doc length (one broadcast row)
     stats = c.agg(
         F.count(F.lit(1)).alias("N"),
@@ -886,4 +903,53 @@ def rrf_fuse(
         (F.col("rank0") + 1).cast("bigint").alias("rank"),
         F.col("cand.item_id").alias("item_id"),
         F.col("cand.s").cast("double").alias("rrf_score"),
+    )
+
+
+def rerank_by_cosine(
+    candidates: DataFrame,
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval finish (X215): re-rank a stage-1 candidate
+    list (e.g. BM25 top-N) by EXACT embedding cosine and keep the
+    top-``k`` per query — the standard production "retrieve then
+    re-rank" stack (sparse recall, dense precision; the pattern behind
+    every cross-encoder/bi-encoder reranker, here with the exact
+    cosine as the dense scorer).
+
+    ``candidates``: (query_id, item_id) rows, query/item ids in the
+    embedding id space. Output: (query_id, rank, item_id, cosine),
+    rank by (cosine desc, item_id), 6dp-rounded cosine (the
+    ``cosine_topk`` discipline, so the ranking is engine-stable and
+    the whole stage sits in the hash channel). Candidates without an
+    embedding on either side drop out (inner joins) — at corpus scale
+    the embedding table is the big side and the candidate list is
+    O(queries·N_stage1), so BOTH joins are candidate-side broadcasts;
+    nothing all-pairs, nothing re-scores the full corpus."""
+    e = _prep(emb, id_col, vec_col, "id")
+    cand = candidates.select("query_id", "item_id")
+    q = e.select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        q.join(F.broadcast(cand), "query_id")
+        .join(e.withColumnRenamed("id", "item_id"), "item_id")
+        .select(
+            "query_id",
+            F.col("item_id").alias("id"),
+            _cos(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    return _topk(scored, k).select(
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("neighbor_id").alias("item_id"),
+        "cosine",
     )

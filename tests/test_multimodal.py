@@ -398,3 +398,172 @@ def test_image_dhash_rejects_grids_wider_than_32_bits_per_word(spark):
             MM.image_dhash(df, grid_rows=gr, grid_cols=gc)
     # the standard 8x8 grid (32 bits/word exactly) stays accepted
     MM.image_dhash(df, grid_rows=8, grid_cols=8)
+
+
+def test_encode_jpeg_media_without_pillow_raises_named_dependency(spark):
+    """encode_jpeg_media carries the same dependency contract as the
+    JPEG decode path: NotImplementedError naming Pillow."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("Pillow installed: the gate never fires")
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        MM.encode_jpeg_media(df, "doc_id", "payload")
+
+
+def test_jpeg_pixel_stats_match_duckdb_oracle_from_source_bytes(spark):
+    """THE JPEG ORACLE ANCHOR (VERDICT r11 #5, the X183 discipline on
+    the second codec): encode_jpeg_media plants flat quality-100
+    grayscale JPEGs derived from documents.text; image_pixel_stats
+    REALLY decodes them (Pillow); DuckDB independently computes the
+    same stats FROM THE SOURCE BYTES alone (pixel value = ord(first
+    char), dims = 16 × 8·(1 + length mod 3)). Cell-for-cell equality
+    proves decode∘encode is the identity on this content class.
+    Skips cleanly without Pillow (documented dependency contract)."""
+    pytest.importorskip("PIL")
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    media = MM.encode_jpeg_media(docs, "doc_id", "payload", width=16)
+    got = {
+        r["media_id"]: (
+            r["width"], r["height"], r["n_pixels"], r["pixel_sum"], r["mean_pixel"]
+        )
+        for r in MM.image_pixel_stats(media).collect()
+    }
+    con = duckdb.connect()
+    exp = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            f"""
+            SELECT doc_id, 16 AS width,
+                   8 * (1 + length(text) % 3) AS height,
+                   16 * 8 * (1 + length(text) % 3) AS n_pixels,
+                   CAST(ord(substr(text, 1, 1)) AS BIGINT)
+                     * 16 * 8 * (1 + length(text) % 3) AS pixel_sum,
+                   CAST(ord(substr(text, 1, 1)) AS DOUBLE) AS mean_pixel
+            FROM read_parquet('{sf_dir}/documents.parquet')
+            WHERE text IS NOT NULL AND length(text) > 0
+            """
+        ).fetchall()
+    }
+    assert len(exp) > 0 and got == exp
+
+
+def _brute_pairs(rows, words, max_hamming=3):
+    """Sequential reference: all pairs within Hamming max_hamming that
+    share at least one band (banding complete for <= 3, so this is
+    just the Hamming ball)."""
+    out = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            ham = 0
+            for w in words:
+                ham += bin(a[w] ^ b[w]).count("1")
+            if ham <= max_hamming:
+                x, y = sorted((a["media_id"], b["media_id"]))
+                out.add((x, y, ham))
+    return out
+
+
+def test_dhash_pairs_collapse_equals_brute_force(spark):
+    """The identical-fingerprint collapse (VERDICT r11 #4b) must be
+    output-invariant: within-group pairs (hamming 0, in-row expand),
+    cross-group pairs (group-pair verify then member expand), and the
+    uncollapsed brute-force reference all agree — including a LARGE
+    identical group (the flat-image hot band) and singleton groups
+    within Hamming 1-3 of it."""
+    rows = (
+        [{"media_id": i, "w0": 0, "w1": 0} for i in range(10)]  # flat group
+        + [
+            {"media_id": 20, "w0": 1, "w1": 0},      # hamming 1 from flat
+            {"media_id": 21, "w0": 3, "w1": 4},      # hamming 3 from flat
+            {"media_id": 22, "w0": 3, "w1": 4},      # dup of 21
+            {"media_id": 23, "w0": (1 << 31), "w1": (1 << 31)},  # sign-bit-ish, far
+            {"media_id": 24, "w0": 0xFFFF0000, "w1": 0x0000FFFF},
+        ]
+    )
+    df = spark.createDataFrame(
+        [(r["media_id"], r["w0"], r["w1"]) for r in rows],
+        "media_id long, w0 bigint, w1 bigint",
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in MM.dhash_pairs(df, max_hamming=3).collect()
+    }
+    assert got == _brute_pairs(rows, ["w0", "w1"], 3)
+    # no duplicate pair rows
+    n = MM.dhash_pairs(df, max_hamming=3).count()
+    assert n == len(got)
+
+
+def test_audio_pairs_collapse_equals_brute_force(spark):
+    rows = (
+        [{"media_id": i, "fp": 0} for i in range(6)]  # silence group
+        + [
+            {"media_id": 10, "fp": 2},
+            {"media_id": 11, "fp": 7},        # hamming 3 from 0
+            {"media_id": 12, "fp": 7},        # dup of 11
+            {"media_id": 13, "fp": 0x0F0F0F0F},
+        ]
+    )
+    df = spark.createDataFrame(
+        [(r["media_id"], r["fp"]) for r in rows], "media_id long, fp bigint"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in MM.audio_fingerprint_pairs(df, max_hamming=3).collect()
+    }
+    assert got == _brute_pairs(rows, ["fp"], 3)
+    assert MM.audio_fingerprint_pairs(df, max_hamming=3).count() == len(got)
+
+
+def test_audio_fingerprint64_matches_sequential_reference(spark):
+    """X214: the two-word fingerprint equals a straightforward numpy
+    reference, the level-invariance property carries over, and the
+    word split puts bit f in w0 for f<32 / w1 bit f-32 otherwise."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    clips = {
+        1: (rng.randint(-3000, 3000, size=400)).astype("<i2"),
+        2: (rng.randint(-300, 300, size=97)).astype("<i2"),
+    }
+    clips[3] = (clips[1] // 2).astype("<i2")  # re-leveled copy (exact halving)
+    df = spark.createDataFrame(
+        [(k, bytearray(v.tobytes())) for k, v in clips.items()],
+        "media_id long, payload binary",
+    )
+    got = {
+        r.media_id: (r.n_samples, r.w0, r.w1)
+        for r in MM.audio_energy_fingerprint64(df, frames=64).collect()
+    }
+    for mid, x in clips.items():
+        x = x.astype(np.int64)
+        n = x.size
+        fb = (np.arange(n) * 65) // n
+        e = np.zeros(65, dtype=np.int64)
+        c = np.zeros(65, dtype=np.int64)
+        np.add.at(e, fb, x * x)
+        np.add.at(c, fb, 1)
+        w0 = w1 = 0
+        for f in range(64):
+            if int(e[f]) * int(c[f + 1]) > int(e[f + 1]) * int(c[f]):
+                if f < 32:
+                    w0 |= 1 << f
+                else:
+                    w1 |= 1 << (f - 32)
+        assert got[mid] == (n, w0, w1), mid
+    # scaling by an exact factor preserves every energy comparison
+    # EXCEPT where integer halving rounds asymmetric negatives — allow
+    # hamming <= 2 between original and re-leveled copy
+    ham = bin(got[1][1] ^ got[3][1]).count("1") + bin(got[1][2] ^ got[3][2]).count("1")
+    assert ham <= 2
+    with pytest.raises(ValueError, match="frames"):
+        MM.audio_energy_fingerprint64(df, frames=32)

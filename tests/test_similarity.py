@@ -427,3 +427,80 @@ def test_bm25_null_text_counts_as_empty_doc(spark):
         map(tuple, S.bm25_topk(d2.where("doc_id = 0"), d2, k=5).collect())
     )
     assert r1 == r2 and len(r1) > 0
+
+
+def test_rerank_by_cosine_matches_sequential_reference(spark):
+    """X215: rerank_by_cosine equals brute-force cosine re-ranking of
+    the given candidate lists (rank by cosine desc then item id;
+    candidates lacking embeddings drop; zero-norm cosines drop)."""
+    import math
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.9, 0.1, 0.0],
+        2: [0.0, 1.0, 0.0],
+        3: [0.5, 0.5, 0.0],
+        4: [0.0, 0.0, 0.0],  # zero-norm -> NULL cosine -> dropped
+    }
+    emb = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (0, 9), (1, 0), (1, 2)],
+        "query_id long, item_id long",
+    )
+    got = [
+        (r.query_id, r.rank, r.item_id, r.cosine)
+        for r in S.rerank_by_cosine(cand, emb, k=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb) if na * nb > 0 else None
+
+    exp = []
+    for q in (0, 1):
+        scored = [
+            (i, cos(vecs[q], vecs[i]))
+            for (qq, i) in [(0, 1), (0, 2), (0, 3), (0, 4), (0, 9), (1, 0), (1, 2)]
+            if qq == q and i in vecs
+        ]
+        scored = [(i, c) for i, c in scored if c is not None]
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (i, c) in enumerate(scored[:2], 1):
+            exp.append((q, rank, i, round(c, 6)))
+    assert got == exp
+
+
+def test_bm25_max_df_drops_hot_terms_only(spark):
+    """The df-cap (VERDICT r11 #4c): with max_df, terms whose df
+    exceeds the cap contribute nothing — scores equal a corpus where
+    those terms were deleted from every document's scoring (N/avgdl
+    stay full-corpus); with max_df=None behavior is unchanged."""
+    docs = [
+        (0, "common rare0"),
+        (1, "common rare1"),
+        (2, "common rare2"),
+        (3, "common common rare3"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    full = {
+        (r.query_id, r.item_id): r.score
+        for r in S.bm25_topk(df.where("doc_id = 0"), df, k=4).collect()
+    }
+    capped = {
+        (r.query_id, r.item_id): r.score
+        for r in S.bm25_topk(df.where("doc_id = 0"), df, k=4, max_df=3).collect()
+    }
+    # 'common' (df=4) exceeds the cap: with it gone, doc 0's query
+    # shares no term with any other doc -> no candidates at all
+    assert len(full) == 3 and capped == {}
+    # cap ABOVE every df is a no-op
+    uncapped = {
+        (r.query_id, r.item_id): r.score
+        for r in S.bm25_topk(df.where("doc_id = 0"), df, k=4, max_df=100).collect()
+    }
+    assert uncapped == full

@@ -117,6 +117,19 @@ DECADE2_QUERIES = [
     "dup_graph_pagerank",
     "kmeans_embeddings",
     "bpe_merges",
+    # r11-new pair generators / retrieval ops (VERDICT r11 #4a, #9).
+    # The media queries derive payloads from documents.text, so the
+    # tiled documents fixture IS their 10x twin: exact-dup groups
+    # replicate per tile (identical text -> identical dHash/energy
+    # fingerprint), cross-tile texts differ everywhere. bm25_search /
+    # hybrid_search_trio keep their fixed query set (tile-0 ids, whose
+    # token postings don't grow — tile tokens are disjoint), so the
+    # gate measures the corpus-side index build, the actual scale risk;
+    # per-query join work is constant by design.
+    "bm25_search",
+    "hybrid_search_trio",
+    "image_dhash_pairs",
+    "audio_fingerprint_pairs",
 ]
 DECADE2_GATES: dict[str, tuple[str, float]] = {
     f"slope10_{q}": ("max", 4.0) for q in DECADE2_QUERIES
