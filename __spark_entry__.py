@@ -3103,50 +3103,42 @@ def _q_excess_shipments(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-11 window rotation: the driver hash-checks the FIRST 50
-    # entries. All 50 r10 rows came back green (10th consecutive
-    # all-green round) and — as of r10 — every oracle-backed query has
-    # at least one driver-green row, so the treadmill era is over and
-    # the window is pure policy from here: anchors + new + touched +
-    # stalest-green refresh.
+    # Round-12 window rotation (the driver hash-checks the FIRST 50
+    # entries; 11 consecutive all-green rounds, every oracle-backed
+    # query has >= 1 driver-green row, so the window is policy:
+    # anchors + new + touched + stalest-green refresh):
     # (1) the 15 standing anchors;
-    # (2) the r11-new oracle-backed query:
-    #     ann_cosine_topk_lsh_exactbuckets (X209 — the LSH ANN scale
-    #     path PROMOTED into the hash channel via the X207 rounded-
-    #     kernel discipline; VERDICT r10 #2, the last rows-only
-    #     asymmetry in the similarity stack);
-    # (3) re-verification slots for every oracle query whose code
-    #     round 11 touched: the spread_small probe moved to the AQE
-    #     initial plan (structural shuffle detection — ADVICE r10), so
-    #     every spread_small-consuming explode operator re-verifies
-    #     (substring_dedup_chars, jaccard_prefix_join,
-    #     containment_join, edit_distance_pairs, ngram_jaccard,
-    #     simhash_pairs, winnowing_overlap, semantic_dedup,
-    #     compression_entropy, lang_id_trained, lang_id_margin); the
-    #     shared counts frame switched from grouping-sets Expand to
-    #     explode-of-structs (narrow group keys — row-identical,
-    #     test-pinned), so its consumers re-verify (basic_stats is an
-    #     anchor; robust_stats — also skip_val + loud-validation
-    #     changes; top_freq); and linkage_risk_score re-enters on the
-    #     fused direct plan (VERDICT r10 #1: pair stream carries only
-    #     (anon_id, d2), sqrt deferred past the min — bit-exact);
-    # (4) 16 refresh slots for the STALEST driver greens, oldest
-    #     first: the r3 vintage (minhash_lsh, embedding_centroids,
-    #     one_hot, unigram_logprob, standard_scale) and the r4 vintage
-    #     (split_leakage, drift_timeline, t_closeness,
-    #     repetition_stats, table_diff, impute, bigram_logprob,
-    #     session_funnel, hourly_retention, psi_drift,
-    #     orders_join_audit — the last of which then yielded with
-    #     quality_rules, jsd_drift, user_value_trend and winsorize to
-    #     the FIVE r11-new oracle rows and record_linkage's
-    #     touched-rule re-entry; with returned_revenue (r4) they head
-    #     the r12 refresh line.
-    # Displaced out: the r10 double-greens (
-    # stratified_split, contamination_fraction, salted_segment_revenue,
-    # ann_cosine_topk_ivf_exactcells, hybrid_search,
-    # multimodal_features, card_luhn_scan, and the refreshed P/A +
-    # protect rows) — each keeps the local full-sweep hash check via
-    # tools/check_oracle.py every round.
+    # (2) the SEVEN r12-new oracle-backed queries: audio_fingerprint64
+    #     + audio_fingerprint_pairs64 (X214, the two-word corpus-size
+    #     dial of the audio fingerprint), bm25_rerank_cosine (X215,
+    #     retrieve-then-re-rank), nation_profit / important_parts /
+    #     supplier_part_counts / excess_shipments (X216-X219, TPC-H
+    #     Q9/Q11/Q16/Q20 shapes);
+    # (3) re-verification slots for every oracle query round 12
+    #     touched: the toks() NULL-coalesce (ADVICE r11) re-verifies
+    #     bm25_search, hybrid_search_trio, hybrid_search; the
+    #     identical-fingerprint collapse (VERDICT r11 #4b) re-verifies
+    #     image_dhash_pairs, audio_fingerprint_pairs; the magic-byte
+    #     decode dispatch re-verifies image_pixel_stats; the
+    #     _percentiles_from_tagged parallel-prefix-sum rewrite
+    #     (VERDICT r11 #1) re-verifies robust_stats (basic_stats is an
+    #     anchor);
+    # (4) 21 refresh slots for the STALEST driver greens, oldest
+    #     first: the r2 vintage (chi2_drift, simhash,
+    #     minhash_signatures, dedup_components_star), the r4 vintage
+    #     (quality_rules, jsd_drift, winsorize, user_value_trend,
+    #     orders_join_audit, returned_revenue — the whole r11 "next in
+    #     line"), and the head of the r5 vintage (substring_dedup,
+    #     dedup_incremental, mutual_information, enforce_k_anonymity,
+    #     iqr_outliers, completeness_timeline, incremental_percentiles,
+    #     vocab_top, oov_rate, cohort_retention, user_growth); the
+    #     r5 tail (trending_hourly, hourly_value_bands,
+    #     drift_timeline_psi, rolling_user_stats, ...) heads the r13
+    #     refresh line.
+    # Displaced out: the r11 double-greens and refreshed rows — each
+    # keeps the local full-sweep hash check via tools/check_oracle.py
+    # every round. Out-of-window order is the historical dict order
+    # (stable keys for BENCH_r* comparability).
     return {
         # -- (1) anchors ---------------------------------------------------
         "basic_stats": _q_basic_stats,
@@ -3164,37 +3156,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "decontaminate": _q_decontaminate,
         "pack_windows": _q_pack_windows,
-        # -- (2) r11-new oracle-backed ---------------------------------------
-        "ann_cosine_topk_lsh_exactbuckets": _q_ann_cosine_topk_lsh_exactbuckets,
-        # (r11-new) X210 Okapi BM25 retrieval — in-window on arrival;
-        # quality_rules yields its refresh slot (r10 green stands,
-        # local sweep continues; next in the r12 refresh line with
-        # returned_revenue)
-        "bm25_search": _q_bm25_search,
-        # (r11-new) X211 three-leg hybrid retrieval (BM25 + Jaccard +
-        # vector, RRF-fused) — in-window on arrival; jsd_drift yields
-        # its refresh slot (r10 green stands; r12 refresh line)
-        "hybrid_search_trio": _q_hybrid_search_trio,
-        # (r11-new) X212 perceptual image near-dup (dHash) — in-window
-        # on arrival; user_value_trend yields its refresh slot (r10
-        # green stands; r12 refresh line)
-        "image_dhash_pairs": _q_image_dhash_pairs,
-        # (r11-new) X213 perceptual audio near-dup (energy-delta
-        # fingerprint) — in-window on arrival; orders_join_audit
-        # yields its refresh slot (r10 green stands; r12 refresh line)
-        "audio_fingerprint_pairs": _q_audio_fingerprint_pairs,
-        # -- (2b) r12-new oracle-backed (in-window on arrival) -------------
-        # X214 two-word audio fingerprint (the corpus-size scale dial)
+        # -- (2) r12-new oracle-backed (in-window on arrival) ---------------
         "audio_fingerprint64": _q_audio_fingerprint64,
         "audio_fingerprint_pairs64": _q_audio_fingerprint_pairs64,
-        # X215 two-stage retrieval: BM25 recall -> exact-cosine re-rank
         "bm25_rerank_cosine": _q_bm25_rerank_cosine,
-        # X216-X219 TPC-H shapes Q9/Q11/Q16/Q20 (adapted to the slim fixture)
         "nation_profit": _q_nation_profit,
         "important_parts": _q_important_parts,
         "supplier_part_counts": _q_supplier_part_counts,
         "excess_shipments": _q_excess_shipments,
-        # -- (3) r11-touched re-verification ---------------------------------
+        # -- (3) touched-operator re-verification ---------------------------
+        "bm25_search": _q_bm25_search,
+        "hybrid_search_trio": _q_hybrid_search_trio,
+        "hybrid_search": _q_hybrid_search,
+        "image_dhash_pairs": _q_image_dhash_pairs,
+        "audio_fingerprint_pairs": _q_audio_fingerprint_pairs,
+        "image_pixel_stats": _q_image_pixel_stats,
+        "robust_stats": _q_robust_stats,
+        # -- (4) stalest-green refresh --------------------------------------
+        "chi2_drift": _q_chi2_drift,
+        "simhash": _q_simhash,
+        "minhash_signatures": _q_minhash_signatures,
+        "dedup_components_star": _q_dedup_components_star,
+        "quality_rules": _q_quality_rules,
+        "jsd_drift": _q_jsd_drift,
+        "winsorize": _q_winsorize,
+        "user_value_trend": _q_user_value_trend,
+        "orders_join_audit": _q_orders_join_audit,
+        "returned_revenue": _q_returned_revenue,
+        "substring_dedup": _q_substring_dedup,
+        "dedup_incremental": _q_dedup_incremental,
+        "mutual_information": _q_mutual_information,
+        "enforce_k_anonymity": _q_enforce_k_anonymity,
+        "iqr_outliers": _q_iqr_outliers,
+        "completeness_timeline": _q_completeness_timeline,
+        "incremental_percentiles": _q_incremental_percentiles,
+        "vocab_top": _q_vocab_top,
+        "oov_rate": _q_oov_rate,
+        "cohort_retention": _q_cohort_retention,
+        "user_growth": _q_user_growth,
+        # -- out of window: local full-sweep hash check every round ---------
+        "ann_cosine_topk_lsh_exactbuckets": _q_ann_cosine_topk_lsh_exactbuckets,
         "substring_dedup_chars": _q_substring_dedup_chars,
         "jaccard_prefix_join": _q_jaccard_prefix_join,
         "containment_join": _q_containment_join,
@@ -3206,10 +3207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_entropy": _q_compression_entropy,
         "lang_id_trained": _q_lang_id_trained,
         "lang_id_margin": _q_lang_id_margin,
-        "robust_stats": _q_robust_stats,
         "top_freq": _q_top_freq,
         "linkage_risk_score": _q_linkage_risk_score,
-        # -- (4) stalest-green refresh (r3/r4 vintage) -----------------------
         "minhash_lsh": _q_minhash_lsh,
         "embedding_centroids": _q_embedding_centroids,
         "one_hot": _q_one_hot,
@@ -3225,31 +3224,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_funnel": _q_session_funnel,
         "hourly_retention": _q_hourly_retention,
         "psi_drift": _q_psi_drift,
-        # record_linkage re-enters per the touched-operator rule (the
-        # r11 spread_small_pinned switch in fuzzy.py); winsorize yields
-        # its refresh slot (r4 green stands; r12 refresh line)
         "record_linkage": _q_record_linkage,
-        # --- past the driver's 50-row correctness window from here on.
-        # Everything below except the trailing rows-only block IS
-        # oracle-backed — tools/check_oracle.py runs the identical hash
-        # compare locally each round, and (as of r10) every row here
-        # has at least one prior driver-green. Longstanding
-        # subsumptions also hold: chi2_drift runs per-column inside
-        # distribution_drift; minhash_signatures / simhash are CTEs
-        # inside minhash_lsh / simhash_pairs' SQL; dedup_components_star
-        # shares dedup_components' oracle SQL; contamination_scan is
-        # the complement of decontaminate; user_sessions' SQL is
-        # embedded in session_concurrency's.
-        "quality_rules": _q_quality_rules,
-        "jsd_drift": _q_jsd_drift,
-        "winsorize": _q_winsorize,
-        "user_value_trend": _q_user_value_trend,
-        "orders_join_audit": _q_orders_join_audit,
         "stratified_split": _q_stratified_split,
         "contamination_fraction": _q_contamination_fraction,
         "salted_segment_revenue": _q_salted_segment_revenue,
         "ann_cosine_topk_ivf_exactcells": _q_ann_cosine_topk_ivf_exactcells,
-        "hybrid_search": _q_hybrid_search,
         "multimodal_features": _q_multimodal_features,
         "row_count": _q_row_count,
         "limit_preview": _q_limit_preview,
@@ -3266,7 +3245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": _q_k_anonymity,
         "corpus_stats": _q_corpus_stats,
         "card_luhn_scan": _q_card_luhn_scan,
-        "chi2_drift": _q_chi2_drift,
         "customer_order_histogram": _q_customer_order_histogram,
         "top_supplier": _q_top_supplier,
         "small_qty_revenue": _q_small_qty_revenue,
@@ -3322,11 +3300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "encode_tokens": _q_encode_tokens,
         "token_count_vocab": _q_token_count_vocab,
-        "image_pixel_stats": _q_image_pixel_stats,
         "winnowing": _q_winnowing,
         "alpha_mixture": _q_alpha_mixture,
-        "substring_dedup": _q_substring_dedup,
-        "dedup_incremental": _q_dedup_incremental,
         "dup_graph_pagerank": _q_dup_graph_pagerank,
         "dup_graph_pagerank_weighted": _q_dup_graph_pagerank_weighted,
         "count_min_words": _q_count_min_words,
@@ -3356,15 +3331,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipment_month_overlap": _q_shipment_month_overlap,
         "ks_drift_binned": _q_ks_drift_binned,
         "zipf_profile": _q_zipf_profile,
-        "mutual_information": _q_mutual_information,
-        "enforce_k_anonymity": _q_enforce_k_anonymity,
-        "iqr_outliers": _q_iqr_outliers,
-        "completeness_timeline": _q_completeness_timeline,
-        "incremental_percentiles": _q_incremental_percentiles,
-        "vocab_top": _q_vocab_top,
-        "oov_rate": _q_oov_rate,
-        "cohort_retention": _q_cohort_retention,
-        "user_growth": _q_user_growth,
         "trending_hourly": _q_trending_hourly,
         "hourly_value_bands": _q_hourly_value_bands,
         "drift_timeline_psi": _q_drift_timeline_psi,
@@ -3388,10 +3354,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy": _q_column_entropy,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "bpe_merges": _q_bpe_merges,
-        "returned_revenue": _q_returned_revenue,
-        "simhash": _q_simhash,
-        "minhash_signatures": _q_minhash_signatures,
-        "dedup_components_star": _q_dedup_components_star,
         "dp_noise": _q_dp_noise,
         "synthetic_sample": _q_synthetic_sample,
         "model_utility": _q_model_utility,

@@ -130,6 +130,9 @@ DECADE2_QUERIES = [
     "hybrid_search_trio",
     "image_dhash_pairs",
     "audio_fingerprint_pairs",
+    # the 64-bit twin is the dial the audio family actually runs at
+    # corpus scale (X214 — 32 bits saturate near 10^4-5 clips)
+    "audio_fingerprint_pairs64",
 ]
 DECADE2_GATES: dict[str, tuple[str, float]] = {
     f"slope10_{q}": ("max", 4.0) for q in DECADE2_QUERIES
