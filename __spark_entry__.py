@@ -956,6 +956,40 @@ def _q_embedding_centroids(spark, sf):
     return SIM.embedding_centroids(load_table(spark, sf, "embeddings"), packed=False)
 
 
+def _q_embedding_gram(spark, sf):
+    return SIM.embedding_gram(load_table(spark, sf, "embeddings"))
+
+
+def _q_pca_project(spark, sf):
+    # rows-only: eigendecomposition has no SQL twin; pinned by the
+    # numpy sequential-twin + invariance tests in test_similarity.py
+    emb = load_table(spark, sf, "embeddings")
+    model = SIM.pca_fit(emb, n_components=8)
+    return SIM.pca_project(emb, model)
+
+
+def _q_ann_cosine_topk_pca(spark, sf):
+    # rows-only (rides the rows-only eigendecomposition): the standard
+    # reduce-then-search stack — stage 1 scans the corpus in PCA-16
+    # space (4x fewer multiplies + 4x smaller resident index at d=64;
+    # the dial a 100 TB dense index turns before any bucketing) for a
+    # top-50 candidate recall set, stage 2 re-ranks ONLY the
+    # candidates by exact full-dim cosine (rerank_by_cosine, X215) —
+    # so the full-precision scorer touches 10% of the corpus here and
+    # O(queries·N_stage1/n) of it in general. recall@5/MRR vs the
+    # full-dim exact top-k are stat-gated per round
+    # (tools/stat_gates.py).
+    emb = load_table(spark, sf, "embeddings")
+    model = SIM.pca_fit(emb, n_components=16)
+    proj = SIM.pca_project(emb, model, packed=True)
+    cand = SIM.cosine_topk(
+        proj.where(F.col("vec_id") < 10), proj, k=50, vec_col="pca"
+    ).select("query_id", F.col("neighbor_id").alias("item_id"))
+    return SIM.rerank_by_cosine(cand, emb, k=5).select(
+        "query_id", "rank", F.col("item_id").alias("neighbor_id"), "cosine"
+    )
+
+
 def _q_ann_cosine_topk(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     return SIM.cosine_topk(emb.where(F.col("vec_id") < 10), emb, k=5)
@@ -1205,6 +1239,20 @@ def _q_l_diversity(spark, sf):
 
 def _q_top_ngrams(spark, sf):
     return TX.top_ngrams(load_table(spark, sf, "documents"), n=2, top_k=100)
+
+
+def _q_ngram_diversity(spark, sf):
+    return TX.ngram_diversity(load_table(spark, sf, "documents"), max_n=3)
+
+
+def _q_kn_logprob(spark, sf):
+    return TX.kneser_ney_logprob(load_table(spark, sf, "documents"))
+
+
+def _q_bootstrap_ci(spark, sf):
+    return SMP.bootstrap_mean_ci(
+        load_table(spark, sf, "documents"), "n_chars", replicates=64
+    )
 
 
 def _q_source_lang_pivot(spark, sf):
@@ -3102,18 +3150,74 @@ def _q_excess_shipments(spark, sf):
     )
 
 
+def _q_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape (adapted: no partsupp, so min(l_extendedprice)
+    per (part, supplier) plays the supply-cost offer) — the last of
+    the 22 TPC-H query shapes: for small parts (p_size <= 5), the
+    region-1 supplier(s) offering the per-part MINIMUM cost. The
+    correlated MIN scalar subquery becomes a grouped per-part min
+    joined back on (partkey, cost) equality — exact because min over
+    doubles involves no arithmetic; ties (co-minimal suppliers) all
+    surface, as in Q2. Dims broadcast; the only wide shuffles are the
+    two grouped aggregates on (part, supplier) and (part)."""
+    part = load_table(spark, sf, "part").where(F.col("p_size") <= 5).select(
+        "p_partkey", "p_name"
+    )
+    sup = (
+        load_table(spark, sf, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf, "nation").where(F.col("n_regionkey") == 1)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        load_table(spark, sf, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("l_extendedprice").alias("__cost"))
+    )
+    part_min = cost.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("__cost").alias("__mc")
+    )
+    return (
+        cost.join(
+            part_min,
+            (F.col("p_partkey") == F.col("__pk")) & (F.col("__cost") == F.col("__mc")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            F.round("__cost", 2).alias("min_cost"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-12 window rotation (the driver hash-checks the FIRST 50
     # entries; 11 consecutive all-green rounds, every oracle-backed
     # query has >= 1 driver-green row, so the window is policy:
     # anchors + new + touched + stalest-green refresh):
     # (1) the 15 standing anchors;
-    # (2) the SEVEN r12-new oracle-backed queries: audio_fingerprint64
+    # (2) the TWELVE r12-new oracle-backed queries: audio_fingerprint64
     #     + audio_fingerprint_pairs64 (X214, the two-word corpus-size
     #     dial of the audio fingerprint), bm25_rerank_cosine (X215,
     #     retrieve-then-re-rank), nation_profit / important_parts /
     #     supplier_part_counts / excess_shipments (X216-X219, TPC-H
-    #     Q9/Q11/Q16/Q20 shapes);
+    #     Q9/Q11/Q16/Q20 shapes), min_cost_supplier (X220, TPC-H Q2 —
+    #     completing all 22 TPC-H shapes), ngram_diversity (X221,
+    #     distinct-n synthetic-corpus screen), kn_logprob (X222,
+    #     interpolated Kneser-Ney), embedding_gram (X223, the PCA
+    #     sufficient statistic; its pca_project / ann_cosine_topk_pca
+    #     consumers are rows-only and sit out of window), bootstrap_ci
+    #     (X224, one-pass Poisson bootstrap — the md5 inverse-CDF coin
+    #     puts the whole resampling stack in the hash channel);
     # (3) re-verification slots for every oracle query round 12
     #     touched: the toks() NULL-coalesce (ADVICE r11) re-verifies
     #     bm25_search, hybrid_search_trio, hybrid_search; the
@@ -3122,19 +3226,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     decode dispatch re-verifies image_pixel_stats; the
     #     _percentiles_from_tagged parallel-prefix-sum rewrite
     #     (VERDICT r11 #1) re-verifies robust_stats (basic_stats is an
-    #     anchor);
-    # (4) 21 refresh slots for the STALEST driver greens, oldest
+    #     anchor); the marked-interval rewrite of the ExactSubstr
+    #     forms re-verifies substring_dedup_chars (substring_dedup
+    #     holds a refresh slot below); and the pinned-type-table
+    #     rewrite (one corpus count pass) re-verifies bigram_logprob;
+    # (4) 14 refresh slots for the STALEST driver greens, oldest
     #     first: the r2 vintage (chi2_drift, simhash,
     #     minhash_signatures, dedup_components_star), the r4 vintage
     #     (quality_rules, jsd_drift, winsorize, user_value_trend,
     #     orders_join_audit, returned_revenue — the whole r11 "next in
     #     line"), and the head of the r5 vintage (substring_dedup,
-    #     dedup_incremental, mutual_information, enforce_k_anonymity,
-    #     iqr_outliers, completeness_timeline, incremental_percentiles,
-    #     vocab_top, oov_rate, cohort_retention, user_growth); the
-    #     r5 tail (trending_hourly, hourly_value_bands,
-    #     drift_timeline_psi, rolling_user_stats, ...) heads the r13
-    #     refresh line.
+    #     dedup_incremental, mutual_information,
+    #     enforce_k_anonymity); the displaced r5 rows
+    #     (iqr_outliers, completeness_timeline, incremental_percentiles,
+    #     vocab_top, oov_rate, cohort_retention, user_growth) and the r5 tail
+    #     (trending_hourly, hourly_value_bands, drift_timeline_psi,
+    #     rolling_user_stats, ...) head the r13 refresh line.
     # Displaced out: the r11 double-greens and refreshed rows — each
     # keeps the local full-sweep hash check via tools/check_oracle.py
     # every round. Out-of-window order is the historical dict order
@@ -3164,7 +3271,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": _q_important_parts,
         "supplier_part_counts": _q_supplier_part_counts,
         "excess_shipments": _q_excess_shipments,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "ngram_diversity": _q_ngram_diversity,
+        "kn_logprob": _q_kn_logprob,
+        "embedding_gram": _q_embedding_gram,
+        "bootstrap_ci": _q_bootstrap_ci,
         # -- (3) touched-operator re-verification ---------------------------
+        "substring_dedup_chars": _q_substring_dedup_chars,
+        "bigram_logprob": _q_bigram_logprob,
         "bm25_search": _q_bm25_search,
         "hybrid_search_trio": _q_hybrid_search_trio,
         "hybrid_search": _q_hybrid_search,
@@ -3187,6 +3301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "mutual_information": _q_mutual_information,
         "enforce_k_anonymity": _q_enforce_k_anonymity,
+        # -- out of window: local full-sweep hash check every round ---------
+        # (displaced refresh slots head the r13 refresh line)
         "iqr_outliers": _q_iqr_outliers,
         "completeness_timeline": _q_completeness_timeline,
         "incremental_percentiles": _q_incremental_percentiles,
@@ -3194,9 +3310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": _q_oov_rate,
         "cohort_retention": _q_cohort_retention,
         "user_growth": _q_user_growth,
-        # -- out of window: local full-sweep hash check every round ---------
+        "pca_project": _q_pca_project,
+        "ann_cosine_topk_pca": _q_ann_cosine_topk_pca,
         "ann_cosine_topk_lsh_exactbuckets": _q_ann_cosine_topk_lsh_exactbuckets,
-        "substring_dedup_chars": _q_substring_dedup_chars,
         "jaccard_prefix_join": _q_jaccard_prefix_join,
         "containment_join": _q_containment_join,
         "edit_distance_pairs": _q_edit_distance_pairs,
@@ -3220,7 +3336,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "table_diff": _q_table_diff,
         "impute": _q_impute,
-        "bigram_logprob": _q_bigram_logprob,
         "session_funnel": _q_session_funnel,
         "hourly_retention": _q_hourly_retention,
         "psi_drift": _q_psi_drift,
@@ -6702,6 +6817,113 @@ def _sql_excess_shipments() -> str:
     )
 
 
+def _sql_bootstrap_ci(replicates: int = 64, alpha: float = 0.05) -> str:
+    # mirrors sampling.bootstrap_mean_ci on documents.n_chars: the
+    # Poisson(1) inverse-CDF CASE chain embeds the SAME double
+    # thresholds (shared builder), the coin is the standard md5-unit
+    # replay, replicate means take the half-up 1e-6 snap, and the CI
+    # is quantile_cont (Spark F.percentile's interpolation twin)
+    from safedata_pipeline_spark.operators.sampling import poisson1_cum_thresholds
+
+    cum = poisson1_cum_thresholds()
+    whens = " ".join(f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(cum))
+    coin = (
+        "(CAST(('0x' || substr(md5('boot|' || CAST(doc_id AS VARCHAR) || '|' "
+        "|| CAST(b AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0) / 4294967296.0"
+    )
+    return (
+        "WITH v AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x FROM documents "
+        "WHERE n_chars IS NOT NULL), "
+        f"u AS (SELECT x, b, {coin} AS u FROM v, range({replicates}) AS t(b)), "
+        f"w AS (SELECT x, b, CASE {whens} ELSE {len(cum)} END AS w FROM u), "
+        "rep AS (SELECT b, floor(CAST(sum(CAST(round(w * x, 9) AS DECIMAL(38,9))) "
+        "AS DOUBLE) / sum(w) * 1000000.0 + 0.5) / 1000000.0 AS m "
+        "FROM w WHERE w > 0 GROUP BY b), "
+        "pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "floor(CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*) "
+        "* 1000000.0 + 0.5) / 1000000.0 AS mean FROM v), "
+        "ci AS (SELECT CAST(count(*) AS BIGINT) AS n_replicates, "
+        f"round(quantile_cont(m, {alpha / 2!r}), 6) AS ci_lo, "
+        f"round(quantile_cont(m, {1 - alpha / 2!r}), 6) AS ci_hi FROM rep) "
+        "SELECT n_rows, n_replicates, mean, ci_lo, ci_hi FROM pt CROSS JOIN ci"
+    )
+
+
+def _sql_embedding_gram() -> str:
+    return (
+        "WITH e AS (SELECT embedding AS v FROM embeddings "
+        "WHERE embedding IS NOT NULL AND len(embedding) > 0), "
+        "p AS (SELECT unnest(flatten(list_transform(range(1, len(v) + 1), i -> "
+        "list_transform(range(i, len(v) + 1), j -> "
+        "{'i': i, 'j': j, 'p': round(CAST(v[i] AS DOUBLE) * CAST(v[j] AS DOUBLE), 9)})))) AS s FROM e) "
+        "SELECT CAST(s.i - 1 AS INT) AS i, CAST(s.j - 1 AS INT) AS j, "
+        "round(CAST(sum(CAST(s.p AS DECIMAL(38,9))) AS DOUBLE), 6) AS gram, "
+        "CAST(count(*) AS BIGINT) AS n_vectors FROM p GROUP BY 1, 2"
+    )
+
+
+def _sql_kn_logprob(d: float = 0.75) -> str:
+    # mirrors text.kneser_ney_logprob: the ln argument's SQL
+    # parenthesization matches the Spark expression tree exactly, so
+    # the 6dp snap absorbs only libm-vs-Math.log ulp latitude
+    p = (
+        f"(ty.cbg - {d}) / fwd.cw1 + "
+        f"({d} * fwd.n1fwd / fwd.cw1) * (bwd.n1bwd / nt.ntypes)"
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t FROM documents), "
+        "ex AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1, "
+        "unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2 "
+        "FROM toks WHERE len(t) >= 2), "
+        "ty AS (SELECT w1, w2, count(*) AS cbg FROM ex GROUP BY 1, 2), "
+        "fwd AS (SELECT w1, sum(cbg) AS cw1, count(*) AS n1fwd FROM ty GROUP BY 1), "
+        "bwd AS (SELECT w2, count(*) AS n1bwd FROM ty GROUP BY 1), "
+        "nt AS (SELECT count(*) AS ntypes FROM ty), "
+        f"scored AS (SELECT ex.doc_id, CAST(round(-ln({p}), 6) AS DECIMAL(38,6)) AS nlp "
+        "FROM ex JOIN ty USING (w1, w2) JOIN fwd USING (w1) JOIN bwd USING (w2) CROSS JOIN nt), "
+        "per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        "floor(CAST(sum(nlp) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_neg_logprob "
+        "FROM scored GROUP BY doc_id) "
+        "SELECT toks.doc_id, CAST(coalesce(per_doc.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+        "per_doc.avg_neg_logprob FROM toks LEFT JOIN per_doc USING (doc_id)"
+    )
+
+
+def _sql_ngram_diversity() -> str:
+    return (
+        "WITH w AS (SELECT source, CASE WHEN trim(lower(text)) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w FROM documents), "
+        "g AS ("
+        "SELECT source, 1 AS n, unnest(w) AS g FROM w "
+        "UNION ALL SELECT source, 2 AS n, "
+        "unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS g "
+        "FROM w WHERE len(w) >= 2 "
+        "UNION ALL SELECT source, 3 AS n, "
+        "unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g "
+        "FROM w WHERE len(w) >= 3) "
+        "SELECT source, CAST(n AS INT) AS n, CAST(count(*) AS BIGINT) AS total_ngrams, "
+        "CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams, "
+        "round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS distinct_ratio "
+        "FROM g GROUP BY 1, 2"
+    )
+
+
+def _sql_min_cost_supplier() -> str:
+    return (
+        "WITH sup AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey WHERE n_regionkey = 1), "
+        "pt AS (SELECT p_partkey, p_name FROM part WHERE p_size <= 5), "
+        "cost AS (SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name, "
+        "min(l_extendedprice) AS c FROM lineitem "
+        "JOIN pt ON l_partkey = p_partkey JOIN sup ON l_suppkey = s_suppkey "
+        "GROUP BY 1, 2, 3, 4, 5, 6) "
+        "SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name, "
+        "round(c, 2) AS min_cost FROM cost "
+        "WHERE c = (SELECT min(c) FROM cost c2 WHERE c2.p_partkey = cost.p_partkey)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "limit_preview": (
@@ -6812,6 +7034,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rerank_cosine": _sql_bm25_rerank_cosine(),
         "nation_profit": _sql_nation_profit(),
         "important_parts": _sql_important_parts(),
+        "min_cost_supplier": _sql_min_cost_supplier(),
+        "ngram_diversity": _sql_ngram_diversity(),
+        "kn_logprob": _sql_kn_logprob(),
+        "embedding_gram": _sql_embedding_gram(),
+        "bootstrap_ci": _sql_bootstrap_ci(),
         "supplier_part_counts": _sql_supplier_part_counts(),
         "excess_shipments": _sql_excess_shipments(),
         "hybrid_search_trio": _sql_hybrid_search_trio(),

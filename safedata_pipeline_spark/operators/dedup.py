@@ -879,6 +879,47 @@ def _positional_windows(words: Column, k: int) -> Column:
     return F.when(cnt > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
+def _merged_cover_intervals(starts: Column, k: int) -> Column:
+    """Merged closed intervals ``[s, s+k-1]`` covering every start in
+    ``starts`` (an ASCENDING int array): one in-row fold, adjacent or
+    overlapping windows coalesce (``s_next <= e_prev + 1``). Because
+    the input is sorted, each new window's end exceeds the previous
+    end, so extending is always ``e = s_next + k - 1``.
+
+    This is the shuffle-thin representation of the ExactSubstr marked
+    set: a duplicated occurrence ships ONE int (its start) instead of
+    its k covered positions, and the union-of-marks set the removal
+    step needs is recovered per doc as O(intervals) rather than
+    O(k x occurrences) flattened indices.
+    """
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+    return F.aggregate(
+        starts,
+        empty,
+        lambda acc, p: F.when(
+            F.try_element_at(acc, F.lit(-1)).getField("e") >= p - 1,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.try_element_at(acc, F.lit(-1)).getField("s").alias("s"),
+                        (p + F.lit(k - 1)).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(p.alias("s"), (p + F.lit(k - 1)).alias("e"))))
+        ),
+    )
+
+
+def _intervals_total_len(intervals: Column) -> Column:
+    """Total covered positions of disjoint merged intervals."""
+    return F.aggregate(
+        intervals, F.lit(0), lambda acc, iv: acc + (iv.getField("e") - iv.getField("s") + 1)
+    )
+
+
 def substring_dedup(
     df: DataFrame,
     k: int = 8,
@@ -924,10 +965,10 @@ def substring_dedup(
     min(struct)/count (high-cardinality key, well spread), (3) digest
     equi-join occurrences×duplicated-digests (AQE broadcasts when the
     dup set is small — boilerplate corpora), (4) groupBy(doc) of
-    marked spans (rows bounded by marked occurrences, not corpus
-    size), (5) doc-keyed left join back + a map-side
-    ``array_except(sequence, marked)`` rebuild (hash-set semantics:
-    O(n_words + n_marked) per doc, order-preserving). Deterministic
+    marked START positions — one int per duplicated occurrence through
+    the shuffle, never the k-wide span — (5) doc-keyed left join back,
+    merged-interval cover rebuilt in-row, keep-filter per word tests
+    O(intervals) not O(marked chars). Deterministic
     end-to-end: md5 windows, (doc_id, start) first-occurrence order —
     fully oracle-checkable, DuckDB reproduces every hash.
     """
@@ -940,7 +981,8 @@ def substring_dedup(
         df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
         .select(F.col(id_col).alias("id"), words.alias("__words"))
     )
-    occ = base.select(
+    # spread before the ~n_words-fold window explode (no-op at scale)
+    occ = spread_small(base).select(
         "id", F.posexplode(_positional_windows(F.col("__words"), k)).alias("pos", "gram")
     ).select("id", "pos", F.md5(F.col("gram").cast("binary")).alias("h"))
     dup = (
@@ -957,25 +999,30 @@ def substring_dedup(
         .where(
             ~((F.col("id") == F.col("first.id")) & (F.col("pos") == F.col("first.pos")))
         )
-        .select("id", F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1)).alias("idxs"))
+        .select("id", "pos")
     )
+    # one int per duplicated occurrence through the shuffle; the k-wide
+    # covered span is recovered in-row as merged intervals
     marked = marked_occ.groupBy("id").agg(
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list("idxs")))).alias("__marked")
+        F.array_sort(F.collect_list("pos")).alias("__starts")
     )
-    marked_arr = F.coalesce(F.col("__marked"), F.array().cast("array<integer>"))
-    keep_idx = F.array_except(
-        F.sequence(F.lit(0), F.size(F.col("__words")) - 1), marked_arr
+    intervals = _merged_cover_intervals(
+        F.coalesce(F.col("__starts"), F.array().cast("array<integer>")), k
+    )
+    kept = F.filter(
+        F.col("__words"),
+        lambda w, i: ~F.exists(
+            F.col("__iv"), lambda iv: (i >= iv.getField("s")) & (i <= iv.getField("e"))
+        ),
     )
     return (
         base.join(marked, on="id", how="left")
+        .withColumn("__iv", intervals)
         .select(
             F.col("id").alias(id_col),
             F.size("__words").cast("bigint").alias("n_words"),
-            F.coalesce(F.size("__marked"), F.lit(0)).cast("bigint").alias("n_removed"),
-            F.concat_ws(
-                " ",
-                F.transform(keep_idx, lambda i: F.element_at(F.col("__words"), i + 1)),
-            ).alias("clean_text"),
+            _intervals_total_len(F.col("__iv")).cast("bigint").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("clean_text"),
         )
     )
 
@@ -1023,9 +1070,10 @@ def substring_dedup_chars(
     shuffle, text doesn't; the char grid multiplies the occurrence
     table ~6× over the word grid (the honest cost of char exactness —
     run the word form first as the cheap pass, this one on survivors).
-    The word-snap coverage check is an in-row nested higher-order
-    filter (O(words × marked) per doc worst case; bounded because
-    marked spans are capped by doc length).
+    Marked occurrences ship one START int each; the covered char set
+    is recovered in-row as merged disjoint intervals, so the word-snap
+    coverage check is O(words × intervals) and the exact splice is
+    O(intervals) substring concatenations.
     """
     if k < 2:
         raise ValueError("k must be >= 2")
@@ -1065,17 +1113,44 @@ def substring_dedup_chars(
         .where(
             ~((F.col("id") == F.col("first.id")) & (F.col("pos") == F.col("first.pos")))
         )
-        .select("id", F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1)).alias("idxs"))
+        .select("id", "pos")
     )
+    # one int per duplicated occurrence through the shuffle (not k char
+    # indices); the covered char set is recovered in-row as merged
+    # disjoint intervals, so the splice/coverage steps are O(intervals)
     marked = marked_occ.groupBy("id").agg(
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list("idxs")))).alias("__marked")
+        F.array_sort(F.collect_list("pos")).alias("__starts")
     )
-    joined = base.join(marked, on="id", how="left")
-    marked_arr = F.coalesce(F.col("__marked"), F.array().cast("array<integer>"))
+    joined = base.join(marked, on="id", how="left").withColumn(
+        "__iv",
+        _merged_cover_intervals(
+            F.coalesce(F.col("__starts"), F.array().cast("array<integer>")), k
+        ),
+    )
     if snap == "none":
-        keep_idx = F.array_except(F.sequence(F.lit(1), n), marked_arr)
-        clean = F.concat_ws(
-            "", F.transform(keep_idx, lambda i: F.substr(F.col("__t"), i, F.lit(1)))
+        # splice: concatenate the unmarked gaps between merged intervals
+        clean = F.aggregate(
+            F.col("__iv"),
+            F.struct(F.lit(1).alias("c"), F.lit("").alias("t")),
+            lambda acc, iv: F.struct(
+                (iv.getField("e") + 1).alias("c"),
+                F.concat(
+                    acc.getField("t"),
+                    F.substr(
+                        F.col("__t"),
+                        acc.getField("c"),
+                        F.greatest(iv.getField("s") - acc.getField("c"), F.lit(0)),
+                    ),
+                ).alias("t"),
+            ),
+            lambda acc: F.concat(
+                acc.getField("t"),
+                F.substr(
+                    F.col("__t"),
+                    acc.getField("c"),
+                    F.greatest(n - acc.getField("c") + 1, F.lit(0)),
+                ),
+            ),
         )
     else:
         ws = F.split(F.col("__t"), " ")
@@ -1110,21 +1185,21 @@ def substring_dedup_chars(
                 w.alias("w"), sp.getField("s").alias("s"), sp.getField("e").alias("e")
             ),
         )
+        # a word is fully covered iff its span sits inside ONE merged
+        # interval (merged intervals are maximal contiguous runs)
         kept = F.filter(
             tagged,
-            lambda x: F.size(
-                F.filter(
-                    marked_arr,
-                    lambda p: (p >= x.getField("s")) & (p <= x.getField("e")),
-                )
-            )
-            < (x.getField("e") - x.getField("s") + 1),
+            lambda x: ~F.exists(
+                F.col("__iv"),
+                lambda iv: (iv.getField("s") <= x.getField("s"))
+                & (x.getField("e") <= iv.getField("e")),
+            ),
         )
         clean = F.concat_ws(" ", F.transform(kept, lambda x: x.getField("w")))
     return joined.select(
         F.col("id").alias(id_col),
         n.cast("bigint").alias("n_chars"),
-        F.coalesce(F.size("__marked"), F.lit(0)).cast("bigint").alias("n_marked_chars"),
+        _intervals_total_len(F.col("__iv")).cast("bigint").alias("n_marked_chars"),
         clean.alias("clean_text"),
     )
 

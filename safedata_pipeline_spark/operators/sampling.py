@@ -435,3 +435,120 @@ def stratified_split(
         )
         .drop("__rn", "__q")
     )
+
+
+def poisson1_cum_thresholds(max_k: int = 8) -> list[float]:
+    """Cumulative Poisson(1) CDF thresholds P(X <= k) for k = 0..max_k-1
+    (weights above the last threshold clamp to max_k). Shared by the
+    Spark expression and the oracle SQL builder so both engines embed
+    the IDENTICAL double literals."""
+    import math
+
+    cum, c, term = [], 0.0, math.exp(-1.0)
+    for k in range(max_k):
+        c += term
+        cum.append(c)
+        term = term / (k + 1)
+    return cum
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    replicates: int = 64,
+    alpha: float = 0.05,
+    seed_tag: str = "boot",
+) -> DataFrame:
+    """ONE-PASS bootstrap confidence interval for a column mean via the
+    POISSON BOOTSTRAP (Chamandy, Muralidharan, Najmi & Naidu 2012,
+    "Estimating Uncertainty for Massive Data Streams" — Google's
+    published streaming-bootstrap): classic resampling draws
+    Multinomial(n, 1/n) row counts per replicate, which needs n known
+    and a pass per replicate; for large n those counts are
+    asymptotically iid Poisson(1), so each row can draw its OWN
+    per-replicate weight independently — every replicate is computed
+    in the same single pass, and error bars on a 100 TB metric cost
+    one scan.
+
+    Determinism/oracle discipline: the Poisson(1) weight comes from an
+    inverse-CDF CASE chain over the md5 unit coin of (seed_tag, id,
+    replicate) — engine-replayable like every coin in this engine, so
+    the WHOLE bootstrap (weights, replicate means, percentile CI) is
+    hash-checkable. Per-row contributions round@9 → DECIMAL(38,9)
+    sums (partition-order free); replicate means take the half-up 1e-6
+    snap; the CI is the exact interpolated percentile over the ≤
+    ``replicates`` snapped means.
+
+    Output: ONE row — (n_rows, n_replicates, mean, ci_lo, ci_hi).
+
+    Shape: in-row weight array (B structs) → explode keeping only
+    w > 0 (~63% of row-replicate pairs) → ONE groupBy(b) over ≤ B keys
+    with map-side combine → a ≤ B-row finish. The corpus is scanned
+    twice (replicate pass + point-estimate pass); nothing else scales
+    with n.
+    """
+    if replicates < 2:
+        raise ValueError("replicates must be >= 2")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    cum = poisson1_cum_thresholds()
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+
+    def weight(u):
+        w = F.lit(len(cum))
+        for k in range(len(cum) - 1, -1, -1):
+            w = F.when(u < F.lit(cum[k]), F.lit(k)).otherwise(w)
+        return w
+
+    bs = F.sequence(F.lit(0), F.lit(replicates - 1))
+    pairs = F.transform(
+        bs,
+        lambda b: F.struct(
+            b.alias("b"),
+            weight(
+                md5_unit_interval(
+                    F.concat(
+                        F.lit(f"{seed_tag}|"), F.col("__id"), F.lit("|"), b.cast("string")
+                    )
+                )
+            ).alias("w"),
+        ),
+    )
+    from safedata_pipeline_spark.partitioning import spread_small
+
+    ex = (
+        spread_small(base)
+        .select("__x", F.explode(pairs).alias("p"))
+        .where(F.col("p.w") > 0)
+    )
+    snap = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    rep = ex.groupBy(F.col("p.b").alias("b")).agg(
+        snap(
+            F.sum(
+                F.round(F.col("p.w") * F.col("__x"), 9).cast("decimal(38,9)")
+            ).cast("double")
+            / F.sum("p.w")
+        ).alias("m")
+    )
+    point = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        snap(
+            F.sum(F.round(F.col("__x"), 9).cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+    )
+    pct = F.percentile(F.col("m"), F.array(F.lit(alpha / 2), F.lit(1 - alpha / 2)))
+    ci = rep.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"), pct.alias("__p")
+    ).select(
+        "n_replicates",
+        F.round(F.element_at("__p", 1), 6).alias("ci_lo"),
+        F.round(F.element_at("__p", 2), 6).alias("ci_hi"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_rows", "n_replicates", "mean", "ci_lo", "ci_hi"
+    )

@@ -604,6 +604,161 @@ def embedding_centroids(
     )
 
 
+def embedding_gram(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Exact corpus second-moment (Gram) matrix over an embedding
+    column — the ONE-PASS sufficient statistic behind PCA / whitening
+    (``pca_fit``), covariance screens, and embedding-drift monitors:
+    S[i,j] = Σ x·xᵀ needs d(d+1)/2 numbers however large the corpus.
+
+    Shape: the (i, j≥i) product pairs are built IN-ROW by a nested
+    higher-order transform (runtime ``sequence`` indices — no d²
+    literal expression tree, which the X209 LSH kernel measured at
+    seconds of plan-analysis cost), then ONE explode feeds ONE
+    aggregate keyed (i, j) — map-side combine reduces every partition
+    to ≤ d(d+1)/2 rows before the shuffle, so the wire cost is
+    partitions × d², independent of corpus size.
+
+    Cross-engine float discipline: each product is a correctly-rounded
+    IEEE double (identical on any engine), snapped@``round_dp`` and
+    summed as DECIMAL(38,9) — partition-order independent, so the
+    matrix is hash-checkable. Output: (i, j, gram, n_vectors) for
+    0-based i ≤ j (upper triangle; mirror for the full matrix).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)).select(
+        v.alias("__v")
+    )
+    vv = F.col("__v")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(vv)),
+            lambda i: F.transform(
+                F.sequence(i, F.size(vv)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.round(
+                        F.element_at(vv, i) * F.element_at(vv, j), round_dp
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    from safedata_pipeline_spark.partitioning import spread_small
+
+    # spread before the ~d²/2-fold pair explode (no-op at scale)
+    ex = spread_small(base).select(F.explode(pairs).alias("x"))
+    return ex.groupBy(
+        (F.col("x.i") - 1).cast("int").alias("i"),
+        (F.col("x.j") - 1).cast("int").alias("j"),
+    ).agg(
+        F.round(F.sum(F.col("x.p").cast("decimal(38,9)")).cast("double"), 6).alias(
+            "gram"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+    )
+
+
+def pca_fit(
+    df: DataFrame,
+    n_components: int = 8,
+    vec_col: str = "embedding",
+) -> dict:
+    """Deterministic PCA fit over an embedding column — the standard
+    dimensionality-reduction / whitening step before ANN indexing and
+    SemDeDup-style clustering (Abbas et al. 2023 operate on
+    unit-normalized, dimensionality-reduced embeddings).
+
+    Distributed part: the ``embedding_gram`` second-moment matrix +
+    one per-dim first-moment aggregate — O(d²) driver traffic (fit
+    parameters), never the vectors. Driver part: centered covariance
+    (S − n·μμᵀ)/(n−1), ``numpy.linalg.eigh``, top-q eigenpairs sorted
+    by eigenvalue DESC with a deterministic sign convention (the
+    largest-|coefficient| entry of each component is made positive;
+    first index wins ties) — so the fit replays bit-identically on any
+    partitioning of the same rows.
+
+    Returns a plain-dict artifact (mean, components, eigenvalues, n)
+    — broadcastable, JSON-serializable, consumed by ``pca_project``.
+    """
+    import numpy as np
+
+    gram_rows = embedding_gram(df, vec_col).collect()  # O(d²) fit read
+    if not gram_rows:
+        raise ValueError("no vectors to fit")
+    d = max(r["j"] for r in gram_rows) + 1
+    n = gram_rows[0]["n_vectors"]
+    S = np.zeros((d, d))
+    for r in gram_rows:
+        S[r["i"], r["j"]] = r["gram"]
+        S[r["j"], r["i"]] = r["gram"]
+    v = F.col(vec_col).cast("array<double>")
+    sums = (
+        df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(F.posexplode(v).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("x").cast("decimal(38,12)")).cast("double").alias("s"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in sums:
+        mu[r["dim"]] = r["s"] / n
+    cov = (S - n * np.outer(mu, mu)) / max(n - 1, 1)
+    w, V = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][: min(n_components, d)]
+    comps, eigs = [], []
+    for idx in order:
+        c = V[:, idx]
+        # deterministic sign: largest-|coefficient| entry positive
+        if c[int(np.argmax(np.abs(c)))] < 0:
+            c = -c
+        comps.append([float(x) for x in c])
+        eigs.append(float(w[idx]))
+    return {
+        "mean": [float(x) for x in mu],
+        "components": comps,
+        "eigenvalues": eigs,
+        "n": int(n),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    packed: bool = False,
+) -> DataFrame:
+    """Map-only PCA projection: (x − μ)·Vᵀ for the fitted components —
+    pure JVM expressions (zip_with product + in-row fold, fixed
+    left-to-right order ⇒ deterministic at any parallelism), no UDF,
+    no shuffle; projecting 100 TB is scan-bound. Output: (id, pc_0 …
+    pc_{q−1}) flat double columns, or with ``packed=True`` one
+    ``pca array<double>`` column (the form downstream vector ops —
+    ``cosine_topk``, KMeans, quantization — consume directly).
+    """
+    mu = F.array(*[F.lit(float(x)) for x in model["mean"]])
+    v = F.col(vec_col).cast("array<double>")
+    centered = F.zip_with(v, mu, lambda x, m: x - m)
+    cols = []
+    for q, comp in enumerate(model["components"]):
+        wv = F.array(*[F.lit(float(x)) for x in comp])
+        proj = F.aggregate(
+            F.zip_with(centered, wv, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(proj, 9).alias(f"pc_{q}"))
+    base = df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+    if packed:
+        return base.select(F.col(id_col), F.array(*cols).alias("pca"))
+    return base.select(F.col(id_col), *cols)
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from safedata_pipeline_spark.checkpoint import pin_lazy
 from safedata_pipeline_spark.partitioning import spread_small
 
 ROUND_N = 6
@@ -883,6 +884,81 @@ def top_ngrams(
     return counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
+def ngram_diversity(
+    df: DataFrame,
+    max_n: int = 3,
+    text_col: str = "text",
+    group_col: str = "source",
+    lowercase: bool = True,
+    exact: bool = True,
+) -> DataFrame:
+    """Distinct-n diversity per group — the distinct-1/distinct-2
+    lexical-diversity family (Li et al. 2016, "A Diversity-Promoting
+    Objective Function for Neural Conversation Models"): the ratio of
+    DISTINCT word n-grams to total n-grams, per source and n = 1..max_n.
+    The standard mode-collapse screen for synthetic / model-generated
+    corpora — a source whose distinct-2 ratio craters against its
+    peers is re-emitting the same phrasing.
+
+    Shape: per-row gram structs for every n built as pure expressions
+    (one array concat), ONE explode feeding ONE (group, n) aggregate —
+    ``count_distinct`` is the exact form (two-phase partial-distinct
+    shuffle on the gram key, well spread: gram cardinality ~corpus
+    tokens); ``exact=False`` switches to ``approx_count_distinct``
+    (HLL partials, map-side combinable — the 100 TB form, ratio error
+    ~2%). Output: (group, n, total_ngrams, distinct_ngrams,
+    distinct_ratio).
+    """
+    if max_n < 1:
+        raise ValueError("max_n must be >= 1")
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    staged = df.select(F.col(group_col).alias("__grp"), _ws_tokens(t).alias("__tk"))
+    toks = F.col("__tk")
+    empty = F.array().cast("array<struct<n:int,g:string>>")
+
+    def gram_structs(n: int) -> Column:
+        if n == 1:
+            return F.transform(
+                toks, lambda w: F.struct(F.lit(1).alias("n"), w.alias("g"))
+            )
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(
+                        " ", *[F.element_at(toks, i + j) for j in range(n)]
+                    ).alias("g"),
+                ),
+            ),
+        ).otherwise(empty)
+
+    grams = F.concat(*[gram_structs(n) for n in range(1, max_n + 1)])
+    # spread before the ~max_n×tokens-fold explode (no-op at scale)
+    exploded = spread_small(staged).select(
+        "__grp", F.explode(grams).alias("x")
+    )
+    distinct_agg = (
+        F.count_distinct(F.col("x.g"))
+        if exact
+        else F.approx_count_distinct(F.col("x.g"))
+    )
+    return (
+        exploded.groupBy(
+            F.col("__grp").alias(group_col), F.col("x.n").alias("n")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
+            distinct_agg.cast("bigint").alias("distinct_ngrams"),
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.round(F.col("distinct_ngrams") / F.col("total_ngrams"), 6),
+        )
+    )
+
+
 def source_lang_pivot(
     df: DataFrame,
     row_col: str = "source",
@@ -1004,9 +1080,17 @@ def bigram_logprob(
     ex = staged.select(F.col(id_col), F.explode(grams).alias("g")).select(
         id_col, F.col("g.w1").alias("w1"), F.col("g.bg").alias("bg")
     )
-    bg_counts = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
-    w1_counts = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("cw1"))
-    vocab = bg_counts.agg(F.count(F.lit(1)).alias("vocab"))
+    # ONE corpus count pass: the pinned (w1, bg) type table (bg
+    # determines w1, so the key set is identical to groupBy(bg));
+    # context counts and the vocabulary size derive from it without
+    # re-paying the corpus explode (5 scans -> 3, one fewer corpus
+    # aggregation shuffle)
+    types = pin_lazy(
+        ex.groupBy("w1", "bg").agg(F.count(F.lit(1)).alias("cbg"))
+    )
+    bg_counts = types.select("bg", "cbg")
+    w1_counts = types.groupBy("w1").agg(F.sum("cbg").alias("cw1"))
+    vocab = types.agg(F.count(F.lit(1)).alias("vocab"))
     neg_lp = F.round(
         -F.log((F.col("cbg") + 1.0) / (F.col("cw1") + F.col("vocab"))), ROUND_N
     )
@@ -1015,6 +1099,86 @@ def bigram_logprob(
         .join(w1_counts, on="w1")
         .join(F.broadcast(vocab))
         .select(F.col(id_col), neg_lp.cast("decimal(38,6)").alias("nlp"))
+    )
+    avg = F.sum("nlp").cast("double") / F.count(F.lit(1))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (F.floor(avg * 1e6 + F.lit(0.5)) / 1e6).alias("avg_neg_logprob"),
+    )
+    base = staged.select(F.col(id_col))
+    return base.join(per_doc, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        "avg_neg_logprob",
+    )
+
+
+def kneser_ney_logprob(
+    df: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-self INTERPOLATED KNESER–NEY bigram score — the standard
+    smoothing for count-based LMs (Kneser & Ney 1995; Chen & Goodman
+    1998 found interpolated KN the consistent winner over add-one /
+    Good–Turing). Beyond ``bigram_logprob``'s add-one form, KN (a)
+    subtracts a fixed discount d from every observed bigram count and
+    (b) backs off to the CONTINUATION probability — how many distinct
+    contexts a word follows — rather than raw unigram frequency, so
+    boilerplate tokens that are frequent but context-bound ("Francisco"
+    after "San") stop inflating scores:
+
+        P(w|v) = (c(vw) − d)/c(v) + (d·N1+(v,·)/c(v)) · N1+(·,w)/N1+(·,·)
+
+    Self-scoring means every scored bigram is in the model, so
+    c(vw) ≥ 1 > d and the max(·,0) clamp is never active.
+
+    Shape: ONE bigram explode feeds the type table (groupBy (w1,w2));
+    c(v) and N1+(v,·) come from ONE groupBy(w1) over the TYPE table
+    (sum + count — no second corpus pass), N1+(·,w) from groupBy(w2),
+    N1+(·,·) from a broadcast 1-row aggregate; the instance join-back
+    is vocabulary-keyed (AQE broadcasts when small). Per-position
+    −ln P rounds@6 → DECIMAL(38,6) sum, mean half-up snapped — the
+    unigram/bigram_logprob float discipline, so the whole model sits
+    in the hash-checked oracle channel. Docs with <2 tokens keep a
+    row with NULL score.
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    staged = df.select(
+        F.col(id_col), _ws_tokens(F.lower(F.col(text_col))).alias("__tk")
+    )
+    grams = F.when(
+        F.size("__tk") >= 2,
+        F.zip_with(
+            F.slice("__tk", 1, F.size("__tk") - 1),
+            F.slice("__tk", 2, F.size("__tk") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    ex = staged.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    # pin the vocabulary-sized type table: fwd/bwd/ntypes all derive
+    # from it, and without the pin each consumer re-pays the corpus
+    # explode (6 scans -> 3 in the physical plan)
+    types = pin_lazy(ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg")))
+    fwd = types.groupBy("w1").agg(
+        F.sum("cbg").alias("cw1"), F.count(F.lit(1)).alias("n1fwd")
+    )
+    bwd = types.groupBy("w2").agg(F.count(F.lit(1)).alias("n1bwd"))
+    ntypes = types.agg(F.count(F.lit(1)).alias("ntypes"))
+    d = float(discount)
+    p = (F.col("cbg") - d) / F.col("cw1") + (d * F.col("n1fwd") / F.col("cw1")) * (
+        F.col("n1bwd") / F.col("ntypes")
+    )
+    scored = (
+        ex.join(types, on=["w1", "w2"])
+        .join(fwd, on="w1")
+        .join(bwd, on="w2")
+        .join(F.broadcast(ntypes))
+        .select(F.col(id_col), F.round(-F.log(p), 6).cast("decimal(38,6)").alias("nlp"))
     )
     avg = F.sum("nlp").cast("double") / F.count(F.lit(1))
     per_doc = scored.groupBy(id_col).agg(

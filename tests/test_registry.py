@@ -69,10 +69,16 @@ def test_oracle_keys_are_registered_queries():
     assert rows_only == sorted(
         [
             "ann_cosine_topk_lsh",
+            # reduce-then-search over the rows-only PCA fit; recall@5 +
+            # MRR vs the full-dim exact top-k stat-gated per round
+            "ann_cosine_topk_pca",
             "bpe_merges",
             "bpe_token_count",
             "dp_noise",
             "hll_user_rollup",
+            # eigendecomposition has no SQL twin; pinned by the
+            # numpy-twin + repartition-invariance tests
+            "pca_project",
             "kmeans_embeddings",
             "model_utility",
             "quality_classifier",

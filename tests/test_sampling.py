@@ -291,3 +291,75 @@ def test_stratified_split_exact_quotas(spark):
 
     with pytest.raises(ValueError):
         stratified_split(df, "label", train_pct=0)
+
+
+def test_bootstrap_mean_ci_vs_sequential_twin(spark):
+    """Exact equality vs a pure-Python Poisson-bootstrap twin (same
+    md5 coin, same thresholds, same rounding discipline)."""
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    from safedata_pipeline_spark.operators.sampling import (
+        bootstrap_mean_ci,
+        poisson1_cum_thresholds,
+    )
+
+    rows = [(i, float(10 + (i * 37) % 100) / 7.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, x double")
+    B = 32
+    got = bootstrap_mean_ci(df, "x", replicates=B).collect()[0]
+    assert got.n_rows == 200 and got.n_replicates == B
+
+    cum = poisson1_cum_thresholds()
+
+    def coin(i, b):
+        h = hashlib.md5(f"boot|{i}|{b}".encode()).hexdigest()
+        return (int(h[:8], 16) + 1.0) / 4294967296.0
+
+    def weight(u):
+        for k, t in enumerate(cum):
+            if u < t:
+                return k
+        return len(cum)
+
+    means = []
+    for b in range(B):
+        s, n = Decimal(0), 0
+        for i, x in rows:
+            w = weight(coin(i, b))
+            if w > 0:
+                s += Decimal(str(round(w * x, 9)))
+                n += w
+        means.append(math.floor(float(s) / n * 1e6 + 0.5) / 1e6)
+    ptot = sum(Decimal(str(round(x, 9))) for _, x in rows)
+    pmean = math.floor(float(ptot) / 200 * 1e6 + 0.5) / 1e6
+    assert got.mean == pmean
+    ms = sorted(means)
+
+    def q(p):
+        pos = p * (B - 1)
+        lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+        return ms[lo] if lo == hi else (hi - pos) * ms[lo] + (pos - lo) * ms[hi]
+
+    assert abs(got.ci_lo - round(q(0.025), 6)) <= 1e-6
+    assert abs(got.ci_hi - round(q(0.975), 6)) <= 1e-6
+    # a sane interval brackets the point estimate
+    assert got.ci_lo <= got.mean <= got.ci_hi
+    # deterministic at any parallelism
+    again = bootstrap_mean_ci(df.repartition(7), "x", replicates=B).collect()[0]
+    assert (again.mean, again.ci_lo, again.ci_hi) == (got.mean, got.ci_lo, got.ci_hi)
+
+
+def test_bootstrap_ci_width_shrinks_with_n(spark):
+    from safedata_pipeline_spark.operators.sampling import bootstrap_mean_ci
+
+    small = spark.createDataFrame(
+        [(i, float((i * 13) % 50)) for i in range(50)], "doc_id bigint, x double"
+    )
+    big = spark.createDataFrame(
+        [(i, float((i * 13) % 50)) for i in range(5000)], "doc_id bigint, x double"
+    )
+    ws = bootstrap_mean_ci(small, "x", replicates=32).collect()[0]
+    wb = bootstrap_mean_ci(big, "x", replicates=32).collect()[0]
+    assert (wb.ci_hi - wb.ci_lo) < (ws.ci_hi - ws.ci_lo)

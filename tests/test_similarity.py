@@ -504,3 +504,71 @@ def test_bm25_max_df_drops_hot_terms_only(spark):
         for r in S.bm25_topk(df.where("doc_id = 0"), df, k=4, max_df=100).collect()
     }
     assert uncapped == full
+
+
+def test_embedding_gram_vs_numpy_twin(spark):
+    """Gram matrix exact vs the sequential numpy twin (same rounding
+    discipline: per-product round@9, exact sum, output round@6)."""
+    import numpy as np
+    from decimal import Decimal
+
+    rng = [
+        [0.5, -1.25, 2.0, 0.125],
+        [1.0, 0.75, -0.5, 3.5],
+        [-2.0, 0.25, 1.5, -0.125],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id bigint, embedding array<float>"
+    )
+    got = {(r.i, r.j): r for r in S.embedding_gram(df).collect()}
+    d = 4
+    assert len(got) == d * (d + 1) // 2
+    X = np.array(rng, dtype=np.float32).astype(np.float64)
+    for i in range(d):
+        for j in range(i, d):
+            s = sum(Decimal(str(round(float(X[r, i] * X[r, j]), 9))) for r in range(3))
+            assert abs(got[(i, j)].gram - float(round(s, 6))) <= 1e-6, (i, j)
+            assert got[(i, j)].n_vectors == 3
+    # partitioning invariance: DECIMAL sums are order-free
+    got7 = {(r.i, r.j): r.gram for r in S.embedding_gram(df.repartition(7)).collect()}
+    assert got7 == {k: v.gram for k, v in got.items()}
+
+
+def test_pca_fit_project_properties(spark):
+    """Orthonormal components, descending eigenvalues, deterministic
+    sign, repartition-invariant fit, projection matches numpy."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: variance concentrated on a known direction
+    base = rng.randn(200, 1) * 5.0
+    noise = rng.randn(200, 4) * 0.3
+    X = np.hstack([base + noise[:, :1], base * 0.5 + noise[:, 1:2], noise[:, 2:]])
+    X = np.round(X, 3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id bigint, embedding array<float>",
+    )
+    m = S.pca_fit(df, n_components=3)
+    C = np.array(m["components"])
+    assert np.allclose(C @ C.T, np.eye(3), atol=1e-6)
+    eigs = m["eigenvalues"]
+    assert eigs == sorted(eigs, reverse=True) and eigs[0] > 1.0
+    # sign convention: the largest-|coeff| entry of each component is positive
+    for c in C:
+        assert c[int(np.argmax(np.abs(c)))] > 0
+    # fit is partitioning-invariant (gram/mean ride DECIMAL sums)
+    m7 = S.pca_fit(df.repartition(7), n_components=3)
+    assert m7["components"] == m["components"]
+    assert m7["eigenvalues"] == m["eigenvalues"]
+    # projection matches numpy (x - mu) @ V^T
+    proj = {r.vec_id: (r.pc_0, r.pc_1, r.pc_2) for r in S.pca_project(df, m).collect()}
+    Xf = np.array([[float(np.float32(x)) for x in row] for row in X])
+    ref = (Xf - np.array(m["mean"])) @ C.T
+    for i in range(len(X)):
+        for q in range(3):
+            assert abs(proj[i][q] - ref[i, q]) <= 1e-6, (i, q)
+    # the first component carries most of the variance
+    p0 = np.array([proj[i][0] for i in range(len(X))])
+    p2 = np.array([proj[i][2] for i in range(len(X))])
+    assert p0.var() > 10 * p2.var()

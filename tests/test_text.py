@@ -575,3 +575,89 @@ def test_zipf_profile_top_ranks_cap_and_ties(spark):
     assert row.n_types == 4 and row.n_tokens == 6
     # equal freqs at both kept ranks -> flat fit, slope 0
     assert row.zipf_slope == 0.0
+
+
+def test_ngram_diversity_exact_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a", "A"),
+            (2, "a b c d", "B"),
+            (3, "x y", "B"),
+            (4, "", "B"),
+            (5, None, "B"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    got = {(r.source, r.n): r for r in T.ngram_diversity(df).collect()}
+    # source A: "a a a a" -> 4/1 unigrams, 3/1 bigrams, 2/1 trigrams
+    assert got[("A", 1)].total_ngrams == 4 and got[("A", 1)].distinct_ngrams == 1
+    assert got[("A", 2)].total_ngrams == 3 and got[("A", 2)].distinct_ngrams == 1
+    assert got[("A", 3)].total_ngrams == 2 and got[("A", 3)].distinct_ngrams == 1
+    assert got[("A", 2)].distinct_ratio == round(1 / 3, 6)
+    # source B: "a b c d" + "x y" (too short for trigrams)
+    assert got[("B", 1)].total_ngrams == 6 and got[("B", 1)].distinct_ngrams == 6
+    assert got[("B", 2)].total_ngrams == 4 and got[("B", 2)].distinct_ngrams == 4
+    assert got[("B", 3)].total_ngrams == 2 and got[("B", 3)].distinct_ngrams == 2
+    assert got[("B", 1)].distinct_ratio == 1.0
+    # no rows beyond the two sources x n grid with data
+    assert len(got) == 6
+    # the approx switch lands near exact on a bigger corpus
+    big = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 50}" for j in range(20)), "S") for i in range(200)],
+        "doc_id bigint, text string, source string",
+    )
+    ex = {r.n: r.distinct_ngrams for r in T.ngram_diversity(big).collect()}
+    ap = {r.n: r.distinct_ngrams for r in T.ngram_diversity(big, exact=False).collect()}
+    for n in (1, 2, 3):
+        assert abs(ap[n] - ex[n]) <= max(5, 0.05 * ex[n]), n
+
+
+def test_kneser_ney_vs_sequential_twin(spark):
+    """Exact-equality (to the 1e-6 snap) vs a pure-Python KN twin."""
+    import math
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    rows = [
+        (1, "the cat sat on the mat the cat ran"),
+        (2, "the dog sat on the rug"),
+        (3, "a completely different sentence here"),
+        (4, "the cat sat"),
+        (5, ""),
+        (6, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in T.kneser_ney_logprob(df).collect()}
+
+    docs = {i: t.strip().lower().split() if t and t.strip() else [] for i, t in rows}
+    inst = {i: list(zip(tk, tk[1:])) for i, tk in docs.items()}
+    all_bg = [b for bs in inst.values() for b in bs]
+    cbg = Counter(all_bg)
+    cw1 = Counter(b[0] for b in all_bg)
+    fwd, bwd = defaultdict(set), defaultdict(set)
+    for w1, w2 in cbg:
+        fwd[w1].add(w2)
+        bwd[w2].add(w1)
+    ntypes = len(cbg)
+    d = 0.75
+    for i, bs in inst.items():
+        if not bs:
+            assert got[i].n_bigrams == 0 and got[i].avg_neg_logprob is None
+            continue
+        s = Decimal(0)
+        for b in bs:
+            p = (cbg[b] - d) / cw1[b[0]] + (d * len(fwd[b[0]]) / cw1[b[0]]) * (
+                len(bwd[b[1]]) / ntypes
+            )
+            s += Decimal(str(round(-math.log(p), 6)))
+        avg = math.floor(float(s) / len(bs) * 1e6 + 0.5) / 1e6
+        assert got[i].n_bigrams == len(bs)
+        assert abs(got[i].avg_neg_logprob - avg) <= 2e-6, i
+
+
+def test_kneser_ney_repetition_scores_lower_surprise(spark):
+    rows = [(i, "a b c a b c a b c") for i in range(10)]
+    rows.append((99, "c a b a c b b c a"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.avg_neg_logprob for r in T.kneser_ney_logprob(df).collect()}
+    assert got[0] < got[99]

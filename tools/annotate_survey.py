@@ -128,6 +128,9 @@ def _rewrite_counts(text: str, qs, osql, xblock) -> str:
         text,
     )
     text = re.sub(r"[Tt]he \d+ rows-only entries", f"the {ro} rows-only entries", text)
+    text = re.sub(
+        r"\d+ randomized/approximate ones", f"{ro} randomized/approximate ones", text
+    )
     text = re.sub(r"X1–X\d+", f"X1–X{xmax}", text)
     return text
 

@@ -46,6 +46,12 @@ GATES: dict[str, tuple[str, float]] = {
     # there); the r10 >=0.95 target is enforced at the ARTIFACT scale
     # via ARTIFACT_GATES below
     "ivf_mrr": ("min", 0.70),
+    # PCA-16 reduce-then-search with a 10%-of-corpus exact re-rank
+    # (X223 consumer): measured 0.70/0.80 at sf0.01 on the isotropic
+    # fixture — the honest floor for a 4x-cheaper stage-1 scan; floors
+    # sit below measurement by the same margin as the lsh/ivf gates
+    "pca_recall_at_5": ("min", 0.50),
+    "pca_mrr": ("min", 0.60),
     "hll_mean_rel_err": ("max", 0.15),         # measured 0.0 at fixture scale
     "kmeans_normalized_inertia": ("max", 0.999),  # must beat the k=1 baseline
     "bpe_compression_ratio": ("max", 0.95),    # 10 merges must compress ≥5%
@@ -133,6 +139,15 @@ DECADE2_QUERIES = [
     # the 64-bit twin is the dial the audio family actually runs at
     # corpus scale (X214 — 32 bits saturate near 10^4-5 clips)
     "audio_fingerprint_pairs64",
+    # r12-new corpus-side ops: the tiled documents fixture multiplies
+    # the gram/bigram-type vocabularies ~10x (disjoint per-tile token
+    # maps), so a posting-list or distinct-shuffle blowup would show;
+    # embedding_gram's (i,j) key set is FIXED at d(d+1)/2 — its gate
+    # catches any accidental corpus-sized shuffle appearing in the
+    # pair-explode pipeline
+    "ngram_diversity",
+    "kn_logprob",
+    "embedding_gram",
 ]
 DECADE2_GATES: dict[str, tuple[str, float]] = {
     f"slope10_{q}": ("max", 4.0) for q in DECADE2_QUERIES
@@ -246,7 +261,14 @@ def compute(spark, sf_dir: str) -> dict[str, float]:
 
     exact_r = ranked(qs["ann_cosine_topk"](spark, sf_dir))
     exact = {(q, n) for q, ns in exact_r.items() for n in ns}
-    for name, key in (("ann_cosine_topk_lsh", "lsh"), ("ann_cosine_topk_ivf", "ivf")):
+    for name, key in (
+        ("ann_cosine_topk_lsh", "lsh"),
+        ("ann_cosine_topk_ivf", "ivf"),
+        # reduce-then-search: PCA-16 exact cosine vs full-dim exact —
+        # gates the centering+truncation recall cost of the reduced
+        # space (X223's ANN consumer)
+        ("ann_cosine_topk_pca", "pca"),
+    ):
         approx_r = ranked(qs[name](spark, sf_dir))
         approx = {(q, n) for q, ns in approx_r.items() for n in ns}
         out[f"{key}_recall_at_5"] = round(len(approx & exact) / max(len(exact), 1), 6)
