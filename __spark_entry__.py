@@ -1249,6 +1249,24 @@ def _q_kn_logprob(spark, sf):
     return TX.kneser_ney_logprob(load_table(spark, sf, "documents"))
 
 
+def _q_snm_pairs(spark, sf):
+    # sorted-neighborhood blocking on the sequential-ID name domain —
+    # the adversarial case for gram blocking is the NATURAL case for
+    # positional blocking; the oracle replays rank + window + verify,
+    # so the hash match certifies window-pair completeness
+    cust = load_table(spark, sf, "customer")
+    return FZ.sorted_neighborhood_pairs(
+        cust, "c_name", "c_custkey", window=8, max_dist=1
+    )
+
+
+def _q_embedding_drift(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.embedding_gram_drift(
+        emb.where(F.col("vec_id") % 2 == 0), emb.where(F.col("vec_id") % 2 == 1)
+    )
+
+
 def _q_bootstrap_ci(spark, sf):
     return SMP.bootstrap_mean_ci(
         load_table(spark, sf, "documents"), "n_chars", replicates=64
@@ -3205,7 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query has >= 1 driver-green row, so the window is policy:
     # anchors + new + touched + stalest-green refresh):
     # (1) the 15 standing anchors;
-    # (2) the TWELVE r12-new oracle-backed queries: audio_fingerprint64
+    # (2) the FOURTEEN r12-new oracle-backed queries: audio_fingerprint64
     #     + audio_fingerprint_pairs64 (X214, the two-word corpus-size
     #     dial of the audio fingerprint), bm25_rerank_cosine (X215,
     #     retrieve-then-re-rank), nation_profit / important_parts /
@@ -3217,7 +3235,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     sufficient statistic; its pca_project / ann_cosine_topk_pca
     #     consumers are rows-only and sit out of window), bootstrap_ci
     #     (X224, one-pass Poisson bootstrap — the md5 inverse-CDF coin
-    #     puts the whole resampling stack in the hash channel);
+    #     puts the whole resampling stack in the hash channel),
+    #     embedding_drift (X225, cohort second-moment drift from the
+    #     X223 sufficient statistics), snm_pairs (X227,
+    #     sorted-neighborhood blocking — the positional third blocking
+    #     family, window-pair completeness oracle-certified);
     # (3) re-verification slots for every oracle query round 12
     #     touched: the toks() NULL-coalesce (ADVICE r11) re-verifies
     #     bm25_search, hybrid_search_trio, hybrid_search; the
@@ -3230,15 +3252,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     forms re-verifies substring_dedup_chars (substring_dedup
     #     holds a refresh slot below); and the pinned-type-table
     #     rewrite (one corpus count pass) re-verifies bigram_logprob;
-    # (4) 14 refresh slots for the STALEST driver greens, oldest
+    # (4) 12 refresh slots for the STALEST driver greens, oldest
     #     first: the r2 vintage (chi2_drift, simhash,
     #     minhash_signatures, dedup_components_star), the r4 vintage
     #     (quality_rules, jsd_drift, winsorize, user_value_trend,
     #     orders_join_audit, returned_revenue — the whole r11 "next in
     #     line"), and the head of the r5 vintage (substring_dedup,
-    #     dedup_incremental, mutual_information,
-    #     enforce_k_anonymity); the displaced r5 rows
-    #     (iqr_outliers, completeness_timeline, incremental_percentiles,
+    #     dedup_incremental); the displaced r5 rows
+    #     (mutual_information, enforce_k_anonymity, iqr_outliers,
+    #     completeness_timeline, incremental_percentiles,
     #     vocab_top, oov_rate, cohort_retention, user_growth) and the r5 tail
     #     (trending_hourly, hourly_value_bands, drift_timeline_psi,
     #     rolling_user_stats, ...) head the r13 refresh line.
@@ -3276,6 +3298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_logprob": _q_kn_logprob,
         "embedding_gram": _q_embedding_gram,
         "bootstrap_ci": _q_bootstrap_ci,
+        "embedding_drift": _q_embedding_drift,
+        "snm_pairs": _q_snm_pairs,
         # -- (3) touched-operator re-verification ---------------------------
         "substring_dedup_chars": _q_substring_dedup_chars,
         "bigram_logprob": _q_bigram_logprob,
@@ -3299,10 +3323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_revenue": _q_returned_revenue,
         "substring_dedup": _q_substring_dedup,
         "dedup_incremental": _q_dedup_incremental,
-        "mutual_information": _q_mutual_information,
-        "enforce_k_anonymity": _q_enforce_k_anonymity,
         # -- out of window: local full-sweep hash check every round ---------
         # (displaced refresh slots head the r13 refresh line)
+        "mutual_information": _q_mutual_information,
+        "enforce_k_anonymity": _q_enforce_k_anonymity,
         "iqr_outliers": _q_iqr_outliers,
         "completeness_timeline": _q_completeness_timeline,
         "incremental_percentiles": _q_incremental_percentiles,
@@ -6849,6 +6873,40 @@ def _sql_bootstrap_ci(replicates: int = 64, alpha: float = 0.05) -> str:
     )
 
 
+def _sql_snm_pairs(window: int = 8, max_dist: int = 1) -> str:
+    return (
+        "WITH r AS (SELECT c_name, c_custkey, "
+        "row_number() OVER (ORDER BY c_name, c_custkey) AS rn "
+        "FROM customer WHERE c_name IS NOT NULL) "
+        "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+        "CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist "
+        f"FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {window - 1} "
+        f"WHERE levenshtein(a.c_name, b.c_name) <= {max_dist}"
+    )
+
+
+def _sql_embedding_drift() -> str:
+    def gram(pred: str) -> str:
+        return (
+            f"(WITH e AS (SELECT embedding AS v FROM embeddings "
+            f"WHERE embedding IS NOT NULL AND len(embedding) > 0 AND {pred}), "
+            "p AS (SELECT unnest(flatten(list_transform(range(1, len(v) + 1), i -> "
+            "list_transform(range(i, len(v) + 1), j -> "
+            "{'i': i, 'j': j, 'p': round(CAST(v[i] AS DOUBLE) * CAST(v[j] AS DOUBLE), 9)})))) AS s FROM e) "
+            "SELECT CAST(s.i - 1 AS INT) AS i, CAST(s.j - 1 AS INT) AS j, "
+            "floor(round(CAST(sum(CAST(s.p AS DECIMAL(38,9))) AS DOUBLE), 6) / count(*) "
+            "* 1000000.0 + 0.5) / 1000000.0 AS m FROM p GROUP BY 1, 2)"
+        )
+
+    return (
+        f"WITH a AS {gram('vec_id % 2 = 0')}, b AS {gram('vec_id % 2 = 1')} "
+        "SELECT coalesce(a.i, b.i) AS i, coalesce(a.j, b.j) AS j, "
+        "a.m AS moment_a, b.m AS moment_b, "
+        "round(coalesce(a.m, 0) - coalesce(b.m, 0), 6) AS delta "
+        "FROM a FULL OUTER JOIN b ON a.i = b.i AND a.j = b.j"
+    )
+
+
 def _sql_embedding_gram() -> str:
     return (
         "WITH e AS (SELECT embedding AS v FROM embeddings "
@@ -7039,6 +7097,8 @@ def oracle_sql() -> dict[str, str]:
         "kn_logprob": _sql_kn_logprob(),
         "embedding_gram": _sql_embedding_gram(),
         "bootstrap_ci": _sql_bootstrap_ci(),
+        "embedding_drift": _sql_embedding_drift(),
+        "snm_pairs": _sql_snm_pairs(),
         "supplier_part_counts": _sql_supplier_part_counts(),
         "excess_shipments": _sql_excess_shipments(),
         "hybrid_search_trio": _sql_hybrid_search_trio(),

@@ -482,16 +482,42 @@ def bootstrap_mean_ci(
 
     Output: ONE row — (n_rows, n_replicates, mean, ci_lo, ci_hi).
 
-    Shape: in-row weight array (B structs) → explode keeping only
-    w > 0 (~63% of row-replicate pairs) → ONE groupBy(b) over ≤ B keys
-    with map-side combine → a ≤ B-row finish. The corpus is scanned
-    twice (replicate pass + point-estimate pass); nothing else scales
-    with n.
+    Shape: in-row weight array (B structs plus the b = −1 identity
+    sentinel that carries the point estimate) → explode keeping only
+    w > 0 (~63% of row-replicate pairs) → ONE groupBy over ≤ B+1 keys
+    with map-side combine → a ≤ B+1-row finish. ONE corpus scan total
+    (``bootstrap_replicate_state`` + ``bootstrap_finish``); the state
+    is a sum monoid, so partials merge across batches and the
+    streaming twin (``streaming.bootstrap``) is a built-in aggregation.
     """
     if replicates < 2:
         raise ValueError("replicates must be >= 2")
     if not 0.0 < alpha < 1.0:
         raise ValueError("alpha must be in (0, 1)")
+    state = bootstrap_replicate_state(df, value_col, id_col, replicates, seed_tag)
+    return bootstrap_finish(state, alpha)
+
+
+def bootstrap_replicate_state(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    replicates: int = 64,
+    seed_tag: str = "boot",
+    spread: bool = True,
+) -> DataFrame:
+    """The bootstrap's MERGEABLE sufficient-statistics table:
+    (b, s = Σ round(w·x, 9) as DECIMAL, wsum = Σ w) for replicate
+    b = 0..B−1, plus the SENTINEL row b = −1 with w ≡ 1 carrying the
+    point estimate — so one corpus pass yields point AND replicates,
+    and the state is a pure sum monoid: batch partials, incremental
+    batches, and streaming micro-batches all merge bit-for-bit
+    (DECIMAL sums are order-free). This is also what makes the
+    STREAMING twin (``streaming.bootstrap``) a built-in aggregation
+    in complete mode with ≤ B+1 state rows forever.
+
+    ``spread=False`` for streaming inputs (no plan probe on streams).
+    """
     cum = poisson1_cum_thresholds()
     base = df.where(F.col(value_col).isNotNull()).select(
         F.col(id_col).cast("string").alias("__id"),
@@ -505,41 +531,49 @@ def bootstrap_mean_ci(
         return w
 
     bs = F.sequence(F.lit(0), F.lit(replicates - 1))
-    pairs = F.transform(
-        bs,
-        lambda b: F.struct(
-            b.alias("b"),
-            weight(
-                md5_unit_interval(
-                    F.concat(
-                        F.lit(f"{seed_tag}|"), F.col("__id"), F.lit("|"), b.cast("string")
+    pairs = F.concat(
+        F.array(F.struct(F.lit(-1).alias("b"), F.lit(1).alias("w"))),
+        F.transform(
+            bs,
+            lambda b: F.struct(
+                b.alias("b"),
+                weight(
+                    md5_unit_interval(
+                        F.concat(
+                            F.lit(f"{seed_tag}|"),
+                            F.col("__id"),
+                            F.lit("|"),
+                            b.cast("string"),
+                        )
                     )
-                )
-            ).alias("w"),
+                ).alias("w"),
+            ),
         ),
     )
-    from safedata_pipeline_spark.partitioning import spread_small
+    if spread:
+        from safedata_pipeline_spark.partitioning import spread_small
 
-    ex = (
-        spread_small(base)
-        .select("__x", F.explode(pairs).alias("p"))
-        .where(F.col("p.w") > 0)
+        base = spread_small(base)
+    ex = base.select("__x", F.explode(pairs).alias("p")).where(F.col("p.w") > 0)
+    return ex.groupBy(F.col("p.b").alias("b")).agg(
+        F.sum(
+            F.round(F.col("p.w") * F.col("__x"), 9).cast("decimal(38,9)")
+        ).alias("s"),
+        F.sum("p.w").cast("bigint").alias("wsum"),
     )
+
+
+def bootstrap_finish(state: DataFrame, alpha: float = 0.05) -> DataFrame:
+    """Finish over the ≤ B+1-row state table: replicate means take the
+    half-up 1e-6 snap, the CI is the exact interpolated percentile of
+    the snapped means, the b = −1 sentinel row is the point estimate."""
     snap = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
-    rep = ex.groupBy(F.col("p.b").alias("b")).agg(
-        snap(
-            F.sum(
-                F.round(F.col("p.w") * F.col("__x"), 9).cast("decimal(38,9)")
-            ).cast("double")
-            / F.sum("p.w")
-        ).alias("m")
+    rep = state.where(F.col("b") >= 0).select(
+        snap(F.col("s").cast("double") / F.col("wsum")).alias("m")
     )
-    point = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        snap(
-            F.sum(F.round(F.col("__x"), 9).cast("decimal(38,9)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean"),
+    point = state.where(F.col("b") == -1).select(
+        F.col("wsum").cast("bigint").alias("n_rows"),
+        snap(F.col("s").cast("double") / F.col("wsum")).alias("mean"),
     )
     pct = F.percentile(F.col("m"), F.array(F.lit(alpha / 2), F.lit(1 - alpha / 2)))
     ci = rep.agg(

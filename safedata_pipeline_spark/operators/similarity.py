@@ -663,6 +663,47 @@ def embedding_gram(
     )
 
 
+def embedding_gram_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-DISTRIBUTION drift between two cohorts (crawl
+    snapshots, model versions, before/after a pipeline change) via
+    their normalized second-moment matrices — the representation-drift
+    monitor: per-dimension-pair E[xᵢxⱼ] deltas localize WHICH
+    directions moved, something scalar screens (mean cosine, centroid
+    shift) can't, and unlike per-vector tests it needs only each
+    cohort's d(d+1)/2 sufficient statistics (``embedding_gram``), so
+    comparing two 100 TB cohorts costs one scan each.
+
+    Normalization: each cell divides by its cohort's n (second
+    MOMENTS, not sums) so unequal cohort sizes compare; quotients take
+    the half-up 1e-6 snap (the centroid discipline), delta is the
+    exact difference of two snapped doubles — fully hash-checkable.
+
+    Output: (i, j, moment_a, moment_b, delta) for 0-based i ≤ j.
+    """
+    snap = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    a = embedding_gram(df_a, vec_col).select(
+        "i", "j", snap(F.col("gram") / F.col("n_vectors")).alias("moment_a")
+    )
+    b = embedding_gram(df_b, vec_col).select(
+        "i", "j", snap(F.col("gram") / F.col("n_vectors")).alias("moment_b")
+    )
+    return a.join(b, on=["i", "j"], how="outer").select(
+        "i",
+        "j",
+        "moment_a",
+        "moment_b",
+        F.round(
+            F.coalesce(F.col("moment_a"), F.lit(0.0))
+            - F.coalesce(F.col("moment_b"), F.lit(0.0)),
+            6,
+        ).alias("delta"),
+    )
+
+
 def pca_fit(
     df: DataFrame,
     n_components: int = 8,

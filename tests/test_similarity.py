@@ -572,3 +572,26 @@ def test_pca_fit_project_properties(spark):
     p0 = np.array([proj[i][0] for i in range(len(X))])
     p2 = np.array([proj[i][2] for i in range(len(X))])
     assert p0.var() > 10 * p2.var()
+
+
+def test_embedding_gram_drift_normalizes_cohort_size(spark):
+    """Identical DISTRIBUTIONS at different cohort sizes -> zero
+    drift; a shifted cohort shows nonzero deltas on the moved cells."""
+    base = [[1.0, 0.5], [-0.5, 2.0], [0.25, -1.0]]
+    a = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id bigint, embedding array<float>"
+    )
+    # b = the same three vectors three times -> same moments, 3x rows
+    b = spark.createDataFrame(
+        [(i, base[i % 3]) for i in range(9)], "vec_id bigint, embedding array<float>"
+    )
+    drift = {(r.i, r.j): r for r in S.embedding_gram_drift(a, b).collect()}
+    assert len(drift) == 3
+    assert all(r.delta == 0.0 for r in drift.values())
+    # scale dimension 0 of cohort b -> (0,0) and (0,1) move, (1,1) doesn't
+    b2 = spark.createDataFrame(
+        [(i, [v[0] * 2.0, v[1]]) for i, v in enumerate(base)],
+        "vec_id bigint, embedding array<float>",
+    )
+    d2 = {(r.i, r.j): r.delta for r in S.embedding_gram_drift(a, b2).collect()}
+    assert d2[(0, 0)] != 0.0 and d2[(0, 1)] != 0.0 and d2[(1, 1)] == 0.0

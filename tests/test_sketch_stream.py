@@ -91,3 +91,43 @@ def test_stream_hll_registers_equal_batch(spark, sf_dir, tmp_path):
         for r in hll_md5_estimate(spark.table("t_hll_regs"), ["day_start"]).collect()
     }
     assert est_s == est_b
+
+
+def test_stream_bootstrap_matches_batch(spark, sf_dir, tmp_path):
+    """Draining a bounded stream equals the batch bootstrap state
+    bit-for-bit (DECIMAL sum monoid), and the finished CI row is
+    identical."""
+    from safedata_pipeline_spark.operators.sampling import (
+        bootstrap_finish,
+        bootstrap_replicate_state,
+    )
+    from safedata_pipeline_spark.streaming.bootstrap import stream_bootstrap_state
+    from safedata_pipeline_spark.sources.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    B = 16
+    batch_state = {
+        r.b: (str(r.s), r.wsum)
+        for r in bootstrap_replicate_state(docs, "n_chars", "doc_id", B).collect()
+    }
+    batch_fin = bootstrap_finish(
+        bootstrap_replicate_state(docs, "n_chars", "doc_id", B)
+    ).collect()[0]
+
+    src = str(tmp_path / "docs")
+    docs.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream_bootstrap_state(stream, "n_chars", "doc_id", B)
+        .writeStream.format("memory")
+        .queryName("t_boot")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.b: (str(r.s), r.wsum) for r in spark.table("t_boot").collect()}
+    assert got == batch_state and len(got) == B + 1
+    fin = bootstrap_finish(spark.table("t_boot")).collect()[0]
+    assert fin == batch_fin

@@ -148,6 +148,11 @@ DECADE2_QUERIES = [
     "ngram_diversity",
     "kn_logprob",
     "embedding_gram",
+    # sorted-neighborhood blocking (X227): cost is n·(window−1)
+    # candidates by construction; the tiled customer fixture keeps
+    # cross-tile names ≥2 edits apart so d≤1 pairs scale ~10x with no
+    # cross-tile leakage
+    "snm_pairs",
 ]
 DECADE2_GATES: dict[str, tuple[str, float]] = {
     f"slope10_{q}": ("max", 4.0) for q in DECADE2_QUERIES
