@@ -41,6 +41,18 @@ from pyspark.sql import functions as F
 from safedata_pipeline_spark.partitioning import spread_small_pinned
 
 
+def _shuffle_partitions(spark) -> int:
+    """Shuffle-partition count with a defensive fallback (ADVICE r12):
+    on platforms where ``spark.sql.shuffle.partitions`` holds a
+    non-numeric value (e.g. 'auto' under adaptive serverless runtimes)
+    the int() cast would raise before the job runs — fall back to the
+    cluster default parallelism instead."""
+    try:
+        return max(int(spark.conf.get("spark.sql.shuffle.partitions", "8")), 1)
+    except ValueError:
+        return max(int(spark.sparkContext.defaultParallelism), 1)
+
+
 def _deletion_variants(value, length):
     """k=1 deletion neighborhood of ``value`` as a deduped array: the
     string itself plus every single-character deletion (FastSS /
@@ -354,7 +366,7 @@ def sorted_neighborhood_pairs(
     key, rid = F.col(col), F.col(id_col)
     rows = df.where(key.isNotNull()).select(key.alias("__k"), rid.alias("__id"))
     spark = df.sparkSession
-    npart = max(int(spark.conf.get("spark.sql.shuffle.partitions", "8")), 1)
+    npart = _shuffle_partitions(spark)
     rp = (
         rows.repartitionByRange(npart, F.col("__k"), F.col("__id"))
         .withColumn("__pid", F.spark_partition_id())

@@ -732,6 +732,13 @@ def pca_fit(
     if not gram_rows:
         raise ValueError("no vectors to fit")
     d = max(r["j"] for r in gram_rows) + 1
+    # ADVICE r12: ragged vector lengths produce per-cell counts that
+    # disagree — a quietly wrong mean/covariance. Raise instead.
+    counts = {r["n_vectors"] for r in gram_rows}
+    if len(counts) != 1:
+        raise ValueError(
+            f"ragged embedding lengths: per-cell n_vectors disagree {sorted(counts)}"
+        )
     n = gram_rows[0]["n_vectors"]
     S = np.zeros((d, d))
     for r in gram_rows:

@@ -37,3 +37,31 @@ def test_sorted_neighborhood_pairs_complete_vs_bruteforce(spark):
             ).collect()
         }
         assert got == expect and len(expect) >= 3
+
+
+def test_sorted_neighborhood_pairs_nonnumeric_shuffle_conf():
+    """ADVICE r12: a non-numeric spark.sql.shuffle.partitions value
+    ('auto' under adaptive serverless runtimes) must fall back to the
+    cluster default parallelism instead of raising ValueError.
+    (Vanilla Spark rejects setting the conf to 'auto', so the helper
+    is exercised with a stub session.)"""
+    from safedata_pipeline_spark.operators.fuzzy import _shuffle_partitions
+
+    class _Conf:
+        def __init__(self, v):
+            self.v = v
+
+        def get(self, key, default=None):
+            return self.v
+
+    class _SC:
+        defaultParallelism = 12
+
+    class _Spark:
+        def __init__(self, v):
+            self.conf = _Conf(v)
+            self.sparkContext = _SC()
+
+    assert _shuffle_partitions(_Spark("auto")) == 12
+    assert _shuffle_partitions(_Spark("7")) == 7
+    assert _shuffle_partitions(_Spark("0")) == 1

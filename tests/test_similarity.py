@@ -595,3 +595,16 @@ def test_embedding_gram_drift_normalizes_cohort_size(spark):
     )
     d2 = {(r.i, r.j): r.delta for r in S.embedding_gram_drift(a, b2).collect()}
     assert d2[(0, 0)] != 0.0 and d2[(0, 1)] != 0.0 and d2[(1, 1)] == 0.0
+
+
+def test_pca_fit_raises_on_ragged_embeddings(spark):
+    """ADVICE r12: ragged vector lengths give per-cell n_vectors that
+    disagree — pca_fit must raise, not fit a quietly wrong model."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [4.0, 5.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        S.pca_fit(df, n_components=2)
