@@ -604,34 +604,153 @@ def embedding_centroids(
     )
 
 
+def _gram_partials_kernel(round_dp: int):
+    """Arrow per-partition GEMM-partial kernel for ``embedding_gram``
+    (VERDICT r12 #4 — removes the ×d(d+1)/2 in-row explode): per Arrow
+    batch, ONE outer-product tensor per chunk of rows, per-product
+    snap@``round_dp``, and an EXACT int64 accumulation of the scaled
+    products — so each batch emits ≤ d(d+1)/2 partial rows
+    ``(i, j, psum=Σ round(p,dp)·10^dp, cnt)`` instead of n·d(d+1)/2
+    exploded structs through the hash aggregate.
+
+    Exactness discipline (stricter than the X209 twin's bare
+    np.round): the JVM path computes HALF_UP(shortest-repr(p), dp) per
+    product (Spark's Round on double). The kernel decides each
+    product's rounding from the EXACT scaled value p·10^dp via a
+    Dekker two-product (error-free: hi+lo ≡ p·10^dp, since the
+    106-bit double-double holds the ≤83-bit exact product), and routes
+    the measure-tiny near-boundary band (|frac−½| ≤ 1e-14·|hi|, where
+    binary-vs-shortest-repr latitude lives) through
+    ``Decimal(repr(p))`` HALF_UP — the same decimal-string semantics
+    as the JVM. Bit-equality of the two paths is pinned by test on
+    random and adversarial inputs."""
+    import numpy as np
+
+    scale = float(10**round_dp)
+
+    def _round_scaled(p: np.ndarray) -> np.ndarray:
+        # Dekker/Veltkamp error-free transform of p * scale
+        c = np.float64(134217729.0)  # 2^27 + 1
+        hi = p * scale
+        a1 = c * p
+        ah = a1 - (a1 - p)
+        al = p - ah
+        b1 = c * np.float64(scale)
+        bh = b1 - (b1 - scale)
+        bl = np.float64(scale) - bh
+        lo = ((ah * bh - hi) + ah * bl + al * bh) + al * bl
+        r = np.rint(hi)
+        frac = (hi - r) + lo  # exact residual (|hi-r| Sterbenz-exact)
+        out = r + (frac > 0.5) - (frac < -0.5)
+        # near-boundary band -> decimal-string HALF_UP (JVM semantics).
+        # The binary-exact value and its shortest repr differ by
+        # <= 0.5 ulp(p)·scale ≈ 1.1e-16·|hi|; band at 1e-14·|hi| is
+        # ~100x wider, still vanishingly rare (exact ties included).
+        w = 1e-14 * np.maximum(1.0, np.abs(hi))
+        hard = (np.abs(np.abs(frac) - 0.5) <= w).nonzero()
+        if hard[0].size:
+            import decimal
+
+            q = int(10**round_dp)
+            flat_p = p[hard]
+            fixed = np.empty(hard[0].size)
+            for k, pv in enumerate(flat_p):
+                fixed[k] = float(
+                    (decimal.Decimal(repr(float(pv))) * q).to_integral_value(
+                        rounding=decimal.ROUND_HALF_UP
+                    )
+                )
+            out[hard] = fixed
+        return out
+
+    def kernel(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            arrs = pdf.iloc[:, 0].to_numpy()
+            lens = np.array([len(a) for a in arrs])
+            frames = []
+            for d in np.unique(lens):
+                X = np.vstack([np.asarray(a, dtype=np.float64) for a in arrs[lens == d]])
+                n = X.shape[0]
+                iu = np.triu_indices(int(d))
+                ncell = iu[0].size
+                acc = np.zeros(ncell, dtype=np.int64)
+                for s in range(0, n, 512):
+                    chunk = X[s : s + 512]
+                    prod = chunk[:, :, None] * chunk[:, None, :]
+                    acc += (
+                        _round_scaled(prod[:, iu[0], iu[1]])
+                        .astype(np.int64)
+                        .sum(axis=0)
+                    )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "i": iu[0].astype(np.int32),
+                            "j": iu[1].astype(np.int32),
+                            "psum": acc,
+                            "cnt": np.int64(n),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return kernel
+
+
 def embedding_gram(
     df: DataFrame,
     vec_col: str = "embedding",
     round_dp: int = 9,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Exact corpus second-moment (Gram) matrix over an embedding
     column — the ONE-PASS sufficient statistic behind PCA / whitening
     (``pca_fit``), covariance screens, and embedding-drift monitors:
     S[i,j] = Σ x·xᵀ needs d(d+1)/2 numbers however large the corpus.
 
-    Shape: the (i, j≥i) product pairs are built IN-ROW by a nested
-    higher-order transform (runtime ``sequence`` indices — no d²
-    literal expression tree, which the X209 LSH kernel measured at
-    seconds of plan-analysis cost), then ONE explode feeds ONE
-    aggregate keyed (i, j) — map-side combine reduces every partition
-    to ≤ d(d+1)/2 rows before the shuffle, so the wire cost is
-    partitions × d², independent of corpus size.
+    Engine path (``vectorized=True``, default — the X209 twin
+    discipline, VERDICT r12 #4): an Arrow ``mapInPandas`` kernel
+    computes each batch's d(d+1)/2 partial sums by vectorized outer
+    products with the per-product snap applied from the EXACT scaled
+    value (see ``_gram_partials_kernel``), then ONE aggregate merges
+    ≤ d(d+1)/2 rows per batch — wire cost partitions × d², CPU cost
+    one numpy GEMM-shaped pass, no row blowup. Oracle-replay twin
+    (``vectorized=False``): the (i, j≥i) pairs are built IN-ROW by a
+    nested higher-order transform (runtime ``sequence`` indices — no
+    d² literal expression tree), one explode feeds one aggregate; the
+    SQL oracle replays this form, and the two paths are test-pinned
+    bit-identical.
 
     Cross-engine float discipline: each product is a correctly-rounded
     IEEE double (identical on any engine), snapped@``round_dp`` and
-    summed as DECIMAL(38,9) — partition-order independent, so the
-    matrix is hash-checkable. Output: (i, j, gram, n_vectors) for
-    0-based i ≤ j (upper triangle; mirror for the full matrix).
+    summed exactly (DECIMAL(38,9) / scaled int64) — partition-order
+    independent, so the matrix is hash-checkable. Output:
+    (i, j, gram, n_vectors) for 0-based i ≤ j (upper triangle; mirror
+    for the full matrix).
     """
     v = F.col(vec_col).cast("array<double>")
     base = df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)).select(
         v.alias("__v")
     )
+    from safedata_pipeline_spark.partitioning import spread_small
+
+    if vectorized:
+        partials = spread_small(base).mapInPandas(
+            _gram_partials_kernel(round_dp), "i int, j int, psum long, cnt long"
+        )
+        scale = 10**round_dp
+        return partials.groupBy("i", "j").agg(
+            F.round(
+                (
+                    F.sum(F.col("psum").cast("decimal(38,0)")) / F.lit(scale)
+                ).cast("double"),
+                6,
+            ).alias("gram"),
+            F.sum("cnt").cast("bigint").alias("n_vectors"),
+        )
     vv = F.col("__v")
     pairs = F.flatten(
         F.transform(
@@ -648,8 +767,6 @@ def embedding_gram(
             ),
         )
     )
-    from safedata_pipeline_spark.partitioning import spread_small
-
     # spread before the ~d²/2-fold pair explode (no-op at scale)
     ex = spread_small(base).select(F.explode(pairs).alias("x"))
     return ex.groupBy(
