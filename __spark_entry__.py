@@ -1108,6 +1108,27 @@ def _q_image_pixel_stats(spark, sf):
     return MM.image_pixel_stats(media)
 
 
+def _q_jpeg_pixel_stats(spark, sf):
+    # X228: the JPEG oracle anchor (VERDICT r12 #1 closed — the path
+    # EXECUTES now, Pillow or vendored T.81 baseline codec alike):
+    # fixture text bytes become genuine flat quality-100 grayscale
+    # JPEGs (encode_jpeg_media: value = first byte, dims 16 x
+    # 8*(1 + len mod 3)); image_pixel_stats REALLY decodes them
+    # (Huffman + dequant + IDCT); the SQL oracle predicts the stats
+    # from the SOURCE bytes alone — the hash match proves
+    # decode∘encode is the identity on the flat-block content class.
+    from safedata_pipeline_spark.partitioning import spread_small
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    # spread before the per-row Python codec chain: the fixture scan
+    # is ONE split, and encode+decode is exactly the per-record work
+    # that must parallelize (exact-integer outputs — spread-safe)
+    media = MM.encode_jpeg_media(spread_small(docs), "doc_id", "payload", width=16)
+    return MM.image_pixel_stats(media)
+
+
 def _q_events_hourly(spark, sf):
     return SE.hourly_event_profile(load_table(spark, sf, "events"))
 
@@ -2591,6 +2612,32 @@ def _q_gopher_quality(spark, sf):
     return TX.gopher_quality_filters(_gopher_fixture(spark, sf))
 
 
+# the repeated 10-word phrase planted (twice) on doc_id % 4 == 1 docs
+# so the dup family has live signal — raw fixture text has no natural
+# >= 5-gram repetition (measured all-zero at sf0.01); mirrored
+# verbatim in the oracle SQL
+GNR_PLANT = (
+    " zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10"
+    " zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10"
+)
+
+
+def _q_gopher_ngram_repetition(spark, sf):
+    # X229: the REMAINING Gopher A1.1 repetition family — top-n-gram
+    # character fraction (n = 2..4) and duplicated-n-gram coverage
+    # fraction (n = 5..10) per document; completes the word/line
+    # measures repetition_stats and gopher_quality_filters carry
+    docs = load_table(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 1, F.lit(GNR_PLANT)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return TX.gopher_ngram_repetition(planted)
+
+
 # -- X193: Bloom-filter dedup prefilter (mergeable md5 bitset state) ---------
 
 
@@ -3218,56 +3265,41 @@ def _q_min_cost_supplier(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-12 window rotation (the driver hash-checks the FIRST 50
-    # entries; 11 consecutive all-green rounds, every oracle-backed
+    # Round-13 window rotation (the driver hash-checks the FIRST 50
+    # entries; 12 consecutive all-green rounds, every oracle-backed
     # query has >= 1 driver-green row, so the window is policy:
     # anchors + new + touched + stalest-green refresh):
     # (1) the 15 standing anchors;
-    # (2) the FOURTEEN r12-new oracle-backed queries: audio_fingerprint64
-    #     + audio_fingerprint_pairs64 (X214, the two-word corpus-size
-    #     dial of the audio fingerprint), bm25_rerank_cosine (X215,
-    #     retrieve-then-re-rank), nation_profit / important_parts /
-    #     supplier_part_counts / excess_shipments (X216-X219, TPC-H
-    #     Q9/Q11/Q16/Q20 shapes), min_cost_supplier (X220, TPC-H Q2 —
-    #     completing all 22 TPC-H shapes), ngram_diversity (X221,
-    #     distinct-n synthetic-corpus screen), kn_logprob (X222,
-    #     interpolated Kneser-Ney), embedding_gram (X223, the PCA
-    #     sufficient statistic; its pca_project / ann_cosine_topk_pca
-    #     consumers are rows-only and sit out of window), bootstrap_ci
-    #     (X224, one-pass Poisson bootstrap — the md5 inverse-CDF coin
-    #     puts the whole resampling stack in the hash channel),
-    #     embedding_drift (X225, cohort second-moment drift from the
-    #     X223 sufficient statistics), snm_pairs (X227,
-    #     sorted-neighborhood blocking — the positional third blocking
-    #     family, window-pair completeness oracle-certified);
-    # (3) re-verification slots for every oracle query round 12
-    #     touched: the toks() NULL-coalesce (ADVICE r11) re-verifies
-    #     bm25_search, hybrid_search_trio, hybrid_search; the
-    #     identical-fingerprint collapse (VERDICT r11 #4b) re-verifies
-    #     image_dhash_pairs, audio_fingerprint_pairs; the magic-byte
-    #     decode dispatch re-verifies image_pixel_stats; the
-    #     _percentiles_from_tagged parallel-prefix-sum rewrite
-    #     (VERDICT r11 #1) re-verifies robust_stats (basic_stats is an
-    #     anchor); the marked-interval rewrite of the ExactSubstr
-    #     forms re-verifies substring_dedup_chars (substring_dedup
-    #     holds a refresh slot below); and the pinned-type-table
-    #     rewrite (one corpus count pass) re-verifies bigram_logprob;
-    # (4) 12 refresh slots for the STALEST driver greens, oldest
-    #     first: the r2 vintage (chi2_drift, simhash,
-    #     minhash_signatures, dedup_components_star), the r4 vintage
-    #     (quality_rules, jsd_drift, winsorize, user_value_trend,
-    #     orders_join_audit, returned_revenue — the whole r11 "next in
-    #     line"), and the head of the r5 vintage (substring_dedup,
-    #     dedup_incremental); the displaced r5 rows
-    #     (mutual_information, enforce_k_anonymity, iqr_outliers,
-    #     completeness_timeline, incremental_percentiles,
-    #     vocab_top, oov_rate, cohort_retention, user_growth) and the r5 tail
-    #     (trending_hourly, hourly_value_bands, drift_timeline_psi,
-    #     rolling_user_stats, ...) head the r13 refresh line.
-    # Displaced out: the r11 double-greens and refreshed rows — each
-    # keeps the local full-sweep hash check via tools/check_oracle.py
-    # every round. Out-of-window order is the historical dict order
-    # (stable keys for BENCH_r* comparability).
+    # (2) the TWO r13-new oracle-backed queries: jpeg_pixel_stats
+    #     (X228 — the JPEG oracle anchor, VERDICT r12 #1 closed: the
+    #     vendored T.81 baseline codec makes the JPEG path EXECUTE in
+    #     Pillow-less containers, and the flat quality-100 class is
+    #     predicted by the oracle from SOURCE bytes, so the hash match
+    #     certifies decode∘encode identity), gopher_ngram_repetition
+    #     (X229 — the remaining Gopher A1.1 repetition family:
+    #     top-(2..4)-gram char fraction + duplicated-(5..10)-gram
+    #     coverage fraction, planted dup phrase on doc_id % 4 == 1);
+    # (3) re-verification slots for every oracle query round 13
+    #     touched: the vendored-JPEG decode dispatch in _real_decode
+    #     re-verifies image_pixel_stats and multimodal_features; the
+    #     Arrow GEMM-partial kernel (VERDICT r12 #4 — the x d(d+1)/2
+    #     in-row explode removed from the engine path, explode form
+    #     kept as the oracle-replay twin, bit-equality test-pinned)
+    #     re-verifies embedding_gram and embedding_drift; the
+    #     _shuffle_partitions conf-read fallback (ADVICE r12)
+    #     re-verifies snm_pairs; pca_fit's ragged-input ValueError
+    #     (ADVICE r12) touches only rows-only consumers (pca_project,
+    #     ann_cosine_topk_pca — out of window by role);
+    # (4) 28 refresh slots for the STALEST driver greens — the r5
+    #     vintage head the SURVEY queue named for r13
+    #     (mutual_information ... rolling_anomalies) plus the rest of
+    #     the r5 vintage (l_diversity ... nation_trade); the two r5
+    #     leftovers (priority_late_orders, sole_late_supplier) head
+    #     the r14 refresh line, then the r7 vintage.
+    # Displaced out: the r12-new/touched/refresh rows — each keeps the
+    # local full-sweep hash check via tools/check_oracle.py every
+    # round. Out-of-window order is the historical dict order (stable
+    # keys for BENCH_r* comparability).
     return {
         # -- (1) anchors ---------------------------------------------------
         "basic_stats": _q_basic_stats,
@@ -3285,7 +3317,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "decontaminate": _q_decontaminate,
         "pack_windows": _q_pack_windows,
-        # -- (2) r12-new oracle-backed (in-window on arrival) ---------------
+        # -- (2) r13-new oracle-backed (in-window on arrival) -------------
+        "jpeg_pixel_stats": _q_jpeg_pixel_stats,
+        "gopher_ngram_repetition": _q_gopher_ngram_repetition,
+        # -- (3) touched-operator re-verification -------------------------
+        "image_pixel_stats": _q_image_pixel_stats,
+        "multimodal_features": _q_multimodal_features,
+        "embedding_gram": _q_embedding_gram,
+        "embedding_drift": _q_embedding_drift,
+        "snm_pairs": _q_snm_pairs,
+        # -- (4) stalest-green refresh (the r5 vintage, 28 of 30) ---------
+        "mutual_information": _q_mutual_information,
+        "enforce_k_anonymity": _q_enforce_k_anonymity,
+        "iqr_outliers": _q_iqr_outliers,
+        "completeness_timeline": _q_completeness_timeline,
+        "incremental_percentiles": _q_incremental_percentiles,
+        "vocab_top": _q_vocab_top,
+        "oov_rate": _q_oov_rate,
+        "cohort_retention": _q_cohort_retention,
+        "user_growth": _q_user_growth,
+        "trending_hourly": _q_trending_hourly,
+        "hourly_value_bands": _q_hourly_value_bands,
+        "drift_timeline_psi": _q_drift_timeline_psi,
+        "rolling_user_stats": _q_rolling_user_stats,
+        "rolling_anomalies": _q_rolling_anomalies,
+        "l_diversity": _q_l_diversity,
+        "regional_volume": _q_regional_volume,
+        "column_entropy": _q_column_entropy,
+        "large_orders": _q_large_orders,
+        "weighted_sample": _q_weighted_sample,
+        "cluster_size_histogram": _q_cluster_size_histogram,
+        "quantile_rank": _q_quantile_rank,
+        "group_quantiles": _q_group_quantiles,
+        "rules_by_source": _q_rules_by_source,
+        "orphan_orders": _q_orphan_orders,
+        "chunk_documents": _q_chunk_documents,
+        "fold_assign": _q_fold_assign,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "nation_trade": _q_nation_trade,
+        # -- out of window: local full-sweep hash check every round --------
         "audio_fingerprint64": _q_audio_fingerprint64,
         "audio_fingerprint_pairs64": _q_audio_fingerprint_pairs64,
         "bm25_rerank_cosine": _q_bm25_rerank_cosine,
@@ -3296,11 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": _q_min_cost_supplier,
         "ngram_diversity": _q_ngram_diversity,
         "kn_logprob": _q_kn_logprob,
-        "embedding_gram": _q_embedding_gram,
         "bootstrap_ci": _q_bootstrap_ci,
-        "embedding_drift": _q_embedding_drift,
-        "snm_pairs": _q_snm_pairs,
-        # -- (3) touched-operator re-verification ---------------------------
         "substring_dedup_chars": _q_substring_dedup_chars,
         "bigram_logprob": _q_bigram_logprob,
         "bm25_search": _q_bm25_search,
@@ -3308,9 +3374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": _q_hybrid_search,
         "image_dhash_pairs": _q_image_dhash_pairs,
         "audio_fingerprint_pairs": _q_audio_fingerprint_pairs,
-        "image_pixel_stats": _q_image_pixel_stats,
         "robust_stats": _q_robust_stats,
-        # -- (4) stalest-green refresh --------------------------------------
         "chi2_drift": _q_chi2_drift,
         "simhash": _q_simhash,
         "minhash_signatures": _q_minhash_signatures,
@@ -3323,17 +3387,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_revenue": _q_returned_revenue,
         "substring_dedup": _q_substring_dedup,
         "dedup_incremental": _q_dedup_incremental,
-        # -- out of window: local full-sweep hash check every round ---------
-        # (displaced refresh slots head the r13 refresh line)
-        "mutual_information": _q_mutual_information,
-        "enforce_k_anonymity": _q_enforce_k_anonymity,
-        "iqr_outliers": _q_iqr_outliers,
-        "completeness_timeline": _q_completeness_timeline,
-        "incremental_percentiles": _q_incremental_percentiles,
-        "vocab_top": _q_vocab_top,
-        "oov_rate": _q_oov_rate,
-        "cohort_retention": _q_cohort_retention,
-        "user_growth": _q_user_growth,
         "pca_project": _q_pca_project,
         "ann_cosine_topk_pca": _q_ann_cosine_topk_pca,
         "ann_cosine_topk_lsh_exactbuckets": _q_ann_cosine_topk_lsh_exactbuckets,
@@ -3368,7 +3421,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_fraction": _q_contamination_fraction,
         "salted_segment_revenue": _q_salted_segment_revenue,
         "ann_cosine_topk_ivf_exactcells": _q_ann_cosine_topk_ivf_exactcells,
-        "multimodal_features": _q_multimodal_features,
         "row_count": _q_row_count,
         "limit_preview": _q_limit_preview,
         "project_quasi_ids": _q_project_quasi_ids,
@@ -3470,27 +3522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipment_month_overlap": _q_shipment_month_overlap,
         "ks_drift_binned": _q_ks_drift_binned,
         "zipf_profile": _q_zipf_profile,
-        "trending_hourly": _q_trending_hourly,
-        "hourly_value_bands": _q_hourly_value_bands,
-        "drift_timeline_psi": _q_drift_timeline_psi,
-        "rolling_user_stats": _q_rolling_user_stats,
-        "rolling_anomalies": _q_rolling_anomalies,
-        "cluster_size_histogram": _q_cluster_size_histogram,
-        "group_quantiles": _q_group_quantiles,
-        "quantile_rank": _q_quantile_rank,
-        "large_orders": _q_large_orders,
-        "orphan_orders": _q_orphan_orders,
-        "rules_by_source": _q_rules_by_source,
-        "chunk_documents": _q_chunk_documents,
-        "fold_assign": _q_fold_assign,
-        "weighted_sample": _q_weighted_sample,
-        "dedup_rate_by_source": _q_dedup_rate_by_source,
-        "l_diversity": _q_l_diversity,
-        "regional_volume": _q_regional_volume,
-        "nation_trade": _q_nation_trade,
         "priority_late_orders": _q_priority_late_orders,
         "sole_late_supplier": _q_sole_late_supplier,
-        "column_entropy": _q_column_entropy,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "bpe_merges": _q_bpe_merges,
         "dp_noise": _q_dp_noise,
@@ -6267,6 +6300,73 @@ def _sql_image_pixel_stats(width: int) -> str:
     )
 
 
+def _sql_jpeg_pixel_stats(width: int) -> str:
+    """Oracle from the ORIGINAL text bytes (the X183/X228 discipline):
+    encode_jpeg_media plants FLAT quality-100 grayscale JPEGs of value
+    g = first byte and dims width × 8·(1 + len mod 3) — a DC-only DCT
+    with an all-ones quantizer, the one JPEG class where decode∘encode
+    is the identity — so the engine's really-decoded stats equal this
+    prediction iff the codec round-trips exactly."""
+    return (
+        f"SELECT doc_id AS media_id, CAST({width} AS INT) AS width, "
+        "CAST(8 * (1 + length(text) % 3) AS INT) AS height, "
+        f"CAST({width} * 8 * (1 + length(text) % 3) AS INT) AS n_pixels, "
+        "CAST(ord(substr(text, 1, 1)) AS BIGINT) "
+        f"* {width} * 8 * (1 + length(text) % 3) AS pixel_sum, "
+        "CAST(ord(substr(text, 1, 1)) AS DOUBLE) AS mean_pixel "
+        "FROM documents WHERE text IS NOT NULL AND length(text) > 0"
+    )
+
+
+def _sql_gopher_ngram_repetition() -> str:
+    """DuckDB twin of the X229 n-gram repetition family: the planted
+    fixture (the GNR_PLANT phrase on doc_id % 4 == 1), the same
+    lowercased whitespace tokens, the top-(2..4)-gram char fraction
+    via a per-(doc, n) argmax (count DESC, ngram ASC), and the
+    dup-(5..10)-gram coverage fraction via a DISTINCT position set —
+    every fraction an exact int/int divide with the shared 6dp
+    floor-snap."""
+    plant = GNR_PLANT
+    return (
+        "WITH fx AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 1 "
+        f"THEN '{plant}' ELSE '' END AS text FROM documents), "
+        "d AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w, "
+        "CAST(length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) AS BIGINT) AS total "
+        "FROM fx), "
+        "d2 AS (SELECT * FROM d WHERE total > 0), "
+        "ex AS (SELECT doc_id, total, n, i AS pos, "
+        "array_to_string(w[i:i+n-1], ' ') AS ng, "
+        "CAST(length(array_to_string(w[i:i+n-1], '')) AS BIGINT) AS clen "
+        "FROM d2, unnest([2,3,4,5,6,7,8,9,10]) AS t(n), "
+        "unnest(generate_series(CAST(1 AS BIGINT), CAST(len(w) - n + 1 AS BIGINT))) AS g(i) "
+        "WHERE len(w) >= n), "
+        "topc AS (SELECT doc_id, total, n, ng, count(*) AS c, max(clen) AS clen "
+        "FROM ex WHERE n <= 4 GROUP BY doc_id, total, n, ng), "
+        "topr AS (SELECT doc_id, total, n, c, clen, "
+        "row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, ng ASC) AS rn FROM topc), "
+        "top AS (SELECT doc_id, CAST(n AS INT) AS n, 'top' AS kind, "
+        "floor(CAST(c * clen AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS char_frac "
+        "FROM topr WHERE rn = 1), "
+        "dupocc AS (SELECT doc_id, n, pos, "
+        "count(*) OVER (PARTITION BY doc_id, n, ng) AS c FROM ex WHERE n >= 5), "
+        "cov AS (SELECT DISTINCT doc_id, n, pos + k AS wp FROM dupocc, "
+        "unnest(generate_series(CAST(0 AS BIGINT), CAST(n - 1 AS BIGINT))) AS u(k) "
+        "WHERE c >= 2), "
+        "wl AS (SELECT doc_id, p AS wp, CAST(length(w[CAST(p AS INT)]) AS BIGINT) AS wl "
+        "FROM d2, unnest(generate_series(CAST(1 AS BIGINT), CAST(len(w) AS BIGINT))) AS q(p)), "
+        "dchar AS (SELECT c.doc_id, c.n, CAST(sum(l.wl) AS BIGINT) AS s "
+        "FROM cov c JOIN wl l ON c.doc_id = l.doc_id AND c.wp = l.wp "
+        "GROUP BY c.doc_id, c.n), "
+        "grid AS (SELECT doc_id, total, n FROM d2, unnest([5,6,7,8,9,10]) AS t(n) "
+        "WHERE len(w) >= n), "
+        "dup AS (SELECT g.doc_id, CAST(g.n AS INT) AS n, 'dup' AS kind, "
+        "coalesce(floor(CAST(d.s AS DOUBLE) / g.total * 1e6 + 0.5) / 1e6, 0.0) AS char_frac "
+        "FROM grid g LEFT JOIN dchar d ON g.doc_id = d.doc_id AND g.n = d.n) "
+        "SELECT * FROM top UNION ALL SELECT * FROM dup"
+    )
+
+
 def _sql_compression_entropy() -> str:
     """DuckDB twin of the order-0 byte-entropy bound: the same TRUE
     UTF-8 byte enumeration as the engine — hex(encode(text)) turns the
@@ -7150,7 +7250,9 @@ def oracle_sql() -> dict[str, str]:
         "token_count_vocab": _sql_token_count_vocab(10),
         "lang_id_trained": _sql_lang_id_trained(),
         "image_pixel_stats": _sql_image_pixel_stats(64),
+        "jpeg_pixel_stats": _sql_jpeg_pixel_stats(16),
         "gopher_quality": _sql_gopher_quality(),
+        "gopher_ngram_repetition": _sql_gopher_ngram_repetition(),
         "url_dedup": _sql_url_dedup(),
         "winnowing": _sql_winnowing(5, 4),
         "alpha_mixture": _sql_alpha_mixture("alpha"),

@@ -2273,3 +2273,149 @@ def contamination_fraction(
             ).alias("contaminated_frac"),
         )
     )
+
+
+GOPHER_TOP_NS = (2, 3, 4)
+GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def gopher_ngram_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The remaining Gopher repetition family (Rae et al. 2021 Table
+    A1 — public paper; completes ``repetition_stats``/
+    ``gopher_quality_filters``, which carry the word/line measures):
+    per document and n,
+
+      * ``kind='top'`` (n = 2, 3, 4): fraction of word characters
+        contained in occurrences of the MOST FREQUENT word n-gram —
+        top-count × n-gram char length / total word chars (ties break
+        to the lexicographically smallest n-gram).
+      * ``kind='dup'`` (n = 5 … 10): fraction of word characters
+        COVERED by at least one n-gram occurring ≥ 2 times in the
+        document (position-set coverage — each word counted once
+        however many duplicated n-grams span it; a deterministic,
+        set-based reading of the paper's "characters inside duplicated
+        n-grams").
+
+    Tokens are lowercased whitespace words (the ``repetition_stats``
+    discipline); char totals exclude whitespace. Fractions are exact
+    int/int divides snapped half-up to 6dp — fully hash-checkable.
+
+    Plan shape: ONE in-row n-gram builder (nested higher-order
+    transform over the 9 n values — no Python, no d² literal tree),
+    one explode feeding two map-side-combinable hash aggregations —
+    (doc, n, ngram) counts, then a per-(doc, n) struct-argmin for the
+    top family and a per-(doc, n) duplicate-start collection for the
+    dup family; coverage expansion, dedup and the char sum all run
+    IN-ROW (sequence/flatten/array_distinct/aggregate folds) after a
+    6-rows-per-doc join back to the token arrays. No sort-based
+    window, no position-level shuffle: every key is document-scoped,
+    every aggregate exact-integer, so the plan has no global hotspot
+    at any corpus size. The explode multiplies rows ~9·len, hence
+    ``spread_small`` first (the single-scan-split fixture discipline).
+
+    Output: (doc_id, n int, kind string, char_frac double), rows for
+    every n the document has ≥ n words for.
+    """
+    snap = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    d = df.select(
+        F.col(id_col),
+        _ws_tokens(F.lower(F.col(text_col))).alias("__w"),
+        F.length(
+            F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", "")
+        ).cast("bigint").alias("__total"),
+    ).where(F.col("__total") > 0)
+    w = F.col("__w")
+    ns = F.array(*[F.lit(n) for n in GOPHER_TOP_NS + GOPHER_DUP_NS])
+    grams = F.flatten(
+        F.transform(
+            F.filter(ns, lambda n: F.size(w) >= n),
+            lambda n: F.transform(
+                F.sequence(F.lit(1), F.size(w) - n + 1),
+                lambda i: F.struct(
+                    n.alias("n"),
+                    i.cast("bigint").alias("pos"),
+                    F.concat_ws(" ", F.slice(w, i, n)).alias("ng"),
+                    F.length(F.concat_ws("", F.slice(w, i, n)))
+                    .cast("bigint")
+                    .alias("clen"),
+                ),
+            ),
+        )
+    )
+    spread = spread_small(d)
+    ex = spread.select(id_col, "__total", F.explode(grams).alias("g")).select(
+        id_col, "__total", "g.n", "g.pos", "g.ng", "g.clen"
+    )
+    # ONE (doc, n, ngram) hash aggregation serves both families
+    cnt = ex.groupBy(id_col, "__total", "n", "ng").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max("clen").alias("clen"),
+        F.collect_list("pos").alias("starts"),
+    )
+    # -- top family: struct-argmin (count DESC, ngram ASC) — hash agg,
+    # no sort window
+    top = (
+        cnt.where(F.col("n") <= max(GOPHER_TOP_NS))
+        .groupBy(id_col, "__total", "n")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("negc"),
+                    F.col("ng").alias("ng"),
+                    F.col("clen").alias("clen"),
+                    F.col("c").alias("c"),
+                )
+            ).alias("t")
+        )
+        .select(
+            id_col,
+            F.col("n").cast("int").alias("n"),
+            F.lit("top").alias("kind"),
+            snap((F.col("t.c") * F.col("t.clen")) / F.col("__total")).alias(
+                "char_frac"
+            ),
+        )
+    )
+    # -- dup family: collect duplicate-gram start positions per
+    # (doc, n), then expand coverage / dedup / char-sum IN-ROW against
+    # the token array (6-rows-per-doc join, no position shuffle)
+    dup_starts = (
+        cnt.where((F.col("n") > max(GOPHER_TOP_NS)) & (F.col("c") >= 2))
+        .groupBy(id_col, "n")
+        .agg(F.flatten(F.collect_list("starts")).alias("starts"))
+    )
+    grid = d.select(
+        F.col(id_col),
+        F.col("__total"),
+        F.col("__w"),
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(n) for n in GOPHER_DUP_NS]),
+                lambda n: F.size(w) >= n,
+            )
+        ).alias("n"),
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("starts"),
+                lambda p: F.sequence(p, p + F.col("n") - 1),
+            )
+        )
+    )
+    dchars = F.aggregate(
+        covered,
+        F.lit(0).cast("bigint"),
+        lambda s, wp: s + F.length(F.element_at(F.col("__w"), wp.cast("int"))),
+    )
+    dup = grid.join(dup_starts, on=[id_col, "n"], how="left").select(
+        id_col,
+        F.col("n").cast("int").alias("n"),
+        F.lit("dup").alias("kind"),
+        F.when(F.col("starts").isNull(), F.lit(0.0))
+        .otherwise(snap(dchars / F.col("__total")))
+        .alias("char_frac"),
+    )
+    return top.unionByName(dup)

@@ -35,3 +35,20 @@ def test_slope_gate_logic():
     quadratic = dict(linear, **{f"slope_{SLOPE_QUERIES[0]}": 60.0})
     assert len(check(quadratic, SLOPE_GATES)) == 1
     assert any("missing" in p for p in check({}, SLOPE_GATES))
+
+
+def test_decade2_expected_slope_notes_complete():
+    """VERDICT r12 #7: every decade-2 gated family carries a written
+    analytic slope expectation, so near-gate readings are
+    interpretable (constant-factor machinery vs approaching
+    quadratic). Notes must name a numeric band."""
+    import re
+
+    from tools.stat_gates import DECADE2_QUERIES, EXPECTED_SLOPE_NOTES
+
+    missing = [q for q in DECADE2_QUERIES if q not in EXPECTED_SLOPE_NOTES]
+    assert not missing, f"gated families without slope expectation: {missing}"
+    stale = [q for q in EXPECTED_SLOPE_NOTES if q not in DECADE2_QUERIES]
+    assert not stale, f"notes for un-gated families: {stale}"
+    for q, note in EXPECTED_SLOPE_NOTES.items():
+        assert re.search(r"~[\d.]+", note), f"no numeric band in note for {q}"

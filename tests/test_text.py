@@ -661,3 +661,56 @@ def test_kneser_ney_repetition_scores_lower_surprise(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {r.doc_id: r.avg_neg_logprob for r in T.kneser_ney_logprob(df).collect()}
     assert got[0] < got[99]
+
+
+def test_gopher_ngram_repetition_semantics(spark):
+    """X229 (Gopher A1.1 char-fraction family): hand-computed top and
+    dup fractions, row-set policy (rows only for n <= word count;
+    empty docs dropped), and repartition invariance."""
+    df = spark.createDataFrame(
+        [
+            # 16 words, 16 chars; "a b" x3 -> 6/16; "a b a b" x2 -> 8/16
+            (1, "a b a b a b c d e f g h i j k l"),
+            # doubled 10-word sentence: every dup-n covers all chars
+            (2, "one two three four five six seven eight nine ten "
+                "one two three four five six seven eight nine ten"),
+            (3, "short text"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        (r.doc_id, r.kind, r.n): r.char_frac
+        for r in T.gopher_ngram_repetition(df).collect()
+    }
+    assert rows[(1, "top", 2)] == 0.375           # 3 * 2 / 16
+    assert rows[(1, "top", 4)] == 0.5             # 2 * 4 / 16
+    for n in range(5, 11):
+        assert rows[(1, "dup", n)] == 0.0         # no >=5-gram repeats
+        assert rows[(2, "dup", n)] == 1.0         # doubled sentence
+    assert rows[(3, "top", 2)] == 1.0
+    assert (3, "dup", 5) not in rows              # only 2 words
+    assert all(k[0] != 4 for k in rows)           # empty doc dropped
+    # tiebreak: count DESC then ngram ASC — "eight nine" (c=2, len 9)
+    # wins among doc 2's 2-grams: 2*9/78
+    assert rows[(2, "top", 2)] == round((2 * 9 / 78) * 1e6) / 1e6
+    r7 = {
+        (r.doc_id, r.kind, r.n): r.char_frac
+        for r in T.gopher_ngram_repetition(df.repartition(7)).collect()
+    }
+    assert r7 == rows
+
+
+def test_gopher_ngram_repetition_overlapping_coverage_counts_once(spark):
+    """Overlapping duplicated n-grams must not double-count covered
+    words (position-set semantics): 'x x x x x x x' has every 5-gram
+    duplicated and overlapping; coverage is all 7 words, frac 1.0."""
+    df = spark.createDataFrame([(1, "x x x x x x x")], "doc_id bigint, text string")
+    rows = {
+        (r.kind, r.n): r.char_frac for r in T.gopher_ngram_repetition(df).collect()
+    }
+    assert rows[("dup", 5)] == 1.0
+    assert rows[("dup", 6)] == 1.0
+    assert ("dup", 8) not in rows  # only 7 words
+    # top 2-gram "x x" occurs 6 times, clen 2, total 7 chars
+    assert rows[("top", 2)] == round(6 * 2 / 7 * 1e6) / 1e6
