@@ -2612,6 +2612,43 @@ def _q_gopher_quality(spark, sf):
     return TX.gopher_quality_filters(_gopher_fixture(spark, sf))
 
 
+def _q_c4_line_filter(spark, sf):
+    # X232: C4 line-level cleaning (Raffel et al. 2020 §2.2). The
+    # fixture text is single-line, so reflow into 8-word lines with
+    # terminal periods on EVEN line indices (odd-index lines fail the
+    # punctuation rule — live per-line signal), and plant the page
+    # rules by doc_id modulo: %11==3 a "lorem ipsum" line, %13==5 a
+    # curly-brace code line, %7==2 a javascript cookie-warning line
+    # (terminal-punctuated, so ONLY the javascript rule drops it) —
+    # every branch mirrored verbatim in the oracle SQL
+    docs = load_table(spark, sf, "documents")
+    tk = TX._ws_tokens(F.col("text"))
+    nc = F.ceil(F.size(tk) / F.lit(8.0)).cast("int")
+    body = F.when(
+        F.size(tk) > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), nc - 1),
+                lambda i: F.concat(
+                    F.array_join(F.slice(tk, i * 8 + 1, F.lit(8)), " "),
+                    F.when(i % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+                ),
+            ),
+            "\n",
+        ),
+    ).otherwise(F.lit(""))
+    lorem_plant = "\nthe classic lorem ipsum dolor sit amet filler."
+    curly_plant = "\nif (x) { return y; }"
+    js_plant = "\nplease enable javascript to continue reading this page."
+    text = F.concat(
+        body,
+        F.when(F.col("doc_id") % 11 == 3, F.lit(lorem_plant)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 5, F.lit(curly_plant)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 2, F.lit(js_plant)).otherwise(F.lit("")),
+    )
+    return TX.c4_line_filter(docs.select("doc_id", text.alias("text")))
+
+
 # the repeated 10-word phrase planted (twice) on doc_id % 4 == 1 docs
 # so the dup family has live signal — raw fixture text has no natural
 # >= 5-gram repetition (measured all-zero at sf0.01); mirrored
@@ -2679,6 +2716,33 @@ def _q_alpha_mixture(spark, sf):
         "doc_id", bucket.alias("source")
     )
     return SMP.alpha_mixture_sample(docs)
+
+
+def _q_temperature_mix(spark, sf):
+    # X230: the QUOTA form of temperature mixing (vs X187's rate
+    # form): exact largest-remainder apportionment of a 200-doc budget
+    # at tau=0.7 over the same Zipf-ish 8:4:2:1:1 source plant — every
+    # quota an exact integer, the sampled set md5-deterministic
+    d = F.col("doc_id") % 16
+    bucket = (
+        F.when(d < 8, F.lit("g0"))
+        .when(d < 12, F.lit("g1"))
+        .when(d < 14, F.lit("g2"))
+        .when(d < 15, F.lit("g3"))
+        .otherwise(F.lit("g4"))
+    )
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", bucket.alias("source")
+    )
+    return SMP.temperature_mix(docs, budget=200, temperature=0.7)
+
+
+def _q_ccnet_perplexity_buckets(spark, sf):
+    # X231: CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    # 2020) over the engine's own interpolated Kneser-Ney score —
+    # rank-based tertiles on a deterministic total order, so the split
+    # is integer-exact in any engine
+    return TX.ccnet_perplexity_buckets(load_table(spark, sf, "documents"))
 
 
 # -- X186: winnowing fingerprints (MOSS local fingerprinting) ----------------
@@ -3270,7 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query has >= 1 driver-green row, so the window is policy:
     # anchors + new + touched + stalest-green refresh):
     # (1) the 15 standing anchors;
-    # (2) the TWO r13-new oracle-backed queries: jpeg_pixel_stats
+    # (2) the FIVE r13-new oracle-backed queries: jpeg_pixel_stats
     #     (X228 — the JPEG oracle anchor, VERDICT r12 #1 closed: the
     #     vendored T.81 baseline codec makes the JPEG path EXECUTE in
     #     Pillow-less containers, and the flat quality-100 class is
@@ -3278,7 +3342,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     certifies decode∘encode identity), gopher_ngram_repetition
     #     (X229 — the remaining Gopher A1.1 repetition family:
     #     top-(2..4)-gram char fraction + duplicated-(5..10)-gram
-    #     coverage fraction, planted dup phrase on doc_id % 4 == 1);
+    #     coverage fraction, planted dup phrase on doc_id % 4 == 1),
+    #     temperature_mix (X230 — the QUOTA form of temperature
+    #     mixing: exact largest-remainder apportionment of a fixed
+    #     budget at any tau, complementing X187's rate form; integer
+    #     arithmetic end-to-end after one pow snap),
+    #     ccnet_perplexity_buckets (X231 — CCNet head/middle/tail
+    #     tertiles over the X222 Kneser-Ney score; rank-based integer
+    #     thresholds, no percentile interpolation),
+    #     c4_line_filter (X232 — C4 line-level cleaning, Raffel et al.
+    #     2020 2.2: terminal-punctuation / >=3-words / javascript line
+    #     rules + lorem-ipsum / curly-brace page drops; map-only, the
+    #     reflow fixture plants every rule);
     # (3) re-verification slots for every oracle query round 13
     #     touched: the vendored-JPEG decode dispatch in _real_decode
     #     re-verifies image_pixel_stats and multimodal_features; the
@@ -3290,11 +3365,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     re-verifies snm_pairs; pca_fit's ragged-input ValueError
     #     (ADVICE r12) touches only rows-only consumers (pca_project,
     #     ann_cosine_topk_pca — out of window by role);
-    # (4) 28 refresh slots for the STALEST driver greens — the r5
+    # (4) 25 refresh slots for the STALEST driver greens — the r5
     #     vintage head the SURVEY queue named for r13
     #     (mutual_information ... rolling_anomalies) plus the rest of
-    #     the r5 vintage (l_diversity ... nation_trade); the two r5
-    #     leftovers (priority_late_orders, sole_late_supplier) head
+    #     the r5 vintage (l_diversity ... chunk_documents); the five
+    #     r5 leftovers (fold_assign, dedup_rate_by_source,
+    #     nation_trade, priority_late_orders, sole_late_supplier) head
     #     the r14 refresh line, then the r7 vintage.
     # Displaced out: the r12-new/touched/refresh rows — each keeps the
     # local full-sweep hash check via tools/check_oracle.py every
@@ -3320,6 +3396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (2) r13-new oracle-backed (in-window on arrival) -------------
         "jpeg_pixel_stats": _q_jpeg_pixel_stats,
         "gopher_ngram_repetition": _q_gopher_ngram_repetition,
+        "temperature_mix": _q_temperature_mix,
+        "ccnet_perplexity_buckets": _q_ccnet_perplexity_buckets,
+        "c4_line_filter": _q_c4_line_filter,
         # -- (3) touched-operator re-verification -------------------------
         "image_pixel_stats": _q_image_pixel_stats,
         "multimodal_features": _q_multimodal_features,
@@ -3352,10 +3431,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_by_source": _q_rules_by_source,
         "orphan_orders": _q_orphan_orders,
         "chunk_documents": _q_chunk_documents,
+        # -- out of window: local full-sweep hash check every round --------
         "fold_assign": _q_fold_assign,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "nation_trade": _q_nation_trade,
-        # -- out of window: local full-sweep hash check every round --------
         "audio_fingerprint64": _q_audio_fingerprint64,
         "audio_fingerprint_pairs64": _q_audio_fingerprint_pairs64,
         "bm25_rerank_cosine": _q_bm25_rerank_cosine,
@@ -7048,6 +7127,101 @@ def _sql_kn_logprob(d: float = 0.75) -> str:
     )
 
 
+def _sql_c4_line_filter() -> str:
+    """DuckDB twin of the C4 fixture reflow (8-word lines, periods on
+    even line indices, the three modulo plants) + the line rules:
+    terminal punctuation, >= 3 words, no 'javascript'; page drop on
+    'lorem ipsum' / '{'. Every predicate a list_filter mirrored
+    term-for-term."""
+    keep = (
+        "l -> regexp_matches(l, '[.!?\"]$') AND "
+        "len(CASE WHEN trim(l) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(l), '\\s+') END) >= 3 AND "
+        "NOT contains(lower(l), 'javascript')"
+    )
+    return (
+        f"WITH tk AS ({SQL_TOKS}), "
+        "ref0 AS (SELECT doc_id, string_agg(array_to_string(t[(i*8+1):((i+1)*8)], ' ') "
+        "|| CASE WHEN i % 2 = 0 THEN '.' ELSE '' END, "
+        "chr(10) ORDER BY i) AS body FROM tk, "
+        "unnest(generate_series(CAST(0 AS BIGINT), CAST(ceil(len(t) / 8.0) AS BIGINT) - 1)) AS g(i) "
+        "GROUP BY doc_id), "
+        "ref AS (SELECT tk.doc_id, coalesce(ref0.body, '') AS body "
+        "FROM tk LEFT JOIN ref0 USING (doc_id)), "
+        "fx AS (SELECT doc_id, body "
+        "|| CASE WHEN doc_id % 11 = 3 THEN chr(10)||'the classic lorem ipsum dolor sit amet filler.' ELSE '' END "
+        "|| CASE WHEN doc_id % 13 = 5 THEN chr(10)||'if (x) { return y; }' ELSE '' END "
+        "|| CASE WHEN doc_id % 7 = 2 THEN chr(10)||'please enable javascript to continue reading this page.' ELSE '' END "
+        "AS text FROM ref), "
+        "ln AS (SELECT doc_id, text, "
+        "list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns, "
+        "contains(lower(text), 'lorem ipsum') AS has_lorem, "
+        "contains(text, '{') AS has_curly FROM fx), "
+        f"k AS (SELECT doc_id, lns, has_lorem, has_curly, "
+        "NOT has_lorem AND NOT has_curly AS page_kept, "
+        f"list_filter(lns, {keep}) AS kept FROM ln) "
+        "SELECT doc_id, CAST(len(lns) AS BIGINT) AS n_lines, "
+        "CASE WHEN page_kept THEN CAST(len(kept) AS BIGINT) ELSE 0 END AS n_kept, "
+        "has_lorem, has_curly, page_kept, "
+        "CASE WHEN page_kept THEN array_to_string(kept, chr(10)) ELSE '' END AS text_clean "
+        "FROM k"
+    )
+
+
+def _sql_temperature_mix(budget: int, tau: float) -> str:
+    """DuckDB twin of the quota-form temperature mix: the same Zipf
+    source plant, ONE float snap (floor(pow·1e9 + 0.5) — pow's 1-ulp
+    latitude only matters exactly on the half boundary), then pure
+    integer arithmetic: // and % for floor-quota/remainder
+    apportionment, row_number top-ups (rem DESC, source ASC), and the
+    md5-unit per-source ranking coin."""
+    md5u = (
+        "(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
+        "AS DOUBLE) + 1.0) / 4294967296.0"
+    )
+    return (
+        "WITH src AS (SELECT doc_id, CASE WHEN doc_id % 16 < 8 THEN 'g0' "
+        "WHEN doc_id % 16 < 12 THEN 'g1' WHEN doc_id % 16 < 14 THEN 'g2' "
+        "WHEN doc_id % 16 < 15 THEN 'g3' ELSE 'g4' END AS source FROM documents), "
+        "c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM src GROUP BY source), "
+        "t AS (SELECT CAST(sum(n_s) AS BIGINT) AS N FROM c), "
+        f"r AS (SELECT source, CAST(floor(pow(CAST(n_s AS DOUBLE) / N, {tau}) * 1e9 + 0.5) "
+        "AS BIGINT) AS raw FROM c, t), "
+        "dn AS (SELECT CAST(sum(raw) AS BIGINT) AS denom FROM r), "
+        f"q0 AS (SELECT source, (CAST({budget} AS BIGINT) * raw) // denom AS fq, "
+        f"(CAST({budget} AS BIGINT) * raw) % denom AS rem FROM r, dn), "
+        "sp AS (SELECT CAST(sum(fq) AS BIGINT) AS spent FROM q0), "
+        "qt AS (SELECT source, fq + CASE WHEN "
+        "row_number() OVER (ORDER BY rem DESC, source ASC) "
+        f"<= {budget} - spent THEN 1 ELSE 0 END AS quota FROM q0, sp), "
+        "rk AS (SELECT source, doc_id, "
+        f"row_number() OVER (PARTITION BY source ORDER BY {md5u} ASC, doc_id ASC) AS rn "
+        "FROM src) "
+        "SELECT rk.source, rk.doc_id, CAST(rn AS INT) AS smp_rank, "
+        "CAST(quota AS BIGINT) AS quota "
+        "FROM rk JOIN qt USING (source) WHERE rn <= quota"
+    )
+
+
+def _sql_ccnet_perplexity_buckets(d: float = 0.75) -> str:
+    """DuckDB twin of the CCNet bucketing: the full Kneser-Ney replay
+    (verbatim the X222 oracle) wrapped in a rank window — integer
+    thresholds on a deterministic total order, no percentile
+    interpolation anywhere."""
+    kn = _sql_kn_logprob(d)
+    return (
+        f"WITH kn AS ({kn}), "
+        "r AS (SELECT doc_id, n_bigrams, avg_neg_logprob, "
+        "row_number() OVER (ORDER BY avg_neg_logprob ASC, doc_id ASC) AS rn, "
+        "count(*) OVER () AS n FROM kn WHERE avg_neg_logprob IS NOT NULL) "
+        "SELECT doc_id, n_bigrams, avg_neg_logprob, "
+        "CASE WHEN rn <= n // 3 THEN 'head' WHEN rn <= (2 * n) // 3 THEN 'middle' "
+        "ELSE 'tail' END AS bucket FROM r "
+        "UNION ALL SELECT doc_id, n_bigrams, avg_neg_logprob, 'unscored' AS bucket "
+        "FROM kn WHERE avg_neg_logprob IS NULL"
+    )
+
+
 def _sql_ngram_diversity() -> str:
     return (
         "WITH w AS (SELECT source, CASE WHEN trim(lower(text)) = '' THEN [] "
@@ -7253,6 +7427,9 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_pixel_stats": _sql_jpeg_pixel_stats(16),
         "gopher_quality": _sql_gopher_quality(),
         "gopher_ngram_repetition": _sql_gopher_ngram_repetition(),
+        "temperature_mix": _sql_temperature_mix(200, 0.7),
+        "ccnet_perplexity_buckets": _sql_ccnet_perplexity_buckets(0.75),
+        "c4_line_filter": _sql_c4_line_filter(),
         "url_dedup": _sql_url_dedup(),
         "winnowing": _sql_winnowing(5, 4),
         "alpha_mixture": _sql_alpha_mixture("alpha"),

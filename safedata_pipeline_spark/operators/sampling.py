@@ -586,3 +586,88 @@ def bootstrap_finish(state: DataFrame, alpha: float = 0.05) -> DataFrame:
     return point.crossJoin(F.broadcast(ci)).select(
         "n_rows", "n_replicates", "mean", "ci_lo", "ci_hi"
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    budget: int = 1000,
+    temperature: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled source mixing with an EXACT document budget
+    — the "epoch sampling plan" form of q_s ∝ p_s^τ (τ < 1 upsamples
+    rare sources — the mT5/XLM-R recipe, public papers): compute
+    per-source quotas from temperature-scaled natural frequencies by
+    LARGEST-REMAINDER apportionment and draw a deterministic sample
+    meeting them to the row. Complements ``alpha_mixture_sample``
+    (X187), which is the RATE form: Bernoulli keep-coins whose
+    expected shares match α = 0.5 smoothing but whose realized count
+    wobbles ±√n. This operator is the QUOTA form — any τ in (0, 1],
+    a fixed total budget, and per-source counts that are exact
+    integers decided by integer arithmetic (epoch planning / eval-set
+    construction need the count, not the expectation).
+
+    Exactness discipline (everything after one pow is INTEGER):
+    raw_s = floor(pow(n_s/N, τ)·1e9 + 0.5) as BIGINT (the single
+    float snap; pow's 1-ulp cross-engine latitude only matters exactly
+    ON the half boundary — the shared measure-zero acceptance);
+    quotas by LARGEST REMAINDER on exact integer arithmetic —
+    floor_s = (budget·raw_s) div Σraw, remainders rank (rem DESC,
+    source ASC) for the +1 top-ups — so Σ quota_s == min(budget-ish,
+    see below) bit-identically in any engine. Within a source, docs
+    rank by (md5_unit(id), id) — the ``stratified_split`` replayable
+    coin — and the first quota_s survive (a source smaller than its
+    quota contributes all its docs).
+
+    Shape: two tiny aggregates (per-source counts, the scalar N /
+    Σraw — O(sources) driver-free broadcasts), one per-source window
+    over the documents. Output: (source, doc_id, smp_rank, quota),
+    one row per sampled document.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if not 0.0 < temperature <= 1.0:
+        raise ValueError("temperature must be in (0, 1]")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_s"))
+    tot = counts.agg(F.sum("__n_s").alias("__N"))
+    raw = counts.join(F.broadcast(tot)).select(
+        source_col,
+        F.floor(
+            F.pow(F.col("__n_s") / F.col("__N"), F.lit(float(temperature)))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("__raw"),
+    )
+    denom = raw.agg(F.sum("__raw").alias("__denom"))
+    q0 = raw.join(F.broadcast(denom)).select(
+        source_col,
+        F.expr(f"(CAST({budget} AS BIGINT) * __raw) div __denom").alias("__fq"),
+        F.expr(f"(CAST({budget} AS BIGINT) * __raw) % __denom").alias("__rem"),
+    )
+    spent = q0.agg(F.sum("__fq").alias("__spent"))
+    topup_w = Window.orderBy(F.col("__rem").desc(), F.col(source_col).asc())
+    quotas = (
+        q0.join(F.broadcast(spent))
+        .withColumn("__tr", F.row_number().over(topup_w))
+        .select(
+            source_col,
+            (
+                F.col("__fq")
+                + (F.col("__tr") <= F.lit(budget) - F.col("__spent")).cast("bigint")
+            ).alias("quota"),
+        )
+    )
+    u = md5_unit_interval(F.col(id_col))
+    w = Window.partitionBy(source_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.select(source_col, id_col)
+        .withColumn("smp_rank", F.row_number().over(w))
+        .join(F.broadcast(quotas), on=source_col)
+        .where(F.col("smp_rank") <= F.col("quota"))
+        .select(source_col, id_col, F.col("smp_rank").cast("int").alias("smp_rank"), "quota")
+    )

@@ -2419,3 +2419,114 @@ def gopher_ngram_repetition(
         .alias("char_frac"),
     )
     return top.unionByName(dup)
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public
+    paper: score each document with a corpus LM, split the corpus
+    into head / middle / tail perplexity tertiles — the standard
+    quality-mixing signal for web-scale pretraining data; no reference
+    counterpart, extension surface).
+
+    The LM is the engine's own interpolated Kneser–Ney bigram score
+    (``kneser_ney_logprob``, X222 — exact, hash-channel) and the
+    bucket rule is RANK-based, not value-based: scored docs order by
+    (avg_neg_logprob ASC, doc_id ASC) — a deterministic total order —
+    and the first ⌊n/3⌋ are 'head', through ⌊2n/3⌋ 'middle', rest
+    'tail'. Integer thresholds on an integer row_number, so the split
+    is exact in any engine (no interpolated-percentile ulp latitude).
+    Docs with < 2 tokens (NULL score) bucket as 'unscored'.
+
+    Scale note: the rank window is over ONE ROW PER DOCUMENT (the
+    per-doc score frame, not the corpus), and at real scale the
+    single-task global sort swaps for the engine's two-phase
+    range-partitioned rank (the ``sorted_neighborhood_pairs`` /
+    ``_two_phase_cum`` machinery) — the fixture-scale window keeps the
+    oracle replay one window expression.
+
+    Output: (doc_id, n_bigrams, avg_neg_logprob, bucket).
+    """
+    from pyspark.sql import Window
+
+    scored = kneser_ney_logprob(df, discount=discount, text_col=text_col, id_col=id_col)
+    w = Window.orderBy(F.col("avg_neg_logprob").asc(), F.col(id_col).asc())
+    has = scored.where(F.col("avg_neg_logprob").isNotNull())
+    n = has.count()  # O(1) fit-parameter read (one scalar)
+    ranked = has.withColumn("__rn", F.row_number().over(w))
+    bucket = (
+        F.when(F.col("__rn") <= n // 3, F.lit("head"))
+        .when(F.col("__rn") <= (2 * n) // 3, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    out = ranked.select(
+        id_col, "n_bigrams", "avg_neg_logprob", bucket.alias("bucket")
+    )
+    unscored = scored.where(F.col("avg_neg_logprob").isNull()).select(
+        id_col, "n_bigrams", "avg_neg_logprob", F.lit("unscored").alias("bucket")
+    )
+    return out.unionByName(unscored)
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2 — the public
+    rules behind the C4 corpus; no reference counterpart, extension
+    surface): keep only lines that END IN TERMINAL PUNCTUATION
+    (. ! ? ") and contain ≥ ``min_words`` words; drop any line
+    containing the word "javascript" (the cookie-warning heuristic);
+    drop the ENTIRE page when it contains "lorem ipsum" (placeholder
+    text) or a curly brace (code). (C4's bad-words list is an external
+    artifact and deliberately out of scope — documented, not faked;
+    its 3-sentence-span corpus dedup is the ``paragraph_dedup`` family.)
+
+    Pure per-row array expressions — one map-only scan, zero shuffles,
+    zero Python; every rule is a higher-order ``filter`` over the
+    split-line array, mirrored term-for-term in the SQL oracle.
+
+    Output: (doc_id, n_lines, n_kept, has_lorem, has_curly,
+    page_kept, text_clean) — ``text_clean`` is the surviving lines
+    re-joined, empty for dropped pages; counts are exact integers.
+    """
+    t = F.col("__t")
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("__t"), lines.alias("__ln")
+    )
+    ln = F.col("__ln")
+
+    def keep_line(l):
+        words = F.when(
+            F.trim(l) == "", F.array().cast("array<string>")
+        ).otherwise(F.split(F.trim(l), "\\s+"))
+        return (
+            l.rlike('[.!?"]$')
+            & (F.size(words) >= min_words)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(ln, keep_line)
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_curly = t.contains("{")
+    page_kept = ~has_lorem & ~has_curly
+    return base.select(
+        id_col,
+        F.size(ln).cast("bigint").alias("n_lines"),
+        F.when(page_kept, F.size(kept).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("n_kept"),
+        has_lorem.alias("has_lorem"),
+        has_curly.alias("has_curly"),
+        page_kept.alias("page_kept"),
+        F.when(page_kept, F.array_join(kept, "\n"))
+        .otherwise(F.lit(""))
+        .alias("text_clean"),
+    )

@@ -363,3 +363,45 @@ def test_bootstrap_ci_width_shrinks_with_n(spark):
     ws = bootstrap_mean_ci(small, "x", replicates=32).collect()[0]
     wb = bootstrap_mean_ci(big, "x", replicates=32).collect()[0]
     assert (wb.ci_hi - wb.ci_lo) < (ws.ci_hi - ws.ci_lo)
+
+
+def test_temperature_mix_exact_quotas_and_determinism(spark):
+    """X230: quotas are exact largest-remainder apportionment summing
+    to the budget; tau=1 reproduces natural shares; tau<1 upsamples
+    rare sources; the sampled set is repartition-invariant."""
+    rows = [(i, "big" if i < 80 else ("mid" if i < 95 else "rare")) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = S.temperature_mix(df, budget=20, temperature=0.5).collect()
+    quotas = {}
+    for r in out:
+        quotas.setdefault(r.source, set()).add(r.quota)
+    q = {k: v.pop() for k, v in quotas.items()}
+    n_sampled = len(out)
+    assert sum(q.values()) == 20 == n_sampled
+    # tau=0.5 weights: sqrt(.8)=.894, sqrt(.15)=.387, sqrt(.05)=.224
+    # -> shares .594/.257/.149 of 20 -> quotas 12/5/3 by largest remainder
+    assert q == {"big": 12, "mid": 5, "rare": 3}
+    nat = S.temperature_mix(df, budget=20, temperature=1.0).collect()
+    qn = {r.source: r.quota for r in nat}
+    assert qn == {"big": 16, "mid": 3, "rare": 1}  # natural 16/3/1
+    out7 = S.temperature_mix(df.repartition(7), budget=20, temperature=0.5).collect()
+    assert {(r.source, r.doc_id) for r in out7} == {(r.source, r.doc_id) for r in out}
+
+
+def test_temperature_mix_quota_exceeds_source_and_validation(spark):
+    """A source smaller than its quota contributes all its docs (the
+    realized sample can undershoot the budget); bad params raise."""
+    import pytest
+
+    rows = [(i, "a" if i < 98 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    # tau=0.1 pushes b's quota far above its 2 docs
+    out = S.temperature_mix(df, budget=50, temperature=0.1).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, []).append(r)
+    assert len(by["b"]) == 2  # all of b, quota not reachable
+    with pytest.raises(ValueError, match="budget"):
+        S.temperature_mix(df, budget=0)
+    with pytest.raises(ValueError, match="temperature"):
+        S.temperature_mix(df, temperature=1.5)

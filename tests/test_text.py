@@ -714,3 +714,53 @@ def test_gopher_ngram_repetition_overlapping_coverage_counts_once(spark):
     assert ("dup", 8) not in rows  # only 7 words
     # top 2-gram "x x" occurs 6 times, clen 2, total 7 chars
     assert rows[("top", 2)] == round(6 * 2 / 7 * 1e6) / 1e6
+
+
+def test_ccnet_perplexity_buckets_rank_tertiles(spark):
+    """X231: scored docs split into rank-based tertiles on the
+    (score, doc_id) total order — floor(n/3)/floor(2n/3) thresholds —
+    and <2-token docs bucket 'unscored'; repartition-invariant."""
+    rows = [(i, "w%d w%d common common" % (i, i + 1)) for i in range(10)]
+    rows += [(100, "solo"), (101, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in T.ccnet_perplexity_buckets(df).collect()}
+    assert out[100].bucket == "unscored" and out[101].bucket == "unscored"
+    scored = [r for r in out.values() if r.bucket != "unscored"]
+    assert len(scored) == 10
+    from collections import Counter
+
+    c = Counter(r.bucket for r in scored)
+    assert c == {"head": 3, "middle": 3, "tail": 4}  # floor(10/3), floor(20/3)-3, rest
+    # head scores <= middle scores <= tail scores on the total order
+    mx = {b: max(r.avg_neg_logprob for r in scored if r.bucket == b) for b in c}
+    mn = {b: min(r.avg_neg_logprob for r in scored if r.bucket == b) for b in c}
+    assert mx["head"] <= mn["middle"] and mx["middle"] <= mn["tail"]
+    r7 = {r.doc_id: r.bucket for r in T.ccnet_perplexity_buckets(df.repartition(7)).collect()}
+    assert r7 == {k: v.bucket for k, v in out.items()}
+
+
+def test_c4_line_filter_rules(spark):
+    """X232 (C4 §2.2 line cleaning): terminal punctuation, >=3 words,
+    javascript line rule; lorem-ipsum / curly-brace page drops; empty
+    text keeps its row; repartition invariance."""
+    df = spark.createDataFrame(
+        [
+            (1, "This is a good sentence.\nshort.\nNo terminal punct here\n"
+                "Another fine line!\nEnable javascript to view this."),
+            (2, "Fine sentence here.\nBut Lorem Ipsum dolor sit."),
+            (3, "Code page.\nfunction f() { return 1; }"),
+            (4, ""),
+            (5, 'He said "quote."\nHe asked why?\nEnds with quote"'),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in T.c4_line_filter(df).collect()}
+    assert (out[1].n_lines, out[1].n_kept, out[1].page_kept) == (5, 2, True)
+    assert out[1].text_clean == "This is a good sentence.\nAnother fine line!"
+    assert out[2].has_lorem and not out[2].page_kept and out[2].n_kept == 0
+    assert out[3].has_curly and not out[3].page_kept and out[3].text_clean == ""
+    assert (out[4].n_lines, out[4].page_kept) == (0, True)
+    # quote-terminal and question-terminal lines pass; 3-word rule
+    assert out[5].n_kept == 3 and out[5].page_kept
+    r7 = {r.doc_id: r.text_clean for r in T.c4_line_filter(df.repartition(7)).collect()}
+    assert r7 == {k: v.text_clean for k, v in out.items()}

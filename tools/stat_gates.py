@@ -153,6 +153,13 @@ DECADE2_QUERIES = [
     # cross-tile names ≥2 edits apart so d≤1 pairs scale ~10x with no
     # cross-tile leakage
     "snm_pairs",
+    # r13-new corpus-side ops: jpeg_pixel_stats is a map-only per-row
+    # codec chain (encode+decode per doc — embarrassingly parallel);
+    # gopher_ngram_repetition explodes ~9·len rows per doc into
+    # doc-scoped hash aggregations (vocab growth can't concentrate
+    # keys: every key carries doc_id)
+    "jpeg_pixel_stats",
+    "gopher_ngram_repetition",
 ]
 DECADE2_GATES: dict[str, tuple[str, float]] = {
     f"slope10_{q}": ("max", 4.0) for q in DECADE2_QUERIES
@@ -189,6 +196,8 @@ EXPECTED_SLOPE_NOTES: dict[str, str] = {
     "kn_logprob": "~1.5: one corpus pass + vocab-sized type table; vocab grows ~10x by construction",
     "embedding_gram": "~1.5-2.5: Arrow GEMM partials since r13 (x2080 explode removed); wire fixed at partitions x d^2, kernel CPU ~n",
     "snm_pairs": "~3-3.7 CONSTANT-FACTOR-LINEAR: candidates are strictly n*(window-1); the two-phase global rank (range partition + offsets + per-partition row_number) is small-fixture machinery whose constant rises with decade — NOT an approaching quadratic; watch only if >3.8",
+    "jpeg_pixel_stats": "~1.5-2.5: per-row Python codec (encode+decode), embarrassingly parallel map-only chain; wall ~n once spread",
+    "gopher_ngram_repetition": "~1.5-2.5: ~9*len explode into doc-scoped hash aggs; every key carries doc_id so tiled vocab growth cannot concentrate keys",
 }
 SCALE10_DIR = os.environ.get("SAFEDATA_SCALE10_DIR", "/root/repo/.scale10")
 
