@@ -631,7 +631,14 @@ def temperature_mix(
         raise ValueError("temperature must be in (0, 1]")
     from pyspark.sql import Window
 
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_s"))
+    from safedata_pipeline_spark.checkpoint import pin_eager
+
+    # pin the O(sources) count frame: five downstream derivations
+    # (N, raw, denom, spent, top-ups) would otherwise each re-run the
+    # corpus groupBy (measured 5 corpus scans -> 1)
+    counts = pin_eager(
+        df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_s"))
+    )
     tot = counts.agg(F.sum("__n_s").alias("__N"))
     raw = counts.join(F.broadcast(tot)).select(
         source_col,

@@ -2453,7 +2453,14 @@ def ccnet_perplexity_buckets(
     """
     from pyspark.sql import Window
 
-    scored = kneser_ney_logprob(df, discount=discount, text_col=text_col, id_col=id_col)
+    from safedata_pipeline_spark.checkpoint import pin_eager
+
+    # pin the per-doc score frame: the count, the ranked branch and
+    # the unscored branch would otherwise each re-run the whole
+    # Kneser-Ney pipeline (measured 3 corpus passes -> 1)
+    scored = pin_eager(
+        kneser_ney_logprob(df, discount=discount, text_col=text_col, id_col=id_col)
+    )
     w = Window.orderBy(F.col("avg_neg_logprob").asc(), F.col(id_col).asc())
     has = scored.where(F.col("avg_neg_logprob").isNotNull())
     n = has.count()  # O(1) fit-parameter read (one scalar)
