@@ -626,44 +626,90 @@ def _gram_partials_kernel(round_dp: int):
     random and adversarial inputs."""
     import numpy as np
 
-    scale = float(10**round_dp)
+    scale = np.float64(10**round_dp)
+    C = np.float64(134217729.0)  # 2^27 + 1, Veltkamp split constant
+    b1 = C * scale
+    BH = b1 - (b1 - scale)
+    BL = scale - BH  # 0.0 for dp <= 9 (10^dp has a <=30-bit mantissa)
+    CHUNK = 256
 
-    def _round_scaled(p: np.ndarray) -> np.ndarray:
-        # Dekker/Veltkamp error-free transform of p * scale
-        c = np.float64(134217729.0)  # 2^27 + 1
-        hi = p * scale
-        a1 = c * p
-        ah = a1 - (a1 - p)
-        al = p - ah
-        b1 = c * np.float64(scale)
-        bh = b1 - (b1 - scale)
-        bl = np.float64(scale) - bh
-        lo = ((ah * bh - hi) + ah * bl + al * bh) + al * bl
-        r = np.rint(hi)
-        frac = (hi - r) + lo  # exact residual (|hi-r| Sterbenz-exact)
-        out = r + (frac > 0.5) - (frac < -0.5)
+    def _round_scaled_into(P, bufs):
+        """Exact HALF_UP(P·scale) written into bufs['r']. All
+        element-wise work runs through PREALLOCATED scratch buffers
+        (out=): this container's first-touch page-fault cost measured
+        ~20 MB/s, so per-chunk fresh temporaries (~85 MB/chunk) made
+        the arithmetic 100x slower than the flops."""
+        hi, lo, r, frac, t1, t2, bb = (
+            bufs[k] for k in ("hi", "lo", "r", "frac", "t1", "t2", "bb")
+        )
+        np.multiply(P, scale, out=hi)
+        # Dekker two-product: hi + lo == P*scale exactly
+        np.multiply(P, C, out=t1)
+        np.subtract(t1, P, out=t2)
+        np.subtract(t1, t2, out=t2)  # ah
+        np.multiply(t2, BH, out=t1)
+        np.subtract(t1, hi, out=t1)  # ah*BH - hi
+        if BL != 0.0:
+            np.multiply(t2, BL, out=lo)
+            np.add(t1, lo, out=t1)
+        np.subtract(P, t2, out=t2)  # al
+        np.multiply(t2, BH, out=lo)
+        np.add(t1, lo, out=t1)
+        if BL != 0.0:
+            np.multiply(t2, BL, out=lo)
+            np.add(t1, lo, out=t1)
+        lo = t1
+        np.rint(hi, out=r)
+        np.subtract(hi, r, out=frac)  # Sterbenz-exact
+        np.add(frac, lo, out=frac)
+        np.greater(frac, 0.5, out=bb)
+        np.add(r, bb, out=r, casting="unsafe")
+        np.less(frac, -0.5, out=bb)
+        np.subtract(r, bb, out=r, casting="unsafe")
         # near-boundary band -> decimal-string HALF_UP (JVM semantics).
         # The binary-exact value and its shortest repr differ by
         # <= 0.5 ulp(p)·scale ≈ 1.1e-16·|hi|; band at 1e-14·|hi| is
         # ~100x wider, still vanishingly rare (exact ties included).
-        w = 1e-14 * np.maximum(1.0, np.abs(hi))
-        hard = (np.abs(np.abs(frac) - 0.5) <= w).nonzero()
-        if hard[0].size:
+        np.abs(frac, out=t2)
+        np.subtract(t2, 0.5, out=t2)
+        np.abs(t2, out=t2)
+        np.abs(hi, out=lo)
+        np.maximum(lo, 1.0, out=lo)
+        np.multiply(lo, 1e-14, out=lo)
+        np.less_equal(t2, lo, out=bb)
+        if bb.any():
             import decimal
 
             q = int(10**round_dp)
-            flat_p = p[hard]
-            fixed = np.empty(hard[0].size)
-            for k, pv in enumerate(flat_p):
-                fixed[k] = float(
-                    (decimal.Decimal(repr(float(pv))) * q).to_integral_value(
+            hard = bb.nonzero()
+            for k in zip(*hard):
+                r[k] = float(
+                    (decimal.Decimal(repr(float(P[k]))) * q).to_integral_value(
                         rounding=decimal.ROUND_HALF_UP
                     )
                 )
-            out[hard] = fixed
-        return out
+        return r
 
     def kernel(it):
+        scratch = {}
+
+        def bufs_for(ncell, d):
+            key = (ncell, d)
+            if key not in scratch:
+                shape = (CHUNK, ncell)
+                scratch[key] = {
+                    "T": np.empty((CHUNK, d, d)),
+                    "P": np.empty(shape),
+                    "hi": np.empty(shape),
+                    "lo": np.empty(shape),
+                    "r": np.empty(shape),
+                    "frac": np.empty(shape),
+                    "t1": np.empty(shape),
+                    "t2": np.empty(shape),
+                    "bb": np.empty(shape, dtype=bool),
+                }
+            return scratch[key]
+
         for pdf in it:
             if pdf.empty:
                 continue
@@ -673,17 +719,27 @@ def _gram_partials_kernel(round_dp: int):
             for d in np.unique(lens):
                 X = np.vstack([np.asarray(a, dtype=np.float64) for a in arrs[lens == d]])
                 n = X.shape[0]
-                iu = np.triu_indices(int(d))
-                ncell = iu[0].size
+                d = int(d)
+                iu = np.triu_indices(d)
+                flat = (iu[0] * d + iu[1]).astype(np.intp)
+                ncell = flat.size
+                full = bufs_for(ncell, d)
                 acc = np.zeros(ncell, dtype=np.int64)
-                for s in range(0, n, 512):
-                    chunk = X[s : s + 512]
-                    prod = chunk[:, :, None] * chunk[:, None, :]
-                    acc += (
-                        _round_scaled(prod[:, iu[0], iu[1]])
-                        .astype(np.int64)
-                        .sum(axis=0)
+                for s in range(0, n, CHUNK):
+                    chunk = X[s : s + CHUNK]
+                    cn = chunk.shape[0]
+                    b = (
+                        full
+                        if cn == CHUNK
+                        else {k: v[:cn] for k, v in full.items()}
                     )
+                    np.multiply(
+                        chunk[:, :, None], chunk[:, None, :], out=b["T"]
+                    )
+                    np.take(b["T"].reshape(cn, d * d), flat, axis=1, out=b["P"])
+                    r = _round_scaled_into(b["P"], b)
+                    # per-chunk column sums are exact integers < 2^53
+                    acc += r.sum(axis=0).astype(np.int64)
                 frames.append(
                     pd.DataFrame(
                         {

@@ -2302,23 +2302,37 @@ def gopher_ngram_repetition(
     discipline); char totals exclude whitespace. Fractions are exact
     int/int divides snapped half-up to 6dp — fully hash-checkable.
 
-    Plan shape: ONE in-row n-gram builder (nested higher-order
-    transform over the 9 n values — no Python, no d² literal tree),
-    one explode feeding two map-side-combinable hash aggregations —
-    (doc, n, ngram) counts, then a per-(doc, n) struct-argmin for the
-    top family and a per-(doc, n) duplicate-start collection for the
-    dup family; coverage expansion, dedup and the char sum all run
-    IN-ROW (sequence/flatten/array_distinct/aggregate folds) after a
-    6-rows-per-doc join back to the token arrays. No sort-based
-    window, no position-level shuffle: every key is document-scoped,
-    every aggregate exact-integer, so the plan has no global hotspot
-    at any corpus size. The explode multiplies rows ~9·len, hence
+    Plan shape (the 9·len explode is the corpus-dominant cost, so the
+    in-row builders are CASCADES, not nested slice transforms — the
+    naive per-gram slice+concat form measured 3x slower):
+
+      * n-gram STRINGS exist only for the top family (n ≤ 4, short):
+        p_n = zip_with(p_{n−1}, w shifted by n−1) — each level one
+        linear pass extending the previous level's strings.
+      * the dup family (n = 5…10) carries NO strings at all: gram
+        identity is a cascaded ``xxhash64`` over the token-hash array
+        (h_n = xxhash64(h_{n−1}, th shifted)) — 8-byte group keys
+        instead of ~60-char strings, and nothing re-materializes the
+        text. Within-doc hash collisions between distinct same-n grams
+        (~(len²/2)·2⁻⁶⁴ per doc) are the same measure-zero latitude
+        every rounded kernel here accepts; the oracle groups by the
+        actual gram string.
+
+    Both families feed map-side-combinable (doc, n, key) hash
+    aggregations: struct-argmin for top (count DESC, gram ASC — no
+    sort window), duplicate-start collection for dup; coverage
+    expansion, position dedup and the char sum run IN-ROW
+    (sequence/flatten/array_distinct/aggregate folds) after a
+    6-rows-per-doc join back to the token arrays. Every key is
+    document-scoped, so no global hotspot exists at any corpus size;
     ``spread_small`` first (the single-scan-split fixture discipline).
 
     Output: (doc_id, n int, kind string, char_frac double), rows for
     every n the document has ≥ n words for.
     """
     snap = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    max_top = max(GOPHER_TOP_NS)
+    max_dup = max(GOPHER_DUP_NS)
     d = df.select(
         F.col(id_col),
         _ws_tokens(F.lower(F.col(text_col))).alias("__w"),
@@ -2327,44 +2341,84 @@ def gopher_ngram_repetition(
         ).cast("bigint").alias("__total"),
     ).where(F.col("__total") > 0)
     w = F.col("__w")
-    ns = F.array(*[F.lit(n) for n in GOPHER_TOP_NS + GOPHER_DUP_NS])
-    grams = F.flatten(
-        F.transform(
-            F.filter(ns, lambda n: F.size(w) >= n),
-            lambda n: F.transform(
-                F.sequence(F.lit(1), F.size(w) - n + 1),
-                lambda i: F.struct(
-                    n.alias("n"),
-                    i.cast("bigint").alias("pos"),
-                    F.concat_ws(" ", F.slice(w, i, n)).alias("ng"),
-                    F.length(F.concat_ws("", F.slice(w, i, n)))
-                    .cast("bigint")
-                    .alias("clen"),
+    # cascade the builders in one projection: p_n (strings, n<=4) and
+    # h_n (hash keys, n<=10), each level one zip_with over the last
+    stage = spread_small(d)
+    cols = {"p1": w, "h1": F.transform(w, lambda t: F.xxhash64(t))}
+    empty_s = F.array().cast("array<string>")
+    empty_l = F.array().cast("array<bigint>")
+    for n in range(2, max_dup + 1):
+        ln = F.greatest(F.size(w) - (n - 1), F.lit(1))
+        ok = F.size(w) >= n
+        if n <= max_top:
+            prev = cols[f"p{n-1}"]
+            cols[f"p{n}"] = F.when(
+                ok,
+                F.zip_with(
+                    F.slice(prev, 1, ln),
+                    F.slice(w, n, ln),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
                 ),
+            ).otherwise(empty_s)
+        hprev = cols[f"h{n-1}"]
+        cols[f"h{n}"] = F.when(
+            ok,
+            F.zip_with(
+                F.slice(hprev, 1, ln),
+                F.slice(cols["h1"], n, ln),
+                lambda a, b: F.xxhash64(a, b),
             ),
-        )
+        ).otherwise(empty_l)
+    staged = stage.select(
+        id_col,
+        "__total",
+        "__w",
+        *[
+            cols[f"p{n}"].alias(f"p{n}")
+            for n in GOPHER_TOP_NS
+        ],
+        *[
+            cols[f"h{n}"].alias(f"h{n}")
+            for n in GOPHER_DUP_NS
+        ],
     )
-    spread = spread_small(d)
-    ex = spread.select(id_col, "__total", F.explode(grams).alias("g")).select(
-        id_col, "__total", "g.n", "g.pos", "g.ng", "g.clen"
+
+    def _top_struct(n):
+        def f(sv):
+            return F.struct(F.lit(n).alias("n"), sv.alias("ng"))
+
+        return f
+
+    def _dup_struct(n):
+        def f(hv, i):
+            return F.struct(
+                F.lit(n).alias("n"),
+                (i + 1).cast("bigint").alias("pos"),
+                hv.alias("h"),
+            )
+
+        return f
+
+    top_grams = F.flatten(
+        F.array(*[F.transform(F.col(f"p{n}"), _top_struct(n)) for n in GOPHER_TOP_NS])
     )
-    # ONE (doc, n, ngram) hash aggregation serves both families
-    cnt = ex.groupBy(id_col, "__total", "n", "ng").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.max("clen").alias("clen"),
-        F.collect_list("pos").alias("starts"),
+    dup_grams = F.flatten(
+        F.array(*[F.transform(F.col(f"h{n}"), _dup_struct(n)) for n in GOPHER_DUP_NS])
     )
-    # -- top family: struct-argmin (count DESC, ngram ASC) — hash agg,
-    # no sort window
+    # -- top family: count per (doc, n, ngram) -> struct-argmin (count
+    # DESC, ngram ASC) — hash aggs only, no sort window
+    top_ex = staged.select(id_col, "__total", F.explode(top_grams).alias("g")).select(
+        id_col, "__total", "g.n", "g.ng"
+    )
     top = (
-        cnt.where(F.col("n") <= max(GOPHER_TOP_NS))
+        top_ex.groupBy(id_col, "__total", "n", "ng")
+        .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(id_col, "__total", "n")
         .agg(
             F.min(
                 F.struct(
                     (-F.col("c")).alias("negc"),
                     F.col("ng").alias("ng"),
-                    F.col("clen").alias("clen"),
                     F.col("c").alias("c"),
                 )
             ).alias("t")
@@ -2373,16 +2427,22 @@ def gopher_ngram_repetition(
             id_col,
             F.col("n").cast("int").alias("n"),
             F.lit("top").alias("kind"),
-            snap((F.col("t.c") * F.col("t.clen")) / F.col("__total")).alias(
-                "char_frac"
-            ),
+            snap(
+                (F.col("t.c") * (F.length("t.ng") - F.col("n") + 1))
+                / F.col("__total")
+            ).alias("char_frac"),
         )
     )
-    # -- dup family: collect duplicate-gram start positions per
-    # (doc, n), then expand coverage / dedup / char-sum IN-ROW against
-    # the token array (6-rows-per-doc join, no position shuffle)
+    # -- dup family: duplicate-gram start positions per (doc, n), then
+    # coverage expansion / dedup / char-sum IN-ROW against the token
+    # array (6-rows-per-doc join, no position shuffle)
+    dup_ex = staged.select(id_col, F.explode(dup_grams).alias("g")).select(
+        id_col, "g.n", "g.pos", "g.h"
+    )
     dup_starts = (
-        cnt.where((F.col("n") > max(GOPHER_TOP_NS)) & (F.col("c") >= 2))
+        dup_ex.groupBy(id_col, "n", "h")
+        .agg(F.count(F.lit(1)).alias("c"), F.collect_list("pos").alias("starts"))
+        .where(F.col("c") >= 2)
         .groupBy(id_col, "n")
         .agg(F.flatten(F.collect_list("starts")).alias("starts"))
     )

@@ -194,10 +194,10 @@ EXPECTED_SLOPE_NOTES: dict[str, str] = {
     "audio_fingerprint_pairs64": "~1.5: 64-bit twin, same join shape, lower collision floor",
     "ngram_diversity": "~1.5: explode + (source, n) agg; distinct-count grows with the tiled vocab",
     "kn_logprob": "~1.5: one corpus pass + vocab-sized type table; vocab grows ~10x by construction",
-    "embedding_gram": "~1.5-2.5: Arrow GEMM partials since r13 (x2080 explode removed); wire fixed at partitions x d^2, kernel CPU ~n",
+    "embedding_gram": "~1.5-2.5: Arrow GEMM partials since r13 (x2080 explode removed); wire fixed at partitions x d^2, kernel CPU ~n through PREALLOCATED scratch (this container faults fresh pages at ~20 MB/s — per-chunk temporaries dominated the flops 100x)",
     "snm_pairs": "~3-3.7 CONSTANT-FACTOR-LINEAR: candidates are strictly n*(window-1); the two-phase global rank (range partition + offsets + per-partition row_number) is small-fixture machinery whose constant rises with decade — NOT an approaching quadratic; watch only if >3.8",
     "jpeg_pixel_stats": "~1.5-2.5: per-row Python codec (encode+decode), embarrassingly parallel map-only chain; wall ~n once spread",
-    "gopher_ngram_repetition": "~1.5-2.5: ~9*len explode into doc-scoped hash aggs; every key carries doc_id so tiled vocab growth cannot concentrate keys",
+    "gopher_ngram_repetition": "~1.2-2.5: cascaded builders (strings only for n<=4, xxhash64 keys for n>=5) into doc-scoped hash aggs; every key carries doc_id so tiled vocab growth cannot concentrate keys",
 }
 SCALE10_DIR = os.environ.get("SAFEDATA_SCALE10_DIR", "/root/repo/.scale10")
 
