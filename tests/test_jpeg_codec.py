@@ -199,3 +199,56 @@ def test_pillow_interop_both_directions():
     img.save(buf, format="JPEG", quality=100, subsampling=0)
     out, w, h = J.jpeg_decode(buf.getvalue())
     assert (w, h) == (16, 16) and set(out) == {73}
+
+
+def test_property_roundtrip_arbitrary_content_and_dims():
+    """Hypothesis property: ANY 8-bit grayscale content at any
+    (width, height) round-trips within ±1/sample at quality 100, and
+    FLAT content round-trips exactly — across aligned and unaligned
+    dims, all-extreme values, and restart intervals."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+        ri=st.sampled_from([0, 1, 3]),
+    )
+    def check(w, h, seed, ri):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        out, dw, dh = J.jpeg_decode(
+            J.jpeg_encode_gray(img.tobytes(), w, quality=100, restart_interval=ri)
+        )
+        assert (dw, dh) == (w, h)
+        arr = np.frombuffer(out, dtype=np.uint8).reshape(h, w)
+        assert np.abs(arr.astype(int) - img.astype(int)).max() <= 1
+
+    check()
+
+
+def test_property_flat_exact_all_values_and_dims():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(g=st.integers(0, 255), w=st.integers(1, 33), h=st.integers(1, 33))
+    def check(g, w, h):
+        px = bytes([g]) * (w * h)
+        out, dw, dh = J.jpeg_decode(J.jpeg_encode_gray(px, w, quality=100))
+        assert (dw, dh, out) == (w, h, px)
+
+    check()
+
+
+def test_appn_and_comment_segments_skipped():
+    """APPn/COM segments (EXIF blobs may contain 0xFF bytes) are
+    length-skipped, not parsed: inject an APP1 with embedded FF bytes
+    and a COM after SOI; decode is unchanged."""
+    px = bytes(range(64))
+    p = J.jpeg_encode_gray(px, 8, quality=100)
+    base = J.jpeg_decode(p)
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + 10) + b"Exif\x00\x00\xff\xd9\xff\x00"
+    com = b"\xff\xfe" + struct.pack(">H", 2 + 5) + b"hi\xffzz"
+    p2 = p[:2] + app1 + com + p[2:]
+    assert J.jpeg_decode(p2) == base
