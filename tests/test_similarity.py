@@ -652,3 +652,52 @@ def test_embedding_gram_vectorized_twin_bit_identical(spark):
         for r in S.embedding_gram(adv.coalesce(1)).collect()
     }
     assert a7 == a1
+
+
+def test_gram_kernel_rounding_matches_decimal_half_up():
+    """Property (no Spark): the GEMM-partial kernel's per-product
+    scaled rounding equals Decimal(repr(p)) HALF_UP @9dp — the JVM
+    Round semantics — on random doubles AND the adversarial odd/2^k
+    class whose scaled values are EXACT half-integers."""
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from hypothesis import given, settings, strategies as st
+
+    from safedata_pipeline_spark.operators.similarity import _gram_partials_kernel
+
+    kernel = _gram_partials_kernel(9)
+
+    def expected(p):
+        return int(
+            (decimal.Decimal(repr(float(p))) * 10**9).to_integral_value(
+                rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    def kernel_psums(vec):
+        pdf = pd.DataFrame({"v": [np.array(vec, dtype=np.float64)]})
+        out = pd.concat(list(kernel(iter([pdf]))), ignore_index=True)
+        return {(r.i, r.j): int(r.psum) for r in out.itertuples()}
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.floats(-100, 100, allow_nan=False),
+                # odd/2^k: products can scale to exact half-integers
+                st.integers(-2047, 2047).map(lambda k: (2 * k + 1) / 1024),
+                st.floats(-1e-7, 1e-7, allow_nan=False),
+            ),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    def check(vec):
+        got = kernel_psums(vec)
+        for (i, j), psum in got.items():
+            assert psum == expected(vec[i] * vec[j]), (vec[i], vec[j])
+
+    check()
