@@ -148,6 +148,27 @@ def main() -> None:
     _canary_reps = sorted(_canary_once() for _ in range(3))
     canary_sec = round(_canary_reps[1], 3)
 
+    # memory-subsystem canary (AB_r12_r13 finding: the shuffle canary
+    # under-weights page-fault-bound work — basic_stats ran 2.3x slow
+    # on a day the shuffle canary read near-normal). Raw anonymous
+    # mmap per probe (glibc arena reuse would hide the fault rate
+    # after the first malloc burst); touches every 4 KiB page of
+    # 64 MiB. Healthy host ~0.06s (~1.1 GB/s); the degraded state
+    # measured this round would read seconds.
+    def _canary_alloc_once() -> float:
+        import mmap
+
+        size = 64 * 1024 * 1024
+        t0 = time.time()
+        m = mmap.mmap(-1, size)
+        for off in range(0, size, 4096):
+            m[off] = 1
+        m.close()
+        return time.time() - t0
+
+    _alloc_reps = sorted(_canary_alloc_once() for _ in range(3))
+    canary_alloc_sec = round(_alloc_reps[1], 4)
+
     # median-of-N per query: single-shot timings on a loaded shared box
     # swung 14–32s for identical code (VERDICT r4 #2); the median of
     # three fresh executions pins the number to the plan, not the
@@ -210,6 +231,8 @@ def main() -> None:
             "reps": reps,
             "canary_sec": canary_sec,
             "canary_spread": [round(_canary_reps[0], 3), round(_canary_reps[2], 3)],
+            "canary_alloc_sec": canary_alloc_sec,
+            "canary_alloc_spread": [round(_alloc_reps[0], 4), round(_alloc_reps[2], 4)],
             "load": {
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
@@ -231,6 +254,7 @@ def main() -> None:
             "value": total,
             "sf": sf,
             "canary_sec": canary_sec,
+            "canary_alloc_sec": canary_alloc_sec,
             "n_queries": len(names),
             "q": {k: timings[k] for k in sorted(timings)},
         }
@@ -248,6 +272,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(names),
         "canary_sec": canary_sec,
+        "canary_alloc_sec": canary_alloc_sec,
         "queries": {},
         "queries_omitted": len(names),
         "queries_full": "BENCH_local.json",
