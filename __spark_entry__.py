@@ -6385,15 +6385,23 @@ def _sql_jpeg_pixel_stats(width: int) -> str:
     g = first byte and dims width × 8·(1 + len mod 3) — a DC-only DCT
     with an all-ones quantizer, the one JPEG class where decode∘encode
     is the identity — so the engine's really-decoded stats equal this
-    prediction iff the codec round-trips exactly."""
+    prediction iff the codec round-trips exactly.
+
+    BYTE semantics throughout (ADVICE r13): the engine casts text →
+    binary (UTF-8) and reads b[0] / len(b), so the oracle reads the
+    first byte via hex(encode(text)) and the byte length via
+    strlen() — character-level ord()/length() would silently match
+    only on ASCII fixtures."""
+    first_byte = "CAST(concat('0x', substr(hex(encode(text)), 1, 2)) AS INT)"
+    blen = "strlen(text)"
     return (
         f"SELECT doc_id AS media_id, CAST({width} AS INT) AS width, "
-        "CAST(8 * (1 + length(text) % 3) AS INT) AS height, "
-        f"CAST({width} * 8 * (1 + length(text) % 3) AS INT) AS n_pixels, "
-        "CAST(ord(substr(text, 1, 1)) AS BIGINT) "
-        f"* {width} * 8 * (1 + length(text) % 3) AS pixel_sum, "
-        "CAST(ord(substr(text, 1, 1)) AS DOUBLE) AS mean_pixel "
-        "FROM documents WHERE text IS NOT NULL AND length(text) > 0"
+        f"CAST(8 * (1 + {blen} % 3) AS INT) AS height, "
+        f"CAST({width} * 8 * (1 + {blen} % 3) AS INT) AS n_pixels, "
+        f"CAST({first_byte} AS BIGINT) "
+        f"* {width} * 8 * (1 + {blen} % 3) AS pixel_sum, "
+        f"CAST({first_byte} AS DOUBLE) AS mean_pixel "
+        f"FROM documents WHERE text IS NOT NULL AND {blen} > 0"
     )
 
 

@@ -177,8 +177,14 @@ class _BitWriter:
         self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
+        # T.81 F.1.2.3 / B.1.1.5: the final partial byte is completed
+        # with ALL-ONE bits — exactly 8-nbits of them, so no surplus
+        # bit is generated. (An earlier form padded 9-nbits bits of
+        # 0x7F, whose FIRST pad bit is 0 when nbits == 1 — harmless to
+        # MCU-counting decoders but nonconformant under strict stream
+        # validators.)
         if self.nbits:
-            self.put(0x7F, 7 - ((self.nbits + 7) % 8) + 1)  # pad with 1s
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
         self.acc, self.nbits = 0, 0
 
 

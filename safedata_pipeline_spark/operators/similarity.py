@@ -720,6 +720,21 @@ def _gram_partials_kernel(round_dp: int):
                 X = np.vstack([np.asarray(a, dtype=np.float64) for a in arrs[lens == d]])
                 n = X.shape[0]
                 d = int(d)
+                # exactness-envelope guard (ADVICE r13): the int64
+                # accumulation and the rint ±1 correction are exact
+                # only while every |scaled product| and every
+                # CHUNK-row column sum stays below 2^53; beyond it
+                # the kernel would silently diverge from the exact
+                # vectorized=False twin. Enforce, don't assume.
+                amax = float(np.abs(X).max()) if X.size else 0.0
+                if amax * amax * float(scale) * CHUNK >= 2.0**53:
+                    raise ValueError(
+                        "embedding_gram exactness envelope exceeded: "
+                        f"max|x| = {amax:g} with round_dp = {round_dp} "
+                        f"implies scaled chunk sums >= 2^53; lower "
+                        "round_dp or use vectorized=False (exact "
+                        "decimal path)"
+                    )
                 iu = np.triu_indices(d)
                 flat = (iu[0] * d + iu[1]).astype(np.intp)
                 ncell = flat.size

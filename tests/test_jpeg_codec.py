@@ -252,3 +252,33 @@ def test_appn_and_comment_segments_skipped():
     com = b"\xff\xfe" + struct.pack(">H", 2 + 5) + b"hi\xffzz"
     p2 = p[:2] + app1 + com + p[2:]
     assert J.jpeg_decode(p2) == base
+
+
+def test_bitwriter_flush_pads_all_ones():
+    """T.81 F.1.2.3/B.1.1.5 (ADVICE r13): the final partial byte is
+    completed with ALL-ONE bits, no surplus bit. The nbits==1 case is
+    the regression: a 1 pending bit + 7 one-pads = 0xFF (then byte
+    stuffing), where the old 9-nbits-of-0x7F pad emitted 0xBF."""
+    for pending, nbits, want in [
+        (1, 1, b"\xff\x00"),  # 1 + 1111111 = 0xFF -> stuffed
+        (0, 1, b"\x7f"),  # 0 + 1111111
+        (0b10, 2, b"\xbf"),  # 10 + 111111
+        (0b101, 3, b"\xbf"),  # 101 + 11111
+        (0b0000000, 7, b"\x01"),  # 0000000 + 1
+    ]:
+        w = J._BitWriter()
+        w.put(pending, nbits)
+        w.flush()
+        assert bytes(w.buf) == want, (pending, nbits)
+        assert w.nbits == 0
+
+
+def test_flush_fix_roundtrip_unchanged():
+    """The conformance pad must not disturb decode: re-run the flat
+    round-trip class (whose streams end in every possible nbits
+    phase as g and the dimensions vary)."""
+    for g in (0, 3, 17, 255):
+        for h in (8, 16, 24):
+            px = bytes([g]) * (8 * h)
+            out, w, hh = J.jpeg_decode(J.jpeg_encode_gray(px, 8, quality=100))
+            assert (w, hh) == (8, h) and out == px

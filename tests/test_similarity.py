@@ -701,3 +701,25 @@ def test_gram_kernel_rounding_matches_decimal_half_up():
             assert psum == expected(vec[i] * vec[j]), (vec[i], vec[j])
 
     check()
+
+
+def test_embedding_gram_envelope_guard_raises(spark):
+    """ADVICE r13: the Arrow kernel's int64/rint exactness envelope
+    (max|x|^2 * 10^dp * CHUNK < 2^53) is ENFORCED — oversized inputs
+    raise instead of silently diverging from the exact twin."""
+    big = spark.createDataFrame(
+        [(0, [4.0e5, 1.0]), (1, [2.0, 3.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="exactness envelope"):
+        S.embedding_gram(big, vectorized=True).collect()
+    # the exact explode/decimal twin handles the same input fine
+    rows = {(r.i, r.j): r.gram for r in S.embedding_gram(big, vectorized=False).collect()}
+    assert rows[(0, 0)] == 4.0e5 * 4.0e5 + 2.0 * 2.0
+    # in-envelope values still pass through the kernel untouched
+    ok = spark.createDataFrame(
+        [(0, [123.0, -99.5])], "vec_id bigint, embedding array<double>"
+    )
+    assert len(S.embedding_gram(ok, vectorized=True).collect()) == 3

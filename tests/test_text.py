@@ -764,3 +764,18 @@ def test_c4_line_filter_rules(spark):
     assert out[5].n_kept == 3 and out[5].page_kept
     r7 = {r.doc_id: r.text_clean for r in T.c4_line_filter(df.repartition(7)).collect()}
     assert r7 == {k: v.text_clean for k, v in out.items()}
+
+
+def test_c4_line_filter_null_text(spark):
+    """ADVICE r13: NULL text coalesces to '' — the row survives with
+    exact-integer zero counts and non-NULL flags (the old form leaked
+    size(NULL) = -1 with NULL page_kept)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "A good full sentence.")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in T.c4_line_filter(df).collect()}
+    r = out[1]
+    assert (r.n_lines, r.n_kept) == (0, 0)
+    assert r.page_kept is True and r.has_lorem is False and r.has_curly is False
+    assert r.text_clean == ""
+    assert out[2].n_kept == 1
