@@ -588,12 +588,20 @@ def bootstrap_finish(state: DataFrame, alpha: float = 0.05) -> DataFrame:
     )
 
 
+# temperature_mix prefilter size gate: engage the md5-threshold
+# prefilter only when the corpus is at least this many times the
+# expected candidate set (slack·budget) — below it the plain
+# per-source window is cheaper than the prefilter's extra barriers
+PREFILTER_GATE = 8
+
+
 def temperature_mix(
     df: DataFrame,
     source_col: str = "source",
     id_col: str = "doc_id",
     budget: int = 1000,
     temperature: float = 0.7,
+    prefilter_slack: float | None = 4.0,
 ) -> DataFrame:
     """Temperature-scaled source mixing with an EXACT document budget
     — the "epoch sampling plan" form of q_s ∝ p_s^τ (τ < 1 upsamples
@@ -624,6 +632,24 @@ def temperature_mix(
     Σraw — O(sources) driver-free broadcasts), one per-source window
     over the documents. Output: (source, doc_id, smp_rank, quota),
     one row per sampled document.
+
+    Scale path (VERDICT r13 "Next #3"): the within-source window would
+    rank each source's FULL document set in one task — a hot source at
+    100 TB is a single-task sort. With ``prefilter_slack`` set
+    (default 4), docs first pass a coarse md5-threshold prefilter
+    u < slack·quota_s/n_s. Because the per-source order is
+    (u asc, id asc) and the filter keeps a DOWNWARD-CLOSED prefix of
+    that order, the top-quota of the ~slack·budget survivors equals
+    the global top-quota EXACTLY whenever a source keeps ≥ quota_s
+    survivors; the O(sources) survivor-count check detects the
+    astronomically-rare deficit sources (P ≈ Binomial tail at
+    slack× the mean) and ranks ONLY those sources in full — so the
+    result is bit-identical to the unfiltered form (which
+    ``prefilter_slack=None`` still runs, the oracle-replay twin).
+    A size gate keeps small corpora on the plain window: when
+    N ≤ ``PREFILTER_GATE``·slack·budget the candidate set is a large
+    fraction of the corpus and the prefilter's extra barriers cost
+    more than they save (measured 1.2s → 2.4s at sf0.1).
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
@@ -671,8 +697,73 @@ def temperature_mix(
     )
     u = md5_unit_interval(F.col(id_col))
     w = Window.partitionBy(source_col).orderBy(u.asc(), F.col(id_col).asc())
+    base = df.select(source_col, id_col)
+    if prefilter_slack is not None:
+        if prefilter_slack <= 0:
+            raise ValueError("prefilter_slack must be positive or None")
+        # O(sources) fit-parameter read (same class as one-hot's
+        # category list): quota + population per source decide both
+        # the size gate and, later, the deficit fallback.
+        qn_df = quotas.join(counts, on=source_col).select(
+            source_col, "quota", "__n_s"
+        )
+        qn = {r[0]: (int(r[1]), int(r[2])) for r in qn_df.collect()}
+        n_total = sum(n for _, n in qn.values())
+        if n_total <= PREFILTER_GATE * prefilter_slack * budget:
+            # candidate set would be a large fraction of the corpus —
+            # the prefilter's extra barriers (candidate pin + survivor
+            # check) cost more than the window saves. Rank in full;
+            # exact either way.
+            prefilter_slack = None
+    if prefilter_slack is not None:
+        thr_df = F.broadcast(
+            qn_df.select(
+                source_col,
+                F.least(
+                    F.lit(1.0 + 1e-9),
+                    F.lit(float(prefilter_slack))
+                    * F.col("quota")
+                    / F.greatest(F.col("__n_s"), F.lit(1)),
+                ).alias("__thr"),
+            )
+        )
+        # strict u < thr keeps a DOWNWARD-CLOSED prefix of the
+        # (u asc, id asc) order; NULL-u rows (NULL id) sort first under
+        # asc and must survive the prefilter to preserve the prefix
+        cand = (
+            base.withColumn("__u", u)
+            .join(thr_df, on=source_col)
+            .where(F.col("__u").isNull() | (F.col("__u") < F.col("__thr")))
+        )
+        cand = pin_eager(cand.select(source_col, id_col))
+        surv = {
+            r[0]: int(r[1])
+            for r in cand.groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("__s"))
+            .collect()
+        }
+        deficit = sorted(
+            s for s, (q, n) in qn.items() if surv.get(s, 0) < min(q, n)
+        )
+        keep = cand
+        if deficit:
+            # rare by construction: rank the deficit sources in full
+            keep = keep.where(~F.col(source_col).isin(deficit)).unionByName(
+                base.where(F.col(source_col).isin(deficit))
+            )
+        return (
+            keep.withColumn("smp_rank", F.row_number().over(w))
+            .join(F.broadcast(quotas), on=source_col)
+            .where(F.col("smp_rank") <= F.col("quota"))
+            .select(
+                source_col,
+                id_col,
+                F.col("smp_rank").cast("int").alias("smp_rank"),
+                "quota",
+            )
+        )
     return (
-        df.select(source_col, id_col)
+        base
         .withColumn("smp_rank", F.row_number().over(w))
         .join(F.broadcast(quotas), on=source_col)
         .where(F.col("smp_rank") <= F.col("quota"))

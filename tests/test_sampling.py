@@ -405,3 +405,64 @@ def test_temperature_mix_quota_exceeds_source_and_validation(spark):
         S.temperature_mix(df, budget=0)
     with pytest.raises(ValueError, match="temperature"):
         S.temperature_mix(df, temperature=1.5)
+
+
+def test_temperature_mix_prefilter_bit_identical(spark):
+    """VERDICT r13 Next #3: the md5-threshold prefilter (scale path —
+    no full-source single-task sort) is BIT-IDENTICAL to the
+    unfiltered oracle-replay twin: at the default slack, at a
+    starvation slack that forces the exact per-source fallback for
+    every source, and on the quota>population edge."""
+    rows = [
+        (i, "big" if i < 300 else ("mid" if i < 380 else "rare"))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    for budget, tau in [(60, 0.5), (25, 1.0), (390, 0.3)]:
+        want = sorted(
+            tuple(r)
+            for r in S.temperature_mix(
+                df, budget=budget, temperature=tau, prefilter_slack=None
+            ).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in S.temperature_mix(
+                df, budget=budget, temperature=tau
+            ).collect()
+        )
+        # starvation slack: thresholds ~0 -> every source deficits ->
+        # the full-rank fallback must reproduce the twin exactly
+        starved = sorted(
+            tuple(r)
+            for r in S.temperature_mix(
+                df, budget=budget, temperature=tau, prefilter_slack=1e-6
+            ).collect()
+        )
+        assert got == want and starved == want and len(want) > 0
+    # ENGAGED path (N=4000 > GATE*slack*budget): prefilter prunes for
+    # real and the survivor sets must still reproduce the twin exactly
+    big = spark.createDataFrame(
+        [
+            (i, "hot" if i % 10 < 9 else ("warm" if i % 10 == 9 and i % 3 else "cold"))
+            for i in range(4000)
+        ],
+        "doc_id bigint, source string",
+    )
+    want = sorted(
+        tuple(r)
+        for r in S.temperature_mix(
+            big, budget=30, temperature=0.6, prefilter_slack=None
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in S.temperature_mix(
+            big, budget=30, temperature=0.6, prefilter_slack=2.0
+        ).collect()
+    )
+    assert got == want and len(want) == 30
+    import pytest
+
+    with pytest.raises(ValueError, match="prefilter_slack"):
+        S.temperature_mix(df, prefilter_slack=-1.0)
