@@ -108,19 +108,42 @@ def main() -> None:
     _g.select("t", "k", _F.sum("c").over(_win).alias("cum")).join(
         _F.broadcast(_g.groupBy("t").agg(_F.sum("c").alias("n"))), "t"
     ).write.format("noop").mode("overwrite").save()
-    # REAL-plan warmup (VERDICT r12 #2): the generic pass above warms
-    # session-level JIT but not query #1's OWN analyzer/codegen work —
-    # basic_stats' 13.8s cold-rep tail survived it. Run the actual
-    # first-window queries once at the smallest fixture (~50-500 rows:
-    # full plan-analysis cost, negligible execution) so their plan
-    # shapes are hot before rep 1 is timed.
+    # Arrow/Python-worker warmup (VERDICT r13 #2): the first
+    # mapInPandas query otherwise pays Python worker spawn + numpy /
+    # codec import on every core — jpeg_pixel_stats read 17.0s cold in
+    # BENCH_r13.json vs 1.1-1.8s warm, a pure artifact of the worker
+    # cold start being billed to whichever Arrow query runs first.
+    # One tiny mapInPandas over 32 pinned splits spawns the workers
+    # and front-loads the heavyweight imports (reused afterwards:
+    # spark.python.worker.reuse defaults true).
+    def _arrow_warm(it):
+        import numpy  # noqa: F401
+
+        from safedata_pipeline_spark.operators import jpeg_codec  # noqa: F401
+
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, 32, 1, 32).mapInPandas(_arrow_warm, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    # REAL-plan warmup (VERDICT r12 #2, widened per ADVICE r13): the
+    # generic pass above warms session-level JIT but not each query's
+    # OWN analyzer/codegen work — basic_stats' 13.8s cold-rep tail
+    # survived it. Run every FIRST-WINDOW query (the driver-window
+    # prefix of the registry) once at the smallest fixture (~50-500
+    # rows: full plan-analysis cost, negligible execution) so their
+    # plan shapes are hot before rep 1 is timed.
     _warm_dir = os.environ.get(
         "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"
     )
+    WINDOW = 50  # the driver correctness window = first 50 dict keys
     if os.path.isdir(_warm_dir):
-        for _wq in ("basic_stats", "robust_stats"):
-            if _wq in qs:
+        for _wq in names[:WINDOW]:
+            try:
                 force(qs[_wq](spark, _warm_dir))
+            except Exception:
+                pass  # warmup must never fail the bench
 
     # host-speed canary (VERDICT r12 #3): a FIXED, engine-independent
     # synthetic workload — seeded range → modular projection → one
@@ -169,6 +192,29 @@ def main() -> None:
     _alloc_reps = sorted(_canary_alloc_once() for _ in range(3))
     canary_alloc_sec = round(_alloc_reps[1], 4)
 
+    # job-chain canary (round-14 finding, closing the AB_r12_r13 open
+    # attribution): the axis that eluded BOTH prior canaries is
+    # per-JOB overhead — scheduler launch + eager localCheckpoint
+    # block-manager round-trips. A fixed chain of 12 tiny
+    # groupBy→localCheckpoint→count jobs measured 3.7-7.5s on the
+    # degraded host state (≈200-300ms/job) while the shuffle canary
+    # read near-normal and the alloc probe read healthy — and it
+    # co-moved with basic_stats (6.0-15.3s over the same reps), which
+    # composes dozens of such jobs. Recorded every round so bar
+    # normalization can ride the axis the profiling queries actually
+    # ride.
+    def _canary_chain_once() -> float:
+        t0 = time.time()
+        for _ in range(12):
+            dfc = spark.range(0, 20000, 1, 8).select(
+                (_F.col("id") % 97).alias("k")
+            )
+            dfc.groupBy("k").count().localCheckpoint(eager=True).count()
+        return time.time() - t0
+
+    _chain_reps = sorted(_canary_chain_once() for _ in range(3))
+    canary_chain_sec = round(_chain_reps[1], 3)
+
     # median-of-N per query: single-shot timings on a loaded shared box
     # swung 14–32s for identical code (VERDICT r4 #2); the median of
     # three fresh executions pins the number to the plan, not the
@@ -200,6 +246,39 @@ def main() -> None:
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
     total = round(sum(timings.values()), 3)
+
+    # canary-normalized perf bars (VERDICT r13 "What's missing" #1):
+    # absolute per-query seconds are not decidable on a host that
+    # drifts 2.3x on axes the canaries under-weight, so each bar is
+    # BASE seconds at the reference host state, scaled by the most
+    # degraded canary ratio. References: shuffle canary 0.45s and
+    # alloc probe 0.05s/64MiB (the healthy exclusive readings in
+    # AB_r12_r13.json post_close_spot_checks), chain canary 2.5s
+    # (back-derived: today's exclusive (chain, basic_stats) pairs
+    # cross-ratioed to the r12 controlled 4.33s). BASE values are the
+    # r12 controlled medians — the numbers the old absolute bars were
+    # specified from. A bar PASSES when the query's median is within
+    # BASE x norm; the artifact records every term so any future host
+    # state can re-derive the verdict.
+    PERF_BARS = {"basic_stats": 4.5, "robust_stats": 6.9}
+    CANARY_REFS = {"canary": 0.45, "alloc": 0.05, "chain": 2.5}
+    norm = max(
+        canary_sec / CANARY_REFS["canary"],
+        canary_alloc_sec / CANARY_REFS["alloc"],
+        canary_chain_sec / CANARY_REFS["chain"],
+        1.0,
+    )
+    perf_bars = {
+        q: {
+            "sec": timings[q],
+            "base_sec": base,
+            "norm": round(norm, 3),
+            "bar_sec": round(base * norm, 3),
+            "pass": timings[q] <= base * norm,
+        }
+        for q, base in PERF_BARS.items()
+        if q in timings
+    }
     # The driver's BENCH_r{N} copy keeps only the LAST 2000 bytes of
     # stdout (BENCH_r10.json: tail len 2000, `parsed: null` four
     # rounds running because the full 206-query line is ~12 KB — its
@@ -233,6 +312,9 @@ def main() -> None:
             "canary_spread": [round(_canary_reps[0], 3), round(_canary_reps[2], 3)],
             "canary_alloc_sec": canary_alloc_sec,
             "canary_alloc_spread": [round(_alloc_reps[0], 4), round(_alloc_reps[2], 4)],
+            "canary_chain_sec": canary_chain_sec,
+            "canary_chain_spread": [round(_chain_reps[0], 3), round(_chain_reps[2], 3)],
+            "perf_bars": perf_bars,
             "load": {
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
@@ -255,6 +337,8 @@ def main() -> None:
             "sf": sf,
             "canary_sec": canary_sec,
             "canary_alloc_sec": canary_alloc_sec,
+            "canary_chain_sec": canary_chain_sec,
+            "perf_bars": {q: v["pass"] for q, v in perf_bars.items()},
             "n_queries": len(names),
             "q": {k: timings[k] for k in sorted(timings)},
         }
@@ -273,6 +357,8 @@ def main() -> None:
         "n_queries": len(names),
         "canary_sec": canary_sec,
         "canary_alloc_sec": canary_alloc_sec,
+        "canary_chain_sec": canary_chain_sec,
+        "perf_bars": {q: v["pass"] for q, v in perf_bars.items()},
         "queries": {},
         "queries_omitted": len(names),
         "queries_full": "BENCH_local.json",

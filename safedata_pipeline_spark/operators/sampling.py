@@ -769,3 +769,106 @@ def temperature_mix(
         .where(F.col("smp_rank") <= F.col("quota"))
         .select(source_col, id_col, F.col("smp_rank").cast("int").alias("smp_rank"), "quota")
     )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target_col: str = "is_target",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public paper; no
+    reference counterpart, extension surface): score every document by
+    how much more likely its hashed n-gram features are under a
+    TARGET-domain bag-of-features model than under the RAW-corpus
+    model; high weights select raw data that "looks like" the target.
+
+    Features are lowercased whitespace unigrams + bigrams hashed into
+    ``buckets`` slots with the engine's md5 slot hash (replayable in
+    DuckDB — the ``stratified_split`` coin discipline). Both models
+    are add-one-smoothed multinomials over slots:
+
+        logratio[b] = round( ln((c_t[b]+1)/(N_t+B))
+                           − ln((c_r[b]+1)/(N_r+B)), 9 )
+        logweight(doc) = Σ_b count_doc[b] · logratio[b]
+
+    Exactness: all counts are exact integers; each slot's logratio is
+    a MODEL PARAMETER rounded half-even to 9dp once (absorbing
+    libm-vs-Math.log 1-ulp latitude — the BM25/PMI discipline); the
+    per-doc sum multiplies integers by the 9dp DECIMAL and sums as
+    DECIMAL(38,9) (order-independent), final snap half-up at 6dp.
+
+    Scale shape: one explode (×tokens) behind ``spread_small``; the
+    raw/target model is ONE groupBy over ``buckets`` keys (map-side
+    combinable — a hot slot reduces, never collects) broadcast back;
+    per-doc slot counts groupBy on (doc, slot). No window, no driver
+    state, no Python.
+
+    Output: (doc_id, is_target, n_feats, logweight) — docs with ≥ 1
+    token only (mirrored in the oracle).
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    from safedata_pipeline_spark.partitioning import spread_small
+
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    w = _ws_tokens(t)
+    base = df.select(F.col(id_col), F.col(target_col).alias("__tgt"), w.alias("__w"))
+    wc = F.col("__w")
+    ln2 = F.greatest(F.size(wc) - 1, F.lit(1))
+    bigrams = F.when(
+        F.size(wc) >= 2,
+        F.zip_with(
+            F.slice(wc, 1, ln2),
+            F.slice(wc, 2, ln2),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = spread_small(base).select(
+        id_col,
+        "__tgt",
+        F.explode(F.concat(wc, bigrams)).alias("__f"),
+    )
+    slot = F.pmod(_md5_slot(F.col("__f"), 0), F.lit(buckets)).alias("__b")
+    fb = feats.select(id_col, "__tgt", slot)
+    model = fb.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__ct"),
+    )
+    tot = model.agg(
+        F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt")
+    )
+    ratio = model.join(F.broadcast(tot)).select(
+        "__b",
+        F.round(
+            F.log((F.col("__ct") + 1) / (F.col("__nt") + F.lit(buckets)))
+            - F.log((F.col("__cr") + 1) / (F.col("__nr") + F.lit(buckets))),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("__lr"),
+    )
+    per_doc = fb.groupBy(id_col, "__tgt", "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        per_doc.join(F.broadcast(ratio), on="__b")
+        .groupBy(id_col, "__tgt")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_feats"),
+            snap6(
+                F.sum(
+                    F.col("__c").cast("decimal(18,0)") * F.col("__lr")
+                ).cast("double")
+            ).alias("logweight"),
+        )
+        .select(
+            id_col,
+            F.col("__tgt").alias("is_target"),
+            "n_feats",
+            "logweight",
+        )
+    )

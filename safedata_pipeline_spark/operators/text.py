@@ -2628,3 +2628,287 @@ def c4_line_filter(
         .otherwise(F.lit(""))
         .alias("text_clean"),
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    min_doc_freq: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CORPUS-LEVEL duplicate-line (boilerplate) removal — the CCNet
+    §4.1 / Dolma pre-dedup stage (public papers; no reference
+    counterpart, extension surface): a line that appears in
+    ≥ ``min_doc_freq`` DISTINCT documents is boilerplate (nav bars,
+    cookie banners, footers) and is removed from every document.
+    Complements ``c4_line_filter`` (per-doc line RULES — no corpus
+    state) and ``paragraph_dedup`` (near-dup paragraph PAIRS): this is
+    the frequency form real pipelines run first.
+
+    Exactness: document frequency is an exact COUNT(DISTINCT doc) per
+    line (two-level aggregate below); counts are integers; the
+    surviving text re-joins in original line order.
+
+    Scale shape: one explode (×lines), then (a) dedupe (line, doc)
+    pairs with a groupBy keyed on BOTH columns — a hot boilerplate
+    line spreads across tasks by doc_id; (b) count rows per line —
+    now ≤ 1 row per (line, doc), map-side combine collapses each
+    partition's copies, so even a line in EVERY document reduces, not
+    collects; (c) join the ≥-threshold line set back (boilerplate is
+    small by nature — AQE broadcasts it); (d) one per-doc groupBy
+    reassembles. No window, no driver state.
+
+    Output: (doc_id, n_lines, n_boiler, text_clean) — every input doc
+    keeps a row (0/''-filled when it has no lines).
+    """
+    if min_doc_freq < 2:
+        raise ValueError("min_doc_freq must be >= 2")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines_arr = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
+    base = df.select(F.col(id_col), lines_arr.alias("__ln"))
+    lines = spread_small(base).select(
+        id_col, F.posexplode("__ln").alias("__pos", "__line")
+    )
+    per = lines.select("__line", id_col).groupBy("__line", id_col).agg(
+        F.count(F.lit(1)).alias("__dup")
+    )
+    dfreq = per.groupBy("__line").agg(F.count(F.lit(1)).alias("__df"))
+    boiler = dfreq.where(F.col("__df") >= min_doc_freq).select(
+        "__line", F.lit(True).alias("__b")
+    )
+    tagged = lines.join(boiler, on="__line", how="left")
+    agg = tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("__b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__b").isNull(),
+                            F.struct(
+                                F.col("__pos").alias("p"),
+                                F.col("__line").alias("l"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["l"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-distribution Shannon entropy + printable
+    ratio — the standard binary/mojibake pre-filter for web-crawl text
+    (encoding noise reads as near-uniform high entropy; binary blobs
+    as low printable ratio; no reference counterpart, extension
+    surface).
+
+    Exactness discipline (the BM25/PMI log-sum rules): each character
+    class count is an exact integer; each entropy term
+    −(c/n)·log2(c/n) is rounded to 9dp then summed as DECIMAL(20,9)
+    (order-independent; the snap absorbs libm-vs-Math.log 1-ulp
+    latitude), the final value and the printable ratio floor-snap
+    half-up at 6dp.
+
+    Scale shape: one explode (×chars) behind ``spread_small``, a
+    (doc, char) groupBy (map-side combinable — alphabet ≤ corpus
+    charset per doc), a doc-scoped window for n (no global hotspot),
+    one per-doc aggregate. Docs with no characters are absent (the
+    oracle mirrors the length > 0 filter).
+
+    Output: (doc_id, n_chars, n_distinct_chars, entropy,
+    printable_ratio, is_binary) — is_binary ⇔ 5·printable < 4·n
+    (exact integer form of ratio < 0.8).
+    """
+    from pyspark.sql import Window
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    chars = F.filter(F.split(t, ""), lambda c: c != "")
+    base = df.select(F.col(id_col), chars.alias("__c"))
+    ex = spread_small(base).select(id_col, F.explode("__c").alias("ch"))
+    cnt = ex.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(id_col)
+    n = F.sum("c").over(w)
+    p = F.col("c") / n
+    term = F.round(-(p * F.log2(p)), 9).cast("decimal(20,9)")
+    printable = F.col("ch").rlike("^[\\x20-\\x7e\\n\\t]$")
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        cnt.select(
+            id_col,
+            "c",
+            term.alias("__term"),
+            F.when(printable, F.col("c")).otherwise(F.lit(0)).alias("__pc"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            snap6(F.sum("__term").cast("double")).alias("entropy"),
+            snap6(F.sum("__pc") / F.sum("c")).alias("printable_ratio"),
+            (F.lit(5) * F.sum("__pc") < F.lit(4) * F.sum("c")).alias(
+                "is_binary"
+            ),
+        )
+    )
+
+
+def refinedweb_line_correct(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RefinedWeb line-wise correction (Penedo et al. 2023 — the
+    public Falcon pipeline's per-line filters; no reference
+    counterpart, extension surface). A line is REMOVED when it is
+
+      * mainly uppercase: ≥ 4 letters and 2·uppercase > letters
+        (exact integer inequality);
+      * numeric-only: digits/space/punct with ≥ 1 digit and no letter;
+      * a social counter: ``N likes|comments|shares|views|retweets``
+        (case-insensitive, optional terminal . or !);
+      * a one-word line.
+
+    The WHOLE document drops when removed characters exceed 30% of
+    line characters — compared in exact integers (10·removed > 3·total),
+    never through a float 0.3. Pure per-row array expressions — one
+    map-only scan, zero shuffles, zero Python; every rule mirrored
+    term-for-term in the SQL oracle.
+
+    Output: (doc_id, n_lines, n_removed, frac_removed, doc_kept,
+    text_clean) — frac_removed is the exact int/int divide snapped
+    half-up at 6dp (0.0 for line-less docs); text_clean is '' for
+    dropped docs.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
+    base = df.select(F.col(id_col), lines.alias("__ln"))
+    ln = F.col("__ln")
+
+    def remove_line(l):
+        s = F.trim(l)
+        letters = F.length(F.regexp_replace(s, "[^A-Za-z]", ""))
+        uppers = F.length(F.regexp_replace(s, "[^A-Z]", ""))
+        mainly_upper = (letters >= 4) & (2 * uppers > letters)
+        numeric_only = s.rlike("^[0-9\\s.,%:/-]+$") & s.rlike("[0-9]")
+        social = F.lower(s).rlike(
+            "^[0-9]+ (likes|comments|shares|views|retweets)[.!]?$"
+        )
+        one_word = ~s.rlike("\\s")
+        return mainly_upper | numeric_only | social | one_word
+
+    removed = F.filter(ln, remove_line)
+    kept = F.filter(ln, lambda l: ~remove_line(l))
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr,
+        F.lit(0).cast("bigint"),
+        lambda acc, l: acc + F.length(F.trim(l)),
+    )
+    staged = base.select(
+        id_col,
+        F.size(ln).cast("bigint").alias("n_lines"),
+        F.size(removed).cast("bigint").alias("n_removed"),
+        chars(removed).alias("__rc"),
+        chars(ln).alias("__tc"),
+        kept.alias("__kept"),
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    doc_kept = ~(F.lit(10) * F.col("__rc") > F.lit(3) * F.col("__tc"))
+    return staged.select(
+        id_col,
+        "n_lines",
+        "n_removed",
+        F.when(F.col("__tc") > 0, snap6(F.col("__rc") / F.col("__tc")))
+        .otherwise(F.lit(0.0))
+        .alias("frac_removed"),
+        doc_kept.alias("doc_kept"),
+        F.when(doc_kept, F.array_join("__kept", "\n"))
+        .otherwise(F.lit(""))
+        .alias("text_clean"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY — the fraction of a document's
+    DISTINCT word n-grams that occur in no other document (corpus
+    document frequency 1). The WIMBD-style per-doc originality signal
+    (Elazar et al. 2024, public paper): low novelty flags templated /
+    scraped-many-times text that survives exact dedup.
+
+    Exactness: per-doc distinct grams come from an IN-ROW
+    ``array_distinct`` (no shuffle spent deduping); document frequency
+    is an exact row count over the (gram → doc) pairs (one row per
+    pair by construction); the novelty fraction is the exact int/int
+    divide snapped half-up at 6dp.
+
+    Scale shape: the gram build is the gopher cascade (one zip_with
+    per level, slices as top-level args); the df groupBy is map-side
+    combinable; the join back on gram fans a hot gram out to at most
+    its df rows. Only docs with ≥ n tokens appear (mirrored in the
+    oracle).
+
+    Output: (doc_id, n_grams, n_novel, novelty).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    w = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, "\\s+")
+    )
+    base = df.select(F.col(id_col), w.alias("__w"))
+    wc = F.col("__w")
+    grams = wc
+    for k in range(2, n + 1):
+        ln = F.greatest(F.size(wc) - (k - 1), F.lit(1))
+        grams = F.when(
+            F.size(wc) >= k,
+            F.zip_with(
+                F.slice(grams, 1, ln),
+                F.slice(wc, k, ln),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    pairs = spread_small(base).select(
+        id_col, F.explode(F.array_distinct(grams)).alias("__g")
+    )
+    dfreq = pairs.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        pairs.join(dfreq, on="__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            snap6(F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+        )
+    )

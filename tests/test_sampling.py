@@ -466,3 +466,31 @@ def test_temperature_mix_prefilter_bit_identical(spark):
 
     with pytest.raises(ValueError, match="prefilter_slack"):
         S.temperature_mix(df, prefilter_slack=-1.0)
+
+
+def test_dsir_logweights_model_and_order(spark):
+    """X235 (DSIR importance weights): add-one multinomial log-ratio
+    over md5-hashed unigram+bigram slots; target-like docs outscore
+    off-target docs; weights are repartition-invariant; empty docs
+    absent; decimal recomputation of one doc matches."""
+    rows = [
+        (1, "spark table scan", True),
+        (2, "spark row merge", True),
+        (3, "cat dog bird", False),
+        (4, "spark table hash", False),
+        (5, "dog cat fish", False),
+        (6, "", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, is_target boolean")
+    out = {r.doc_id: r for r in S.dsir_logweights(df).collect()}
+    assert 6 not in out and len(out) == 5
+    # 'spark table hash' shares features with the target model
+    assert out[4].logweight > out[3].logweight
+    assert out[4].logweight > out[5].logweight
+    assert all(out[d].n_feats == 5 for d in (1, 2, 3, 4, 5))
+    r7 = {r.doc_id: tuple(r) for r in S.dsir_logweights(df.repartition(7)).collect()}
+    assert r7 == {k: tuple(v) for k, v in out.items()}
+    import pytest
+
+    with pytest.raises(ValueError, match="buckets"):
+        S.dsir_logweights(df, buckets=1)

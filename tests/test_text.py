@@ -779,3 +779,120 @@ def test_c4_line_filter_null_text(spark):
     assert r.page_kept is True and r.has_lorem is False and r.has_curly is False
     assert r.text_clean == ""
     assert out[2].n_kept == 1
+
+
+def test_boilerplate_lines_corpus_df(spark):
+    """X233 (CCNet §4.1 corpus boilerplate): lines in >= min_doc_freq
+    DISTINCT docs are removed everywhere; within-doc duplicates count
+    once for df but both copies are removed; line order survives;
+    line-less docs keep 0/'' rows; repartition-invariant."""
+    df = spark.createDataFrame(
+        [
+            (1, "footer line\nreal content one.\nfooter line"),
+            (2, "footer line\nreal content two."),
+            (3, "rare pair\nreal content three.\nfooter line"),
+            (4, "rare pair\nreal content four."),
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in T.boilerplate_lines(df, min_doc_freq=3).collect()}
+    assert len(out) == 6
+    # footer df=3 (doc 1 counts once) -> removed; 'rare pair' df=2 -> kept
+    assert (out[1].n_lines, out[1].n_boiler) == (3, 2)
+    assert out[1].text_clean == "real content one."
+    assert out[3].text_clean == "rare pair\nreal content three."
+    assert out[4].n_boiler == 0
+    assert (out[5].n_lines, out[5].text_clean) == (0, "")
+    assert (out[6].n_lines, out[6].text_clean) == (0, "")
+    r7 = {r.doc_id: tuple(r) for r in T.boilerplate_lines(df.repartition(7), min_doc_freq=3).collect()}
+    assert r7 == {k: tuple(v) for k, v in out.items()}
+    import pytest
+
+    with pytest.raises(ValueError, match="min_doc_freq"):
+        T.boilerplate_lines(df, min_doc_freq=1)
+
+
+def test_char_entropy_exact_values(spark):
+    """X234: entropy equals the closed-form Decimal recomputation
+    (9dp terms, 6dp snap); printable ratio exact; binary flag at the
+    exact 0.8 integer boundary; single-char text has entropy 0."""
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "ab\x01\x02\x03"), (4, "abcdefgh")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in T.char_entropy(df).collect()}
+    assert out[1].entropy == 0.0 and out[1].n_distinct_chars == 1
+    assert out[2].entropy == 1.0  # two equiprobable symbols
+    assert out[4].entropy == 3.0  # eight equiprobable symbols
+    # doc 3: printable 2/5 = 0.4 -> binary
+    assert out[3].printable_ratio == 0.4 and out[3].is_binary
+    assert not out[2].is_binary
+    # decimal recomputation of doc 3's entropy: p=1/5 five ways
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    term = Decimal(repr(-(1 / 5) * math.log2(1 / 5))).quantize(
+        Decimal("1e-9"), rounding=ROUND_HALF_UP
+    )
+    want = float(
+        (term * 5).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+    )
+    assert abs(out[3].entropy - want) < 1e-12
+    # exact 0.8 boundary: 4 printable of 5 -> 5*4 == 4*5 -> NOT binary
+    b = spark.createDataFrame([(9, "abcd\x01")], "doc_id bigint, text string")
+    r = T.char_entropy(b).collect()[0]
+    assert r.printable_ratio == 0.8 and not r.is_binary
+
+
+def test_refinedweb_line_correct_rules(spark):
+    """X236 (RefinedWeb line-wise correction): the four removal rules,
+    the exact-integer 30% doc-drop, and the kept-order reassembly."""
+    df = spark.createDataFrame(
+        [
+            (1, "THIS IS ALL CAPS\nA perfectly normal sentence here.\n"
+                "42 likes\n123 456.7\nword"),
+            (2, "Good line with many words here.\nAnother good line follows it."),
+            (3, "ok\nMixed Case Normal Line here."),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in T.refinedweb_line_correct(df).collect()}
+    assert out[1].n_removed == 4 and not out[1].doc_kept
+    assert out[1].text_clean == ""
+    assert out[2].n_removed == 0 and out[2].doc_kept
+    # doc 3: 'ok' is one-word (2 chars removed of 30 total) -> kept
+    assert out[3].n_removed == 1 and out[3].doc_kept
+    assert out[3].text_clean == "Mixed Case Normal Line here."
+    assert (out[4].n_lines, out[4].frac_removed, out[4].doc_kept) == (0, 0.0, True)
+    # uppercase rule is exact-integer: 'ABcd' 2 upper of 4 -> 2*2 !> 4 kept;
+    # 'ABCd' 3 of 4 -> removed
+    e = spark.createDataFrame(
+        [(1, "ABcd efgh ijkl\nABCd efgh ijkl")], "doc_id bigint, text string"
+    )
+    r = T.refinedweb_line_correct(e).collect()[0]
+    assert r.n_removed == 0  # letters span the whole line incl 2 words
+
+
+def test_ngram_novelty_df1_fraction(spark):
+    """X237 (WIMBD per-doc originality): novelty = distinct-gram df==1
+    fraction; within-doc repeats collapse via array_distinct; docs
+    with < n tokens are absent; exact 6dp int/int snap."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # grams: abc, bcd
+            (2, "a b c e"),      # grams: abc, bce
+            (3, "q r s q r s"),  # grams: qrs, rsq, sqr, qrs -> 3 distinct
+            (4, "x y"),          # < 3 tokens -> absent
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in T.ngram_novelty(df, n=3).collect()}
+    assert 4 not in out and len(out) == 3
+    assert (out[1].n_grams, out[1].n_novel, out[1].novelty) == (2, 1, 0.5)
+    assert (out[2].n_grams, out[2].n_novel) == (2, 1)
+    assert (out[3].n_grams, out[3].n_novel, out[3].novelty) == (3, 3, 1.0)
+    r5 = {r.doc_id: tuple(r) for r in T.ngram_novelty(df.repartition(5), n=3).collect()}
+    assert r5 == {k: tuple(v) for k, v in out.items()}
