@@ -2649,6 +2649,120 @@ def _q_c4_line_filter(spark, sf):
     return TX.c4_line_filter(docs.select("doc_id", text.alias("text")))
 
 
+def _reflow_lines(docs, plants):
+    """Shared 8-word reflow (the c4_line_filter fixture discipline):
+    single-line fixture text becomes newline-separated 8-word lines
+    with terminal periods on even line indices, plus per-doc modulo
+    ``plants`` [(mod, rem, line), ...] appended — each mirrored
+    verbatim in the oracle SQL."""
+    tk = TX._ws_tokens(F.col("text"))
+    nc = F.ceil(F.size(tk) / F.lit(8.0)).cast("int")
+    body = F.when(
+        F.size(tk) > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), nc - 1),
+                lambda i: F.concat(
+                    F.array_join(F.slice(tk, i * 8 + 1, F.lit(8)), " "),
+                    F.when(i % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+                ),
+            ),
+            "\n",
+        ),
+    ).otherwise(F.lit(""))
+    parts = [body]
+    for mod, rem, line in plants:
+        parts.append(
+            F.when(F.col("doc_id") % mod == rem, F.lit("\n" + line)).otherwise(
+                F.lit("")
+            )
+        )
+    return docs.select("doc_id", F.concat(*parts).alias("text"))
+
+
+BOILER_PLANTS = [
+    (2, 0, "subscribe to our newsletter for updates."),
+    (5, 1, "privacy policy and terms of service."),
+]
+
+
+def _q_boilerplate_lines(spark, sf):
+    # X233: corpus-level duplicate-line removal (CCNet §4.1 / Dolma).
+    # Reflowed 8-word lines plus two HIGH-df footer plants (df = n/2
+    # and n/5 >= threshold at every fixture) and one PAIRED plant
+    # ("shared pair line <doc_id//2>", df == 2 < 3 — live proof the
+    # threshold keeps sub-threshold duplicates); natural 8-token line
+    # collisions are ~1e-8 at fixture scale and replay identically in
+    # the oracle anyway
+    docs = load_table(spark, sf, "documents")
+    fx = _reflow_lines(docs, BOILER_PLANTS)
+    pair = F.concat(
+        F.lit("shared pair line "),
+        F.floor(F.col("doc_id") / 2).cast("string"),
+        F.lit("."),
+    )
+    fx = fx.select(
+        "doc_id", F.concat(F.col("text"), F.lit("\n"), pair).alias("text")
+    )
+    return TX.boilerplate_lines(fx, min_doc_freq=3)
+
+
+def _q_char_entropy(spark, sf):
+    # X234: per-doc char-distribution entropy + printable ratio (the
+    # binary/mojibake pre-filter). The ASCII fixture keeps printable
+    # at 1.0, so plant 60 control chars on doc_id % 17 == 5 (flips
+    # printable_ratio below the exact-integer 0.8 binary gate on the
+    # shorter docs — live signal in every output column)
+    docs = load_table(spark, sf, "documents")
+    text = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 17 == 5, F.lit("\x01" * 60)).otherwise(
+            F.lit("")
+        ),
+    )
+    return TX.char_entropy(docs.select("doc_id", text.alias("text")))
+
+
+RW_PLANTS = [
+    (5, 1, "BREAKING NEWS UPDATE NOW"),
+    (7, 3, "2024 12 31."),
+    (9, 2, "42 likes"),
+    (13, 6, "standalone"),
+]
+
+
+def _q_refinedweb_line_correct(spark, sf):
+    # X236: RefinedWeb line-wise correction (Penedo et al. 2023) —
+    # reflowed lines plus one plant per removal rule (mainly-upper,
+    # numeric-only, social counter, one-word); short docs with plants
+    # cross the exact-integer 30% char budget and drop whole — every
+    # branch live and mirrored verbatim in the oracle
+    docs = load_table(spark, sf, "documents")
+    return TX.refinedweb_line_correct(_reflow_lines(docs, RW_PLANTS))
+
+
+def _q_ngram_novelty(spark, sf):
+    # X237: per-doc 3-gram novelty (WIMBD-style originality). The
+    # ~30-word fixture vocabulary gives a natural df spectrum (27k
+    # possible 3-grams vs ~75k drawn at sf0.01), so novelty is live
+    # without plants
+    return TX.ngram_novelty(load_table(spark, sf, "documents"), n=3)
+
+
+def _q_dsir_logweights(spark, sf):
+    # X235: DSIR importance log-weights (Xie et al. 2023) — target
+    # domain = source 'src0' (a real fixture column), features =
+    # md5-slot-hashed unigrams+bigrams, add-one multinomial log-ratio
+    # per slot (9dp model snap), per-doc DECIMAL sum
+    docs = load_table(spark, sf, "documents")
+    return SMP.dsir_logweights(
+        docs.select(
+            "doc_id", "text", (F.col("source") == "src0").alias("is_target")
+        ),
+        buckets=64,
+    )
+
+
 # the repeated 10-word phrase planted (twice) on doc_id % 4 == 1 docs
 # so the dup family has live signal — raw fixture text has no natural
 # >= 5-gram repetition (measured all-zero at sf0.01); mirrored
@@ -3329,53 +3443,45 @@ def _q_min_cost_supplier(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-13 window rotation (the driver hash-checks the FIRST 50
-    # entries; 12 consecutive all-green rounds, every oracle-backed
-    # query has >= 1 driver-green row, so the window is policy:
+    # Round-14 window rotation (the driver hash-checks the FIRST 50
+    # entries; 13 consecutive all-green rounds — the window is policy:
     # anchors + new + touched + stalest-green refresh):
     # (1) the 15 standing anchors;
-    # (2) the FIVE r13-new oracle-backed queries: jpeg_pixel_stats
-    #     (X228 — the JPEG oracle anchor, VERDICT r12 #1 closed: the
-    #     vendored T.81 baseline codec makes the JPEG path EXECUTE in
-    #     Pillow-less containers, and the flat quality-100 class is
-    #     predicted by the oracle from SOURCE bytes, so the hash match
-    #     certifies decode∘encode identity), gopher_ngram_repetition
-    #     (X229 — the remaining Gopher A1.1 repetition family:
-    #     top-(2..4)-gram char fraction + duplicated-(5..10)-gram
-    #     coverage fraction, planted dup phrase on doc_id % 4 == 1),
-    #     temperature_mix (X230 — the QUOTA form of temperature
-    #     mixing: exact largest-remainder apportionment of a fixed
-    #     budget at any tau, complementing X187's rate form; integer
-    #     arithmetic end-to-end after one pow snap),
-    #     ccnet_perplexity_buckets (X231 — CCNet head/middle/tail
-    #     tertiles over the X222 Kneser-Ney score; rank-based integer
-    #     thresholds, no percentile interpolation),
-    #     c4_line_filter (X232 — C4 line-level cleaning, Raffel et al.
-    #     2020 2.2: terminal-punctuation / >=3-words / javascript line
-    #     rules + lorem-ipsum / curly-brace page drops; map-only, the
-    #     reflow fixture plants every rule);
-    # (3) re-verification slots for every oracle query round 13
-    #     touched: the vendored-JPEG decode dispatch in _real_decode
-    #     re-verifies image_pixel_stats and multimodal_features; the
-    #     Arrow GEMM-partial kernel (VERDICT r12 #4 — the x d(d+1)/2
-    #     in-row explode removed from the engine path, explode form
-    #     kept as the oracle-replay twin, bit-equality test-pinned)
-    #     re-verifies embedding_gram and embedding_drift; the
-    #     _shuffle_partitions conf-read fallback (ADVICE r12)
-    #     re-verifies snm_pairs; pca_fit's ragged-input ValueError
-    #     (ADVICE r12) touches only rows-only consumers (pca_project,
-    #     ann_cosine_topk_pca — out of window by role);
-    # (4) 25 refresh slots for the STALEST driver greens — the r5
-    #     vintage head the SURVEY queue named for r13
-    #     (mutual_information ... rolling_anomalies) plus the rest of
-    #     the r5 vintage (l_diversity ... chunk_documents); the five
-    #     r5 leftovers (fold_assign, dedup_rate_by_source,
-    #     nation_trade, priority_late_orders, sole_late_supplier) head
-    #     the r14 refresh line, then the r7 vintage.
-    # Displaced out: the r12-new/touched/refresh rows — each keeps the
-    # local full-sweep hash check via tools/check_oracle.py every
-    # round. Out-of-window order is the historical dict order (stable
-    # keys for BENCH_r* comparability).
+    # (2) the FIVE r14-new oracle-backed queries: boilerplate_lines
+    #     (X233 — corpus-level duplicate-line removal, CCNet §4.1 /
+    #     Dolma: exact COUNT(DISTINCT doc) per line, two high-df
+    #     footer plants + one paired sub-threshold plant),
+    #     char_entropy (X234 — per-doc char-distribution Shannon
+    #     entropy + printable ratio, the binary/mojibake pre-filter;
+    #     9dp DECIMAL terms, exact-integer 0.8 gate, control-char
+    #     plant), refinedweb_line_correct (X236 — RefinedWeb line-wise
+    #     correction, Penedo et al. 2023: mainly-upper / numeric-only
+    #     / social-counter / one-word rules + the exact-integer 30%
+    #     doc budget), ngram_novelty (X237 — WIMBD-style per-doc
+    #     fraction of corpus-unique 3-grams), dsir_logweights (X235 —
+    #     DSIR importance weights, Xie et al. 2023: md5-slot hashed
+    #     unigram+bigram features, add-one multinomial log-ratio per
+    #     slot snapped at 9dp, per-doc integer × DECIMAL sum);
+    # (3) re-verification slots for every oracle query round 14
+    #     touched: the T.81-conformant _BitWriter.flush all-ones pad
+    #     re-verifies jpeg_pixel_stats / image_pixel_stats /
+    #     multimodal_features (encoded bytes change, decode must not);
+    #     the NULL-text coalesce re-verifies c4_line_filter; the
+    #     two-phase range-partitioned rank (VERDICT r13 #3) re-verifies
+    #     ccnet_perplexity_buckets; the md5-threshold prefilter
+    #     re-verifies temperature_mix; the exactness-envelope guard
+    #     (ADVICE r13) re-verifies embedding_gram / embedding_drift;
+    # (4) 22 refresh slots for the STALEST driver greens: the five r5
+    #     leftovers the r13 brief queued (fold_assign ...
+    #     sole_late_supplier), then 17 of the 29-query r7 vintage
+    #     (auc_daily ... group_scale, historical order); the remaining
+    #     12 r7 rows (heavy_hitter_words ... zipf_profile) head the
+    #     r15 refresh line, then the r8 vintage.
+    # Displaced out: the r13 refresh block (r5 vintage — all double-
+    # green r13) and the r13-new rows not touched this round — each
+    # keeps the local full-sweep hash check via tools/check_oracle.py
+    # every round. Out-of-window order preserves the prior dict order
+    # (stable keys for BENCH_r* comparability).
     return {
         # -- (1) anchors ---------------------------------------------------
         "basic_stats": _q_basic_stats,
@@ -3393,19 +3499,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "decontaminate": _q_decontaminate,
         "pack_windows": _q_pack_windows,
-        # -- (2) r13-new oracle-backed (in-window on arrival) -------------
+        # -- (2) r14-new oracle-backed (in-window on arrival) -----------------
+        "boilerplate_lines": _q_boilerplate_lines,
+        "char_entropy": _q_char_entropy,
+        "refinedweb_line_correct": _q_refinedweb_line_correct,
+        "ngram_novelty": _q_ngram_novelty,
+        "dsir_logweights": _q_dsir_logweights,
+        # -- (3) touched-operator re-verification -----------------------------
         "jpeg_pixel_stats": _q_jpeg_pixel_stats,
-        "gopher_ngram_repetition": _q_gopher_ngram_repetition,
-        "temperature_mix": _q_temperature_mix,
-        "ccnet_perplexity_buckets": _q_ccnet_perplexity_buckets,
-        "c4_line_filter": _q_c4_line_filter,
-        # -- (3) touched-operator re-verification -------------------------
         "image_pixel_stats": _q_image_pixel_stats,
         "multimodal_features": _q_multimodal_features,
+        "c4_line_filter": _q_c4_line_filter,
+        "ccnet_perplexity_buckets": _q_ccnet_perplexity_buckets,
+        "temperature_mix": _q_temperature_mix,
         "embedding_gram": _q_embedding_gram,
         "embedding_drift": _q_embedding_drift,
+        # -- (4) stalest-green refresh: the 5 r5 leftovers + 17 of 29 r7 ------
+        "fold_assign": _q_fold_assign,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "nation_trade": _q_nation_trade,
+        "priority_late_orders": _q_priority_late_orders,
+        "sole_late_supplier": _q_sole_late_supplier,
+        "auc_daily": _q_auc_daily,
+        "audio_frame_features": _q_audio_frame_features,
+        "benford_prices": _q_benford_prices,
+        "calibration_bins": _q_calibration_bins,
+        "cdc_chunks": _q_cdc_chunks,
+        "corpus_overlap": _q_corpus_overlap,
+        "count_min_words": _q_count_min_words,
+        "cross_source_dup_matrix": _q_cross_source_dup_matrix,
+        "cusum_hourly": _q_cusum_hourly,
+        "dedup_incremental_near": _q_dedup_incremental_near,
+        "disjunctive_revenue": _q_disjunctive_revenue,
+        "domain_stats": _q_domain_stats,
+        "dup_graph_pagerank": _q_dup_graph_pagerank,
+        "dup_graph_pagerank_weighted": _q_dup_graph_pagerank_weighted,
+        "event_transitions": _q_event_transitions,
+        "extract_text": _q_extract_text,
+        "group_scale": _q_group_scale,
+        # -- out of window: local full-sweep hash check every round ------------
+        "gopher_ngram_repetition": _q_gopher_ngram_repetition,
         "snm_pairs": _q_snm_pairs,
-        # -- (4) stalest-green refresh (the r5 vintage, 28 of 30) ---------
         "mutual_information": _q_mutual_information,
         "enforce_k_anonymity": _q_enforce_k_anonymity,
         "iqr_outliers": _q_iqr_outliers,
@@ -3431,10 +3565,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_by_source": _q_rules_by_source,
         "orphan_orders": _q_orphan_orders,
         "chunk_documents": _q_chunk_documents,
-        # -- out of window: local full-sweep hash check every round --------
-        "fold_assign": _q_fold_assign,
-        "dedup_rate_by_source": _q_dedup_rate_by_source,
-        "nation_trade": _q_nation_trade,
         "audio_fingerprint64": _q_audio_fingerprint64,
         "audio_fingerprint_pairs64": _q_audio_fingerprint_pairs64,
         "bm25_rerank_cosine": _q_bm25_rerank_cosine,
@@ -3572,37 +3702,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_vocab": _q_token_count_vocab,
         "winnowing": _q_winnowing,
         "alpha_mixture": _q_alpha_mixture,
-        "dup_graph_pagerank": _q_dup_graph_pagerank,
-        "dup_graph_pagerank_weighted": _q_dup_graph_pagerank_weighted,
-        "count_min_words": _q_count_min_words,
         "heavy_hitter_words": _q_heavy_hitter_words,
         "value_auc": _q_value_auc,
-        "auc_daily": _q_auc_daily,
         "roc_points": _q_roc_points,
-        "calibration_bins": _q_calibration_bins,
         "readability": _q_readability,
-        "cusum_hourly": _q_cusum_hourly,
-        "benford_prices": _q_benford_prices,
         "weighted_quantiles": _q_weighted_quantiles,
-        "audio_frame_features": _q_audio_frame_features,
-        "cdc_chunks": _q_cdc_chunks,
         "market_share": _q_market_share,
-        "disjunctive_revenue": _q_disjunctive_revenue,
-        "event_transitions": _q_event_transitions,
         "leakage_free_split": _q_leakage_free_split,
-        "dedup_incremental_near": _q_dedup_incremental_near,
-        "cross_source_dup_matrix": _q_cross_source_dup_matrix,
-        "extract_text": _q_extract_text,
-        "domain_stats": _q_domain_stats,
         "promo_revenue": _q_promo_revenue,
         "idle_rich_customers": _q_idle_rich_customers,
-        "corpus_overlap": _q_corpus_overlap,
-        "group_scale": _q_group_scale,
         "shipment_month_overlap": _q_shipment_month_overlap,
         "ks_drift_binned": _q_ks_drift_binned,
         "zipf_profile": _q_zipf_profile,
-        "priority_late_orders": _q_priority_late_orders,
-        "sole_late_supplier": _q_sole_late_supplier,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "bpe_merges": _q_bpe_merges,
         "dp_noise": _q_dp_noise,
@@ -7176,6 +7287,171 @@ def _sql_c4_line_filter() -> str:
     )
 
 
+def _sql_reflow(plants: list) -> str:
+    """Shared DuckDB reflow CTE chain (tk -> ref0 -> ref -> fx) — the
+    verbatim twin of ``_reflow_lines``: 8-word lines, periods on even
+    indices, per-doc modulo plants appended."""
+    plant_sql = "".join(
+        f" || CASE WHEN doc_id % {m} = {r} THEN chr(10)||'{ln}' ELSE '' END"
+        for m, r, ln in plants
+    )
+    return (
+        f"tk AS ({SQL_TOKS}), "
+        "ref0 AS (SELECT doc_id, string_agg(array_to_string(t[(i*8+1):((i+1)*8)], ' ') "
+        "|| CASE WHEN i % 2 = 0 THEN '.' ELSE '' END, "
+        "chr(10) ORDER BY i) AS body FROM tk, "
+        "unnest(generate_series(CAST(0 AS BIGINT), CAST(ceil(len(t) / 8.0) AS BIGINT) - 1)) AS g(i) "
+        "GROUP BY doc_id), "
+        "ref AS (SELECT tk.doc_id, coalesce(ref0.body, '') AS body "
+        "FROM tk LEFT JOIN ref0 USING (doc_id)), "
+        f"fx AS (SELECT doc_id, body{plant_sql} AS text FROM ref)"
+    )
+
+
+def _sql_boilerplate_lines(min_doc_freq: int) -> str:
+    """DuckDB twin of X233: the same reflow + footer plants + the
+    paired sub-threshold plant, exact COUNT(DISTINCT doc) per line,
+    order-preserving reassembly of the surviving lines."""
+    plants = _sql_reflow(BOILER_PLANTS)
+    return (
+        f"WITH {plants}, "
+        "fx2 AS (SELECT doc_id, text || chr(10) || "
+        "'shared pair line ' || CAST(doc_id // 2 AS VARCHAR) || '.' AS text FROM fx), "
+        "ln AS (SELECT doc_id, list_filter(string_split(text, chr(10)), "
+        "l -> trim(l) <> '') AS lns FROM fx2), "
+        "e AS (SELECT doc_id, i AS pos, lns[i] AS line FROM ln, "
+        "unnest(generate_series(CAST(1 AS BIGINT), CAST(len(lns) AS BIGINT))) AS g(i)), "
+        "f AS (SELECT line, count(DISTINCT doc_id) AS df FROM e GROUP BY line), "
+        "agg AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+        f"CAST(sum(CASE WHEN f.df >= {min_doc_freq} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler, "
+        f"coalesce(string_agg(CASE WHEN f.df < {min_doc_freq} THEN e.line END, "
+        "chr(10) ORDER BY e.pos), '') AS text_clean "
+        "FROM e JOIN f USING (line) GROUP BY e.doc_id) "
+        "SELECT d.doc_id, coalesce(a.n_lines, 0) AS n_lines, "
+        "coalesce(a.n_boiler, 0) AS n_boiler, "
+        "coalesce(a.text_clean, '') AS text_clean "
+        "FROM documents d LEFT JOIN agg a USING (doc_id)"
+    )
+
+
+def _sql_char_entropy() -> str:
+    """DuckDB twin of X234: the control-char plant, per-(doc, char)
+    exact counts, 9dp DECIMAL entropy terms, 6dp floor snaps, and the
+    exact-integer 0.8 binary gate."""
+    return (
+        "WITH fx AS (SELECT doc_id, text || CASE WHEN doc_id % 17 = 5 "
+        "THEN repeat(chr(1), 60) ELSE '' END AS text FROM documents), "
+        "ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch "
+        "FROM fx WHERE length(text) > 0), "
+        "c AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM ch "
+        "GROUP BY doc_id, ch), "
+        "n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY doc_id), "
+        "t AS (SELECT c.doc_id, c.c, "
+        "CAST(round(-( (CAST(c.c AS DOUBLE) / n.n) * log2(CAST(c.c AS DOUBLE) / n.n) ), 9) "
+        "AS DECIMAL(20,9)) AS term, "
+        "CASE WHEN regexp_matches(c.ch, '^[\\x20-\\x7e\\n\\t]$') THEN c.c ELSE 0 END AS pc "
+        "FROM c JOIN n USING (doc_id)) "
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars, "
+        "CAST(count(*) AS BIGINT) AS n_distinct_chars, "
+        "floor(CAST(sum(term) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS entropy, "
+        "floor(CAST(sum(pc) AS DOUBLE) / sum(c) * 1e6 + 0.5) / 1e6 AS printable_ratio, "
+        "5 * sum(pc) < 4 * sum(c) AS is_binary "
+        "FROM t GROUP BY doc_id"
+    )
+
+
+def _sql_refinedweb_line_correct() -> str:
+    """DuckDB twin of X236: the four line-removal rules in exact
+    integer/regex form, the 10·removed > 3·total char budget, and the
+    order-preserving reassembly."""
+    plants = _sql_reflow(RW_PLANTS)
+    rm = (
+        "(length(regexp_replace(trim(line), '[^A-Za-z]', '', 'g')) >= 4 AND "
+        "2 * length(regexp_replace(trim(line), '[^A-Z]', '', 'g')) > "
+        "length(regexp_replace(trim(line), '[^A-Za-z]', '', 'g'))) OR "
+        "(regexp_matches(trim(line), '^[0-9\\s.,%:/-]+$') AND "
+        "regexp_matches(trim(line), '[0-9]')) OR "
+        "regexp_matches(lower(trim(line)), "
+        "'^[0-9]+ (likes|comments|shares|views|retweets)[.!]?$') OR "
+        "NOT regexp_matches(trim(line), '\\s')"
+    )
+    return (
+        f"WITH {plants}, "
+        "ln AS (SELECT doc_id, list_filter(string_split(text, chr(10)), "
+        "l -> trim(l) <> '') AS lns FROM fx), "
+        "e AS (SELECT doc_id, i AS pos, lns[i] AS line FROM ln, "
+        "unnest(generate_series(CAST(1 AS BIGINT), CAST(len(lns) AS BIGINT))) AS g(i)), "
+        f"r AS (SELECT doc_id, pos, line, ({rm}) AS rm, "
+        "CAST(length(trim(line)) AS BIGINT) AS lc FROM e), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, "
+        "CAST(sum(CASE WHEN rm THEN lc ELSE 0 END) AS BIGINT) AS rc, "
+        "CAST(sum(lc) AS BIGINT) AS tc, "
+        "coalesce(string_agg(CASE WHEN NOT rm THEN line END, chr(10) ORDER BY pos), '') AS clean "
+        "FROM r GROUP BY doc_id) "
+        "SELECT l.doc_id, coalesce(a.n_lines, 0) AS n_lines, "
+        "coalesce(a.n_removed, 0) AS n_removed, "
+        "CASE WHEN coalesce(a.tc, 0) > 0 THEN "
+        "floor(CAST(a.rc AS DOUBLE) / a.tc * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS frac_removed, "
+        "NOT (10 * coalesce(a.rc, 0) > 3 * coalesce(a.tc, 0)) AS doc_kept, "
+        "CASE WHEN NOT (10 * coalesce(a.rc, 0) > 3 * coalesce(a.tc, 0)) "
+        "THEN coalesce(a.clean, '') ELSE '' END AS text_clean "
+        "FROM ln l LEFT JOIN agg a USING (doc_id)"
+    )
+
+
+def _sql_ngram_novelty(n: int) -> str:
+    """DuckDB twin of X237: lowercased whitespace tokens, per-doc
+    DISTINCT n-grams, exact corpus df, exact int/int novelty snap."""
+    return (
+        "WITH d AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t FROM documents), "
+        f"g AS (SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS g "
+        f"FROM d, unnest(generate_series(CAST(1 AS BIGINT), CAST(len(t) AS BIGINT) - {n - 1})) AS s(i) "
+        f"WHERE len(t) >= {n}), "
+        "dg AS (SELECT DISTINCT doc_id, g FROM g), "
+        "f AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM dg GROUP BY g) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+        "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, "
+        "floor(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ count(*) * 1e6 + 0.5) / 1e6 AS novelty "
+        "FROM dg JOIN f USING (g) GROUP BY doc_id"
+    )
+
+
+def _sql_dsir_logweights(buckets: int) -> str:
+    """DuckDB twin of X235: md5 slot hash (the documented
+    md5_slot32 equivalent), add-one multinomial log-ratio per slot
+    snapped at 9dp, integer × DECIMAL per-doc sum, 6dp final snap."""
+    slot = (
+        "CAST(CAST(('0x' || substr(md5('0:' || f), 1, 8)) AS UBIGINT) "
+        f"% {buckets} AS BIGINT)"
+    )
+    return (
+        "WITH d AS (SELECT doc_id, source = 'src0' AS is_target, "
+        "CASE WHEN trim(lower(text)) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t FROM documents), "
+        "u AS (SELECT doc_id, is_target, unnest(t) AS f FROM d), "
+        "b AS (SELECT doc_id, is_target, array_to_string(t[i:i+1], ' ') AS f "
+        "FROM d, unnest(generate_series(CAST(1 AS BIGINT), CAST(len(t) AS BIGINT) - 1)) AS s(i) "
+        "WHERE len(t) >= 2), "
+        "feats AS (SELECT * FROM u UNION ALL SELECT * FROM b), "
+        f"fb AS (SELECT doc_id, is_target, {slot} AS slot FROM feats), "
+        "m AS (SELECT slot, CAST(count(*) AS BIGINT) AS cr, "
+        "CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct "
+        "FROM fb GROUP BY slot), "
+        "tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM m), "
+        f"lr AS (SELECT slot, CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (nt + {buckets})) "
+        f"- ln(CAST(cr + 1 AS DOUBLE) / (nr + {buckets})), 9) AS DECIMAL(20,9)) AS lr "
+        "FROM m, tot), "
+        "pd AS (SELECT doc_id, is_target, slot, CAST(count(*) AS BIGINT) AS c "
+        "FROM fb GROUP BY doc_id, is_target, slot) "
+        "SELECT pd.doc_id, pd.is_target, CAST(sum(pd.c) AS BIGINT) AS n_feats, "
+        "floor(CAST(sum(CAST(pd.c AS DECIMAL(9,0)) * lr.lr) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS logweight "
+        "FROM pd JOIN lr USING (slot) GROUP BY pd.doc_id, pd.is_target"
+    )
+
+
 def _sql_temperature_mix(budget: int, tau: float) -> str:
     """DuckDB twin of the quota-form temperature mix: the same Zipf
     source plant, ONE float snap (floor(pow·1e9 + 0.5) — pow's 1-ulp
@@ -7438,6 +7714,11 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": _sql_temperature_mix(200, 0.7),
         "ccnet_perplexity_buckets": _sql_ccnet_perplexity_buckets(0.75),
         "c4_line_filter": _sql_c4_line_filter(),
+        "boilerplate_lines": _sql_boilerplate_lines(3),
+        "char_entropy": _sql_char_entropy(),
+        "refinedweb_line_correct": _sql_refinedweb_line_correct(),
+        "ngram_novelty": _sql_ngram_novelty(3),
+        "dsir_logweights": _sql_dsir_logweights(64),
         "url_dedup": _sql_url_dedup(),
         "winnowing": _sql_winnowing(5, 4),
         "alpha_mixture": _sql_alpha_mixture("alpha"),

@@ -861,7 +861,11 @@ def dsir_logweights(
             F.sum("__c").cast("bigint").alias("n_feats"),
             snap6(
                 F.sum(
-                    F.col("__c").cast("decimal(18,0)") * F.col("__lr")
+                    # decimal(9,0): (18,0)x(20,9) would overflow Spark's
+                    # 38-digit cap and silently REDUCE the product scale
+                    # to 8dp (allowPrecisionLoss), diverging from DuckDB's
+                    # full-scale product; (9,0)x(20,9) = (30,9) fits both
+                    F.col("__c").cast("decimal(9,0)") * F.col("__lr")
                 ).cast("double")
             ).alias("logweight"),
         )

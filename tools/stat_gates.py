@@ -160,6 +160,16 @@ DECADE2_QUERIES = [
     # keys: every key carries doc_id)
     "jpeg_pixel_stats",
     "gopher_ngram_repetition",
+    # r14-new corpus-side ops (refinedweb_line_correct and
+    # c4_line_filter stay ungated: map-only per-row expressions with
+    # no shuffle to blow up). The tiled fixture multiplies line /
+    # char-prefixed-token / 3-gram type vocabularies ~10x while the
+    # query-side plants replicate per tile, so df-driven join fan-out
+    # and distinct-key shuffles would show
+    "boilerplate_lines",
+    "char_entropy",
+    "ngram_novelty",
+    "dsir_logweights",
 ]
 DECADE2_GATES: dict[str, tuple[str, float]] = {
     f"slope10_{q}": ("max", 4.0) for q in DECADE2_QUERIES
@@ -198,6 +208,10 @@ EXPECTED_SLOPE_NOTES: dict[str, str] = {
     "snm_pairs": "~3-3.7 CONSTANT-FACTOR-LINEAR: candidates are strictly n*(window-1); the two-phase global rank (range partition + offsets + per-partition row_number) is small-fixture machinery whose constant rises with decade — NOT an approaching quadratic; watch only if >3.8",
     "jpeg_pixel_stats": "~1.5-2.5: per-row Python codec (encode+decode), embarrassingly parallel map-only chain; wall ~n once spread",
     "gopher_ngram_repetition": "~1.2-2.5: cascaded builders (strings only for n<=4, xxhash64 keys for n>=5) into doc-scoped hash aggs; every key carries doc_id so tiled vocab growth cannot concentrate keys",
+    "boilerplate_lines": "~1.5-2.5: x-lines explode into a (line, doc)-keyed dedupe (hot lines spread by doc_id) then a map-side-combinable per-line count; plant lines replicate per tile so their df grows ~10x but the join-back fan-out stays = df rows; line types grow ~10x (tiled tokens)",
+    "char_entropy": "~1.5-2.5: x-chars explode into (doc, char) counts; per-doc alphabet bounded, window and final agg doc-scoped — no global key; tiles add prefix chars but the per-doc distinct set stays small",
+    "ngram_novelty": "~1.5-3: distinct 3-gram types grow ~10x with the tiled vocab (the df table is ~n rows); join-back fan-out per gram = its df, bounded by the disjoint-tile construction; in-row array_distinct keeps the dedupe out of the shuffle",
+    "dsir_logweights": "~1.5-2.5: x(2-tokens) explode; the model is FIXED at 64 slots however the vocab grows (hash bucketing), broadcast back; per-doc slot counts are doc-scoped keys",
 }
 SCALE10_DIR = os.environ.get("SAFEDATA_SCALE10_DIR", "/root/repo/.scale10")
 
