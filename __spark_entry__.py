@@ -2749,6 +2749,29 @@ def _q_ngram_novelty(spark, sf):
     return TX.ngram_novelty(load_table(spark, sf, "documents"), n=3)
 
 
+def _q_ngram_novelty_vs_ref(spark, sf):
+    # X239: cross-snapshot 3-gram novelty — reference corpus = even
+    # doc_ids, "new crawl" = odd doc_ids (a deterministic split of the
+    # real fixture; shared-vocab token soup gives a live mid-range
+    # novelty spectrum: most grams recur across the split, some don't)
+    docs = load_table(spark, sf, "documents")
+    return TX.ngram_novelty_vs_ref(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        n=3,
+    )
+
+
+def _q_mmr_rerank(spark, sf):
+    # X238: Maximal Marginal Relevance diverse top-k over the real
+    # embedding fixture — query = vec_id 0, k = 3, lam = 0.7; every
+    # cosine and the combined score snap at 9dp before comparison and
+    # ties break to the smallest id, so the greedy selection replays
+    # in the unrolled 3-step SQL oracle
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.mmr_rerank(emb, query_id=0, k=3, lam=0.7)
+
+
 def _q_dsir_logweights(spark, sf):
     # X235: DSIR importance log-weights (Xie et al. 2023) — target
     # domain = source 'src0' (a real fixture column), features =
@@ -3473,7 +3496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     (ADVICE r13) re-verifies embedding_gram / embedding_drift;
     # (4) 22 refresh slots for the STALEST driver greens: the five r5
     #     leftovers the r13 brief queued (fold_assign ...
-    #     sole_late_supplier), then 17 of the 29-query r7 vintage
+    #     sole_late_supplier), then 15 of the 29-query r7 vintage
     #     (auc_daily ... group_scale, historical order); the remaining
     #     12 r7 rows (heavy_hitter_words ... zipf_profile) head the
     #     r15 refresh line, then the r8 vintage.
@@ -3505,6 +3528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refinedweb_line_correct": _q_refinedweb_line_correct,
         "ngram_novelty": _q_ngram_novelty,
         "dsir_logweights": _q_dsir_logweights,
+        "ngram_novelty_vs_ref": _q_ngram_novelty_vs_ref,
+        "mmr_rerank": _q_mmr_rerank,
         # -- (3) touched-operator re-verification -----------------------------
         "jpeg_pixel_stats": _q_jpeg_pixel_stats,
         "image_pixel_stats": _q_image_pixel_stats,
@@ -3514,7 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": _q_temperature_mix,
         "embedding_gram": _q_embedding_gram,
         "embedding_drift": _q_embedding_drift,
-        # -- (4) stalest-green refresh: the 5 r5 leftovers + 17 of 29 r7 ------
+        # -- (4) stalest-green refresh: the 5 r5 leftovers + 15 of 29 r7 ------
         "fold_assign": _q_fold_assign,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "nation_trade": _q_nation_trade,
@@ -3535,9 +3560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_graph_pagerank": _q_dup_graph_pagerank,
         "dup_graph_pagerank_weighted": _q_dup_graph_pagerank_weighted,
         "event_transitions": _q_event_transitions,
+        # -- out of window: local full-sweep hash check every round ------------
         "extract_text": _q_extract_text,
         "group_scale": _q_group_scale,
-        # -- out of window: local full-sweep hash check every round ------------
         "gopher_ngram_repetition": _q_gopher_ngram_repetition,
         "snm_pairs": _q_snm_pairs,
         "mutual_information": _q_mutual_information,
@@ -7419,6 +7444,77 @@ def _sql_ngram_novelty(n: int) -> str:
     )
 
 
+def _sql_ngram_novelty_vs_ref(n: int) -> str:
+    """DuckDB twin of X239: the even/odd doc_id split, per-doc
+    DISTINCT n-grams, reference membership via one distinct-gram left
+    join, exact int/int 6dp snap."""
+    return (
+        "WITH d AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t FROM documents), "
+        f"g AS (SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS g "
+        f"FROM d, unnest(generate_series(CAST(1 AS BIGINT), CAST(len(t) AS BIGINT) - {n - 1})) AS s(i) "
+        f"WHERE len(t) >= {n}), "
+        "dg AS (SELECT DISTINCT doc_id, g FROM g), "
+        "newg AS (SELECT * FROM dg WHERE doc_id % 2 = 1), "
+        "refg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 2 = 0) "
+        "SELECT newg.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+        "CAST(sum(CASE WHEN refg.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new, "
+        "floor(CAST(sum(CASE WHEN refg.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ count(*) * 1e6 + 0.5) / 1e6 AS novelty_vs_ref "
+        "FROM newg LEFT JOIN refg ON newg.g = refg.g GROUP BY newg.doc_id"
+    )
+
+
+def _sql_mmr_rerank(k: int, lam: float) -> str:
+    """DuckDB twin of X238 — the greedy MMR selection UNROLLED to k
+    steps (the KMeans/IVF/PageRank oracle discipline): each step
+    re-scores the remaining candidates against the selected set
+    (9dp-snapped cosines, 9dp-snapped combined score, id tiebreak) and
+    takes LIMIT 1. The combined score is EXACT DECIMAL arithmetic
+    (λ at DECIMAL(10,9), rel/pen recovered exactly from their snapped
+    doubles, HALF_UP final round — away-from-zero on both engines),
+    because a double-arithmetic score sits exactly on the .5e-9
+    boundary for ~1 in 10 candidates."""
+    assert k == 3, "oracle is unrolled for k=3"
+
+    def cos(a, b):
+        return (
+            f"round(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 9)"
+        )
+
+    lam_d = f"CAST({lam:.9f} AS DECIMAL(10,9))"
+    om_d = f"(CAST(1 AS DECIMAL(10,9)) - {lam_d})"
+    score = (
+        f"CAST(round({lam_d} * CAST(rel AS DECIMAL(12,9)) "
+        f"- {om_d} * CAST(pen AS DECIMAL(12,9)), 9) AS DOUBLE)"
+    )
+    return (
+        f"WITH e AS ({SQL_EMB}), "
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), "
+        "cand AS (SELECT e.vec_id AS id, e.v, "
+        "round(CASE WHEN list_dot_product(q.qv, q.qv) > 0 AND list_dot_product(e.v, e.v) > 0 "
+        "THEN list_dot_product(q.qv, e.v) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) "
+        "ELSE NULL END, 9) AS rel FROM e, q WHERE e.vec_id <> 0), "
+        "c AS (SELECT * FROM cand WHERE rel IS NOT NULL), "
+        f"s1 AS (SELECT id, v, rel, CAST(round({lam_d} * CAST(rel AS DECIMAL(12,9)) "
+        f"- {om_d} * CAST(0.0 AS DECIMAL(12,9)), 9) AS DOUBLE) AS score "
+        "FROM c ORDER BY score DESC, id ASC LIMIT 1), "
+        f"p2 AS (SELECT c.id, c.v, c.rel, {cos('c.v', 's1.v')} AS pen "
+        "FROM c, s1 WHERE c.id <> s1.id), "
+        f"s2 AS (SELECT id, v, rel, {score} AS score FROM p2 "
+        "ORDER BY score DESC, id ASC LIMIT 1), "
+        f"p3 AS (SELECT c.id, c.v, c.rel, greatest({cos('c.v', 's1.v')}, {cos('c.v', 's2.v')}) AS pen "
+        "FROM c, s1, s2 WHERE c.id <> s1.id AND c.id <> s2.id), "
+        f"s3 AS (SELECT id, v, rel, {score} AS score FROM p3 "
+        "ORDER BY score DESC, id ASC LIMIT 1) "
+        "SELECT CAST(1 AS INT) AS rank, id AS vec_id, rel AS relevance, score AS mmr_score FROM s1 "
+        "UNION ALL SELECT CAST(2 AS INT), id, rel, score FROM s2 "
+        "UNION ALL SELECT CAST(3 AS INT), id, rel, score FROM s3"
+    )
+
+
 def _sql_dsir_logweights(buckets: int) -> str:
     """DuckDB twin of X235: md5 slot hash (the documented
     md5_slot32 equivalent), add-one multinomial log-ratio per slot
@@ -7719,6 +7815,8 @@ def oracle_sql() -> dict[str, str]:
         "refinedweb_line_correct": _sql_refinedweb_line_correct(),
         "ngram_novelty": _sql_ngram_novelty(3),
         "dsir_logweights": _sql_dsir_logweights(64),
+        "ngram_novelty_vs_ref": _sql_ngram_novelty_vs_ref(3),
+        "mmr_rerank": _sql_mmr_rerank(3, 0.7),
         "url_dedup": _sql_url_dedup(),
         "winnowing": _sql_winnowing(5, 4),
         "alpha_mixture": _sql_alpha_mixture("alpha"),

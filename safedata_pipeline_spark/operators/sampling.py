@@ -800,11 +800,14 @@ def dsir_logweights(
     per-doc sum multiplies integers by the 9dp DECIMAL and sums as
     DECIMAL(38,9) (order-independent), final snap half-up at 6dp.
 
-    Scale shape: one explode (×tokens) behind ``spread_small``; the
-    raw/target model is ONE groupBy over ``buckets`` keys (map-side
-    combinable — a hot slot reduces, never collects) broadcast back;
-    per-doc slot counts groupBy on (doc, slot). No window, no driver
-    state, no Python.
+    Scale shape: ONE explode (×tokens) behind ``spread_small`` — the
+    per-doc slot counts (≤ docs × buckets rows) pin eagerly and
+    everything downstream (the raw/target model over ``buckets`` keys,
+    its totals, the final weighted sum) reads the pin, so the corpus
+    is scanned once (three lineage replays before the pin measured
+    decade-2 slope 5.5; 1.0 after). The model groupBy is map-side
+    combinable (a hot slot reduces, never collects) and broadcasts
+    back. No window, no driver state, no Python.
 
     Output: (doc_id, is_target, n_feats, logweight) — docs with ≥ 1
     token only (mirrored in the oracle).
@@ -831,11 +834,21 @@ def dsir_logweights(
         "__tgt",
         F.explode(F.concat(wc, bigrams)).alias("__f"),
     )
+    from safedata_pipeline_spark.checkpoint import pin_eager
+
     slot = F.pmod(_md5_slot(F.col("__f"), 0), F.lit(buckets)).alias("__b")
     fb = feats.select(id_col, "__tgt", slot)
-    model = fb.groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__cr"),
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__ct"),
+    # ONE corpus explode total: pin the per-doc slot counts (≤ docs ×
+    # buckets rows) and derive the model FROM the pinned frame — the
+    # model, its totals and the final sum otherwise each re-run the
+    # explode+md5 lineage (three corpus scans; measured decade-2
+    # slope 5.5 -> the gate, 1.0 after)
+    per_doc = pin_eager(
+        fb.groupBy(id_col, "__tgt", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    model = per_doc.groupBy("__b").agg(
+        F.sum("__c").alias("__cr"),
+        F.sum(F.when(F.col("__tgt"), F.col("__c")).otherwise(0)).alias("__ct"),
     )
     tot = model.agg(
         F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt")
@@ -849,9 +862,6 @@ def dsir_logweights(
         )
         .cast("decimal(20,9)")
         .alias("__lr"),
-    )
-    per_doc = fb.groupBy(id_col, "__tgt", "__b").agg(
-        F.count(F.lit(1)).alias("__c")
     )
     snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return (

@@ -1344,3 +1344,126 @@ def rerank_by_cosine(
         F.col("neighbor_id").alias("item_id"),
         "cosine",
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_id,
+    k: int = 3,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998 — the standard diverse-top-k rule; no reference counterpart,
+    extension surface): greedily pick k vectors maximizing
+    ``λ·cos(q, d) − (1−λ)·max_{s∈S} cos(d, s)`` — relevance to the
+    query minus redundancy against what's already selected. The
+    retrieval-diversity primitive for eval-set / few-shot-pool
+    construction over an embedding column.
+
+    Determinism discipline: every cosine snaps at 9dp, then the
+    combined score is computed in EXACT DECIMAL arithmetic — λ
+    quantized at 9dp, rel/pen recovered exactly from their snapped
+    doubles via cast to DECIMAL(12,9), products and the difference
+    exact, final HALF_UP round at 9dp (away-from-zero on BOTH
+    engines). A double-arithmetic score would sit EXACTLY on the
+    .5e-9 boundary for ~1 in 10 candidates (0.7 × a 9dp value has
+    exactly 10 decimal digits), where Spark's shortest-repr HALF_UP
+    and DuckDB's binary rounding disagree — measured 1/3 rows off by
+    1e-9 before the decimal form. Greedy argmax ties break to the
+    smallest id, so the selection order replays exactly in the
+    unrolled SQL oracle.
+
+    Scale shape: the query row broadcasts; per-round work is one
+    scan of the ≤n candidate frame (pinned once — the k rounds and
+    the relevance computation reuse one materialization) joined
+    against the ≤k-row selected set (broadcast), one argmax
+    aggregate. Driver state is k (id, vector) rows — an O(k·d)
+    fit-parameter read, the kmeans-centroid class. Zero-norm vectors
+    are excluded (their cosine is NULL-undefined on every engine).
+
+    Output: (rank, <id_col>, relevance, mmr_score), rank = 1..k.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0.0 < lam <= 1.0:
+        raise ValueError("lam must be in (0, 1]")
+    from safedata_pipeline_spark.checkpoint import pin_eager
+
+    spark = emb.sparkSession
+    q = _prep(emb.where(F.col(id_col) == query_id), id_col, vec_col, "qid")
+    cand = pin_eager(
+        _prep(emb.where(F.col(id_col) != query_id), id_col, vec_col, "id")
+        .crossJoin(
+            F.broadcast(
+                q.select(F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+            )
+        )
+        .select(
+            "id",
+            "v",
+            "nrm",
+            F.round(
+                _cos(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qn")), 9
+            ).alias("rel"),
+        )
+        .where(F.col("rel").isNotNull())
+    )
+    lam_d = F.lit(float(lam)).cast("decimal(10,9)")
+    om_d = F.lit(1).cast("decimal(10,9)") - lam_d
+    id_type = emb.schema[id_col].dataType.simpleString()
+    sel_schema = f"sid {id_type}, sv array<double>, sn double"
+    selected: list = []
+    out: list = []
+    cur = cand
+    for rank in range(1, k + 1):
+        if selected:
+            sel = F.broadcast(
+                spark.createDataFrame(
+                    [(r["id"], r["v"], r["nrm"]) for r in selected],
+                    sel_schema,
+                )
+            )
+            pen = (
+                cur.crossJoin(sel)
+                .groupBy("id")
+                .agg(
+                    F.max(
+                        F.round(
+                            _cos(
+                                F.col("v"),
+                                F.col("sv"),
+                                F.col("nrm"),
+                                F.col("sn"),
+                            ),
+                            9,
+                        )
+                    ).alias("pen")
+                )
+            )
+            scored = cur.join(pen, on="id")
+        else:
+            scored = cur.withColumn("pen", F.lit(0.0))
+        scored = scored.withColumn(
+            "score",
+            F.round(
+                lam_d * F.col("rel").cast("decimal(12,9)")
+                - om_d * F.col("pen").cast("decimal(12,9)"),
+                9,
+            ).cast("double"),
+        )
+        top = (
+            scored.orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        out.append((rank, r["id"], float(r["rel"]), float(r["score"])))
+        selected.append(r)
+        cur = cur.where(F.col("id") != F.lit(r["id"]))
+    return spark.createDataFrame(
+        out, f"rank int, {id_col} {id_type}, relevance double, mmr_score double"
+    )

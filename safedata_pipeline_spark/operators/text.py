@@ -2846,6 +2846,35 @@ def refinedweb_line_correct(
     )
 
 
+def _distinct_gram_pairs(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, gram) pairs — one row per DISTINCT lowercased word n-gram
+    per document (the X229 zip_with cascade builds the grams; an
+    IN-ROW ``array_distinct`` spends no shuffle on the dedupe).
+    Shared by ``ngram_novelty`` and ``ngram_novelty_vs_ref``."""
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    w = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, "\\s+")
+    )
+    base = df.select(F.col(id_col), w.alias("__w"))
+    wc = F.col("__w")
+    grams = wc
+    for k in range(2, n + 1):
+        ln = F.greatest(F.size(wc) - (k - 1), F.lit(1))
+        grams = F.when(
+            F.size(wc) >= k,
+            F.zip_with(
+                F.slice(grams, 1, ln),
+                F.slice(wc, k, ln),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    return spread_small(base).select(
+        id_col, F.explode(F.array_distinct(grams)).alias("__g")
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     n: int = 3,
@@ -2874,26 +2903,7 @@ def ngram_novelty(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
-    w = F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, "\\s+")
-    )
-    base = df.select(F.col(id_col), w.alias("__w"))
-    wc = F.col("__w")
-    grams = wc
-    for k in range(2, n + 1):
-        ln = F.greatest(F.size(wc) - (k - 1), F.lit(1))
-        grams = F.when(
-            F.size(wc) >= k,
-            F.zip_with(
-                F.slice(grams, 1, ln),
-                F.slice(wc, k, ln),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    pairs = spread_small(base).select(
-        id_col, F.explode(F.array_distinct(grams)).alias("__g")
-    )
+    pairs = _distinct_gram_pairs(df, n, text_col, id_col)
     dfreq = pairs.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return (
@@ -2910,5 +2920,60 @@ def ngram_novelty(
             "n_grams",
             "n_novel",
             snap6(F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+        )
+    )
+
+
+def ngram_novelty_vs_ref(
+    df_new: DataFrame,
+    df_ref: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-snapshot n-gram novelty: for each NEW document, the
+    fraction of its distinct word n-grams that appear NOWHERE in a
+    REFERENCE corpus — the between-dumps originality signal (what a
+    fresh crawl snapshot adds over the previous one, the WIMBD /
+    FineWeb cross-dump question; complements ``ngram_novelty``'s
+    within-corpus form and ``dedup_incremental``'s whole-doc form).
+
+    Exactness: the reference gram set is corpus-wide DISTINCT grams
+    (exact); membership is an equality join; novelty is the exact
+    int/int divide snapped half-up at 6dp.
+
+    Scale shape: both gram builds are the X229 cascade behind
+    ``spread_small``; the reference set distincts on the gram key (a
+    hot gram collapses map-side); the membership join keys on the gram
+    — fan-out per gram is 1 (the ref side is distinct), so a skewed
+    gram costs its new-side rows only. Only new docs with ≥ n tokens
+    appear (mirrored in the oracle).
+
+    Output: (doc_id, n_grams, n_new, novelty_vs_ref).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    new_pairs = _distinct_gram_pairs(df_new, n, text_col, id_col)
+    ref_grams = (
+        _distinct_gram_pairs(df_ref, n, text_col, id_col)
+        .select("__g")
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        new_pairs.join(ref_grams, on="__g", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_new",
+            snap6(F.col("n_new") / F.col("n_grams")).alias("novelty_vs_ref"),
         )
     )

@@ -723,3 +723,34 @@ def test_embedding_gram_envelope_guard_raises(spark):
         [(0, [123.0, -99.5])], "vec_id bigint, embedding array<double>"
     )
     assert len(S.embedding_gram(ok, vectorized=True).collect()) == 3
+
+
+def test_mmr_rerank_diversity_beats_plain_topk(spark):
+    """X238 (Carbonell & Goldstein MMR): the second pick trades
+    relevance for diversity — a near-duplicate of pick 1 loses to a
+    less-relevant but diverse candidate; lam=1 degenerates to plain
+    cosine top-k; ranks deterministic; zero-norm vectors excluded."""
+    rows = [
+        (0, [1.0, 0.0]),        # query
+        (1, [0.999, 0.01]),     # most relevant
+        (2, [0.998, 0.02]),     # near-dup of 1
+        (3, [0.6, 0.8]),        # diverse, less relevant
+        (4, [0.0, 0.0]),        # zero-norm -> excluded
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = S.mmr_rerank(emb, query_id=0, k=3, lam=0.3)
+    got = [(r.rank, r.vec_id) for r in out.orderBy("rank").collect()]
+    assert got[0] == (1, 1)
+    assert got[1] == (2, 3)  # diversity: 3 beats the near-dup 2
+    assert got[2] == (3, 2)
+    # lam=1: pure relevance order 1, 2, 3
+    plain = [r.vec_id for r in S.mmr_rerank(emb, query_id=0, k=3, lam=1.0).orderBy("rank").collect()]
+    assert plain == [1, 2, 3]
+    # k beyond candidates stops early; validation raises
+    assert S.mmr_rerank(emb, query_id=0, k=10, lam=0.3).count() == 3
+    import pytest
+
+    with pytest.raises(ValueError, match="lam"):
+        S.mmr_rerank(emb, query_id=0, lam=0.0)
+    with pytest.raises(ValueError, match="k"):
+        S.mmr_rerank(emb, query_id=0, k=0)

@@ -896,3 +896,31 @@ def test_ngram_novelty_df1_fraction(spark):
     assert (out[3].n_grams, out[3].n_novel, out[3].novelty) == (3, 3, 1.0)
     r5 = {r.doc_id: tuple(r) for r in T.ngram_novelty(df.repartition(5), n=3).collect()}
     assert r5 == {k: tuple(v) for k, v in out.items()}
+
+
+def test_ngram_novelty_vs_ref_cross_snapshot(spark):
+    """X239: per-new-doc fraction of distinct 3-grams absent from the
+    reference corpus; within-doc repeats collapse; <n-token docs
+    absent; exact 6dp snap; repartition-invariant."""
+    ref = spark.createDataFrame(
+        [(100, "a b c d"), (101, "p q r")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a b c d"),    # grams abc, bcd — both in ref -> 0.0
+            (2, "a b c x"),    # abc in ref, bcx new -> 0.5
+            (3, "x y z w"),    # both new -> 1.0
+            (4, "x y"),        # < 3 tokens -> absent
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in T.ngram_novelty_vs_ref(new, ref).collect()}
+    assert 4 not in out and len(out) == 3
+    assert (out[1].n_grams, out[1].n_new, out[1].novelty_vs_ref) == (2, 0, 0.0)
+    assert (out[2].n_grams, out[2].n_new, out[2].novelty_vs_ref) == (2, 1, 0.5)
+    assert (out[3].n_grams, out[3].n_new, out[3].novelty_vs_ref) == (2, 2, 1.0)
+    r7 = {
+        r.doc_id: tuple(r)
+        for r in T.ngram_novelty_vs_ref(new.repartition(7), ref.repartition(3)).collect()
+    }
+    assert r7 == {kk: tuple(v) for kk, v in out.items()}

@@ -170,6 +170,12 @@ DECADE2_QUERIES = [
     "char_entropy",
     "ngram_novelty",
     "dsir_logweights",
+    # cross-snapshot novelty doubles the gram build and adds the
+    # ref-membership join (fan-out 1 per gram — ref side distinct);
+    # MMR is k bounded scans of the pinned candidate frame + argmax
+    # aggregates (driver state O(k·d))
+    "ngram_novelty_vs_ref",
+    "mmr_rerank",
 ]
 DECADE2_GATES: dict[str, tuple[str, float]] = {
     f"slope10_{q}": ("max", 4.0) for q in DECADE2_QUERIES
@@ -212,6 +218,8 @@ EXPECTED_SLOPE_NOTES: dict[str, str] = {
     "char_entropy": "~1.5-2.5: x-chars explode into (doc, char) counts; per-doc alphabet bounded, window and final agg doc-scoped — no global key; tiles add prefix chars but the per-doc distinct set stays small",
     "ngram_novelty": "~1.5-3: distinct 3-gram types grow ~10x with the tiled vocab (the df table is ~n rows); join-back fan-out per gram = its df, bounded by the disjoint-tile construction; in-row array_distinct keeps the dedupe out of the shuffle",
     "dsir_logweights": "~1.5-2.5: x(2-tokens) explode; the model is FIXED at 64 slots however the vocab grows (hash bucketing), broadcast back; per-doc slot counts are doc-scoped keys",
+    "ngram_novelty_vs_ref": "~1.5-3: two gram builds + a membership join whose ref side is DISTINCT grams (fan-out 1 per gram); gram types grow ~10x with the tiled vocab",
+    "mmr_rerank": "~1-1.5: k=3 bounded scans of the pinned candidate frame + one argmax each; candidate count grows ~10x but each round is one map+agg; driver state O(k*d)",
 }
 SCALE10_DIR = os.environ.get("SAFEDATA_SCALE10_DIR", "/root/repo/.scale10")
 
