@@ -2786,6 +2786,28 @@ def _q_dsir_logweights(spark, sf):
     )
 
 
+def _q_doremi_weights(spark, sf):
+    # X243: DoReMi-style domain mixture reweighting — per-source
+    # excess loss (corpus unigram LM vs the source's own LM) drives
+    # one exp(lr*excess) multiplicative update, normalized as an exact
+    # integer-unit ratio. Fixture skews per-source vocabulary with a
+    # replicated source-marker token (1 + doc_id % 3 copies), so every
+    # source has a live, deterministic excess signal.
+    docs = load_table(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.repeat(
+                F.concat(F.lit(" zsrc_"), F.col("source")),
+                (F.lit(1) + F.col("doc_id") % 3).cast("int"),
+            ),
+        ).alias("text"),
+    )
+    return SMP.doremi_weights(planted, lr=0.5)
+
+
 # the repeated 10-word phrase planted (twice) on doc_id % 4 == 1 docs
 # so the dup family has live signal — raw fixture text has no natural
 # >= 5-gram repetition (measured all-zero at sf0.01); mirrored
@@ -2794,6 +2816,48 @@ GNR_PLANT = (
     " zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10"
     " zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10"
 )
+
+# X240 fuzzy-decontamination fixture: docs with doc_id % 9 == 4 are
+# REPLACED by a near-copy of a benchmark item (17 plant words + a
+# 2-word per-doc variant tail), and the probe list carries the same
+# item with only its LAST word changed — no shared substring hit, but
+# 14 of the doc's plant shingles survive in the probe (true Jaccard
+# ~0.78, well over the 0.5 MinHash gate). The second probe shares no
+# vocabulary with corpus or plant — the planted true negative. Plant
+# vocabulary is disjoint from the corpus word list, so unplanted docs
+# can't share a 3-gram with either probe.
+FDC_PLANT = (
+    "heldout benchmark suite question answer pairs must never leak"
+    " into pretraining corpora during sampling temperature regime calibration"
+)
+FDC_PROBES = [
+    FDC_PLANT.rsplit(" ", 1)[0] + " audits",
+    "completely unrelated probe phrase about nothing whatsoever here",
+]
+
+
+def _q_decontaminate_fuzzy(spark, sf):
+    # X240: MinHash probe-set NEAR-dup decontamination — drop docs
+    # whose banded-MinHash estimate vs ANY probe >= 0.5 (paraphrased /
+    # tail-edited benchmark leakage the substring and shared-shingle
+    # decontaminate paths can't see). Probe side broadcast; estimate
+    # md5-deterministic, so the whole approximate path hash-checks.
+    docs = load_table(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 9 == 4,
+            F.concat(
+                F.lit(FDC_PLANT),
+                F.lit(" variant "),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return TX.decontaminate_fuzzy(planted, FDC_PROBES, threshold=0.5)
 
 
 def _q_gopher_ngram_repetition(spark, sf):
@@ -2810,6 +2874,30 @@ def _q_gopher_ngram_repetition(spark, sf):
         ).alias("text"),
     )
     return TX.gopher_ngram_repetition(planted)
+
+
+def _q_quality_signals(spark, sf):
+    # X242: the RedPajama/Dolma combined per-doc quality-signal table —
+    # the Gopher screen, the pivoted n-gram repetition family, the
+    # order-0 compressibility bound and the corpus-self LM score side
+    # by side, one row per document, for threshold tuning. Fixture =
+    # the gopher reflow+line plants PLUS the GNR word plant on
+    # doc_id % 4 == 1, so every signal family has live variation.
+    from safedata_pipeline_spark import corpus_pipeline as CPL
+    from safedata_pipeline_spark.checkpoint import pin_lazy
+
+    fx = _gopher_fixture(spark, sf)
+    # pin the planted frame: FOUR signal families scan it, and each
+    # re-scan would recompute the reflow expression chain (fixture-
+    # scale pin; the real operator reads a column-pruned parquet scan)
+    fq = fx.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 1, F.lit(GNR_PLANT)).otherwise(F.lit("")),
+        ).alias("text"),
+    ).transform(pin_lazy)
+    return CPL.quality_signals(fq)
 
 
 # -- X193: Bloom-filter dedup prefilter (mergeable md5 bitset state) ---------
@@ -3069,6 +3157,63 @@ def _q_lang_id_margin(spark, sf):
     fixed = _langid_fixture(spark, sf).transform(pin_lazy)
     model = LI.langid_fit(fixed.where("is_train")).transform(pin_lazy)
     return LI.langid_margin(fixed, model)
+
+
+_SEG_LANGS = sorted(_LANGID_MARKERS)  # de en es fr zh (ascending tiebreak order)
+_SEG_K = 6  # marker words per paragraph
+_SEG_MAXP = 4  # paragraph slots; doc keeps 2 + doc_id % 3 of them
+
+
+def _langid_segments_fixture(spark, sf):
+    # code-switching fixture: each document becomes 2-4 paragraphs
+    # ("\n\n"-joined), paragraph j written in an md5-chosen language
+    # (so consecutive same-language runs arise naturally) as _SEG_K
+    # md5-selected marker words of that language — every choice
+    # md5-replayable, the _langid_fixture discipline
+    docs = load_table(spark, sf, "documents")
+
+    def mdint(tag):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag + "|"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    paras = []
+    for j in range(_SEG_MAXP):
+        lidx = (mdint(f"segl{j}") % len(_SEG_LANGS)).cast("int")
+        words = []
+        for k in range(_SEG_K):
+            pos = (mdint(f"segw{j}_{k}") % 8).cast("int") + 1
+            picks = F.array(
+                *[
+                    F.element_at(
+                        F.array(*[F.lit(w) for w in _LANGID_MARKERS[lang]]), pos
+                    )
+                    for lang in _SEG_LANGS
+                ]
+            )
+            words.append(F.element_at(picks, lidx + 1))
+        paras.append(F.concat_ws(" ", *words))
+    n_paras = (F.lit(2) + F.col("doc_id") % 3).cast("int")
+    text = F.array_join(F.slice(F.array(*paras), 1, n_paras), "\n\n")
+    return docs.select("doc_id", text.alias("text"))
+
+
+def _q_langid_segments(spark, sf):
+    # X241: per-paragraph language ID over the X182 trained model,
+    # consecutive same-language paragraphs merged into spans — the
+    # code-switch localization step run after whole-doc lang ID flags
+    # a low-margin document. Same exact-DECIMAL scoring channel as
+    # lang_id_trained, so every span boundary is hash-checkable.
+    from safedata_pipeline_spark.checkpoint import pin_lazy
+    from safedata_pipeline_spark.operators import langid as LI
+
+    fixed = _langid_fixture(spark, sf).transform(pin_lazy)
+    model = LI.langid_fit(fixed.where("is_train")).transform(pin_lazy)
+    return LI.langid_segments(_langid_segments_fixture(spark, sf), model)
 
 
 # -- X198/X199: compressibility quality signals -------------------------------
@@ -3470,7 +3615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries; 13 consecutive all-green rounds — the window is policy:
     # anchors + new + touched + stalest-green refresh):
     # (1) the 15 standing anchors;
-    # (2) the FIVE r14-new oracle-backed queries: boilerplate_lines
+    # (2) the ELEVEN r14-new oracle-backed queries: boilerplate_lines
     #     (X233 — corpus-level duplicate-line removal, CCNet §4.1 /
     #     Dolma: exact COUNT(DISTINCT doc) per line, two high-df
     #     footer plants + one paired sub-threshold plant),
@@ -3485,8 +3630,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     DSIR importance weights, Xie et al. 2023: md5-slot hashed
     #     unigram+bigram features, add-one multinomial log-ratio per
     #     slot snapped at 9dp, per-doc integer × DECIMAL sum);
+    #     plus the late-round trio: decontaminate_fuzzy (X240 —
+    #     MinHash probe-set NEAR-dup decontamination, broadcast probe
+    #     bands, md5-deterministic estimate), langid_segments (X241 —
+    #     per-paragraph language spans over the X182 trained model,
+    #     gaps-and-islands merge), quality_signals (X242 — the
+    #     RedPajama/Dolma combined per-doc signal table: gopher screen
+    #     + pivoted repetition + entropy + unigram LM side by side),
+    #     doremi_weights (X243 — DoReMi mixture reweighting: excess
+    #     unigram loss -> exp(lr*excess) update, integer-unit exact);
     # (3) re-verification slots for every oracle query round 14
-    #     touched: the T.81-conformant _BitWriter.flush all-ones pad
+    #     touched: lang_id_trained / lang_id_margin (_scored_grid
+    #     gained composite keys for X241 — identity for single-key
+    #     callers, re-verified anyway);
+    #     the T.81-conformant _BitWriter.flush all-ones pad
     #     re-verifies jpeg_pixel_stats / image_pixel_stats /
     #     multimodal_features (encoded bytes change, decode must not);
     #     the NULL-text coalesce re-verifies c4_line_filter; the
@@ -3494,12 +3651,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     ccnet_perplexity_buckets; the md5-threshold prefilter
     #     re-verifies temperature_mix; the exactness-envelope guard
     #     (ADVICE r13) re-verifies embedding_gram / embedding_drift;
-    # (4) 22 refresh slots for the STALEST driver greens: the five r5
+    # (4) 14 refresh slots for the STALEST driver greens: the five r5
     #     leftovers the r13 brief queued (fold_assign ...
-    #     sole_late_supplier), then 15 of the 29-query r7 vintage
-    #     (auc_daily ... group_scale, historical order); the remaining
-    #     12 r7 rows (heavy_hitter_words ... zipf_profile) head the
-    #     r15 refresh line, then the r8 vintage.
+    #     sole_late_supplier), then 9 of the 29-query r7 vintage
+    #     (auc_daily ... cusum_hourly, historical order);
+    #     the displaced six (dedup_incremental_near ...
+    #     event_transitions) and the remaining 12 r7 rows
+    #     (heavy_hitter_words ... zipf_profile) head the r15 refresh
+    #     line, then the r8 vintage.
     # Displaced out: the r13 refresh block (r5 vintage — all double-
     # green r13) and the r13-new rows not touched this round — each
     # keeps the local full-sweep hash check via tools/check_oracle.py
@@ -3530,7 +3689,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_logweights": _q_dsir_logweights,
         "ngram_novelty_vs_ref": _q_ngram_novelty_vs_ref,
         "mmr_rerank": _q_mmr_rerank,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
+        "langid_segments": _q_langid_segments,
+        "quality_signals": _q_quality_signals,
+        "doremi_weights": _q_doremi_weights,
         # -- (3) touched-operator re-verification -----------------------------
+        # (lang_id_trained / lang_id_margin: _scored_grid gained
+        # composite-key support for langid_segments — identity for the
+        # single-key callers, but touched engine code re-verifies)
+        "lang_id_trained": _q_lang_id_trained,
+        "lang_id_margin": _q_lang_id_margin,
         "jpeg_pixel_stats": _q_jpeg_pixel_stats,
         "image_pixel_stats": _q_image_pixel_stats,
         "multimodal_features": _q_multimodal_features,
@@ -3554,13 +3722,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min_words": _q_count_min_words,
         "cross_source_dup_matrix": _q_cross_source_dup_matrix,
         "cusum_hourly": _q_cusum_hourly,
+        # -- out of window: local full-sweep hash check every round ------------
         "dedup_incremental_near": _q_dedup_incremental_near,
+        # (disjunctive_revenue ... event_transitions: displaced by the
+        # r14-new trio + the two touched langid rows; they head the r15
+        # refresh line with the remaining r7 vintage)
         "disjunctive_revenue": _q_disjunctive_revenue,
         "domain_stats": _q_domain_stats,
         "dup_graph_pagerank": _q_dup_graph_pagerank,
         "dup_graph_pagerank_weighted": _q_dup_graph_pagerank_weighted,
         "event_transitions": _q_event_transitions,
-        # -- out of window: local full-sweep hash check every round ------------
         "extract_text": _q_extract_text,
         "group_scale": _q_group_scale,
         "gopher_ngram_repetition": _q_gopher_ngram_repetition,
@@ -3632,8 +3803,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_overlap": _q_winnowing_overlap,
         "semantic_dedup": _q_semantic_dedup,
         "compression_entropy": _q_compression_entropy,
-        "lang_id_trained": _q_lang_id_trained,
-        "lang_id_margin": _q_lang_id_margin,
         "top_freq": _q_top_freq,
         "linkage_risk_score": _q_linkage_risk_score,
         "minhash_lsh": _q_minhash_lsh,
@@ -4012,10 +4181,17 @@ def _sql_linkage_risk_score() -> str:
 TOKEN_REGEX_SQL = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 STOPWORDS_SQL = "['the','a','and','of','to','in','is','it','that','for']"
 
-SQL_TOKS = (
-    "SELECT doc_id, text, CASE WHEN trim(text) = '' THEN [] "
-    "ELSE regexp_split_to_array(trim(text), '\\s+') END AS t FROM documents"
-)
+def _sql_toks(src: str = "documents") -> str:
+    # the shared (doc_id, text, tokens) projection; src swaps the
+    # source relation (the X240 fuzzy-decontamination oracle runs it
+    # over its planted fixture and its probe VALUES list)
+    return (
+        "SELECT doc_id, text, CASE WHEN trim(text) = '' THEN [] "
+        f"ELSE regexp_split_to_array(trim(text), '\\s+') END AS t FROM {src}"
+    )
+
+
+SQL_TOKS = _sql_toks()
 
 
 def _sql_token_count() -> str:
@@ -4560,6 +4736,51 @@ def _sql_dedup_incremental_near(
     )
 
 
+def _sql_decontaminate_fuzzy(
+    threshold: float = 0.5, num_hashes: int = 16, bands: int = 4
+) -> str:
+    """Mirror of text.decontaminate_fuzzy over the X240 fixture: the
+    planted near-benchmark docs, corpus + probe MinHash signatures
+    (shingle-less rows filtered on BOTH sides, the engine's mh_0
+    guard), band-key candidates, full-signature verification, NOT IN
+    anti-join — the X135 discipline with a probe VALUES list as the
+    reference side."""
+    rows = num_hashes // bands
+    slot_list = ", ".join(f"mh_{i}" for i in range(num_hashes))
+
+    def bucket_union(sig: str) -> str:
+        sels = []
+        for b in range(bands):
+            parts = " || '|' || ".join(
+                f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+            )
+            sels.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS key FROM {sig}")
+        return " UNION ALL ".join(sels)
+
+    probes_vals = ", ".join(f"({i}, '{p}')" for i, p in enumerate(FDC_PROBES))
+    return (
+        "WITH fx AS (SELECT doc_id, source, CASE WHEN doc_id % 9 = 4 "
+        f"THEN '{FDC_PLANT}' || ' variant ' || CAST(doc_id % 5 AS VARCHAR) "
+        "ELSE text END AS text FROM documents), "
+        f"csig0 AS ({_sql_minhash_signatures(num_hashes, src='fx')}), "
+        "csig AS (SELECT * FROM csig0 WHERE mh_0 IS NOT NULL), "
+        f"pdocs AS (SELECT * FROM (VALUES {probes_vals}) AS t(doc_id, text)), "
+        f"psig0 AS ({_sql_minhash_signatures(num_hashes, src='pdocs')}), "
+        "psig AS (SELECT * FROM psig0 WHERE mh_0 IS NOT NULL), "
+        f"carr AS (SELECT doc_id, [{slot_list}] AS s FROM csig), "
+        f"parr AS (SELECT doc_id, [{slot_list}] AS s FROM psig), "
+        f"cb AS ({bucket_union('csig')}), "
+        f"pb AS ({bucket_union('psig')}), "
+        "cand AS (SELECT DISTINCT c.doc_id AS idc, p.doc_id AS idp "
+        "FROM cb c JOIN pb p ON c.band = p.band AND c.key = p.key), "
+        "hit AS (SELECT DISTINCT cd.idc FROM cand cd "
+        "JOIN carr ca ON cd.idc = ca.doc_id JOIN parr pa ON cd.idp = pa.doc_id "
+        f"WHERE len(list_filter(range(1, {num_hashes + 1}), i -> ca.s[i] = pa.s[i])) "
+        f"/ {float(num_hashes)} >= {threshold}) "
+        "SELECT doc_id, source, text FROM fx WHERE doc_id NOT IN (SELECT idc FROM hit)"
+    )
+
+
 def _sql_cross_source_dup_matrix() -> str:
     """Mirror of dedup.cross_source_dup_matrix over the ngram-Jaccard
     pair generator (the same pairs the Spark wrapper composes)."""
@@ -5017,10 +5238,11 @@ def _sql_ngram_jaccard() -> str:
     )
 
 
-def _sql_unigram_logprob() -> str:
+def _sql_unigram_logprob(src: str = "documents") -> str:
+    # src swaps the (doc_id, text) source relation (X242 reuse)
     return (
         "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
-        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t FROM documents), "
+        f"ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t FROM {src}), "
         "ex AS (SELECT doc_id, unnest(t) AS tok FROM toks), "
         "cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok), "
         "tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM cnt), "
@@ -5434,7 +5656,7 @@ def _hash_slot_sql(expr: str, slot: int) -> str:
     return f"CAST(CAST(('0x' || substr(md5('{slot}:' || {expr}), 1, 8)) AS UBIGINT) AS BIGINT)"
 
 
-def _sql_minhash_signatures(num_hashes: int = 16) -> str:
+def _sql_minhash_signatures(num_hashes: int = 16, src: str = "documents") -> str:
     from safedata_pipeline_spark.operators.dedup import MINHASH_P, minhash_params
 
     sh_list = (
@@ -5446,7 +5668,7 @@ def _sql_minhash_signatures(num_hashes: int = 16) -> str:
         for i, (a, b) in enumerate(minhash_params(num_hashes))
     )
     return (
-        f"WITH toks AS ({SQL_TOKS}), g AS (SELECT doc_id, {sh_list} AS ss FROM toks), "
+        f"WITH toks AS ({_sql_toks(src)}), g AS (SELECT doc_id, {sh_list} AS ss FROM toks), "
         f"hh AS (SELECT doc_id, [{_hash_slot_sql('s', 0)} FOR s IN ss] AS hs FROM g) "
         f"SELECT doc_id, {slots} FROM hh"
     )
@@ -6427,21 +6649,11 @@ def _sql_url_dedup() -> str:
     )
 
 
-def _sql_gopher_quality() -> str:
-    """DuckDB twin of fixture reflow + the Gopher screen. The
-    duplicate-line character fraction runs as an unnest/groupBy CTE
-    (same numbers as the engine's in-array nested filter); every
-    fraction is an int/int divide with the shared floor-snap."""
-    from safedata_pipeline_spark.operators.text import GOPHER_BOUNDS, GOPHER_STOPWORDS
-
-    b = GOPHER_BOUNDS
-    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
-    snap = "floor(CAST({num} AS DOUBLE) / {den} * 1e6 + 0.5) / 1e6"
-    mean_wl = snap.format(num="w.charsum", den="w.n_words")
-    f_dup = snap.format(num="l.dupchars", den="l.totchars")
-    f_bul = snap.format(num="l.n_bullet", den="l.n_lines")
-    f_ell = snap.format(num="l.n_ellip", den="l.n_lines")
-    f_sym = snap.format(num="w.n_sym", den="w.n_words")
+def _sql_gopher_fixture_ctes() -> str:
+    """The gopher-screen fixture CTE chain (reflow into 8-word lines +
+    the %3/%5/%7 line plants), ending in ``fx(doc_id, text)`` — shared
+    by the X184 standalone oracle and the X242 combined-signal
+    oracle's fixture prefix."""
     return (
         f"WITH tk AS ({SQL_TOKS}), "
         # ref0 reflows via a lateral series expansion, which yields ZERO
@@ -6463,9 +6675,35 @@ def _sql_gopher_quality() -> str:
         "||chr(10)||'- special offer today' ELSE '' END "
         "|| CASE WHEN doc_id % 7 = 2 THEN chr(10)||'to be continued...' ELSE '' END AS text "
         "FROM ref), "
+    )
+
+
+def _sql_gopher_quality() -> str:
+    """DuckDB twin of fixture reflow + the Gopher screen. The
+    duplicate-line character fraction runs as an unnest/groupBy CTE
+    (same numbers as the engine's in-array nested filter); every
+    fraction is an int/int divide with the shared floor-snap."""
+    return _sql_gopher_fixture_ctes() + _sql_gopher_screen_body("fx")
+
+
+def _sql_gopher_screen_body(src: str) -> str:
+    """The X184 screen CTE chain + final select over a (doc_id, text)
+    source relation — shared verbatim by the standalone oracle
+    (src='fx') and the X242 combined-signal oracle."""
+    from safedata_pipeline_spark.operators.text import GOPHER_BOUNDS, GOPHER_STOPWORDS
+
+    b = GOPHER_BOUNDS
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    snap = "floor(CAST({num} AS DOUBLE) / {den} * 1e6 + 0.5) / 1e6"
+    mean_wl = snap.format(num="w.charsum", den="w.n_words")
+    f_dup = snap.format(num="l.dupchars", den="l.totchars")
+    f_bul = snap.format(num="l.n_bullet", den="l.n_lines")
+    f_ell = snap.format(num="l.n_ellip", den="l.n_lines")
+    f_sym = snap.format(num="w.n_sym", den="w.n_words")
+    return (
         "ftk AS (SELECT doc_id, text, CASE WHEN trim(text) = '' THEN [] "
-        "ELSE regexp_split_to_array(trim(text), '\\s+') END AS t FROM fx), "
-        "ln0 AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM fx), "
+        f"ELSE regexp_split_to_array(trim(text), '\\s+') END AS t FROM {src}), "
+        f"ln0 AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM {src}), "
         "ln AS (SELECT doc_id, line FROM ln0 WHERE length(line) > 0), "
         "lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS w FROM ln GROUP BY 1, 2), "
         "ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines, "
@@ -6495,6 +6733,44 @@ def _sql_gopher_quality() -> str:
         f"AND frac_ellipsis_lines <= {b['max_frac_ellipsis_lines']} "
         f"AND frac_chars_dup_lines <= {b['max_frac_chars_dup_lines']}"
         ") AS passes FROM o"
+    )
+
+
+def _sql_quality_signals() -> str:
+    """DuckDB twin of the X242 combined quality-signal table: the
+    shared fixture (gopher reflow+line plants, then the GNR word plant
+    on doc_id % 4 == 1), each signal family's PROVEN oracle body run
+    as a WITH-in-subquery over it (private CTE namespaces, zero
+    drift from the standalone oracles), the repetition long form
+    pivoted wide, and three LEFT JOINs anchored on the screen's
+    all-docs row set — exactly the engine's assembly."""
+    piv = ", ".join(
+        f"max(CASE WHEN kind = '{kind}' AND n = {n_} THEN char_frac END) "
+        f"AS {kind}_{n_}gram_frac"
+        for kind, ns in (("top", (2, 3, 4)), ("dup", (5, 6, 7, 8, 9, 10)))
+        for n_ in ns
+    )
+    rep_cols = ", ".join(
+        f"rw.{kind}_{n_}gram_frac"
+        for kind, ns in (("top", (2, 3, 4)), ("dup", (5, 6, 7, 8, 9, 10)))
+        for n_ in ns
+    )
+    return (
+        _sql_gopher_fixture_ctes()
+        + "fq AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 1 "
+        f"THEN '{GNR_PLANT}' ELSE '' END AS text FROM fx), "
+        "g AS (SELECT doc_id, n_words, n_lines, mean_word_len, "
+        "frac_chars_dup_lines, frac_bullet_lines, frac_ellipsis_lines, "
+        "symbol_word_ratio, n_stop_types, passes AS gopher_passes FROM "
+        f"(WITH {_sql_gopher_screen_body('fq')})), "
+        f"r AS (SELECT * FROM (WITH {_sql_gnr_body('fq')})), "
+        f"rw AS (SELECT doc_id, {piv} FROM r GROUP BY doc_id), "
+        f"ce AS (SELECT * FROM ({_sql_compression_entropy(src='fq')})), "
+        f"ul AS (SELECT * FROM ({_sql_unigram_logprob(src='fq')})) "
+        f"SELECT g.*, {rep_cols}, ce.entropy_bits_per_byte, ce.ideal_ratio, "
+        "ul.n_tokens, ul.avg_neg_logprob AS unigram_neg_logprob "
+        "FROM g LEFT JOIN rw USING (doc_id) LEFT JOIN ce USING (doc_id) "
+        "LEFT JOIN ul USING (doc_id)"
     )
 
 
@@ -6553,10 +6829,20 @@ def _sql_gopher_ngram_repetition() -> str:
     return (
         "WITH fx AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 1 "
         f"THEN '{plant}' ELSE '' END AS text FROM documents), "
-        "d AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
+        + _sql_gnr_body("fx")
+    )
+
+
+def _sql_gnr_body(src: str) -> str:
+    """The X229 CTE chain + final select over a (doc_id, text) source
+    relation — shared verbatim by the standalone oracle (src='fx', the
+    GNR_PLANT fixture) and the X242 combined-signal oracle (where it
+    runs as a WITH-in-subquery over the shared fixture)."""
+    return (
+        f"d AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
         "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w, "
         "CAST(length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) AS BIGINT) AS total "
-        "FROM fx), "
+        f"FROM {src}), "
         "d2 AS (SELECT * FROM d WHERE total > 0), "
         "ex AS (SELECT doc_id, total, n, i AS pos, "
         "array_to_string(w[i:i+n-1], ' ') AS ng, "
@@ -6590,17 +6876,19 @@ def _sql_gopher_ngram_repetition() -> str:
     )
 
 
-def _sql_compression_entropy() -> str:
+def _sql_compression_entropy(src: str = "documents") -> str:
     """DuckDB twin of the order-0 byte-entropy bound: the same TRUE
     UTF-8 byte enumeration as the engine — hex(encode(text)) turns the
     byte string into a hex string whose (2i−1, 2)-substrings are the
     individual byte values (é → C3, A9), so multi-byte text counts per
     BYTE, consistent with zlib_signal's n_bytes — then the same exact
     DECIMAL(12,0)×DECIMAL(20,6) ln-term products, double finishing
-    divides, and 6dp floor-snaps."""
+    divides, and 6dp floor-snaps. ``src`` swaps the (doc_id, text)
+    source relation (the X242 combined-signal oracle reuses the chain
+    over its shared fixture)."""
     return (
         "WITH ch AS (SELECT doc_id, substr(hex(encode(text)), CAST(i * 2 - 1 AS INT), 2) AS b "
-        "FROM documents, "
+        f"FROM {src}, "
         "unnest(generate_series(CAST(1 AS BIGINT), CAST(octet_length(encode(text)) AS BIGINT))) AS g(i)), "
         "cnt AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2), "
         "pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bytes, "
@@ -6615,7 +6903,7 @@ def _sql_compression_entropy() -> str:
         "coalesce(h.n_distinct_bytes, 0) AS n_distinct_bytes, "
         "coalesce(h.entropy_bits_per_byte, 0.0) AS entropy_bits_per_byte, "
         "floor(coalesce(h.entropy_bits_per_byte, 0.0) / 8 * 1e6 + 0.5) / 1e6 AS ideal_ratio "
-        "FROM documents d LEFT JOIN h USING (doc_id)"
+        f"FROM {src} d LEFT JOIN h USING (doc_id)"
     )
 
 
@@ -6989,6 +7277,73 @@ def _sql_lang_id_margin() -> str:
         "coalesce(CAST(max(CASE WHEN rn = 1 THEN score END) "
         "- max(CASE WHEN rn = 2 THEN score END) AS DOUBLE), 0.0) AS margin "
         "FROM pred WHERE rn <= 2 GROUP BY doc_id"
+    )
+
+
+def _sql_langid_segments() -> str:
+    """DuckDB twin of the X241 code-switch span query: the same NB
+    model CTEs as lang_id_trained (fit replayed via _sql_langid_ctes;
+    the unreferenced per-doc pred CTE prunes away), the md5-replayed
+    paragraph fixture, per-(doc, paragraph) exact-DECIMAL scoring with
+    the (score DESC, lang ASC) argmax, and the gaps-and-islands run
+    merge — every span boundary hash-checked."""
+
+    def mdint(tag_expr: str) -> str:
+        return (
+            f"CAST(CAST(('0x' || substr(md5({tag_expr}), 1, 8)) AS UBIGINT) AS BIGINT)"
+        )
+
+    langs = ", ".join(f"'{l}'" for l in _SEG_LANGS)
+    lang_tag = "'segl' || CAST(j AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)"
+    word_tag = (
+        "'segw' || CAST(j AS VARCHAR) || '_' || CAST(k AS VARCHAR) "
+        "|| '|' || CAST(doc_id AS VARCHAR)"
+    )
+    arms = " ".join(
+        "WHEN '{l}' THEN list_extract([{ws}], CAST(1 + ({h} % 8) AS INT))".format(
+            l=lang,
+            ws=", ".join(f"'{w}'" for w in _LANGID_MARKERS[lang]),
+            h=mdint(word_tag),
+        )
+        for lang in _SEG_LANGS
+    )
+    pslots = ", ".join(str(j) for j in range(_SEG_MAXP))
+    kslots = ", ".join(str(k) for k in range(_SEG_K))
+    return (
+        _sql_langid_ctes() + ", "
+        f"pb0 AS (SELECT doc_id, j, list_extract([{langs}], "
+        f"CAST(1 + ({mdint(lang_tag)} % {len(_SEG_LANGS)}) AS INT)) AS plang "
+        f"FROM documents, unnest([{pslots}]) AS tj(j) WHERE j < 2 + doc_id % 3), "
+        f"pw AS (SELECT doc_id, j, k, CASE plang {arms} END AS w "
+        f"FROM pb0, unnest([{kslots}]) AS tk(k)), "
+        "pbx AS (SELECT doc_id, j AS para_idx, string_agg(w, ' ' ORDER BY k) AS ptext "
+        "FROM pw GROUP BY 1, 2), "
+        "pg AS (SELECT doc_id, para_idx, substr(lower(ptext), CAST(gp.p AS INT), 3) AS ng "
+        "FROM pbx, unnest(generate_series(CAST(1 AS BIGINT), "
+        "CAST(greatest(length(ptext) - 2, 0) AS BIGINT))) AS gp(p)), "
+        "pm AS (SELECT doc_id, para_idx, "
+        "CAST(greatest(length(ptext) - 2, 0) AS BIGINT) AS m FROM pbx), "
+        "pmt AS (SELECT g.doc_id, g.para_idx, mo.lang, "
+        "CAST(sum(mo.logp) AS DECIMAL(38,6)) AS s, CAST(count(*) AS BIGINT) AS mc "
+        "FROM pg g JOIN model mo ON g.ng = mo.ng GROUP BY 1, 2, 3), "
+        "psc AS (SELECT pm.doc_id, pm.para_idx, f.lang, "
+        "CAST(coalesce(ma.s, CAST(0 AS DECIMAL(38,6))) "
+        "+ (pm.m - coalesce(ma.mc, 0)) * f.fl AS DECIMAL(38,6)) AS score "
+        "FROM pm CROSS JOIN floors f LEFT JOIN pmt ma "
+        "ON ma.doc_id = pm.doc_id AND ma.para_idx = pm.para_idx AND ma.lang = f.lang), "
+        "ppr AS (SELECT doc_id, para_idx, lang FROM "
+        "(SELECT doc_id, para_idx, lang, row_number() OVER "
+        "(PARTITION BY doc_id, para_idx ORDER BY score DESC, lang ASC) AS rn FROM psc) "
+        "WHERE rn = 1), "
+        "runs AS (SELECT doc_id, para_idx, lang, para_idx - row_number() OVER "
+        "(PARTITION BY doc_id, lang ORDER BY para_idx) AS grp FROM ppr), "
+        "segs AS (SELECT doc_id, lang, grp, min(para_idx) AS start_para, "
+        "max(para_idx) AS end_para, CAST(count(*) AS BIGINT) AS n_paras "
+        "FROM runs GROUP BY 1, 2, 3) "
+        "SELECT doc_id, CAST(row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY start_para) AS INT) AS seg_idx, lang, "
+        "CAST(start_para AS INT) AS start_para, CAST(end_para AS INT) AS end_para, "
+        "n_paras FROM segs"
     )
 
 
@@ -7515,6 +7870,49 @@ def _sql_mmr_rerank(k: int, lam: float) -> str:
     )
 
 
+def _sql_doremi_weights(lr: float = 0.5) -> str:
+    """DuckDB twin of X243: the replicated source-marker fixture, one
+    (source, token) count frame feeding both LMs, 6dp-ln DECIMAL term
+    sums (c kept decimal(12,0) — the DSIR multiply discipline), half-up
+    6dp loss snaps, excess clamp, exp quantized to INTEGER 1e-9 units,
+    weight = exact integer ratio snapped at 9dp."""
+    return (
+        "WITH fx AS (SELECT doc_id, source, text || "
+        "repeat(' zsrc_' || source, CAST(1 + doc_id % 3 AS INT)) AS text "
+        "FROM documents), "
+        "tk AS (SELECT source, CASE WHEN trim(lower(text)) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t FROM fx), "
+        "ex AS (SELECT source, unnest(t) AS tok FROM tk), "
+        "cs AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_s "
+        "FROM ex GROUP BY 1, 2), "
+        "cc AS (SELECT tok, CAST(sum(c_s) AS BIGINT) AS c FROM cs GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS total, "
+        "CAST(count(*) AS BIGINT) AS vocab FROM cc), "
+        "ts AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS total_s, "
+        "CAST(count(*) AS BIGINT) AS vocab_s FROM cs GROUP BY 1), "
+        "terms AS (SELECT cs.source, "
+        "CAST(CAST(cs.c_s AS DECIMAL(12,0)) * CAST(round(-ln((cc.c + 1.0) "
+        "/ (tot.total + tot.vocab)), 6) AS DECIMAL(20,6)) AS DECIMAL(38,6)) AS tc, "
+        "CAST(CAST(cs.c_s AS DECIMAL(12,0)) * CAST(round(-ln((cs.c_s + 1.0) "
+        "/ (ts.total_s + ts.vocab_s)), 6) AS DECIMAL(20,6)) AS DECIMAL(38,6)) AS tow "
+        "FROM cs JOIN cc USING (tok) CROSS JOIN tot JOIN ts USING (source)), "
+        "ps AS (SELECT source, CAST(sum(tc) AS DECIMAL(38,6)) AS sc, "
+        "CAST(sum(tow) AS DECIMAL(38,6)) AS so FROM terms GROUP BY 1), "
+        "nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM fx GROUP BY 1), "
+        "lo AS (SELECT ps.source, nd.n_docs, ts.total_s AS n_tokens, "
+        "floor(CAST(ps.sc AS DOUBLE) / ts.total_s * 1e6 + 0.5) / 1e6 AS corpus_loss, "
+        "floor(CAST(ps.so AS DOUBLE) / ts.total_s * 1e6 + 0.5) / 1e6 AS own_loss "
+        "FROM ps JOIN ts USING (source) JOIN nd USING (source)), "
+        "exc AS (SELECT *, greatest(corpus_loss - own_loss, 0.0) AS excess FROM lo), "
+        f"wu AS (SELECT *, CAST(floor(exp({lr} * excess) * 1e9 + 0.5) AS BIGINT) "
+        "AS w_units FROM exc), "
+        "tw AS (SELECT CAST(sum(w_units) AS BIGINT) AS tot_w FROM wu) "
+        "SELECT source, n_docs, n_tokens, corpus_loss, own_loss, excess, "
+        "floor(CAST(w_units AS DOUBLE) / tot_w * 1e9 + 0.5) / 1e9 AS weight "
+        "FROM wu CROSS JOIN tw"
+    )
+
+
 def _sql_dsir_logweights(buckets: int) -> str:
     """DuckDB twin of X235: md5 slot hash (the documented
     md5_slot32 equivalent), add-one multinomial log-ratio per slot
@@ -7817,6 +8215,10 @@ def oracle_sql() -> dict[str, str]:
         "dsir_logweights": _sql_dsir_logweights(64),
         "ngram_novelty_vs_ref": _sql_ngram_novelty_vs_ref(3),
         "mmr_rerank": _sql_mmr_rerank(3, 0.7),
+        "decontaminate_fuzzy": _sql_decontaminate_fuzzy(0.5, 16, 4),
+        "langid_segments": _sql_langid_segments(),
+        "quality_signals": _sql_quality_signals(),
+        "doremi_weights": _sql_doremi_weights(0.5),
         "url_dedup": _sql_url_dedup(),
         "winnowing": _sql_winnowing(5, 4),
         "alpha_mixture": _sql_alpha_mixture("alpha"),

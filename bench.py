@@ -247,6 +247,19 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # END-of-sweep canaries (VERDICT r13 "What's wrong" #4): the r13
+    # driver record showed canary 1.001 at START while loadavg rose
+    # 3.3->5.7 DURING the run — a loaded tail was invisible. Re-running
+    # all three probes after the sweep makes it self-evident: a run is
+    # trustworthy when start AND end canaries are healthy; a degraded
+    # end canary marks the tail (and its per-query medians) as loaded.
+    _canary_end = sorted(_canary_once() for _ in range(3))
+    _alloc_end = sorted(_canary_alloc_once() for _ in range(3))
+    _chain_end = sorted(_canary_chain_once() for _ in range(3))
+    canary_sec_end = round(_canary_end[1], 3)
+    canary_alloc_sec_end = round(_alloc_end[1], 4)
+    canary_chain_sec_end = round(_chain_end[1], 3)
+
     # canary-normalized perf bars (VERDICT r13 "What's missing" #1):
     # absolute per-query seconds are not decidable on a host that
     # drifts 2.3x on axes the canaries under-weight, so each bar is
@@ -314,6 +327,9 @@ def main() -> None:
             "canary_alloc_spread": [round(_alloc_reps[0], 4), round(_alloc_reps[2], 4)],
             "canary_chain_sec": canary_chain_sec,
             "canary_chain_spread": [round(_chain_reps[0], 3), round(_chain_reps[2], 3)],
+            "canary_sec_end": canary_sec_end,
+            "canary_alloc_sec_end": canary_alloc_sec_end,
+            "canary_chain_sec_end": canary_chain_sec_end,
             "perf_bars": perf_bars,
             "load": {
                 "loadavg_start": [round(x, 2) for x in load_start],
@@ -338,6 +354,9 @@ def main() -> None:
             "canary_sec": canary_sec,
             "canary_alloc_sec": canary_alloc_sec,
             "canary_chain_sec": canary_chain_sec,
+            "canary_sec_end": canary_sec_end,
+            "canary_alloc_sec_end": canary_alloc_sec_end,
+            "canary_chain_sec_end": canary_chain_sec_end,
             "perf_bars": {q: v["pass"] for q, v in perf_bars.items()},
             "n_queries": len(names),
             "q": {k: timings[k] for k in sorted(timings)},
@@ -358,6 +377,9 @@ def main() -> None:
         "canary_sec": canary_sec,
         "canary_alloc_sec": canary_alloc_sec,
         "canary_chain_sec": canary_chain_sec,
+        "canary_sec_end": canary_sec_end,
+        "canary_alloc_sec_end": canary_alloc_sec_end,
+        "canary_chain_sec_end": canary_chain_sec_end,
         "perf_bars": {q: v["pass"] for q, v in perf_bars.items()},
         "queries": {},
         "queries_omitted": len(names),

@@ -594,3 +594,61 @@ class CorpusPipeline:
     def funnel_report(self) -> dict[str, int]:
         """Document counts surviving each step, in execution order."""
         return dict(self.funnel)
+
+
+def quality_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Combined per-document quality-signal table — the RedPajama /
+    Dolma pattern (both publish per-doc signal tables computed in one
+    sweep, thresholds tuned AFTERWARDS): every signal family the
+    threshold-tuning loop reads, side by side in one row per document,
+    instead of four separate queries a grid search would re-run per
+    candidate threshold.
+
+    One row per input document: the Gopher format/repetition screen
+    (``gopher_quality_filters`` — word/line counts, duplicate-line /
+    bullet / ellipsis / symbol fractions, stopword types, the pass
+    verdict as ``gopher_passes``), the Gopher n-gram repetition family
+    (``gopher_ngram_repetition`` pivoted wide: ``top_{2,3,4}gram_frac``,
+    ``dup_{5..10}gram_frac`` — NULL where the document is shorter than
+    n words, matching the long form's row contract), the order-0
+    compressibility bound (``entropy_bits_per_byte``, ``ideal_ratio``)
+    and the corpus-self LM score (``n_tokens``,
+    ``unigram_neg_logprob`` — NULL for token-less docs).
+
+    Shape at 100 TB: each family keeps its OWN optimal plan (the
+    map-only screen, the cascaded-hash explode, the byte explode, the
+    two-pass corpus LM) over a shared column-pruned (id, text) scan —
+    a parquet re-scan of two columns is cheaper than materializing the
+    corpus to fuse four structurally different plans. The final
+    assembly is three LEFT JOINs on the document key every family
+    already aggregated by (no new shuffle axis; AQE coalesces), and
+    the Gopher screen's all-docs row set anchors the join so no family
+    can drop a row.
+    """
+    g = TX.gopher_quality_filters(df, text_col, id_col).withColumnRenamed(
+        "passes", "gopher_passes"
+    )
+    rep = TX.gopher_ngram_repetition(df, text_col, id_col)
+    piv = [
+        F.max(
+            F.when(
+                (F.col("n") == n_) & (F.col("kind") == kind), F.col("char_frac")
+            )
+        ).alias(f"{kind}_{n_}gram_frac")
+        for kind, ns in (("top", TX.GOPHER_TOP_NS), ("dup", TX.GOPHER_DUP_NS))
+        for n_ in ns
+    ]
+    rp = rep.groupBy(id_col).agg(*piv)
+    ce = CMP.compression_entropy(df, text_col, id_col).select(
+        id_col, "entropy_bits_per_byte", "ideal_ratio"
+    )
+    ul = TX.unigram_logprob(df, text_col, id_col).select(
+        id_col,
+        "n_tokens",
+        F.col("avg_neg_logprob").alias("unigram_neg_logprob"),
+    )
+    return (
+        g.join(rp, id_col, "left").join(ce, id_col, "left").join(ul, id_col, "left")
+    )

@@ -111,24 +111,28 @@ def _scored_grid(
     df: DataFrame,
     model: DataFrame,
     text_col: str,
-    id_col: str,
+    id_col: str | list[str],
     n: int,
 ) -> DataFrame:
-    """The shared per-(doc, lang) score grid both ``langid_score`` and
-    ``langid_margin`` aggregate over: gram explode → broadcast model
-    join → (doc, lang) partial sums → floor fill-in for the unseen
-    grams. One place, so a scoring fix can never silently split the
-    argmax from the margin. Output: ``(id, lang, score DECIMAL(38,6))``
-    — exactly |langs| rows per input doc."""
+    """The shared per-(unit, lang) score grid ``langid_score``,
+    ``langid_margin`` and ``langid_segments`` aggregate over: gram
+    explode → broadcast model join → (unit, lang) partial sums →
+    floor fill-in for the unseen grams. One place, so a scoring fix
+    can never silently split the argmax from the margin. ``id_col``
+    is one column name or a composite key list (the segments path
+    scores (doc, paragraph) units). Output: ``(*keys, lang,
+    score DECIMAL(38,6))`` — exactly |langs| rows per input unit."""
+    keys = [id_col] if isinstance(id_col, str) else list(id_col)
     # spread the explode fan-out across cores (scan splits of a small
     # fixture underestimate the post-explode row count); no-op at scale
     grams = spread_small(df).select(
-        F.col(id_col), F.explode(_char_ngrams(F.lower(F.col(text_col)), n)).alias("g")
+        *[F.col(k) for k in keys],
+        F.explode(_char_ngrams(F.lower(F.col(text_col)), n)).alias("g"),
     )
     # total gram count per doc is just max(len−(n−1), 0) — a column
     # expression, no second explode-aggregate over the corpus
     m = df.select(
-        F.col(id_col),
+        *[F.col(k) for k in keys],
         F.greatest(F.length(F.col(text_col)) - (n - 1), F.lit(0))
         .cast("bigint")
         .alias("m"),
@@ -139,15 +143,15 @@ def _scored_grid(
     mt = model.where(F.col("ngram").isNotNull())
     matched = (
         grams.join(F.broadcast(mt), grams.g == mt.ngram)
-        .groupBy(id_col, "lang")
+        .groupBy(*keys, "lang")
         .agg(F.sum("logp").alias("s"), F.count(F.lit(1)).cast("bigint").alias("mc"))
     )
     zero = F.lit(0).cast("decimal(38,6)")
     return (
         m.crossJoin(F.broadcast(floors))
-        .join(matched, [id_col, "lang"], "left")
+        .join(matched, [*keys, "lang"], "left")
         .select(
-            id_col,
+            *keys,
             "lang",
             (
                 F.coalesce("s", zero)
@@ -220,4 +224,68 @@ def langid_margin(
         F.coalesce(
             (second.getField("ns") - best.getField("ns")).cast("double"), F.lit(0.0)
         ).alias("margin"),
+    )
+
+
+def langid_segments(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Document-level language SEGMENT spans: split each document into
+    paragraphs (``sep``-delimited, blank paragraphs dropped), predict
+    each paragraph's language with the fitted n-gram NB model, then
+    merge CONSECUTIVE same-language paragraphs into spans — the
+    code-switch localization step production curation runs after
+    whole-doc language ID flags a low-margin document (per-paragraph
+    fastText is the standard form; same model family here).
+
+    Output: ``(id, seg_idx, lang, start_para, end_para, n_paras)`` —
+    one row per maximal same-language run, ``seg_idx`` 1-based in
+    document order, ``start_para``/``end_para`` 0-based paragraph
+    indices (inclusive). A monolingual document yields one row.
+
+    Shape at 100 TB: the paragraph explode is map-only; scoring is the
+    shared ``_scored_grid`` (broadcast model join + (doc, para,
+    lang)-keyed partial sums — map-side combinable, text never
+    shuffles); the run-merge is the gaps-and-islands construction
+    (para_idx − per-(doc, lang) row_number) under windows PARTITIONED
+    BY document — no global window, and a document's paragraph count
+    bounds every task. Argmax ties break on ascending language code
+    (the ``langid_score`` discipline), so spans are engine-stable.
+    """
+    from pyspark.sql import Window
+
+    keys = [id_col, "para_idx"]
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("para_idx", "__para"),
+    ).where(F.trim(F.col("__para")) != "")
+    scored = _scored_grid(paras, model, "__para", keys, n)
+    best = scored.groupBy(*keys).agg(
+        F.min(
+            F.struct((-F.col("score")).alias("ns"), F.col("lang").alias("l"))
+        ).alias("b")
+    )
+    pred = best.select(*keys, F.col("b.l").alias("lang"))
+    # gaps-and-islands: consecutive same-lang paragraphs share
+    # (para_idx − per-(doc, lang) sequence number)
+    w_lang = Window.partitionBy(id_col, "lang").orderBy("para_idx")
+    grp = pred.withColumn("__grp", F.col("para_idx") - F.row_number().over(w_lang))
+    segs = grp.groupBy(id_col, "lang", "__grp").agg(
+        F.min("para_idx").alias("start_para"),
+        F.max("para_idx").alias("end_para"),
+        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("start_para")
+    return segs.select(
+        id_col,
+        F.row_number().over(w_doc).alias("seg_idx"),
+        "lang",
+        "start_para",
+        "end_para",
+        "n_paras",
     )

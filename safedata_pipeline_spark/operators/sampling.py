@@ -886,3 +886,130 @@ def dsir_logweights(
             "logweight",
         )
     )
+
+
+def doremi_weights(
+    df: DataFrame,
+    lr: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """DoReMi-style domain mixture reweighting (Xie et al. 2023
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining", public paper) in the engine's hash-checkable form:
+    each source's EXCESS LOSS — how much worse the shared corpus-level
+    unigram LM models the source than the source's OWN unigram LM —
+    drives one multiplicative-weights update,
+    ``weight_s ∝ exp(lr · excess_s)``, normalized over sources. Domains
+    the global model underfits get upsampled; domains it already
+    covers keep baseline weight (excess clamps at 0). The full DoReMi
+    loop retrains the proxy between updates (an ML channel); this
+    single exact update over engine-native LMs is the decision table a
+    curation run thresholds, in the hash channel.
+
+    Loss discipline = the ``unigram_logprob`` / DSIR family: add-one
+    smoothing, per-token −ln p rounded to 6dp, count × DECIMAL(20,6)
+    term products (exact — the c operand stays decimal(12,0)),
+    DECIMAL(38,6) sums, half-up 6dp snap on the per-token average.
+    The exp step quantizes to INTEGER 1e-9 units before normalizing,
+    so the weight is an exact int/int ratio (double-sum order can't
+    drift it).
+
+    Shape at 100 TB: ONE corpus explode → (source, token) counts
+    (map-side combinable; everything downstream rides this vocab×
+    sources frame, never token instances); corpus counts re-aggregate
+    FROM it; totals and per-source totals broadcast back; the final
+    frame is O(sources). Sources with zero tokens carry no loss and
+    are omitted (document the empty domain, don't weight it).
+
+    Output: ``(source, n_docs, n_tokens, corpus_loss, own_loss,
+    excess, weight)``.
+    """
+    from safedata_pipeline_spark.checkpoint import pin_lazy
+    from safedata_pipeline_spark.partitioning import spread_small
+
+    ex = spread_small(df).select(
+        F.col(source_col).alias("source"),
+        F.explode(_ws_tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    # pin the (source, token) count frame: THREE consumers read it
+    # (corpus counts, per-source totals, the loss-term join) and each
+    # would otherwise re-run the corpus explode+aggregate. The pin is
+    # O(vocab × sources) narrow rows — bounded, not corpus-sized.
+    cs = (
+        ex.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+        .transform(pin_lazy)
+    )
+    cc = cs.groupBy("tok").agg(F.sum("c_s").alias("c"))
+    tot = cc.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    ts = cs.groupBy("source").agg(
+        F.sum("c_s").alias("total_s"), F.count(F.lit(1)).alias("vocab_s")
+    )
+    nlp_c = F.round(
+        -F.log((F.col("c") + 1.0) / (F.col("total") + F.col("vocab"))), ROUND_N
+    ).cast("decimal(20,6)")
+    nlp_o = F.round(
+        -F.log((F.col("c_s") + 1.0) / (F.col("total_s") + F.col("vocab_s"))), ROUND_N
+    ).cast("decimal(20,6)")
+    c_dec = F.col("c_s").cast("decimal(12,0)")
+    terms = (
+        cs.join(cc, "tok")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(ts), "source")
+        .select(
+            "source",
+            (c_dec * nlp_c).cast("decimal(38,6)").alias("tc"),
+            (c_dec * nlp_o).cast("decimal(38,6)").alias("to"),
+        )
+    )
+    ps = terms.groupBy("source").agg(
+        F.sum("tc").alias("sc"), F.sum("to").alias("so")
+    )
+    nd = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    snap6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    lo = (
+        ps.join(F.broadcast(ts), "source")
+        .join(F.broadcast(nd), "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("total_s").cast("bigint").alias("n_tokens"),
+            snap6(F.col("sc").cast("double") / F.col("total_s")).alias("corpus_loss"),
+            snap6(F.col("so").cast("double") / F.col("total_s")).alias("own_loss"),
+        )
+    )
+    excess = F.greatest(F.col("corpus_loss") - F.col("own_loss"), F.lit(0.0))
+    wu = (
+        F.floor(F.exp(F.lit(lr) * F.col("excess")) * F.lit(1e9) + F.lit(0.5))
+        .cast("bigint")
+        .alias("wu")
+    )
+    staged = lo.withColumn("excess", excess).withColumn("wu", wu)
+    # O(sources) rows: an unpartitioned total over them is a driver-
+    # sized aggregate, not a scale hazard — but keep it join-shaped
+    # (broadcast of a 1-row agg), not a global window
+    tw = staged.agg(F.sum("wu").alias("tot_w"))
+    return (
+        staged.join(F.broadcast(tw))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "corpus_loss",
+            "own_loss",
+            "excess",
+            (
+                F.floor(
+                    F.col("wu").cast("double") / F.col("tot_w") * F.lit(1e9)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e9)
+            ).alias("weight"),
+        )
+    )

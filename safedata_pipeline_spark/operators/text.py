@@ -517,6 +517,111 @@ def decontaminate(
     raise ValueError(f"method must be 'substring', 'ngram' or 'aho', got {method!r}")
 
 
+def decontaminate_fuzzy(
+    df: DataFrame,
+    probes: list[str],
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: drop every document whose
+    MinHash-estimated Jaccard against ANY probe reaches ``threshold``
+    — the near-dup decontamination step ``decontaminate`` (verbatim /
+    shared-shingle / Aho–Corasick) can't cover: paraphrased or
+    reflowed benchmark items that share most of their shingle SET with
+    a probe without sharing any single n-gram hit pattern exactly.
+    Composes the banded-MinHash NEW×REF discipline of
+    ``dedup.dedup_incremental_near`` (X135) with the probe-list
+    contract of ``decontaminate`` (X84).
+
+    Output: the surviving ``df`` rows, schema unchanged. Documents
+    that CANNOT match keep their rows: NULL text and docs with fewer
+    than ``n`` words have no shingles, hence no signature, and are
+    kept without ever entering the match plan (``decontaminate``'s
+    null contract). Probes shorter than ``n`` words are likewise
+    inert (they drop out of the probe signature table).
+
+    Shape, in 100 TB terms: the probe side is a benchmark suite —
+    thousands of rows at most — so its banded signature table is
+    BROADCAST: candidate generation is a map-side broadcast-hash join
+    on (band, band-key); the corpus never shuffles for it (unlike the
+    X135 crawl-vs-corpus form, where both sides are large and the
+    band-key equi-join must exchange). Signature verification rides
+    the same broadcast rows (each side carries its full signature
+    through the join), the hit-id set is DISTINCT doc ids only, and
+    the final LEFT ANTI join is digest-narrow. md5-deterministic end
+    to end — the estimate itself is oracle-checkable.
+    """
+    from safedata_pipeline_spark.checkpoint import pin_lazy
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    from safedata_pipeline_spark.operators.dedup import minhash_signatures
+
+    rows = num_hashes // bands
+    spark = df.sparkSession
+
+    def buckets(sig: DataFrame, id_name: str, prefix: str) -> DataFrame:
+        band_cols = []
+        for b in range(bands):
+            parts = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+            band_cols.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", *parts).cast("binary")).alias("key"),
+                )
+            )
+        return sig.select(
+            F.col(id_name).alias(f"{prefix}_id"),
+            *[F.col(f"mh_{i}").alias(f"{prefix}_mh_{i}") for i in range(num_hashes)],
+            F.explode(F.array(*band_cols)).alias("bk"),
+        ).select(
+            f"{prefix}_id",
+            *[f"{prefix}_mh_{i}" for i in range(num_hashes)],
+            "bk.band",
+            "bk.key",
+        )
+
+    # shingle-less rows (NULL text, < n words) have mh_0 NULL: filter
+    # them out of the MATCH side here — Spark's concat_ws would skip
+    # the NULL slots and hash an empty band key, which a shingle-less
+    # PROBE could then collide with (matching on no evidence at all)
+    probe_df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(probes)], "probe_id long, probe string"
+    )
+    psig = minhash_signatures(probe_df, "probe", "probe_id", num_hashes, n).where(
+        F.col("mh_0").isNotNull()
+    )
+    # pin the corpus signatures BEFORE the null filter and the band
+    # explode (the minhash_lsh_pairs discipline): the mh_i columns are
+    # folds over the shingle array, and predicate pushdown would
+    # otherwise inline the whole fold chain into the Filter condition
+    # AND once per exploded band row (measured ~4x the operator's
+    # cost). pin_lazy stores only the narrow (id, k×int) rows and —
+    # because nothing pushes below it — the corpus side stays fully
+    # map-side: no shuffle anywhere before the final anti-join.
+    csig = (
+        minhash_signatures(df, text_col, id_col, num_hashes, n)
+        .transform(pin_lazy)
+        .where(F.col("mh_0").isNotNull())
+    )
+    cb = buckets(csig, id_col, "c")
+    pb = buckets(psig, "probe_id", "p")
+    agree = sum(
+        (F.col(f"c_mh_{i}") == F.col(f"p_mh_{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    hit_ids = (
+        cb.join(F.broadcast(pb), on=["band", "key"])
+        .where(agree / F.lit(float(num_hashes)) >= F.lit(threshold))
+        .select(F.col("c_id").alias(id_col))
+        .dropDuplicates()
+    )
+    return df.join(hit_ids, on=id_col, how="left_anti")
+
+
 def quality_filter(
     df: DataFrame,
     keep_fraction: float = 0.5,

@@ -405,3 +405,51 @@ def test_corpus_pipeline_language_filter_step(spark):
     kept = {r.doc_id for r in p.df.collect()}
     assert 1 in kept and 2 not in kept
     assert "langid_model" in p.results
+
+
+def test_quality_signals_one_row_per_doc_matches_components(spark):
+    """The combined table carries each family's exact values and the
+    long repetition form pivoted wide; every input doc keeps one row;
+    NULL where the doc is too short for a family (the long form's row
+    contract)."""
+    from safedata_pipeline_spark import corpus_pipeline as CPL
+    from safedata_pipeline_spark.operators import compression as CMP
+    from safedata_pipeline_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat\nthe cat sat on the mat\n- bullet line"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "tiny"),  # 1 word: no repetition rows at all
+            (4, ""),  # empty: zero tokens everywhere
+        ],
+        "doc_id bigint, text string",
+    )
+    out = CPL.quality_signals(docs)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+
+    g = {r.doc_id: r for r in TX.gopher_quality_filters(docs).collect()}
+    ce = {r.doc_id: r for r in CMP.compression_entropy(docs).collect()}
+    ul = {r.doc_id: r for r in TX.unigram_logprob(docs).collect()}
+    rep = {}
+    for r in TX.gopher_ngram_repetition(docs).collect():
+        rep[(r.doc_id, r.kind, r.n)] = r.char_frac
+    for i in (1, 2, 3, 4):
+        assert rows[i].n_words == g[i].n_words
+        assert rows[i].gopher_passes == g[i].passes
+        assert rows[i].entropy_bits_per_byte == ce[i].entropy_bits_per_byte
+        assert rows[i].ideal_ratio == ce[i].ideal_ratio
+        assert rows[i].n_tokens == ul[i].n_tokens
+        assert rows[i].unigram_neg_logprob == ul[i].avg_neg_logprob
+        for kind, ns in (("top", (2, 3, 4)), ("dup", (5, 6, 7, 8, 9, 10))):
+            for n_ in ns:
+                assert (
+                    getattr(rows[i], f"{kind}_{n_}gram_frac")
+                    == rep.get((i, kind, n_))
+                ), (i, kind, n_)
+    # the repeated-sentence doc has real repetition signal
+    assert rows[1].top_2gram_frac > 0
+    assert rows[1].dup_5gram_frac > 0
+    # the 1-word and empty docs carry NULL repetition columns
+    assert rows[3].top_2gram_frac is None and rows[4].dup_10gram_frac is None

@@ -93,3 +93,69 @@ def test_langid_margin_semantics(spark):
     assert got[10].lang_pred == "aa"
     assert got[10].margin > got[11].margin  # mixed doc is less confident
     assert got[12].margin == 0.0  # zero-gram doc ties everything
+
+
+def test_langid_segments_merges_consecutive_runs(spark):
+    train = [(1, "aaa bbb aab aba bab aaa", "aa"), (2, "xxx yyy xxy xyx yxy xxx", "xx")]
+    model = LI.langid_fit(
+        spark.createDataFrame(train, "doc_id bigint, text string, lang string")
+    )
+    docs = spark.createDataFrame(
+        [
+            # aa, aa, xx, aa -> spans (0-1 aa), (2-2 xx), (3-3 aa)
+            (7, "aaa aab\n\naba bab\n\nxxx xxy\n\naaa bbb"),
+            # monolingual -> one span
+            (8, "xxx yyy\n\nxyx yxy"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = LI.langid_segments(docs, model).collect()
+    got = {
+        (r.doc_id, r.seg_idx): (r.lang, r.start_para, r.end_para, r.n_paras)
+        for r in rows
+    }
+    assert got == {
+        (7, 1): ("aa", 0, 1, 2),
+        (7, 2): ("xx", 2, 2, 1),
+        (7, 3): ("aa", 3, 3, 1),
+        (8, 1): ("xx", 0, 1, 2),
+    }
+
+
+def test_langid_segments_drops_blank_paragraphs(spark):
+    # a blank paragraph (double separator) is dropped but its INDEX is
+    # preserved, so the spans around it do not merge across the gap
+    train = [(1, "aaa bbb aab", "aa"), (2, "xxx yyy xxy", "xx")]
+    model = LI.langid_fit(
+        spark.createDataFrame(train, "doc_id bigint, text string, lang string")
+    )
+    docs = spark.createDataFrame(
+        [(5, "aaa aab\n\n\n\naaa bbb")], "doc_id bigint, text string"
+    )
+    rows = LI.langid_segments(docs, model).collect()
+    got = sorted((r.seg_idx, r.lang, r.start_para, r.end_para) for r in rows)
+    assert got == [(1, "aa", 0, 0), (2, "aa", 2, 2)]
+
+
+def test_langid_segments_scoring_matches_per_para_score(spark):
+    # the composite-key grid must agree with langid_score run on the
+    # paragraphs as standalone docs
+    train = [(1, "aaa bbb aab aba", "aa"), (2, "xxx yyy xxy xyx", "xx")]
+    model = LI.langid_fit(
+        spark.createDataFrame(train, "doc_id bigint, text string, lang string")
+    )
+    paras = ["aaa aba", "xyx yyy", "bab bbb"]
+    docs = spark.createDataFrame(
+        [(3, "\n\n".join(paras))], "doc_id bigint, text string"
+    )
+    seg_rows = LI.langid_segments(docs, model).collect()
+    solo = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(paras)], "doc_id bigint, text string"
+    )
+    solo_pred = {r.doc_id: r.lang_pred for r in LI.langid_score(solo, model).collect()}
+    # reconstruct each paragraph's language from the spans
+    para_lang = {}
+    for r in seg_rows:
+        for p in range(r.start_para, r.end_para + 1):
+            para_lang[p] = r.lang
+    assert para_lang == solo_pred

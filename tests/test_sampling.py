@@ -494,3 +494,51 @@ def test_dsir_logweights_model_and_order(spark):
 
     with pytest.raises(ValueError, match="buckets"):
         S.dsir_logweights(df, buckets=1)
+
+
+def test_doremi_weights_semantics(spark):
+    """A source the corpus LM underfits (its own vocabulary) gets
+    excess > 0 and weight above uniform; a source drawn from the
+    corpus-typical vocabulary sits at the clamp; weights are a
+    normalized distribution."""
+    from safedata_pipeline_spark.operators import sampling as SMP
+
+    rows = []
+    # source A: its own private vocabulary, repeated -> own LM models
+    # it far better than the corpus LM
+    for i in range(6):
+        rows.append((i, "A", "qq ww ee rr tt qq ww ee"))
+    # source B: the corpus-dominant vocabulary (shared with C)
+    for i in range(6):
+        rows.append((100 + i, "B", "aa bb cc dd aa bb cc dd"))
+    for i in range(6):
+        rows.append((200 + i, "C", "aa bb cc dd aa bb cc dd"))
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {r.source: r for r in SMP.doremi_weights(df, lr=0.5).collect()}
+    assert sorted(out) == ["A", "B", "C"]
+    for r in out.values():
+        assert r.n_docs == 6 and r.n_tokens == 48
+        assert r.excess >= 0.0
+    total = sum(r.weight for r in out.values())
+    assert abs(total - 1.0) < 1e-6
+    # A's vocabulary is 5 of ~9 corpus types but 100% of its own ->
+    # the corpus LM is worse on A than A's own LM
+    assert out["A"].excess > 0.0
+    assert out["A"].weight > out["B"].weight
+    # B and C are identical corpora -> identical rows
+    assert out["B"].weight == out["C"].weight
+    assert out["B"].corpus_loss == out["C"].corpus_loss
+
+
+def test_doremi_weights_zero_excess_uniform(spark):
+    """Identical sources -> every excess clamps to 0 and the update
+    returns exactly uniform weights (integer-unit ratio is exact)."""
+    from safedata_pipeline_spark.operators import sampling as SMP
+
+    rows = [(i, f"s{i % 4}", "aa bb cc dd ee") for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = SMP.doremi_weights(df, lr=0.5).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.excess == 0.0
+        assert r.weight == 0.25

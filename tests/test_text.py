@@ -924,3 +924,63 @@ def test_ngram_novelty_vs_ref_cross_snapshot(spark):
         for r in T.ngram_novelty_vs_ref(new.repartition(7), ref.repartition(3)).collect()
     }
     assert r7 == {kk: tuple(v) for kk, v in out.items()}
+
+
+def test_decontaminate_fuzzy_drops_near_dups_keeps_clean(spark):
+    """A tail-edited near-copy of a probe is dropped (no verbatim or
+    exact-shingle hit needed); clean, NULL-text and sub-shingle docs
+    survive; schema passes through unchanged."""
+    from safedata_pipeline_spark.operators import text as TX
+
+    probe = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    near = probe.rsplit(" ", 1)[0] + " omega"  # last word changed
+    docs = spark.createDataFrame(
+        [
+            (1, near, "s1"),
+            (2, "completely unrelated clean document about spark plans", "s2"),
+            (3, None, "s3"),
+            (4, "two words", "s4"),  # < n words -> no shingles -> kept
+            (5, probe, "s5"),  # the verbatim copy is also a near-dup
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = TX.decontaminate_fuzzy(docs, [probe], threshold=0.5)
+    assert out.columns == ["doc_id", "text", "source"]
+    assert sorted(r.doc_id for r in out.collect()) == [2, 3, 4]
+
+
+def test_decontaminate_fuzzy_threshold_and_short_probe(spark):
+    """threshold=1.0 keeps everything but exact-signature matches; a
+    probe shorter than n words is inert (no shingles, no matches)."""
+    from safedata_pipeline_spark.operators import text as TX
+
+    probe = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    near = probe.rsplit(" ", 1)[0] + " omega"
+    docs = spark.createDataFrame(
+        [(1, near), (2, probe), (3, "clean words all the way down here")],
+        "doc_id bigint, text string",
+    )
+    strict = TX.decontaminate_fuzzy(docs, [probe], threshold=1.0)
+    assert sorted(r.doc_id for r in strict.collect()) == [1, 3]
+    inert = TX.decontaminate_fuzzy(docs, ["too short"], threshold=0.0)
+    assert sorted(r.doc_id for r in inert.collect()) == [1, 2, 3]
+
+
+def test_decontaminate_fuzzy_probe_side_broadcasts(spark):
+    """The candidate join must be a broadcast on the probe side — the
+    corpus never shuffles for candidate generation."""
+    from safedata_pipeline_spark.operators import text as TX
+
+    probe = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} filler words enough to shingle properly here") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    plan = (
+        TX.decontaminate_fuzzy(docs, [probe], threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -176,6 +176,19 @@ DECADE2_QUERIES = [
     # aggregates (driver state O(k·d))
     "ngram_novelty_vs_ref",
     "mmr_rerank",
+    # the r14 late trio: fuzzy decontamination is corpus MinHash
+    # signatures (linear) + a broadcast band join whose candidates
+    # scale with the planted docs (~n/9); langid_segments explodes
+    # paragraphs/grams into (doc, para, lang)-keyed aggregations over
+    # a broadcast model (vocab saturates, grams ~n); quality_signals
+    # is the sum of four already-linear families over one fixture
+    "decontaminate_fuzzy",
+    "langid_segments",
+    "quality_signals",
+    # DoReMi mixture reweighting: one corpus explode -> (source, token)
+    # counts; everything downstream is vocab x sources, final frame
+    # O(sources) — the tiled vocab grows the count frame ~10x
+    "doremi_weights",
 ]
 DECADE2_GATES: dict[str, tuple[str, float]] = {
     f"slope10_{q}": ("max", 4.0) for q in DECADE2_QUERIES
@@ -220,6 +233,10 @@ EXPECTED_SLOPE_NOTES: dict[str, str] = {
     "dsir_logweights": "~1.5-2.5: x(2-tokens) explode; the model is FIXED at 64 slots however the vocab grows (hash bucketing), broadcast back; per-doc slot counts are doc-scoped keys",
     "ngram_novelty_vs_ref": "~1.5-3: two gram builds + a membership join whose ref side is DISTINCT grams (fan-out 1 per gram); gram types grow ~10x with the tiled vocab",
     "mmr_rerank": "~1-1.5: k=3 bounded scans of the pinned candidate frame + one argmax each; candidate count grows ~10x but each round is one map+agg; driver state O(k*d)",
+    "decontaminate_fuzzy": "~1-2: corpus signatures are one PINNED shingle pass + 16 affine folds per doc (linear; pin_lazy defeats filter/explode re-inlining, measured 4x); the band join is broadcast (2 probes) with candidates ~n/9 planted docs; anti-join digest-narrow",
+    "langid_segments": "~1.5-2.5: paragraph+gram explode linear; broadcast NB model grows with the 3-gram type vocab (tiled chars push it ~up a decade early, then saturates); (doc, para, lang) agg keys are doc-scoped",
+    "quality_signals": "~1.5-2.5: four linear families over one fixture (map-only screen, cascaded-hash repetition explode, byte explode, two-pass unigram LM) + three doc-keyed joins; unigram vocab join grows with tiled types",
+    "doremi_weights": "~1-2: one token explode into map-side-combinable (source, token) counts; the loss join is vocab x sources rows (grows with tiled types), the weight update O(sources)",
 }
 SCALE10_DIR = os.environ.get("SAFEDATA_SCALE10_DIR", "/root/repo/.scale10")
 
