@@ -2808,6 +2808,23 @@ def _q_doremi_weights(spark, sf):
     return SMP.doremi_weights(planted, lr=0.5)
 
 
+def _q_margin_bitext_mine(spark, sf):
+    # X244: margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    # CCMatrix/NLLB pair-selection rule): a FIXED batch of even
+    # vec_ids < 200 is the source side (production mining runs in
+    # query batches; the bm25_search fixed-query convention keeps the
+    # pair frame linear in the corpus), odd vec_ids the target; ratio
+    # margin over k=4 neighborhoods cancels hubness, best-per-source
+    # kept at margin >= 1.0
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.margin_bitext_mine(
+        emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 200)),
+        emb.where(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.0,
+    )
+
+
 # the repeated 10-word phrase planted (twice) on doc_id % 4 == 1 docs
 # so the dup family has live signal — raw fixture text has no natural
 # >= 5-gram repetition (measured all-zero at sf0.01); mirrored
@@ -3615,7 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries; 13 consecutive all-green rounds — the window is policy:
     # anchors + new + touched + stalest-green refresh):
     # (1) the 15 standing anchors;
-    # (2) the ELEVEN r14-new oracle-backed queries: boilerplate_lines
+    # (2) the TWELVE r14-new oracle-backed queries: boilerplate_lines
     #     (X233 — corpus-level duplicate-line removal, CCNet §4.1 /
     #     Dolma: exact COUNT(DISTINCT doc) per line, two high-df
     #     footer plants + one paired sub-threshold plant),
@@ -3638,7 +3655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     RedPajama/Dolma combined per-doc signal table: gopher screen
     #     + pivoted repetition + entropy + unigram LM side by side),
     #     doremi_weights (X243 — DoReMi mixture reweighting: excess
-    #     unigram loss -> exp(lr*excess) update, integer-unit exact);
+    #     unigram loss -> exp(lr*excess) update, integer-unit exact),
+    #     margin_bitext_mine (X244 — Artetxe-Schwenk margin bitext
+    #     mining, the CCMatrix/NLLB pair rule; fixed query batch);
     # (3) re-verification slots for every oracle query round 14
     #     touched: lang_id_trained / lang_id_margin (_scored_grid
     #     gained composite keys for X241 — identity for single-key
@@ -3651,11 +3670,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     ccnet_perplexity_buckets; the md5-threshold prefilter
     #     re-verifies temperature_mix; the exactness-envelope guard
     #     (ADVICE r13) re-verifies embedding_gram / embedding_drift;
-    # (4) 14 refresh slots for the STALEST driver greens: the five r5
+    # (4) 13 refresh slots for the STALEST driver greens: the five r5
     #     leftovers the r13 brief queued (fold_assign ...
-    #     sole_late_supplier), then 9 of the 29-query r7 vintage
-    #     (auc_daily ... cusum_hourly, historical order);
-    #     the displaced six (dedup_incremental_near ...
+    #     sole_late_supplier), then 8 of the 29-query r7 vintage
+    #     (auc_daily ... cross_source_dup_matrix, historical order);
+    #     the displaced seven (cusum_hourly ...
     #     event_transitions) and the remaining 12 r7 rows
     #     (heavy_hitter_words ... zipf_profile) head the r15 refresh
     #     line, then the r8 vintage.
@@ -3693,6 +3712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_segments": _q_langid_segments,
         "quality_signals": _q_quality_signals,
         "doremi_weights": _q_doremi_weights,
+        "margin_bitext_mine": _q_margin_bitext_mine,
         # -- (3) touched-operator re-verification -----------------------------
         # (lang_id_trained / lang_id_margin: _scored_grid gained
         # composite-key support for langid_segments — identity for the
@@ -3721,8 +3741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": _q_corpus_overlap,
         "count_min_words": _q_count_min_words,
         "cross_source_dup_matrix": _q_cross_source_dup_matrix,
-        "cusum_hourly": _q_cusum_hourly,
         # -- out of window: local full-sweep hash check every round ------------
+        "cusum_hourly": _q_cusum_hourly,
         "dedup_incremental_near": _q_dedup_incremental_near,
         # (disjunctive_revenue ... event_transitions: displaced by the
         # r14-new trio + the two touched langid rows; they head the r15
@@ -7913,6 +7933,46 @@ def _sql_doremi_weights(lr: float = 0.5) -> str:
     )
 
 
+def _sql_margin_bitext_mine(k: int = 4, threshold: float = 1.0) -> str:
+    """DuckDB twin of X244: the even/odd embedding split, 9dp-DECIMAL
+    cosine snap, exact DECIMAL neighborhood sums divided by the actual
+    neighbor count, the 9dp margin floor-snap with the zero-denominator
+    NULL guard, and the (margin DESC, tgt_id ASC) argmax."""
+    cos = (
+        "CASE WHEN list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0 "
+        "THEN list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) "
+        "ELSE NULL END"
+    )
+    return (
+        f"WITH e AS ({SQL_EMB}), "
+        "a AS (SELECT vec_id AS src_id, v FROM e WHERE vec_id % 2 = 0 AND vec_id < 200), "
+        "b AS (SELECT vec_id AS tgt_id, v FROM e WHERE vec_id % 2 = 1), "
+        f"p0 AS (SELECT a.src_id, b.tgt_id, {cos} AS c FROM a CROSS JOIN b), "
+        "p AS (SELECT src_id, tgt_id, CAST(round(c, 9) AS DECIMAL(12,9)) AS c9 "
+        "FROM p0 WHERE c IS NOT NULL), "
+        "ra AS (SELECT src_id, c9, row_number() OVER (PARTITION BY src_id "
+        "ORDER BY c9 DESC, tgt_id ASC) AS rn FROM p), "
+        f"aa AS (SELECT src_id, CAST(sum(c9) AS DOUBLE) / count(*) AS avg_a "
+        f"FROM ra WHERE rn <= {k} GROUP BY 1), "
+        "rb AS (SELECT tgt_id, c9, row_number() OVER (PARTITION BY tgt_id "
+        "ORDER BY c9 DESC, src_id ASC) AS rn FROM p), "
+        f"bb AS (SELECT tgt_id, CAST(sum(c9) AS DOUBLE) / count(*) AS avg_b "
+        f"FROM rb WHERE rn <= {k} GROUP BY 1), "
+        "sc AS (SELECT p.src_id, p.tgt_id, p.c9, "
+        "CASE WHEN (aa.avg_a + bb.avg_b) / 2 <> 0 THEN "
+        "floor(CAST(p.c9 AS DOUBLE) / ((aa.avg_a + bb.avg_b) / 2) * 1e9 + 0.5) / 1e9 "
+        "END AS margin "
+        "FROM p JOIN aa USING (src_id) JOIN bb USING (tgt_id) "
+        "WHERE margin IS NOT NULL), "
+        "win AS (SELECT src_id, tgt_id, CAST(c9 AS DOUBLE) AS cosine, margin, "
+        "row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS rn "
+        "FROM sc) "
+        "SELECT src_id, tgt_id, cosine, margin FROM win "
+        f"WHERE rn = 1 AND margin >= {threshold}"
+    )
+
+
 def _sql_dsir_logweights(buckets: int) -> str:
     """DuckDB twin of X235: md5 slot hash (the documented
     md5_slot32 equivalent), add-one multinomial log-ratio per slot
@@ -8219,6 +8279,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_segments": _sql_langid_segments(),
         "quality_signals": _sql_quality_signals(),
         "doremi_weights": _sql_doremi_weights(0.5),
+        "margin_bitext_mine": _sql_margin_bitext_mine(4, 1.0),
         "url_dedup": _sql_url_dedup(),
         "winnowing": _sql_winnowing(5, 4),
         "alpha_mixture": _sql_alpha_mixture("alpha"),

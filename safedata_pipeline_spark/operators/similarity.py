@@ -102,6 +102,108 @@ def cosine_topk(
     return _topk(scored, k)
 
 
+def margin_bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 "Margin-based
+    Parallel Corpus Mining with Multilingual Sentence Embeddings" —
+    the pair-selection rule behind CCMatrix/NLLB training data, public
+    papers): for each source vector, the best target by the RATIO
+    margin  cos(a,b) / ((avgₖ(a→tgt) + avgₖ(b→src)) / 2)  — raw cosine
+    over-selects hubs (vectors close to everything); dividing by the
+    average similarity of each side's k-neighborhood cancels hubness,
+    and pairs are kept only when the margin clears ``threshold``
+    (margin > 1 ⇔ the pair beats its neighborhoods' background).
+
+    Determinism discipline: cosines snap to 9dp DECIMAL before any
+    aggregation, neighborhood averages are exact DECIMAL sums divided
+    as the same double op on both engines, the margin floor-snaps at
+    9dp before ranking, ties break to the smallest target id, and a
+    zero neighborhood denominator yields NULL (dropped) instead of an
+    engine-dependent infinity.
+
+    Fixture-scale plan: one broadcast cross of src × tgt scores every
+    pair (the ``cosine_topk`` shape), pinned once for its three
+    consumers (src-side average, tgt-side average, the margin join).
+    At 100 TB neither side broadcasts: candidate pairs come from the
+    ANN bucket families (``cosine_topk_ivf`` cells / LSH bands) and
+    the margin math downstream of the pair list is unchanged — it only
+    ever sees (src, tgt, cosine) rows.
+
+    Output: ``(src_id, tgt_id, cosine, margin)`` — at most one row per
+    source vector.
+    """
+    from safedata_pipeline_spark.checkpoint import pin_lazy
+
+    a = _prep(src, id_col, vec_col, "src_id")
+    b = _prep(tgt, id_col, vec_col, "tgt_id")
+    par = src.sparkSession.sparkContext.defaultParallelism
+    pairs = a.repartition(par).alias("a").crossJoin(F.broadcast(b.alias("b")))
+    c9 = F.round(
+        _cos(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")), 9
+    ).cast("decimal(12,9)")
+    p = (
+        pairs.select(F.col("a.src_id"), F.col("b.tgt_id"), c9.alias("c9"))
+        .where(F.col("c9").isNotNull())
+        .transform(pin_lazy)
+    )
+
+    def _avgk(df: DataFrame, key: str, other: str, out: str) -> DataFrame:
+        packed = df.select(
+            key,
+            F.struct((-F.col("c9")).alias("neg"), F.col(other).alias("oid")).alias(
+                "cand"
+            ),
+        )
+        agg = packed.groupBy(key).agg(
+            F.slice(F.sort_array(F.collect_list("cand")), 1, k).alias("top")
+        )
+        # accumulator stays DECIMAL(20,9): (20,9) − (12,9) is exact at
+        # decimal(21,9) (no precision-loss rescale), and the sum of ≤k
+        # unit-bounded cosines fits (20,9), so the cast back is lossless
+        zero = F.lit(0).cast("decimal(20,9)")
+        ssum = F.aggregate(
+            F.col("top"), zero, lambda acc, x: (acc - x["neg"]).cast("decimal(20,9)")
+        )
+        return agg.select(
+            key, (ssum.cast("double") / F.size("top")).alias(out)
+        )
+
+    aa = _avgk(p, "src_id", "tgt_id", "avg_a")
+    bb = _avgk(p, "tgt_id", "src_id", "avg_b")
+    denom = (F.col("avg_a") + F.col("avg_b")) / 2
+    margin = F.when(
+        denom != 0,
+        F.floor(F.col("c9").cast("double") / denom * F.lit(1e9) + F.lit(0.5)) / 1e9,
+    )
+    scored = (
+        p.join(aa, "src_id")
+        .join(bb, "tgt_id")
+        .select("src_id", "tgt_id", "c9", margin.alias("margin"))
+        .where(F.col("margin").isNotNull())
+    )
+    best = scored.groupBy("src_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("margin")).alias("nm"),
+                F.col("tgt_id").alias("tid"),
+                F.col("c9").alias("c"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "src_id",
+        F.col("b.tid").alias("tgt_id"),
+        F.col("b.c").cast("double").alias("cosine"),
+        (-F.col("b.nm")).alias("margin"),
+    ).where(F.col("margin") >= threshold)
+
+
 def _hyperplane(dim: int, table: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component in {-1,+1}^dim,
     derived from md5 so both engines (and reruns) agree."""

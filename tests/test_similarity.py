@@ -754,3 +754,50 @@ def test_mmr_rerank_diversity_beats_plain_topk(spark):
         S.mmr_rerank(emb, query_id=0, lam=0.0)
     with pytest.raises(ValueError, match="k"):
         S.mmr_rerank(emb, query_id=0, k=0)
+
+
+def test_margin_bitext_mine_cancels_hubness(spark):
+    """A hub target (close to every source) loses to a specific match
+    under the ratio margin even when its raw cosine is competitive;
+    threshold drops sources with no above-background pair."""
+    from safedata_pipeline_spark.operators import similarity as SIM
+
+    # 2-d embeddings: src 0 points at tgt 11's direction; src 2 points
+    # near the hub; the hub (tgt 13) sits between axes, fairly close
+    # to everything
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.2, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (11, [1.0, 0.05]),  # specific match for src 0
+            (13, [0.7, 0.7]),  # hub
+            (15, [0.1, 1.0]),  # specific match for src 2
+            (17, [-1.0, 0.2]),  # far from everything
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r.src_id: r for r in SIM.margin_bitext_mine(src, tgt, k=2, threshold=0.0).collect()}
+    assert out[0].tgt_id == 11
+    assert out[2].tgt_id == 15
+    for r in out.values():
+        assert r.margin > 1.0  # best pair beats its neighborhood average
+
+
+def test_margin_bitext_mine_threshold_and_zero_norm(spark):
+    """Zero-norm vectors produce NULL cosines and never pair; a high
+    threshold empties the result rather than erroring."""
+    from safedata_pipeline_spark.operators import similarity as SIM
+
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (3, [0.5, 0.8])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = SIM.margin_bitext_mine(src, tgt, k=2, threshold=0.0).collect()
+    assert sorted(r.src_id for r in out) == [0]  # zero-norm src 2 absent
+    assert not SIM.margin_bitext_mine(src, tgt, k=2, threshold=99.0).collect()

@@ -189,6 +189,11 @@ DECADE2_QUERIES = [
     # counts; everything downstream is vocab x sources, final frame
     # O(sources) — the tiled vocab grows the count frame ~10x
     "doremi_weights",
+    # margin bitext mining: the fixture path is an explicit broadcast
+    # cross (|A|x|B| pairs — grows ~100x across the decade if both
+    # sides tile; .scale10 tiles embeddings ~10x so expect the pair
+    # frame x100 but per-pair work constant; gate catches runaway)
+    "margin_bitext_mine",
 ]
 DECADE2_GATES: dict[str, tuple[str, float]] = {
     f"slope10_{q}": ("max", 4.0) for q in DECADE2_QUERIES
@@ -237,6 +242,7 @@ EXPECTED_SLOPE_NOTES: dict[str, str] = {
     "langid_segments": "~1.5-2.5: paragraph+gram explode linear; broadcast NB model grows with the 3-gram type vocab (tiled chars push it ~up a decade early, then saturates); (doc, para, lang) agg keys are doc-scoped",
     "quality_signals": "~1.5-2.5: four linear families over one fixture (map-only screen, cascaded-hash repetition explode, byte explode, two-pass unigram LM) + three doc-keyed joins; unigram vocab join grows with tiled types",
     "doremi_weights": "~1-2: one token explode into map-side-combinable (source, token) counts; the loss join is vocab x sources rows (grows with tiled types), the weight update O(sources)",
+    "margin_bitext_mine": "~1-2: fixed 100-query source batch (the bm25_search convention) x the tiled target corpus -> pair frame linear in corpus; the 100 TB all-vs-all path swaps the broadcast cross for ANN-bucket candidates, margin math unchanged",
 }
 SCALE10_DIR = os.environ.get("SAFEDATA_SCALE10_DIR", "/root/repo/.scale10")
 
