@@ -7936,8 +7936,9 @@ def _sql_doremi_weights(lr: float = 0.5) -> str:
 def _sql_margin_bitext_mine(k: int = 4, threshold: float = 1.0) -> str:
     """DuckDB twin of X244: the even/odd embedding split, 9dp-DECIMAL
     cosine snap, exact DECIMAL neighborhood sums divided by the actual
-    neighbor count, the 9dp margin floor-snap with the zero-denominator
-    NULL guard, and the (margin DESC, tgt_id ASC) argmax."""
+    neighbor count, the 9dp margin floor-snap with the positive
+    non-vanishing (> 1e-6) denominator guard, and the (margin DESC,
+    tgt_id ASC) argmax."""
     cos = (
         "CASE WHEN list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0 "
         "THEN list_dot_product(a.v, b.v) / "
@@ -7960,7 +7961,7 @@ def _sql_margin_bitext_mine(k: int = 4, threshold: float = 1.0) -> str:
         f"bb AS (SELECT tgt_id, CAST(sum(c9) AS DOUBLE) / count(*) AS avg_b "
         f"FROM rb WHERE rn <= {k} GROUP BY 1), "
         "sc AS (SELECT p.src_id, p.tgt_id, p.c9, "
-        "CASE WHEN (aa.avg_a + bb.avg_b) / 2 <> 0 THEN "
+        "CASE WHEN (aa.avg_a + bb.avg_b) / 2 > 1e-6 THEN "
         "floor(CAST(p.c9 AS DOUBLE) / ((aa.avg_a + bb.avg_b) / 2) * 1e9 + 0.5) / 1e9 "
         "END AS margin "
         "FROM p JOIN aa USING (src_id) JOIN bb USING (tgt_id) "

@@ -208,6 +208,48 @@ def minhash_signatures(
     return with_base.select(*cols)
 
 
+def band_buckets(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    id_out: str = "id",
+    mh_prefix: str = "",
+) -> DataFrame:
+    """The ONE banded-LSH digest construction every MinHash family
+    shares (``minhash_lsh_pairs`` self-join, ``dedup_incremental_near``
+    NEW×REF, ``text.decontaminate_fuzzy`` probe broadcast): cut the
+    k-slot signature into ``bands`` bands, md5 the '|'-joined slot
+    values of each band into a bucket key, and explode one row per
+    (band, key) — carrying the full signature through for the
+    verification step. IMPORTANT: callers must hand in a signature
+    frame whose mh_i columns are already materialized (an exchange
+    barrier or ``pin_lazy``) — fed raw fold expressions, the explode
+    re-evaluates every signature once per band row.
+
+    Output: ``(id_out, {mh_prefix}mh_0..{k-1}, band, key)``.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts).cast("binary")).alias("key"),
+            )
+        )
+    return sig.select(
+        F.col(id_col).alias(id_out),
+        *[F.col(f"mh_{i}").alias(f"{mh_prefix}mh_{i}") for i in range(num_hashes)],
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(
+        id_out, *[f"{mh_prefix}mh_{i}" for i in range(num_hashes)], "bk.band", "bk.key"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -227,7 +269,6 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
     # signatures feed BOTH sides of the self-join — localCheckpoint
     # computes them once and, unlike cache(), releases the blocks when
     # the result DataFrame is GC'd instead of leaking a CacheManager
@@ -235,17 +276,7 @@ def minhash_lsh_pairs(
     # to recompute on executor loss; acceptable for a deterministic
     # single-pass signature table.)
     sig = minhash_signatures(df, text_col, id_col, num_hashes, n).transform(pin_lazy)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts).cast("binary")).alias("key"))
-        )
-    buckets = sig.select(
-        F.col(id_col).alias("id"),
-        *[F.col(f"mh_{i}") for i in range(num_hashes)],
-        F.explode(F.array(*band_cols)).alias("bk"),
-    ).select("id", *[f"mh_{i}" for i in range(num_hashes)], "bk.band", "bk.key")
+    buckets = band_buckets(sig, id_col, num_hashes, bands)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -1276,7 +1307,6 @@ def dedup_incremental_near(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
 
     def buckets(df: DataFrame, side: str) -> DataFrame:
         # exchange barrier AFTER the signature projection: the mh_i
@@ -1289,21 +1319,8 @@ def dedup_incremental_near(
         sig = minhash_signatures(df, text_col, id_col, num_hashes, n).repartition(
             F.col(id_col)
         )
-        band_cols = []
-        for b in range(bands):
-            parts = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
-            band_cols.append(
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat_ws("|", *parts).cast("binary")).alias("key"),
-                )
-            )
-        return sig.select(
-            F.col(id_col).alias(f"id_{side}"),
-            *[F.col(f"mh_{i}").alias(f"{side}_mh_{i}") for i in range(num_hashes)],
-            F.explode(F.array(*band_cols)).alias("bk"),
-        ).select(
-            f"id_{side}", *[f"{side}_mh_{i}" for i in range(num_hashes)], "bk.band", "bk.key"
+        return band_buckets(
+            sig, id_col, num_hashes, bands, id_out=f"id_{side}", mh_prefix=f"{side}_"
         )
 
     # materialize both bucket tables once (narrow: id + k ints + band

@@ -260,9 +260,14 @@ def langid_segments(
     from pyspark.sql import Window
 
     keys = [id_col, "para_idx"]
+    # \Q...\E-quote the separator: F.split takes a Java REGEX, and a
+    # literal separator like "|" or "." would otherwise explode the
+    # text at every position (seps containing \E are not supported)
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("para_idx", "__para"),
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
+            "para_idx", "__para"
+        ),
     ).where(F.trim(F.col("__para")) != "")
     scored = _scored_grid(paras, model, "__para", keys, n)
     best = scored.groupBy(*keys).agg(

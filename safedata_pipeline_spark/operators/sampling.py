@@ -567,7 +567,7 @@ def bootstrap_finish(state: DataFrame, alpha: float = 0.05) -> DataFrame:
     """Finish over the ≤ B+1-row state table: replicate means take the
     half-up 1e-6 snap, the CI is the exact interpolated percentile of
     the snapped means, the b = −1 sentinel row is the point estimate."""
-    snap = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    snap = _snap6
     rep = state.where(F.col("b") >= 0).select(
         snap(F.col("s").cast("double") / F.col("wsum")).alias("m")
     )
@@ -659,6 +659,12 @@ def temperature_mix(
 
     from safedata_pipeline_spark.checkpoint import pin_eager
 
+    # NULL-source rows are excluded BEFORE quota computation: they
+    # have no identity to mix by, and leaving them in would allocate a
+    # largest-remainder quota slot that the equi-joins downstream can
+    # never spend (NULL != NULL) — silently undershooting the EXACT
+    # budget contract whenever the corpus carries unattributed docs
+    df = df.where(F.col(source_col).isNotNull())
     # pin the O(sources) count frame: five downstream derivations
     # (N, raw, denom, spent, top-ups) would otherwise each re-run the
     # corpus groupBy (measured 5 corpus scans -> 1)
@@ -863,7 +869,7 @@ def dsir_logweights(
         .cast("decimal(20,9)")
         .alias("__lr"),
     )
-    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    snap6 = _snap6
     return (
         per_doc.join(F.broadcast(ratio), on="__b")
         .groupBy(id_col, "__tgt")
@@ -972,7 +978,6 @@ def doremi_weights(
     nd = df.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    snap6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     lo = (
         ps.join(F.broadcast(ts), "source")
         .join(F.broadcast(nd), "source")
@@ -980,8 +985,8 @@ def doremi_weights(
             "source",
             F.col("n_docs").cast("bigint").alias("n_docs"),
             F.col("total_s").cast("bigint").alias("n_tokens"),
-            snap6(F.col("sc").cast("double") / F.col("total_s")).alias("corpus_loss"),
-            snap6(F.col("so").cast("double") / F.col("total_s")).alias("own_loss"),
+            _snap6(F.col("sc").cast("double") / F.col("total_s")).alias("corpus_loss"),
+            _snap6(F.col("so").cast("double") / F.col("total_s")).alias("own_loss"),
         )
     )
     excess = F.greatest(F.col("corpus_loss") - F.col("own_loss"), F.lit(0.0))

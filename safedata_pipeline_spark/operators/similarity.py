@@ -124,8 +124,9 @@ def margin_bitext_mine(
     aggregation, neighborhood averages are exact DECIMAL sums divided
     as the same double op on both engines, the margin floor-snaps at
     9dp before ranking, ties break to the smallest target id, and a
-    zero neighborhood denominator yields NULL (dropped) instead of an
-    engine-dependent infinity.
+    non-positive or vanishing (≤ 1e-6) neighborhood denominator yields
+    NULL (dropped) instead of an engine-dependent infinity or a
+    Long-saturated snap.
 
     Fixture-scale plan: one broadcast cross of src × tgt scores every
     pair (the ``cosine_topk`` shape), pinned once for its three
@@ -177,8 +178,15 @@ def margin_bitext_mine(
     aa = _avgk(p, "src_id", "tgt_id", "avg_a")
     bb = _avgk(p, "tgt_id", "src_id", "avg_b")
     denom = (F.col("avg_a") + F.col("avg_b")) / 2
+    # the background must be POSITIVE and non-vanishing (> 1e-6): a
+    # near-zero or negative neighborhood average means the pair space
+    # is degenerate and the ratio margin is meaningless there — and a
+    # tiny denominator would push c9/denom*1e9 past Long range, where
+    # Spark's floor->long saturates while DuckDB's double floor does
+    # not (a silent cross-engine divergence). With denom > 1e-6 and
+    # |c9| <= 1 the snapped value stays below 1e15, exact in both.
     margin = F.when(
-        denom != 0,
+        denom > F.lit(1e-6),
         F.floor(F.col("c9").cast("double") / denom * F.lit(1e9) + F.lit(0.5)) / 1e9,
     )
     scored = (

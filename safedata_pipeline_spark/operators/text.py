@@ -31,6 +31,14 @@ from safedata_pipeline_spark.partitioning import spread_small
 
 ROUND_N = 6
 
+
+def _snap6(col):
+    """Half-up snap to 6 decimals for non-negative doubles — identical
+    on Spark and DuckDB (plain round() is half-up on one engine and
+    half-even on the other at exact .5e-6 ties). The ONE copy of the
+    engine-parity snap this module's operators bind to."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
 # BPE-ish surface tokens: letter runs, digit runs, single non-space symbol
 TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
@@ -558,31 +566,9 @@ def decontaminate_fuzzy(
     from safedata_pipeline_spark.checkpoint import pin_lazy
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    from safedata_pipeline_spark.operators.dedup import minhash_signatures
+    from safedata_pipeline_spark.operators.dedup import band_buckets, minhash_signatures
 
-    rows = num_hashes // bands
     spark = df.sparkSession
-
-    def buckets(sig: DataFrame, id_name: str, prefix: str) -> DataFrame:
-        band_cols = []
-        for b in range(bands):
-            parts = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
-            band_cols.append(
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat_ws("|", *parts).cast("binary")).alias("key"),
-                )
-            )
-        return sig.select(
-            F.col(id_name).alias(f"{prefix}_id"),
-            *[F.col(f"mh_{i}").alias(f"{prefix}_mh_{i}") for i in range(num_hashes)],
-            F.explode(F.array(*band_cols)).alias("bk"),
-        ).select(
-            f"{prefix}_id",
-            *[f"{prefix}_mh_{i}" for i in range(num_hashes)],
-            "bk.band",
-            "bk.key",
-        )
 
     # shingle-less rows (NULL text, < n words) have mh_0 NULL: filter
     # them out of the MATCH side here — Spark's concat_ws would skip
@@ -607,8 +593,10 @@ def decontaminate_fuzzy(
         .transform(pin_lazy)
         .where(F.col("mh_0").isNotNull())
     )
-    cb = buckets(csig, id_col, "c")
-    pb = buckets(psig, "probe_id", "p")
+    cb = band_buckets(csig, id_col, num_hashes, bands, id_out="c_id", mh_prefix="c_")
+    pb = band_buckets(
+        psig, "probe_id", num_hashes, bands, id_out="p_id", mh_prefix="p_"
+    )
     agree = sum(
         (F.col(f"c_mh_{i}") == F.col(f"p_mh_{i}")).cast("int")
         for i in range(num_hashes)
@@ -2039,7 +2027,7 @@ def gopher_quality_filters(
     hash-matches a SQL oracle.
     """
     t = F.col("__t")
-    snap = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    snap = _snap6
     base = df.select(
         F.col(id_col),
         F.col(text_col).alias("__t"),
@@ -2179,7 +2167,7 @@ def repeated_ngram_fractions(
     (doc, n) aggregate carrying both the struct-min top and the dup
     sum, then a 9-slot conditional-aggregation pivot back to one row
     per doc — two shuffles on the doc key regardless of n range."""
-    snap = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    snap = _snap6
     base = df.select(
         F.col(id_col),
         _ws_tokens(F.lower(F.col(text_col))).alias("__tk"),
@@ -2435,7 +2423,7 @@ def gopher_ngram_repetition(
     Output: (doc_id, n int, kind string, char_frac double), rows for
     every n the document has ≥ n words for.
     """
-    snap = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    snap = _snap6
     max_top = max(GOPHER_TOP_NS)
     max_dup = max(GOPHER_DUP_NS)
     d = df.select(
@@ -2774,9 +2762,7 @@ def boilerplate_lines(
     lines = spread_small(base).select(
         id_col, F.posexplode("__ln").alias("__pos", "__line")
     )
-    per = lines.select("__line", id_col).groupBy("__line", id_col).agg(
-        F.count(F.lit(1)).alias("__dup")
-    )
+    per = lines.select("__line", id_col).distinct()
     dfreq = per.groupBy("__line").agg(F.count(F.lit(1)).alias("__df"))
     boiler = dfreq.where(F.col("__df") >= min_doc_freq).select(
         "__line", F.lit(True).alias("__b")
@@ -2855,7 +2841,7 @@ def char_entropy(
     p = F.col("c") / n
     term = F.round(-(p * F.log2(p)), 9).cast("decimal(20,9)")
     printable = F.col("ch").rlike("^[\\x20-\\x7e\\n\\t]$")
-    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    snap6 = _snap6
     return (
         cnt.select(
             id_col,
@@ -2920,22 +2906,35 @@ def refinedweb_line_correct(
         one_word = ~s.rlike("\\s")
         return mainly_upper | numeric_only | social | one_word
 
-    removed = F.filter(ln, remove_line)
-    kept = F.filter(ln, lambda l: ~remove_line(l))
+    # tag each line with its verdict ONCE: `removed`/`kept`/char sums
+    # as separate F.filter lambdas would each re-run the 6-regex rule
+    # set per line (HOF lambdas sit outside codegen subexpression
+    # elimination); downstream consumers only read the cheap rm field.
+    # The tag lives in its own projection — CollapseProject (3.3+)
+    # won't inline a non-cheap producer into multiple consumers.
+    tagged = base.select(
+        id_col,
+        F.transform(
+            ln, lambda l: F.struct(l.alias("l"), remove_line(l).alias("rm"))
+        ).alias("__tg"),
+    )
+    tg = F.col("__tg")
+    removed = F.filter(tg, lambda x: x["rm"])
+    kept = F.transform(F.filter(tg, lambda x: ~x["rm"]), lambda x: x["l"])
     chars = lambda arr: F.aggregate(  # noqa: E731
         arr,
         F.lit(0).cast("bigint"),
-        lambda acc, l: acc + F.length(F.trim(l)),
+        lambda acc, x: acc + F.length(F.trim(x["l"])),
     )
-    staged = base.select(
+    staged = tagged.select(
         id_col,
-        F.size(ln).cast("bigint").alias("n_lines"),
+        F.size(tg).cast("bigint").alias("n_lines"),
         F.size(removed).cast("bigint").alias("n_removed"),
         chars(removed).alias("__rc"),
-        chars(ln).alias("__tc"),
+        chars(tg).alias("__tc"),
         kept.alias("__kept"),
     )
-    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    snap6 = _snap6
     doc_kept = ~(F.lit(10) * F.col("__rc") > F.lit(3) * F.col("__tc"))
     return staged.select(
         id_col,
@@ -3010,7 +3009,7 @@ def ngram_novelty(
         raise ValueError("n must be >= 1")
     pairs = _distinct_gram_pairs(df, n, text_col, id_col)
     dfreq = pairs.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
-    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    snap6 = _snap6
     return (
         pairs.join(dfreq, on="__g")
         .groupBy(id_col)
@@ -3065,7 +3064,7 @@ def ngram_novelty_vs_ref(
         .distinct()
         .withColumn("__seen", F.lit(True))
     )
-    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    snap6 = _snap6
     return (
         new_pairs.join(ref_grams, on="__g", how="left")
         .groupBy(id_col)
