@@ -2825,6 +2825,73 @@ def _q_margin_bitext_mine(spark, sf):
     )
 
 
+def _q_min_k_prob(spark, sf):
+    # X245: Min-K% Prob membership score (Shi et al. 2023) — the k=20%
+    # most-surprising bigram positions under the engine's interpolated
+    # Kneser-Ney model (X222's exact hash-channel scores), ranked by
+    # (nlp DESC, pos ASC) and averaged. The natural fixture gives a
+    # live score spread (token-soup docs differ in their worst
+    # positions far more than in their means) — no plant needed.
+    return TX.min_k_prob(load_table(spark, sf, "documents"), k_pct=20)
+
+
+def _q_unimax_mixture(spark, sf):
+    # X246: UniMax epoch-capped budget allocation (Chung et al. 2023)
+    # — budget = 19/20 of total tokens, epoch cap 1. The fixture's
+    # per-source token sums spread ~±15% around the mean, so sources
+    # below the uniform share cap out (full allocation) while the
+    # rest split the remainder — both branches live at every SF by
+    # construction of the 19/20 fraction (capped ⟺ below ~95% of
+    # mean), verified at sf0.001/0.01/0.1.
+    return SMP.unimax_mixture(
+        load_table(spark, sf, "documents"),
+        budget_num=19,
+        budget_den=20,
+        epoch_cap=1,
+    )
+
+
+# filter_funnel rule plants (X247): one modulo class per non-trivial
+# rule — a 600-char word breaks the mean-word-length band, fifteen
+# numeric words push alphabetic words below 80% on mid-length docs, a
+# 200-digit word pushes digit chars past 20% of word chars; too_short
+# fires naturally (fixture docs run 10-99 words). Mirrored verbatim
+# in the oracle SQL.
+FF_LONGWORD_MOD, FF_LONGWORD_REM = 19, 3
+FF_NUMWORDS_MOD, FF_NUMWORDS_REM = 23, 7
+FF_DIGITS_MOD, FF_DIGITS_REM = 29, 11
+FF_NUMWORDS_PLANT = " 111 222 333 444 555 666 777 888 999 000 11 22 33 44 55"
+
+
+def _q_filter_funnel(spark, sf):
+    # X247: quality-rule waterfall attribution (the Dolma/FineWeb
+    # funnel table): marginal fails, first-fail attribution, and
+    # survivors per ordered rule. Plants make every rule's marginal
+    # AND first-fail columns live; overlap between plant classes is
+    # the point — attribution charges the earliest rule.
+    from safedata_pipeline_spark import corpus_pipeline as CPL
+
+    docs = load_table(spark, sf, "documents")
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % FF_LONGWORD_MOD == FF_LONGWORD_REM,
+            F.concat(F.lit(" "), F.repeat(F.lit("a"), 600)),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % FF_NUMWORDS_MOD == FF_NUMWORDS_REM,
+            F.lit(FF_NUMWORDS_PLANT),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % FF_DIGITS_MOD == FF_DIGITS_REM,
+            F.concat(F.lit(" "), F.repeat(F.lit("1234567890"), 20)),
+        ).otherwise(F.lit("")),
+    )
+    return CPL.filter_funnel(
+        docs.select("doc_id", text.alias("text")), min_words=20
+    )
+
+
 # the repeated 10-word phrase planted (twice) on doc_id % 4 == 1 docs
 # so the dup family has live signal — raw fixture text has no natural
 # >= 5-gram repetition (measured all-zero at sf0.01); mirrored
@@ -3632,7 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries; 13 consecutive all-green rounds — the window is policy:
     # anchors + new + touched + stalest-green refresh):
     # (1) the 15 standing anchors;
-    # (2) the TWELVE r14-new oracle-backed queries: boilerplate_lines
+    # (2) the FIFTEEN r14-new oracle-backed queries: boilerplate_lines
     #     (X233 — corpus-level duplicate-line removal, CCNet §4.1 /
     #     Dolma: exact COUNT(DISTINCT doc) per line, two high-df
     #     footer plants + one paired sub-threshold plant),
@@ -3658,6 +3725,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     unigram loss -> exp(lr*excess) update, integer-unit exact),
     #     margin_bitext_mine (X244 — Artetxe-Schwenk margin bitext
     #     mining, the CCMatrix/NLLB pair rule; fixed query batch);
+    #     and the continuation trio: min_k_prob (X245 — Min-K% Prob
+    #     membership score, Shi et al. 2023: KN-scored positions
+    #     ranked per doc, exact integer cutoff), unimax_mixture
+    #     (X246 — UniMax epoch-capped budget allocation, Chung et al.
+    #     2023: monotone cap predicate + integer remainder top-up,
+    #     BIGINT end to end), filter_funnel (X247 — quality-rule
+    #     waterfall attribution: marginal vs first-fail vs survivors,
+    #     exact-integer predicates, three modulo plants);
     # (3) re-verification slots for every oracle query round 14
     #     touched: lang_id_trained / lang_id_margin (_scored_grid
     #     gained composite keys for X241 — identity for single-key
@@ -3670,14 +3745,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     ccnet_perplexity_buckets; the md5-threshold prefilter
     #     re-verifies temperature_mix; the exactness-envelope guard
     #     (ADVICE r13) re-verifies embedding_gram / embedding_drift;
-    # (4) 13 refresh slots for the STALEST driver greens: the five r5
+    # (4) 10 refresh slots for the STALEST driver greens: the five r5
     #     leftovers the r13 brief queued (fold_assign ...
-    #     sole_late_supplier), then 8 of the 29-query r7 vintage
-    #     (auc_daily ... cross_source_dup_matrix, historical order);
-    #     the displaced seven (cusum_hourly ...
-    #     event_transitions) and the remaining 12 r7 rows
-    #     (heavy_hitter_words ... zipf_profile) head the r15 refresh
-    #     line, then the r8 vintage.
+    #     sole_late_supplier), then 5 of the 29-query r7 vintage
+    #     (auc_daily ... cdc_chunks, historical order); the three
+    #     r7 rows the X245-X247 trio displaced (corpus_overlap,
+    #     count_min_words, cross_source_dup_matrix), the displaced
+    #     seven (cusum_hourly ... event_transitions) and the
+    #     remaining 12 r7 rows (heavy_hitter_words ... zipf_profile)
+    #     head the r15 refresh line, then the r8 vintage.
     # Displaced out: the r13 refresh block (r5 vintage — all double-
     # green r13) and the r13-new rows not touched this round — each
     # keeps the local full-sweep hash check via tools/check_oracle.py
@@ -3713,6 +3789,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_signals": _q_quality_signals,
         "doremi_weights": _q_doremi_weights,
         "margin_bitext_mine": _q_margin_bitext_mine,
+        "min_k_prob": _q_min_k_prob,
+        "unimax_mixture": _q_unimax_mixture,
+        "filter_funnel": _q_filter_funnel,
         # -- (3) touched-operator re-verification -----------------------------
         # (lang_id_trained / lang_id_margin: _scored_grid gained
         # composite-key support for langid_segments — identity for the
@@ -3738,10 +3817,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_prices": _q_benford_prices,
         "calibration_bins": _q_calibration_bins,
         "cdc_chunks": _q_cdc_chunks,
+        # -- out of window: local full-sweep hash check every round ------------
+        # (corpus_overlap / count_min_words / cross_source_dup_matrix:
+        # displaced by the late-round X245-X247 trio; they head the
+        # r15 refresh line)
         "corpus_overlap": _q_corpus_overlap,
         "count_min_words": _q_count_min_words,
         "cross_source_dup_matrix": _q_cross_source_dup_matrix,
-        # -- out of window: local full-sweep hash check every round ------------
         "cusum_hourly": _q_cusum_hourly,
         "dedup_incremental_near": _q_dedup_incremental_near,
         # (disjunctive_revenue ... event_transitions: displaced by the
@@ -7840,6 +7922,121 @@ def _sql_ngram_novelty_vs_ref(n: int) -> str:
     )
 
 
+def _sql_min_k_prob(k_pct: int = 20, d: float = 0.75) -> str:
+    """DuckDB twin of X245: the X222 Kneser-Ney replay with a position
+    column (t[i]/t[i+1] over a generate_series index — bit-identical
+    values), a doc-partitioned rank on (nlp DESC, pos ASC), the exact
+    integer (m·k)÷100 cutoff, and the standard 6dp mean snap."""
+    p = (
+        f"(ty.cbg - {d}) / fwd.cw1 + "
+        f"({d} * fwd.n1fwd / fwd.cw1) * (bwd.n1bwd / nt.ntypes)"
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t FROM documents), "
+        "ex AS (SELECT doc_id, i AS pos, t[i] AS w1, t[i + 1] AS w2 FROM toks, "
+        "unnest(generate_series(CAST(1 AS BIGINT), CAST(len(t) AS BIGINT) - 1)) AS s(i) "
+        "WHERE len(t) >= 2), "
+        "ty AS (SELECT w1, w2, count(*) AS cbg FROM ex GROUP BY 1, 2), "
+        "fwd AS (SELECT w1, sum(cbg) AS cw1, count(*) AS n1fwd FROM ty GROUP BY 1), "
+        "bwd AS (SELECT w2, count(*) AS n1bwd FROM ty GROUP BY 1), "
+        "nt AS (SELECT count(*) AS ntypes FROM ty), "
+        f"scored AS (SELECT ex.doc_id, ex.pos, CAST(round(-ln({p}), 6) AS DECIMAL(38,6)) AS nlp "
+        "FROM ex JOIN ty USING (w1, w2) JOIN fwd USING (w1) JOIN bwd USING (w2) CROSS JOIN nt), "
+        "r AS (SELECT doc_id, pos, nlp, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY nlp DESC, pos ASC) AS rn, "
+        "count(*) OVER (PARTITION BY doc_id) AS m FROM scored), "
+        f"sel AS (SELECT doc_id, max(m) AS m, CAST(count(*) AS BIGINT) AS k_used, "
+        "floor(CAST(sum(nlp) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS min_k_score "
+        f"FROM r WHERE rn <= greatest(1, (m * {k_pct}) // 100) GROUP BY doc_id) "
+        "SELECT toks.doc_id, CAST(coalesce(sel.m, 0) AS BIGINT) AS n_bigrams, "
+        "CAST(coalesce(sel.k_used, 0) AS BIGINT) AS k_used, sel.min_k_score "
+        "FROM toks LEFT JOIN sel USING (doc_id)"
+    )
+
+
+def _sql_unimax_mixture(
+    budget_num: int = 19, budget_den: int = 20, epoch_cap: int = 1
+) -> str:
+    """DuckDB twin of X246: per-source token sums, the integer budget
+    fraction, the monotone cap predicate over the (cap, source)-ordered
+    O(sources) frame, and the div/mod remainder top-up — BIGINT
+    arithmetic end to end, mirrored term-for-term."""
+    return (
+        "WITH s AS (SELECT source, CAST(sum(len(CASE WHEN trim(coalesce(text, '')) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(coalesce(text, '')), '\\s+') END)) AS BIGINT) AS n_tokens "
+        "FROM documents WHERE source IS NOT NULL GROUP BY source), "
+        "g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS T, CAST(count(*) AS BIGINT) AS L FROM s), "
+        f"b AS (SELECT s.source, s.n_tokens, CAST(s.n_tokens * {epoch_cap} AS BIGINT) AS cap, "
+        f"CAST((g.T * {budget_num}) // {budget_den} AS BIGINT) AS B, g.L FROM s CROSS JOIN g), "
+        "w AS (SELECT *, row_number() OVER (ORDER BY cap ASC, source ASC) AS rn, "
+        "CAST(coalesce(sum(cap) OVER (ORDER BY cap ASC, source ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx FROM b), "
+        "f AS (SELECT *, cap * (L - rn + 1) <= B - pfx AS capped FROM w), "
+        "a AS (SELECT CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS K, "
+        "CAST(coalesce(sum(CASE WHEN capped THEN cap END), 0) AS BIGINT) AS capsum FROM f) "
+        "SELECT f.source, f.n_tokens, f.cap, f.capped, "
+        "CAST(CASE WHEN f.capped THEN f.cap "
+        "WHEN f.rn - a.K <= (f.B - a.capsum) % greatest(f.L - a.K, 1) "
+        "THEN (f.B - a.capsum) // greatest(f.L - a.K, 1) + 1 "
+        "ELSE (f.B - a.capsum) // greatest(f.L - a.K, 1) END AS BIGINT) AS alloc "
+        "FROM f CROSS JOIN a"
+    )
+
+
+def _sql_filter_funnel(min_words: int = 20) -> str:
+    """DuckDB twin of X247: the three modulo plants, the four
+    exact-integer rule predicates (cross-multiplied bands, 'g'-flagged
+    regexp_replace for digit counting), CASE first-fail attribution,
+    one aggregate row, four UNION ALL output rows."""
+    flags = (
+        f"len(t) < {min_words} AS f1, "
+        "NOT (3 * len(t) <= chars AND chars <= 10 * len(t)) AS f2, "
+        "5 * len(list_filter(t, w -> regexp_matches(w, '^[a-z]+$'))) < 4 * len(t) AS f3, "
+        "5 * digits > chars AS f4"
+    )
+    row = (
+        "SELECT CAST({i} AS INTEGER) AS rule_idx, '{name}' AS rule, "
+        "CAST(nf{i} AS BIGINT) AS n_fail, CAST(ffa{i} AS BIGINT) AS n_first_fail, "
+        "CAST(N - ({cum}) AS BIGINT) AS survivors_after FROM a"
+    )
+    rows = " UNION ALL ".join(
+        row.format(
+            i=i,
+            name=name,
+            cum=" + ".join(f"ffa{j}" for j in range(1, i + 1)),
+        )
+        for i, name in enumerate(
+            ["too_short", "word_length", "low_alpha", "digit_heavy"], start=1
+        )
+    )
+    return (
+        "WITH fx AS (SELECT doc_id, text "
+        f"|| CASE WHEN doc_id % {FF_LONGWORD_MOD} = {FF_LONGWORD_REM} "
+        "THEN ' ' || repeat('a', 600) ELSE '' END "
+        f"|| CASE WHEN doc_id % {FF_NUMWORDS_MOD} = {FF_NUMWORDS_REM} "
+        f"THEN '{FF_NUMWORDS_PLANT}' ELSE '' END "
+        f"|| CASE WHEN doc_id % {FF_DIGITS_MOD} = {FF_DIGITS_REM} "
+        "THEN ' ' || repeat('1234567890', 20) ELSE '' END AS text FROM documents), "
+        "tk AS (SELECT CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') END AS t FROM fx), "
+        "m AS (SELECT t, coalesce(list_sum(list_transform(t, w -> length(w))), 0) AS chars, "
+        "coalesce(list_sum(list_transform(t, "
+        "w -> length(w) - length(regexp_replace(w, '[0-9]', '', 'g')))), 0) AS digits FROM tk), "
+        f"fl AS (SELECT {flags} FROM m), "
+        "ff AS (SELECT *, CASE WHEN f1 THEN 1 WHEN f2 THEN 2 WHEN f3 THEN 3 "
+        "WHEN f4 THEN 4 ELSE 0 END AS ffi FROM fl), "
+        "a AS (SELECT count(*) AS N, "
+        + ", ".join(
+            f"sum(CASE WHEN f{i} THEN 1 ELSE 0 END) AS nf{i}, "
+            f"sum(CASE WHEN ffi = {i} THEN 1 ELSE 0 END) AS ffa{i}"
+            for i in (1, 2, 3, 4)
+        )
+        + " FROM ff) "
+        + rows
+    )
+
+
 def _sql_mmr_rerank(k: int, lam: float) -> str:
     """DuckDB twin of X238 — the greedy MMR selection UNROLLED to k
     steps (the KMeans/IVF/PageRank oracle discipline): each step
@@ -8281,6 +8478,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_signals": _sql_quality_signals(),
         "doremi_weights": _sql_doremi_weights(0.5),
         "margin_bitext_mine": _sql_margin_bitext_mine(4, 1.0),
+        "min_k_prob": _sql_min_k_prob(20),
+        "unimax_mixture": _sql_unimax_mixture(19, 20, 1),
+        "filter_funnel": _sql_filter_funnel(20),
         "url_dedup": _sql_url_dedup(),
         "winnowing": _sql_winnowing(5, 4),
         "alpha_mixture": _sql_alpha_mixture("alpha"),

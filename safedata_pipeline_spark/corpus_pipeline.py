@@ -652,3 +652,112 @@ def quality_signals(
     return (
         g.join(rp, id_col, "left").join(ce, id_col, "left").join(ul, id_col, "left")
     )
+
+
+def filter_funnel(
+    df: DataFrame, min_words: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality-rule WATERFALL attribution — the funnel table every
+    published curation pipeline reports (Dolma's and FineWeb's data
+    sheets both publish "docs removed per rule, applied in order"):
+    for a fixed, ordered rule list, how many documents fail each rule
+    at all (marginal), how many are REMOVED BY it (first-fail
+    attribution — a doc failing rules 2 and 4 is charged to rule 2
+    only), and how many survive after each stage. The distinction
+    matters for tuning: a rule with high marginal overlap but zero
+    first-fail attribution is redundant and can be dropped without
+    changing the corpus.
+
+    Rules, in application order (each an EXACT-INTEGER predicate —
+    never a float ratio; the repo-wide cross-multiplication
+    discipline), over the whitespace tokens of ``lower(text)``:
+
+      1. ``too_short``    — fewer than ``min_words`` words
+      2. ``word_length``  — mean word length outside [3, 10]:
+                            NOT (3·n ≤ chars ∧ chars ≤ 10·n), chars =
+                            Σ word lengths (whitespace never counted)
+      3. ``low_alpha``    — alphabetic-only words below 80 %:
+                            5·n_alpha < 4·n
+      4. ``digit_heavy``  — digit characters above 20 % of word chars:
+                            5·n_digit > chars
+
+    Shape: ONE map-only corpus scan computes the four flags and the
+    first-fail index per document; a single global aggregate (nine
+    map-side-combinable integer sums) collapses to one row, which
+    explodes into the O(rules) output — the corpus never shuffles.
+    Output: (rule_idx, rule, n_fail, n_first_fail, survivors_after),
+    ordered by rule_idx; ``survivors_after`` of the last row is the
+    corpus the pipeline keeps.
+    """
+    if min_words <= 0:
+        raise ValueError("min_words must be positive")
+    # NULL text coalesces to '' (the C4/X232 contract fix): a NULL row
+    # must count as too_short, not fall through every NULL predicate
+    txt = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    tk = TX._ws_tokens(txt)
+    n = F.size(tk)
+    chars = F.aggregate(
+        TX._ws_tokens(txt),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.length(w),
+    )
+    alpha = F.size(F.filter(tk, lambda w: w.rlike("^[a-z]+$")))
+    digits = F.aggregate(
+        TX._ws_tokens(txt),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + (F.length(w) - F.length(F.regexp_replace(w, "[0-9]", ""))),
+    )
+    staged = df.select(
+        (n < min_words).alias("f1"),
+        (~((F.lit(3) * n <= chars) & (chars <= F.lit(10) * n))).alias("f2"),
+        (F.lit(5) * alpha < F.lit(4) * n).alias("f3"),
+        (F.lit(5) * digits > chars).alias("f4"),
+    )
+    first = (
+        F.when(F.col("f1"), 1)
+        .when(F.col("f2"), 2)
+        .when(F.col("f3"), 3)
+        .when(F.col("f4"), 4)
+        .otherwise(0)
+    )
+    flags = staged.withColumn("ff", first)
+    one = flags.agg(
+        F.count(F.lit(1)).alias("N"),
+        *[
+            F.sum(F.col(f"f{i}").cast("bigint")).alias(f"nf{i}")
+            for i in (1, 2, 3, 4)
+        ],
+        *[
+            F.sum((F.col("ff") == i).cast("bigint")).alias(f"ffa{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    names = ["too_short", "word_length", "low_alpha", "digit_heavy"]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("rule_idx"),
+                F.lit(names[i]).alias("rule"),
+                F.col(f"nf{i + 1}").alias("n_fail"),
+                F.col(f"ffa{i + 1}").alias("n_first_fail"),
+                (
+                    F.col("N")
+                    - sum(
+                        (F.col(f"ffa{j}") for j in range(1, i + 2)),
+                        F.lit(0).cast("bigint"),
+                    )
+                ).alias("survivors_after"),
+            )
+            for i in range(4)
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select(
+            F.col("r.rule_idx").cast("int").alias("rule_idx"),
+            F.col("r.rule").alias("rule"),
+            F.col("r.n_fail").cast("bigint").alias("n_fail"),
+            F.col("r.n_first_fail").cast("bigint").alias("n_first_fail"),
+            F.col("r.survivors_after").cast("bigint").alias("survivors_after"),
+        )
+    )

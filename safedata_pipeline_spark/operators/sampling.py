@@ -1018,3 +1018,122 @@ def doremi_weights(
             ).alias("weight"),
         )
     )
+
+
+def unimax_mixture(
+    df: DataFrame,
+    budget_num: int = 19,
+    budget_den: int = 20,
+    epoch_cap: int = 1,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UniMax token-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining" — the epoch-capped water-filling rule
+    that replaced temperature sampling in mT5-class corpora; no
+    reference counterpart, extension surface; complements X187/X230's
+    temperature family and X243's loss-based DoReMi).
+
+    Given per-source token counts n_s, a token budget
+    ``B = (T·budget_num) div budget_den`` (T = total tokens — an exact
+    integer fraction, never a float share) and an epoch cap
+    ``cap_s = epoch_cap·n_s``, UniMax walks sources in ascending cap
+    order: a source whose cap fits under the current uniform share is
+    allocated its full cap (it "caps out" — more budget would repeat
+    it past the epoch limit); the remaining budget spreads uniformly
+    over the rest. The walk has a closed form: with sources ordered by
+    (cap, source) and pfx_i = Σ_{j<i} cap_j, source i caps out iff
+
+        cap_i · (L − i + 1) ≤ B − pfx_i
+
+    and the predicate is MONOTONE (if it fails at i it fails at every
+    j > i: cap_j ≥ cap_i and the remaining budget per remaining source
+    can only shrink once a big source stops capping), so the capped
+    set is exactly a prefix — one window pass finds it, no iteration.
+    Uncapped sources split the remainder by integer division; the mod
+    remainder tops up the first ``r`` uncapped sources in the same
+    (cap, source) order (the X230 largest-remainder discipline), so
+    Σ alloc = B exactly whenever any source is uncapped. Every
+    quantity is BIGINT arithmetic end to end — no float appears
+    anywhere, so the whole plan is engine-exact.
+
+    Shape: ONE corpus scan (groupBy source over token counts); all
+    windows run over the O(sources) frame — explicitly NOT a corpus-
+    scale window. NULL-source rows are excluded before allocation
+    (the X230 rule: no identity to mix by).
+    Output: (source, n_tokens, cap, capped, alloc).
+    """
+    if budget_num <= 0 or budget_den <= 0:
+        raise ValueError("budget fraction must be positive")
+    if epoch_cap <= 0:
+        raise ValueError("epoch_cap must be positive")
+    from pyspark.sql import Window
+
+    from safedata_pipeline_spark.operators.text import _ws_tokens
+
+    counts = (
+        df.where(F.col(source_col).isNotNull())
+        .select(
+            F.col(source_col).alias("source"),
+            # NULL text coalesces to '' → 0 tokens (size(NULL) = -1
+            # would silently shrink the source's count)
+            F.size(_ws_tokens(F.coalesce(F.col(text_col), F.lit(""))))
+            .cast("bigint")
+            .alias("__nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("__nt").alias("n_tokens"))
+    )
+    tot = counts.agg(
+        F.sum("n_tokens").alias("__T"), F.count(F.lit(1)).alias("__L")
+    )
+    base = counts.join(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens") * epoch_cap).alias("cap"),
+        F.expr(f"(__T * {budget_num}) div {budget_den}").alias("__B"),
+        F.col("__L"),
+    )
+    w_ord = Window.orderBy(F.col("cap").asc(), F.col("source").asc())
+    wr = base.select(
+        "*",
+        F.row_number().over(w_ord).alias("__rn"),
+        F.coalesce(
+            F.sum("cap").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__pfx"),
+    )
+    capped = (
+        F.col("cap") * (F.col("__L") - F.col("__rn") + 1)
+        <= F.col("__B") - F.col("__pfx")
+    )
+    flagged = wr.withColumn("capped", capped)
+    caps = flagged.agg(
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("__K"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)
+        ).alias("__capsum"),
+    )
+    rem = F.col("__B") - F.col("__capsum")
+    uncnt = F.greatest(F.col("__L") - F.col("__K"), F.lit(1))
+    u = F.expr("__rem div __uncnt")
+    r = F.expr("__rem % __uncnt")
+    alloc = (
+        F.when(F.col("capped"), F.col("cap"))
+        .when(F.col("__rn") - F.col("__K") <= r, u + 1)
+        .otherwise(u)
+    )
+    return (
+        flagged.join(F.broadcast(caps))
+        .withColumn("__rem", rem)
+        .withColumn("__uncnt", uncnt)
+        .select(
+            "source",
+            "n_tokens",
+            "cap",
+            "capped",
+            alloc.cast("bigint").alias("alloc"),
+        )
+    )

@@ -1286,6 +1286,112 @@ def kneser_ney_logprob(
     )
 
 
+def min_k_prob(
+    df: DataFrame,
+    k_pct: int = 20,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Min-K% Prob membership / contamination score (Shi et al. 2023,
+    "Detecting Pretraining Data from Large Language Models" — the
+    standard reference-free membership-inference signal: a document
+    the model has memorized has NO deeply-improbable tokens, so the
+    mean log-probability of its k% most-surprising positions separates
+    seen from unseen text far better than whole-doc perplexity; no
+    reference counterpart, extension surface).
+
+    Positions are scored with the engine's own interpolated
+    Kneser–Ney bigram model (X222's expressions verbatim — same type
+    table, continuation counts, and 6dp-DECIMAL snap, so the per-
+    position scores sit in the proven hash channel). Per document the
+    m bigram positions rank by (neg_logprob DESC, position ASC) — the
+    snapped DECIMAL makes ties real, and the position index breaks
+    them deterministically — and the top
+    ``k_cnt = max(1, (m·k_pct) div 100)`` (pure integer arithmetic)
+    average into the score: 6dp-snapped mean of already-snapped
+    DECIMAL(38,6) terms, order-independent. Docs with <2 tokens keep
+    a row with NULL score (n_bigrams = 0, k_used = 0).
+
+    Shape: ONE corpus bigram explode feeds the pinned vocabulary-
+    sized type table (the X222 plan); the rank window is PARTITIONED
+    BY DOCUMENT — no global sort, no single-task funnel at any scale.
+    Output: (id, n_bigrams, k_used, min_k_score).
+    """
+    if not 0 < k_pct <= 100:
+        raise ValueError("k_pct must be in (0, 100]")
+    if not 0.0 < discount < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    staged = df.select(
+        F.col(id_col), _ws_tokens(F.lower(F.col(text_col))).alias("__tk")
+    )
+    # position-carrying bigram build: t[i], t[i+1] with 1-based i —
+    # the values are bit-identical to kneser_ney_logprob's zip_with
+    # form; the index only exists to break rank ties
+    grams = F.when(
+        F.size("__tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__tk") - 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.element_at(F.col("__tk"), i).alias("w1"),
+                F.element_at(F.col("__tk"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,w1:string,w2:string>>"))
+    ex = staged.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        id_col, F.col("g.pos").alias("pos"), F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+    )
+    # the X222 model, verbatim: pinned type table, forward/backward
+    # continuation counts, broadcast type total
+    types = pin_lazy(ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg")))
+    fwd = types.groupBy("w1").agg(
+        F.sum("cbg").alias("cw1"), F.count(F.lit(1)).alias("n1fwd")
+    )
+    bwd = types.groupBy("w2").agg(F.count(F.lit(1)).alias("n1bwd"))
+    ntypes = types.agg(F.count(F.lit(1)).alias("ntypes"))
+    d = float(discount)
+    p = (F.col("cbg") - d) / F.col("cw1") + (d * F.col("n1fwd") / F.col("cw1")) * (
+        F.col("n1bwd") / F.col("ntypes")
+    )
+    scored = (
+        ex.join(types, on=["w1", "w2"])
+        .join(fwd, on="w1")
+        .join(bwd, on="w2")
+        .join(F.broadcast(ntypes))
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.round(-F.log(p), 6).cast("decimal(38,6)").alias("nlp"),
+        )
+    )
+    w_doc = Window.partitionBy(id_col)
+    ranked = scored.select(
+        id_col,
+        "nlp",
+        F.row_number()
+        .over(w_doc.orderBy(F.col("nlp").desc(), F.col("pos").asc()))
+        .alias("__rn"),
+        F.count(F.lit(1)).over(w_doc).alias("__m"),
+    )
+    k_cnt = F.greatest(F.lit(1), F.expr(f"(__m * {k_pct}) div 100"))
+    sel = ranked.where(F.col("__rn") <= k_cnt)
+    avg = F.sum("nlp").cast("double") / F.count(F.lit(1))
+    per_doc = sel.groupBy(id_col).agg(
+        F.max("__m").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        (F.floor(avg * 1e6 + F.lit(0.5)) / 1e6).alias("min_k_score"),
+    )
+    base = staged.select(F.col(id_col))
+    return base.join(per_doc, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("k_used", F.lit(0)).cast("bigint").alias("k_used"),
+        "min_k_score",
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     size: int = 1000,

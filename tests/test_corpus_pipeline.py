@@ -453,3 +453,51 @@ def test_quality_signals_one_row_per_doc_matches_components(spark):
     assert rows[1].dup_5gram_frac > 0
     # the 1-word and empty docs carry NULL repetition columns
     assert rows[3].top_2gram_frac is None and rows[4].dup_10gram_frac is None
+
+
+def test_filter_funnel_attribution_exact(spark):
+    from safedata_pipeline_spark import corpus_pipeline as CPL
+
+    pass_doc = " ".join(["alpha", "beta", "gamma", "delta", "word"] * 5)  # 25 ok words
+    short_doc = "just five small words here"
+    longword_doc = " ".join(["abcdefghijklmnop"] * 20)  # mean len 16 > 10
+    lowalpha_doc = " ".join(["aaaa"] * 11 + ["123"] * 9)  # 55 < 80% alpha
+    digit_doc = " ".join(["abc"] * 17 + ["1111111111111111111111"] * 3)
+    df = spark.createDataFrame(
+        [
+            (0, pass_doc),
+            (1, short_doc),
+            (2, longword_doc),
+            (3, lowalpha_doc),
+            (4, digit_doc),
+            (5, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.rule: r for r in CPL.filter_funnel(df, min_words=20).collect()}
+    assert [out[r].rule_idx for r in ("too_short", "word_length", "low_alpha", "digit_heavy")] == [1, 2, 3, 4]
+    # marginal fails: NULL text counts as too_short; doc3 fails BOTH
+    # low_alpha and digit_heavy but is charged to low_alpha only
+    assert out["too_short"].n_fail == 2 and out["too_short"].n_first_fail == 2
+    assert out["word_length"].n_fail == 1 and out["word_length"].n_first_fail == 1
+    assert out["low_alpha"].n_fail == 1 and out["low_alpha"].n_first_fail == 1
+    assert out["digit_heavy"].n_fail == 2 and out["digit_heavy"].n_first_fail == 1
+    assert [
+        out[r].survivors_after
+        for r in ("too_short", "word_length", "low_alpha", "digit_heavy")
+    ] == [4, 3, 2, 1]
+
+
+def test_filter_funnel_all_pass_and_validation(spark):
+    import pytest
+
+    from safedata_pipeline_spark import corpus_pipeline as CPL
+
+    df = spark.createDataFrame(
+        [(0, " ".join(["fine"] * 30))], "doc_id bigint, text string"
+    )
+    rows = CPL.filter_funnel(df).collect()
+    assert all(r.n_fail == 0 and r.n_first_fail == 0 for r in rows)
+    assert all(r.survivors_after == 1 for r in rows)
+    with pytest.raises(ValueError):
+        CPL.filter_funnel(df, min_words=0)

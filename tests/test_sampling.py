@@ -542,3 +542,61 @@ def test_doremi_weights_zero_excess_uniform(spark):
     for r in out:
         assert r.excess == 0.0
         assert r.weight == 0.25
+
+
+def _tok_corpus(spark, sizes):
+    # one doc per (source, n_tokens) pair: n_tokens single-char words
+    rows = [
+        (i, src, " ".join("w" for _ in range(n)))
+        for i, (src, n) in enumerate(sizes)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+
+def test_unimax_water_filling_exact(spark):
+    # T=170, B=(170*19)//20=161; caps sorted a10,b20,c40,d100:
+    # 10*4<=161 cap, 20*3<=151 cap, 40*2<=131 cap, 100*1<=91 no
+    # -> rem 91 over 1 uncapped source
+    df = _tok_corpus(spark, [("a", 10), ("b", 20), ("c", 40), ("d", 100)])
+    out = {r["source"]: r for r in S.unimax_mixture(df).collect()}
+    assert {s: out[s]["alloc"] for s in "abcd"} == {"a": 10, "b": 20, "c": 40, "d": 91}
+    assert {s: out[s]["capped"] for s in "abcd"} == {
+        "a": True, "b": True, "c": True, "d": False
+    }
+    assert sum(r["alloc"] for r in out.values()) == (170 * 19) // 20
+
+
+def test_unimax_remainder_topup_order(spark):
+    # T=160, B=152; a caps at 10, rem 142 over 3 -> u=47 r=1; the +1
+    # goes to the FIRST uncapped source in (cap, source) order: b
+    df = _tok_corpus(spark, [("a", 10), ("b", 50), ("c", 50), ("d", 50)])
+    out = {r["source"]: r["alloc"] for r in S.unimax_mixture(df).collect()}
+    assert out == {"a": 10, "b": 48, "c": 47, "d": 47}
+
+
+def test_unimax_all_capped_and_null_source(spark):
+    # budget 2x total: every source caps out at its full size;
+    # NULL-source and NULL-text rows never enter the allocation
+    df = _tok_corpus(spark, [("a", 10), ("b", 20)])
+    extra = spark.createDataFrame(
+        [(90, None, "x y z"), (91, "a", None)],
+        "doc_id bigint, source string, text string",
+    )
+    out = {
+        r["source"]: r
+        for r in S.unimax_mixture(
+            df.unionByName(extra), budget_num=2, budget_den=1
+        ).collect()
+    }
+    assert set(out) == {"a", "b"}
+    assert out["a"]["n_tokens"] == 10 and out["a"]["alloc"] == 10
+    assert out["b"]["alloc"] == 20
+    assert all(r["capped"] for r in out.values())
+
+
+def test_unimax_validation(spark):
+    df = _tok_corpus(spark, [("a", 5)])
+    with pytest.raises(ValueError):
+        S.unimax_mixture(df, budget_num=0)
+    with pytest.raises(ValueError):
+        S.unimax_mixture(df, epoch_cap=0)

@@ -984,3 +984,61 @@ def test_decontaminate_fuzzy_probe_side_broadcasts(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_min_k_prob_k100_equals_kn_mean(spark):
+    # k_pct=100 selects EVERY position, so the score must equal the
+    # Kneser-Ney per-doc mean bit-for-bit (same snapped DECIMAL terms,
+    # same 6dp mean snap) — pins the shared model expressions
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the cat ran"),
+            (2, "a b a b a b a c"),
+            (3, "single"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    kn = {r.doc_id: r for r in T.kneser_ney_logprob(df).collect()}
+    mk = {r.doc_id: r for r in T.min_k_prob(df, k_pct=100).collect()}
+    assert set(mk) == {1, 2, 3, 4}
+    for d in (1, 2):
+        assert mk[d].n_bigrams == kn[d].n_bigrams
+        assert mk[d].k_used == kn[d].n_bigrams
+        assert mk[d].min_k_score == kn[d].avg_neg_logprob
+    for d in (3, 4):
+        assert mk[d].n_bigrams == 0 and mk[d].k_used == 0
+        assert mk[d].min_k_score is None
+
+
+def test_min_k_prob_selects_worst_positions(spark):
+    # k=20% of 10 positions = 2: the score averages the TWO most
+    # surprising positions, so it is >= the whole-doc mean, and a doc
+    # whose worst positions are rarer scores strictly higher
+    df = spark.createDataFrame(
+        [
+            (1, "x x x x x x x x x rare1 rare2"),
+            (2, "x x x x x x x x x x x"),
+        ],
+        "doc_id bigint, text string",
+    )
+    kn = {r.doc_id: r.avg_neg_logprob for r in T.kneser_ney_logprob(df).collect()}
+    mk = {r.doc_id: r for r in T.min_k_prob(df, k_pct=20).collect()}
+    for d in (1, 2):
+        assert mk[d].n_bigrams == 10
+        assert mk[d].k_used == 2
+        assert mk[d].min_k_score >= kn[d]
+    assert mk[1].min_k_score > mk[2].min_k_score
+
+
+def test_min_k_prob_floor_one_and_validation(spark):
+    import pytest
+
+    # m=4 positions at k=20% -> (4*20) div 100 = 0 -> floor to 1
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
+    row = T.min_k_prob(df, k_pct=20).collect()[0]
+    assert row.n_bigrams == 4 and row.k_used == 1
+    with pytest.raises(ValueError):
+        T.min_k_prob(df, k_pct=0)
+    with pytest.raises(ValueError):
+        T.min_k_prob(df, discount=1.5)
