@@ -2892,6 +2892,36 @@ def _q_filter_funnel(spark, sf):
     )
 
 
+def _q_hard_negative_mine(spark, sf):
+    # X248: hard-negative band mining (the DPR/ANCE/E5 recipe) — the
+    # ann_cosine_topk probe batch (vec_id < 10), skip the top 2 ranks
+    # (likely unlabeled positives), keep the next 8 as negatives
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.hard_negative_mine(
+        emb.where(F.col("vec_id") < 10), emb, skip_top=2, n_neg=8
+    )
+
+
+def _q_matryoshka_error(spark, sf):
+    # X249: Matryoshka prefix-truncation audit over the real 64-dim
+    # embedding fixture — energy-captured curve at P in {8,16,32}
+    # plus top-10 rank overlap for the vec_id 0 probe
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.matryoshka_error(
+        emb, prefix_dims=(8, 16, 32), query_id=0, k=10
+    )
+
+
+def _q_token_budget_select(spark, sf):
+    # X250: quality-ranked selection under a global token budget
+    # (FineWeb-Edu style): keep the lowest-perplexity docs (X52
+    # unigram LM, hash channel) until 1/4 of the corpus tokens are
+    # spent; two-phase range-partitioned running sum
+    return SMP.token_budget_select(
+        load_table(spark, sf, "documents"), budget_num=1, budget_den=4
+    )
+
+
 # the repeated 10-word phrase planted (twice) on doc_id % 4 == 1 docs
 # so the dup family has live signal — raw fixture text has no natural
 # >= 5-gram repetition (measured all-zero at sf0.01); mirrored
@@ -3732,7 +3762,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     2023: monotone cap predicate + integer remainder top-up,
     #     BIGINT end to end), filter_funnel (X247 — quality-rule
     #     waterfall attribution: marginal vs first-fail vs survivors,
-    #     exact-integer predicates, three modulo plants);
+    #     exact-integer predicates, three modulo plants),
+    #     hard_negative_mine (X248 — DPR/ANCE hard-negative band over
+    #     the ann_cosine_topk channel), matryoshka_error (X249 —
+    #     prefix-truncation energy curve + top-k rank overlap),
+    #     token_budget_select (X250 — FineWeb-style quality-ranked
+    #     selection under a token budget, two-phase running sum);
     # (3) re-verification slots for every oracle query round 14
     #     touched: lang_id_trained / lang_id_margin (_scored_grid
     #     gained composite keys for X241 — identity for single-key
@@ -3745,11 +3780,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     ccnet_perplexity_buckets; the md5-threshold prefilter
     #     re-verifies temperature_mix; the exactness-envelope guard
     #     (ADVICE r13) re-verifies embedding_gram / embedding_drift;
-    # (4) 10 refresh slots for the STALEST driver greens: the five r5
+    # (4) 7 refresh slots for the STALEST driver greens: the five r5
     #     leftovers the r13 brief queued (fold_assign ...
-    #     sole_late_supplier), then 5 of the 29-query r7 vintage
-    #     (auc_daily ... cdc_chunks, historical order); the three
-    #     r7 rows the X245-X247 trio displaced (corpus_overlap,
+    #     sole_late_supplier), then 2 of the 29-query r7 vintage
+    #     (auc_daily, audio_frame_features — historical order); the
+    #     six r7 rows the X245-X250 sextet displaced (benford_prices,
+    #     calibration_bins, cdc_chunks, corpus_overlap,
     #     count_min_words, cross_source_dup_matrix), the displaced
     #     seven (cusum_hourly ... event_transitions) and the
     #     remaining 12 r7 rows (heavy_hitter_words ... zipf_profile)
@@ -3792,6 +3828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_k_prob": _q_min_k_prob,
         "unimax_mixture": _q_unimax_mixture,
         "filter_funnel": _q_filter_funnel,
+        "hard_negative_mine": _q_hard_negative_mine,
+        "matryoshka_error": _q_matryoshka_error,
+        "token_budget_select": _q_token_budget_select,
         # -- (3) touched-operator re-verification -----------------------------
         # (lang_id_trained / lang_id_margin: _scored_grid gained
         # composite-key support for langid_segments — identity for the
@@ -3814,13 +3853,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sole_late_supplier": _q_sole_late_supplier,
         "auc_daily": _q_auc_daily,
         "audio_frame_features": _q_audio_frame_features,
+        # -- out of window: local full-sweep hash check every round ------------
+        # (benford_prices / calibration_bins / cdc_chunks /
+        # corpus_overlap / count_min_words / cross_source_dup_matrix:
+        # displaced by the late-round X245-X250 sextet; they head the
+        # r15 refresh line)
         "benford_prices": _q_benford_prices,
         "calibration_bins": _q_calibration_bins,
         "cdc_chunks": _q_cdc_chunks,
-        # -- out of window: local full-sweep hash check every round ------------
-        # (corpus_overlap / count_min_words / cross_source_dup_matrix:
-        # displaced by the late-round X245-X247 trio; they head the
-        # r15 refresh line)
         "corpus_overlap": _q_corpus_overlap,
         "count_min_words": _q_count_min_words,
         "cross_source_dup_matrix": _q_cross_source_dup_matrix,
@@ -7922,6 +7962,108 @@ def _sql_ngram_novelty_vs_ref(n: int) -> str:
     )
 
 
+def _sql_hard_negative_mine(skip_top: int = 2, n_neg: int = 8) -> str:
+    """DuckDB twin of X248 — the ann_cosine_topk ranking verbatim
+    (zero-norm NULL drop, raw-IEEE cosine order, id tiebreak), band
+    filter rn in (skip, skip+n], neg_rank re-based."""
+    cos = (
+        "CASE WHEN list_dot_product(q.qv, q.qv) > 0 AND list_dot_product(e.v, e.v) > 0 "
+        "THEN list_dot_product(q.qv, e.v) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) "
+        "ELSE NULL END"
+    )
+    return (
+        f"WITH e AS ({SQL_EMB}), "
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10), "
+        f"scored AS (SELECT q.query_id, e.vec_id AS id, {cos} AS cosine "
+        "FROM q CROSS JOIN e WHERE q.query_id <> e.vec_id), "
+        "scored_nn AS (SELECT * FROM scored WHERE cosine IS NOT NULL), "
+        "r AS (SELECT query_id, id, cosine, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn FROM scored_nn) "
+        f"SELECT query_id, CAST(rn - {skip_top} AS BIGINT) AS neg_rank, "
+        "id AS negative_id, round(cosine, 6) AS cosine FROM r "
+        f"WHERE rn > {skip_top} AND rn <= {skip_top + n_neg}"
+    )
+
+
+def _sql_matryoshka_error(
+    dims: tuple[int, ...] = (8, 16, 32), query_id: int = 0, k: int = 10
+) -> str:
+    """DuckDB twin of X249: per-vector 6dp-snapped energy ratios
+    (zero-norm excluded) DECIMAL-summed into the mean; top-k overlap
+    via rank windows over the SAME guarded cosine expressions the
+    engine evaluates (raw-IEEE order, id tiebreak)."""
+
+    def pcos(p: int) -> str:
+        qp, vp = f"qv[1:{p}]", f"v[1:{p}]"
+        return (
+            f"CASE WHEN sqrt(list_dot_product({qp}, {qp})) * "
+            f"sqrt(list_dot_product({vp}, {vp})) > 0 "
+            f"THEN list_dot_product({qp}, {vp}) / "
+            f"(sqrt(list_dot_product({qp}, {qp})) * sqrt(list_dot_product({vp}, {vp}))) "
+            "ELSE NULL END"
+        )
+
+    full = (
+        "CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)) > 0 "
+        "THEN list_dot_product(qv, v) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) "
+        "ELSE NULL END"
+    )
+    ratio_cols = ", ".join(
+        f"floor(list_dot_product(v[1:{p}], v[1:{p}]) / st * 1000000.0 + 0.5) "
+        f"/ 1000000.0 AS r{p}"
+        for p in dims
+    )
+    mean_cols = ", ".join(
+        f"floor(CAST(sum(CAST(r{p} AS DECIMAL(38,6))) AS DOUBLE) / count(*) "
+        f"* 1000000.0 + 0.5) / 1000000.0 AS e{p}"
+        for p in dims
+    )
+    tops = ", ".join(
+        f"t{p} AS (SELECT id FROM sc WHERE c{p} IS NOT NULL "
+        f"ORDER BY c{p} DESC, id ASC LIMIT {k})"
+        for p in dims
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({p} AS INTEGER) AS prefix_dim, en.n_vecs, en.e{p} AS energy_mean, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM t{p} JOIN tf USING (id)) AS overlap_at_k "
+        "FROM en"
+        for p in dims
+    )
+    return (
+        f"WITH e AS ({SQL_EMB}), "
+        "nz AS (SELECT vec_id, v, list_dot_product(v, v) AS st FROM e), "
+        f"rt AS (SELECT {ratio_cols} FROM nz WHERE st > 0), "
+        f"en AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs, {mean_cols} FROM rt), "
+        f"q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id}), "
+        f"c AS (SELECT e.vec_id AS id, e.v, q.qv FROM e CROSS JOIN q "
+        f"WHERE e.vec_id <> {query_id}), "
+        f"sc AS (SELECT id, {full} AS cfull, "
+        + ", ".join(f"{pcos(p)} AS c{p}" for p in dims)
+        + " FROM c), "
+        f"tf AS (SELECT id FROM sc WHERE cfull IS NOT NULL "
+        f"ORDER BY cfull DESC, id ASC LIMIT {k}), "
+        f"{tops} {unions}"
+    )
+
+
+def _sql_token_budget_select(budget_num: int = 1, budget_den: int = 4) -> str:
+    """DuckDB twin of X250: the X52 unigram-LM replay, the integer
+    budget fraction over scored docs, one inclusive running-sum window
+    on the (score, doc_id) total order, prefix filter."""
+    return (
+        f"WITH u AS ({_sql_unigram_logprob()}), "
+        "h AS (SELECT * FROM u WHERE avg_neg_logprob IS NOT NULL), "
+        f"b AS (SELECT (sum(n_tokens) * {budget_num}) // {budget_den} AS B FROM h), "
+        "c AS (SELECT doc_id, n_tokens, avg_neg_logprob, "
+        "sum(n_tokens) OVER (ORDER BY avg_neg_logprob ASC, doc_id ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h) "
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, avg_neg_logprob, "
+        "CAST(cum AS BIGINT) AS cum_tokens FROM c CROSS JOIN b WHERE cum <= B"
+    )
+
+
 def _sql_min_k_prob(k_pct: int = 20, d: float = 0.75) -> str:
     """DuckDB twin of X245: the X222 Kneser-Ney replay with a position
     column (t[i]/t[i+1] over a generate_series index — bit-identical
@@ -8481,6 +8623,9 @@ def oracle_sql() -> dict[str, str]:
         "min_k_prob": _sql_min_k_prob(20),
         "unimax_mixture": _sql_unimax_mixture(19, 20, 1),
         "filter_funnel": _sql_filter_funnel(20),
+        "hard_negative_mine": _sql_hard_negative_mine(2, 8),
+        "matryoshka_error": _sql_matryoshka_error((8, 16, 32), 0, 10),
+        "token_budget_select": _sql_token_budget_select(1, 4),
         "url_dedup": _sql_url_dedup(),
         "winnowing": _sql_winnowing(5, 4),
         "alpha_mixture": _sql_alpha_mixture("alpha"),

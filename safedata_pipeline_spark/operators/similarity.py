@@ -1577,3 +1577,181 @@ def mmr_rerank(
     return spark.createDataFrame(
         out, f"rank int, {id_col} {id_type}, relevance double, mmr_score double"
     )
+
+
+def hard_negative_mine(
+    queries: DataFrame,
+    corpus: DataFrame,
+    skip_top: int = 2,
+    n_neg: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Hard-negative band mining for contrastive embedding training —
+    the DPR/ANCE/E5 recipe (Karpukhin et al. 2020; Xiong et al. 2021:
+    negatives drawn from the model's own near-top retrievals train far
+    stronger encoders than random negatives, but the very top ranks
+    are likely unlabeled POSITIVES, so production pipelines skip the
+    first ``skip_top`` ranks and take the next ``n_neg`` — the "hard
+    negative band"; no reference counterpart, extension surface).
+
+    Rides ``cosine_topk`` verbatim (same zero-norm NULL drop, same
+    raw-IEEE cosine ordering with id tiebreak, same 6dp output snap —
+    the proven ann_cosine_topk channel) with k = skip_top + n_neg,
+    then keeps ranks in (skip_top, skip_top + n_neg], re-based to
+    ``neg_rank`` 1..n_neg. At 100 TB the candidate stream comes from
+    the ANN bucket families (LSH/IVF) exactly as for top-k search; the
+    band selection is unchanged.
+    Output: (query_id, neg_rank, negative_id, cosine).
+    """
+    if skip_top < 0 or n_neg <= 0:
+        raise ValueError("skip_top must be >= 0 and n_neg positive")
+    ranked = cosine_topk(
+        queries,
+        corpus,
+        k=skip_top + n_neg,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    return ranked.where(F.col("rank") > skip_top).select(
+        "query_id",
+        (F.col("rank") - skip_top).alias("neg_rank"),
+        F.col("neighbor_id").alias("negative_id"),
+        "cosine",
+    )
+
+
+def matryoshka_error(
+    df: DataFrame,
+    prefix_dims: tuple[int, ...] = (8, 16, 32),
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka / prefix-truncation quality audit (Kusupati et al.
+    2022 "Matryoshka Representation Learning" — the question every
+    embedding-compression rollout asks: how much retrieval quality do
+    the first P dimensions retain?; no reference counterpart,
+    extension surface). Two signals per candidate prefix length:
+
+      * ``energy_mean`` — corpus mean of the per-vector energy ratio
+        ‖v[1..P]‖² / ‖v‖² (the variance-captured curve): each ratio is
+        a single IEEE divide snapped at 6dp, the mean a DECIMAL(38,6)
+        sum of snapped terms (order-independent) with the standard 6dp
+        half-up final snap; zero-norm vectors are excluded (undefined
+        ratio), counted out of ``n_vecs``.
+      * ``overlap_at_k`` — |top-k(full-dim cosine) ∩ top-k(prefix
+        cosine)| for the fixed probe ``query_id`` (self excluded,
+        zero-norm candidates dropped on BOTH rankings — the
+        ann_cosine_topk NULL discipline), ties to smallest id. An
+        exact integer — no float leaves the engine.
+
+    Shape: ONE corpus scan computes every prefix's snapped ratio (one
+    wide aggregate row); the rank probes are TakeOrderedAndProject
+    top-k heaps (per-partition heap + driver merge — NO global sort at
+    any scale) off one pinned (id, cos_full, cos_P...) frame built in
+    a single scan against the broadcast query vector; the |∩| joins
+    are k-row × k-row. Output: one row per prefix —
+    (prefix_dim, n_vecs, energy_mean, overlap_at_k).
+    """
+    dims = tuple(int(p) for p in prefix_dims)
+    if not dims or any(p <= 0 for p in dims):
+        raise ValueError("prefix_dims must be positive")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    spark = df.sparkSession
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("id"), v.alias("v"))
+
+    def sq(col):  # Σ x² as one fold
+        return F.aggregate(
+            col, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+
+    # (1) energy ratios: one scan, one aggregate row over all prefixes
+    st = sq(F.col("v"))
+    ratios = base.select(
+        st.alias("st"),
+        *[
+            (F.floor(sq(F.slice(F.col("v"), 1, p)) / st * 1e6 + F.lit(0.5)) / 1e6)
+            .alias(f"r{p}")
+            for p in dims
+        ],
+    ).where(F.col("st") > 0)
+    energy = ratios.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        *[
+            (
+                F.floor(
+                    F.sum(F.col(f"r{p}").cast("decimal(38,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias(f"e{p}")
+            for p in dims
+        ],
+    )
+    # (2) rank-overlap probes off one pinned cosine frame
+    q = base.where(F.col("id") == query_id).select(
+        F.col("v").alias("qv")
+    )
+    cand = base.where(F.col("id") != query_id).crossJoin(F.broadcast(q))
+    cos_cols = [
+        _cos(
+            F.slice(F.col("qv"), 1, p),
+            F.slice(F.col("v"), 1, p),
+            _norm(F.slice(F.col("qv"), 1, p)),
+            _norm(F.slice(F.col("v"), 1, p)),
+        ).alias(f"c{p}")
+        for p in dims
+    ]
+    full_cos = _cos(
+        F.col("qv"), F.col("v"), _norm(F.col("qv")), _norm(F.col("v"))
+    ).alias("cfull")
+    scored = pin_lazy(cand.select("id", full_cos, *cos_cols))
+
+    def topk(col: str) -> DataFrame:
+        return (
+            scored.where(F.col(col).isNotNull())
+            .orderBy(F.col(col).desc(), F.col("id").asc())
+            .limit(k)
+            .select("id")
+        )
+
+    full_top = topk("cfull")
+    overlaps = None
+    for p in dims:
+        o = (
+            topk(f"c{p}")
+            .join(full_top, on="id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("overlap"))
+            .select(F.lit(p).alias("prefix_dim"), "overlap")
+        )
+        overlaps = o if overlaps is None else overlaps.unionByName(o)
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("int").alias("prefix_dim"),
+                F.col("n_vecs").alias("n_vecs"),
+                F.col(f"e{p}").alias("energy_mean"),
+            )
+            for p in dims
+        ]
+    )
+    long = energy.select(F.explode(rows).alias("r")).select(
+        F.col("r.prefix_dim").alias("prefix_dim"),
+        F.col("r.n_vecs").alias("n_vecs"),
+        F.col("r.energy_mean").alias("energy_mean"),
+    )
+    return long.join(F.broadcast(overlaps), on="prefix_dim").select(
+        "prefix_dim",
+        "n_vecs",
+        "energy_mean",
+        F.col("overlap").alias("overlap_at_k"),
+    )

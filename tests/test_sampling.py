@@ -600,3 +600,56 @@ def test_unimax_validation(spark):
         S.unimax_mixture(df, budget_num=0)
     with pytest.raises(ValueError):
         S.unimax_mixture(df, epoch_cap=0)
+
+
+def test_token_budget_select_prefix_property(spark):
+    from pyspark.sql import Window
+    from safedata_pipeline_spark.operators.text import unigram_logprob
+
+    # a corpus with a clear quality gradient: docs made of common
+    # words score low (kept first), rare-word docs score high
+    rows = []
+    for i in range(40):
+        common = "the and of to a " * 4
+        rare = f"zx{i}a zx{i}b zx{i}c zx{i}d zx{i}e "
+        rows.append((i, common if i % 2 == 0 else common + rare * 2))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = S.token_budget_select(df, budget_num=1, budget_den=4).collect()
+    assert out, "budget must keep at least one doc"
+    # single-window twin: identical kept set and cum values
+    u = unigram_logprob(df)
+    h = u.where(F.col("avg_neg_logprob").isNotNull())
+    B = h.agg(F.expr("(sum(n_tokens) * 1) div 4").alias("b")).collect()[0]["b"]
+    w = Window.orderBy(
+        F.col("avg_neg_logprob").asc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    twin = {
+        r.doc_id: r.cum
+        for r in h.withColumn("cum", F.sum("n_tokens").over(w))
+        .where(F.col("cum") <= B)
+        .collect()
+    }
+    got = {r.doc_id: r.cum_tokens for r in out}
+    assert got == twin
+    assert max(got.values()) <= B
+    # prefix property: every kept doc scores <= every dropped doc
+    kept_scores = {r.doc_id: r.avg_neg_logprob for r in out}
+    dropped = {
+        r.doc_id: r.avg_neg_logprob
+        for r in h.collect()
+        if r.doc_id not in kept_scores
+    }
+    if dropped:
+        assert max(kept_scores.values()) <= min(dropped.values())
+
+
+def test_token_budget_select_excludes_unscored_and_validates(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, ""), (3, None)],
+        "doc_id bigint, text string",
+    )
+    out = S.token_budget_select(df, budget_num=1, budget_den=1).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].cum_tokens == 8
+    with pytest.raises(ValueError):
+        S.token_budget_select(df, budget_num=0)

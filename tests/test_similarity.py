@@ -801,3 +801,77 @@ def test_margin_bitext_mine_threshold_and_zero_norm(spark):
     out = SIM.margin_bitext_mine(src, tgt, k=2, threshold=0.0).collect()
     assert sorted(r.src_id for r in out) == [0]  # zero-norm src 2 absent
     assert not SIM.margin_bitext_mine(src, tgt, k=2, threshold=99.0).collect()
+
+
+def _vec_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_hard_negative_mine_is_topk_band(spark):
+    import pytest
+
+    vecs = [[float((i * 7 + j * 3) % 11 - 5) for j in range(8)] for i in range(30)]
+    df = _vec_df(spark, vecs)
+    q = df.where("vec_id < 3")
+    top = {
+        (r.query_id, r.rank): r for r in S.cosine_topk(q, df, k=10).collect()
+    }
+    neg = S.hard_negative_mine(q, df, skip_top=2, n_neg=8).collect()
+    assert len(neg) == 3 * 8
+    for r in neg:
+        t = top[(r.query_id, r.neg_rank + 2)]
+        assert r.negative_id == t.neighbor_id and r.cosine == t.cosine
+        assert 1 <= r.neg_rank <= 8
+    with pytest.raises(ValueError):
+        S.hard_negative_mine(q, df, skip_top=-1)
+    with pytest.raises(ValueError):
+        S.hard_negative_mine(q, df, n_neg=0)
+
+
+def test_matryoshka_error_energy_and_overlap(spark):
+    import pytest
+
+    # vec 0 = query; vecs 1..4 engineered: prefix-2 energy exact,
+    # and the prefix-2 ranking INVERTS the full ranking for one pair
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],   # query
+        [1.0, 0.0, 0.0, 0.0],   # full cos 1.0, prefix cos 1.0
+        [1.0, 0.0, 3.0, 0.0],   # energy 1/10
+        [0.0, 2.0, 0.0, 0.0],   # orthogonal in prefix, energy 1.0
+        [0.0, 0.0, 0.0, 0.0],   # zero vector: excluded everywhere
+    ]
+    df = _vec_df(spark, vecs)
+    out = {r.prefix_dim: r for r in
+           S.matryoshka_error(df, prefix_dims=(2,), query_id=0, k=2).collect()}
+    r2 = out[2]
+    # zero vector excluded: 4 of 5 counted
+    assert r2.n_vecs == 4
+    # energies: 1.0, 1.0, 0.1, 1.0 -> mean 0.775
+    assert r2.energy_mean == 0.775
+    # full top-2 = {1, 2}(cos 1.0, 0.316) vs prefix top-2 = {1, 2}
+    # (prefix cos 1.0 and 1.0; id tiebreak) -> overlap 2
+    assert r2.overlap_at_k == 2
+    with pytest.raises(ValueError):
+        S.matryoshka_error(df, prefix_dims=())
+    with pytest.raises(ValueError):
+        S.matryoshka_error(df, k=0)
+
+
+def test_matryoshka_overlap_detects_rank_inversion(spark):
+    # prefix-1 ordering must disagree with full ordering: vec 1 wins
+    # on the full vector, vec 2 wins on the first coordinate alone
+    vecs = [
+        [1.0, 1.0],
+        [1.0, 1.0],    # full cos = 1.0, prefix-1 cos = 1.0
+        [1.0, -1.0],   # full cos = 0.0 -> excluded from top-1
+    ]
+    df = _vec_df(spark, vecs)
+    out = {r.prefix_dim: r for r in
+           S.matryoshka_error(df, prefix_dims=(1,), query_id=0, k=1).collect()}
+    # prefix-1: both candidates cos 1.0, tie -> id 1; full: id 1. overlap 1
+    assert out[1].overlap_at_k == 1
+    # energy counts every nonzero CORPUS vector, query included
+    assert out[1].n_vecs == 3
