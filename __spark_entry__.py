@@ -2922,6 +2922,45 @@ def _q_token_budget_select(spark, sf):
     )
 
 
+def _q_prototype_prune(spark, sf):
+    # X251: SSL-prototype density pruning (Sorscher et al. 2022) —
+    # keep the hardest half of each KMeans cell by full squared
+    # distance to the md5-seeded deterministic prototype (the
+    # X166/X207 replayable-KMeans discipline)
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.prototype_prune(
+        emb, keep_num=1, keep_den=2, num_cells=8, iterations=3
+    )
+
+
+def _q_knn_label_consistency(spark, sf):
+    # X252: kNN label-consistency probe (the cleanlab-family label-
+    # noise screen) — fixed 50-query batch, exact top-5 cosine
+    # neighbors, NULL-safe label agreement, exact int/int snap
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.knn_label_consistency(emb, k=5, n_queries=50)
+
+
+def _q_langid_confusion(spark, sf):
+    # X253: multi-class confusion matrix with per-cell precision/
+    # recall shares, evaluated on the X182 langid HELD-OUT half — the
+    # model-selection decision table for the trained-classifier family
+    from safedata_pipeline_spark.checkpoint import pin_lazy
+    from safedata_pipeline_spark.operators import langid as LI
+
+    fixed = _langid_fixture(spark, sf).transform(pin_lazy)
+    model = LI.langid_fit(fixed.where("is_train")).transform(pin_lazy)
+    scored = (
+        LI.langid_score(fixed, model)
+        .join(
+            fixed.select("doc_id", F.col("lang").alias("lang_true"), "is_train"),
+            "doc_id",
+        )
+        .where(~F.col("is_train"))
+    )
+    return MU.confusion_matrix(scored, truth_col="lang_true", pred_col="lang_pred")
+
+
 # the repeated 10-word phrase planted (twice) on doc_id % 4 == 1 docs
 # so the dup family has live signal — raw fixture text has no natural
 # >= 5-gram repetition (measured all-zero at sf0.01); mirrored
@@ -3767,7 +3806,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     the ann_cosine_topk channel), matryoshka_error (X249 —
     #     prefix-truncation energy curve + top-k rank overlap),
     #     token_budget_select (X250 — FineWeb-style quality-ranked
-    #     selection under a token budget, two-phase running sum);
+    #     selection under a token budget, two-phase running sum),
+    #     prototype_prune (X251 — Sorscher et al. density pruning by
+    #     full distance to the replayable-KMeans prototype),
+    #     knn_label_consistency (X252 — the cleanlab-family label-
+    #     noise probe over exact top-k neighbors); the 21st new row,
+    #     langid_confusion (X253), sits past the window BY SUBSUMPTION
+    #     (oracle wraps the in-window lang_id_trained replay);
     # (3) re-verification slots for every oracle query round 14
     #     touched: lang_id_trained / lang_id_margin (_scored_grid
     #     gained composite keys for X241 — identity for single-key
@@ -3780,16 +3825,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     ccnet_perplexity_buckets; the md5-threshold prefilter
     #     re-verifies temperature_mix; the exactness-envelope guard
     #     (ADVICE r13) re-verifies embedding_gram / embedding_drift;
-    # (4) 7 refresh slots for the STALEST driver greens: the five r5
-    #     leftovers the r13 brief queued (fold_assign ...
-    #     sole_late_supplier), then 2 of the 29-query r7 vintage
-    #     (auc_daily, audio_frame_features — historical order); the
-    #     six r7 rows the X245-X250 sextet displaced (benford_prices,
-    #     calibration_bins, cdc_chunks, corpus_overlap,
-    #     count_min_words, cross_source_dup_matrix), the displaced
-    #     seven (cusum_hourly ... event_transitions) and the
-    #     remaining 12 r7 rows (heavy_hitter_words ... zipf_profile)
-    #     head the r15 refresh line, then the r8 vintage.
+    # (4) 5 refresh slots for the STALEST driver greens: the five r5
+    #     leftovers the r13 brief queued (fold_assign,
+    #     dedup_rate_by_source, nation_trade, priority_late_orders,
+    #     sole_late_supplier) — closing VERDICT r13 #4's "no oracle
+    #     row's last driver green predates r7". The eight r7-green
+    #     rows the X245-X252 cohort displaced (auc_daily,
+    #     audio_frame_features, benford_prices, calibration_bins,
+    #     cdc_chunks, corpus_overlap, count_min_words,
+    #     cross_source_dup_matrix), the displaced seven (cusum_hourly
+    #     ... event_transitions) and the remaining 12 r7 rows
+    #     (heavy_hitter_words ... zipf_profile) head the r15 refresh
+    #     line, then the r8 vintage.
     # Displaced out: the r13 refresh block (r5 vintage — all double-
     # green r13) and the r13-new rows not touched this round — each
     # keeps the local full-sweep hash check via tools/check_oracle.py
@@ -3831,6 +3878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_mine": _q_hard_negative_mine,
         "matryoshka_error": _q_matryoshka_error,
         "token_budget_select": _q_token_budget_select,
+        "prototype_prune": _q_prototype_prune,
+        "knn_label_consistency": _q_knn_label_consistency,
         # -- (3) touched-operator re-verification -----------------------------
         # (lang_id_trained / lang_id_margin: _scored_grid gained
         # composite-key support for langid_segments — identity for the
@@ -3851,13 +3900,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade": _q_nation_trade,
         "priority_late_orders": _q_priority_late_orders,
         "sole_late_supplier": _q_sole_late_supplier,
+        # -- out of window: local full-sweep hash check every round ------------
+        # (langid_confusion, X253: past-window BY SUBSUMPTION — its
+        # oracle wraps the in-window lang_id_trained replay verbatim;
+        # the only math past that signal is exact integer cell counts
+        # + int/int snaps, hash-checked in the local sweep.
+        # auc_daily / audio_frame_features / benford_prices /
+        # calibration_bins / cdc_chunks / corpus_overlap /
+        # count_min_words / cross_source_dup_matrix: r7-green rows
+        # displaced by the late-round X245-X252 cohort; they head the
+        # r15 refresh line)
+        "langid_confusion": _q_langid_confusion,
         "auc_daily": _q_auc_daily,
         "audio_frame_features": _q_audio_frame_features,
-        # -- out of window: local full-sweep hash check every round ------------
-        # (benford_prices / calibration_bins / cdc_chunks /
-        # corpus_overlap / count_min_words / cross_source_dup_matrix:
-        # displaced by the late-round X245-X250 sextet; they head the
-        # r15 refresh line)
         "benford_prices": _q_benford_prices,
         "calibration_bins": _q_calibration_bins,
         "cdc_chunks": _q_cdc_chunks,
@@ -7962,6 +8017,81 @@ def _sql_ngram_novelty_vs_ref(n: int) -> str:
     )
 
 
+def _sql_prototype_prune(
+    keep_num: int = 1,
+    keep_den: int = 2,
+    num_cells: int = 8,
+    iterations: int = 3,
+) -> str:
+    """DuckDB twin of X251: the shared unrolled-KMeans CTE chain
+    (_sql_kmeans_parts — md5 seeds, 9dp centroid means, 6dp argmin
+    kernel) + FULL squared distance to the assigned final centroid
+    (|v|² − 2·v·c + |c|², same parenthesization) + the per-cell
+    (dist DESC, id ASC) rank with the exact integer keep cutoff."""
+    parts, _ = _sql_kmeans_parts(num_cells, iterations)
+    parts.append(
+        "dd AS (SELECT af.id, af.cid AS cell, "
+        "round(list_dot_product(af.v, af.v) - 2 * list_dot_product(af.v, c.c) "
+        "+ list_dot_product(c.c, c.c), 6) AS dist2 "
+        f"FROM af JOIN c{iterations} c ON af.cid = c.cid)"
+    )
+    parts.append(
+        "r AS (SELECT id, cell, dist2, "
+        "row_number() OVER (PARTITION BY cell ORDER BY dist2 DESC, id ASC) AS rn, "
+        "count(*) OVER (PARTITION BY cell) AS cn FROM dd)"
+    )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT id AS vec_id, cell, dist2, CAST(rn AS BIGINT) AS rank_in_cell, "
+        "CAST(cn AS BIGINT) AS cell_size FROM r "
+        f"WHERE rn <= greatest(1, (cn * {keep_num}) // {keep_den})"
+    )
+
+
+def _sql_knn_label_consistency(k: int = 5, n_queries: int = 50) -> str:
+    """DuckDB twin of X252: the ann_cosine_topk ranking verbatim over
+    the fixed probe batch, neighbor/query label join, NULL-safe
+    agreement (IS NOT DISTINCT FROM), exact int/int 6dp snap."""
+    cos = (
+        "CASE WHEN list_dot_product(q.qv, q.qv) > 0 AND list_dot_product(e.v, e.v) > 0 "
+        "THEN list_dot_product(q.qv, e.v) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) "
+        "ELSE NULL END"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings), "
+        f"q AS (SELECT vec_id AS query_id, v AS qv, label FROM e WHERE vec_id < {n_queries}), "
+        f"scored AS (SELECT q.query_id, q.label, e.vec_id AS id, e.label AS nlabel, {cos} AS cosine "
+        "FROM q CROSS JOIN e WHERE q.query_id <> e.vec_id), "
+        "nn AS (SELECT * FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn "
+        f"FROM scored WHERE cosine IS NOT NULL) WHERE rn <= {k}) "
+        "SELECT query_id, label, CAST(count(*) AS BIGINT) AS k_used, "
+        "CAST(sum(CASE WHEN label IS NOT DISTINCT FROM nlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_same, "
+        "floor(CAST(sum(CASE WHEN label IS NOT DISTINCT FROM nlabel THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ count(*) * 1000000.0 + 0.5) / 1000000.0 AS consistency "
+        "FROM nn GROUP BY query_id, label"
+    )
+
+
+def _sql_langid_confusion() -> str:
+    """DuckDB twin of X253: the full X182 trained-langid replay
+    (verbatim _sql_lang_id_trained) restricted to the held-out half,
+    (truth, pred) cells + marginal shares as exact int/int snaps."""
+    return (
+        f"WITH t AS ({_sql_lang_id_trained()}), "
+        "b AS (SELECT lang_true AS truth, lang_pred AS pred FROM t "
+        "WHERE NOT is_train AND lang_true IS NOT NULL AND lang_pred IS NOT NULL), "
+        "cells AS (SELECT truth, pred, count(*) AS n FROM b GROUP BY 1, 2), "
+        "rt AS (SELECT truth, sum(n) AS rtot FROM cells GROUP BY 1), "
+        "ct AS (SELECT pred, sum(n) AS ctot FROM cells GROUP BY 1) "
+        "SELECT cells.truth, cells.pred, CAST(cells.n AS BIGINT) AS n, "
+        "floor(CAST(cells.n AS DOUBLE) / rt.rtot * 1000000.0 + 0.5) / 1000000.0 AS frac_of_truth, "
+        "floor(CAST(cells.n AS DOUBLE) / ct.ctot * 1000000.0 + 0.5) / 1000000.0 AS frac_of_pred "
+        "FROM cells JOIN rt USING (truth) JOIN ct USING (pred)"
+    )
+
+
 def _sql_hard_negative_mine(skip_top: int = 2, n_neg: int = 8) -> str:
     """DuckDB twin of X248 — the ann_cosine_topk ranking verbatim
     (zero-norm NULL drop, raw-IEEE cosine order, id tiebreak), band
@@ -8626,6 +8756,9 @@ def oracle_sql() -> dict[str, str]:
         "hard_negative_mine": _sql_hard_negative_mine(2, 8),
         "matryoshka_error": _sql_matryoshka_error((8, 16, 32), 0, 10),
         "token_budget_select": _sql_token_budget_select(1, 4),
+        "prototype_prune": _sql_prototype_prune(1, 2, 8, 3),
+        "knn_label_consistency": _sql_knn_label_consistency(5, 50),
+        "langid_confusion": _sql_langid_confusion(),
         "url_dedup": _sql_url_dedup(),
         "winnowing": _sql_winnowing(5, 4),
         "alpha_mixture": _sql_alpha_mixture("alpha"),

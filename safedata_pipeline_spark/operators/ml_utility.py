@@ -325,3 +325,47 @@ def roc_points(
             F.round(F.try_divide(F.col("__cum_neg"), F.col("N")), 6).alias("fpr"),
         )
     )
+
+
+def confusion_matrix(
+    df: DataFrame, truth_col: str = "truth", pred_col: str = "pred"
+) -> DataFrame:
+    """Multi-class confusion matrix with per-cell precision/recall
+    shares — the standard classifier-evaluation artifact every model
+    in the curation loop (langid X182, quality classifier X205) is
+    selected by (reference counterpart: the binary accuracy/F1 pair in
+    modules/utility.py:120 — this is its multi-class decision table).
+
+    One row per observed (truth, pred) pair: ``n`` (exact count),
+    ``frac_of_truth`` = n / row-marginal (the diagonal row reads class
+    RECALL), ``frac_of_pred`` = n / column-marginal (the diagonal
+    reads class PRECISION) — both exact int/int 6dp snaps. Rows with a
+    NULL truth or prediction are EXCLUDED by contract (NULL grouping
+    keys join differently across engines; callers bucket their
+    unscored rows explicitly — the X231 'unscored' discipline).
+
+    Shape: one (truth, pred) groupBy (map-side combinable, keys =
+    classes², a fit-sized frame); the marginals are two aggregations
+    OF THE CELL FRAME (no second corpus pass) joined back broadcast.
+    Output: (truth, pred, n, frac_of_truth, frac_of_pred).
+    """
+    base = df.where(
+        F.col(truth_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(F.col(truth_col).alias("truth"), F.col(pred_col).alias("pred"))
+    cells = pin_lazy(
+        base.groupBy("truth", "pred").agg(F.count(F.lit(1)).alias("n"))
+    )
+    rt = cells.groupBy("truth").agg(F.sum("n").alias("__rt"))
+    ct = cells.groupBy("pred").agg(F.sum("n").alias("__ct"))
+    snap = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        cells.join(F.broadcast(rt), on="truth")
+        .join(F.broadcast(ct), on="pred")
+        .select(
+            "truth",
+            "pred",
+            F.col("n").cast("bigint").alias("n"),
+            snap(F.col("n") / F.col("__rt")).alias("frac_of_truth"),
+            snap(F.col("n") / F.col("__ct")).alias("frac_of_pred"),
+        )
+    )

@@ -1755,3 +1755,151 @@ def matryoshka_error(
         "energy_mean",
         F.col("overlap").alias("overlap_at_k"),
     )
+
+
+def prototype_prune(
+    df: DataFrame,
+    keep_num: int = 1,
+    keep_den: int = 2,
+    num_cells: int = 8,
+    iterations: int = 3,
+    dist_round: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototype density pruning (Sorscher et al. 2022 "Beyond
+    neural scaling laws: beating power law scaling via data pruning" —
+    the public result that the BEST examples to drop at scale are the
+    EASY/prototypical ones: rank each example by distance to its
+    cluster prototype and keep the hardest fraction; no reference
+    counterpart, extension surface; complements X166's SemDeDup — that
+    drops near-DUPLICATES inside cells, this drops the cluster CORE).
+
+    Prototypes = the engine's deterministic md5-seeded KMeans (the
+    X166/X207 oracle-replayable discipline: 9dp per-iteration centroid
+    means, ``dist_round``-rounded pure-expression argmin kernel, ties
+    to lowest cell id). Each vector's hardness is its FULL squared
+    distance to the assigned prototype — |v|² − 2·v·c + |c|², every
+    dot the sequential ``functions.vector`` fold, rounded at
+    ``dist_round`` — not the |v|²-dropped argmin kernel, which is only
+    rank-safe per row, not across rows. Per cell, vectors rank by
+    (distance DESC, id ASC) and the top
+    ``max(1, (n_cell·keep_num) div keep_den)`` survive — exact integer
+    cutoff, no float fraction.
+
+    Shape: fit = the bounded Lloyd loop (O(k·dim) driver traffic);
+    assignment + distance are map-only codegen'd expressions against a
+    broadcast O(cells)-row centroid table; the rank window partitions
+    BY CELL. At 100 TB ``num_cells`` grows ~√n (the IVF sizing rule)
+    so cells stay bounded; a pathological hot cell rides the same
+    two-phase range-partitioned rank as ccnet/token_budget.
+    Output: kept rows (id, cell, dist2, rank_in_cell, cell_size).
+    """
+    if keep_num <= 0 or keep_den <= 0 or keep_num > keep_den:
+        raise ValueError("keep fraction must be in (0, 1]")
+    from pyspark.sql import Window
+
+    from safedata_pipeline_spark.operators.clustering import (
+        _nearest_centroid_expr,
+        kmeans_fit_centers,
+    )
+
+    centers, _ = kmeans_fit_centers(
+        df, k=num_cells, iterations=iterations, id_col=id_col,
+        vec_col=vec_col, dist_round=dist_round,
+    )
+    v = F.col(vec_col).cast("array<double>")
+    data = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), v.alias("v"),
+        _nearest_centroid_expr(centers, dist_round)(v).alias("cell"),
+    )
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, c array<double>",
+    )
+    # ((|v|² − 2·v·c) + |c|²): parenthesization mirrors the SQL twin
+    dist2 = F.round(
+        _dot(F.col("v"), F.col("v"))
+        - F.lit(2.0) * _dot(F.col("v"), F.col("c"))
+        + _dot(F.col("c"), F.col("c")),
+        dist_round,
+    )
+    scored = data.join(F.broadcast(cdf), on="cell").select(
+        id_col, "cell", dist2.alias("dist2")
+    )
+    w = Window.partitionBy("cell")
+    ranked = scored.select(
+        id_col,
+        "cell",
+        "dist2",
+        F.row_number()
+        .over(w.orderBy(F.col("dist2").desc(), F.col(id_col).asc()))
+        .alias("rank_in_cell"),
+        F.count(F.lit(1)).over(w).alias("cell_size"),
+    )
+    cut = F.greatest(
+        F.lit(1), F.expr(f"(cell_size * {keep_num}) div {keep_den}")
+    )
+    return ranked.where(F.col("rank_in_cell") <= cut).select(
+        id_col,
+        "cell",
+        "dist2",
+        F.col("rank_in_cell").cast("bigint").alias("rank_in_cell"),
+        F.col("cell_size").cast("bigint").alias("cell_size"),
+    )
+
+
+def knn_label_consistency(
+    df: DataFrame,
+    k: int = 5,
+    n_queries: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label-consistency probe — the standard embedding-quality /
+    label-noise screen (the cleanlab-family heuristic, and the eval
+    behind every "linear probe vs kNN" table: an example whose
+    neighbors disagree with its label is mislabeled or lies on a class
+    boundary; no reference counterpart, extension surface).
+
+    For the fixed probe batch (id < ``n_queries`` — the bm25_search
+    fixed-query convention keeping the pair frame linear in the
+    corpus), take the exact top-k cosine neighbors (``cosine_topk``
+    verbatim — the proven ann channel) and count label agreement with
+    NULL-safe equality (two NULL labels agree, a NULL never matches a
+    non-NULL — identical semantics on both engines).
+    ``consistency`` = n_same / k_used as an exact int/int 6dp snap.
+    At 100 TB the neighbor stream comes from the ANN bucket families.
+    Output: (query_id, label, k_used, n_same, consistency).
+    """
+    if k <= 0 or n_queries <= 0:
+        raise ValueError("k and n_queries must be positive")
+    queries = df.where(F.col(id_col) < n_queries)
+    top = cosine_topk(queries, df, k=k, id_col=id_col, vec_col=vec_col)
+    qlab = df.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("label")
+    ).where(F.col("query_id") < n_queries)
+    nlab = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel")
+    )
+    joined = (
+        top.join(nlab, on="neighbor_id")
+        .join(F.broadcast(qlab), on="query_id")
+    )
+    agg = joined.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.sum(F.col("label").eqNullSafe(F.col("nlabel")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_same"),
+    )
+    return agg.select(
+        "query_id",
+        "label",
+        "k_used",
+        "n_same",
+        (F.floor(F.col("n_same") / F.col("k_used") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "consistency"
+        ),
+    )

