@@ -2961,6 +2961,33 @@ def _q_langid_confusion(spark, sf):
     return MU.confusion_matrix(scored, truth_col="lang_true", pred_col="lang_pred")
 
 
+def _q_pq_codes(spark, sf):
+    # X254: product-quantization encoding (Jegou et al. 2011) — 8
+    # subspaces x 8-centroid deterministic codebooks (md5 seeds, 2
+    # Lloyd rounds, 6dp argmin kernel); one map-only corpus pass
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.pq_codes(emb, dim=64, n_sub=8, codebook_k=8, iterations=2)
+
+
+def _q_pq_reconstruction_error(spark, sf):
+    # X255: corpus-mean PQ reconstruction error — the codebook-quality
+    # tuning metric; per-subspace rounded residuals, DECIMAL mean
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.pq_reconstruction_error(
+        emb, dim=64, n_sub=8, codebook_k=8, iterations=2
+    )
+
+
+def _q_ann_topk_pq_adc(spark, sf):
+    # X256: PQ asymmetric-distance top-k — the billion-scale IVF-PQ
+    # lookup math under the hash check; fixed probe batch (vec_id<10)
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.ann_topk_pq_adc(
+        emb.where(F.col("vec_id") < 10), emb, k=5,
+        dim=64, n_sub=8, codebook_k=8, iterations=2,
+    )
+
+
 # the repeated 10-word phrase planted (twice) on doc_id % 4 == 1 docs
 # so the dup family has live signal — raw fixture text has no natural
 # >= 5-gram repetition (measured all-zero at sf0.01); mirrored
@@ -3911,6 +3938,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced by the late-round X245-X252 cohort; they head the
         # r15 refresh line)
         "langid_confusion": _q_langid_confusion,
+        # (pq_codes / pq_reconstruction_error / ann_topk_pq_adc,
+        # X254-X256: the PQ scale-path family, landed after the r14
+        # window filled — local full-sweep hash-checked now, they head
+        # the r15 window queue with langid_confusion)
+        "pq_codes": _q_pq_codes,
+        "pq_reconstruction_error": _q_pq_reconstruction_error,
+        "ann_topk_pq_adc": _q_ann_topk_pq_adc,
         "auc_daily": _q_auc_daily,
         "audio_frame_features": _q_audio_frame_features,
         "benford_prices": _q_benford_prices,
@@ -8017,6 +8051,136 @@ def _sql_ngram_novelty_vs_ref(n: int) -> str:
     )
 
 
+def _sql_pq_parts(
+    n_sub: int = 8, k: int = 8, iterations: int = 2, dim: int = 64
+) -> list:
+    """Shared unrolled-CTE chains replaying similarity.pq_fit exactly:
+    per subspace s, the sliced data d{s}, the md5-seeded init s{s}c0,
+    ``iterations`` rounds of rounded-argmin assignment -> 9dp DECIMAL
+    centroid means, and the final assignment s{s}af(id, v, cid). The
+    seeds are slices of the SAME md5-ordered rows on both engines, so
+    every subspace trajectory replays bit-for-bit (the
+    _sql_kmeans_parts discipline, prefixed per subspace)."""
+    sub = dim // n_sub
+    dist = "round(-2 * list_dot_product(d.v, c.c) + list_dot_product(c.c, c.c), 6)"
+    parts = [
+        "data AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v "
+        "FROM embeddings WHERE embedding IS NOT NULL)"
+    ]
+    for s in range(n_sub):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f"d{s} AS (SELECT id, v[{lo}:{hi}] AS v FROM data)")
+        parts.append(
+            f"s{s}c0 AS (SELECT CAST(row_number() OVER "
+            "(ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INTEGER) AS cid, v AS c "
+            f"FROM d{s} ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {k})"
+        )
+        assign = (
+            "(SELECT id, v, cid FROM (SELECT d.id, d.v, c.cid, "
+            f"row_number() OVER (PARTITION BY d.id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM d{s} d CROSS JOIN {{prev}} c) WHERE rn = 1)"
+        )
+        for t in range(1, iterations + 1):
+            parts.append(f"s{s}a{t} AS " + assign.format(prev=f"s{s}c{t - 1}"))
+            parts.append(
+                f"s{s}u{t} AS (SELECT cid, g.p - 1 AS dim, "
+                "round(CAST(sum(CAST(round(t.v[g.p], 9) AS DECIMAL(38,9))) AS DOUBLE) "
+                "/ count(*), 9) AS m "
+                f"FROM s{s}a{t} t CROSS JOIN unnest(generate_series(1, len(t.v))) AS g(p) "
+                "GROUP BY cid, g.p)"
+            )
+            parts.append(
+                f"s{s}n{t} AS (SELECT cid, list(m ORDER BY dim) AS c "
+                f"FROM s{s}u{t} GROUP BY cid)"
+            )
+            parts.append(
+                f"s{s}c{t} AS (SELECT p.cid, coalesce(nc.c, p.c) AS c "
+                f"FROM s{s}c{t - 1} p LEFT JOIN s{s}n{t} nc USING (cid))"
+            )
+        parts.append(f"s{s}af AS " + assign.format(prev=f"s{s}c{iterations}"))
+    codes = (
+        "codes AS (SELECT s0af.id"
+        + "".join(f", s{s}af.cid AS code_{s}" for s in range(n_sub))
+        + " FROM s0af"
+        + "".join(f" JOIN s{s}af ON s0af.id = s{s}af.id" for s in range(1, n_sub))
+        + ")"
+    )
+    parts.append(codes)
+    return parts
+
+
+def _sql_pq_codes(n_sub: int = 8, k: int = 8, iterations: int = 2) -> str:
+    parts = _sql_pq_parts(n_sub, k, iterations)
+    cols = ", ".join(f"CAST(code_{s} AS INTEGER) AS code_{s}" for s in range(n_sub))
+    return "WITH " + ", ".join(parts) + f" SELECT id AS vec_id, {cols} FROM codes"
+
+
+def _sql_pq_reconstruction_error(
+    n_sub: int = 8, k: int = 8, iterations: int = 2
+) -> str:
+    """DuckDB twin of the PQ reconstruction error: per-subspace
+    rounded residuals off the final assignments, left-associated sum,
+    DECIMAL(38,6) corpus mean with the 6dp half-up snap."""
+    parts = _sql_pq_parts(n_sub, k, iterations)
+    joins = "FROM s0af" + "".join(
+        f" JOIN s{s}af ON s0af.id = s{s}af.id" for s in range(1, n_sub)
+    )
+    joins += "".join(
+        f" JOIN s{s}c{iterations} cc{s} ON s{s}af.cid = cc{s}.cid"
+        for s in range(n_sub)
+    )
+    terms = " + ".join(
+        f"round(list_dot_product(s{s}af.v, s{s}af.v) "
+        f"- 2 * list_dot_product(s{s}af.v, cc{s}.c) "
+        f"+ list_dot_product(cc{s}.c, cc{s}.c), 6)"
+        for s in range(n_sub)
+    )
+    parts.append(f"r AS (SELECT CAST(({terms}) AS DECIMAL(38,6)) AS e {joins})")
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT CAST(count(*) AS BIGINT) AS n_vecs, "
+        "floor(CAST(sum(e) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 "
+        "AS mean_sq_err FROM r"
+    )
+
+
+def _sql_ann_topk_pq_adc(
+    topk: int = 5, n_sub: int = 8, k: int = 8, iterations: int = 2, dim: int = 64
+) -> str:
+    """DuckDB twin of the PQ-ADC top-k: full-precision query slices
+    against the coded corpus' centroid lookups, the same rounded
+    -2(q·c)+|c|² kernel per subspace, left-associated ADC sum,
+    (adc ASC, id ASC) rank."""
+    parts = _sql_pq_parts(n_sub, k, iterations, dim)
+    sub = dim // n_sub
+    parts.append(
+        "q AS (SELECT id AS query_id, v AS qv FROM data WHERE id < 10)"
+    )
+    cjoins = "FROM codes" + "".join(
+        f" JOIN s{s}c{iterations} cc{s} ON codes.code_{s} = cc{s}.cid"
+        for s in range(n_sub)
+    )
+    parts.append(
+        f"cw AS (SELECT codes.id{''.join(f', cc{s}.c AS c{s}' for s in range(n_sub))} {cjoins})"
+    )
+    pair_terms = " + ".join(
+        f"round(-2 * list_dot_product(q.qv[{s * sub + 1}:{(s + 1) * sub}], cw.c{s}) "
+        f"+ list_dot_product(cw.c{s}, cw.c{s}), 6)"
+        for s in range(n_sub)
+    )
+    parts.append(
+        f"p AS (SELECT q.query_id, cw.id, ({pair_terms}) AS adc "
+        "FROM cw CROSS JOIN q WHERE cw.id <> q.query_id)"
+    )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT query_id, CAST(rn AS BIGINT) AS rank, id AS neighbor_id, "
+        "adc AS adc_dist FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY adc ASC, id ASC) AS rn FROM p) "
+        f"WHERE rn <= {topk}"
+    )
+
+
 def _sql_prototype_prune(
     keep_num: int = 1,
     keep_den: int = 2,
@@ -8759,6 +8923,9 @@ def oracle_sql() -> dict[str, str]:
         "prototype_prune": _sql_prototype_prune(1, 2, 8, 3),
         "knn_label_consistency": _sql_knn_label_consistency(5, 50),
         "langid_confusion": _sql_langid_confusion(),
+        "pq_codes": _sql_pq_codes(8, 8, 2),
+        "pq_reconstruction_error": _sql_pq_reconstruction_error(8, 8, 2),
+        "ann_topk_pq_adc": _sql_ann_topk_pq_adc(5, 8, 8, 2, 64),
         "url_dedup": _sql_url_dedup(),
         "winnowing": _sql_winnowing(5, 4),
         "alpha_mixture": _sql_alpha_mixture("alpha"),

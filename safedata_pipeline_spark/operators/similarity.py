@@ -1903,3 +1903,225 @@ def knn_label_consistency(
             "consistency"
         ),
     )
+
+
+def pq_fit(
+    df: DataFrame,
+    dim: int = 64,
+    n_sub: int = 8,
+    codebook_k: int = 8,
+    iterations: int = 2,
+    dist_round: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011 "Product
+    Quantization for Nearest Neighbor Search" — THE billion-to-
+    trillion-vector ANN memory layout: split the vector into n_sub
+    subspaces, k-means each independently, store one small code per
+    subspace). Returns per-subspace centroid lists.
+
+    Each subspace codebook is the engine's deterministic md5-seeded
+    KMeans (the X166/X207 replayable discipline: 9dp per-iteration
+    means, ``dist_round``-rounded argmin kernel) fit on the sliced
+    vectors — the seeds are slices of the SAME md5-ordered rows, so a
+    SQL oracle replays every subspace trajectory. Codebooks are fit
+    parameters (O(n_sub·k·dim/n_sub) doubles of driver state); at
+    100 TB they train on a bounded sample (the standard PQ practice) —
+    training cost does not scale with the corpus.
+    """
+    if dim % n_sub != 0:
+        raise ValueError("dim must be divisible by n_sub")
+    if codebook_k < 1 or iterations < 1:
+        raise ValueError("need codebook_k >= 1 and iterations >= 1")
+    from safedata_pipeline_spark.operators.clustering import kmeans_fit_centers
+
+    sub = dim // n_sub
+    v = F.col(vec_col).cast("array<double>")
+    out = []
+    for s in range(n_sub):
+        sliced = df.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col), F.slice(v, s * sub + 1, sub).alias(vec_col)
+        )
+        centers, _ = kmeans_fit_centers(
+            sliced, k=codebook_k, iterations=iterations,
+            id_col=id_col, vec_col=vec_col, dist_round=dist_round,
+        )
+        out.append(centers)
+    return out
+
+
+def pq_codes(
+    df: DataFrame,
+    codebooks: list[list[list[float]]] | None = None,
+    dim: int = 64,
+    n_sub: int = 8,
+    codebook_k: int = 8,
+    iterations: int = 2,
+    dist_round: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: one map-only corpus pass assigning every vector
+    its per-subspace nearest-centroid code (the ``dist_round``-rounded
+    argmin kernel, ties to lowest code — ``_nearest_centroid_expr``).
+    n_sub argmin folds per row, whole-stage codegen, zero shuffles —
+    encoding 100 TB is scan-bound. Output: (id, code_0..code_{n-1}).
+    """
+    from safedata_pipeline_spark.operators.clustering import _nearest_centroid_expr
+
+    if codebooks is None:
+        codebooks = pq_fit(
+            df, dim, n_sub, codebook_k, iterations, dist_round, id_col, vec_col
+        )
+    sub = dim // len(codebooks)
+    v = F.col(vec_col).cast("array<double>")
+    cols = [
+        _nearest_centroid_expr(cb, dist_round)(F.slice(v, s * sub + 1, sub))
+        .alias(f"code_{s}")
+        for s, cb in enumerate(codebooks)
+    ]
+    return df.where(F.col(vec_col).isNotNull()).select(F.col(id_col), *cols)
+
+
+def _pq_centroid_frames(spark, codebooks):
+    """Per-subspace (code, c) DataFrames — centroid lookups stay
+    COLUMN-side (sequential-fold dots), never a Python float sum."""
+    return [
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cb)],
+            f"code_{s} int, c{s} array<double>",
+        )
+        for s, cb in enumerate(codebooks)
+    ]
+
+
+def pq_reconstruction_error(
+    df: DataFrame,
+    dim: int = 64,
+    n_sub: int = 8,
+    codebook_k: int = 8,
+    iterations: int = 2,
+    dist_round: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-mean PQ reconstruction error — the codebook-quality
+    metric every PQ deployment tunes (n_sub × codebook_k) against
+    (the X158 quantization_error twin for the product layout).
+
+    Per vector: Σ_s round(|v_s|² − 2·v_s·c + |c|², dist_round) over
+    its assigned centroids — each subspace residual rounded, the
+    left-associated sum of n_sub rounded terms, then a DECIMAL(38,6)
+    corpus sum with the standard 6dp half-up mean snap.
+    Output: one row (n_vecs, mean_sq_err).
+    """
+    spark = df.sparkSession
+    codebooks = pq_fit(
+        df, dim, n_sub, codebook_k, iterations, dist_round, id_col, vec_col
+    )
+    codes = pq_codes(
+        df, codebooks, dim, n_sub, codebook_k, iterations, dist_round,
+        id_col, vec_col,
+    )
+    v = F.col(vec_col).cast("array<double>")
+    base = df.where(F.col(vec_col).isNotNull()).select(F.col(id_col), v.alias("v"))
+    joined = base.join(codes, on=id_col)
+    for cf in _pq_centroid_frames(spark, codebooks):
+        joined = joined.join(F.broadcast(cf), on=cf.columns[0])
+    sub = dim // n_sub
+    err = None
+    for s in range(n_sub):
+        vs = F.slice(F.col("v"), s * sub + 1, sub)
+        c = F.col(f"c{s}")
+        t = F.round(
+            _dot(vs, vs) - F.lit(2.0) * _dot(vs, c) + _dot(c, c), dist_round
+        )
+        err = t if err is None else err + t
+    return joined.select(err.cast("decimal(38,6)").alias("e")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (
+            F.floor(
+                F.sum("e").cast("double") / F.count(F.lit(1)) * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("mean_sq_err"),
+    )
+
+
+def ann_topk_pq_adc(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_sub: int = 8,
+    codebook_k: int = 8,
+    iterations: int = 2,
+    dist_round: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ Asymmetric Distance Computation top-k (Jégou et al. 2011
+    §IV: the query stays FULL-precision, every corpus vector is its
+    n_sub codes — distance ≈ Σ_s d(q_s, centroid[code_s]) — the lookup
+    structure behind every billion-scale IVF-PQ index).
+
+    Fully hash-channel: per-subspace terms use the SAME rounded
+    −2·(q_s·c)+|c|² kernel as the assignment (|q_s|² is constant per
+    query, so dropping it is rank-safe WITHIN a query's ranking), the
+    ADC sum is the left-associated sum of n_sub rounded terms
+    (identical parenthesization in SQL), ranking by (adc ASC, id ASC).
+    Self-matches excluded by id.
+
+    Shape: codes = one map-only corpus pass; the n_sub centroid
+    lookups are broadcast O(codebook_k)-row joins; the probe batch
+    broadcasts onto the coded corpus (pair frame linear in corpus —
+    the bm25 fixed-batch convention). At 100 TB this nests inside the
+    IVF cells (X207) exactly as published IVF-PQ does; the ADC math is
+    unchanged. Output: (query_id, rank, neighbor_id, adc_dist).
+    """
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    codebooks = pq_fit(
+        corpus, dim, n_sub, codebook_k, iterations, dist_round, id_col, vec_col
+    )
+    codes = pq_codes(
+        corpus, codebooks, dim, n_sub, codebook_k, iterations, dist_round,
+        id_col, vec_col,
+    )
+    coded = codes
+    for cf in _pq_centroid_frames(spark, codebooks):
+        coded = coded.join(F.broadcast(cf), on=cf.columns[0])
+    qv = F.col(vec_col).cast("array<double>")
+    q = queries.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), qv.alias("qv")
+    )
+    pairs = coded.crossJoin(F.broadcast(q)).where(
+        F.col(id_col) != F.col("query_id")
+    )
+    sub = dim // n_sub
+    adc = None
+    for s in range(n_sub):
+        qs = F.slice(F.col("qv"), s * sub + 1, sub)
+        c = F.col(f"c{s}")
+        t = F.round(
+            F.lit(-2.0) * _dot(qs, c) + _dot(c, c), dist_round
+        )
+        adc = t if adc is None else adc + t
+    scored = pairs.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), adc.alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            "adc_dist",
+        )
+    )

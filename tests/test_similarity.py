@@ -956,3 +956,43 @@ def test_knn_label_consistency_null_labels(spark):
     assert out[0].n_same == 1 and out[0].k_used == 2
     with pytest.raises(ValueError):
         S.knn_label_consistency(df, k=0)
+
+
+def test_pq_codes_deterministic_and_ranged(spark):
+    import pytest
+
+    df, _ = _emb(spark)  # 61 vectors, dim 16
+    a = {r.vec_id: tuple(r[f"code_{s}"] for s in range(4))
+         for r in S.pq_codes(df, dim=16, n_sub=4, codebook_k=4).collect()}
+    b = {r.vec_id: tuple(r[f"code_{s}"] for s in range(4))
+         for r in S.pq_codes(df, dim=16, n_sub=4, codebook_k=4).collect()}
+    assert a == b and len(a) == 61
+    for codes in a.values():
+        assert all(0 <= c < 4 for c in codes)
+    with pytest.raises(ValueError):
+        S.pq_fit(df, dim=10, n_sub=4)
+    with pytest.raises(ValueError):
+        S.pq_fit(df, dim=16, n_sub=4, codebook_k=0)
+
+
+def test_pq_reconstruction_error_improves_with_k(spark):
+    df, _ = _emb(spark)
+    e1 = S.pq_reconstruction_error(df, dim=16, n_sub=4, codebook_k=1).collect()[0]
+    e8 = S.pq_reconstruction_error(df, dim=16, n_sub=4, codebook_k=8).collect()[0]
+    assert e1.n_vecs == 61 and e8.n_vecs == 61
+    assert e8.mean_sq_err < e1.mean_sq_err
+    assert e8.mean_sq_err >= 0.0
+
+
+def test_pq_adc_finds_planted_dup(spark):
+    df, _ = _emb(spark)
+    out = S.ann_topk_pq_adc(
+        df.where("vec_id = 0"), df, k=3, dim=16, n_sub=4, codebook_k=8
+    ).collect()
+    assert len(out) == 3
+    # the near-identical vector shares every subspace code with the
+    # query, so its ADC distance is minimal
+    assert any(r.neighbor_id == 60 for r in out)
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+    adcs = [r.adc_dist for r in sorted(out, key=lambda r: r.rank)]
+    assert adcs == sorted(adcs)
