@@ -2988,6 +2988,19 @@ def _q_ann_topk_pq_adc(spark, sf):
     )
 
 
+def _q_ann_topk_ivf_pq(spark, sf):
+    # X257: IVF-PQ (Jegou et al. 2011 IVFADC; the FAISS default beyond
+    # ~100M vectors) — coarse 2-of-8-cell probe confines candidates,
+    # PQ asymmetric distance ranks them off their codes; the complete
+    # 100 TB ANN shape under the hash check
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.ann_topk_ivf_pq(
+        emb.where(F.col("vec_id") < 10), emb, k=5,
+        num_cells=8, coarse_iterations=3, n_probe=2,
+        dim=64, n_sub=8, codebook_k=8, pq_iterations=2,
+    )
+
+
 # the repeated 10-word phrase planted (twice) on doc_id % 4 == 1 docs
 # so the dup family has live signal — raw fixture text has no natural
 # >= 5-gram repetition (measured all-zero at sf0.01); mirrored
@@ -3945,6 +3958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _q_pq_codes,
         "pq_reconstruction_error": _q_pq_reconstruction_error,
         "ann_topk_pq_adc": _q_ann_topk_pq_adc,
+        "ann_topk_ivf_pq": _q_ann_topk_ivf_pq,
         "auc_daily": _q_auc_daily,
         "audio_frame_features": _q_audio_frame_features,
         "benford_prices": _q_benford_prices,
@@ -8181,6 +8195,57 @@ def _sql_ann_topk_pq_adc(
     )
 
 
+def _sql_ann_topk_ivf_pq(
+    topk: int = 5,
+    num_cells: int = 8,
+    coarse_iterations: int = 3,
+    n_probe: int = 2,
+    n_sub: int = 8,
+    k: int = 8,
+    pq_iterations: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of the IVF-PQ composition: the coarse KMeans chain
+    (_sql_kmeans_parts) + the per-subspace PQ chains (_sql_pq_parts,
+    shared `data` CTE deduplicated) + the n_probe query expansion by
+    the coarse kernel + the cell equi-join + the X256 ADC ranking."""
+    parts, dist = _sql_kmeans_parts(num_cells, coarse_iterations)
+    pq_parts = _sql_pq_parts(n_sub, k, pq_iterations, dim)
+    parts.extend(pq_parts[1:])  # drop the duplicate `data` CTE
+    parts.append(
+        "qp AS (SELECT id AS query_id, v AS qv, cid AS cell FROM "
+        "(SELECT d.id, d.v, c.cid, "
+        f"row_number() OVER (PARTITION BY d.id ORDER BY {dist}, c.cid) AS rn "
+        f"FROM data d CROSS JOIN c{coarse_iterations} c WHERE d.id < 10) "
+        f"WHERE rn <= {n_probe})"
+    )
+    cjoins = "FROM codes JOIN af ON codes.id = af.id" + "".join(
+        f" JOIN s{s}c{pq_iterations} cc{s} ON codes.code_{s} = cc{s}.cid"
+        for s in range(n_sub)
+    )
+    parts.append(
+        f"cw AS (SELECT codes.id, af.cid AS cell"
+        f"{''.join(f', cc{s}.c AS c{s}' for s in range(n_sub))} {cjoins})"
+    )
+    sub = dim // n_sub
+    pair_terms = " + ".join(
+        f"round(-2 * list_dot_product(q.qv[{s * sub + 1}:{(s + 1) * sub}], cw.c{s}) "
+        f"+ list_dot_product(cw.c{s}, cw.c{s}), 6)"
+        for s in range(n_sub)
+    )
+    parts.append(
+        f"p AS (SELECT q.query_id, cw.id, ({pair_terms}) AS adc "
+        "FROM qp q JOIN cw ON q.cell = cw.cell AND q.query_id <> cw.id)"
+    )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT query_id, CAST(rn AS BIGINT) AS rank, id AS neighbor_id, "
+        "adc AS adc_dist FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY adc ASC, id ASC) AS rn FROM p) "
+        f"WHERE rn <= {topk}"
+    )
+
+
 def _sql_prototype_prune(
     keep_num: int = 1,
     keep_den: int = 2,
@@ -8926,6 +8991,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": _sql_pq_codes(8, 8, 2),
         "pq_reconstruction_error": _sql_pq_reconstruction_error(8, 8, 2),
         "ann_topk_pq_adc": _sql_ann_topk_pq_adc(5, 8, 8, 2, 64),
+        "ann_topk_ivf_pq": _sql_ann_topk_ivf_pq(5, 8, 3, 2, 8, 8, 2, 64),
         "url_dedup": _sql_url_dedup(),
         "winnowing": _sql_winnowing(5, 4),
         "alpha_mixture": _sql_alpha_mixture("alpha"),

@@ -2125,3 +2125,94 @@ def ann_topk_pq_adc(
             "adc_dist",
         )
     )
+
+
+def ann_topk_ivf_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_cells: int = 8,
+    coarse_iterations: int = 3,
+    n_probe: int = 2,
+    dim: int = 64,
+    n_sub: int = 8,
+    codebook_k: int = 8,
+    pq_iterations: int = 2,
+    dist_round: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the PUBLISHED billion-scale index composition (Jégou et
+    al. 2011 §V "IVFADC"; the FAISS default for >100M vectors) — a
+    coarse quantizer confines the search to ``n_probe`` of
+    ``num_cells`` inverted lists, and candidates inside those lists
+    are scored by PQ asymmetric distance against their codes, never
+    their raw vectors. This is the end-to-end 100 TB ANN shape, fully
+    in the hash channel: the coarse quantizer is the X207
+    exact-cells discipline, the codebooks/codes are X254, the ADC
+    ranking is X256 — all md5-seeded, rounded-kernel, SQL-replayable.
+
+    Shape: both fits are bounded (sample-trainable); corpus-side work
+    is two map-only passes (cell assignment + PQ encoding); candidate
+    generation is an equi-join on the cell id (shuffle keyed by cell,
+    AQE splits skew); ADC scoring per candidate is n_sub broadcast
+    lookups. Nothing is all-pairs, nothing touches raw corpus vectors
+    after encoding. Output: (query_id, rank, neighbor_id, adc_dist).
+    """
+    from pyspark.sql import Window
+
+    from safedata_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit_centers,
+        probe_cells_expr,
+    )
+
+    spark = corpus.sparkSession
+    centers, _ = kmeans_fit_centers(
+        corpus, k=num_cells, iterations=coarse_iterations,
+        id_col=id_col, vec_col=vec_col, dist_round=dist_round,
+    )
+    cells = kmeans_assign(
+        corpus, centers, id_col=id_col, vec_col=vec_col, dist_round=dist_round
+    ).select(F.col(id_col), F.col("cluster_id").alias("cell"))
+    codebooks = pq_fit(
+        corpus, dim, n_sub, codebook_k, pq_iterations, dist_round, id_col, vec_col
+    )
+    coded = pq_codes(
+        corpus, codebooks, dim, n_sub, codebook_k, pq_iterations, dist_round,
+        id_col, vec_col,
+    ).join(cells, on=id_col)
+    for cf in _pq_centroid_frames(spark, codebooks):
+        coded = coded.join(F.broadcast(cf), on=cf.columns[0])
+    qv = F.col(vec_col).cast("array<double>")
+    probe = probe_cells_expr(centers, n_probe, dist_round)
+    q = queries.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), qv.alias("qv")
+    ).withColumn("cell", F.explode(probe(F.col("qv"))))
+    pairs = q.join(
+        coded,
+        on=(q["cell"] == coded["cell"]) & (F.col("query_id") != F.col(id_col)),
+    )
+    sub = dim // n_sub
+    adc = None
+    for s in range(n_sub):
+        qs = F.slice(F.col("qv"), s * sub + 1, sub)
+        c = F.col(f"c{s}")
+        t = F.round(F.lit(-2.0) * _dot(qs, c) + _dot(c, c), dist_round)
+        adc = t if adc is None else adc + t
+    scored = pairs.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), adc.alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            "adc_dist",
+        )
+    )

@@ -996,3 +996,35 @@ def test_pq_adc_finds_planted_dup(spark):
     assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
     adcs = [r.adc_dist for r in sorted(out, key=lambda r: r.rank)]
     assert adcs == sorted(adcs)
+
+
+def test_ivf_pq_composition_confined_and_useful(spark):
+    df, rows = _emb(spark)
+    out = S.ann_topk_ivf_pq(
+        df.where("vec_id = 0"), df, k=3,
+        num_cells=4, coarse_iterations=2, n_probe=2,
+        dim=16, n_sub=4, codebook_k=8, pq_iterations=2,
+    ).collect()
+    assert len(out) == 3
+    # the planted near-dup quantizes to the query's cell AND shares
+    # its subspace codes -> minimal ADC distance among candidates
+    assert any(r.neighbor_id == 60 for r in out)
+    # candidates are confined to probed cells: every returned
+    # neighbor must be in one of the query's 2 nearest cells
+    from safedata_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit_centers,
+        probe_cells_expr,
+    )
+    centers, _ = kmeans_fit_centers(df, k=4, iterations=2, dist_round=6)
+    cells = {r.vec_id: r.cluster_id
+             for r in kmeans_assign(df, centers, dist_round=6).collect()}
+    from pyspark.sql import functions as F
+    probed = (
+        df.where("vec_id = 0")
+        .select(probe_cells_expr(centers, 2, 6)(
+            F.col("embedding").cast("array<double>")).alias("p"))
+        .collect()[0].p
+    )
+    for r in out:
+        assert cells[r.neighbor_id] in probed

@@ -206,6 +206,13 @@ DECADE2_QUERIES = [
     "token_budget_select",
     "hard_negative_mine",
     "matryoshka_error",
+    # PQ family (pq_codes / pq_reconstruction_error stay ungated:
+    # map-only encode + a broadcast-join residual aggregate). The two
+    # ADC rankers join the probe batch against the coded corpus
+    # (pairs ~n for the flat scan, ~n·probe_frac for IVF-PQ) — gate
+    # catches candidate-frame blowups
+    "ann_topk_pq_adc",
+    "ann_topk_ivf_pq",
 ]
 DECADE2_GATES: dict[str, tuple[str, float]] = {
     f"slope10_{q}": ("max", 4.0) for q in DECADE2_QUERIES
@@ -259,6 +266,8 @@ EXPECTED_SLOPE_NOTES: dict[str, str] = {
     "token_budget_select": "~1.5-2.5: the unigram-LM explode (vocab join grows with tiled types) + a range-partitioned running sum whose window work is per-partition; O(partitions) offsets frame fixed",
     "hard_negative_mine": "~1-2: 10 fixed queries x tiled corpus broadcast cross -> pair frame linear in corpus; per-pair work constant (the ann_cosine_topk shape with a band filter)",
     "matryoshka_error": "~1-1.5: one multi-cosine scan against a broadcast 1-row query + TakeOrderedAndProject heaps (per-partition top-k, driver merge); energy agg map-side combinable",
+    "ann_topk_pq_adc": "~1-2: bounded fits (16 small driver jobs, corpus-pass cost linear) + one map-only encode + 10-query broadcast cross with 8 lookup joins — pair frame linear in corpus",
+    "ann_topk_ivf_pq": "~1-2: the pq_adc family plus the coarse fit and a cell equi-join that CONFINES candidates to ~n_probe/num_cells of the corpus — strictly less pair work than the flat ADC scan",
 }
 SCALE10_DIR = os.environ.get("SAFEDATA_SCALE10_DIR", "/root/repo/.scale10")
 
