@@ -1813,21 +1813,18 @@ def prototype_prune(
         F.col(id_col), v.alias("v"),
         _nearest_centroid_expr(centers, dist_round)(v).alias("cell"),
     )
-    spark = df.sparkSession
-    cdf = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        "cell int, c array<double>",
-    )
+    # assigned centroid off the 2-D array literal (F.get) — same
+    # sequential-fold dots as the former broadcast (cell, c) join,
+    # one map stage instead of a join
+    c = F.get(F.lit([[float(x) for x in cc] for cc in centers]), F.col("cell"))
     # ((|v|² − 2·v·c) + |c|²): parenthesization mirrors the SQL twin
     dist2 = F.round(
         _dot(F.col("v"), F.col("v"))
-        - F.lit(2.0) * _dot(F.col("v"), F.col("c"))
-        + _dot(F.col("c"), F.col("c")),
+        - F.lit(2.0) * _dot(F.col("v"), c)
+        + _dot(c, c),
         dist_round,
     )
-    scored = data.join(F.broadcast(cdf), on="cell").select(
-        id_col, "cell", dist2.alias("dist2")
-    )
+    scored = data.select(id_col, "cell", dist2.alias("dist2"))
     w = Window.partitionBy("cell")
     ranked = scored.select(
         id_col,
@@ -1914,6 +1911,7 @@ def pq_fit(
     dist_round: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _prepared: DataFrame | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou et al. 2011 "Product
     Quantization for Nearest Neighbor Search" — THE billion-to-
@@ -1929,26 +1927,114 @@ def pq_fit(
     parameters (O(n_sub·k·dim/n_sub) doubles of driver state); at
     100 TB they train on a bounded sample (the standard PQ practice) —
     training cost does not scale with the corpus.
+
+    The ``n_sub`` subspace fits are INDEPENDENT recurrences over
+    slices of the SAME rows, so they run JOINTLY: one pinned (id, v)
+    frame, ONE seed collect (slices of the same md5-ordered rows), and
+    per Lloyd round ONE job that assigns every subspace's cells and
+    aggregates every subspace's (s, cluster, dim) DECIMAL(38,9) sums
+    together (order-independent, bit-identical to the sequential
+    per-subspace loop — test-pinned). The sequential form paid
+    n_sub × (pin + seed + T collects) driver round-trips — 32 jobs at
+    the default 8×2 vs 4 here — with identical centroids.
+    ``_prepared`` lets a caller that already pinned the (id, v) frame
+    (ann_topk_ivf_pq shares it with the coarse quantizer fit) skip the
+    pin.
     """
     if dim % n_sub != 0:
         raise ValueError("dim must be divisible by n_sub")
     if codebook_k < 1 or iterations < 1:
         raise ValueError("need codebook_k >= 1 and iterations >= 1")
-    from safedata_pipeline_spark.operators.clustering import kmeans_fit_centers
+    from safedata_pipeline_spark.operators.clustering import (
+        _DEC,
+        ITER_ROUND,
+        _nearest_centroid_expr,
+    )
+    from safedata_pipeline_spark.partitioning import spread_small
 
     sub = dim // n_sub
-    v = F.col(vec_col).cast("array<double>")
-    out = []
-    for s in range(n_sub):
-        sliced = df.where(F.col(vec_col).isNotNull()).select(
-            F.col(id_col), F.slice(v, s * sub + 1, sub).alias(vec_col)
+    data = _prepared
+    if data is None:
+        data = (
+            df.where(F.col(vec_col).isNotNull())
+            .select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            .transform(spread_small)
+            .transform(pin_eager)
         )
-        centers, _ = kmeans_fit_centers(
-            sliced, k=codebook_k, iterations=iterations,
-            id_col=id_col, vec_col=vec_col, dist_round=dist_round,
+    seed_rows = (
+        data.select(
+            F.md5(F.col("id").cast("string").cast("binary")).alias("h"), F.col("v")
         )
-        out.append(centers)
-    return out
+        .orderBy("h")
+        .limit(codebook_k)
+        .collect()
+    )
+    if len(seed_rows) < codebook_k:
+        raise ValueError(
+            f"need at least k={codebook_k} rows, got {len(seed_rows)}"
+        )
+    books = [
+        [
+            [float(x) for x in r[1][s * sub : (s + 1) * sub]]
+            for r in seed_rows
+        ]
+        for s in range(n_sub)
+    ]
+    for _ in range(iterations):
+        sel = []
+        for s in range(n_sub):
+            vs = F.slice(F.col("v"), s * sub + 1, sub)
+            sel.append(vs.alias(f"vs{s}"))
+            sel.append(
+                _nearest_centroid_expr(books[s], dist_round)(vs).alias(f"cell{s}")
+            )
+        assigned = data.select(*sel)
+
+        def _tag(s: int):
+            # capture s by value; transform's lambda must stay 2-arg
+            return lambda x, i: F.struct(
+                F.lit(s).cast("int").alias("s"),
+                F.col(f"cell{s}").alias("cluster_id"),
+                i.alias("dim"),
+                x.alias("x"),
+            )
+
+        long = assigned.select(
+            F.explode(
+                F.flatten(
+                    F.array(
+                        *[
+                            F.transform(F.col(f"vs{s}"), _tag(s))
+                            for s in range(n_sub)
+                        ]
+                    )
+                )
+            ).alias("e")
+        )
+        upd = (
+            long.groupBy("e.s", "e.cluster_id", "e.dim")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("e.x"), ITER_ROUND).cast(_DEC)).alias("sm"),
+            )
+            .select(
+                "s",
+                "cluster_id",
+                "dim",
+                F.round(F.col("sm").cast("double") / F.col("n"), ITER_ROUND).alias(
+                    "m"
+                ),
+            )
+            .collect()
+        )
+        new_books = [[list(c) for c in b] for b in books]
+        for r in upd:
+            new_books[r.s][r.cluster_id][r.dim] = float(r.m)
+        books = new_books
+    return books
 
 
 def pq_codes(
@@ -1984,18 +2070,6 @@ def pq_codes(
     return df.where(F.col(vec_col).isNotNull()).select(F.col(id_col), *cols)
 
 
-def _pq_centroid_frames(spark, codebooks):
-    """Per-subspace (code, c) DataFrames — centroid lookups stay
-    COLUMN-side (sequential-fold dots), never a Python float sum."""
-    return [
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(cb)],
-            f"code_{s} int, c{s} array<double>",
-        )
-        for s, cb in enumerate(codebooks)
-    ]
-
-
 def pq_reconstruction_error(
     df: DataFrame,
     dim: int = 64,
@@ -2015,30 +2089,31 @@ def pq_reconstruction_error(
     left-associated sum of n_sub rounded terms, then a DECIMAL(38,6)
     corpus sum with the standard 6dp half-up mean snap.
     Output: one row (n_vecs, mean_sq_err).
+
+    Encode + measure fuse into ONE map-only scan: the per-subspace
+    code is the same argmin kernel ``pq_codes`` applies, and the
+    assigned centroid comes straight off the codebook as a 2-D array
+    literal (``F.get``) instead of the former id-join + n_sub
+    broadcast centroid joins — residuals bit-identical, 9 joins fewer.
     """
-    spark = df.sparkSession
     codebooks = pq_fit(
         df, dim, n_sub, codebook_k, iterations, dist_round, id_col, vec_col
     )
-    codes = pq_codes(
-        df, codebooks, dim, n_sub, codebook_k, iterations, dist_round,
-        id_col, vec_col,
-    )
+    from safedata_pipeline_spark.operators.clustering import _nearest_centroid_expr
+
     v = F.col(vec_col).cast("array<double>")
     base = df.where(F.col(vec_col).isNotNull()).select(F.col(id_col), v.alias("v"))
-    joined = base.join(codes, on=id_col)
-    for cf in _pq_centroid_frames(spark, codebooks):
-        joined = joined.join(F.broadcast(cf), on=cf.columns[0])
     sub = dim // n_sub
     err = None
     for s in range(n_sub):
         vs = F.slice(F.col("v"), s * sub + 1, sub)
-        c = F.col(f"c{s}")
+        code = _nearest_centroid_expr(codebooks[s], dist_round)(vs)
+        c = F.get(F.lit([[float(x) for x in cc] for cc in codebooks[s]]), code)
         t = F.round(
             _dot(vs, vs) - F.lit(2.0) * _dot(vs, c) + _dot(c, c), dist_round
         )
         err = t if err is None else err + t
-    return joined.select(err.cast("decimal(38,6)").alias("e")).agg(
+    return base.select(err.cast("decimal(38,6)").alias("e")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         (
             F.floor(
@@ -2074,25 +2149,23 @@ def ann_topk_pq_adc(
     Self-matches excluded by id.
 
     Shape: codes = one map-only corpus pass; the n_sub centroid
-    lookups are broadcast O(codebook_k)-row joins; the probe batch
-    broadcasts onto the coded corpus (pair frame linear in corpus —
-    the bm25 fixed-batch convention). At 100 TB this nests inside the
-    IVF cells (X207) exactly as published IVF-PQ does; the ADC math is
-    unchanged. Output: (query_id, rank, neighbor_id, adc_dist).
+    lookups read the codebook 2-D array LITERAL by code (``F.get`` —
+    O(codebook_k·dim) constants in the plan, no joins); the probe
+    batch broadcasts onto the coded corpus (pair frame linear in
+    corpus — the bm25 fixed-batch convention). At 100 TB this nests
+    inside the IVF cells (X207) exactly as published IVF-PQ does; the
+    ADC math is unchanged. Output: (query_id, rank, neighbor_id,
+    adc_dist).
     """
     from pyspark.sql import Window
 
-    spark = corpus.sparkSession
     codebooks = pq_fit(
         corpus, dim, n_sub, codebook_k, iterations, dist_round, id_col, vec_col
     )
-    codes = pq_codes(
+    coded = pq_codes(
         corpus, codebooks, dim, n_sub, codebook_k, iterations, dist_round,
         id_col, vec_col,
     )
-    coded = codes
-    for cf in _pq_centroid_frames(spark, codebooks):
-        coded = coded.join(F.broadcast(cf), on=cf.columns[0])
     qv = F.col(vec_col).cast("array<double>")
     q = queries.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), qv.alias("qv")
@@ -2104,7 +2177,10 @@ def ann_topk_pq_adc(
     adc = None
     for s in range(n_sub):
         qs = F.slice(F.col("qv"), s * sub + 1, sub)
-        c = F.col(f"c{s}")
+        c = F.get(
+            F.lit([[float(x) for x in cc] for cc in codebooks[s]]),
+            F.col(f"code_{s}"),
+        )
         t = F.round(
             F.lit(-2.0) * _dot(qs, c) + _dot(c, c), dist_round
         )
@@ -2153,37 +2229,59 @@ def ann_topk_ivf_pq(
     ranking is X256 — all md5-seeded, rounded-kernel, SQL-replayable.
 
     Shape: both fits are bounded (sample-trainable); corpus-side work
-    is two map-only passes (cell assignment + PQ encoding); candidate
-    generation is an equi-join on the cell id (shuffle keyed by cell,
-    AQE splits skew); ADC scoring per candidate is n_sub broadcast
-    lookups. Nothing is all-pairs, nothing touches raw corpus vectors
-    after encoding. Output: (query_id, rank, neighbor_id, adc_dist).
+    is ONE map-only pass emitting cell assignment + every PQ code
+    together; candidate generation is an equi-join on the cell id
+    (shuffle keyed by cell, AQE splits skew); ADC scoring per
+    candidate reads the codebook 2-D array literal by code (no joins).
+    Nothing is all-pairs, nothing touches raw corpus vectors after
+    encoding. Output: (query_id, rank, neighbor_id, adc_dist).
     """
     from pyspark.sql import Window
 
     from safedata_pipeline_spark.operators.clustering import (
-        kmeans_assign,
+        _nearest_centroid_expr,
         kmeans_fit_centers,
         probe_cells_expr,
     )
 
-    spark = corpus.sparkSession
+    from safedata_pipeline_spark.partitioning import spread_small
+
+    # ONE pinned (id, v) frame feeds BOTH fits (coarse quantizer + PQ
+    # codebooks) — was two pins + two seed scans over the same vectors
+    prepared = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .transform(spread_small)
+        .transform(pin_eager)
+    )
     centers, _ = kmeans_fit_centers(
         corpus, k=num_cells, iterations=coarse_iterations,
         id_col=id_col, vec_col=vec_col, dist_round=dist_round,
+        _prepared=prepared,
     )
-    cells = kmeans_assign(
-        corpus, centers, id_col=id_col, vec_col=vec_col, dist_round=dist_round
-    ).select(F.col(id_col), F.col("cluster_id").alias("cell"))
     codebooks = pq_fit(
-        corpus, dim, n_sub, codebook_k, pq_iterations, dist_round, id_col, vec_col
+        corpus, dim, n_sub, codebook_k, pq_iterations, dist_round, id_col, vec_col,
+        _prepared=prepared,
     )
-    coded = pq_codes(
-        corpus, codebooks, dim, n_sub, codebook_k, pq_iterations, dist_round,
-        id_col, vec_col,
-    ).join(cells, on=id_col)
-    for cf in _pq_centroid_frames(spark, codebooks):
-        coded = coded.join(F.broadcast(cf), on=cf.columns[0])
+    # ONE map-only corpus pass emits cell + every subspace code (was:
+    # separate assign and encode passes joined on id, then n_sub
+    # broadcast centroid joins — the centroids now ride the plan as a
+    # 2-D array literal read by code)
+    cv = F.col(vec_col).cast("array<double>")
+    sub = dim // n_sub
+    coded = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        _nearest_centroid_expr(centers, dist_round)(cv).alias("cell"),
+        *[
+            _nearest_centroid_expr(codebooks[s], dist_round)(
+                F.slice(cv, s * sub + 1, sub)
+            ).alias(f"code_{s}")
+            for s in range(n_sub)
+        ],
+    )
     qv = F.col(vec_col).cast("array<double>")
     probe = probe_cells_expr(centers, n_probe, dist_round)
     q = queries.where(F.col(vec_col).isNotNull()).select(
@@ -2193,11 +2291,13 @@ def ann_topk_ivf_pq(
         coded,
         on=(q["cell"] == coded["cell"]) & (F.col("query_id") != F.col(id_col)),
     )
-    sub = dim // n_sub
     adc = None
     for s in range(n_sub):
         qs = F.slice(F.col("qv"), s * sub + 1, sub)
-        c = F.col(f"c{s}")
+        c = F.get(
+            F.lit([[float(x) for x in cc] for cc in codebooks[s]]),
+            F.col(f"code_{s}"),
+        )
         t = F.round(F.lit(-2.0) * _dot(qs, c) + _dot(c, c), dist_round)
         adc = t if adc is None else adc + t
     scored = pairs.select(

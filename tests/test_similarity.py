@@ -1028,3 +1028,31 @@ def test_ivf_pq_composition_confined_and_useful(spark):
     )
     for r in out:
         assert cells[r.neighbor_id] in probed
+
+
+def test_pq_fit_joint_matches_sequential_per_subspace(spark):
+    # the joint single-pass fit (one pinned frame, one seed collect,
+    # one update job per Lloyd round for ALL subspaces) must be
+    # bit-identical to fitting each subspace with its own
+    # kmeans_fit_centers over the sliced vectors — the construction it
+    # replaced
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.operators.clustering import kmeans_fit_centers
+
+    df, _ = _emb(spark)
+    dim, n_sub, k, iters, dr = 16, 4, 4, 2, 6
+    sub = dim // n_sub
+    v = F.col("embedding").cast("array<double>")
+    seq = []
+    for s in range(n_sub):
+        sliced = df.where(F.col("embedding").isNotNull()).select(
+            F.col("vec_id"), F.slice(v, s * sub + 1, sub).alias("embedding")
+        )
+        centers, _ = kmeans_fit_centers(
+            sliced, k=k, iterations=iters,
+            id_col="vec_id", vec_col="embedding", dist_round=dr,
+        )
+        seq.append(centers)
+    joint = S.pq_fit(df, dim=dim, n_sub=n_sub, codebook_k=k, iterations=iters)
+    assert joint == seq
