@@ -186,11 +186,13 @@ def kmeans_fit_centers(
     # and the assignment/argmin is per-row. No-op on a many-split scan.
     data = _prepared
     if data is None:
+        # lazy pin: the seed collect right below is the first action
+        # and materializes the checkpoint — one job instead of two
         data = (
             df.where(F.col(vec_col).isNotNull())
             .select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
             .transform(spread_small)
-            .transform(pin_eager)
+            .transform(pin_lazy)
         )
     centers = _seed_centroids(data, "id", "v", k)
     counts: list[int] = [0] * k

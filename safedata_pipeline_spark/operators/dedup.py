@@ -109,8 +109,13 @@ def ngram_jaccard_pairs(
     # the exploded shingle table feeds the size agg, the df-cap scan,
     # and BOTH sides of the self-join — materialize once instead of
     # re-running the explode per consumer (measured ~1.5x on the pair
-    # chain at sf0.1; narrow (id, shingle) rows)
-    sh = df.select(
+    # chain at sf0.1; narrow (id, shingle) rows). spread_small first:
+    # the shingle fold+explode is ~len-fold work per row and a
+    # few-split fixture scan would run it (and the pinned partitions
+    # every consumer reads) single-core — measured 2.5s -> 0.4s on the
+    # pin at sf0.1; exact-integer counts, so the spread cannot move
+    # any output bit. No-op on a many-split corpus scan.
+    sh = spread_small(df).select(
         F.col(id_col).alias("id"), F.explode(_word_shingles(F.col(text_col), n)).alias("s")
     ).transform(pin_eager)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -193,7 +198,10 @@ def minhash_signatures(
     Pure array expressions per row (the shingle set never leaves the
     task). Output: (doc_id, mh_0..mh_{k-1})."""
     base = F.transform(_word_shingles(F.col(text_col), n), lambda s: _hash_slot(s, 0))
-    with_base = df.select(F.col(id_col), base.alias("__bh"))
+    # the shingle fold + per-shingle md5 is the heavy map work of every
+    # MinHash family member; spread it across cores when the scan is a
+    # handful of splits (no-op at scale, integer/hash outputs only)
+    with_base = spread_small(df).select(F.col(id_col), base.alias("__bh"))
 
     def slot_min(a: int, b: int):
         return F.array_min(
@@ -374,7 +382,9 @@ def simhash_signatures(
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    # the ±1-vote fold is O(tokens × bits) per row — spread a few-split
+    # fixture scan across cores (no-op at scale; bigint output only)
+    return spread_small(df).select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -509,13 +519,17 @@ def dedup_components_star(
     lists are ever collected, so giant stars don't OOM a task. Edge
     frames are localCheckpoint'ed per round (auto-released on GC).
     """
-    # undirected edge set, kept as (u, v); self-loops dropped
+    # undirected edge set, kept as (u, v); self-loops dropped. Lazy
+    # pin + count: the count materializes the checkpoint AND seeds the
+    # convergence bookkeeping (edge counts are tracked driver-side so
+    # no round ever re-counts an already-pinned frame)
     e = (
         pairs.select(F.col("id_a").cast("bigint").alias("u"), F.col("id_b").cast("bigint").alias("v"))
         .where(F.col("u") != F.col("v"))
         .dropDuplicates()
-        .transform(pin_eager)
+        .transform(pin_lazy)
     )
+    e_cnt = e.count()
     for _ in range(max_iter):
         # large-star: connect every neighbor v > u to m(u) = min(N(u) ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -540,13 +554,17 @@ def dedup_components_star(
             .union(sm.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .dropDuplicates()
-            .transform(pin_eager)
+            .transform(pin_lazy)
         )
-        # converged when the star rounds stop rewriting the edge set
-        if small.count() == e.count() and small.exceptAll(e).limit(1).count() == 0:
+        # converged when the star rounds stop rewriting the edge set.
+        # The count job doubles as the pin materialization; the prior
+        # round's count rides a driver variable, and the (expensive)
+        # exceptAll probe only runs when the counts already agree
+        small_cnt = small.count()
+        if small_cnt == e_cnt and small.exceptAll(e).limit(1).count() == 0:
             e = small
             break
-        e = small
+        e, e_cnt = small, small_cnt
     comp = e.groupBy("u").agg(F.min("v").alias("comp"))
     labels = (
         docs.select(F.col(id_col).cast("bigint").alias("id"))
@@ -622,6 +640,10 @@ def dedup_components(
             .groupBy(F.col("e.src").alias("id"))
             .agg(F.min("l.comp").alias("ncomp"))
         )
+        # lazy pin + count: the count action MATERIALIZES the
+        # checkpoint (a LogicalRDD computes whole partitions, so
+        # nothing is pruned) — one job per round where the eager
+        # pin + count pair cost two
         new_labels = (
             labels.join(neigh, "id")
             .select(
@@ -629,7 +651,7 @@ def dedup_components(
                 F.least(F.col("comp"), F.col("ncomp")).alias("comp"),
                 F.col("comp").alias("prev"),
             )
-            .transform(pin_eager)
+            .transform(pin_lazy)
         )
         changed = new_labels.where(F.col("comp") != F.col("prev")).count()
         labels = new_labels.drop("prev")
@@ -680,7 +702,10 @@ def paragraph_dedup(
         ),
         lambda u: u != "",
     )
-    exploded = df.select(
+    # unit explode is ~len-fold map work: spread a few-split fixture
+    # scan (no-op at scale; the first-occurrence window and integer
+    # counts are partition-order independent)
+    exploded = spread_small(df).select(
         F.col(id_col).alias("id"), F.posexplode(units).alias("pos", "unit")
     )
     from pyspark.sql import Window
@@ -1799,7 +1824,9 @@ def winnowing_fingerprints(
 
     from safedata_pipeline_spark.operators.text import _ws_tokens
 
-    tk = df.select(
+    # k-gram md5 explode is ~len-fold map work: spread a few-split
+    # fixture scan (no-op at scale; md5/integer outputs only)
+    tk = spread_small(df).select(
         F.col(id_col), _ws_tokens(F.lower(F.col(text_col))).alias("__tk")
     ).select(
         F.col(id_col),

@@ -1955,6 +1955,8 @@ def pq_fit(
     sub = dim // n_sub
     data = _prepared
     if data is None:
+        # lazy pin: the seed collect below is the first action and
+        # materializes the checkpoint — one job instead of two
         data = (
             df.where(F.col(vec_col).isNotNull())
             .select(
@@ -1962,7 +1964,7 @@ def pq_fit(
                 F.col(vec_col).cast("array<double>").alias("v"),
             )
             .transform(spread_small)
-            .transform(pin_eager)
+            .transform(pin_lazy)
         )
     seed_rows = (
         data.select(
@@ -2247,7 +2249,8 @@ def ann_topk_ivf_pq(
     from safedata_pipeline_spark.partitioning import spread_small
 
     # ONE pinned (id, v) frame feeds BOTH fits (coarse quantizer + PQ
-    # codebooks) — was two pins + two seed scans over the same vectors
+    # codebooks) — was two pins + two seed scans over the same vectors.
+    # Lazy: the coarse fit's seed collect materializes it.
     prepared = (
         corpus.where(F.col(vec_col).isNotNull())
         .select(
@@ -2255,7 +2258,7 @@ def ann_topk_ivf_pq(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
         .transform(spread_small)
-        .transform(pin_eager)
+        .transform(pin_lazy)
     )
     centers, _ = kmeans_fit_centers(
         corpus, k=num_cells, iterations=coarse_iterations,
