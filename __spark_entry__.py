@@ -3274,7 +3274,13 @@ def _langid_fixture(spark, sf):
     # marker words of the doc's labeled language; md5 train coin.
     # Both choices are md5-replayable, so the whole fit->score
     # composition stays oracle-checkable.
-    docs = load_table(spark, sf, "documents")
+    # spread BEFORE the md5 marker chain: every langid query pins this
+    # frame, and a single-split scan would materialize the whole
+    # CASE-chain fixture on one core (md5 outputs are per-row
+    # deterministic — spread cannot move a bit; no-op at scale)
+    from safedata_pipeline_spark.partitioning import spread_small
+
+    docs = spread_small(load_table(spark, sf, "documents"))
 
     def mdint(tag):
         return F.conv(
@@ -3285,15 +3291,19 @@ def _langid_fixture(spark, sf):
             10,
         ).cast("bigint")
 
+    # marker selection off a 2-D array LITERAL (one py4j lit instead of
+    # a 5-branch CASE over 8-lit arrays per marker slot): same word for
+    # every (lang, pos) — row = markers[lang], word = row[pos-1]; an
+    # unknown/NULL lang yields NULL exactly like the old un-defaulted
+    # CASE chain. Cuts the fixture's plan-build time (~1s warm, more
+    # cold) for every langid query that pins this frame.
+    langs = sorted(_LANGID_MARKERS)
+    M = F.lit([_LANGID_MARKERS[lang] for lang in langs])
+    lrow = F.get(M, (F.array_position(F.lit(langs), F.col("lang")) - 1).cast("int"))
     marker_cols = []
     for j in range(_LANGID_K):
         pos = (mdint(f"lid{j}") % 8).cast("int") + 1
-        chain = None
-        for lang, words in _LANGID_MARKERS.items():
-            pick = F.element_at(F.array(*[F.lit(w) for w in words]), pos)
-            cond = F.col("lang") == lang
-            chain = F.when(cond, pick) if chain is None else chain.when(cond, pick)
-        marker_cols.append(chain)
+        marker_cols.append(F.get(lrow, pos - 1))
     return docs.select(
         "doc_id",
         "lang",
@@ -3362,8 +3372,12 @@ def _langid_segments_fixture(spark, sf):
     # ("\n\n"-joined), paragraph j written in an md5-chosen language
     # (so consecutive same-language runs arise naturally) as _SEG_K
     # md5-selected marker words of that language — every choice
-    # md5-replayable, the _langid_fixture discipline
-    docs = load_table(spark, sf, "documents")
+    # md5-replayable, the _langid_fixture discipline.
+    # spread first: the per-paragraph md5 selection chain is the
+    # fixture's heavy map work (same rationale as _langid_fixture)
+    from safedata_pipeline_spark.partitioning import spread_small
+
+    docs = spread_small(load_table(spark, sf, "documents"))
 
     def mdint(tag):
         return F.conv(
@@ -3374,21 +3388,18 @@ def _langid_segments_fixture(spark, sf):
             10,
         ).cast("bigint")
 
+    # same 2-D marker literal trick as _langid_fixture: word =
+    # markers[lidx][pos-1] — identical selection, ~40x fewer literal
+    # nodes in the fixture plan
+    M = F.lit([_LANGID_MARKERS[lang] for lang in _SEG_LANGS])
     paras = []
     for j in range(_SEG_MAXP):
         lidx = (mdint(f"segl{j}") % len(_SEG_LANGS)).cast("int")
+        lrow = F.get(M, lidx)
         words = []
         for k in range(_SEG_K):
             pos = (mdint(f"segw{j}_{k}") % 8).cast("int") + 1
-            picks = F.array(
-                *[
-                    F.element_at(
-                        F.array(*[F.lit(w) for w in _LANGID_MARKERS[lang]]), pos
-                    )
-                    for lang in _SEG_LANGS
-                ]
-            )
-            words.append(F.element_at(picks, lidx + 1))
+            words.append(F.get(lrow, pos - 1))
         paras.append(F.concat_ws(" ", *words))
     n_paras = (F.lit(2) + F.col("doc_id") % 3).cast("int")
     text = F.array_join(F.slice(F.array(*paras), 1, n_paras), "\n\n")
@@ -3406,7 +3417,12 @@ def _q_langid_segments(spark, sf):
 
     fixed = _langid_fixture(spark, sf).transform(pin_lazy)
     model = LI.langid_fit(fixed.where("is_train")).transform(pin_lazy)
-    return LI.langid_segments(_langid_segments_fixture(spark, sf), model)
+    # pin the segments fixture (fixture-scale, the lang_id_trained
+    # discipline): _scored_grid reads its input twice (gram explode +
+    # per-unit gram totals), and each re-scan would recompute the
+    # per-paragraph md5 selection chain
+    seg_fx = _langid_segments_fixture(spark, sf).transform(pin_lazy)
+    return LI.langid_segments(seg_fx, model)
 
 
 # -- X198/X199: compressibility quality signals -------------------------------
