@@ -2950,13 +2950,15 @@ def _q_langid_confusion(spark, sf):
 
     fixed = _langid_fixture(spark, sf).transform(pin_lazy)
     model = LI.langid_fit(fixed.where("is_train")).transform(pin_lazy)
-    scored = (
-        LI.langid_score(fixed, model)
-        .join(
-            fixed.select("doc_id", F.col("lang").alias("lang_true"), "is_train"),
-            "doc_id",
-        )
-        .where(~F.col("is_train"))
+    # score ONLY the held-out half: scoring is per-doc, so filtering
+    # before the gram explode instead of after the truth join keeps
+    # the confusion rows identical while the score grid (explode +
+    # model join + per-doc sums) processes half the corpus (guide
+    # §2.3 — filter before the exchange)
+    test = fixed.where(~F.col("is_train"))
+    scored = LI.langid_score(test, model).join(
+        test.select("doc_id", F.col("lang").alias("lang_true")),
+        "doc_id",
     )
     return MU.confusion_matrix(scored, truth_col="lang_true", pred_col="lang_pred")
 

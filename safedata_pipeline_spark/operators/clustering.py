@@ -41,6 +41,27 @@ ITER_ROUND = 9  # per-iteration centroid rounding: kills float drift
 _DEC = "decimal(38,9)"
 
 
+def _dlit(nested):
+    """Nested ``double`` array literal built JVM-side via ONE
+    ``F.expr`` parse. ``F.lit`` on a nested Python list recurses into
+    per-element py4j calls — ~0.15 s for an 8×64 centroid table —
+    and the centroid kernels rebuild their literals EVERY Lloyd round
+    of every fit (measured ~0.18 s per kernel build, ×27 builds in
+    ann_topk_ivf_pq's fit chain alone: guide §7.3 "very large plans /
+    generating gigantic expression trees in loops"). ``repr`` emits
+    the shortest round-trip decimal, which the SQL parser reads back
+    to the SAME IEEE double, so the folded literal is bit-identical
+    to the ``F.lit`` form."""
+    from pyspark.sql import functions as F
+
+    def fmt(x):
+        if isinstance(x, (list, tuple)):
+            return "array(" + ",".join(fmt(e) for e in x) + ")"
+        return repr(float(x)) + "D"
+
+    return F.expr(fmt(nested))
+
+
 def _nearest_centroid(centers):
     """Pandas UDF: vector → id of the closest centroid (squared L2,
     stable argmin → lowest id wins ties). One GEMM per Arrow batch."""
@@ -77,17 +98,20 @@ def _nearest_centroid_expr(centers: list[list[float]], dist_round: int):
     the expression tree (and the py4j round-trips building it) shrinks
     ~k-fold, which dominated plan-build time for every caller that
     re-derives the expression per Lloyd round (measured 1.13s → 0.17s
-    per build at k=8·8 subspaces; assignments bit-identical)."""
+    per build at k=8·8 subspaces; assignments bit-identical). The
+    literals themselves ride ``_dlit`` (one JVM-side expr parse, not
+    one py4j call per element) — the residual ~0.17 s/build was
+    almost entirely ``F.lit`` recursing into the nested list."""
     from safedata_pipeline_spark.functions.vector import dot as _dot
 
-    C = F.lit([[float(x) for x in c] for c in centers])
+    C = _dlit([[float(x) for x in c] for c in centers])
     c2s = []
     for c in centers:
         c2 = 0.0
         for x in c:
             c2 += float(x) * float(x)
         c2s.append(c2)
-    C2 = F.lit(c2s)
+    C2 = _dlit(c2s)
 
     def assign(v):
         cands = F.transform(
@@ -115,17 +139,17 @@ def probe_cells_expr(centers: list[list[float]], n_probe: int, dist_round: int):
     distance. No Python rows, no Arrow — whole-stage codegen. Same
     literal-array ``transform`` construction as
     ``_nearest_centroid_expr`` (k-fold smaller tree, bit-identical
-    distances)."""
+    distances; ``_dlit`` literals — one JVM expr parse each)."""
     from safedata_pipeline_spark.functions.vector import dot as _dot
 
-    C = F.lit([[float(x) for x in c] for c in centers])
+    C = _dlit([[float(x) for x in c] for c in centers])
     c2s = []
     for c in centers:
         c2 = 0.0
         for x in c:
             c2 += float(x) * float(x)
         c2s.append(c2)
-    C2 = F.lit(c2s)
+    C2 = _dlit(c2s)
 
     def probes(v):
         cands = F.transform(

@@ -86,21 +86,47 @@ def compression_entropy(
     both engines, floor-snapped to 6dp — hash-stable. Empty documents
     keep their row with 0 bytes / 0.0 entropy."""
     zero6 = F.lit(0).cast("decimal(38,6)")
-    ex = spread_small(df).select(
-        F.col(id_col), F.explode(_hex_bytes(F.col(text_col))).alias("b")
+    # The byte histogram is PER-DOCUMENT state — the former
+    # explode → (doc, byte) → (doc) hash-aggregate chain shuffled a
+    # row per byte purely to group within the doc, then joined the
+    # corpus back to resurrect empty docs. In-row form: distinct byte
+    # values (≤ 256) + one count fold per distinct value, one map-only
+    # projection chain — zero exchanges, zero joins (guide §2.4), and
+    # empty docs keep their row for free. The byte array and its
+    # distinct set are materialized as projection COLUMNS so the
+    # per-element count folds reference attributes instead of
+    # re-evaluating the hex split (CollapseProject never inlines a
+    # non-cheap expression referenced more than once).
+    m = spread_small(df).select(
+        F.col(id_col), _hex_bytes(F.col(text_col)).alias("__b")
+    ).select(
+        id_col, "__b", F.array_distinct("__b").alias("__db")
     )
-    counts = ex.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
     # count × 6dp-ln as a DECIMAL(12,0) × DECIMAL(20,6) multiply: the
     # product (≤32 digits) stays inside decimal-38 on BOTH engines, so
     # the term is EXACT — a double multiply here could drift the sum by
-    # an ulp and flip the 6dp snap at a boundary
-    term = F.col("c").cast("decimal(12,0)") * F.round(F.log("c"), 6).cast(
-        "decimal(20,6)"
+    # an ulp and flip the 6dp snap at a boundary. The per-run sum is
+    # the same exact DECIMAL(38,6) addition as the former F.sum —
+    # order-independent, so grouping in-row cannot move a bit.
+    def _term(c):
+        return (
+            c.cast("decimal(12,0)")
+            * F.round(F.log(c.cast("double")), 6).cast("decimal(20,6)")
+        ).cast("decimal(38,6)")
+
+    s = F.aggregate(
+        F.transform(
+            F.col("__db"),
+            lambda x: _term(F.size(F.filter(F.col("__b"), lambda y: y == x))),
+        ),
+        zero6,
+        lambda a, t: (a + t).cast("decimal(38,6)"),
     )
-    per_doc = counts.groupBy(id_col).agg(
-        F.sum("c").cast("bigint").alias("n_bytes"),
-        F.count(F.lit(1)).cast("bigint").alias("n_distinct_bytes"),
-        F.sum(term.cast("decimal(38,6)")).alias("s"),
+    per_doc = m.select(
+        id_col,
+        F.size("__b").cast("bigint").alias("n_bytes"),
+        F.size("__db").cast("bigint").alias("n_distinct_bytes"),
+        s.alias("s"),
     )
     n = F.col("n_bytes")
     # n·ln(n) under the same exact-multiply discipline
@@ -109,20 +135,14 @@ def compression_entropy(
         * F.round(F.log(n.cast("double")), 6).cast("decimal(20,6)")
     ).cast("decimal(38,6)")
     h_raw = (total_bits - F.coalesce("s", zero6)).cast("double") / n / F.lit(LN2)
-    h = F.floor(h_raw * 1e6 + F.lit(0.5)) / 1e6
-    out = per_doc.select(
+    h = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.floor(h_raw * 1e6 + F.lit(0.5)) / 1e6
+    )
+    base = per_doc.select(
         id_col,
         "n_bytes",
         "n_distinct_bytes",
         h.alias("entropy_bits_per_byte"),
-    )
-    # empty docs produce no char rows — resurrect them with zeros so
-    # the signal joins total onto the corpus
-    base = df.select(F.col(id_col)).join(out, id_col, "left").select(
-        id_col,
-        F.coalesce("n_bytes", F.lit(0)).cast("bigint").alias("n_bytes"),
-        F.coalesce("n_distinct_bytes", F.lit(0)).cast("bigint").alias("n_distinct_bytes"),
-        F.coalesce("entropy_bits_per_byte", F.lit(0.0)).alias("entropy_bits_per_byte"),
     )
     ratio = F.floor(F.col("entropy_bits_per_byte") / 8 * 1e6 + F.lit(0.5)) / 1e6
     return base.select("*", ratio.alias("ideal_ratio"))

@@ -121,24 +121,18 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     joinable = sh
     if max_df is not None:
-        # localCheckpoint (not persist): materializes the tiny heavy-
-        # hitter set once, truncates its lineage, and its blocks are
-        # auto-released when the DataFrame is GC'd — no CacheManager
-        # entry leaking in a long-lived session.
+        # the hot set stays LAZY: the broadcast exchange of the
+        # anti-join computes it once from the pinned shingle table —
+        # the former pin_eager + count() paid two driver jobs at plan
+        # BUILD time per consumer query (guide §5; 8 registry queries
+        # build this generator) purely to log a count that is zero
+        # below web scale
         hot = (
             sh.groupBy("s")
             .agg(F.count(F.lit(1)).alias("__df"))
             .where(F.col("__df") > max_df)
             .select("s")
-            .transform(pin_eager)
         )
-        n_hot = hot.count()
-        if n_hot:
-            _LOG.info(
-                "ngram_jaccard_pairs: dropping %d shingles with df > %d from the inverted index",
-                n_hot,
-                max_df,
-            )
         joinable = sh.join(F.broadcast(hot), on="s", how="left_anti")
     a = joinable.alias("a")
     b = joinable.alias("b")

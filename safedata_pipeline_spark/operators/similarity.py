@@ -1816,7 +1816,7 @@ def prototype_prune(
     # assigned centroid off the 2-D array literal (F.get) — same
     # sequential-fold dots as the former broadcast (cell, c) join,
     # one map stage instead of a join
-    c = F.get(F.lit([[float(x) for x in cc] for cc in centers]), F.col("cell"))
+    c = _pq_centroid(centers, F.col("cell"))
     # ((|v|² − 2·v·c) + |c|²): parenthesization mirrors the SQL twin
     dist2 = F.round(
         _dot(F.col("v"), F.col("v"))
@@ -2039,6 +2039,162 @@ def pq_fit(
     return books
 
 
+def _pq_code_cols(codebooks: list[list[list[float]]], v, dim: int, dist_round: int):
+    """THE PQ encode kernel, shared by every encoder/ADC/error path
+    (pq_codes, pq_reconstruction_error, ann_topk_pq_adc,
+    ann_topk_ivf_pq): per subspace, the ``dist_round``-rounded
+    nearest-centroid argmin (``_nearest_centroid_expr``, ties to
+    lowest code) over ``F.slice`` of the vector column ``v``. Returns
+    the list of unaliased code columns, one per subspace — one place,
+    so encoder and error/ANN paths can never desynchronize (ADVICE
+    r14)."""
+    from safedata_pipeline_spark.operators.clustering import _nearest_centroid_expr
+
+    sub = dim // len(codebooks)
+    return [
+        _nearest_centroid_expr(cb, dist_round)(F.slice(v, s * sub + 1, sub))
+        for s, cb in enumerate(codebooks)
+    ]
+
+
+def _pq_centroid(codebook: list[list[float]], code):
+    """Assigned-centroid lookup for one subspace: the codebook rides
+    the plan as a 2-D array LITERAL read by code (``F.get`` —
+    O(codebook_k·dim) constants, no joins; ``_dlit``, one JVM expr
+    parse). Shared by the reconstruction-error and ADC paths."""
+    from safedata_pipeline_spark.operators.clustering import _dlit
+
+    return F.get(_dlit([[float(x) for x in cc] for cc in codebook]), code)
+
+
+def _joint_coarse_pq_fit(
+    data: DataFrame,
+    num_cells: int,
+    coarse_iterations: int,
+    dim: int,
+    n_sub: int,
+    codebook_k: int,
+    pq_iterations: int,
+    dist_round: int,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Fit the IVF coarse quantizer AND the PQ codebooks JOINTLY over
+    one pinned ``(id, v)`` frame. The coarse Lloyd recurrence
+    (``kmeans_fit_centers``) and the n_sub subspace recurrences
+    (``pq_fit``) are INDEPENDENT — none reads another's centroids — so
+    each Lloyd round aggregates every active space's
+    (space, cluster, dim) DECIMAL(38,9) sums in ONE job, and both
+    seeds come from ONE collect of the same md5-ordered rows (each fit
+    takes its own k-prefix / subspace slices of those rows, exactly
+    the rows its sequential seed collect returns).
+
+    Bit-identical to running the two fits sequentially: same seed
+    rule, same per-space rounded-argmin assignment kernel, same exact
+    DECIMAL sums (order-independent), same round(sum/n, ITER_ROUND)
+    mean snap, same empty-cluster keep rule; a space past its
+    iteration budget simply stops contributing rows. Pinned by
+    tests/test_similarity.py::test_joint_coarse_pq_fit_matches_sequential.
+
+    Driver round-trips: 1 seed collect + max(T_coarse, T_pq) update
+    collects — the sequential chain paid 2 seeds + T_coarse + T_pq
+    jobs over the same pinned rows (guide §5: the driver does almost
+    no work, so the round-trips WERE the cost at fit scale)."""
+    from safedata_pipeline_spark.operators.clustering import (
+        _DEC,
+        ITER_ROUND,
+        _nearest_centroid_expr,
+    )
+
+    if dim % n_sub != 0:
+        raise ValueError("dim must be divisible by n_sub")
+    if min(num_cells, codebook_k) < 1 or min(coarse_iterations, pq_iterations) < 1:
+        raise ValueError("need k >= 1 and iterations >= 1")
+    sub = dim // n_sub
+    k_seed = max(num_cells, codebook_k)
+    seed_rows = (
+        data.select(
+            F.md5(F.col("id").cast("string").cast("binary")).alias("h"), F.col("v")
+        )
+        .orderBy("h")
+        .limit(k_seed)
+        .collect()
+    )
+    if len(seed_rows) < k_seed:
+        raise ValueError(f"need at least k={k_seed} rows, got {len(seed_rows)}")
+    centers = [[float(x) for x in r[1]] for r in seed_rows[:num_cells]]
+    books = [
+        [
+            [float(x) for x in r[1][s * sub : (s + 1) * sub]]
+            for r in seed_rows[:codebook_k]
+        ]
+        for s in range(n_sub)
+    ]
+    for it in range(max(coarse_iterations, pq_iterations)):
+        sel = []
+        spaces = []
+        if it < pq_iterations:
+            for s in range(n_sub):
+                vs = F.slice(F.col("v"), s * sub + 1, sub)
+                sel.append(vs.alias(f"vs{s}"))
+                sel.append(
+                    _nearest_centroid_expr(books[s], dist_round)(vs).alias(f"cell{s}")
+                )
+                spaces.append(s)
+        if it < coarse_iterations:
+            # the coarse space rides the SAME joint aggregate under
+            # tag s = n_sub, over the full vector
+            sel.append(F.col("v").alias(f"vs{n_sub}"))
+            sel.append(
+                _nearest_centroid_expr(centers, dist_round)(F.col("v")).alias(
+                    f"cell{n_sub}"
+                )
+            )
+            spaces.append(n_sub)
+        assigned = data.select(*sel)
+
+        def _tag(s: int):
+            # capture s by value; transform's lambda must stay 2-arg
+            return lambda x, i: F.struct(
+                F.lit(s).cast("int").alias("s"),
+                F.col(f"cell{s}").alias("cluster_id"),
+                i.alias("dim"),
+                x.alias("x"),
+            )
+
+        long = assigned.select(
+            F.explode(
+                F.flatten(
+                    F.array(*[F.transform(F.col(f"vs{s}"), _tag(s)) for s in spaces])
+                )
+            ).alias("e")
+        )
+        upd = (
+            long.groupBy("e.s", "e.cluster_id", "e.dim")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("e.x"), ITER_ROUND).cast(_DEC)).alias("sm"),
+            )
+            .select(
+                "s",
+                "cluster_id",
+                "dim",
+                F.round(F.col("sm").cast("double") / F.col("n"), ITER_ROUND).alias(
+                    "m"
+                ),
+            )
+            .collect()
+        )
+        new_books = [[list(c) for c in b] for b in books]
+        new_centers = [list(c) for c in centers]
+        for r in upd:
+            if r.s == n_sub:
+                new_centers[r.cluster_id][r.dim] = float(r.m)
+            else:
+                new_books[r.s][r.cluster_id][r.dim] = float(r.m)
+        books = new_books
+        centers = new_centers
+    return centers, books
+
+
 def pq_codes(
     df: DataFrame,
     codebooks: list[list[list[float]]] | None = None,
@@ -2052,24 +2208,43 @@ def pq_codes(
 ) -> DataFrame:
     """PQ encoding: one map-only corpus pass assigning every vector
     its per-subspace nearest-centroid code (the ``dist_round``-rounded
-    argmin kernel, ties to lowest code — ``_nearest_centroid_expr``).
-    n_sub argmin folds per row, whole-stage codegen, zero shuffles —
-    encoding 100 TB is scan-bound. Output: (id, code_0..code_{n-1}).
-    """
-    from safedata_pipeline_spark.operators.clustering import _nearest_centroid_expr
+    argmin kernel, ties to lowest code — the shared ``_pq_code_cols``
+    kernel). n_sub argmin folds per row, whole-stage codegen, zero
+    shuffles — encoding 100 TB is scan-bound.
+    Output: (id, code_0..code_{n-1}).
+
+    When this function also runs the fit (``codebooks is None``), the
+    encode pass reads the SAME pinned (id, v) frame the fit pinned
+    instead of re-scanning the source — one scan + one pin serve fit
+    and encode (identical rows: the pin is exactly the
+    notNull-filtered, cast projection the encode pass would make)."""
+    from safedata_pipeline_spark.partitioning import spread_small
 
     if codebooks is None:
-        codebooks = pq_fit(
-            df, dim, n_sub, codebook_k, iterations, dist_round, id_col, vec_col
+        prepared = (
+            df.where(F.col(vec_col).isNotNull())
+            .select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            .transform(spread_small)
+            .transform(pin_lazy)
         )
-    sub = dim // len(codebooks)
+        codebooks = pq_fit(
+            df, dim, n_sub, codebook_k, iterations, dist_round, id_col, vec_col,
+            _prepared=prepared,
+        )
+        v = F.col("v")
+        cols = _pq_code_cols(codebooks, v, dim, dist_round)
+        return prepared.select(
+            F.col("id").alias(id_col),
+            *[c.alias(f"code_{s}") for s, c in enumerate(cols)],
+        )
     v = F.col(vec_col).cast("array<double>")
-    cols = [
-        _nearest_centroid_expr(cb, dist_round)(F.slice(v, s * sub + 1, sub))
-        .alias(f"code_{s}")
-        for s, cb in enumerate(codebooks)
-    ]
-    return df.where(F.col(vec_col).isNotNull()).select(F.col(id_col), *cols)
+    cols = _pq_code_cols(codebooks, v, dim, dist_round)
+    return df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), *[c.alias(f"code_{s}") for s, c in enumerate(cols)]
+    )
 
 
 def pq_reconstruction_error(
@@ -2093,24 +2268,36 @@ def pq_reconstruction_error(
     Output: one row (n_vecs, mean_sq_err).
 
     Encode + measure fuse into ONE map-only scan: the per-subspace
-    code is the same argmin kernel ``pq_codes`` applies, and the
+    code is the shared ``_pq_code_cols`` argmin kernel, and the
     assigned centroid comes straight off the codebook as a 2-D array
-    literal (``F.get``) instead of the former id-join + n_sub
+    literal (``_pq_centroid``) instead of the former id-join + n_sub
     broadcast centroid joins — residuals bit-identical, 9 joins fewer.
+    The measure pass reads the SAME pinned (id, v) frame the fit
+    pinned (identical rows: the pin is exactly the notNull-filtered,
+    cast projection) — one scan + one pin serve fit and measure.
     """
-    codebooks = pq_fit(
-        df, dim, n_sub, codebook_k, iterations, dist_round, id_col, vec_col
-    )
-    from safedata_pipeline_spark.operators.clustering import _nearest_centroid_expr
+    from safedata_pipeline_spark.partitioning import spread_small
 
-    v = F.col(vec_col).cast("array<double>")
-    base = df.where(F.col(vec_col).isNotNull()).select(F.col(id_col), v.alias("v"))
+    prepared = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .transform(spread_small)
+        .transform(pin_lazy)
+    )
+    codebooks = pq_fit(
+        df, dim, n_sub, codebook_k, iterations, dist_round, id_col, vec_col,
+        _prepared=prepared,
+    )
+    base = prepared.select(F.col("id").alias(id_col), F.col("v"))
     sub = dim // n_sub
+    codes = _pq_code_cols(codebooks, F.col("v"), dim, dist_round)
     err = None
     for s in range(n_sub):
         vs = F.slice(F.col("v"), s * sub + 1, sub)
-        code = _nearest_centroid_expr(codebooks[s], dist_round)(vs)
-        c = F.get(F.lit([[float(x) for x in cc] for cc in codebooks[s]]), code)
+        c = _pq_centroid(codebooks[s], codes[s])
         t = F.round(
             _dot(vs, vs) - F.lit(2.0) * _dot(vs, c) + _dot(c, c), dist_round
         )
@@ -2161,12 +2348,28 @@ def ann_topk_pq_adc(
     """
     from pyspark.sql import Window
 
-    codebooks = pq_fit(
-        corpus, dim, n_sub, codebook_k, iterations, dist_round, id_col, vec_col
+    from safedata_pipeline_spark.partitioning import spread_small
+
+    # one pinned (id, v) frame serves the fit AND the encode pass
+    # (identical rows: the pin is exactly the notNull-filtered, cast
+    # projection the encode pass would make) — one scan + one pin
+    prepared = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .transform(spread_small)
+        .transform(pin_lazy)
     )
-    coded = pq_codes(
-        corpus, codebooks, dim, n_sub, codebook_k, iterations, dist_round,
-        id_col, vec_col,
+    codebooks = pq_fit(
+        corpus, dim, n_sub, codebook_k, iterations, dist_round, id_col, vec_col,
+        _prepared=prepared,
+    )
+    code_cols = _pq_code_cols(codebooks, F.col("v"), dim, dist_round)
+    coded = prepared.select(
+        F.col("id").alias(id_col),
+        *[c.alias(f"code_{s}") for s, c in enumerate(code_cols)],
     )
     qv = F.col(vec_col).cast("array<double>")
     q = queries.where(F.col(vec_col).isNotNull()).select(
@@ -2179,10 +2382,7 @@ def ann_topk_pq_adc(
     adc = None
     for s in range(n_sub):
         qs = F.slice(F.col("qv"), s * sub + 1, sub)
-        c = F.get(
-            F.lit([[float(x) for x in cc] for cc in codebooks[s]]),
-            F.col(f"code_{s}"),
-        )
+        c = _pq_centroid(codebooks[s], F.col(f"code_{s}"))
         t = F.round(
             F.lit(-2.0) * _dot(qs, c) + _dot(c, c), dist_round
         )
@@ -2242,15 +2442,14 @@ def ann_topk_ivf_pq(
 
     from safedata_pipeline_spark.operators.clustering import (
         _nearest_centroid_expr,
-        kmeans_fit_centers,
         probe_cells_expr,
     )
 
     from safedata_pipeline_spark.partitioning import spread_small
 
-    # ONE pinned (id, v) frame feeds BOTH fits (coarse quantizer + PQ
-    # codebooks) — was two pins + two seed scans over the same vectors.
-    # Lazy: the coarse fit's seed collect materializes it.
+    # ONE pinned (id, v) frame feeds BOTH fits AND the encode pass —
+    # was two pins + two seed scans + a third parquet scan over the
+    # same vectors. Lazy: the joint seed collect materializes it.
     prepared = (
         corpus.where(F.col(vec_col).isNotNull())
         .select(
@@ -2260,32 +2459,26 @@ def ann_topk_ivf_pq(
         .transform(spread_small)
         .transform(pin_lazy)
     )
-    centers, _ = kmeans_fit_centers(
-        corpus, k=num_cells, iterations=coarse_iterations,
-        id_col=id_col, vec_col=vec_col, dist_round=dist_round,
-        _prepared=prepared,
+    # the coarse Lloyd recurrence and the n_sub PQ subspace recurrences
+    # are independent, so they fit JOINTLY: ONE seed collect + ONE
+    # update job per Lloyd round for all 9 spaces (guide §5 — the fits
+    # were driver-round-trip-bound; bit-identical, test-pinned)
+    centers, codebooks = _joint_coarse_pq_fit(
+        prepared, num_cells, coarse_iterations, dim, n_sub, codebook_k,
+        pq_iterations, dist_round,
     )
-    codebooks = pq_fit(
-        corpus, dim, n_sub, codebook_k, pq_iterations, dist_round, id_col, vec_col,
-        _prepared=prepared,
-    )
-    # ONE map-only corpus pass emits cell + every subspace code (was:
-    # separate assign and encode passes joined on id, then n_sub
-    # broadcast centroid joins — the centroids now ride the plan as a
-    # 2-D array literal read by code)
-    cv = F.col(vec_col).cast("array<double>")
-    sub = dim // n_sub
-    coded = corpus.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col),
-        _nearest_centroid_expr(centers, dist_round)(cv).alias("cell"),
-        *[
-            _nearest_centroid_expr(codebooks[s], dist_round)(
-                F.slice(cv, s * sub + 1, sub)
-            ).alias(f"code_{s}")
-            for s in range(n_sub)
-        ],
+    # ONE map-only pass over the pinned frame emits cell + every
+    # subspace code (was: separate assign and encode passes joined on
+    # id, then n_sub broadcast centroid joins — the centroids now ride
+    # the plan as a 2-D array literal read by code)
+    code_cols = _pq_code_cols(codebooks, F.col("v"), dim, dist_round)
+    coded = prepared.select(
+        F.col("id").alias(id_col),
+        _nearest_centroid_expr(centers, dist_round)(F.col("v")).alias("cell"),
+        *[c.alias(f"code_{s}") for s, c in enumerate(code_cols)],
     )
     qv = F.col(vec_col).cast("array<double>")
+    sub = dim // n_sub
     probe = probe_cells_expr(centers, n_probe, dist_round)
     q = queries.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), qv.alias("qv")
@@ -2297,10 +2490,7 @@ def ann_topk_ivf_pq(
     adc = None
     for s in range(n_sub):
         qs = F.slice(F.col("qv"), s * sub + 1, sub)
-        c = F.get(
-            F.lit([[float(x) for x in cc] for cc in codebooks[s]]),
-            F.col(f"code_{s}"),
-        )
+        c = _pq_centroid(codebooks[s], F.col(f"code_{s}"))
         t = F.round(F.lit(-2.0) * _dot(qs, c) + _dot(c, c), dist_round)
         adc = t if adc is None else adc + t
     scored = pairs.select(

@@ -2568,116 +2568,128 @@ def gopher_ngram_repetition(
                 lambda a, b: F.xxhash64(a, b),
             ),
         ).otherwise(empty_l)
-    staged = stage.select(
-        id_col,
-        "__total",
-        "__w",
-        *[
-            cols[f"p{n}"].alias(f"p{n}")
-            for n in GOPHER_TOP_NS
-        ],
-        *[
-            cols[f"h{n}"].alias(f"h{n}")
-            for n in GOPHER_DUP_NS
-        ],
-    )
-
-    def _top_struct(n):
-        def f(sv):
-            return F.struct(F.lit(n).alias("n"), sv.alias("ng"))
-
-        return f
-
-    def _dup_struct(n):
-        def f(hv, i):
-            return F.struct(
-                F.lit(n).alias("n"),
-                (i + 1).cast("bigint").alias("pos"),
-                hv.alias("h"),
-            )
-
-        return f
-
-    top_grams = F.flatten(
-        F.array(*[F.transform(F.col(f"p{n}"), _top_struct(n)) for n in GOPHER_TOP_NS])
-    )
-    dup_grams = F.flatten(
-        F.array(*[F.transform(F.col(f"h{n}"), _dup_struct(n)) for n in GOPHER_DUP_NS])
-    )
-    # -- top family: count per (doc, n, ngram) -> struct-argmin (count
-    # DESC, ngram ASC) — hash aggs only, no sort window
-    top_ex = staged.select(id_col, "__total", F.explode(top_grams).alias("g")).select(
-        id_col, "__total", "g.n", "g.ng"
-    )
-    top = (
-        top_ex.groupBy(id_col, "__total", "n", "ng")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col, "__total", "n")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("c")).alias("negc"),
-                    F.col("ng").alias("ng"),
-                    F.col("c").alias("c"),
-                )
-            ).alias("t")
-        )
-        .select(
-            id_col,
-            F.col("n").cast("int").alias("n"),
-            F.lit("top").alias("kind"),
-            snap(
-                (F.col("t.c") * (F.length("t.ng") - F.col("n") + 1))
-                / F.col("__total")
-            ).alias("char_frac"),
-        )
-    )
-    # -- dup family: duplicate-gram start positions per (doc, n), then
-    # coverage expansion / dedup / char-sum IN-ROW against the token
-    # array (6-rows-per-doc join, no position shuffle)
-    dup_ex = staged.select(id_col, F.explode(dup_grams).alias("g")).select(
-        id_col, "g.n", "g.pos", "g.h"
-    )
-    dup_starts = (
-        dup_ex.groupBy(id_col, "n", "h")
-        .agg(F.count(F.lit(1)).alias("c"), F.collect_list("pos").alias("starts"))
-        .where(F.col("c") >= 2)
-        .groupBy(id_col, "n")
-        .agg(F.flatten(F.collect_list("starts")).alias("starts"))
-    )
-    grid = d.select(
-        F.col(id_col),
-        F.col("__total"),
-        F.col("__w"),
-        F.explode(
-            F.filter(
-                F.array(*[F.lit(n) for n in GOPHER_DUP_NS]),
-                lambda n: F.size(w) >= n,
-            )
-        ).alias("n"),
-    )
-    covered = F.array_distinct(
-        F.flatten(
+    # Both families are PER-DOCUMENT statistics — no cross-document
+    # key exists anywhere — so the former explode → (doc, n, key)
+    # hash-aggregate shape shuffled 9·len rows per doc purely to group
+    # within the doc. Grouping within a row is a sort + linear fold, so
+    # the whole operator is now ONE map-only projection chain: zero
+    # exchanges, zero joins (guide §2.4 "remove shuffles outright").
+    # Values are bit-identical: the top argmin (count DESC, gram ASC)
+    # becomes a strictly-greater fold over the lexicographically
+    # sorted gram array (first maximum reached = smallest gram — the
+    # same tiebreak); the dup duplicate-start set is "elements whose
+    # sorted (h, pos) neighbor shares h" (exactly the h-groups of
+    # size ≥ 2); coverage/char-sum folds are unchanged and
+    # order-independent (bigint sums over a distinct position set).
+    sorted_cols = [F.array_sort(cols[f"p{n}"]).alias(f"sp{n}") for n in GOPHER_TOP_NS]
+    sorted_cols += [
+        F.array_sort(
             F.transform(
-                F.col("starts"),
-                lambda p: F.sequence(p, p + F.col("n") - 1),
+                cols[f"h{n}"],
+                lambda x, i: F.struct(
+                    x.alias("h"), (i + 1).cast("bigint").alias("pos")
+                ),
+            )
+        ).alias(f"sh{n}")
+        for n in GOPHER_DUP_NS
+    ]
+    # the sorted arrays are materialized as projection COLUMNS first so
+    # the neighbor probes below reference an attribute instead of
+    # re-evaluating the sort per element (the _word_shingles lesson)
+    mat = stage.select(id_col, "__total", "__w", *sorted_cols)
+
+    def _top_row(n):
+        sp = F.col(f"sp{n}")
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("bc"),
+            F.lit(None).cast("string").alias("bg"),
+        )
+
+        def step(acc, x):
+            run = F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+                F.lit(1).cast("bigint")
+            )
+            better = run > acc.getField("bc")
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.when(better, run).otherwise(acc.getField("bc")).alias("bc"),
+                F.when(better, x).otherwise(acc.getField("bg")).alias("bg"),
+            )
+
+        # frac computed in the FINISH lambda: `acc` there is a bound
+        # variable, so referencing bc and bg does not duplicate the
+        # fold subtree the way two getFields on the aggregate would
+        frac = F.aggregate(
+            sp,
+            acc0,
+            step,
+            lambda acc: snap(
+                (
+                    acc.getField("bc")
+                    * (F.length(acc.getField("bg")) - F.lit(n) + 1)
+                )
+                / F.col("__total")
+            ),
+        )
+        return F.when(
+            F.size(sp) > 0,
+            F.struct(
+                F.lit(n).cast("int").alias("n"),
+                F.lit("top").alias("kind"),
+                frac.alias("char_frac"),
+            ),
+        )
+
+    def _dup_row(n):
+        sh = F.col(f"sh{n}")
+        dup_pos = F.filter(
+            sh,
+            lambda x, i: (F.get(sh, i - 1).getField("h") == x.getField("h"))
+            | (F.get(sh, i + 1).getField("h") == x.getField("h")),
+        )
+        covered = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    dup_pos,
+                    lambda s: F.sequence(
+                        s.getField("pos"), s.getField("pos") + F.lit(n) - 1
+                    ),
+                )
             )
         )
+        dchars = F.aggregate(
+            covered,
+            F.lit(0).cast("bigint"),
+            lambda s, wp: s + F.length(F.element_at(F.col("__w"), wp.cast("int"))),
+        )
+        frac = F.when(F.size(dup_pos) == 0, F.lit(0.0)).otherwise(
+            snap(dchars / F.col("__total"))
+        )
+        return F.when(
+            F.size(sh) > 0,
+            F.struct(
+                F.lit(n).cast("int").alias("n"),
+                F.lit("dup").alias("kind"),
+                frac.alias("char_frac"),
+            ),
+        )
+
+    rows = F.filter(
+        F.array(
+            *[_top_row(n) for n in GOPHER_TOP_NS],
+            *[_dup_row(n) for n in GOPHER_DUP_NS],
+        ),
+        lambda r: r.isNotNull(),
     )
-    dchars = F.aggregate(
-        covered,
-        F.lit(0).cast("bigint"),
-        lambda s, wp: s + F.length(F.element_at(F.col("__w"), wp.cast("int"))),
-    )
-    dup = grid.join(dup_starts, on=[id_col, "n"], how="left").select(
+    return mat.select(F.col(id_col), F.explode(rows).alias("r")).select(
         id_col,
-        F.col("n").cast("int").alias("n"),
-        F.lit("dup").alias("kind"),
-        F.when(F.col("starts").isNull(), F.lit(0.0))
-        .otherwise(snap(dchars / F.col("__total")))
-        .alias("char_frac"),
+        F.col("r.n").alias("n"),
+        F.col("r.kind").alias("kind"),
+        F.col("r.char_frac").alias("char_frac"),
     )
-    return top.unionByName(dup)
 
 
 def ccnet_perplexity_buckets(

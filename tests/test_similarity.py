@@ -1056,3 +1056,42 @@ def test_pq_fit_joint_matches_sequential_per_subspace(spark):
         seq.append(centers)
     joint = S.pq_fit(df, dim=dim, n_sub=n_sub, codebook_k=k, iterations=iters)
     assert joint == seq
+
+
+def test_joint_coarse_pq_fit_matches_sequential(spark):
+    # the ivf_pq joint fit (one seed collect + one update job per
+    # Lloyd round for the coarse space AND every PQ subspace) must be
+    # bit-identical to the sequential kmeans_fit_centers + pq_fit
+    # chain it replaced — including ASYMMETRIC iteration budgets
+    # (coarse 3, pq 2: the coarse space keeps iterating alone)
+    from pyspark.sql import functions as F
+
+    from safedata_pipeline_spark.checkpoint import pin_lazy
+    from safedata_pipeline_spark.operators.clustering import kmeans_fit_centers
+    from safedata_pipeline_spark.operators.similarity import _joint_coarse_pq_fit
+    from safedata_pipeline_spark.partitioning import spread_small
+
+    df, _ = _emb(spark)
+    dim, n_sub, num_cells, codebook_k, dr = 16, 4, 5, 4, 6
+    coarse_iters, pq_iters = 3, 2
+    prepared = (
+        df.where(F.col("embedding").isNotNull())
+        .select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .transform(spread_small)
+        .transform(pin_lazy)
+    )
+    seq_centers, _ = kmeans_fit_centers(
+        df, k=num_cells, iterations=coarse_iters,
+        id_col="vec_id", vec_col="embedding", dist_round=dr,
+    )
+    seq_books = S.pq_fit(
+        df, dim=dim, n_sub=n_sub, codebook_k=codebook_k, iterations=pq_iters,
+    )
+    centers, books = _joint_coarse_pq_fit(
+        prepared, num_cells, coarse_iters, dim, n_sub, codebook_k, pq_iters, dr
+    )
+    assert centers == seq_centers
+    assert books == seq_books
