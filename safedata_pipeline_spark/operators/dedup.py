@@ -1135,31 +1135,43 @@ def substring_dedup_chars(
         .select(F.col(id_col).alias("id"), norm.alias("__t"))
     )
     n = F.length("__t")
+    # window identity = TWO independent xxhash64 values (128 bits
+    # total: h2 seeds the word stream with a literal) instead of the
+    # former md5 hex string. The key shrinks from a 32-char string
+    # (~48 shuffle bytes + string hashing/GC in the group-by) to two
+    # longs (16 bytes), and the per-window digest is cheaper. The
+    # 2⁻¹²⁸ cross-corpus collision latitude is the md5 one — the same
+    # measure-zero class every hashed kernel here accepts; the output
+    # carries no hash (clean_text/counts only), and the sequential
+    # twin test groups by the actual substring.
     grams = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
             lambda i: F.struct(
                 i.cast("int").alias("pos"),
-                F.md5(F.substr(F.col("__t"), i, F.lit(k)).cast("binary")).alias("h"),
+                F.xxhash64(F.substr(F.col("__t"), i, F.lit(k))).alias("h1"),
+                F.xxhash64(
+                    F.lit(1), F.substr(F.col("__t"), i, F.lit(k))
+                ).alias("h2"),
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    ).otherwise(F.array().cast("array<struct<pos:int,h1:bigint,h2:bigint>>"))
     # spread before the ~len-fold char-window explode (no-op at scale)
     occ = spread_small(base).select("id", F.explode(grams).alias("g")).select(
-        "id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+        "id", F.col("g.pos").alias("pos"), F.col("g.h1").alias("h1"), F.col("g.h2").alias("h2")
     )
     dup = (
-        occ.groupBy("h")
+        occ.groupBy("h1", "h2")
         .agg(
             F.min(F.struct(F.col("id"), F.col("pos"))).alias("first"),
             F.count(F.lit(1)).alias("cnt"),
         )
         .where(F.col("cnt") >= 2)
-        .select("h", "first")
+        .select("h1", "h2", "first")
     )
     marked_occ = (
-        occ.join(dup, on="h")
+        occ.join(dup, on=["h1", "h2"])
         .where(
             ~((F.col("id") == F.col("first.id")) & (F.col("pos") == F.col("first.pos")))
         )
@@ -1426,6 +1438,12 @@ def jaccard_prefix_join(
     ).transform(pin_eager)
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # pin the ranked table: BOTH prefix sides (probe + index) filter
+    # it, and without the pin the whole df-count join + rank window
+    # subtree is duplicated per side in the physical plan (verified in
+    # the r15 plan dump — two Window+Exchange chains over the same
+    # rows). Shingle-scale intermediate, the same class as the ``sh``
+    # pin above.
     ranked = (
         sh.join(dfreq, "s")
         .withColumn(
@@ -1433,6 +1451,7 @@ def jaccard_prefix_join(
             F.row_number().over(Window.partitionBy("id").orderBy("__df", "s")),
         )
         .join(sizes, "id")
+        .transform(pin_lazy)
     )
     # asymmetric prefixes (AllPairs probe-prefix refinement): order the
     # pair by (size, id) so the PROBE side is always the smaller record.
@@ -1473,7 +1492,11 @@ def jaccard_prefix_join(
         )
         .distinct()
     )
-    ssets = sh.groupBy("id").agg(F.collect_set("s").alias("sset"), F.count(F.lit(1)).alias("n_sh"))
+    # pinned for the same reason as ``ranked``: sa and sb are two
+    # reads of this aggregate, which the plan otherwise computes twice
+    ssets = sh.groupBy("id").agg(
+        F.collect_set("s").alias("sset"), F.count(F.lit(1)).alias("n_sh")
+    ).transform(pin_lazy)
     sa = ssets.select(F.col("id").alias("id_a"), F.col("sset").alias("set_a"), F.col("n_sh").alias("n_a"))
     sb = ssets.select(F.col("id").alias("id_b"), F.col("sset").alias("set_b"), F.col("n_sh").alias("n_b"))
     inter = F.size(F.array_intersect("set_a", "set_b"))
@@ -1582,7 +1605,11 @@ def containment_prefix_join(
         .select("id_a", "id_b")
         .distinct()
     )
-    ssets = sh.groupBy("id").agg(F.collect_set("s").alias("sset"), F.count(F.lit(1)).alias("n_sh"))
+    # pinned: sa and sb are two reads of this aggregate, which the
+    # plan otherwise computes twice (the jaccard_prefix_join fix)
+    ssets = sh.groupBy("id").agg(
+        F.collect_set("s").alias("sset"), F.count(F.lit(1)).alias("n_sh")
+    ).transform(pin_lazy)
     sa = ssets.select(F.col("id").alias("id_a"), F.col("sset").alias("set_a"), F.col("n_sh").alias("n_a"))
     sb = ssets.select(F.col("id").alias("id_b"), F.col("sset").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b"))

