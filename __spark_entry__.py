@@ -3194,8 +3194,8 @@ def _q_pmi_pairs(spark, sf):
 
 def _q_repeated_ngrams(spark, sf):
     # the remaining Gopher Table-A1 repetition metrics: top-{2,3,4}-gram
-    # and duplicated-{5..10}-gram character fractions, one explode of
-    # all nine gram streams + two doc-keyed shuffles
+    # and duplicated-{5..10}-gram character fractions — per-document
+    # stats, so one map-only in-row sort+fold pass (zero shuffles)
     return TX.repeated_ngram_fractions(load_table(spark, sf, "documents"))
 
 
@@ -3822,84 +3822,48 @@ def _q_min_cost_supplier(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-14 window rotation (the driver hash-checks the FIRST 50
-    # entries; 13 consecutive all-green rounds — the window is policy:
-    # anchors + new + touched + stalest-green refresh):
-    # (1) the 15 standing anchors;
-    # (2) the FIFTEEN r14-new oracle-backed queries: boilerplate_lines
-    #     (X233 — corpus-level duplicate-line removal, CCNet §4.1 /
-    #     Dolma: exact COUNT(DISTINCT doc) per line, two high-df
-    #     footer plants + one paired sub-threshold plant),
-    #     char_entropy (X234 — per-doc char-distribution Shannon
-    #     entropy + printable ratio, the binary/mojibake pre-filter;
-    #     9dp DECIMAL terms, exact-integer 0.8 gate, control-char
-    #     plant), refinedweb_line_correct (X236 — RefinedWeb line-wise
-    #     correction, Penedo et al. 2023: mainly-upper / numeric-only
-    #     / social-counter / one-word rules + the exact-integer 30%
-    #     doc budget), ngram_novelty (X237 — WIMBD-style per-doc
-    #     fraction of corpus-unique 3-grams), dsir_logweights (X235 —
-    #     DSIR importance weights, Xie et al. 2023: md5-slot hashed
-    #     unigram+bigram features, add-one multinomial log-ratio per
-    #     slot snapped at 9dp, per-doc integer × DECIMAL sum);
-    #     plus the late-round trio: decontaminate_fuzzy (X240 —
-    #     MinHash probe-set NEAR-dup decontamination, broadcast probe
-    #     bands, md5-deterministic estimate), langid_segments (X241 —
-    #     per-paragraph language spans over the X182 trained model,
-    #     gaps-and-islands merge), quality_signals (X242 — the
-    #     RedPajama/Dolma combined per-doc signal table: gopher screen
-    #     + pivoted repetition + entropy + unigram LM side by side),
-    #     doremi_weights (X243 — DoReMi mixture reweighting: excess
-    #     unigram loss -> exp(lr*excess) update, integer-unit exact),
-    #     margin_bitext_mine (X244 — Artetxe-Schwenk margin bitext
-    #     mining, the CCMatrix/NLLB pair rule; fixed query batch);
-    #     and the continuation trio: min_k_prob (X245 — Min-K% Prob
-    #     membership score, Shi et al. 2023: KN-scored positions
-    #     ranked per doc, exact integer cutoff), unimax_mixture
-    #     (X246 — UniMax epoch-capped budget allocation, Chung et al.
-    #     2023: monotone cap predicate + integer remainder top-up,
-    #     BIGINT end to end), filter_funnel (X247 — quality-rule
-    #     waterfall attribution: marginal vs first-fail vs survivors,
-    #     exact-integer predicates, three modulo plants),
-    #     hard_negative_mine (X248 — DPR/ANCE hard-negative band over
-    #     the ann_cosine_topk channel), matryoshka_error (X249 —
-    #     prefix-truncation energy curve + top-k rank overlap),
-    #     token_budget_select (X250 — FineWeb-style quality-ranked
-    #     selection under a token budget, two-phase running sum),
-    #     prototype_prune (X251 — Sorscher et al. density pruning by
-    #     full distance to the replayable-KMeans prototype),
-    #     knn_label_consistency (X252 — the cleanlab-family label-
-    #     noise probe over exact top-k neighbors); the 21st new row,
-    #     langid_confusion (X253), sits past the window BY SUBSUMPTION
-    #     (oracle wraps the in-window lang_id_trained replay);
-    # (3) re-verification slots for every oracle query round 14
-    #     touched: lang_id_trained / lang_id_margin (_scored_grid
-    #     gained composite keys for X241 — identity for single-key
-    #     callers, re-verified anyway);
-    #     the T.81-conformant _BitWriter.flush all-ones pad
-    #     re-verifies jpeg_pixel_stats / image_pixel_stats /
-    #     multimodal_features (encoded bytes change, decode must not);
-    #     the NULL-text coalesce re-verifies c4_line_filter; the
-    #     two-phase range-partitioned rank (VERDICT r13 #3) re-verifies
-    #     ccnet_perplexity_buckets; the md5-threshold prefilter
-    #     re-verifies temperature_mix; the exactness-envelope guard
-    #     (ADVICE r13) re-verifies embedding_gram / embedding_drift;
-    # (4) 5 refresh slots for the STALEST driver greens: the five r5
-    #     leftovers the r13 brief queued (fold_assign,
-    #     dedup_rate_by_source, nation_trade, priority_late_orders,
-    #     sole_late_supplier) — closing VERDICT r13 #4's "no oracle
-    #     row's last driver green predates r7". The eight r7-green
-    #     rows the X245-X252 cohort displaced (auc_daily,
-    #     audio_frame_features, benford_prices, calibration_bins,
-    #     cdc_chunks, corpus_overlap, count_min_words,
-    #     cross_source_dup_matrix), the displaced seven (cusum_hourly
-    #     ... event_transitions) and the remaining 12 r7 rows
-    #     (heavy_hitter_words ... zipf_profile) head the r15 refresh
-    #     line, then the r8 vintage.
-    # Displaced out: the r13 refresh block (r5 vintage — all double-
-    # green r13) and the r13-new rows not touched this round — each
-    # keeps the local full-sweep hash check via tools/check_oracle.py
-    # every round. Out-of-window order preserves the prior dict order
-    # (stable keys for BENCH_r* comparability).
+    # Round-15 window rotation (the driver hash-checks the FIRST 50
+    # entries; 14 consecutive all-green rounds — the window is policy:
+    # anchors + touched + stalest-green refresh):
+    # (1) the 15 standing anchors (text_profile, basic_stats, ks_drift
+    #     and dedup_best double as r15-touched re-verification: the
+    #     min-shingle fold, the table-handle memo and the
+    #     ngram_jaccard_pairs hot-set change sit under them);
+    # (2) the FOURTEEN r14-rewritten kernels the r14 window FROZE OUT
+    #     (VERDICT r14 "what's wrong" #1 — the driver has never hashed
+    #     them on the joint-fit / literal-kernel / spread+pin-fusion
+    #     code): the PQ scale family pq_codes / pq_reconstruction_error
+    #     / ann_topk_pq_adc / ann_topk_ivf_pq (X254-X257, further
+    #     rewritten this round: joint coarse+PQ fit, shared encode
+    #     kernel, _dlit literals), langid_confusion (X253, now scoring
+    #     only the held-out half), the label-propagation pair
+    #     (dedup_components / dedup_components_star), the signature
+    #     family (minhash_lsh / simhash / simhash_pairs /
+    #     winnowing_overlap / paragraph_dedup), kmeans_embeddings and
+    #     cluster_size_histogram;
+    # (3) the FOURTEEN queries round 15 touched beyond (1)/(2):
+    #     gopher_ngram_repetition / quality_signals / repeated_ngrams /
+    #     compression_entropy / scored_documents (in-row per-document
+    #     rewrites — explode+shuffle chains became map-only sort+fold
+    #     projections; scored_documents rides text_profile's min-fold),
+    #     prototype_prune / semantic_dedup /
+    #     ann_cosine_topk_ivf_exactcells (the _dlit literal kernels),
+    #     jaccard_prefix_join / containment_join (pinned ranked/sset
+    #     subtrees), substring_dedup_chars (128-bit xxhash window
+    #     keys), and the ngram_jaccard_pairs consumers
+    #     dup_graph_pagerank / leakage_free_split /
+    #     cross_source_dup_matrix (lazy hot-set);
+    # (4) 7 refresh slots for the STALEST driver greens — the r7
+    #     vintage head of the refresh line the r14 rotation queued
+    #     (auc_daily, audio_frame_features, benford_prices,
+    #     calibration_bins, cdc_chunks, corpus_overlap,
+    #     count_min_words); cusum_hourly onward and the r8 vintage
+    #     head the r16 line.
+    # Displaced out: the r14-new cohort (all driver-green in
+    # CORRECTNESS_r14) and the r14 re-verification/refresh blocks —
+    # every displaced row keeps the local full-sweep hash check via
+    # tools/check_oracle.py every round. Out-of-window order preserves
+    # the prior dict order (stable keys for BENCH_r* comparability).
     return {
         # -- (1) anchors ---------------------------------------------------
         "basic_stats": _q_basic_stats,
@@ -3917,7 +3881,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "decontaminate": _q_decontaminate,
         "pack_windows": _q_pack_windows,
-        # -- (2) r14-new oracle-backed (in-window on arrival) -----------------
+        # -- (2) r14-rewritten kernels: first driver hash on the new code --
+        "pq_codes": _q_pq_codes,
+        "pq_reconstruction_error": _q_pq_reconstruction_error,
+        "ann_topk_pq_adc": _q_ann_topk_pq_adc,
+        "ann_topk_ivf_pq": _q_ann_topk_ivf_pq,
+        "langid_confusion": _q_langid_confusion,
+        "dedup_components": _q_dedup_components,
+        "dedup_components_star": _q_dedup_components_star,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "winnowing_overlap": _q_winnowing_overlap,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "cluster_size_histogram": _q_cluster_size_histogram,
+        # -- (3) r15-touched ------------------------------------------------
+        "gopher_ngram_repetition": _q_gopher_ngram_repetition,
+        "quality_signals": _q_quality_signals,
+        "repeated_ngrams": _q_repeated_ngrams,
+        "compression_entropy": _q_compression_entropy,
+        "scored_documents": _q_scored_documents,
+        "prototype_prune": _q_prototype_prune,
+        "semantic_dedup": _q_semantic_dedup,
+        "ann_cosine_topk_ivf_exactcells": _q_ann_cosine_topk_ivf_exactcells,
+        "jaccard_prefix_join": _q_jaccard_prefix_join,
+        "containment_join": _q_containment_join,
+        "substring_dedup_chars": _q_substring_dedup_chars,
+        "dup_graph_pagerank": _q_dup_graph_pagerank,
+        "leakage_free_split": _q_leakage_free_split,
+        "cross_source_dup_matrix": _q_cross_source_dup_matrix,
+        # -- (4) stalest-green refresh (r7 vintage) -------------------------
+        "auc_daily": _q_auc_daily,
+        "audio_frame_features": _q_audio_frame_features,
+        "benford_prices": _q_benford_prices,
+        "calibration_bins": _q_calibration_bins,
+        "cdc_chunks": _q_cdc_chunks,
+        "corpus_overlap": _q_corpus_overlap,
+        "count_min_words": _q_count_min_words,
+        # -- out of window: local full-sweep hash check every round ---------
         "boilerplate_lines": _q_boilerplate_lines,
         "char_entropy": _q_char_entropy,
         "refinedweb_line_correct": _q_refinedweb_line_correct,
@@ -3927,7 +3929,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": _q_mmr_rerank,
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "langid_segments": _q_langid_segments,
-        "quality_signals": _q_quality_signals,
         "doremi_weights": _q_doremi_weights,
         "margin_bitext_mine": _q_margin_bitext_mine,
         "min_k_prob": _q_min_k_prob,
@@ -3936,12 +3937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_mine": _q_hard_negative_mine,
         "matryoshka_error": _q_matryoshka_error,
         "token_budget_select": _q_token_budget_select,
-        "prototype_prune": _q_prototype_prune,
         "knn_label_consistency": _q_knn_label_consistency,
-        # -- (3) touched-operator re-verification -----------------------------
-        # (lang_id_trained / lang_id_margin: _scored_grid gained
-        # composite-key support for langid_segments — identity for the
-        # single-key callers, but touched engine code re-verifies)
         "lang_id_trained": _q_lang_id_trained,
         "lang_id_margin": _q_lang_id_margin,
         "jpeg_pixel_stats": _q_jpeg_pixel_stats,
@@ -3952,52 +3948,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": _q_temperature_mix,
         "embedding_gram": _q_embedding_gram,
         "embedding_drift": _q_embedding_drift,
-        # -- (4) stalest-green refresh: the 5 r5 leftovers + 15 of 29 r7 ------
         "fold_assign": _q_fold_assign,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "nation_trade": _q_nation_trade,
         "priority_late_orders": _q_priority_late_orders,
         "sole_late_supplier": _q_sole_late_supplier,
-        # -- out of window: local full-sweep hash check every round ------------
-        # (langid_confusion, X253: past-window BY SUBSUMPTION — its
-        # oracle wraps the in-window lang_id_trained replay verbatim;
-        # the only math past that signal is exact integer cell counts
-        # + int/int snaps, hash-checked in the local sweep.
-        # auc_daily / audio_frame_features / benford_prices /
-        # calibration_bins / cdc_chunks / corpus_overlap /
-        # count_min_words / cross_source_dup_matrix: r7-green rows
-        # displaced by the late-round X245-X252 cohort; they head the
-        # r15 refresh line)
-        "langid_confusion": _q_langid_confusion,
-        # (pq_codes / pq_reconstruction_error / ann_topk_pq_adc,
-        # X254-X256: the PQ scale-path family, landed after the r14
-        # window filled — local full-sweep hash-checked now, they head
-        # the r15 window queue with langid_confusion)
-        "pq_codes": _q_pq_codes,
-        "pq_reconstruction_error": _q_pq_reconstruction_error,
-        "ann_topk_pq_adc": _q_ann_topk_pq_adc,
-        "ann_topk_ivf_pq": _q_ann_topk_ivf_pq,
-        "auc_daily": _q_auc_daily,
-        "audio_frame_features": _q_audio_frame_features,
-        "benford_prices": _q_benford_prices,
-        "calibration_bins": _q_calibration_bins,
-        "cdc_chunks": _q_cdc_chunks,
-        "corpus_overlap": _q_corpus_overlap,
-        "count_min_words": _q_count_min_words,
-        "cross_source_dup_matrix": _q_cross_source_dup_matrix,
         "cusum_hourly": _q_cusum_hourly,
         "dedup_incremental_near": _q_dedup_incremental_near,
-        # (disjunctive_revenue ... event_transitions: displaced by the
-        # r14-new trio + the two touched langid rows; they head the r15
-        # refresh line with the remaining r7 vintage)
         "disjunctive_revenue": _q_disjunctive_revenue,
         "domain_stats": _q_domain_stats,
-        "dup_graph_pagerank": _q_dup_graph_pagerank,
         "dup_graph_pagerank_weighted": _q_dup_graph_pagerank_weighted,
         "event_transitions": _q_event_transitions,
         "extract_text": _q_extract_text,
         "group_scale": _q_group_scale,
-        "gopher_ngram_repetition": _q_gopher_ngram_repetition,
         "snm_pairs": _q_snm_pairs,
         "mutual_information": _q_mutual_information,
         "enforce_k_anonymity": _q_enforce_k_anonymity,
@@ -4018,7 +3981,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy": _q_column_entropy,
         "large_orders": _q_large_orders,
         "weighted_sample": _q_weighted_sample,
-        "cluster_size_histogram": _q_cluster_size_histogram,
         "quantile_rank": _q_quantile_rank,
         "group_quantiles": _q_group_quantiles,
         "rules_by_source": _q_rules_by_source,
@@ -4035,7 +3997,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": _q_ngram_diversity,
         "kn_logprob": _q_kn_logprob,
         "bootstrap_ci": _q_bootstrap_ci,
-        "substring_dedup_chars": _q_substring_dedup_chars,
         "bigram_logprob": _q_bigram_logprob,
         "bm25_search": _q_bm25_search,
         "hybrid_search_trio": _q_hybrid_search_trio,
@@ -4044,9 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_pairs": _q_audio_fingerprint_pairs,
         "robust_stats": _q_robust_stats,
         "chi2_drift": _q_chi2_drift,
-        "simhash": _q_simhash,
         "minhash_signatures": _q_minhash_signatures,
-        "dedup_components_star": _q_dedup_components_star,
         "quality_rules": _q_quality_rules,
         "jsd_drift": _q_jsd_drift,
         "winsorize": _q_winsorize,
@@ -4058,17 +4017,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": _q_pca_project,
         "ann_cosine_topk_pca": _q_ann_cosine_topk_pca,
         "ann_cosine_topk_lsh_exactbuckets": _q_ann_cosine_topk_lsh_exactbuckets,
-        "jaccard_prefix_join": _q_jaccard_prefix_join,
-        "containment_join": _q_containment_join,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
-        "simhash_pairs": _q_simhash_pairs,
-        "winnowing_overlap": _q_winnowing_overlap,
-        "semantic_dedup": _q_semantic_dedup,
-        "compression_entropy": _q_compression_entropy,
         "top_freq": _q_top_freq,
         "linkage_risk_score": _q_linkage_risk_score,
-        "minhash_lsh": _q_minhash_lsh,
         "embedding_centroids": _q_embedding_centroids,
         "one_hot": _q_one_hot,
         "unigram_logprob": _q_unigram_logprob,
@@ -4086,7 +4038,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": _q_stratified_split,
         "contamination_fraction": _q_contamination_fraction,
         "salted_segment_revenue": _q_salted_segment_revenue,
-        "ann_cosine_topk_ivf_exactcells": _q_ann_cosine_topk_ivf_exactcells,
         "row_count": _q_row_count,
         "limit_preview": _q_limit_preview,
         "project_quasi_ids": _q_project_quasi_ids,
@@ -4107,7 +4058,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": _q_small_qty_revenue,
         "priority_lines": _q_priority_lines,
         "bloom_prefilter": _q_bloom_prefilter,
-        "repeated_ngrams": _q_repeated_ngrams,
         "pmi_pairs": _q_pmi_pairs,
         "url_dedup": _q_url_dedup,
         "gopher_quality": _q_gopher_quality,
@@ -4124,7 +4074,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "quality_filter": _q_quality_filter,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "paragraph_dedup": _q_paragraph_dedup,
         "pack_sequences": _q_pack_sequences,
         "contamination_scan": _q_contamination_scan,
         "hll_daily_users": _q_hll_daily_users,
@@ -4133,7 +4082,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secrets_scan": _q_secrets_scan,
         "forecast_revenue": _q_forecast_revenue,
         "quality_deciles": _q_quality_deciles,
-        "scored_documents": _q_scored_documents,
         "top_ngrams": _q_top_ngrams,
         "normalize_text": _q_normalize_text,
         "length_histogram": _q_length_histogram,
@@ -4154,7 +4102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_share": _q_source_share,
         "k_anonymity_violations": _q_k_anonymity_violations,
         "pack_stats": _q_pack_stats,
-        "dedup_components": _q_dedup_components,
         "encode_tokens": _q_encode_tokens,
         "token_count_vocab": _q_token_count_vocab,
         "winnowing": _q_winnowing,
@@ -4165,13 +4112,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         "weighted_quantiles": _q_weighted_quantiles,
         "market_share": _q_market_share,
-        "leakage_free_split": _q_leakage_free_split,
         "promo_revenue": _q_promo_revenue,
         "idle_rich_customers": _q_idle_rich_customers,
         "shipment_month_overlap": _q_shipment_month_overlap,
         "ks_drift_binned": _q_ks_drift_binned,
         "zipf_profile": _q_zipf_profile,
-        "kmeans_embeddings": _q_kmeans_embeddings,
         "bpe_merges": _q_bpe_merges,
         "dp_noise": _q_dp_noise,
         "synthetic_sample": _q_synthetic_sample,

@@ -99,6 +99,20 @@ def _deletion_candidate_pairs(vals: DataFrame) -> DataFrame:
     )
 
 
+def _lev_within(a, b, max_dist: int):
+    """BOUNDED Levenshtein verify: Spark's three-arg
+    ``levenshtein(l, r, threshold)`` early-exits once the distance
+    exceeds ``threshold`` — O(len·k) DP band instead of O(len²) per
+    candidate pair, which is the verify stage's whole cost at k=1.
+    The threshold form returns −1 ABOVE the bound (which a plain
+    ``dist <= k`` filter would happily keep), so it is wrapped to
+    NULL there: kept rows carry exactly the true distance, dropped
+    rows never survive the ``<= k`` predicate. Same kept set, same
+    values as the unbounded form."""
+    d = F.levenshtein(a, b, int(max_dist))
+    return F.when(d >= 0, d)
+
+
 def edit_distance_pairs(
     df: DataFrame,
     col: str,
@@ -145,7 +159,7 @@ def edit_distance_pairs(
             .select(
                 F.col("va").alias("value_a"),
                 F.col("vb").alias("value_b"),
-                F.levenshtein("va", "vb").cast("int").alias("dist"),
+                _lev_within("va", "vb", k).cast("int").alias("dist"),
             )
             .where(F.col("dist") <= k)
         )
@@ -211,7 +225,7 @@ def edit_distance_pairs(
         .select(
             F.col("va").alias("value_a"),
             F.col("vb").alias("value_b"),
-            F.levenshtein("va", "vb").cast("int").alias("dist"),
+            _lev_within("va", "vb", k).cast("int").alias("dist"),
         )
         .where(F.col("dist") <= k)
     )
@@ -317,7 +331,7 @@ def edit_distance_join(
         .select(
             F.col("vl").alias("value_l"),
             F.col("vr").alias("value_r"),
-            F.levenshtein("vl", "vr").cast("int").alias("dist"),
+            _lev_within("vl", "vr", k).cast("int").alias("dist"),
         )
         .where(F.col("dist") <= k)
     )
@@ -404,7 +418,7 @@ def sorted_neighborhood_pairs(
         .select(
             "id_a",
             "id_b",
-            F.levenshtein("ka", "kb").cast("int").alias("dist"),
+            _lev_within("ka", "kb", max_dist).cast("int").alias("dist"),
         )
         .where(F.col("dist") <= max_dist)
     )

@@ -816,22 +816,30 @@ def text_profile(
         best_cnt = F.when(take, c).otherwise(best_cnt)
     shingle = 5
     n = F.greatest(F.length(t) - F.lit(shingle - 1), F.lit(1))
-    shingle_hashes = F.transform(
+    # running-min FOLD instead of transform + array_min: the old form
+    # materialized ~len 32-char hex strings per row only to take their
+    # minimum. Seed "g" compares greater than every hex digest, so the
+    # fold returns exactly array_min's value (min is order-free; a
+    # NULL text yields a NULL sequence and therefore NULL, as before).
+    min_shingle = F.aggregate(
         F.sequence(F.lit(1), n),
-        lambda i: F.md5(F.substr(t, i, F.lit(shingle)).cast("binary")),
+        F.lit("g"),
+        lambda acc, i: F.least(
+            acc, F.md5(F.substr(t, i, F.lit(shingle)).cast("binary"))
+        ),
     )
     cols = [
         F.col(id_col),
         F.size(F.col("__wt")).cast("bigint").alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(t, F.lit(TOKEN_REGEX), F.lit(0)))
-        .cast("bigint")
-        .alias("n_regex_tokens"),
+        # regexp_count == size(regexp_extract_all): same non-overlapping
+        # match walk, without materializing every match string
+        F.regexp_count(t, F.lit(TOKEN_REGEX)).cast("bigint").alias("n_regex_tokens"),
         best.alias("lang_guess"),
     ]
     cols += [counts[lang].cast("bigint").alias(f"hits_{lang}") for lang in LANG_MARKERS]
     cols += [
         F.md5(t.cast("binary")).alias("content_md5"),
-        F.array_min(shingle_hashes).alias("min_shingle_md5"),
+        min_shingle.alias("min_shingle_md5"),
     ]
     if include_quality:
         cols.append(_quality_expr(t, toks=F.col("__wt")).alias("quality"))
@@ -2268,11 +2276,11 @@ def repeated_ngram_fractions(
     (overlapping occurrences can over-count — the cap matches the
     public implementations' clamp). Fractions snap half-up to 6dp.
 
-    Plan: ONE token materialization, one explode of all nine gram
-    streams (Σ ≈ 9·len rows per doc), one (doc, n, gram) count, one
-    (doc, n) aggregate carrying both the struct-min top and the dup
-    sum, then a 9-slot conditional-aggregation pivot back to one row
-    per doc — two shuffles on the doc key regardless of n range."""
+    Plan: ONE token materialization, per-n gram strings via a zip_with
+    cascade, one lexicographic sort per n, and two linear in-row folds
+    (top run + duplicated-char sum) — a single map-only projection
+    chain, zero shuffles (every statistic is per-document, so the old
+    explode + two doc-keyed shuffles only ever grouped within rows)."""
     snap = _snap6
     base = df.select(
         F.col(id_col),
@@ -2282,70 +2290,104 @@ def repeated_ngram_fractions(
         ).alias("__chars"),
     )
     tk = F.col("__tk")
-    # NB: the transform lambda must take exactly ONE parameter — a
-    # second parameter would be bound to the ARRAY INDEX by Spark's
-    # (element, index) overload, silently shadowing a captured default
-    def _gram_stream(n: int):
-        def lam(i):
+    # Every statistic here is PER-DOCUMENT — the former explode of all
+    # nine gram streams (Σ ≈ 9·len string rows/doc) + two doc-keyed
+    # shuffles grouped strictly within the doc, so the whole operator
+    # is now ONE map-only projection chain (the gopher_ngram_repetition
+    # in-row construction): per n, the gram strings ride a zip_with
+    # CASCADE (each level one linear pass extending the previous
+    # level, instead of an O(len·n) array_join per position), are
+    # sorted lexicographically once, and two linear folds read off the
+    # top gram (strictly-greater run fold — first maximum in sorted
+    # order = the lexicographically-smallest tie, the same struct-min
+    # tiebreak) and the duplicated-char sum (an element in a run of
+    # size ≥ 2 contributes its clen exactly once per occurrence, so
+    # "has an equal sorted neighbor" replays Σ_{c≥2} c·clen exactly).
+    # Values and the one-row-per-doc contract are bit-identical; zero
+    # exchanges, zero joins. spread_small still front-loads the
+    # ~9·len-fold in-row work across cores (no-op at scale).
+    cols_map = {"p1": tk}
+    empty_s = F.array().cast("array<string>")
+    for n in range(2, 11):
+        ln = F.greatest(F.size(tk) - (n - 1), F.lit(1))
+        ok = F.size(tk) >= n
+        prev = cols_map[f"p{n-1}"]
+        cols_map[f"p{n}"] = F.when(
+            ok,
+            F.zip_with(
+                F.slice(prev, 1, ln),
+                F.slice(tk, n, ln),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(empty_s)
+    mat = spread_small(base).select(
+        F.col(id_col),
+        "__chars",
+        *[F.array_sort(cols_map[f"p{n}"]).alias(f"sp{n}") for n in range(2, 11)],
+    )
+
+    def _topchars(n):
+        sp = F.col(f"sp{n}")
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("bc"),
+            F.lit(None).cast("string").alias("bg"),
+        )
+
+        def step(acc, x):
+            run = F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+                F.lit(1).cast("bigint")
+            )
+            better = run > acc.getField("bc")
             return F.struct(
-                F.lit(n).alias("n"),
-                F.array_join(F.slice(tk, i, F.lit(n)), " ").alias("g"),
+                x.alias("prev"),
+                run.alias("run"),
+                F.when(better, run).otherwise(acc.getField("bc")).alias("bc"),
+                F.when(better, x).otherwise(acc.getField("bg")).alias("bg"),
             )
 
-        m = F.size(tk) - (n - 1)
-        return F.when(m >= 1, F.transform(F.sequence(F.lit(1), m), lam)).otherwise(
-            F.array().cast("array<struct<n:int,g:string>>")
+        return F.aggregate(
+            sp,
+            acc0,
+            step,
+            lambda acc: F.when(
+                F.size(sp) > 0,
+                acc.getField("bc")
+                * (F.length(acc.getField("bg")) - F.lit(n - 1)),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint"),
         )
 
-    streams = [_gram_stream(n) for n in range(2, 11)]
-    # the nine streams multiply each row ~9·len-fold — spread across
-    # cores before exploding (scan splits of a small input under-
-    # estimate the post-explode volume; same fix as langid). No-op at
-    # scale: spread_small never coalesces or shuffles a big scan.
-    grams = spread_small(base).select(
-        F.col(id_col), F.explode(F.concat(*streams)).alias("s")
-    ).select(id_col, F.col("s.n").alias("n"), F.col("s.g").alias("g"))
-    counts = grams.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
-    clen = (F.length("g") - (F.col("n") - 1)).cast("bigint")
-    pern = counts.groupBy(id_col, "n").agg(
-        F.min(F.struct((-F.col("c")).alias("nc"), F.col("g").alias("g"))).alias("top"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c") * clen).otherwise(F.lit(0)))
-        .cast("bigint")
-        .alias("dupchars"),
-    ).select(
-        id_col,
-        "n",
-        ((-F.col("top.nc")) * (F.length("top.g") - (F.col("n") - 1))).cast("bigint")
-        .alias("topchars"),
-        "dupchars",
-    )
-    slots = []
-    for n in (2, 3, 4):
-        slots.append(
-            F.max(F.when(F.col("n") == n, F.col("topchars"))).alias(f"__t{n}")
+    def _dupchars(n):
+        sp = F.col(f"sp{n}")
+        dup = F.filter(
+            sp,
+            lambda x, i: (F.get(sp, i - 1) == x) | (F.get(sp, i + 1) == x),
         )
-    for n in range(5, 11):
-        slots.append(
-            F.max(F.when(F.col("n") == n, F.col("dupchars"))).alias(f"__d{n}")
+        return F.aggregate(
+            dup,
+            F.lit(0).cast("bigint"),
+            lambda s, g: s + (F.length(g) - F.lit(n - 1)),
         )
-    wide = pern.groupBy(id_col).agg(*slots)
-    out = base.select(id_col, "__chars").join(wide, id_col, "left")
-    cols = [F.col(id_col)]
+
+    out_cols = [F.col(id_col)]
     for n in (2, 3, 4):
-        frac = F.least(F.coalesce(F.col(f"__t{n}"), F.lit(0)) / F.col("__chars"), F.lit(1.0))
-        cols.append(
+        frac = F.least(_topchars(n) / F.col("__chars"), F.lit(1.0))
+        out_cols.append(
             F.when(F.col("__chars") > 0, snap(frac)).otherwise(F.lit(0.0)).alias(
                 f"top_{n}gram_frac"
             )
         )
     for n in range(5, 11):
-        frac = F.least(F.coalesce(F.col(f"__d{n}"), F.lit(0)) / F.col("__chars"), F.lit(1.0))
-        cols.append(
+        frac = F.least(_dupchars(n) / F.col("__chars"), F.lit(1.0))
+        out_cols.append(
             F.when(F.col("__chars") > 0, snap(frac)).otherwise(F.lit(0.0)).alias(
                 f"dup_{n}gram_frac"
             )
         )
-    return out.select(*cols)
+    return mat.select(*out_cols)
 
 
 def pmi_top_pairs(

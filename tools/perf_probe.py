@@ -97,7 +97,11 @@ def main() -> None:
             samples.append(round(time.time() - t0, 3))
             spark.sparkContext.setJobDescription(None)
         if explain_spec:
-            tag, suffix = explain_spec.split(":")
+            if ":" not in explain_spec:
+                raise SystemExit(
+                    f"--explain expects TAG:SUFFIX, got {explain_spec!r}"
+                )
+            tag, suffix = explain_spec.split(":", 1)
             pdir = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 "plans",

@@ -214,8 +214,20 @@ DECADE2_QUERIES = [
     "ann_topk_pq_adc",
     "ann_topk_ivf_pq",
 ]
+# Bound recalibrated 4.0 → 5.0 in r15 WITH the floor it encodes: the
+# slope is (f + 10c)/(f + c) for a LINEAR operator whose lo-side run
+# is fixed-floor f + data work c. The 4.0 bound was calibrated when
+# every query carried f ≈ 1 s of plan-build/scan-setup floor (a
+# linear op with c ≈ 0.35 then measured ≈ 3.3); r15 removed much of
+# that floor engine-wide (table-handle memo, _dlit literals, in-row
+# rewrites — OPTIMIZATION_r15.md), so the SAME linear operators now
+# measure ≈ 4.2-4.5 (snm_pairs: lo 1.22 = ~0.75 floor + 0.45 work →
+# linear prediction 5.25, measured 5.07). 5.0 keeps the old headroom
+# multiple over expected-linear (4.0/3.3 ≈ 5.0/4.4); a quadratic
+# blowup still reads ≥ 8-10x and trips. Raw lo/hi seconds are
+# recorded per query so any future floor shift can re-derive this.
 DECADE2_GATES: dict[str, tuple[str, float]] = {
-    f"slope10_{q}": ("max", 4.0) for q in DECADE2_QUERIES
+    f"slope10_{q}": ("max", 5.0) for q in DECADE2_QUERIES
 }
 
 # Analytic slope EXPECTATIONS per gated family (VERDICT r12 #7): the
